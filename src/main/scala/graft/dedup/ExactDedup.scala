@@ -1,0 +1,35 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact deduplication.
+  *
+  * The reference uses `dropDuplicates()` (/root/reference/Yelp_Data_PreProcessing.py:77),
+  * which keeps an *arbitrary* row per key — fine for its use but
+  * non-deterministic. [[keepFirst]] is the deterministic form: one hash
+  * shuffle partitioned by the dedup key, `row_number` within each key, keep
+  * rank 1. At 100 TB this is a single exchange on the key (no sort of the
+  * whole relation, only within key groups), and AQE handles skewed keys.
+  */
+object ExactDedup {
+
+  /** Deterministic dedup: keep the row with the smallest `orderCol` per key. */
+  def keepFirst(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Reference-faithful arbitrary-row dedup (ref Yelp_Data_PreProcessing.py:77). */
+  def dropDups(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+
+  /** Duplicate-group sizes for a key — handy dedup audit (hash-groupBy, one
+    * shuffle carrying distinct keys only thanks to partial aggregation). */
+  def dupCounts(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+}

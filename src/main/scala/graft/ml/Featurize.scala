@@ -1,0 +1,42 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.feature.{CountVectorizer, IDF, StopWordsRemover, Tokenizer}
+import org.apache.spark.sql.DataFrame
+
+/** Text featurization: Tokenizer → StopWordsRemover → CountVectorizer → IDF,
+  * the reference's chain (/root/reference/Scalable_Project_ML_Model_Analysis.py:99-158)
+  * as a single spark.ml `Pipeline` (instead of four hand-sequenced
+  * transforms), so it persists/loads as one artifact and `transform` works
+  * identically on batch and streaming frames.
+  *
+  * `vocabSize` is bounded: at 100 TB an unbounded CountVectorizer vocabulary
+  * is a driver-memory incident; the reference's unbounded default is not
+  * preserved deliberately.
+  */
+object Featurize {
+
+  /** Custom stopwords from the reference EDA (Scalable_EDA_Final.py:65-67). */
+  val customStopwords: Array[String] = Array("one", "s")
+
+  def pipeline(inputCol: String = "text",
+               vocabSize: Int = 4096,
+               minDF: Double = 1.0,
+               extraStopwords: Array[String] = customStopwords): Pipeline = {
+    val tok = new Tokenizer()
+      .setInputCol(inputCol).setOutputCol("words")
+    val sw = new StopWordsRemover()
+      .setInputCol("words").setOutputCol("words_nsw")
+      .setStopWords(StopWordsRemover.loadDefaultStopWords("english") ++ extraStopwords)
+    val cv = new CountVectorizer()
+      .setInputCol("words_nsw").setOutputCol("tf")
+      .setVocabSize(vocabSize).setMinDF(minDF)
+    val idf = new IDF()
+      .setInputCol("tf").setOutputCol("tfidf")
+    new Pipeline().setStages(Array(tok, sw, cv, idf))
+  }
+
+  def fit(df: DataFrame, inputCol: String = "text",
+          vocabSize: Int = 4096): PipelineModel =
+    pipeline(inputCol, vocabSize).fit(df)
+}

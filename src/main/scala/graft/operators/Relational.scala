@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational preprocessing / EDA operators.
+  *
+  * Covers the reference's DataFrame surface: cast-label + dropna + projection
+  * (/root/reference/Yelp_Data_PreProcessing.py:60-62), left enrich joins
+  * (:97,103), elite-flag fill (/root/reference/Scalable_Project_SVM_Model_Deployment.py:68,81),
+  * explode/split + top-N (/root/reference/Scalable_EDA_Final.py:178-189) and
+  * the RDD `.histogram(10)` (:140-146) re-expressed as a declarative
+  * width-bucket aggregation.
+  *
+  * Scale notes: every operator is a pure `DataFrame → DataFrame` plan
+  * fragment, so Catalyst gets pushdown/pruning for free. Dimension sides of
+  * enrich joins are broadcast by default (user/business-style dims stay small
+  * relative to the fact side at any scale factor); fact⋈fact joins fall back
+  * to shuffle joins with AQE skew handling.
+  */
+object Relational {
+
+  /** stars → double label (ref Yelp_Data_PreProcessing.py:60). */
+  def withLabel(df: DataFrame, src: String, dst: String = "label"): DataFrame =
+    df.withColumn(dst, col(src).cast("double"))
+
+  /** dropna on a column subset (ref Yelp_Data_PreProcessing.py:61). */
+  def dropNaSubset(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.na.drop(cols)
+
+  /** Column projection (ref Yelp_Data_PreProcessing.py:62). */
+  def project(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*)
+
+  /** withColumnRenamed (ref Scalable_Project_SVM_Model_Deployment.py:106). */
+  def rename(df: DataFrame, from: String, to: String): DataFrame =
+    df.withColumnRenamed(from, to)
+
+  /** Left-outer enrich of a fact table with a dimension
+    * (ref Yelp_Data_PreProcessing.py:97,103). Dim is broadcast by default:
+    * at 100 TB the fact side dominates and the dim fits in executor memory,
+    * so this avoids shuffling the fact table entirely. */
+  def leftEnrich(fact: DataFrame, dim: DataFrame, joinExpr: Column,
+                 bcast: Boolean = true): DataFrame =
+    fact.join(if (bcast) broadcast(dim) else dim, joinExpr, "left")
+
+  /** when(isNull, default).otherwise(col) flag fill
+    * (ref Scalable_Project_SVM_Model_Deployment.py:81). */
+  def flagFill(df: DataFrame, flagCol: String, default: Column): DataFrame =
+    df.withColumn(flagCol,
+      when(col(flagCol).isNull, default).otherwise(col(flagCol)))
+
+  /** explode(split(col, delim)) (ref Scalable_EDA_Final.py:178). */
+  def explodeDelimited(df: DataFrame, src: String, out: String,
+                       delim: String): DataFrame =
+    df.withColumn(out, explode(split(col(src), delim)))
+
+  /** groupBy-count-orderBy(desc)-limit top-N with a deterministic tiebreak on
+    * the key (ref Scalable_EDA_Final.py:187-189). Partial (map-side)
+    * aggregation makes the shuffle carry only distinct keys. */
+  def topNByCount(df: DataFrame, key: String, n: Int): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc(key))
+      .limit(n)
+
+  /** Equal-width histogram of a numeric column, the declarative re-expression
+    * of the reference's `rdd.flatMap(...).histogram(10)`
+    * (ref Scalable_EDA_Final.py:140-146). Two passes over the column: one
+    * tiny min/max agg (broadcast back as a single row), one bucket-count agg.
+    * No RDD round-trip, no driver materialization.
+    */
+  def histogram(df: DataFrame, value: Column, nBuckets: Int): DataFrame = {
+    val vals = df.select(value.cast("double").as("v"))
+    val mm = vals.agg(min(col("v")).as("minv"), max(col("v")).as("maxv"))
+    vals.crossJoin(broadcast(mm))
+      .select(
+        when(col("maxv") === col("minv"), lit(0))
+          .otherwise(least(lit(nBuckets - 1),
+            floor((col("v") - col("minv")) * nBuckets / (col("maxv") - col("minv")))
+              .cast("int")))
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("freq"))
+  }
+}

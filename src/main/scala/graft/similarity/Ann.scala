@@ -1,0 +1,88 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths, per the usual correctness/scale split:
+  *
+  *   - [[bruteForceTopK]] — exact baseline: broadcast the (small) query set,
+  *     one linear scan of the corpus, per-query top-k via window rank. The
+  *     corpus is never shuffled by similarity; the only exchange is keyed by
+  *     query_id and carries corpus_rows × n_queries scored rows. Right answer
+  *     at any corpus size *if* the query set is small.
+  *   - [[lshTopK]] — scale path: random-hyperplane LSH (Charikar '02 SRP).
+  *     Corpus and queries are bucketed by the sign-pattern of `nPlanes`
+  *     hyperplane projections; scoring happens only within matching buckets,
+  *     so cost is corpus/2^nPlanes per query in expectation. Hyperplanes are
+  *     generated driver-side from a fixed seed and embedded as literal
+  *     arrays — identical on every executor, no closure capture.
+  *
+  * [[nearDupByCosine]] is the embedding-space near-duplicate operator:
+  * self-join on LSH bucket, verify cosine ≥ threshold — never all-pairs.
+  */
+object Ann {
+
+  /** Deterministic random hyperplanes (unit-free; only the sign is used). */
+  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Column] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*))
+  }
+
+  /** SRP bucket id: bit i = sign(v · plane_i). */
+  def srpBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column =
+    planes(nPlanes, dim, seed).zipWithIndex.map { case (p, i) =>
+      when(dot(vec, p) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Exact cosine top-k of each query against the corpus (self-matches
+    * excluded). `queries` must be small enough to broadcast. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "cos")
+  }
+
+  /** LSH-bucketed top-k: candidates limited to the query's SRP bucket.
+    * Trades recall for a 2^nPlanes candidate reduction; recall is measured
+    * against [[bruteForceTopK]] in AnnSpec. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nPlanes: Int, dim: Int,
+              seed: Long = 42L): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      srpBucket(col(vecCol), nPlanes, dim, seed).as("bucket"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      srpBucket(col(vecCol), nPlanes, dim, seed).as("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "cos")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold),
+    * bucketed by SRP so the self-join is per-bucket, not all-pairs. */
+  def nearDupByCosine(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, nPlanes: Int, dim: Int,
+                      seed: Long = 42L): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      srpBucket(col(vecCol), nPlanes, dim, seed).as("bucket"))
+    v.as("l").join(v.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .withColumn("cos", cosine(col("l.v"), col("r.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cos"))
+  }
+}

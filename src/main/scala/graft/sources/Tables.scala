@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table access for the testdata star schema (TESTDATA.md).
+  *
+  * The reference reads header CSVs (/root/reference/Yelp_Data_PreProcessing.py:53)
+  * and writes CSV (:158); here sources are columnar parquet so Catalyst's
+  * predicate pushdown and column pruning reach the scan — at 100 TB the
+  * difference between scanning two columns and scanning a row-oriented file
+  * is the whole job.
+  */
+object Tables {
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects; read nanos as long (session conf) and normalize to a proper
+    * TimestampType (µs) column so downstream window/watermark ops just work. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+
+  /** Overwrite-mode columnar sink (ref writes CSV, Yelp_Data_PreProcessing.py:158). */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}

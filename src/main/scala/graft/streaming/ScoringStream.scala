@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.functions.TextFunctions
+
+/** Structured Streaming re-expression of the reference's DStream scoring
+  * pipeline (/root/reference/Prediction_Pipe_Line.py:94-111).
+  *
+  * Differences by design:
+  *   - file/parquet source with schema (vs `socketTextStream`) — replayable,
+  *     partition-parallel, exactly-once with checkpointing;
+  *   - the `PipelineModel` is loaded ONCE and bound into the streaming plan
+  *     (the reference reloads tokenizer/cv/idf/svm from disk *inside every
+  *     micro-batch* via `foreachRDD` — a driver round-trip per batch that
+  *     does not survive scale);
+  *   - windowed aggregations ride the same stream with watermarks, so state
+  *     is bounded at any input rate.
+  */
+object ScoringStream {
+
+  /** Streaming source over an events parquet path (schema taken from a
+    * zero-cost batch footer read). `FileStreamSource` monitors a *directory*;
+    * production points at the ingest dir, but the testdata ships a single
+    * file, so a plain-file path is staged into a temp dir first (one local
+    * copy, harness-only — never taken on a directory path). */
+  def eventsStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val f = new java.io.File(path)
+    val dir =
+      if (f.isFile) {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
+        java.nio.file.Files.copy(f.toPath, d.resolve(f.getName),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        d.toString
+      } else path
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** Watermarked windowed aggregation over the event stream. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Score a stream of text-bearing rows with a trained pipeline: clean →
+    * model.transform (tokenize/stopword/tf/idf/classify), exactly the
+    * reference's per-batch flow but as one continuous streaming plan. */
+  def scoreStream(stream: DataFrame, model: PipelineModel,
+                  textCol: String): DataFrame = {
+    val prepared = stream.withColumn("text", TextFunctions.cleanText(col(textCol)))
+    model.transform(prepared)
+      .withColumn("sentiment",
+        when(col("prediction") === 1.0, lit("Positive")).otherwise(lit("Negative")))
+  }
+
+  /** Drain a (bounded) streaming frame synchronously into an in-memory table
+    * and return it — test/verify harness, not a production sink. */
+  def runToMemory(spark: SparkSession, df: DataFrame,
+                  outputMode: String): DataFrame = {
+    val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.textstats
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * All per-row Catalyst expressions — embarrassingly parallel, no shuffles,
+  * no UDFs — so they compose under any scan and stay inside whole-stage
+  * codegen at 100 TB.
+  */
+object TextStats {
+
+  /** Tiny English stopword core used for ratio features (kept deliberately
+    * small and explicit so the DuckDB oracle can mirror it verbatim). */
+  val stopwordCore: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it")
+
+  /** Marker words per language for the heuristic language-ID. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "que"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "les", "et"))
+
+  /** Heuristic language ID: count marker-word hits per language over the
+    * token set, pick the best with a deterministic preference order
+    * (en > es > de > fr), 'und' when nothing matches. */
+  def langId(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    val scores: Seq[(String, Column)] = langMarkers.map { case (lang, ms) =>
+      lang -> ms.map(m =>
+        when(array_contains(toks, m), lit(1)).otherwise(lit(0))).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best === 0, lit("und"))) { case (acc, (lang, s)) =>
+      acc.when(s === best, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
+  /** Whitespace token count (`\s+` split of trimmed text). */
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), TextFunctions.wsRun))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * non-alphanumeric glyphs — a deterministic stand-in for a real BPE
+    * vocabulary's pre-tokenizer. */
+  val bpeishPattern: String = """[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"""
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpeishPattern))
+
+  /** Fraction of characters that are punctuation/digit/control. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text,
+        TextFunctions.punctDigitsClass, ""))).cast("double") /
+        length(text).cast("double"))
+
+  /** Fraction of tokens that are core stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), TextFunctions.wsRun)
+    val hits = size(filter(toks, t => t.isin(stopwordCore: _*)))
+    hits.cast("double") / size(toks).cast("double")
+  }
+
+  /** Composite quality score in basis points [0, 10000]:
+    * length credit (chars capped at 500, ×20) × non-stopword token fraction.
+    * Integer-derived on purpose: every intermediate is an exact integer in
+    * double range, the one division is IEEE-deterministic, and `floor` kills
+    * the round-half tie-breaking divergence between engines — so the value
+    * hash-matches the DuckDB oracle bit-for-bit (a `round(double, 4)` here
+    * differed on ~0.4% of rows purely from rounding-mode semantics). */
+  def qualityScore(text: Column): Column = {
+    val toks = split(lower(trim(text)), TextFunctions.wsRun)
+    val hits = size(filter(toks, t => t.isin(stopwordCore: _*)))
+    val lenCredit = least(length(text), lit(500)) * lit(20)
+    floor(lenCredit.cast("double") * (size(toks) - hits).cast("double") /
+      size(toks).cast("double")).cast("long")
+  }
+
+  /** Polynomial rolling hash of the whole document (mod 1e9+7, base 31) —
+    * a content fingerprint computed per row via `aggregate` over the
+    * character array. */
+  def fingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch), lit(0)), lit(1000000007L)))
+
+  /** Winnowing-style fingerprint: minimum xxhash64 over k-char windows —
+    * robust to local edits, used as a cheap near-dup prefilter. */
+  def minWindowHash(text: Column, k: Int = 8): Column =
+    when(length(text) >= k,
+      array_min(transform(sequence(lit(1), length(text) - (k - 1)),
+        i => xxhash64(call_function("substring", text, i, lit(k))))))
+      .otherwise(xxhash64(text))
+}
