@@ -48,6 +48,13 @@ object SparkEntry {
   private val stopListSql =
     TextStats.stopwordCore.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** Spread a small single-row-group input across all cores before an
+    * expression-heavy operator (signatures, embeddings math). A one-row-group
+    * parquet file is unsplittable, so without this the whole per-row compute
+    * pipeline runs on one core. */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   // ---------------------------------------------------------------------
   // Queries (SparkSession, sfDir) => DataFrame
   // ---------------------------------------------------------------------
@@ -163,29 +170,32 @@ object SparkEntry {
           ScoringStream.eventsStream(s, s"$dir/events.parquet")),
         "complete")),
 
-    // §2 row 29: MinHash+LSH banded near-dup (no all-pairs)
+    // §2 row 29: MinHash+LSH banded near-dup (no all-pairs). The testdata
+    // ships documents as ONE parquet row group, so the signature pass would
+    // run on one core without the explicit spread (at 100 TB the scan's own
+    // thousands of splits make this repartition unnecessary — caller choice).
     "q16_minhash_pairs" -> ((s, dir) =>
-      MinHashDedup.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
-        threshold = 0.8)),
+      MinHashDedup.nearDuplicates(spread(s, Tables.documents(s, dir)),
+        "doc_id", "text", threshold = 0.8)),
 
     // §2 row 30: SimHash near-dup via 16-bit chunk buckets
     "q17_simhash" -> ((s, dir) =>
-      SimHash.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
-        maxHamming = 8)),
+      SimHash.nearDuplicates(spread(s, Tables.documents(s, dir)), "doc_id",
+        "text", maxHamming = 8)),
 
     // §2 row 31: exact n-gram Jaccard via capped inverted index
     "q18_ngram_jaccard" -> ((s, dir) =>
-      NGramJaccard.similarPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.8)),
+      NGramJaccard.similarPairs(spread(s, Tables.documents(s, dir)), "doc_id",
+        "text", n = 3, threshold = 0.8)),
 
     // §2 row 32: embedding-cosine near-dup, SRP-bucketed
     "q19_cosine_dedup" -> ((s, dir) =>
-      Ann.nearDupByCosine(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.3, nPlanes = 4, dim = 64)),
+      Ann.nearDupByCosine(spread(s, Tables.embeddings(s, dir)), "vec_id",
+        "embedding", threshold = 0.3, nPlanes = 4, dim = 64)),
 
     // §2 row 33: brute-force cosine top-k (exact ANN baseline)
     "q20_ann_topk" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
+      val emb = spread(s, Tables.embeddings(s, dir))
       Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id",
         "embedding", k = 5)
     }),

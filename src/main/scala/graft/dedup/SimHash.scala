@@ -21,17 +21,21 @@ import graft.functions.TextFunctions
   */
 object SimHash {
 
-  /** 64-bit simhash of a token array, as a LongType column. */
-  def simhash64(tokens: Column): Column = {
-    // vote(b) = Σ_tokens (bit b of xxhash64(token) == 1 ? +1 : -1)
-    val votes = transform(sequence(lit(0), lit(63)), b =>
-      aggregate(tokens, lit(0), (acc, t) =>
-        acc + when(call_function("shiftright", xxhash64(t), b)
-          .bitwiseAND(lit(1L)) === lit(1L), lit(1)).otherwise(lit(-1))))
-    // fingerprint = OR over b of (vote(b) > 0 ? 1L << b : 0L)
+  /** 64-bit simhash of a *materialized* token-hash (long array) column.
+    * The 64 per-bit vote tallies are integer `getbit` sums over that array
+    * (bit b set iff ones(b) > n/2 — identical to the ±1-vote formulation but
+    * with no re-hashing). `th` MUST be a real column, not an inline
+    * expression: a non-trivial expression referenced inside a lambda is
+    * re-evaluated per array element (here: 64×). */
+  def simhash64(th: Column): Column = {
+    val n = size(th)
+    // ones(b) = Σ_tokens bit b of the token hash
+    val ones = transform(sequence(lit(0), lit(63)), b =>
+      aggregate(th, lit(0), (acc, h) => acc + getbit(h, b).cast("int")))
+    // fingerprint = OR over b of (2·ones(b) > n ? 1L << b : 0L)
     aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)), (v, b) =>
-        when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      zip_with(ones, sequence(lit(0), lit(63)), (o, b) =>
+        when(o * 2 > n, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
@@ -39,10 +43,28 @@ object SimHash {
   def hamming(a: Column, b: Column): Column =
     call_function("bit_count", a.bitwiseXOR(b))
 
-  /** (id, simhash) signatures for a text column. */
-  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"),
-      simhash64(TextFunctions.tokens(col(textCol))).as("simhash"))
+  /** (id, simhash) signatures for a text column.
+    *
+    * Shape: explode tokens → hash each once → groupBy(id) with 64
+    * `sum(getbit)` aggregates → fold the 64 tallies into the fingerprint.
+    * Everything stays inside whole-stage codegen (no higher-order-function
+    * lambdas in the hot path — the interpreted-HOF formulation in
+    * [[simhash64]] costs ~1 ms/doc, this runs the same math at codegen
+    * speed). Map-side partial aggregation collapses each doc's tokens
+    * before the exchange, so the shuffle carries one 64-int row per doc. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val tallies = hashed.groupBy("id").agg(
+      count(lit(1)).as("n"),
+      (0 until 64).map(b => sum(getbit(col("h"), lit(b)).cast("int")).as(s"b$b")): _*)
+    val fp = (0 until 64)
+      .map(b => when(col(s"b$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    tallies.select(col("id"), fp.as("simhash"))
+  }
 
   /** Near-duplicate pairs with Hamming distance ≤ maxHamming. Bucketed by
     * 16-bit chunks — guaranteed complete for maxHamming ≤ 3 (pigeonhole over
@@ -60,7 +82,7 @@ object SimHash {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         hamming(col("l.simhash"), col("r.simhash")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -22,6 +22,11 @@ import graft.functions.VectorFunctions._
   *     generated driver-side from a fixed seed and embedded as literal
   *     arrays — identical on every executor, no closure capture.
   *
+  * Every path L2-normalizes each vector ONCE in a staged projection, so
+  * per-pair scoring is a single dot product (cosine(u,v) = û·v̂). Norms are
+  * per-row work that scales linearly; pair scoring is the quadratic-ish part
+  * and must stay minimal.
+  *
   * [[nearDupByCosine]] is the embedding-space near-duplicate operator:
   * self-join on LSH bucket, verify cosine ≥ threshold — never all-pairs.
   */
@@ -33,20 +38,30 @@ object Ann {
     Seq.fill(nPlanes)(array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*))
   }
 
-  /** SRP bucket id: bit i = sign(v · plane_i). */
+  /** SRP bucket id of a *materialized* vector column: bit i = sign(v·plane_i). */
   def srpBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column =
     planes(nPlanes, dim, seed).zipWithIndex.map { case (p, i) =>
       when(dot(vec, p) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** (<idAlias>, <vecAlias>) with the vector L2-normalized, staged so the
+    * norm is computed once per row (an inline norm inside a downstream
+    * expression would re-evaluate per reference). */
+  private def normalized(df: DataFrame, idCol: String, vecCol: String,
+                         idAlias: String, vecAlias: String): DataFrame =
+    df.select(col(idCol).as(idAlias), col(vecCol).as("__v"),
+        l2Norm(col(vecCol)).as("__n"))
+      .select(col(idAlias),
+        transform(col("__v"), x => x.cast("double") / col("__n")).as(vecAlias))
+
   /** Exact cosine top-k of each query against the corpus (self-matches
     * excluded). `queries` must be small enough to broadcast. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val q = normalized(queries, idCol, vecCol, "query_id", "qv")
+    val c = normalized(corpus, idCol, vecCol, "cand_id", "cv")
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -59,13 +74,13 @@ object Ann {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nPlanes: Int, dim: Int,
               seed: Long = 42L): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      srpBucket(col(vecCol), nPlanes, dim, seed).as("bucket"))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
-      srpBucket(col(vecCol), nPlanes, dim, seed).as("bucket"))
+    val q = normalized(queries, idCol, vecCol, "query_id", "qv")
+      .withColumn("bucket", srpBucket(col("qv"), nPlanes, dim, seed))
+    val c = normalized(corpus, idCol, vecCol, "cand_id", "cv")
+      .withColumn("bucket", srpBucket(col("cv"), nPlanes, dim, seed))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -77,11 +92,11 @@ object Ann {
   def nearDupByCosine(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, nPlanes: Int, dim: Int,
                       seed: Long = 42L): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      srpBucket(col(vecCol), nPlanes, dim, seed).as("bucket"))
+    val v = normalized(df, idCol, vecCol, "id", "v")
+      .withColumn("bucket", srpBucket(col("v"), nPlanes, dim, seed))
     v.as("l").join(v.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .withColumn("cos", cosine(col("l.v"), col("r.v")))
+      .withColumn("cos", dot(col("l.v"), col("r.v")))
       .filter(col("cos") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cos"))
   }
