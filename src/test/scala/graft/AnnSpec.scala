@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.similarity.Ann
+import graft.sources.Tables
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def localCosine(u: Seq[Float], v: Seq[Float]): Double = {
+    val dot = u.zip(v).map { case (a, b) => a.toDouble * b.toDouble }.sum
+    val nu = math.sqrt(u.map(x => x.toDouble * x.toDouble).sum)
+    val nv = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    dot / (nu * nv)
+  }
+
+  test("vector functions match local math") {
+    val u = Seq(1.0f, 2.0f, 3.0f)
+    val v = Seq(-1.0f, 0.5f, 2.0f)
+    val row = Seq((u, v)).toDF("u", "v")
+      .select(VectorFunctions.dot(col("u"), col("v")).as("d"),
+        VectorFunctions.l2Norm(col("u")).as("n"),
+        VectorFunctions.cosine(col("u"), col("v")).as("c"),
+        VectorFunctions.sqDist(col("u"), col("v")).as("s"))
+      .head()
+    assert(math.abs(row.getDouble(0) - 6.0) < 1e-9)
+    assert(math.abs(row.getDouble(1) - math.sqrt(14.0)) < 1e-9)
+    assert(math.abs(row.getDouble(2) - localCosine(u, v)) < 1e-9)
+    assert(math.abs(row.getDouble(3) - (4.0 + 2.25 + 1.0)) < 1e-9)
+  }
+
+  test("bruteForceTopK matches a locally computed exact top-k") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 3)
+    val got = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 3)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
+
+    val local = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val qids = local.keys.filter(_ < 3)
+    qids.foreach { q =>
+      val expect = local.filter(_._1 != q).toSeq
+        .map { case (id, v) => (id, localCosine(local(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1)
+      assert(got(q) == expect, s"query $q: ${got(q)} != $expect")
+    }
+  }
+
+  test("lshTopK recall vs brute force is usable") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshTopK(emb, queries, "vec_id", "embedding", 5,
+      nPlanes = 2, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall $recall too low even for 2-plane LSH")
+    // scale contract: bucketed path never degenerates to all-pairs
+    assertNoCartesian(Ann.lshTopK(emb, queries, "vec_id", "embedding", 5, 2, 64))
+  }
+
+  test("nearDupByCosine finds planted duplicate vectors, bucketed plan") {
+    val base = (0 until 64).map(i => math.sin(i).toFloat)
+    val near = base.updated(0, base(0) + 0.01f)
+    val far = (0 until 64).map(i => math.cos(3 * i).toFloat)
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "vec")
+    val out = Ann.nearDupByCosine(df, "id", "vec", threshold = 0.99,
+      nPlanes = 2, dim = 64)
+    val ids = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((1L, 2L)), s"planted dup missed: $ids")
+    assert(!ids.contains((1L, 3L)) && !ids.contains((2L, 3L)))
+    assertNoCartesian(out)
+  }
+}

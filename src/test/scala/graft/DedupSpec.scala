@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{ExactDedup, MinHashDedup, NGramJaccard, SimHash}
+import graft.functions.TextFunctions
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    // two exact dups, one near-dup pair, two unrelated docs
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (4L, "completely different content about distributed query engines"),
+    (5L, "spark catalyst optimizer rewrites logical plans into physical plans")
+  ).toDF("id", "text")
+
+  test("keepFirst keeps the min-order row per key, deterministically") {
+    val df = Seq((1L, "a", 10), (2L, "a", 5), (3L, "b", 7)).toDF("id", "k", "v")
+    val out = ExactDedup.keepFirst(df, Seq("k"), "id")
+      .orderBy("id").select("id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 3L))
+  }
+
+  test("dupCounts reports only groups with >1 row") {
+    val out = ExactDedup.dupCounts(corpus, Seq("text")).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 2L)
+  }
+
+  test("minhash near-duplicates finds exact and near dups, skips unrelated") {
+    val pairs = MinHashDedup.nearDuplicates(corpus, "id", "text",
+      threshold = 0.5).collect()
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((1L, 2L)), s"missed exact dup in $ids")
+    // exact dup pair has jaccard 1.0
+    val j12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+      .getDouble(2)
+    assert(j12 == 1.0)
+    // unrelated docs (4, 5) share no shingles with anything -> never pair
+    assert(ids.forall { case (a, b) =>
+      Set(1L, 2L, 3L).contains(a) && Set(1L, 2L, 3L).contains(b) }, ids.toString)
+  }
+
+  test("minhash signature approximates exact jaccard (recall on dup pair)") {
+    // identical docs must collide in every band
+    val cand = MinHashDedup.candidatePairs(corpus, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)))
+  }
+
+  test("minhash/banded plan has no all-pairs join") {
+    assertNoCartesian(MinHashDedup.nearDuplicates(corpus, "id", "text", 0.5))
+  }
+
+  test("simhash: identical docs get identical fingerprints, near-dups close") {
+    val sig = SimHash.signatures(corpus, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    val d13 = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
+    val d14 = java.lang.Long.bitCount(sig(1L) ^ sig(4L))
+    assert(d13 < d14, s"near-dup distance $d13 not < unrelated $d14")
+  }
+
+  test("simhash aggregate formulation matches the HOF reference simhash64") {
+    val th = corpus.select(col("id"),
+      transform(TextFunctions.tokens(col("text")), t => xxhash64(t)).as("th"))
+    val ref = th.select(col("id"), SimHash.simhash64(col("th")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = SimHash.signatures(corpus, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ref == agg)
+  }
+
+  test("simhash nearDuplicates finds identical pair; plan is bucketed") {
+    val nd = SimHash.nearDuplicates(corpus, "id", "text", maxHamming = 3)
+    val ids = nd.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((1L, 2L)))
+    assertNoCartesian(nd)
+  }
+
+  test("ngram jaccard: exact values, ordered pairs, no all-pairs plan") {
+    val out = NGramJaccard.similarPairs(corpus, "id", "text", n = 3,
+      threshold = 0.3)
+    val rows = out.collect()
+    val m = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((1L, 2L)) == 1.0)
+    // doc 1: 12 tokens -> 10 distinct trigrams; doc 3 appends one token ->
+    // those 10 plus (and again today); jaccard = |A∩B|/|A∪B| = 10/11
+    assert(math.abs(m((1L, 3L)) - 10.0 / 11.0) < 1e-9, s"got ${m((1L, 3L))}")
+    rows.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+    assertNoCartesian(out)
+  }
+
+  test("ngram jaccard hot-shingle cap drops stopword-like grams") {
+    // 30 docs all sharing one hot trigram + unique tails; cap at 10
+    val docs = (1 to 30).map(i =>
+      (i.toLong, s"common shared prefix unique$i tail$i word$i")).toDF("id", "text")
+    val out = NGramJaccard.similarPairs(docs, "id", "text", n = 3,
+      threshold = 0.1, maxDf = 10)
+    // the only shared trigram is hot -> capped -> no candidate survives
+    assert(out.count() == 0)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.ml.feature.CountVectorizerModel
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.functions._
+
+import graft.ml.{Featurize, Sentiment}
+import graft.sources.Tables
+
+class MlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Sentiment.prepare(Tables.documents(spark, sfDir))
+
+  test("featurize pipeline: schema, bounded vocab, stopwords removed") {
+    val model = Featurize.fit(docs, vocabSize = 256)
+    val out = model.transform(docs)
+    assert(out.schema.fieldNames.toSet
+      .intersect(Set("words", "words_nsw", "tf", "tfidf")).size == 4)
+    val cv = model.stages(2).asInstanceOf[CountVectorizerModel]
+    assert(cv.vocabulary.length <= 256)
+    assert(!cv.vocabulary.contains("the"), "default stopword leaked into vocab")
+    assert(!cv.vocabulary.contains("one"), "custom stopword leaked into vocab")
+    val dim = out.select("tfidf").head().getAs[Vector](0).size
+    assert(dim == cv.vocabulary.length)
+  }
+
+  test("classifiers train and clear an F1 floor with fixed seed") {
+    // The synthetic label is a length threshold: linear models pick up the
+    // "total token count" direction easily; NB's per-term likelihoods carry
+    // it only weakly, so its floor is a sanity bound, not a quality bar.
+    for ((algo, floor) <- Seq("svm" -> 0.5, "lr" -> 0.5, "nb" -> 0.42)) {
+      val (_, f1, preds) = Sentiment.trainEval(docs, algo, seed = 100L,
+        vocabSize = 256)
+      assert(preds.columns.contains("prediction"))
+      assert(f1 > floor, s"$algo F1=$f1 below floor $floor")
+    }
+  }
+
+  test("pipeline save/load round-trip gives identical predictions") {
+    val (model, _, _) = Sentiment.trainEval(docs, "svm", seed = 100L,
+      vocabSize = 128)
+    val dir = Files.createTempDirectory("graft_model").toString + "/m"
+    Sentiment.save(model, dir)
+    val loaded = Sentiment.load(dir)
+    val a = model.transform(docs).select("doc_id", "prediction")
+      .as[(Long, Double)].collect().toMap
+    val b = loaded.transform(docs).select("doc_id", "prediction")
+      .as[(Long, Double)].collect().toMap
+    assert(a == b)
+  }
+}
