@@ -11,7 +11,7 @@ import graft.multimodal.Multimodal
 import graft.operators.Relational
 import graft.similarity.Ann
 import graft.sources.Tables
-import graft.streaming.ScoringStream
+import graft.streaming.{ScoringStream, Sessionize}
 import graft.textstats.TextStats
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator ↔ query map. */
@@ -233,7 +233,47 @@ object SparkEntry {
       Tables.documents(s, dir).select(
         col("doc_id"),
         TextStats.fingerprint(col("text")).as("fp"),
-        TextStats.minWindowHash(col("text")).as("min_window_hash")))
+        TextStats.minWindowHash(col("text")).as("min_window_hash"))),
+
+    // §2 row 40: TPC-H Q1-style pricing summary over lineitem — the
+    // fact-table aggregate whose shuffle carries only (flag,status) groups
+    // thanks to map-side partial aggregation. Money math in integer cents
+    // (per-row HALF_UP, exact long sums) so the hash matches DuckDB exactly.
+    "q26_pricing_summary" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_c"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long")).as("sum_disc_c"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax")) * 100).cast("long")).as("sum_charge_c"),
+          count(lit(1)).as("n"))),
+
+    // §2 row 41: TPC-H Q3-style top-N revenue — broadcast dim filter
+    // (customer segment), fact⋈fact shuffle join orders⋈lineitem, group,
+    // deterministic top-10.
+    "q27_top_revenue" -> ((s, dir) => {
+      val bld = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.orders(s, dir)
+        .join(broadcast(bld), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey")
+      Tables.lineitem(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_c"))
+        .orderBy(desc("revenue_c"), asc("l_orderkey"))
+        .limit(10)
+    }),
+
+    // §2 row 42: gap-based sessionization (native session_window; the
+    // flatMapGroupsWithState variant is exercised in StreamingSpec)
+    "q28_sessionize" -> ((s, dir) =>
+      Sessionize.sessionWindows(Tables.events(s, dir), "1 hour"))
   )
 
   // ---------------------------------------------------------------------
@@ -337,6 +377,46 @@ object SparkEntry {
       (s"SELECT doc_id, " +
         s"CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens, " +
         s"CAST(len(regexp_extract_all(text, '${TextStats.bpeishPattern}')) AS BIGINT) AS bpe_tokens " +
-        "FROM documents")
+        "FROM documents"),
+
+    // Spark window() aligns 6h buckets to the epoch; DuckDB time_bucket's
+    // default origin (2000-01-03) is a whole multiple of 6h from the epoch,
+    // so the bucket boundaries coincide.
+    "q15_stream_agg" ->
+      ("SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts)) AS window_start_us, " +
+        "event_type, count(*) AS n, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_c " +
+        "FROM events GROUP BY 1, 2"),
+
+    "q26_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c, " +
+        "CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c, " +
+        "CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_c, " +
+        "count(*) AS n " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus"),
+
+    "q27_top_revenue" ->
+      ("SELECT l_orderkey, " +
+        "CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c " +
+        "FROM lineitem WHERE l_orderkey IN (" +
+        "SELECT o_orderkey FROM orders WHERE o_custkey IN (" +
+        "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')) " +
+        "GROUP BY l_orderkey ORDER BY revenue_c DESC, l_orderkey LIMIT 10"),
+
+    // lag/cumsum formulation of gap sessions; gap matches session_window's
+    // strict `diff < gap` continuation rule
+    "q28_sessionize" ->
+      ("WITH e AS (SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS vc, " +
+        "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) " +
+        "< INTERVAL '1 hour' THEN 0 ELSE 1 END AS new_s FROM events), " +
+        "s AS (SELECT user_id, ts, vc, " +
+        "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +
+        "SELECT user_id, epoch_us(min(ts)) AS session_start_us, " +
+        "count(*) AS n_events, CAST(sum(vc) AS BIGINT) AS value_c " +
+        "FROM s GROUP BY user_id, sid")
   )
 }

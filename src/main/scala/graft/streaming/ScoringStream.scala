@@ -44,14 +44,19 @@ object ScoringStream {
       .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
   }
 
-  /** Watermarked windowed aggregation over the event stream. */
+  /** Watermarked windowed aggregation over the event stream. Window starts
+    * ride as epoch-µs longs and value totals as integer cents (per-row
+    * HALF_UP to cents, then exact long sums) so the result hash-matches a
+    * DuckDB `time_bucket` oracle bit-for-bit — a double sum would differ in
+    * association order between engines. */
   def windowedAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n"), col("total"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("total_c"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("total_c"))
 
   /** Score a stream of text-bearing rows with a trained pipeline: clean →
     * model.transform (tokenize/stopword/tf/idf/classify), exactly the

@@ -1,0 +1,68 @@
+package graft
+
+/** Scale-honesty audits over the physical plans of the declared queries:
+  * filters must reach the parquet scan, scans must prune to referenced
+  * columns, dimension joins must broadcast, and no bucketed operator may
+  * degenerate into an all-pairs join. These are the properties that decide
+  * whether a plan survives a 100× scale-up, independent of row counts.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q08 filters are pushed down to the parquet scan") {
+    val p = plan("q08_filter_isin")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull"), s"expected IsNotNull pushed:\n$p")
+    assert(p.contains("In(event_type"), s"expected In filter pushed:\n$p")
+  }
+
+  test("q01 projection prunes the scan schema") {
+    val p = plan("q01_read_project")
+    // documents has 5 columns; text (the wide one) must not be read
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.split("ReadSchema")(1).takeWhile(_ != '\n').contains("text"),
+      s"text column not pruned from scan:\n$p")
+  }
+
+  test("q26 date filter reaches the lineitem scan") {
+    val p = plan("q26_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed:\n$p")
+  }
+
+  test("dimension joins broadcast (q04, q07, q27)") {
+    Seq("q04_left_join", "q07_elite_fill", "q27_top_revenue").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q dim join not broadcast:\n$p")
+    }
+  }
+
+  test("q26/q11 aggregations are partial (map-side) before the exchange") {
+    Seq("q26_pricing_summary", "q11_group_count").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("HashAggregate"), s"$q no hash aggregate:\n$p")
+      val firstAgg = p.indexOf("HashAggregate")
+      assert(p.indexOf("HashAggregate", firstAgg + 1) > 0,
+        s"$q aggregation not split partial/final:\n$p")
+    }
+  }
+
+  test("no declared query plans an all-pairs join (except brute-force ANN)") {
+    val exempt = Set(
+      "q20_ann_topk",      // exact baseline: broadcast NL join by design
+      "q10_wordcount_hist" // single-row min/max broadcast cross join
+    )
+    val heavy = Set("q13_tf_topterms", "q14_svm_predict", "q15_stream_agg")
+    SparkEntry.queries.keys
+      .filterNot(exempt).filterNot(heavy)
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$q has BroadcastNestedLoopJoin")
+      }
+  }
+}

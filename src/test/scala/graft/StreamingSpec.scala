@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ml.Sentiment
 import graft.sources.Tables
-import graft.streaming.ScoringStream
+import graft.streaming.{ScoringStream, Sessionize}
 
 class StreamingSpec extends SparkSpec {
 
@@ -15,14 +15,14 @@ class StreamingSpec extends SparkSpec {
       "complete")
     val batch = Tables.events(spark, sfDir)
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n"), col("total"))
-    val key = (r: org.apache.spark.sql.Row) =>
-      (r.getTimestamp(0).getTime, r.getString(1))
-    val s = streamed.collect().map(r => key(r) -> (r.getLong(2), r.getDouble(3))).toMap
-    val b = batch.collect().map(r => key(r) -> (r.getLong(2), r.getDouble(3))).toMap
-    assert(s == b, s"stream=${s.size} batch=${b.size} diff=${(s.toSet diff b.toSet).take(3)}")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("total_c"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("total_c"))
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getString(1))
+    val s = streamed.collect().map(r => key(r) -> (r.getLong(2), r.getLong(3))).toMap
+    val b = batch.collect().map(r => key(r) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(s == b, s"stream=${s.size} batch=${b.size}")
   }
 
   test("scoreStream scores every event exactly once with a model loaded once") {
@@ -43,5 +43,57 @@ class StreamingSpec extends SparkSpec {
     val labels = out.select("sentiment").distinct()
       .collect().map(_.getString(0)).toSet
     assert(labels.subsetOf(Set("Positive", "Negative")))
+  }
+
+  test("native session_window matches a hand-built lag/cumsum sessionization") {
+    val events = Tables.events(spark, sfDir)
+    val native = Sessionize.sessionWindows(events, "1 hour")
+    // lag/cumsum reference, computed with Spark window functions
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val ref = events
+      .withColumn("new_s",
+        when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+          < 3600L * 1000000L, lit(0)).otherwise(lit(1)))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Long.MinValue, 0)))
+      .groupBy("user_id", "sid")
+      .agg(unix_micros(min(col("ts"))).as("session_start_us"),
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_c"))
+      .select("user_id", "session_start_us", "n_events", "value_c")
+    val n = native.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val e = ref.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(n == e, s"native=${n.size} ref=${e.size}")
+  }
+
+  test("stateful flatMapGroupsWithState sessionization matches session_window") {
+    // two source files: the real events, then a far-future sentinel that
+    // advances the watermark past every session's timeout so all sessions
+    // flush before the AvailableNow stream ends
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sess_src").toString
+    val events = Tables.events(spark, sfDir).select("user_id", "ts", "value")
+    events.write.mode("overwrite").parquet(s"$tmp/f1")
+    events.limit(1)
+      .withColumn("ts", col("ts") + expr("INTERVAL 365 DAYS"))
+      .withColumn("user_id", lit(-1L))
+      .write.mode("overwrite").parquet(s"$tmp/f2")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/f1").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/*")
+    val out = ScoringStream.runToMemory(spark,
+      Sessionize.sessionizeStateful(spark, stream, gapMinutes = 60).toDF(),
+      "append")
+      .filter(col("user_id") =!= -1L)
+    val expect = Sessionize.sessionWindows(Tables.events(spark, sfDir), "1 hour")
+    val o = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val x = expect.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(o == x, s"stateful=${o.size} native=${x.size} " +
+      s"missing=${(x.keySet -- o.keySet).take(3)} extra=${(o.keySet -- x.keySet).take(3)}")
   }
 }
