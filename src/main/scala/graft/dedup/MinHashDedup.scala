@@ -58,10 +58,20 @@ object MinHashDedup {
       .select(col("id"), array_distinct(windowHashes(col("th"), k)).as("sh"))
 
   /** MinHash signature of a *materialized* shingle-hash array column:
-    * element i = min over shingle hashes s of xxhash64(i, s). Seeded 64-bit
-    * re-hash of a long is a handful of multiply-rotates — cheap, and unlike
-    * an affine `a_i·s+b_i` family it can't trip ANSI-mode overflow checks. */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
+    * element i = min over shingle hashes s of XXH64.hashLong(s, seed=i) —
+    * the native one-pass codegen expression
+    * [[graft.functions.MinHashSignature]]. */
+  def minhashSignature(spark: org.apache.spark.sql.SparkSession,
+                       sh: Column, numHashes: Int): Column =
+    graft.functions.MinHashSignature(spark, sh, numHashes)
+
+  /** Higher-order-function formulation of the same signature math (numHashes
+    * interpreted passes) — kept as the cross-check reference for
+    * [[graft.functions.MinHashSignature]] in DedupSpec; not on the hot
+    * path. NOTE: not byte-identical to the native expression (the xxhash64
+    * SQL function chains from a fixed seed rather than seeding per index),
+    * so compare structure/recall, not raw values. */
+  def minhashSignatureHof(sh: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(sh, s => xxhash64(lit(i), s)))
     }: _*)
@@ -72,7 +82,8 @@ object MinHashDedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
     shingleSets(docs, idCol, textCol, k)
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("id"),
+        minhashSignature(docs.sparkSession, col("sh"), numHashes).as("sig"))
       .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * lit(r) + 1, lit(r))))))

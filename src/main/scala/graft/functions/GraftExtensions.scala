@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point registering graft's native
+  * expressions as SQL functions, e.g.
+  * `SELECT minhash_sig(sh, 16) FROM shingles`.
+  *
+  * Use at session build time:
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)          // programmatic
+  *   // or: .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * }}}
+  * or on a live session via [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def minhashSigBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(sh) => MinHashSignature(sh, 16)
+    case Seq(sh, Literal(n: Int, _)) => MinHashSignature(sh, n)
+    case _ => throw new IllegalArgumentException(
+      "minhash_sig(array<long>[, numHashes: int literal])")
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      minhashSigBuilder _))
+
+  /** Register on an already-built session (e.g. the shared test session). */
+  def register(spark: SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    functions.foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
+  }
+}

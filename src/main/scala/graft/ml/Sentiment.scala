@@ -81,4 +81,28 @@ object Sentiment {
     model.write.overwrite().save(path)
 
   def load(path: String): PipelineModel = PipelineModel.load(path)
+
+  /** Top-|weight| vocabulary terms of a fitted linear pipeline — the
+    * reference's top-coefficient inspection
+    * (/root/reference/Scalable_Project_ML_Model_Analysis.py, "top features")
+    * as a DataFrame instead of a driver-side printout. Works for LinearSVC
+    * and LogisticRegression heads (anything exposing `coefficients`). */
+  def topCoefficients(spark: SparkSession, model: PipelineModel,
+                      n: Int = 20): DataFrame = {
+    import org.apache.spark.ml.feature.CountVectorizerModel
+    val vocab = model.stages.collectFirst {
+      case cv: CountVectorizerModel => cv.vocabulary
+    }.getOrElse(throw new IllegalArgumentException("no CountVectorizer stage"))
+    val coefs = model.stages.last match {
+      case m: org.apache.spark.ml.classification.LinearSVCModel => m.coefficients
+      case m: org.apache.spark.ml.classification.LogisticRegressionModel => m.coefficients
+      case other => throw new IllegalArgumentException(
+        s"no linear coefficients on ${other.getClass.getSimpleName}")
+    }
+    import spark.implicits._
+    vocab.zipWithIndex
+      .map { case (term, i) => (term, coefs(i)) }
+      .sortBy { case (_, w) => -math.abs(w) }
+      .take(n).toSeq.toDF("term", "weight")
+  }
 }

@@ -87,6 +87,49 @@ object Ann {
       .select("query_id", "cand_id", "rank", "cos")
   }
 
+  /** IVF (inverted-file) top-k: a k-means coarse quantizer (spark.ml KMeans)
+    * partitions the corpus into `nCentroids` cells; each query probes its
+    * `nProbe` nearest cells and scores only those candidates. The classic
+    * ANN scale path (Jégou et al., IVF/IVFADC): candidate count per query is
+    * ~ corpus × nProbe / nCentroids, and raising nProbe trades latency back
+    * for recall. Cell assignment is one KMeansModel.transform pass; the
+    * centroid table rides to queries as a broadcast literal (small by
+    * construction). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCentroids: Int, nProbe: Int,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val c = normalized(corpus, idCol, vecCol, "cand_id", "cv")
+      .withColumn("feat", array_to_vector(col("cv")))
+    val km = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("feat").setPredictionCol("cell")
+      .fit(c.select("feat"))
+    val corpusCells = km.transform(c).select(col("cand_id"), col("cv"), col("cell"))
+
+    // distance of each query to every centroid, keep nProbe nearest cells
+    val centroids = km.clusterCenters.map(_.toArray)
+    val q = normalized(queries, idCol, vecCol, "query_id", "qv")
+    val cellDists = array(centroids.zipWithIndex.map { case (ctr, i) =>
+      struct(sqDist(col("qv"), array(ctr.map(lit): _*)).as("d"),
+        lit(i).as("cell"))
+    }: _*)
+    val probed = q
+      .withColumn("probes",
+        slice(array_sort(cellDists), 1, nProbe))
+      .select(col("query_id"), col("qv"),
+        explode(col("probes.cell")).as("cell"))
+
+    val scored = corpusCells.join(broadcast(probed), "cell")
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "cos")
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold),
     * bucketed by SRP so the self-join is per-bucket, not all-pairs. */
   def nearDupByCosine(df: DataFrame, idCol: String, vecCol: String,

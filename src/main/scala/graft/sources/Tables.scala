@@ -37,4 +37,18 @@ object Tables {
   /** Overwrite-mode columnar sink (ref writes CSV, Yelp_Data_PreProcessing.py:158). */
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Header CSV source, faithful to the reference's reader
+    * (Yelp_Data_PreProcessing.py:53 `csv(..., header=True)`). Pass a schema
+    * whenever one is known: schema inference is a full extra pass over the
+    * data — fine on a laptop, a second 100 TB scan in production. */
+  def readCsv(spark: SparkSession, path: String,
+              schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  /** Header CSV sink, overwrite mode (ref Yelp_Data_PreProcessing.py:158). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
 }

@@ -64,6 +64,23 @@ class AnnSpec extends SparkSpec {
     assertNoCartesian(Ann.lshTopK(emb, queries, "vec_id", "embedding", 5, 2, 64))
   }
 
+  test("ivfTopK recall vs brute force beats single-cell probing") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nProbe: Int): Double = {
+      val got = Ann.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        nCentroids = 8, nProbe = nProbe).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val r1 = recallAt(1)
+    val r4 = recallAt(4)
+    assert(r4 >= r1, s"recall did not improve with more probes: $r1 -> $r4")
+    assert(r4 >= 0.5, s"recall@4-of-8-cells $r4 too low")
+  }
+
   test("nearDupByCosine finds planted duplicate vectors, bucketed plan") {
     val base = (0 until 64).map(i => math.sin(i).toFloat)
     val near = base.updated(0, base(0) + 0.01f)

@@ -39,6 +39,16 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("topCoefficients exposes the strongest vocabulary terms") {
+    val (model, _, _) = Sentiment.trainEval(docs, "svm", seed = 100L,
+      vocabSize = 128)
+    val top = Sentiment.topCoefficients(spark, model, n = 10).collect()
+    assert(top.length == 10)
+    val weights = top.map(r => math.abs(r.getDouble(1)))
+    assert(weights.sameElements(weights.sorted.reverse), "not sorted by |weight|")
+    assert(weights.head > 0.0)
+  }
+
   test("pipeline save/load round-trip gives identical predictions") {
     val (model, _, _) = Sentiment.trainEval(docs, "svm", seed = 100L,
       vocabSize = 128)
