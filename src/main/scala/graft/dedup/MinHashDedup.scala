@@ -76,14 +76,14 @@ object MinHashDedup {
       array_min(transform(sh, s => xxhash64(lit(i), s)))
     }: _*)
 
-  /** (id, band, bucket) rows — docs × bands after posexplode. */
-  private def banded(docs: DataFrame, idCol: String, textCol: String,
-                     k: Int, numHashes: Int, bands: Int): DataFrame = {
+  /** (id, band, bucket) rows from an (id, sh) sets frame. */
+  private def bandedFromSets(sets: DataFrame, numHashes: Int,
+                             bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
-    shingleSets(docs, idCol, textCol, k)
+    sets
       .select(col("id"),
-        minhashSignature(docs.sparkSession, col("sh"), numHashes).as("sig"))
+        minhashSignature(sets.sparkSession, col("sh"), numHashes).as("sig"))
       .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * lit(r) + 1, lit(r))))))
@@ -91,9 +91,9 @@ object MinHashDedup {
   }
 
   /** Candidate pairs (id_a < id_b) sharing at least one LSH bucket. */
-  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
-                     k: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val b = banded(docs, idCol, textCol, k, numHashes, bands)
+  def candidatePairsFromSets(sets: DataFrame, numHashes: Int = 16,
+                             bands: Int = 4): DataFrame = {
+    val b = bandedFromSets(sets, numHashes, bands)
     b.as("l").join(b.as("r"),
         col("l.band") === col("r.band") &&
           col("l.bucket") === col("r.bucket") &&
@@ -102,13 +102,21 @@ object MinHashDedup {
       .distinct()
   }
 
+  /** Candidate pairs straight from a text column. */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
+    candidatePairsFromSets(shingleSets(docs, idCol, textCol, k), numHashes, bands)
+
   /** Near-duplicate pairs with exact-Jaccard verification ≥ threshold
     * (Jaccard over hashed shingle sets — exact modulo 64-bit collisions). */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double, k: Int = 3, numHashes: Int = 16,
                      bands: Int = 4): DataFrame = {
+    // shingle sets feed signature banding AND both verification joins —
+    // persist the diamond's shared input once (see NGramJaccard note)
     val sh = shingleSets(docs, idCol, textCol, k)
-    candidatePairs(docs, idCol, textCol, k, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidatePairsFromSets(sh, numHashes, bands)
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",

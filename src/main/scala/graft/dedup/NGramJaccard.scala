@@ -3,23 +3,20 @@ package graft.dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Exact n-gram Jaccard similarity via a shingle inverted index.
+/** Exact n-gram Jaccard similarity via a prefix-filtered inverted index.
   *
-  * Candidate pairs come from an equi-join on shared shingle hashes (a
-  * posting-list join), not an all-pairs comparison, and the Jaccard value is
-  * computed *from the join itself*: the number of matches per (id_a, id_b)
-  * IS the intersection size, so with each posting carrying its document's
-  * set size, `jaccard = c / (|A| + |B| - c)` — no re-join of the wide
-  * shingle arrays, no per-pair array intersection. The only shuffles are the
-  * posting-list exchange (8-byte keys) and the pair-count aggregation.
+  * Candidate pairs come from an equi-join on shared *prefix* shingle hashes
+  * (a posting-list join over ~the first (1−t) fraction of each sorted set),
+  * never an all-pairs comparison; survivors are verified with exact Jaccard
+  * over the full sorted hash arrays. The only shuffles are the posting-list
+  * exchange (8-byte keys), the pair dedup, and two id-keyed verification
+  * joins whose left side is only the candidates.
   *
-  * A document-frequency cap drops "hot" shingles whose posting lists would
-  * blow up quadratically — the standard prefix-filtering-style guard: at
-  * 100 TB an uncapped hot key is the difference between a join and an
-  * outage. When the cap fires, intersection counts (and so Jaccard) are
-  * *undercounted* for pairs sharing hot shingles — a conservative miss on
-  * stopword-like n-grams only; with the default cap the testdata never
-  * trips it and results are exact (modulo 64-bit hash collisions).
+  * A document-frequency cap additionally drops "hot" prefix shingles whose
+  * posting lists would blow up quadratically — at 100 TB an uncapped hot
+  * key is the difference between a join and an outage. The cap is the only
+  * source of (conservative, stopword-like-grams-only) misses; the prefix
+  * filter itself is lossless.
   */
 object NGramJaccard {
 
@@ -29,23 +26,44 @@ object NGramJaccard {
                   n: Int): DataFrame =
     MinHashDedup.shingleSets(docs, idCol, textCol, n)
 
-  /** Pairs (id_a < id_b) with n-gram Jaccard ≥ threshold. */
+  /** Pairs (id_a < id_b) with n-gram Jaccard ≥ threshold, via prefix
+    * filtering (Bayardo/Chaudhuri all-pairs family): with every shingle set
+    * sorted in a global order (the hash value), two sets with Jaccard ≥ t
+    * MUST share an element within each one's first `|x| − ⌈t·|x|⌉ + 1`
+    * elements — so only those prefixes are indexed and joined. At t = 0.8
+    * that indexes ~20% of each set with ZERO recall loss; candidate volume
+    * drops quadratically in that factor. Survivors are verified with exact
+    * Jaccard over the full sorted arrays. */
   def similarPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxDf: Int = 1000): DataFrame = {
-    val posting = shingleSets(docs, idCol, textCol, n)
-      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("g"))
-    // drop hot shingles: df > maxDf (tiny agg, broadcast-anti-joined back)
+    // The sets frame feeds five plan branches (hot-key agg, both sides of
+    // the posting self-join, two verification joins). Persist it once
+    // (deserialized, spills to disk) instead of recomputing the shingling
+    // per branch — the standard Spark treatment for a diamond-shaped plan;
+    // eviction is LRU so long-lived callers aren't wedged.
+    val sets = shingleSets(docs, idCol, textCol, n)
+      .select(col("id"), array_sort(col("sh")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefixLen = (size(col("sh")) - ceil(lit(threshold) * size(col("sh")))
+      + 1).cast("int")
+    val posting = sets
+      .select(col("id"), explode(slice(col("sh"), lit(1), prefixLen)).as("g"))
+    // drop hot prefix shingles: df > maxDf (tiny agg, broadcast-anti-joined
+    // back; conservative miss on stopword-like grams only)
     val hot = posting.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("g")
     val cold = posting.join(broadcast(hot), Seq("g"), "left_anti")
-    cold.as("l").join(cold.as("r"),
+    val pairs = cold.as("l").join(cold.as("r"),
         col("l.g") === col("r.g") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .agg(count(lit(1)).as("c"),
-        first(col("l.sz")).as("sza"), first(col("r.sz")).as("szb"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
-        col("c").cast("double") / (col("sza") + col("szb") - col("c")).cast("double"))
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
