@@ -126,9 +126,10 @@ object SparkEntry {
         "token", 10)),
 
     // §2 rows 15, 16: word count via size() + equal-width histogram
+    // (spread: the histogram's two passes re-run the regex tokenization)
     "q10_wordcount_hist" -> ((s, dir) =>
       Relational.histogram(
-        Tables.documents(s, dir)
+        spread(s, Tables.documents(s, dir))
           .select(TextFunctions.wordCount(col("text")).as("wc")),
         col("wc"), 10)),
 
@@ -138,7 +139,7 @@ object SparkEntry {
 
     // §2 rows 17, 18: tokenize + custom stopword removal → token doc-freq
     "q12_token_df" -> ((s, dir) =>
-      Tables.documents(s, dir)
+      spread(s, Tables.documents(s, dir))
         .select(col("doc_id"),
           explode(TextFunctions.tokens(col("text"))).as("token"))
         .filter(col("token") =!= "" && !col("token").isin("one", "s"))

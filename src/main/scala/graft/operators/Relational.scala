@@ -63,6 +63,26 @@ object Relational {
       .orderBy(desc("cnt"), asc(key))
       .limit(n)
 
+  /** Skew-resistant equi-join: the fact side's hot keys would overwhelm
+    * single reducers in a plain shuffle join, so each fact row gets a
+    * deterministic salt in [0, saltFactor) and the (small) other side is
+    * replicated once per salt value — the shuffle key becomes (key, salt),
+    * spreading each hot key over saltFactor reducers. Complementary to AQE
+    * skew-join splitting: salting also covers aggregations-after-join and
+    * engines/paths where AQE can't split (e.g. a following groupBy on the
+    * same key). `other` is replicated ×saltFactor — keep it the dimension
+    * side. */
+  def saltedJoin(fact: DataFrame, other: DataFrame, key: String,
+                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    // the salt must vary WITHIN a key (that's the whole point) — a seeded
+    // uniform draw per row does; join output is salt-value-independent
+    val salted = fact.withColumn("__salt",
+      (rand(seed = 42) * saltFactor).cast("int"))
+    val replicated = other.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
   /** Equal-width histogram of a numeric column, the declarative re-expression
     * of the reference's `rdd.flatMap(...).histogram(10)`
     * (ref Scalable_EDA_Final.py:140-146). Two passes over the column: one

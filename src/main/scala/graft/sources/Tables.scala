@@ -51,4 +51,16 @@ object Tables {
   /** Header CSV sink, overwrite mode (ref Yelp_Data_PreProcessing.py:158). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Save as a bucketed+sorted managed table. Two tables bucketed the same
+    * way on their join key co-locate: the join compiles with NO Exchange on
+    * either side (SortMergeJoin straight over the bucket files). At 100 TB
+    * this converts every repeated fact⋈fact join on the bucket key from a
+    * full-data shuffle into a local merge — the single biggest lever for
+    * join-heavy pipelines; BucketingSpec asserts the exchange-free plan. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
 }

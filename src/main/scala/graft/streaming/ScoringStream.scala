@@ -69,6 +69,23 @@ object ScoringStream {
         when(col("prediction") === 1.0, lit("Positive")).otherwise(lit("Negative")))
   }
 
+  /** Production file sink: append the streaming frame to a parquet
+    * directory with exactly-once checkpointing, draining everything
+    * currently available (AvailableNow) before returning. Restarting with
+    * the same checkpoint resumes where the last run stopped instead of
+    * re-emitting — the file-sink/checkpoint pair is what makes the pipeline
+    * replayable end-to-end. */
+  def runToParquet(df: DataFrame, path: String, checkpoint: String): Unit = {
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain a (bounded) streaming frame synchronously into an in-memory table
     * and return it — test/verify harness, not a production sink. */
   def runToMemory(spark: SparkSession, df: DataFrame,

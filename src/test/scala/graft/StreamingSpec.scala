@@ -45,6 +45,21 @@ class StreamingSpec extends SparkSpec {
     assert(labels.subsetOf(Set("Positive", "Negative")))
   }
 
+  test("runToParquet appends with exactly-once checkpointing") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    // stable source dir: the checkpoint's file-source log is keyed by path
+    Tables.events(spark, sfDir).select("event_id", "event_type", "value")
+      .write.parquet(s"$base/src")
+    def stream() = spark.readStream
+      .schema(spark.read.parquet(s"$base/src").schema).parquet(s"$base/src")
+    ScoringStream.runToParquet(stream(), s"$base/out", s"$base/ckpt")
+    val n1 = spark.read.parquet(s"$base/out").count()
+    assert(n1 == 1000)
+    // restart with the same checkpoint: nothing new -> nothing re-emitted
+    ScoringStream.runToParquet(stream(), s"$base/out", s"$base/ckpt")
+    assert(spark.read.parquet(s"$base/out").count() == n1)
+  }
+
   test("native session_window matches a hand-built lag/cumsum sessionization") {
     val events = Tables.events(spark, sfDir)
     val native = Sessionize.sessionWindows(events, "1 hour")
