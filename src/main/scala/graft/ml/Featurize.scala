@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.ml.{Pipeline, PipelineModel}
-import org.apache.spark.ml.feature.{CountVectorizer, IDF, StopWordsRemover, Tokenizer}
+import org.apache.spark.ml.feature.{CountVectorizer, HashingTF, IDF, StopWordsRemover, Tokenizer}
 import org.apache.spark.sql.DataFrame
 
 /** Text featurization: Tokenizer → StopWordsRemover → CountVectorizer → IDF,
@@ -22,18 +22,26 @@ object Featurize {
   def pipeline(inputCol: String = "text",
                vocabSize: Int = 4096,
                minDF: Double = 1.0,
-               extraStopwords: Array[String] = customStopwords): Pipeline = {
+               extraStopwords: Array[String] = customStopwords,
+               hashing: Boolean = false): Pipeline = {
     val tok = new Tokenizer()
       .setInputCol(inputCol).setOutputCol("words")
     val sw = new StopWordsRemover()
       .setInputCol("words").setOutputCol("words_nsw")
       .setStopWords(StopWordsRemover.loadDefaultStopWords("english") ++ extraStopwords)
-    val cv = new CountVectorizer()
-      .setInputCol("words_nsw").setOutputCol("tf")
-      .setVocabSize(vocabSize).setMinDF(minDF)
+    // CountVectorizer matches the reference; HashingTF is the 100 TB path —
+    // no vocabulary fit (the CV vocab is collected ON THE DRIVER), one less
+    // full pass over the corpus, at the cost of hash-bucket collisions and
+    // no term names for coefficient inspection.
+    val tf = if (hashing)
+      new HashingTF().setInputCol("words_nsw").setOutputCol("tf")
+        .setNumFeatures(vocabSize)
+    else
+      new CountVectorizer().setInputCol("words_nsw").setOutputCol("tf")
+        .setVocabSize(vocabSize).setMinDF(minDF)
     val idf = new IDF()
       .setInputCol("tf").setOutputCol("tfidf")
-    new Pipeline().setStages(Array(tok, sw, cv, idf))
+    new Pipeline().setStages(Array(tok, sw, tf, idf))
   }
 
   def fit(df: DataFrame, inputCol: String = "text",

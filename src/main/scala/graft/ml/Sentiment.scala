@@ -49,19 +49,23 @@ object Sentiment {
     case other => throw new IllegalArgumentException(s"unknown algo: $other")
   }
 
-  /** Featurize + classify as one pipeline. */
-  def pipeline(algo: String, vocabSize: Int = 4096): Pipeline =
+  /** Featurize + classify as one pipeline. `hashing = true` swaps
+    * CountVectorizer for HashingTF (the no-driver-vocab 100 TB path). */
+  def pipeline(algo: String, vocabSize: Int = 4096,
+               hashing: Boolean = false): Pipeline =
     new Pipeline().setStages(
-      Featurize.pipeline(vocabSize = vocabSize).getStages :+ classifier(algo))
+      Featurize.pipeline(vocabSize = vocabSize, hashing = hashing).getStages :+
+        classifier(algo))
 
   /** 80/20 split (ref seed=100, Scalable_Project_ML_Model_Analysis.py:172-174),
     * train, predict, F1. Returns (model, f1, test predictions). */
   def trainEval(labeled: DataFrame, algo: String,
-                seed: Long = 100L, vocabSize: Int = 4096)
+                seed: Long = 100L, vocabSize: Int = 4096,
+                hashing: Boolean = false)
       : (PipelineModel, Double, DataFrame) = {
     val Array(train, test) = labeled.randomSplit(Array(0.8, 0.2), seed)
     train.cache(); test.cache()
-    val model = pipeline(algo, vocabSize).fit(train)
+    val model = pipeline(algo, vocabSize, hashing).fit(train)
     val preds = model.transform(test)
     (model, f1(preds), preds)
   }

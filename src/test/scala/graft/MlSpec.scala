@@ -39,6 +39,13 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("hashing featurizer trains to comparable quality without a vocab fit") {
+    val (model, f1, _) = Sentiment.trainEval(docs, "svm", seed = 100L,
+      vocabSize = 1 << 12, hashing = true)
+    assert(f1 > 0.5, s"hashing-TF F1=$f1 below floor")
+    assert(model.stages.exists(_.isInstanceOf[org.apache.spark.ml.feature.HashingTF]))
+  }
+
   test("topCoefficients exposes the strongest vocabulary terms") {
     val (model, _, _) = Sentiment.trainEval(docs, "svm", seed = 100L,
       vocabSize = 128)
