@@ -34,9 +34,19 @@ object ScoringStream {
     val f = new java.io.File(path)
     val dir =
       if (f.isFile) {
-        val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
-        java.nio.file.Files.copy(f.toPath, d.resolve(f.getName),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // deterministic staging dir keyed by (path, size, mtime): repeat
+        // runs skip the copy, and checkpoints keyed by source path stay
+        // valid across invocations on the same input file
+        val key = Integer.toHexString(
+          (path, f.length, f.lastModified).hashCode())
+        val d = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), s"graft_stream_src_$key")
+        val target = d.resolve(f.getName)
+        if (!java.nio.file.Files.exists(target)) {
+          java.nio.file.Files.createDirectories(d)
+          java.nio.file.Files.copy(f.toPath, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
         d.toString
       } else path
     val schema = spark.read.parquet(dir).schema
