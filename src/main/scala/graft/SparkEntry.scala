@@ -274,7 +274,26 @@ object SparkEntry {
     // §2 row 42: gap-based sessionization (native session_window; the
     // flatMapGroupsWithState variant is exercised in StreamingSpec)
     "q28_sessionize" -> ((s, dir) =>
-      Sessionize.sessionWindows(Tables.events(s, dir), "1 hour"))
+      Sessionize.sessionWindows(Tables.events(s, dir), "1 hour")),
+
+    // §2 row 52: sketch aggregates — HLL distinct + quantile sketch. One
+    // pass, mergeable state, constant memory: the only shape that answers
+    // cardinality/percentile questions on 100 TB without a global sort.
+    // Rows-only (sketch implementations differ across engines); SketchSpec
+    // bounds the error against exact answers.
+    "q29_sketch_stats" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy("event_type").agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), array(lit(0.5), lit(0.95)),
+          lit(10000)).as("value_p50_p95"),
+        count(lit(1)).as("n"))),
+
+    // §2 row 51: typed TopKAggregator ANN (map-side-capped top-k shuffle)
+    "q30_ann_topk_agg" -> ((s, dir) => {
+      val emb = spread(s, Tables.embeddings(s, dir))
+      Ann.bruteForceTopKAgg(emb, emb.filter(col("vec_id") < 8), "vec_id",
+        "embedding", k = 5)
+    })
   )
 
   // ---------------------------------------------------------------------

@@ -87,6 +87,31 @@ object Ann {
       .select("query_id", "cand_id", "rank", "cos")
   }
 
+  /** [[bruteForceTopK]] with the scoring shuffle replaced by the typed
+    * [[graft.functions.TopKAggregator]]: map-side partial aggregation caps
+    * each partition's contribution at k rows per query BEFORE the exchange,
+    * instead of shuffling every scored (query, candidate) row to a window
+    * sort. Same results (AnnSpec asserts equality); the plan difference is
+    * the one that matters when the scored set is corpus-sized. */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val q = normalized(queries, idCol, vecCol, "query_id", "qv")
+    val c = normalized(corpus, idCol, vecCol, "cand_id", "cv")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), dot(col("qv"), col("cv")).as("cos"))
+      .as[(Long, Long, Double)]
+    val topk = new graft.functions.TopKAggregator(k).toColumn
+    scored
+      .groupByKey(_._1)
+      .mapValues { case (_, cand, cos) => (cand, cos) }
+      .agg(topk.name("topk"))
+      .toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col._1").as("cand_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("col._2").as("cos"))
+  }
+
   /** IVF (inverted-file) top-k: a k-means coarse quantizer (spark.ml KMeans)
     * partitions the corpus into `nCentroids` cells; each query probes its
     * `nProbe` nearest cells and scores only those candidates. The classic

@@ -64,6 +64,20 @@ class AnnSpec extends SparkSpec {
     assertNoCartesian(Ann.lshTopK(emb, queries, "vec_id", "embedding", 5, 2, 64))
   }
 
+  test("TopKAggregator path equals the window-sort path exactly") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val win = asMap(Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    val agg = asMap(Ann.bruteForceTopKAgg(emb, queries, "vec_id", "embedding", 5))
+    assert(win == agg, s"win=${win.size} agg=${agg.size}")
+    // and the aggregator plan has partial aggregation before the exchange
+    val plan = Ann.bruteForceTopKAgg(emb, queries, "vec_id", "embedding", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "aggregator path should not window-sort")
+  }
+
   test("ivfTopK recall vs brute force beats single-cell probing") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 20)

@@ -10,6 +10,19 @@ class BucketingSpec extends SparkSpec {
   test("co-bucketed tables join without any shuffle exchange") {
     val o = Tables.orders(spark, sfDir)
     val l = Tables.lineitem(spark, sfDir)
+    // clear any table/location left by a previous run
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     Tables.writeBucketed(o.withColumnRenamed("o_orderkey", "k"), "orders_b", "k", 8)
     Tables.writeBucketed(l.withColumnRenamed("l_orderkey", "k"), "lineitem_b", "k", 8)
     // force the sort-merge path (broadcast would mask the co-location win

@@ -53,6 +53,7 @@ class PlanAuditSpec extends SparkSpec {
   test("no declared query plans an all-pairs join (except brute-force ANN)") {
     val exempt = Set(
       "q20_ann_topk",      // exact baseline: broadcast NL join by design
+      "q30_ann_topk_agg",  // same brute-force baseline, aggregator variant
       "q10_wordcount_hist" // single-row min/max broadcast cross join
     )
     val heavy = Set("q13_tf_topterms", "q14_svm_predict", "q15_stream_agg")

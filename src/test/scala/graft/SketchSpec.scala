@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+class SketchSpec extends SparkSpec {
+
+  test("approx_count_distinct within rsd bounds of the exact answer") {
+    val events = Tables.events(spark, sfDir)
+    val exact = events.agg(countDistinct(col("user_id"))).head().getLong(0)
+    val approx = events.agg(approx_count_distinct(col("user_id"))).head().getLong(0)
+    val err = math.abs(approx - exact).toDouble / exact
+    assert(err < 0.1, s"HLL err $err (exact=$exact approx=$approx)")
+  }
+
+  test("percentile_approx brackets the exact median") {
+    val events = Tables.events(spark, sfDir)
+    val approx = events
+      .agg(percentile_approx(col("value"), lit(0.5), lit(10000)))
+      .head().getDouble(0)
+    val exact = events.stat.approxQuantile("value", Array(0.5), 0.0).head
+    val spreadV = events.agg(max(col("value")) - min(col("value")))
+      .head().getDouble(0)
+    assert(math.abs(approx - exact) <= 0.02 * spreadV,
+      s"p50 approx=$approx exact=$exact")
+  }
+
+  test("q29 returns one sketch row per event type") {
+    val out = SparkEntry.queries("q29_sketch_stats")(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Double](2).length == 2) // [p50, p95]
+      assert(r.getLong(1) > 0)
+    }
+  }
+}
