@@ -90,7 +90,11 @@ object Relational {
     * No RDD round-trip, no driver materialization.
     */
   def histogram(df: DataFrame, value: Column, nBuckets: Int): DataFrame = {
+    // both passes (min/max, bucket counts) consume `vals`; persist the
+    // single-double-column frame so an expensive upstream expression (regex
+    // tokenization, say) is evaluated once, not once per pass
     val vals = df.select(value.cast("double").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mm = vals.agg(min(col("v")).as("minv"), max(col("v")).as("maxv"))
     vals.crossJoin(broadcast(mm))
       .select(
