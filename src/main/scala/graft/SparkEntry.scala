@@ -229,11 +229,18 @@ object SparkEntry {
         TextStats.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
         TextStats.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))),
 
-    // §2 row 39: document fingerprinting (rolling hash + min-window hash)
+    // §2 row 39: document fingerprinting — polynomial rolling hash
+    // (oracle-checked via a DuckDB list_reduce of the same recurrence)
     "q25_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
-        TextStats.fingerprint(col("text")).as("fp"),
+        TextStats.fingerprint(col("text")).as("fp"))),
+
+    // §2 row 39 (cont.): winnowing-style min-window hash (rows-only:
+    // xxhash64 has no DuckDB counterpart)
+    "q31_min_window_hash" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
         TextStats.minWindowHash(col("text")).as("min_window_hash"))),
 
     // §2 row 40: TPC-H Q1-style pricing summary over lineitem — the
@@ -398,6 +405,14 @@ object SparkEntry {
         s"CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens, " +
         s"CAST(len(regexp_extract_all(text, '${TextStats.bpeishPattern}')) AS BIGINT) AS bpe_tokens " +
         "FROM documents"),
+
+    // Same 31-base mod-1e9+7 rolling recurrence, seeded with an explicit 0
+    // accumulator (list_reduce seeds from the first element, so prepend it)
+    "q25_fingerprint" ->
+      ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(regexp_split_to_array(text, ''), " +
+        "c -> CAST(coalesce(ascii(c), 0) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 1000000007) AS fp FROM documents"),
 
     // Spark window() aligns 6h buckets to the epoch; DuckDB time_bucket's
     // default origin (2000-01-03) is a whole multiple of 6h from the epoch,

@@ -16,7 +16,8 @@ class SparkEntrySpec extends SparkSpec {
       "q04_left_join", "q05_clean_text", "q06_binarize", "q07_elite_fill",
       "q08_filter_isin", "q09_explode_topn", "q10_wordcount_hist",
       "q11_group_count", "q12_token_df", "q21_multimodal_meta", "q22_langid",
-      "q23_quality", "q24_token_count", "q25_fingerprint")
+      "q23_quality", "q24_token_count", "q25_fingerprint",
+      "q31_min_window_hash")
     cheap.foreach { name =>
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       assert(n > 0, s"$name returned no rows")
