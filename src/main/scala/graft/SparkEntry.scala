@@ -147,13 +147,17 @@ object SparkEntry {
         .agg(countDistinct(col("doc_id")).as("df_docs"),
           count(lit(1)).as("tf"))),
 
-    // §2 rows 19, 20: CountVectorizer + IDF vocabulary (rows-only: vectors)
+    // §2 rows 19, 20: CountVectorizer vocabulary. With minDF=1 and
+    // vocabSize above the distinct-term count the vocab SET is exactly
+    // "every post-stopword token", which SQL can reproduce — so the fitted
+    // vocabulary itself gets an oracle (index order is tie-broken
+    // arbitrarily by CV, hence set-of-terms, not (term, idx)).
     "q13_tf_topterms" -> ((s, dir) => {
       val docs = Sentiment.prepare(Tables.documents(s, dir))
-      val model = Featurize.fit(docs, vocabSize = 1024)
+      val model = Featurize.fit(docs, vocabSize = 4096)
       val cv = model.stages(2).asInstanceOf[CountVectorizerModel]
       import s.implicits._
-      cv.vocabulary.zipWithIndex.toSeq.toDF("term", "idx")
+      cv.vocabulary.toSeq.toDF("term")
     }),
 
     // §2 rows 21, 22, 25: split/cache + LinearSVC train/predict + F1-ready
@@ -300,7 +304,15 @@ object SparkEntry {
       val emb = spread(s, Tables.embeddings(s, dir))
       Ann.bruteForceTopKAgg(emb, emb.filter(col("vec_id") < 8), "vec_id",
         "embedding", k = 5)
-    })
+    }),
+
+    // describe()-style numeric summary, integer-cents exact per group
+    "q32_summary_stats" -> ((s, dir) =>
+      Tables.orders(s, dir).groupBy("o_orderstatus").agg(
+        count(lit(1)).as("n"),
+        min(round(col("o_totalprice") * 100).cast("long")).as("min_c"),
+        max(round(col("o_totalprice") * 100).cast("long")).as("max_c"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_c")))
   )
 
   // ---------------------------------------------------------------------
@@ -405,6 +417,24 @@ object SparkEntry {
         s"CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens, " +
         s"CAST(len(regexp_extract_all(text, '${TextStats.bpeishPattern}')) AS BIGINT) AS bpe_tokens " +
         "FROM documents"),
+
+    // Vocabulary = distinct post-clean lowercase whitespace tokens minus
+    // the english+custom stopword list (embedded verbatim from
+    // StopWordsRemover so both engines filter identically)
+    "q13_tf_topterms" -> {
+      val stops = (org.apache.spark.ml.feature.StopWordsRemover
+        .loadDefaultStopWords("english") ++ graft.ml.Featurize.customStopwords)
+        .map(w => s"'${w.replace("'", "''")}'").mkString(", ")
+      s"SELECT DISTINCT term FROM (SELECT unnest(${tokensSql("text")}) AS term " +
+        s"FROM documents) WHERE term <> '' AND term NOT IN ($stops)"
+    },
+
+    "q32_summary_stats" ->
+      ("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_c, " +
+        "CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_c, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c " +
+        "FROM orders GROUP BY o_orderstatus"),
 
     // Same 31-base mod-1e9+7 rolling recurrence, seeded with an explicit 0
     // accumulator (list_reduce seeds from the first element, so prepend it)
