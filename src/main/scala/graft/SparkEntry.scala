@@ -183,10 +183,11 @@ object SparkEntry {
       MinHashDedup.nearDuplicates(spread(s, Tables.documents(s, dir)),
         "doc_id", "text", threshold = 0.8)),
 
-    // §2 row 30: SimHash near-dup via 16-bit chunk buckets
+    // §2 row 30: SimHash near-dup via 16-bit chunk buckets (radius 3 — the
+    // largest the 4-chunk pigeonhole bucketing answers completely)
     "q17_simhash" -> ((s, dir) =>
       SimHash.nearDuplicates(spread(s, Tables.documents(s, dir)), "doc_id",
-        "text", maxHamming = 8)),
+        "text", maxHamming = 3)),
 
     // §2 row 31: exact n-gram Jaccard via capped inverted index
     "q18_ngram_jaccard" -> ((s, dir) =>

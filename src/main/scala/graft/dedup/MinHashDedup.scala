@@ -107,8 +107,22 @@ object MinHashDedup {
                      k: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
     candidatePairsFromSets(shingleSets(docs, idCol, textCol, k), numHashes, bands)
 
-  /** Near-duplicate pairs with exact-Jaccard verification ≥ threshold
-    * (Jaccard over hashed shingle sets — exact modulo 64-bit collisions). */
+  /** Shared verification tail for candidate-pair generators: join the
+    * (id, sh) sets back onto (id_a, id_b) pairs and keep exact Jaccard ≥
+    * threshold (exact modulo 64-bit hash collisions). One definition so the
+    * MinHash and n-gram paths can't drift apart. */
+  private[dedup] def verifyJaccard(pairs: DataFrame, sets: DataFrame,
+                                   threshold: Double): DataFrame =
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** Near-duplicate pairs with exact-Jaccard verification ≥ threshold. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double, k: Int = 3, numHashes: Int = 16,
                      bands: Int = 4): DataFrame = {
@@ -116,13 +130,6 @@ object MinHashDedup {
     // persist the diamond's shared input once (see NGramJaccard note)
     val sh = shingleSets(docs, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    candidatePairsFromSets(sh, numHashes, bands)
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyJaccard(candidatePairsFromSets(sh, numHashes, bands), sh, threshold)
   }
 }

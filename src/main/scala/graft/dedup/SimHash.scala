@@ -67,10 +67,16 @@ object SimHash {
   }
 
   /** Near-duplicate pairs with Hamming distance ≤ maxHamming. Bucketed by
-    * 16-bit chunks — guaranteed complete for maxHamming ≤ 3 (pigeonhole over
-    * 4 chunks), never all-pairs. */
+    * 16-bit chunks — complete for maxHamming ≤ 3 by pigeonhole over 4
+    * chunks, and REJECTED above that: a larger radius silently returns an
+    * incomplete subset (pairs spreading their diff bits across all four
+    * chunks never share a bucket), and narrower chunks collide so heavily
+    * the join degenerates toward all-pairs. Radius > 3 callers should use
+    * MinHash instead. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit chunk LSH is only complete for maxHamming <= 3, got $maxHamming")
     val sig = signatures(docs, idCol, textCol)
     val chunked = sig.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>

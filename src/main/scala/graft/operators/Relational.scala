@@ -74,6 +74,11 @@ object Relational {
     * side. */
   def saltedJoin(fact: DataFrame, other: DataFrame, key: String,
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit every unmatched `other` row once per salt
+    // replica — reject join types whose output depends on the replication
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi/left_anti, got $joinType")
     // the salt must vary WITHIN a key (that's the whole point) — a seeded
     // uniform draw per row does; join output is salt-value-independent
     val salted = fact.withColumn("__salt",

@@ -51,8 +51,14 @@ object Ann {
                          idAlias: String, vecAlias: String): DataFrame =
     df.select(col(idCol).as(idAlias), col(vecCol).as("__v"),
         l2Norm(col(vecCol)).as("__n"))
+      // zero vectors stay zero (cos = 0 against everything) — dividing by a
+      // zero norm would yield NaN components, and NaN sorts ABOVE every
+      // real cosine under desc(), ranking the zero vector as everyone's
+      // top match
       .select(col(idAlias),
-        transform(col("__v"), x => x.cast("double") / col("__n")).as(vecAlias))
+        transform(col("__v"), x =>
+          when(col("__n") === 0.0, lit(0.0))
+            .otherwise(x.cast("double") / col("__n"))).as(vecAlias))
 
   /** Exact cosine top-k of each query against the corpus (self-matches
     * excluded). `queries` must be small enough to broadcast. */

@@ -68,12 +68,15 @@ object Sessionize {
           val c = v * 100
           (if (c >= 0) math.floor(c + 0.5) else math.ceil(c - 0.5)).toLong
         }
-        val evs = rows.toSeq.sortBy(_.ts.getTime)
+        def micros(t: java.sql.Timestamp): Long =
+          t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+        // sort by FULL µs precision — getTime alone is ms-grained and would
+        // mis-order same-millisecond events, corrupting session_start_us
+        val evs = rows.toSeq.sortBy(e => micros(e.ts))
         var closed = List.empty[SessionOut]
         var cur = state.getOption
         evs.foreach { e =>
-          val tsUs = e.ts.getTime * 1000L +
-            (e.ts.getNanos / 1000L) % 1000L // ms->µs + sub-ms micros
+          val tsUs = micros(e.ts)
           cur match {
             case Some(s) if tsUs - s.lastUs < gapUs =>
               cur = Some(SessionState(s.startUs, tsUs, s.n + 1,

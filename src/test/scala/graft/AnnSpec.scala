@@ -95,6 +95,17 @@ class AnnSpec extends SparkSpec {
     assert(r4 >= 0.5, s"recall@4-of-8-cells $r4 too low")
   }
 
+  test("zero vectors never rank as top matches (no NaN cosine)") {
+    val zero = Seq.fill(64)(0.0f)
+    val base = (0 until 64).map(i => math.sin(i).toFloat)
+    val near = base.updated(1, base(1) + 0.02f)
+    val df = Seq((1L, base), (2L, near), (3L, zero)).toDF("id", "vec")
+    val top = Ann.bruteForceTopK(df, df.filter(col("id") === 1L), "id", "vec", 1)
+      .head()
+    assert(top.getLong(1) == 2L, s"zero vector outranked the real neighbor: $top")
+    assert(!top.getDouble(3).isNaN)
+  }
+
   test("nearDupByCosine finds planted duplicate vectors, bucketed plan") {
     val base = (0 until 64).map(i => math.sin(i).toFloat)
     val near = base.updated(0, base(0) + 0.01f)
