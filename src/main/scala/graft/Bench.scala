@@ -4,7 +4,13 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line {"metric":…,"queries":{…}}. Queries run in sorted
   * name order after a small untimed warmup pass (one scan per input table)
-  * so JVM/JIT/codegen startup is not billed to whichever query runs first. */
+  * so JVM/JIT/codegen startup is not billed to whichever query runs first.
+  *
+  * Timing forces each query through a `noop`-format write, NOT `count()`:
+  * count() wraps the plan in an aggregate referencing no columns, and
+  * column pruning then deletes the very expressions being measured (a
+  * map-only query like fingerprinting would be timed as a bare scan). The
+  * noop sink materializes every output row with all columns. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,16 +24,18 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => }
     }
-    // warm the regex/codegen path the text queries share (JIT + janino)
+    // warm the regex/codegen path the text queries share (JIT + janino);
+    // noop write so pruning can't delete the warmed expressions
     try {
       import org.apache.spark.sql.functions._
       spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
         .select(graft.functions.TextFunctions.wordCount(col("text")).as("wc"))
-        .agg(sum(col("wc"))).count()
+        .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
       val dt = (System.nanoTime() - t0) / 1e9
       // operator-internal persists (dedup diamond plans) must not leak into
       // the next query's timing or accumulate over 32 queries

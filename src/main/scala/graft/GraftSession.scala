@@ -21,17 +21,25 @@ object GraftSession {
 
   def builder(master: Option[String] = None,
               shufflePartitions: Option[Int] = None): SparkSession.Builder = {
-    val cores = Runtime.getRuntime.availableProcessors()
     val b = SparkSession.builder()
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.shuffle.partitions",
-        shufflePartitions.getOrElse(cores).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .withExtensions(new GraftExtensions)
-    master.fold(b)(b.master)
+    // Size shuffle partitions to the machine ONLY in local mode (or when
+    // the caller asks). On a cluster the driver's core count says nothing
+    // about executor parallelism, and AQE coalescing only merges DOWNWARD
+    // from the configured number — defaulting it low would cap every
+    // shuffle at submit-node width. Cluster deployments keep Spark's
+    // default / their own tuning.
+    val localCores =
+      if (master.exists(_.startsWith("local")))
+        Some(Runtime.getRuntime.availableProcessors()) else None
+    val withParts = shufflePartitions.orElse(localCores)
+      .fold(b)(n => b.config("spark.sql.shuffle.partitions", n.toString))
+    master.fold(withParts)(withParts.master)
   }
 
   /** Build (or reuse) the session and ensure graft functions are registered

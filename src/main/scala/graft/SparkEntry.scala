@@ -154,10 +154,13 @@ object SparkEntry {
     // arbitrarily by CV, hence set-of-terms, not (term, idx)).
     "q13_tf_topterms" -> ((s, dir) => {
       val docs = Sentiment.prepare(Tables.documents(s, dir))
-      val model = Featurize.fit(docs, vocabSize = 4096)
+      val model = Featurize.fit(docs, vocabSize = 1 << 17)
       val cv = model.stages(2).asInstanceOf[CountVectorizerModel]
       import s.implicits._
-      cv.vocabulary.toSeq.toDF("term")
+      // a document cleaning to "" tokenizes to the "" term, which the SQL
+      // oracle's `term <> ''` filter excludes — drop it here too; the
+      // 2^17 vocabSize keeps the set un-truncated at any tested SF
+      cv.vocabulary.toSeq.filter(_.nonEmpty).toDF("term")
     }),
 
     // §2 rows 21, 22, 25: split/cache + LinearSVC train/predict + F1-ready

@@ -97,7 +97,11 @@ object Relational {
   def histogram(df: DataFrame, value: Column, nBuckets: Int): DataFrame = {
     // both passes (min/max, bucket counts) consume `vals`; persist the
     // single-double-column frame so an expensive upstream expression (regex
-    // tokenization, say) is evaluated once, not once per pass
+    // tokenization, say) is evaluated once, not once per pass. Lifecycle
+    // contract: the returned frame is lazy, so the operator cannot
+    // unpersist — long-lived sessions calling this (or the dedup
+    // operators) repeatedly should `spark.catalog.clearCache()` between
+    // batches, as Verify/Bench do; otherwise eviction is LRU.
     val vals = df.select(value.cast("double").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mm = vals.agg(min(col("v")).as("minv"), max(col("v")).as("maxv"))

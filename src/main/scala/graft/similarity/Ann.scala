@@ -101,11 +101,17 @@ object Ann {
     * the one that matters when the scored set is corpus-sized. */
   def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, idCol: String,
                         vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
+    require(Seq(corpus, queries).forall(df =>
+      Seq(LongType, IntegerType, ShortType).contains(df.schema(idCol).dataType)),
+      s"bruteForceTopKAgg requires an integral id column (TopKAggregator " +
+        s"buffers Long ids); got ${corpus.schema(idCol).dataType.simpleString}")
     import corpus.sparkSession.implicits._
     val q = normalized(queries, idCol, vecCol, "query_id", "qv")
     val c = normalized(corpus, idCol, vecCol, "cand_id", "cv")
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"), dot(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id").cast("long"), col("cand_id").cast("long"),
+        dot(col("qv"), col("cv")).as("cos"))
       .as[(Long, Long, Double)]
     val topk = new graft.functions.TopKAggregator(k).toColumn
     scored

@@ -44,14 +44,22 @@ object ScoringStream {
         val target = d.resolve(f.getName)
         if (!java.nio.file.Files.exists(target)) {
           java.nio.file.Files.createDirectories(d)
-          // copy to a temp name then ATOMIC_MOVE: a JVM killed mid-copy must
-          // not leave a truncated file that the exists() check would then
-          // trust forever
-          val tmp = d.resolve(f.getName + ".tmp")
-          java.nio.file.Files.copy(f.toPath, tmp,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          java.nio.file.Files.move(tmp, target,
+          // copy to a process-unique temp name then ATOMIC_MOVE: a JVM
+          // killed mid-copy must not leave a truncated file the exists()
+          // check would trust, and two concurrent first-runs must not write
+          // the same temp file (the losing move is ignored — the winner
+          // already published an identical copy)
+          val tmp = d.resolve(
+            f.getName + "." + java.util.UUID.randomUUID() + ".tmp")
+          java.nio.file.Files.copy(f.toPath, tmp)
+          try java.nio.file.Files.move(tmp, target,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.FileSystemException
+              if java.nio.file.Files.exists(target) =>
+                java.nio.file.Files.deleteIfExists(tmp)
+          }
         }
         d.toString
       } else path

@@ -17,7 +17,7 @@ class GraftSessionSpec extends SparkSpec {
     spark // materialize the shared test session first
     val s = GraftSession.getOrCreate()
     assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
-    assert(s.conf.get("spark.sql.adaptive.enabled") == "true" ||
-      s.conf.get("spark.sql.adaptive.enabled") == "false") // reused session keeps its own
+    assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
   }
 }
