@@ -310,6 +310,26 @@ object SparkEntry {
         "embedding", k = 5)
     }),
 
+    // §2 row 54: as-of join — each event enriched with the customer's most
+    // recent order at event time (union-tag formulation: one key-hashed
+    // exchange + per-key sort, no range-join explosion). The right side is
+    // made (key, ts)-unique first so the same-timestamp pick is
+    // deterministic on both engines.
+    "q33_asof_join" -> ((s, dir) => {
+      val rightDedup = ExactDedup.keepFirst(
+        Tables.orders(s, dir)
+          .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+          .withColumn("__neg", -col("o_orderkey")),
+        Seq("o_custkey", "o_orderdate"), "__neg").drop("__neg")
+      operators.AsOfJoin.asOfJoin(
+        Tables.events(s, dir).select("event_id", "user_id", "ts"),
+        rightDedup,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        rightValueCols = Seq("o_orderkey"))
+        .select("event_id", "user_id", "o_orderkey") // ts dropped: ns-vs-µs repr differs across engines
+    }),
+
     // describe()-style numeric summary, integer-cents exact per group
     "q32_summary_stats" -> ((s, dir) =>
       Tables.orders(s, dir).groupBy("o_orderstatus").agg(
@@ -432,6 +452,16 @@ object SparkEntry {
       s"SELECT DISTINCT term FROM (SELECT unnest(${tokensSql("text")}) AS term " +
         s"FROM documents) WHERE term <> '' AND term NOT IN ($stops)"
     },
+
+    // DuckDB's native ASOF JOIN is the oracle for the union-tag operator;
+    // the right side is (key, ts)-deduped identically on both engines
+    "q33_asof_join" ->
+      ("SELECT e.event_id, e.user_id, o.o_orderkey " +
+        "FROM events e ASOF LEFT JOIN (" +
+        "SELECT o_custkey, o_orderdate, o_orderkey FROM orders " +
+        "QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate " +
+        "ORDER BY o_orderkey DESC) = 1) o " +
+        "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"),
 
     "q32_summary_stats" ->
       ("SELECT o_orderstatus, count(*) AS n, " +
