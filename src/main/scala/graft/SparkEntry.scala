@@ -330,6 +330,23 @@ object SparkEntry {
         .select("event_id", "user_id", "o_orderkey") // ts dropped: ns-vs-µs repr differs across engines
     }),
 
+    // §2 row 55: range join — events inside the 6h attribution window after
+    // a signup by the same user (bucketized equi-join, no theta-join)
+    "q34_range_join" -> ((s, dir) => {
+      val events = Tables.events(s, dir)
+      val windows = events.filter(col("event_type") === "signup")
+        .select(col("user_id").as("w_user"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 6 HOURS")).as("end_ts"),
+          col("event_id").as("signup_id"))
+      operators.RangeJoin.rangeJoin(
+        events.select("event_id", "user_id", "ts"), windows,
+        pointKey = "user_id", intervalKey = "w_user",
+        pointTs = "ts", startTs = "start_ts", endTs = "end_ts",
+        bucketWidthUs = 6L * 3600 * 1000000,
+        intervalValueCols = Seq("signup_id"))
+        .select("event_id", "user_id", "signup_id")
+    }),
+
     // describe()-style numeric summary, integer-cents exact per group
     "q32_summary_stats" -> ((s, dir) =>
       Tables.orders(s, dir).groupBy("o_orderstatus").agg(
@@ -462,6 +479,12 @@ object SparkEntry {
         "QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate " +
         "ORDER BY o_orderkey DESC) = 1) o " +
         "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"),
+
+    "q34_range_join" ->
+      ("SELECT e.event_id, e.user_id, s.signup_id FROM events e JOIN (" +
+        "SELECT user_id, ts AS start_ts, ts + INTERVAL 6 HOUR AS end_ts, " +
+        "event_id AS signup_id FROM events WHERE event_type = 'signup') s " +
+        "ON e.user_id = s.user_id AND e.ts >= s.start_ts AND e.ts <= s.end_ts"),
 
     "q32_summary_stats" ->
       ("SELECT o_orderstatus, count(*) AS n, " +
