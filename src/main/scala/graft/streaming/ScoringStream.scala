@@ -95,6 +95,17 @@ object ScoringStream {
         when(col("prediction") === 1.0, lit("Positive")).otherwise(lit("Negative")))
   }
 
+  /** Streaming exact dedup: drop rows whose key was already seen, keeping
+    * state only within the watermark horizon — the streaming half of
+    * [[graft.dedup.ExactDedup]]. State is bounded by (keys arriving within
+    * the delay window), not by stream length, which is what makes exact
+    * dedup viable on an unbounded 100 TB/day feed; duplicates farther apart
+    * than the watermark are the (documented) residual risk. */
+  def dedupStream(stream: DataFrame, keys: Seq[String], tsCol: String,
+                  watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Production file sink: append the streaming frame to a parquet
     * directory with exactly-once checkpointing, draining everything
     * currently available (AvailableNow) before returning. Restarting with

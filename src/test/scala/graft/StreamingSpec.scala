@@ -45,6 +45,21 @@ class StreamingSpec extends SparkSpec {
     assert(labels.subsetOf(Set("Positive", "Negative")))
   }
 
+  test("dedupStream drops within-watermark duplicates exactly") {
+    // stage the same events file twice -> every event_id arrives twice
+    val src = java.nio.file.Files.createTempDirectory("graft_dedup_src").toString
+    val events = Tables.events(spark, sfDir).select("event_id", "ts", "value")
+    events.write.parquet(s"$src/f1")
+    events.write.parquet(s"$src/f2")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$src/f1").schema).parquet(s"$src/*")
+    val out = ScoringStream.runToMemory(spark,
+      ScoringStream.dedupStream(stream, Seq("event_id"), "ts", "1 hour"),
+      "append")
+    assert(out.count() == 1000, s"expected 1000 unique events, got ${out.count()}")
+    assert(out.select("event_id").distinct().count() == 1000)
+  }
+
   test("runToParquet appends with exactly-once checkpointing") {
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
     // stable source dir: the checkpoint's file-source log is keyed by path
