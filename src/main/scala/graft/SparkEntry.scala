@@ -318,7 +318,7 @@ object SparkEntry {
     "q33_asof_join" -> ((s, dir) => {
       val rightDedup = ExactDedup.keepFirst(
         Tables.orders(s, dir)
-          .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+          .select("o_custkey", "o_orderdate", "o_orderkey")
           .withColumn("__neg", -col("o_orderkey")),
         Seq("o_custkey", "o_orderdate"), "__neg").drop("__neg")
       operators.AsOfJoin.asOfJoin(

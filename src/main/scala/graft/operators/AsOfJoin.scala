@@ -31,14 +31,22 @@ object AsOfJoin {
                leftTs: String, rightTs: String,
                rightValueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val clash = rightValueCols.toSet & leftCols.toSet
+    require(clash.isEmpty,
+      s"rightValueCols collide with left columns: $clash — alias them first")
     val rv = struct(rightValueCols.map(col): _*)
     val rvType = right.select(rv).schema.head.dataType
     val lSide = left.select(
       col(leftKey).as("__k"), col(leftTs).as("__t"), lit(1).as("__tag"),
       lit(null).cast(rvType).as("__rv"), struct(leftCols.map(col): _*).as("__l"))
-    val rSide = right.select(
-      col(rightKey).as("__k"), col(rightTs).as("__t"), lit(0).as("__tag"),
-      rv.as("__rv"), lit(null).cast(lSide.schema("__l").dataType).as("__l"))
+    // join semantics: a null key or null timestamp on the right can match
+    // nothing (NULLS FIRST would otherwise carry a null-ts payload forward
+    // as "before everything"); null-key/ts LEFT rows still emit, unmatched
+    val rSide = right
+      .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
+      .select(
+        col(rightKey).as("__k"), col(rightTs).as("__t"), lit(0).as("__tag"),
+        rv.as("__rv"), lit(null).cast(lSide.schema("__l").dataType).as("__l"))
     // right rows sort before left rows at the same timestamp -> inclusive
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -28,20 +28,29 @@ object RangeJoin {
                 pointTs: String, startTs: String, endTs: String,
                 bucketWidthUs: Long,
                 intervalValueCols: Seq[String]): DataFrame = {
+    val clash = points.columns.toSet &
+      (intervalValueCols.toSet + startTs + endTs)
+    require(clash.isEmpty,
+      s"interval columns collide with point columns: $clash — alias them first")
+    // integer `div` throughout (codebase rule, see Tables.events): double
+    // division loses exactness past 2^53 µs and floor semantics with it
     val p = points
-      .withColumn("__b", (unix_micros(col(pointTs)) / bucketWidthUs).cast("long"))
+      .withColumn("__b", expr(s"unix_micros($pointTs) div ${bucketWidthUs}L"))
       .withColumn("__k", col(pointKey))
     val i = intervals
+      .filter(col(endTs) >= col(startTs)) // degenerate intervals match nothing
       .withColumn("__len",
         unix_micros(col(endTs)) - unix_micros(col(startTs)))
       .withColumn("__check",
         when(col("__len") > bucketWidthUs,
           raise_error(concat(lit("rangeJoin: interval length "), col("__len"),
             lit(s"us exceeds bucket width ${bucketWidthUs}us"))))
-          .otherwise(lit(0)))
-      .withColumn("__b0", (unix_micros(col(startTs)) / bucketWidthUs).cast("long"))
-      .withColumn("__b", explode(sequence(col("__b0"),
-        col("__b0") + 1 + col("__check"))))
+          .otherwise(lit(0L)))
+      // explode over exactly the buckets the interval touches (1 or 2) —
+      // __check rides along so the length guard stays in the plan
+      .withColumn("__b", explode(sequence(
+        expr(s"unix_micros($startTs) div ${bucketWidthUs}L"),
+        expr(s"unix_micros($endTs) div ${bucketWidthUs}L") + col("__check"))))
       .withColumn("__k", col(intervalKey))
     p.join(i.select(Seq("__k", "__b", startTs, endTs).map(col) ++
           intervalValueCols.map(col): _*),

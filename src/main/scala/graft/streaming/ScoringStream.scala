@@ -102,9 +102,11 @@ object ScoringStream {
     * dedup viable on an unbounded 100 TB/day feed; duplicates farther apart
     * than the watermark are the (documented) residual risk. */
   def dedupStream(stream: DataFrame, keys: Seq[String], tsCol: String,
-                  watermark: String): DataFrame =
+                  watermark: String): DataFrame = {
+    require(keys.nonEmpty, "dedupStream needs at least one key column")
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+  }
 
   /** Production file sink: append the streaming frame to a parquet
     * directory with exactly-once checkpointing, draining everything
