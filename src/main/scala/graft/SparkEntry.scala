@@ -192,6 +192,13 @@ object SparkEntry {
       SimHash.nearDuplicates(spread(s, Tables.documents(s, dir)), "doc_id",
         "text", maxHamming = 3)),
 
+    // §2 row 57: SimHash multi-probe — complete to radius 7 via ≤1-bit
+    // chunk variants on the probe side (rows-only; DedupSpec proves
+    // completeness vs local brute force)
+    "q35_simhash_multiprobe" -> ((s, dir) =>
+      SimHash.nearDuplicatesMultiProbe(spread(s, Tables.documents(s, dir)),
+        "doc_id", "text", maxHamming = 7)),
+
     // §2 row 31: exact n-gram Jaccard via capped inverted index
     "q18_ngram_jaccard" -> ((s, dir) =>
       NGramJaccard.similarPairs(spread(s, Tables.documents(s, dir)), "doc_id",

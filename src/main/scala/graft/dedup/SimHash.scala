@@ -66,13 +66,46 @@ object SimHash {
     tallies.select(col("id"), fp.as("simhash"))
   }
 
+  /** Near-duplicate pairs with Hamming distance ≤ maxHamming ≤ 7, via
+    * multi-probe: by pigeonhole, two fingerprints within distance 7 have
+    * some 16-bit chunk differing in at most ⌊7/4⌋ = 1 bit, so one join side
+    * emits every ≤1-bit-flip variant of each chunk (17 rows per chunk) and
+    * the other side its originals — `variant(A) = original(B)` iff that
+    * chunk's diff has weight ≤ 1. Complete for the full radius at 17× the
+    * probe side's bucket rows (still linear, never all-pairs); exact
+    * hamming verification filters the superset. */
+  def nearDuplicatesMultiProbe(docs: DataFrame, idCol: String, textCol: String,
+                               maxHamming: Int = 7): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"multi-probe over 4x16-bit chunks is complete only to radius 7, got $maxHamming")
+    val sig = signatures(docs, idCol, textCol)
+    def chunks(withVariants: Boolean) = {
+      val base = sig.select(col("id"), col("simhash"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
+      if (!withVariants) base
+      else base.select(col("id"), col("simhash"), col("band"),
+        explode(array((lit(0L) +: (0 until 16).map(b => lit(1L << b))).map(f =>
+          col("chunk").bitwiseXOR(f)): _*)).as("chunk"))
+    }
+    chunks(withVariants = true).as("l").join(chunks(withVariants = false).as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.chunk") === col("r.chunk") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        hamming(col("l.simhash"), col("r.simhash")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Near-duplicate pairs with Hamming distance ≤ maxHamming. Bucketed by
     * 16-bit chunks — complete for maxHamming ≤ 3 by pigeonhole over 4
     * chunks, and REJECTED above that: a larger radius silently returns an
     * incomplete subset (pairs spreading their diff bits across all four
     * chunks never share a bucket), and narrower chunks collide so heavily
-    * the join degenerates toward all-pairs. Radius > 3 callers should use
-    * MinHash instead. */
+    * the join degenerates toward all-pairs. Radius 4-7 callers:
+    * [[nearDuplicatesMultiProbe]]. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,

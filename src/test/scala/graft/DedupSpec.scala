@@ -80,6 +80,23 @@ class DedupSpec extends SparkSpec {
     assertNoCartesian(nd)
   }
 
+  test("simhash multi-probe is complete to radius 7 (vs local brute force)") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val sigs = SimHash.signatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expect = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 7
+    } yield (ia, ib)).toSet
+    val got = SimHash.nearDuplicatesMultiProbe(docs, "doc_id", "text", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)} " +
+        s"(${expect.size} expected, ${got.size} got)")
+    assertNoCartesian(SimHash.nearDuplicatesMultiProbe(docs, "doc_id", "text", 7))
+  }
+
   test("ngram jaccard: exact values, ordered pairs, no all-pairs plan") {
     val out = NGramJaccard.similarPairs(corpus, "id", "text", n = 3,
       threshold = 0.3)
