@@ -34,18 +34,34 @@ object Bench {
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
+      // a failed query must NOT be billed as an ordinary (short) timing —
+      // that would make a regression read as a speedup; it is recorded as
+      // err and excluded from the timing map
+      val err: Option[String] =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // operator-internal persists (dedup diamond plans) must not leak into
       // the next query's timing or accumulate over 32 queries
       spark.catalog.clearCache()
-      name -> dt
+      (name, dt, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val ok = results.filter(_._3.isEmpty)
+    val qs = ok.map { case (k, v, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(m)) =>
+      jstr(k) + ":" + jstr(m.take(300))
+    }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.size - ok.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

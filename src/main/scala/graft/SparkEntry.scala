@@ -204,10 +204,16 @@ object SparkEntry {
       NGramJaccard.similarPairs(spread(s, Tables.documents(s, dir)), "doc_id",
         "text", n = 3, threshold = 0.8)),
 
-    // §2 row 32: embedding-cosine near-dup, SRP-bucketed
+    // §2 row 32: embedding-cosine near-dup, multi-table SRP (L tables × b
+    // bits, b sized from the corpus count so bucket population — and the
+    // per-bucket self-join — stays bounded at any N; candidates unioned
+    // across tables, cosine-verified). threshold=0.3 because the synthetic
+    // embeddings have no tighter pairs (max pairwise cos ≈ 0.5); real
+    // near-dup corpora run this at ≥ 0.8 where the recall target needs
+    // fewer tables (see Ann.srpTablesFor).
     "q19_cosine_dedup" -> ((s, dir) =>
-      Ann.nearDupByCosine(spread(s, Tables.embeddings(s, dir)), "vec_id",
-        "embedding", threshold = 0.3, nPlanes = 4, dim = 64)),
+      Ann.nearDupByCosineAuto(spread(s, Tables.embeddings(s, dir)), "vec_id",
+        "embedding", threshold = 0.3, dim = 64)),
 
     // §2 row 33: brute-force cosine top-k (exact ANN baseline)
     "q20_ann_topk" -> ((s, dir) => {
@@ -302,13 +308,18 @@ object SparkEntry {
     // pass, mergeable state, constant memory: the only shape that answers
     // cardinality/percentile questions on 100 TB without a global sort.
     // Rows-only (sketch implementations differ across engines); SketchSpec
-    // bounds the error against exact answers.
-    "q29_sketch_stats" -> ((s, dir) =>
+    // bounds the error against exact answers. The two quantiles ride as
+    // scalar doubles (element_at over the percentile_approx array) — an
+    // array column would defeat the driver's row-sort hash.
+    "q29_sketch_stats" -> ((s, dir) => {
+      val pa = percentile_approx(col("value"), array(lit(0.5), lit(0.95)),
+        lit(10000))
       Tables.events(s, dir).groupBy("event_type").agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
-        percentile_approx(col("value"), array(lit(0.5), lit(0.95)),
-          lit(10000)).as("value_p50_p95"),
-        count(lit(1)).as("n"))),
+        element_at(pa, 1).as("value_p50"),
+        element_at(pa, 2).as("value_p95"),
+        count(lit(1)).as("n"))
+    }),
 
     // §2 row 51: typed TopKAggregator ANN (map-side-capped top-k shuffle)
     "q30_ann_topk_agg" -> ((s, dir) => {
@@ -360,7 +371,34 @@ object SparkEntry {
         count(lit(1)).as("n"),
         min(round(col("o_totalprice") * 100).cast("long")).as("min_c"),
         max(round(col("o_totalprice") * 100).cast("long")).as("max_c"),
-        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_c")))
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_c"))),
+
+    // §2 row 50 end-to-end: the HashingTF (no driver-side vocabulary fit)
+    // featurization under the same SVM head as q14 — the 100 TB path, where
+    // CountVectorizer's driver-collected vocab would be a memory incident.
+    // Rows-only (model output); MlSpec covers quality parity vs CV.
+    "q36_hashing_predict" -> ((s, dir) => {
+      val docs = Sentiment.prepare(Tables.documents(s, dir))
+      val (_, _, preds) = Sentiment.trainEval(docs, "svm", seed = 100L,
+        vocabSize = 1024, hashing = true)
+      preds.select("doc_id", "label", "prediction")
+    }),
+
+    // The reference's combined elite vs non-elite star-distribution EDA
+    // (/root/reference/Scalable_EDA_Final.py:266-293) as ONE query:
+    // elite-flag fill after a broadcast left join, then a two-key
+    // group-count (partial agg → shuffle carries only (elite, priority)).
+    "q37_elite_dist" -> ((s, dir) => {
+      val elite = Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"), lit(1).as("elite"))
+        .dropDuplicates()
+      val joined = Relational.leftEnrich(Tables.orders(s, dir), elite,
+        col("o_custkey") === col("c_custkey"))
+      Relational.flagFill(joined, "elite", lit(0))
+        .groupBy("elite", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -534,6 +572,13 @@ object SparkEntry {
         "SELECT o_orderkey FROM orders WHERE o_custkey IN (" +
         "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')) " +
         "GROUP BY l_orderkey ORDER BY revenue_c DESC, l_orderkey LIMIT 10"),
+
+    "q37_elite_dist" ->
+      ("SELECT CASE WHEN e.elite IS NULL THEN 0 ELSE e.elite END AS elite, " +
+        "o_orderpriority, count(*) AS cnt " +
+        "FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey, 1 AS elite " +
+        "FROM customer WHERE c_acctbal > 5000) e ON o.o_custkey = e.c_custkey " +
+        "GROUP BY 1, 2"),
 
     // lag/cumsum formulation of gap sessions; gap matches session_window's
     // strict `diff < gap` continuation rule

@@ -23,6 +23,23 @@ object ExactDedup {
       .drop("__rn")
   }
 
+  /** [[keepFirst]] re-expressed as a `min_by` hash aggregation: keep the
+    * whole row whose `orderCol` is smallest per key. Same result (when
+    * `orderCol` is unique within each key and non-null — same determinism
+    * contract as keepFirst), different — better — shuffle: partial (map-side)
+    * aggregation reduces every partition to ONE candidate row per key before
+    * the exchange, so the shuffle carries ≤ (distinct keys × partitions)
+    * rows, versus keepFirst's window formulation which shuffles EVERY
+    * duplicate row to its key's reducer before discarding it. At 100 TB with
+    * a high duplicate rate this is the difference between shuffling the
+    * distinct corpus and shuffling the whole corpus. */
+  def keepFirstAgg(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val all = df.columns.toSeq
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(struct(all.map(col): _*), col(orderCol)).as("__row"))
+      .select(all.map(c => col("__row").getField(c).as(c)): _*)
+  }
+
   /** Reference-faithful arbitrary-row dedup (ref Yelp_Data_PreProcessing.py:77). */
   def dropDups(df: DataFrame, keys: Seq[String]): DataFrame =
     df.dropDuplicates(keys)

@@ -52,10 +52,17 @@ object MinHashDedup {
   /** (id, sh): distinct word-k-shingle hash sets, staged per the class note. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
                   k: Int): DataFrame =
+    shingleSetsCarry(docs, idCol, textCol, k, Nil)
+
+  /** [[shingleSets]] keeping `carry` passthrough columns (e.g. the event-time
+    * column a streaming caller needs for its watermark). */
+  def shingleSetsCarry(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, carry: Seq[String]): DataFrame =
     docs
-      .select(col(idCol).as("id"),
-        transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("th"))
-      .select(col("id"), array_distinct(windowHashes(col("th"), k)).as("sh"))
+      .select(col(idCol).as("id") +: carry.map(col) :+
+        transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("th"): _*)
+      .select(col("id") +: carry.map(col) :+
+        array_distinct(windowHashes(col("th"), k)).as("sh"): _*)
 
   /** MinHash signature of a *materialized* shingle-hash array column:
     * element i = min over shingle hashes s of XXH64.hashLong(s, seed=i) —
@@ -78,15 +85,22 @@ object MinHashDedup {
 
   /** (id, band, bucket) rows from an (id, sh) sets frame. */
   private def bandedFromSets(sets: DataFrame, numHashes: Int,
-                             bands: Int): DataFrame = {
+                             bands: Int): DataFrame =
+    bandedFromSetsCarry(sets, numHashes, bands, Nil)
+
+  /** (id, carry..., band, bucket) rows from an (id, carry..., sh) sets frame
+    * — `bands` rows per input row, one per LSH band. Public so the streaming
+    * near-dup suppressor shares the exact banding math with the batch path. */
+  def bandedFromSetsCarry(sets: DataFrame, numHashes: Int, bands: Int,
+                          carry: Seq[String]): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
     sets
-      .select(col("id"),
-        minhashSignature(sets.sparkSession, col("sh"), numHashes).as("sig"))
-      .select(col("id"),
+      .select(col("id") +: carry.map(col) :+
+        minhashSignature(sets.sparkSession, col("sh"), numHashes).as("sig"): _*)
+      .select(col("id") +: carry.map(col) :+
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, slice(col("sig"), b * lit(r) + 1, lit(r))))))
+          b => xxhash64(b, slice(col("sig"), b * lit(r) + 1, lit(r))))): _*)
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
   }
 

@@ -78,7 +78,12 @@ object SimHash {
                                maxHamming: Int = 7): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"multi-probe over 4x16-bit chunks is complete only to radius 7, got $maxHamming")
+    // both join branches (variant-exploded probe side, original side) consume
+    // the signature frame, and the two branches differ so exchange reuse
+    // can't collapse them — persist the expensive signature pass once
+    // (same diamond-plan rule as MinHashDedup.nearDuplicates)
     val sig = signatures(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def chunks(withVariants: Boolean) = {
       val base = sig.select(col("id"), col("simhash"),
         posexplode(array((0 until 4).map(c =>
@@ -110,7 +115,12 @@ object SimHash {
                      maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit chunk LSH is only complete for maxHamming <= 3, got $maxHamming")
+    // self-join diamond: persist the signature pass (see multi-probe note) —
+    // the two sides are identical here, but exchange reuse is best-effort
+    // and AQE re-optimization can break it; persist makes the reuse a
+    // contract, not a hope
     val sig = signatures(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sig.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))

@@ -23,37 +23,64 @@ import org.apache.spark.sql.functions._
   *
   * Returns every left row (left-outer semantics) with `rightValueCols`
   * appended, null when no right row precedes it.
+  *
+  * Skew limits: null-key/null-ts left rows bypass the exchange entirely
+  * (they can never match), so a null-heavy feed costs nothing. A
+  * pathologically hot NON-null key still serializes its window in one task
+  * — the running-state window is order-dependent, so it cannot be salted
+  * without a per-salt merge pass; callers with one dominant key should
+  * pre-split it (e.g. by time range) and union the results.
   */
 object AsOfJoin {
+
+  private val reservedCols = Set("__k", "__t", "__tag", "__rv", "__l", "__match")
+
+  /** col() parses dots as struct-field paths — user column names must be
+    * backtick-quoted (with embedded backticks doubled) to be taken verbatim. */
+  private def qcol(name: String) = col("`" + name.replace("`", "``") + "`")
 
   def asOfJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTs: String, rightTs: String,
                rightValueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val clash = rightValueCols.toSet & leftCols.toSet
+    val clash = (rightValueCols.toSet & leftCols.toSet) ++
+      ((rightValueCols.toSet ++ leftCols.toSet) & reservedCols)
     require(clash.isEmpty,
-      s"rightValueCols collide with left columns: $clash — alias them first")
-    val rv = struct(rightValueCols.map(col): _*)
+      s"column names collide (left vs rightValueCols, or with the " +
+        s"operator-internal $reservedCols names): $clash — alias them first")
+    val rv = struct(rightValueCols.map(qcol): _*)
     val rvType = right.select(rv).schema.head.dataType
-    val lSide = left.select(
-      col(leftKey).as("__k"), col(leftTs).as("__t"), lit(1).as("__tag"),
-      lit(null).cast(rvType).as("__rv"), struct(leftCols.map(col): _*).as("__l"))
-    // join semantics: a null key or null timestamp on the right can match
-    // nothing (NULLS FIRST would otherwise carry a null-ts payload forward
-    // as "before everything"); null-key/ts LEFT rows still emit, unmatched
+    val lRow = struct(leftCols.map(qcol): _*)
+    // join semantics: a null key or null timestamp can match nothing on
+    // EITHER side. Null right rows are dropped (NULLS FIRST would otherwise
+    // carry a null-ts payload forward as "before everything"). Null LEFT
+    // rows still emit unmatched — but they bypass the key exchange entirely:
+    // partitionBy(null-key) would funnel every null-key row into ONE task,
+    // so a null-heavy feed serializes; the bypass branch keeps them a
+    // map-only union leg instead.
+    val matchable = qcol(leftKey).isNotNull && qcol(leftTs).isNotNull
+    val lSide = left.filter(matchable).select(
+      qcol(leftKey).as("__k"), qcol(leftTs).as("__t"), lit(1).as("__tag"),
+      lit(null).cast(rvType).as("__rv"), lRow.as("__l"))
     val rSide = right
-      .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
+      .filter(qcol(rightKey).isNotNull && qcol(rightTs).isNotNull)
       .select(
-        col(rightKey).as("__k"), col(rightTs).as("__t"), lit(0).as("__tag"),
+        qcol(rightKey).as("__k"), qcol(rightTs).as("__t"), lit(0).as("__tag"),
         rv.as("__rv"), lit(null).cast(lSide.schema("__l").dataType).as("__l"))
-    // right rows sort before left rows at the same timestamp -> inclusive
+    // right rows sort before left rows at the same timestamp -> inclusive.
+    // getField (not col("__l.name")): a dotted left column name must not be
+    // parsed as a nested-field path.
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lSide.unionByName(rSide)
+    val joined = lSide.unionByName(rSide)
       .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
-        rightValueCols.map(c => col(s"__match.$c").as(c)): _*)
+      .select(leftCols.map(c => col("__l").getField(c).as(c)) ++
+        rightValueCols.map(c => col("__match").getField(c).as(c)): _*)
+    val bypass = left.filter(!matchable)
+      .select(leftCols.map(qcol) ++
+        rightValueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    joined.unionByName(bypass)
   }
 }

@@ -168,7 +168,11 @@ object Ann {
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold),
-    * bucketed by SRP so the self-join is per-bucket, not all-pairs. */
+    * bucketed by a SINGLE SRP table. Small-data/teaching variant: with one
+    * table the bucket count 2^nPlanes is fixed, so the per-bucket self-join
+    * is ~N²/2^nPlanes — fine for bounded corpora, structurally quadratic as
+    * N grows. The scale path is [[nearDupByCosineBanded]] /
+    * [[nearDupByCosineAuto]], whose bucket count is sized to the corpus. */
   def nearDupByCosine(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, nPlanes: Int, dim: Int,
                       seed: Long = 42L): DataFrame = {
@@ -179,5 +183,90 @@ object Ann {
       .withColumn("cos", dot(col("l.v"), col("r.v")))
       .filter(col("cos") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cos"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Multi-table (AND/OR-amplified) SRP near-dup — the 100 TB configuration
+  // ---------------------------------------------------------------------
+
+  /** Hyperplane count b sized so the expected bucket population
+    * N / 2^b stays ≈ targetBucketRows as the corpus grows — the property
+    * that keeps the per-bucket self-join linear in N instead of quadratic.
+    * Floors at 4 (tiny corpora) and caps at 24 (16M buckets per table is
+    * plenty before bucket-key cardinality itself stops being the issue). */
+  def srpBitsFor(corpusRows: Long, targetBucketRows: Int = 64): Int = {
+    require(corpusRows >= 0 && targetBucketRows > 0)
+    val b = math.ceil(math.log(math.max(1.0,
+      corpusRows.toDouble / targetBucketRows)) / math.log(2.0)).toInt
+    math.min(24, math.max(4, b))
+  }
+
+  /** Table count L for a recall target: a pair at `threshold` cosine agrees
+    * on one b-bit SRP sketch with probability p^b where
+    * p = 1 − acos(threshold)/π (Goemans–Williamson), so L independent
+    * tables catch it with 1 − (1 − p^b)^L ≥ targetRecall →
+    * L = ln(1 − targetRecall) / ln(1 − p^b), capped at maxTables. The cap
+    * matters in the low-similarity regime (threshold ≲ 0.7), where p^b
+    * collapses and NO bucketing scheme stays sub-quadratic — near-dup
+    * thresholds (≥ 0.8) keep L modest at any b. */
+  def srpTablesFor(threshold: Double, bits: Int, targetRecall: Double = 0.9,
+                   maxTables: Int = 32): Int = {
+    require(threshold > -1.0 && threshold <= 1.0 && targetRecall > 0 && targetRecall < 1)
+    val p = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
+    val pb = math.pow(p, bits)
+    if (pb >= 1.0) 1
+    else math.min(maxTables,
+      math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-pb)).toInt))
+  }
+
+  /** Scale-safe embedding-cosine near-dup: L independent SRP tables of b
+    * bits each (the same AND/OR amplification as MinHash banding —
+    * AND within a table's b bits, OR across L tables).
+    *
+    * Shape, mirroring MinHashDedup: the bucket shuffle carries ONLY
+    * (id, table, bucket) — never the vectors; candidate pairs are the
+    * per-(table, bucket) self-equi-join, distinct'd, then verified by
+    * joining the normalized vectors back BY ID and keeping cosine ≥
+    * threshold. Bucket count 2^b per table scales with the corpus (pass
+    * [[srpBitsFor]], or use [[nearDupByCosineAuto]]), so bucket population
+    * — and with it the self-join cost — stays bounded at any N. */
+  def nearDupByCosineBanded(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, dim: Int, nTables: Int,
+                            bitsPerTable: Int, seed: Long = 42L): DataFrame = {
+    require(nTables >= 1 && bitsPerTable >= 1 && bitsPerTable <= 24)
+    // the normalized vectors feed bucket generation AND both verification
+    // joins — persist the diamond's shared input once
+    val v = normalized(df, idCol, vecCol, "id", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = v.select(col("id"),
+      posexplode(array((0 until nTables).map(t =>
+        srpBucket(col("v"), bitsPerTable, dim, seed + t)): _*)))
+      .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
+    val pairs = buckets.as("l").join(buckets.as("r"),
+        col("l.table") === col("r.table") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    pairs
+      .join(v.select(col("id").as("id_a"), col("v").as("__va")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("__vb")), "id_b")
+      .withColumn("cos", dot(col("__va"), col("__vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** [[nearDupByCosineBanded]] with b sized from the actual corpus count and
+    * L from the recall target — the configuration is a function of the data,
+    * not a constant, which is what makes the plan survive a 100× scale-up.
+    * Costs one extra count() job (a metadata-only pass on parquet). */
+  def nearDupByCosineAuto(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, dim: Int,
+                          targetRecall: Double = 0.9,
+                          targetBucketRows: Int = 64,
+                          maxTables: Int = 32, seed: Long = 42L): DataFrame = {
+    val bits = srpBitsFor(df.count(), targetBucketRows)
+    val tables = srpTablesFor(threshold, bits, targetRecall, maxTables)
+    nearDupByCosineBanded(df, idCol, vecCol, threshold, dim, tables, bits, seed)
   }
 }

@@ -108,6 +108,49 @@ object ScoringStream {
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
   }
 
+  /** Streaming MinHash near-dup suppression within the watermark horizon —
+    * the streaming half of [[graft.dedup.MinHashDedup]]. Each doc's minhash
+    * signature is banded with EXACTLY the batch operator's math
+    * (shared [[graft.dedup.MinHashDedup.bandedFromSetsCarry]]); a doc is
+    * kept iff NONE of its `bands` (band, bucket) keys was seen within the
+    * watermark:
+    *
+    *   1. per-row (no shuffle): shingle → minhash signature → `bands`
+    *      (band, bucket) rows;
+    *   2. `dropDuplicatesWithinWatermark(band, bucket)` keeps the
+    *      first-seen row per bucket — state bounded by (buckets arriving
+    *      within the delay window), the only thing that makes LSH state
+    *      viable on an unbounded feed;
+    *   3. a doc survives iff ALL `bands` of its rows were first-seen
+    *      (count == bands after an event-time window aggregation), i.e. it
+    *      collided with NO prior doc in any band.
+    *
+    * Contract honesty: this is the batch candidate generator's
+    * precision/recall, WITHOUT exact-Jaccard verification — a stream cannot
+    * join back to already-dropped docs' shingle sets without unbounded
+    * state. A colliding band from an (itself suppressed) near-dup also
+    * counts as "seen" — i.e. suppression is transitive, keeping the first
+    * representative of each near-dup chain, same as batch dedup keep-first.
+    * Emits (id, window_start_us) per kept doc once its `emitWindow` event
+    * -time window finalizes (append mode, two chained stateful operators).
+    */
+  def dedupStreamMinHash(stream: DataFrame, idCol: String, textCol: String,
+                         tsCol: String, watermark: String,
+                         emitWindow: String = "10 minutes", k: Int = 3,
+                         numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    import graft.dedup.MinHashDedup
+    val banded = MinHashDedup.bandedFromSetsCarry(
+      MinHashDedup.shingleSetsCarry(stream, idCol, textCol, k, Seq(tsCol)),
+      numHashes, bands, Seq(tsCol))
+    banded
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("band", "bucket")
+      .groupBy(window(col(tsCol), emitWindow), col("id"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") === bands)
+      .select(col("id"), unix_micros(col("window.start")).as("window_start_us"))
+  }
+
   /** Production file sink: append the streaming frame to a parquet
     * directory with exactly-once checkpointing, draining everything
     * currently available (AvailableNow) before returning. Restarting with

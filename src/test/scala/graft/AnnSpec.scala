@@ -106,6 +106,66 @@ class AnnSpec extends SparkSpec {
     assert(!top.getDouble(3).isNaN)
   }
 
+  test("srpBitsFor keeps expected bucket population bounded as N grows") {
+    assert(Ann.srpBitsFor(500) == 4)           // small-corpus floor
+    assert(Ann.srpBitsFor(1000000) == 14)      // 1e6/64 -> 2^14 buckets
+    assert(Ann.srpBitsFor(1000000000L) == 24)  // cap
+    // the scale contract: N/2^b (expected rows per bucket) stays ~constant
+    // across a 10^6x corpus growth instead of growing linearly like a
+    // fixed-bucket config
+    Seq(1000L, 100000L, 10000000L, 1000000000L).foreach { n =>
+      val b = Ann.srpBitsFor(n, targetBucketRows = 64)
+      val pop = n.toDouble / math.pow(2.0, b)
+      assert(pop <= 64.0 || b == 24, s"n=$n b=$b pop=$pop")
+    }
+    // monotone: more data never means fewer buckets
+    val bits = Seq(100L, 10000L, 1000000L, 100000000L).map(Ann.srpBitsFor(_))
+    assert(bits == bits.sorted)
+  }
+
+  test("banded multi-table SRP: high recall on planted near-dups, no all-pairs") {
+    // plant near-duplicates: scaled+shifted copies of 40 real embeddings
+    // (cosine vs the original ≈ 0.99+); ground truth from local exact math
+    val base = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 40)
+      .select("vec_id", "embedding")
+    val planted = base.select((col("vec_id") + 1000L).as("vec_id"),
+      transform(col("embedding"),
+        x => (x * lit(1.05) + lit(0.01)).cast("float")).as("embedding"))
+    val corpus = base.unionByName(planted)
+    val threshold = 0.95
+    val local = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val expect = (for {
+      (ia, va) <- local; (ib, vb) <- local
+      if ia < ib && localCosine(va, vb) >= threshold
+    } yield (ia, ib)).toSet
+    assert(expect.size >= 40, s"planting failed: only ${expect.size} true pairs")
+
+    val out = Ann.nearDupByCosineAuto(corpus, "vec_id", "embedding",
+      threshold, dim = 64)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (expect & got).size.toDouble / expect.size
+    assert(recall >= 0.85, s"recall $recall below auto-config target")
+    // precision is exact by construction (cosine-verified) — every emitted
+    // pair must be a true pair
+    assert((got -- expect).isEmpty, s"unverified pairs leaked: ${got -- expect}")
+    assertNoCartesian(out)
+  }
+
+  test("banded SRP verification join carries ids, not vectors, to the buckets") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Ann.nearDupByCosineBanded(emb, "vec_id", "embedding",
+      threshold = 0.3, dim = 64, nTables = 4, bitsPerTable = 4)
+    assertNoCartesian(out)
+    // more tables can only add candidate pairs (OR-amplification), and every
+    // result is still cosine-verified
+    val few = Ann.nearDupByCosineBanded(emb, "vec_id", "embedding",
+      0.3, 64, nTables = 2, bitsPerTable = 4).count()
+    val more = Ann.nearDupByCosineBanded(emb, "vec_id", "embedding",
+      0.3, 64, nTables = 8, bitsPerTable = 4).count()
+    assert(more >= few, s"recall did not grow with tables: $few -> $more")
+  }
+
   test("nearDupByCosine finds planted duplicate vectors, bucketed plan") {
     val base = (0 until 64).map(i => math.sin(i).toFloat)
     val near = base.updated(0, base(0) + 0.01f)

@@ -32,6 +32,45 @@ class AsOfJoinSpec extends SparkSpec {
       "t4" -> Some(200), "t5" -> None))
   }
 
+  test("null-key / null-ts left rows emit unmatched (and skip the exchange)") {
+    val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 100))
+      .toDF("k", "qts", "price")
+    val trades = Seq(
+      (Option(1L), Option(ts("2024-01-01 11:00:00")), "t1"), // matches
+      (Option.empty[Long], Option(ts("2024-01-01 11:00:00")), "t2"), // null key
+      (Option(1L), Option.empty[Timestamp], "t3") // null ts
+    ).toDF("k", "tts", "trade")
+    val out = AsOfJoin.asOfJoin(trades, quotes, "k", "k", "tts", "qts",
+        Seq("price"))
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
+    assert(out == Map("t1" -> Some(100), "t2" -> None, "t3" -> None))
+  }
+
+  test("dotted left column names are not parsed as struct paths") {
+    import org.apache.spark.sql.functions.col
+    val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 7)).toDF("k", "qts", "v")
+    val trades = Seq((1L, ts("2024-01-01 10:30:00"), "x"))
+      .toDF("k", "tts", "my.trade")
+    val out = AsOfJoin.asOfJoin(trades, quotes, "k", "k", "tts", "qts", Seq("v"))
+    assert(out.columns.contains("my.trade"))
+    val row = out.select(col("`my.trade`"), col("v")).head()
+    assert(row.getString(0) == "x" && row.getInt(1) == 7)
+  }
+
+  test("operator-internal column names are rejected up front") {
+    val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 1)).toDF("k", "qts", "__rv")
+    val trades = Seq((1L, ts("2024-01-01 10:30:00"), "x")).toDF("k", "tts", "t")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOfJoin(trades, quotes, "k", "k", "tts", "qts", Seq("__rv"))
+    }
+    val trades2 = Seq((1L, ts("2024-01-01 10:30:00"), "x")).toDF("k", "tts", "__l")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOfJoin(trades2, quotes.withColumnRenamed("__rv", "v"),
+        "k", "k", "tts", "qts", Seq("v"))
+    }
+  }
+
   test("plan is a single key-hashed window, not a range join") {
     val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 1)).toDF("k", "qts", "v")
     val trades = Seq((1L, ts("2024-01-01 10:30:00"), "x")).toDF("k", "tts", "t")

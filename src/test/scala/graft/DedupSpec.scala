@@ -24,6 +24,23 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(1L, 3L))
   }
 
+  test("keepFirstAgg equals keepFirst; plan is partial-agg, not a window sort") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val win = ExactDedup.keepFirst(docs, Seq("text"), "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    val agg = ExactDedup.keepFirstAgg(docs, Seq("text"), "doc_id")
+    val out = agg.orderBy("doc_id").collect().toSeq
+    assert(out == win, s"agg path diverged: ${out.size} vs ${win.size} rows")
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"keepFirstAgg must not window-sort:\n$plan")
+    // partial (map-side) + final aggregate pair — the shape that shrinks the
+    // shuffle to one candidate row per key per partition
+    assert("(?i)aggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregation:\n$plan")
+  }
+
   test("dupCounts reports only groups with >1 row") {
     val out = ExactDedup.dupCounts(corpus, Seq("text")).collect()
     assert(out.length == 1 && out.head.getLong(1) == 2L)

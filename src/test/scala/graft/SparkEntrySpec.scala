@@ -17,7 +17,7 @@ class SparkEntrySpec extends SparkSpec {
       "q08_filter_isin", "q09_explode_topn", "q10_wordcount_hist",
       "q11_group_count", "q12_token_df", "q21_multimodal_meta", "q22_langid",
       "q23_quality", "q24_token_count", "q25_fingerprint",
-      "q31_min_window_hash")
+      "q31_min_window_hash", "q37_elite_dist")
     cheap.foreach { name =>
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       assert(n > 0, s"$name returned no rows")

@@ -60,6 +60,44 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == 1000)
   }
 
+  test("streaming minhash near-dup suppresses cross-batch near-duplicates") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mh_src").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def T(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // batch 1: two distinct docs; batch 2: an exact dup of doc 1, a strong
+    // near-dup of doc 2 (one appended token), and one genuinely new doc;
+    // batch 3: a far-future sentinel that advances the watermark so every
+    // emit window finalizes before the AvailableNow stream ends
+    val b1 = Seq(
+      (1L, T(0), "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, T(1), "spark catalyst optimizer rewrites logical plans into physical plans")
+    ).toDF("id", "ts", "text")
+    val b2 = Seq(
+      (3L, T(5), "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, T(6), "spark catalyst optimizer rewrites logical plans into physical plans today"),
+      (5L, T(7), "completely new content about streaming watermarks and state stores here")
+    ).toDF("id", "ts", "text")
+    val b3 = Seq((99L, T(48 * 60), "sentinel row advancing the watermark far ahead now"))
+      .toDF("id", "ts", "text")
+    b1.write.parquet(s"$tmp/f1")
+    b2.write.parquet(s"$tmp/f2")
+    b3.write.parquet(s"$tmp/f3")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/f1").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/*")
+    val out = ScoringStream.runToMemory(spark,
+      ScoringStream.dedupStreamMinHash(stream, "id", "text", "ts",
+        watermark = "2 hours", emitWindow = "10 minutes"),
+      "append")
+    val kept = out.filter(col("id") =!= 99L)
+      .select("id").as[Long].collect().toSet
+    // 3 (exact dup) collides in every band; 4 (near-dup, J=10/11) collides
+    // in at least one band under the fixed hash family; 5 is new
+    assert(kept == Set(1L, 2L, 5L), s"kept $kept")
+  }
+
   test("runToParquet appends with exactly-once checkpointing") {
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
     // stable source dir: the checkpoint's file-source log is keyed by path
