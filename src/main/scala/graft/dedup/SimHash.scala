@@ -43,16 +43,30 @@ object SimHash {
   def hamming(a: Column, b: Column): Column =
     call_function("bit_count", a.bitwiseXOR(b))
 
-  /** (id, simhash) signatures for a text column.
-    *
-    * Shape: explode tokens → hash each once → groupBy(id) with 64
-    * `sum(getbit)` aggregates → fold the 64 tallies into the fingerprint.
-    * Everything stays inside whole-stage codegen (no higher-order-function
-    * lambdas in the hot path — the interpreted-HOF formulation in
-    * [[simhash64]] costs ~1 ms/doc, this runs the same math at codegen
-    * speed). Map-side partial aggregation collapses each doc's tokens
-    * before the exchange, so the shuffle carries one 64-int row per doc. */
+  /** (id, simhash) signatures for a text column — per-row native codegen
+    * ([[graft.functions.SimHash64]]): tokenize → hash each token once →
+    * one-pass 64-bit fingerprint. ZERO exchanges: signature construction is
+    * embarrassingly parallel, the shape that matters when the input is
+    * 100 TB of documents. Null-text rows are dropped (they have no
+    * signature), matching the aggregation formulation's semantics. */
   def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    docs
+      .select(col(idCol).as("id"),
+        transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("th"))
+      .filter(col("th").isNotNull)
+      .select(col("id"),
+        graft.functions.SimHash64(spark, col("th")).as("simhash"))
+  }
+
+  /** Aggregation formulation of [[signatures]], kept as the cross-checked
+    * alternative (DedupSpec asserts equality with the native expression):
+    * explode tokens → hash each once → groupBy(id) with 64 `sum(getbit)`
+    * aggregates → fold the 64 tallies into the fingerprint. Map-side partial
+    * aggregation collapses each doc's tokens before the exchange, so the
+    * shuffle carries one 64-int row per doc — efficient, but still one
+    * exchange the per-row expression doesn't need. */
+  def signaturesAgg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashed = docs
       .select(col(idCol).as("id"),
         explode(TextFunctions.tokens(col(textCol))).as("t"))

@@ -32,11 +32,28 @@ object GraftExtensions {
       "minhash_sig(array<long>[, numHashes: int literal])")
   }
 
+  private def vecDotBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(u, v) => DotProduct(u, v)
+    case _ => throw new IllegalArgumentException(
+      "vec_dot(array<float|double>, array<float|double>)")
+  }
+
+  private def simhash64Builder(args: Seq[Expression]): Expression = args match {
+    case Seq(th) => SimHash64(th)
+    case _ => throw new IllegalArgumentException("simhash64(array<long>)")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((
-      FunctionIdentifier("minhash_sig"),
-      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
-      minhashSigBuilder _))
+    Seq(
+      (FunctionIdentifier("minhash_sig"),
+        new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+        minhashSigBuilder _),
+      (FunctionIdentifier("vec_dot"),
+        new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+        vecDotBuilder _),
+      (FunctionIdentifier("simhash64"),
+        new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+        simhash64Builder _))
 
   /** Register on an already-built session (e.g. the shared test session). */
   def register(spark: SparkSession): Unit = {

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.DotProduct
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -38,10 +39,13 @@ object Ann {
     Seq.fill(nPlanes)(array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*))
   }
 
-  /** SRP bucket id of a *materialized* vector column: bit i = sign(v·plane_i). */
-  def srpBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column =
+  /** SRP bucket id of a *materialized* vector column: bit i = sign(v·plane_i).
+    * Projections use the native codegen [[graft.functions.DotProduct]] —
+    * nPlanes × dim multiplies per row in one primitive loop each. */
+  def srpBucket(spark: org.apache.spark.sql.SparkSession, vec: Column,
+                nPlanes: Int, dim: Int, seed: Long = 42L): Column =
     planes(nPlanes, dim, seed).zipWithIndex.map { case (p, i) =>
-      when(dot(vec, p) >= 0, lit(1 << i)).otherwise(lit(0))
+      when(DotProduct(spark, vec, p) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** (<idAlias>, <vecAlias>) with the vector L2-normalized, staged so the
@@ -50,7 +54,7 @@ object Ann {
   private def normalized(df: DataFrame, idCol: String, vecCol: String,
                          idAlias: String, vecAlias: String): DataFrame =
     df.select(col(idCol).as(idAlias), col(vecCol).as("__v"),
-        l2Norm(col(vecCol)).as("__n"))
+        sqrt(DotProduct(df.sparkSession, col(vecCol), col(vecCol))).as("__n"))
       // zero vectors stay zero (cos = 0 against everything) — dividing by a
       // zero norm would yield NaN components, and NaN sorts ABOVE every
       // real cosine under desc(), ranking the zero vector as everyone's
@@ -67,7 +71,7 @@ object Ann {
     val q = normalized(queries, idCol, vecCol, "query_id", "qv")
     val c = normalized(corpus, idCol, vecCol, "cand_id", "cv")
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")))
+      .withColumn("cos", DotProduct(corpus.sparkSession, col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -80,13 +84,14 @@ object Ann {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nPlanes: Int, dim: Int,
               seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
     val q = normalized(queries, idCol, vecCol, "query_id", "qv")
-      .withColumn("bucket", srpBucket(col("qv"), nPlanes, dim, seed))
+      .withColumn("bucket", srpBucket(spark, col("qv"), nPlanes, dim, seed))
     val c = normalized(corpus, idCol, vecCol, "cand_id", "cv")
-      .withColumn("bucket", srpBucket(col("cv"), nPlanes, dim, seed))
+      .withColumn("bucket", srpBucket(spark, col("cv"), nPlanes, dim, seed))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")))
+      .withColumn("cos", DotProduct(spark, col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -111,7 +116,7 @@ object Ann {
     val c = normalized(corpus, idCol, vecCol, "cand_id", "cv")
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
       .select(col("query_id").cast("long"), col("cand_id").cast("long"),
-        dot(col("qv"), col("cv")).as("cos"))
+        DotProduct(corpus.sparkSession, col("qv"), col("cv")).as("cos"))
       .as[(Long, Long, Double)]
     val topk = new graft.functions.TopKAggregator(k).toColumn
     scored
@@ -160,7 +165,7 @@ object Ann {
 
     val scored = corpusCells.join(broadcast(probed), "cell")
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")))
+      .withColumn("cos", DotProduct(corpus.sparkSession, col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -177,10 +182,10 @@ object Ann {
                       threshold: Double, nPlanes: Int, dim: Int,
                       seed: Long = 42L): DataFrame = {
     val v = normalized(df, idCol, vecCol, "id", "v")
-      .withColumn("bucket", srpBucket(col("v"), nPlanes, dim, seed))
+      .withColumn("bucket", srpBucket(df.sparkSession, col("v"), nPlanes, dim, seed))
     v.as("l").join(v.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .withColumn("cos", dot(col("l.v"), col("r.v")))
+      .withColumn("cos", DotProduct(df.sparkSession, col("l.v"), col("r.v")))
       .filter(col("cos") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cos"))
   }
@@ -240,7 +245,7 @@ object Ann {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = v.select(col("id"),
       posexplode(array((0 until nTables).map(t =>
-        srpBucket(col("v"), bitsPerTable, dim, seed + t)): _*)))
+        srpBucket(df.sparkSession, col("v"), bitsPerTable, dim, seed + t)): _*)))
       .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
     val pairs = buckets.as("l").join(buckets.as("r"),
         col("l.table") === col("r.table") &&
@@ -251,7 +256,7 @@ object Ann {
     pairs
       .join(v.select(col("id").as("id_a"), col("v").as("__va")), "id_a")
       .join(v.select(col("id").as("id_b"), col("v").as("__vb")), "id_b")
-      .withColumn("cos", dot(col("__va"), col("__vb")))
+      .withColumn("cos", DotProduct(df.sparkSession, col("__va"), col("__vb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -80,13 +80,16 @@ class DedupSpec extends SparkSpec {
     assert(d13 < d14, s"near-dup distance $d13 not < unrelated $d14")
   }
 
-  test("simhash aggregate formulation matches the HOF reference simhash64") {
+  test("simhash native, aggregate, and HOF formulations all agree") {
     val th = corpus.select(col("id"),
       transform(TextFunctions.tokens(col("text")), t => xxhash64(t)).as("th"))
     val ref = th.select(col("id"), SimHash.simhash64(col("th")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val agg = SimHash.signatures(corpus, "id", "text")
+    val native = SimHash.signatures(corpus, "id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = SimHash.signaturesAgg(corpus, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ref == native)
     assert(ref == agg)
   }
 

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GraftExtensions, MinHashSignature}
+import graft.functions.{DotProduct, GraftExtensions, MinHashSignature, SimHash64, VectorFunctions}
 
 class ExpressionSpec extends SparkSpec {
   import spark.implicits._
@@ -33,6 +33,62 @@ class ExpressionSpec extends SparkSpec {
       .select(col("id"), MinHashSignature(spark, col("sh"), 8).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(viaSql == viaColumn)
+  }
+
+  test("vec_dot matches the HOF formulation incl. null/mismatch semantics") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f), Seq(-1.0f, 0.5f, 2.0f)), // 6.0
+      (2L, Seq(0.0f, 0.0f), Seq(0.0f, 0.0f)),              // 0.0
+      (3L, Seq(1.5f), Seq(2.0f)))                          // 3.0
+    val both = vecs.toDF("id", "u", "v")
+      .select(col("id"),
+        DotProduct(spark, col("u"), col("v")).as("native"),
+        VectorFunctions.dot(col("u"), col("v")).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12, r.toString)
+    }
+    // length mismatch -> null (zip_with pads with null -> null sum)
+    val mm = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("u", "v")
+      .select(DotProduct(spark, col("u"), col("v")).as("native"),
+        VectorFunctions.dot(col("u"), col("v")).as("hof")).head()
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
+    // null element -> null, matching the HOF
+    val ne = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0))))
+      .toDF("u", "v")
+      .select(DotProduct(spark, col("u"), col("v")).as("native"),
+        VectorFunctions.dot(col("u"), col("v")).as("hof")).head()
+    assert(ne.isNullAt(0) && ne.isNullAt(1))
+    // double x float mixed types work
+    val mixed = Seq((Seq(0.5, 2.0), Seq(4.0f, 0.25f))).toDF("u", "v")
+      .select(DotProduct(spark, col("u"), col("v"))).head().getDouble(0)
+    assert(math.abs(mixed - 2.5) < 1e-12)
+  }
+
+  test("vec_dot is registered as a SQL function") {
+    GraftExtensions.register(spark)
+    Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("u", "v")
+      .createOrReplaceTempView("vec_pairs")
+    val got = spark.sql("SELECT vec_dot(u, v) FROM vec_pairs").head().getDouble(0)
+    assert(math.abs(got - 11.0) < 1e-12)
+  }
+
+  test("simhash64 native expression matches the interpreted HOF reference") {
+    val ths = Seq(
+      (1L, Seq(3L, 17L, -4L, 99L, 3L)), // duplicate tokens vote twice
+      (2L, Seq(Long.MaxValue, Long.MinValue, 0L)),
+      (3L, Seq(42L)),                   // single token -> its own bits
+      (4L, Seq.empty[Long]))            // no votes -> 0L
+    val out = ths.toDF("id", "th")
+      .select(col("id"),
+        SimHash64(spark, col("th")).as("native"),
+        graft.dedup.SimHash.simhash64(col("th")).as("hof"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    ths.foreach { case (id, _) =>
+      assert(out(id)._1 == out(id)._2, s"id=$id native/hof diverge: ${out(id)}")
+    }
+    assert(out(3L)._1 == 42L) // majority of one token = the token's bits
+    assert(out(4L)._1 == 0L)
   }
 
   test("minhash_sig survives inside the full banded pipeline") {
