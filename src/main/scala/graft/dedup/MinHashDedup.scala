@@ -41,9 +41,11 @@ import graft.functions.TextFunctions
   */
 object MinHashDedup {
 
-  /** k-long sliding-window hashes over a *materialized* long-array column;
-    * arrays shorter than k collapse to one whole-array hash. */
-  private def windowHashes(th: Column, k: Int): Column =
+  /** k-long sliding-window hashes over a *materialized* long-array column —
+    * the interpreted HOF reference for [[graft.functions.ShingleHashes]]
+    * (shape contract: arrays shorter than k collapse to one whole-array
+    * hash). Kept for cross-checking; not on the hot path. */
+  private[dedup] def windowHashesHof(th: Column, k: Int): Column =
     when(size(th) >= k,
       transform(sequence(lit(1), size(th) - (k - 1)),
         i => xxhash64(slice(th, i, lit(k)))))
@@ -55,14 +57,16 @@ object MinHashDedup {
     shingleSetsCarry(docs, idCol, textCol, k, Nil)
 
   /** [[shingleSets]] keeping `carry` passthrough columns (e.g. the event-time
-    * column a streaming caller needs for its watermark). */
+    * column a streaming caller needs for its watermark). Tokenize + token
+    * hash + window chain run as ONE native codegen pass per row
+    * ([[graft.functions.ShingleHashes]]) — no interpreted lambdas, no
+    * intermediate token-hash array. */
   def shingleSetsCarry(docs: DataFrame, idCol: String, textCol: String,
                        k: Int, carry: Seq[String]): DataFrame =
     docs
       .select(col(idCol).as("id") +: carry.map(col) :+
-        transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("th"): _*)
-      .select(col("id") +: carry.map(col) :+
-        array_distinct(windowHashes(col("th"), k)).as("sh"): _*)
+        array_distinct(graft.functions.ShingleHashes(docs.sparkSession,
+          TextFunctions.tokens(col(textCol)), k)).as("sh"): _*)
 
   /** MinHash signature of a *materialized* shingle-hash array column:
     * element i = min over shingle hashes s of XXH64.hashLong(s, seed=i) —

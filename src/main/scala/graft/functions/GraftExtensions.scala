@@ -43,6 +43,12 @@ object GraftExtensions {
     case _ => throw new IllegalArgumentException("simhash64(array<long>)")
   }
 
+  private def shingleHashesBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(tokens, Literal(k: Int, _)) => ShingleHashes(tokens, k)
+    case _ => throw new IllegalArgumentException(
+      "shingle_hashes(array<string>, k: int literal)")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("minhash_sig"),
@@ -53,7 +59,10 @@ object GraftExtensions {
         vecDotBuilder _),
       (FunctionIdentifier("simhash64"),
         new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-        simhash64Builder _))
+        simhash64Builder _),
+      (FunctionIdentifier("shingle_hashes"),
+        new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+        shingleHashesBuilder _))
 
   /** Register on an already-built session (e.g. the shared test session). */
   def register(spark: SparkSession): Unit = {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.functions._
 
-import graft.functions.{DotProduct, GraftExtensions, MinHashSignature, SimHash64, VectorFunctions}
+import graft.functions.{DotProduct, GraftExtensions, MinHashSignature, ShingleHashes, SimHash64, VectorFunctions}
 
 class ExpressionSpec extends SparkSpec {
   import spark.implicits._
@@ -89,6 +89,26 @@ class ExpressionSpec extends SparkSpec {
     }
     assert(out(3L)._1 == 42L) // majority of one token = the token's bits
     assert(out(4L)._1 == 0L)
+  }
+
+  test("shingle_hashes: window structure, short-array collapse, determinism") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d", "e")),            // 3 trigram windows
+      (2L, Seq("a", "b")),                           // short -> 1 whole hash
+      (3L, Seq("a", "b", "c", "a", "b", "c", "d")),  // repeated trigram
+      (4L, Seq("a", "b", "c", "d", "e")))            // same as doc 1
+    val out = docs.toDF("id", "tokens")
+      .select(col("id"), ShingleHashes(spark, col("tokens"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L).length == 3 && out(1L).distinct.length == 3)
+    assert(out(2L).length == 1)
+    // identical windows hash identically ((a b c) at positions 0 and 3),
+    // different windows differ
+    assert(out(3L)(0) == out(3L)(3) && out(3L)(1) != out(3L)(2))
+    // identical docs -> identical shingle hashes (determinism across rows)
+    assert(out(1L) == out(4L))
+    // window hashes are order-sensitive: (a b c) != (b c d)
+    assert(out(1L)(0) != out(1L)(1))
   }
 
   test("minhash_sig survives inside the full banded pipeline") {
