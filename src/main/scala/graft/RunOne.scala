@@ -17,6 +17,9 @@ object RunOne {
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (args.contains("explain")) df.explain("formatted")
+    args.find(_.startsWith("dump=")).foreach { d =>
+      df.write.mode("overwrite").parquet(d.stripPrefix("dump="))
+    }
     val tp = System.nanoTime()
     df.queryExecution.executedPlan // force analysis + physical planning
     val t0 = System.nanoTime()

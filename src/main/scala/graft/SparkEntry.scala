@@ -215,11 +215,17 @@ object SparkEntry {
       Ann.nearDupByCosineAuto(spread(s, Tables.embeddings(s, dir)), "vec_id",
         "embedding", threshold = 0.3, dim = 64)),
 
-    // §2 row 33: brute-force cosine top-k (exact ANN baseline)
+    // §2 row 33: brute-force cosine top-k (exact ANN baseline). The cosine
+    // rides as floor-micro-units: both engines normalize and accumulate the
+    // dot left-to-right in double, so the doubles are bit-identical and the
+    // integer floor is hash-safe (raw doubles would be at the mercy of the
+    // driver's float hashing).
     "q20_ann_topk" -> ((s, dir) => {
       val emb = spread(s, Tables.embeddings(s, dir))
       Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id",
         "embedding", k = 5)
+        .select(col("query_id"), col("cand_id"), col("rank"),
+          floor(col("cos") * 1e6).cast("long").as("cos_uu"))
     }),
 
     // §2 row 35: multimodal binary payload + byte-stats audit
@@ -321,11 +327,14 @@ object SparkEntry {
         count(lit(1)).as("n"))
     }),
 
-    // §2 row 51: typed TopKAggregator ANN (map-side-capped top-k shuffle)
+    // §2 row 51: typed TopKAggregator ANN (map-side-capped top-k shuffle);
+    // same floor-micro cosine as q20 so the same oracle shape applies
     "q30_ann_topk_agg" -> ((s, dir) => {
       val emb = spread(s, Tables.embeddings(s, dir))
       Ann.bruteForceTopKAgg(emb, emb.filter(col("vec_id") < 8), "vec_id",
         "embedding", k = 5)
+        .select(col("query_id"), col("cand_id"), col("rank"),
+          floor(col("cos") * 1e6).cast("long").as("cos_uu"))
     }),
 
     // §2 row 54: as-of join — each event enriched with the customer's most
@@ -403,11 +412,62 @@ object SparkEntry {
 
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL — keys match `queries`; column aliases match exactly.
-  // Non-SQL-expressible ops (vectors, LSH, streaming, model output) omitted
-  // → driver records rows-only checks for q13-q20, q25.
+  // Only genuinely engine-specific outputs stay rows-only: model predictions
+  // (q14/q36), LSH candidate sets whose recall is probabilistic (q16/q17/
+  // q19/q35), xxhash64-based fingerprints (q31), and sketch aggregates
+  // (q29). Everything deterministic has an oracle — including exact n-gram
+  // Jaccard (q18) and brute-force cosine top-k (q20/q30).
   // ---------------------------------------------------------------------
 
+  /** Brute-force cosine top-k in DuckDB, mirroring [[Ann.bruteForceTopK]]'s
+    * float→double promotion and LEFT-TO-RIGHT double accumulation exactly
+    * (list_reduce folds in list order; vec_dot's codegen loop is the same
+    * order), so `floor(cos·10⁶)` lands on the same integer in both engines. */
+  private def annTopKSql: String =
+    """WITH n AS (SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b)) AS nrm
+      |  FROM embeddings),
+      |v AS (SELECT vec_id, CASE WHEN nrm = 0 THEN list_transform(embedding, x -> 0.0)
+      |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)/nrm) END AS nv FROM n),
+      |q AS (SELECT vec_id AS query_id, nv AS qv FROM v WHERE vec_id < 8),
+      |s AS (SELECT query_id, v.vec_id AS cand_id,
+      |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)),
+      |      i -> qv[i]*nv[i])), (a,b) -> a+b) AS cos
+      |  FROM v, q WHERE v.vec_id <> query_id)
+      |SELECT query_id, cand_id, CAST(rank AS INT) AS rank,
+      |       CAST(floor(cos*1000000) AS BIGINT) AS cos_uu
+      |FROM (SELECT query_id, cand_id, cos,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+      |      FROM s)
+      |WHERE rank <= 5""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // Exact n-gram Jaccard is SQL-expressible over raw 3-gram STRINGS: the
+    // Spark side hashes shingles to 64-bit longs, but Jaccard over the hash
+    // sets equals Jaccard over the gram sets absent xxhash64 collisions
+    // (~|shingles|²/2⁶⁵ — immaterial at any tested SF). Prefix filtering is
+    // lossless and the df cap can't trigger below df=1000, so the operator's
+    // output IS "all pairs with J ≥ 0.8". Short docs (< n tokens) collapse
+    // to one whole-token-array shingle on both sides.
+    "q18_ngram_jaccard" ->
+      (s"WITH t AS (SELECT doc_id AS id, ${tokensSql("text")} AS toks FROM documents), " +
+        "g0 AS (SELECT id, CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), " +
+        "gd AS (SELECT DISTINCT id, gram FROM (SELECT id, unnest(grams) AS gram FROM g0)), " +
+        "sz AS (SELECT id, count(*) AS n FROM gd GROUP BY id), " +
+        "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i " +
+        "FROM gd a JOIN gd b ON a.gram = b.gram AND a.id < b.id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, " +
+        "CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard " +
+        "FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b " +
+        "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8"),
+
+    "q20_ann_topk" -> annTopKSql,
+    "q30_ann_topk_agg" -> annTopKSql,
+
     "q01_read_project" ->
       "SELECT doc_id, lang, source, n_chars AS chars FROM documents",
 
