@@ -8,11 +8,11 @@ import graft.dedup.{ExactDedup, MinHashDedup, NGramJaccard, SimHash}
 import graft.functions.TextFunctions
 import graft.ml.{Featurize, Sentiment}
 import graft.multimodal.Multimodal
-import graft.operators.Relational
+import graft.operators.{Relational, Sampling}
 import graft.similarity.Ann
 import graft.sources.Tables
 import graft.streaming.{ScoringStream, Sessionize}
-import graft.textstats.TextStats
+import graft.textstats.{Pii, Repetition, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator ↔ query map. */
 object SparkEntry {
@@ -407,6 +407,75 @@ object SparkEntry {
       Relational.flagFill(joined, "elite", lit(0))
         .groupBy("elite", "o_orderpriority")
         .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // §2 row 61: PII detection + redaction. The corpus carries no PII, so
+    // the query splices one synthetic span per category into text by id
+    // (mirrored verbatim in the oracle) — every detector and the redaction
+    // order are genuinely exercised; counts on real data would just be 0.
+    "q38_pii_redact" -> ((s, dir) => {
+      val spiked = Tables.documents(s, dir).withColumn("t",
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" mail u"), col("doc_id").cast("string"),
+              lit("@example.com now")))
+          .when(pmod(col("doc_id"), lit(5)) === 1,
+            concat(lit(" call 555-"),
+              lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+              lit("-4567 today")))
+          .when(pmod(col("doc_id"), lit(5)) === 2,
+            concat(lit(" host 10.0."),
+              pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 up")))
+          .when(pmod(col("doc_id"), lit(5)) === 3,
+            concat(lit(" ssn 123-45-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+      spiked.select(col("doc_id"),
+        Pii.emailCount(col("t")).cast("long").as("n_email"),
+        Pii.ssnCount(col("t")).cast("long").as("n_ssn"),
+        Pii.phoneCount(col("t")).cast("long").as("n_phone"),
+        Pii.ipv4Count(col("t")).cast("long").as("n_ip"),
+        Pii.redact(col("t")).as("redacted"))
+    }),
+
+    // §2 row 62: repetition/boilerplate scoring — per-row distinct-token
+    // ratio plus the explode→two-level-groupBy mode statistics (a HOF
+    // count-occurrences would be O(len²) per doc; this shape is linear and
+    // gets map-side partial aggregation)
+    "q39_repetition" -> ((s, dir) =>
+      Repetition.topNgramStats(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("n_tokens", col("n_tokens").cast("long"))),
+
+    // §2 row 63: deterministic stratified sampling — keep/drop is a pure
+    // function of the row (portable LCG over doc_id vs per-source rate),
+    // so the sample is reproducible across runs/engines/partitionings and
+    // the filter evaluates at the scan with zero shuffles
+    "q40_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables.documents(s, dir), "source",
+        Map("src0" -> 1500, "src1" -> 3500, "src2" -> 6000),
+        defaultBp = 8000, bp = Sampling.lcgBp(col("doc_id")))
+        .select("doc_id", "source")),
+
+    // §2 row 64: JSONL source/sink round-trip with an EXPLICIT schema (no
+    // inference pass); write documents as JSONL, read back, project
+    "q41_jsonl_roundtrip" -> ((s, dir) => {
+      val src = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      val path = s"/tmp/graft_jsonl_${math.abs(dir.hashCode.toLong)}"
+      Tables.writeJsonl(src, path)
+      Tables.readJsonl(s, path, src.schema)
+    }),
+
+    // §2 row 65: int8-quantized ANN — corpus-wide scoring runs on 1-byte
+    // components (8× smaller working set than the staged doubles), exact
+    // cosine only rescored for the per-query shortlist. Rows-only: the
+    // shortlist is approximate; AnnSpec measures recall vs brute force.
+    "q42_quantized_topk" -> ((s, dir) => {
+      val emb = spread(s, Tables.embeddings(s, dir))
+      Ann.bruteForceTopKQuantized(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, rerank = 32)
+        .select(col("query_id"), col("cand_id"), col("rank"),
+          floor(col("cos") * 1e6).cast("long").as("cos_uu"))
     })
   )
 
@@ -651,6 +720,60 @@ object SparkEntry {
         "ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +
         "SELECT user_id, epoch_us(min(ts)) AS session_start_us, " +
         "count(*) AS n_events, CAST(sum(vc) AS BIGINT) AS value_c " +
-        "FROM s GROUP BY user_id, sid")
+        "FROM s GROUP BY user_id, sid"),
+
+    // Same deterministic PII spike by doc_id, then the same four patterns —
+    // written in the ASCII subset valid in both Java regex and RE2 — with
+    // counts via regexp_extract_all and the same fixed redaction order.
+    "q38_pii_redact" -> {
+      val e = Pii.emailPattern; val n = Pii.ssnPattern
+      val p = Pii.phonePattern; val i = Pii.ipv4Pattern
+      "WITH sp AS (SELECT doc_id, text || CASE " +
+        "WHEN doc_id % 5 = 0 THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@example.com now' " +
+        "WHEN doc_id % 5 = 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4567 today' " +
+        "WHEN doc_id % 5 = 2 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 up' " +
+        "WHEN doc_id % 5 = 3 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') " +
+        "ELSE '' END AS t FROM documents) " +
+        "SELECT doc_id, " +
+        s"CAST(len(regexp_extract_all(t, '$e')) AS BIGINT) AS n_email, " +
+        s"CAST(len(regexp_extract_all(t, '$n')) AS BIGINT) AS n_ssn, " +
+        s"CAST(len(regexp_extract_all(t, '$p')) AS BIGINT) AS n_phone, " +
+        s"CAST(len(regexp_extract_all(t, '$i')) AS BIGINT) AS n_ip, " +
+        s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(t, " +
+        s"'$e', '<EMAIL>', 'g'), '$n', '<SSN>', 'g'), '$p', '<PHONE>', 'g'), " +
+        s"'$i', '<IP>', 'g') AS redacted FROM sp"
+    },
+
+    "q39_repetition" ->
+      (s"WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents), " +
+        "uni AS (SELECT doc_id, max(c) AS top_token_cnt FROM (" +
+        "SELECT doc_id, g, count(*) AS c FROM (" +
+        "SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY 1, 2) GROUP BY 1), " +
+        "bi0 AS (SELECT doc_id, CASE WHEN len(toks) >= 2 " +
+        "THEN list_transform(generate_series(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i+1]) " +
+        "ELSE CAST([] AS VARCHAR[]) END AS bg FROM t), " +
+        "bi AS (SELECT doc_id, max(c) AS top_bigram_cnt FROM (" +
+        "SELECT doc_id, g, count(*) AS c FROM (" +
+        "SELECT doc_id, unnest(bg) AS g FROM bi0) GROUP BY 1, 2) GROUP BY 1) " +
+        "SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(FLOOR(10000.0 * len(list_distinct(toks)) / len(toks)) AS BIGINT) AS distinct_bp, " +
+        "CAST(coalesce(top_token_cnt, 0) AS BIGINT) AS top_token_cnt, " +
+        "CAST(coalesce(top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt " +
+        "FROM t LEFT JOIN uni ON t.doc_id = uni.doc_id " +
+        "LEFT JOIN bi ON t.doc_id = bi.doc_id"),
+
+    // The LCG mix is written out literally — the whole point of lcgBp is
+    // that any engine evaluates the identical int64 arithmetic.
+    "q40_stratified_sample" ->
+      ("SELECT doc_id, source FROM documents " +
+        "WHERE ((doc_id % 1000003) * 1103515245 + 12345) % 10000 < " +
+        "CASE source WHEN 'src0' THEN 1500 WHEN 'src1' THEN 3500 " +
+        "WHEN 'src2' THEN 6000 ELSE 8000 END"),
+
+    // Round-trip is lossless for (bigint, varchar, int) — the oracle is
+    // simply the source projection.
+    "q41_jsonl_roundtrip" ->
+      "SELECT doc_id, lang, n_chars FROM documents"
   )
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset mixing for training-data pipelines.
+  *
+  * `df.sample()` is the wrong tool at 100 TB: its Bernoulli draw depends on
+  * partition layout and task retries, so two runs (or a retried stage) keep
+  * different rows. Here the keep/drop decision is a pure function of the ROW
+  * (hash of a stable key vs a threshold), which makes samples reproducible
+  * across runs, clusters, and engines, stable under repartitioning, and —
+  * because the filter is a per-row codegen'd expression evaluated at the
+  * scan — executed with zero shuffles and full predicate parallelism.
+  *
+  * Two hash variants:
+  *   - [[hashBp]] — xxhash64 of (salt, key): the production path; avalanche
+  *     over arbitrary/composite keys.
+  *   - [[lcgBp]] — a linear-congruential mix of an integral key, expressible
+  *     verbatim in any SQL dialect (`((k % 1000003)·1103515245 + 12345) %
+  *     10000`): the cross-engine-oracle path, and a documented escape hatch
+  *     for engines without xxhash64. All arithmetic stays within int64
+  *     (max intermediate ≈ 1.1e15), so ANSI overflow checking never fires.
+  */
+object Sampling {
+
+  /** Deterministic basis points in [0, 10000) from xxhash64(salt, key).
+    * pmod, not %: xxhash64 is signed and % keeps the sign. */
+  def hashBp(key: Column, salt: Long = 42L): Column =
+    pmod(xxhash64(lit(salt), key), lit(10000L))
+
+  /** Portable LCG basis points in [0, 10000); `key` must be a non-negative
+    * integral column (ids). Mirrored literally by the DuckDB oracle. */
+  def lcgBp(key: Column): Column =
+    pmod(pmod(key.cast("long"), lit(1000003L)) * lit(1103515245L) + lit(12345L),
+      lit(10000L))
+
+  /** Per-stratum threshold column from a rate table (basis points kept). */
+  private def thresholdFor(strataCol: String, ratesBp: Map[String, Int],
+                           defaultBp: Int): Column =
+    ratesBp.foldLeft(lit(defaultBp)) { case (acc, (stratum, bp)) =>
+      when(col(strataCol) === stratum, lit(bp)).otherwise(acc)
+    }
+
+  /** Keep each row iff bp(row) < rate(stratum): an exact-rate, deterministic
+    * stratified sample. Rates are basis points (2500 ⇒ keep 25% of that
+    * stratum in expectation); strata absent from the map use `defaultBp`. */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+                       ratesBp: Map[String, Int], defaultBp: Int,
+                       bp: Column): DataFrame =
+    df.filter(bp < thresholdFor(strataCol, ratesBp, defaultBp))
+
+  /** Dataset mixing: per-source deterministic downsampling + a lineage tag,
+    * unioned. The standard way to hit a target corpus composition (e.g.
+    * 30% web / 60% books / 10% code) without a shuffle: each source is
+    * filtered at its own scan, and the union is a no-op in the plan. */
+  def mixDatasets(sources: Seq[(String, DataFrame, Int)],
+                  bpOf: DataFrame => Column): DataFrame = {
+    require(sources.nonEmpty, "mixDatasets needs at least one source")
+    sources.map { case (tag, df, rateBp) =>
+      df.filter(bpOf(df) < lit(rateBp)).withColumn("mix_source", lit(tag))
+    }.reduce(_ unionByName _)
+  }
+}

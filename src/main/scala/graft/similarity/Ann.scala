@@ -261,6 +261,69 @@ object Ann {
       .select("id_a", "id_b", "cos")
   }
 
+  // ---------------------------------------------------------------------
+  // Int8-quantized scoring (IVFADC-style ADC: Jégou et al. 2011 quantize
+  // the database side and score against it cheaply, rescoring exact)
+  // ---------------------------------------------------------------------
+
+  /** (<idAlias>, qv: array<tinyint>, scale: double) — symmetric per-vector
+    * int8 quantization of the L2-normalized embedding: scale = max|v̂ᵢ|/127,
+    * qᵢ = round(v̂ᵢ/scale). True int8 storage: 1 byte/component vs 8 for the
+    * staged double — an 8× cut in the candidate-scoring working set, which
+    * at 100 TB is the difference between a corpus that fits executor memory
+    * and one that spills. û·v̂ ≈ (qᵤ·qᵥ)·scaleᵤ·scaleᵥ with |error| ≤
+    * ~dim·(scaleᵤ+scaleᵥ)/254 — plenty to RANK candidates; exactness comes
+    * from the rescore pass. */
+  def quantized(df: DataFrame, idCol: String, vecCol: String,
+                idAlias: String): DataFrame =
+    normalized(df, idCol, vecCol, idAlias, "__nv")
+      .withColumn("__s", array_max(transform(col("__nv"), x => abs(x))) / 127.0)
+      .select(col(idAlias),
+        when(col("__s") === 0.0, transform(col("__nv"), _ => lit(0).cast("tinyint")))
+          .otherwise(transform(col("__nv"),
+            x => round(x / col("__s")).cast("tinyint"))).as("qv"),
+        col("__s").as("scale"))
+
+  /** Quantized-dot score: int8 arrays cast to double feed the same codegen
+    * [[graft.functions.DotProduct]] loop, then the two scales rescale. */
+  private def qDot(spark: org.apache.spark.sql.SparkSession,
+                   qa: Column, sa: Column, qb: Column, sb: Column): Column =
+    DotProduct(spark, qa.cast("array<double>"), qb.cast("array<double>")) * sa * sb
+
+  /** Brute-force top-k over int8-quantized vectors with exact rescoring:
+    * phase 1 scores every (query, candidate) with the cheap quantized dot
+    * and keeps `rerank ≥ k` candidates per query; phase 2 joins the exact
+    * normalized vectors back BY ID for only those rerank·|queries| rows and
+    * re-ranks by true cosine. The full-precision vectors never participate
+    * in the corpus-wide scan — only in the tiny rescore join. Recall vs
+    * [[bruteForceTopK]] is measured in AnnSpec. */
+  def bruteForceTopKQuantized(corpus: DataFrame, queries: DataFrame,
+                              idCol: String, vecCol: String, k: Int,
+                              rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be ≥ k ($k)")
+    val spark = corpus.sparkSession
+    val qq = quantized(queries, idCol, vecCol, "query_id")
+      .withColumnsRenamed(Map("qv" -> "qqv", "scale" -> "qs"))
+    val cq = quantized(corpus, idCol, vecCol, "cand_id")
+    val coarse = cq.join(broadcast(qq), col("query_id") =!= col("cand_id"))
+      .withColumn("qcos", qDot(spark, col("qqv"), col("qs"), col("qv"), col("scale")))
+    val w1 = Window.partitionBy("query_id").orderBy(desc("qcos"), asc("cand_id"))
+    val shortlist = coarse.withColumn("r", row_number().over(w1))
+      .filter(col("r") <= rerank)
+      .select("query_id", "cand_id")
+    // exact rescore of the shortlist only
+    val qv = normalized(queries, idCol, vecCol, "query_id", "qvx")
+    val cv = normalized(corpus, idCol, vecCol, "cand_id", "cvx")
+    val rescored = shortlist
+      .join(broadcast(qv), "query_id")
+      .join(cv, "cand_id")
+      .withColumn("cos", DotProduct(spark, col("qvx"), col("cvx")))
+    val w2 = Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
+    rescored.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "cos")
+  }
+
   /** [[nearDupByCosineBanded]] with b sized from the actual corpus count and
     * L from the recall target — the configuration is a function of the data,
     * not a constant, which is what makes the plan survive a 100× scale-up.

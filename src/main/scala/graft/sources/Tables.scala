@@ -55,6 +55,21 @@ object Tables {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** JSONL (newline-delimited JSON) source. The schema is REQUIRED, not
+    * inferred: Spark's JSON schema inference is a full extra pass over the
+    * data — a second 100 TB scan — and silently widens types on dirty rows.
+    * With an explicit schema the reader is a single streaming pass and rows
+    * that don't parse surface under `columnNameOfCorruptRecord` instead of
+    * mutating the schema. */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JSONL sink, overwrite mode — the interchange format every tokenizer /
+    * curation tool in the training-data world reads. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** Save as a bucketed+sorted managed table. Two tables bucketed the same
     * way on their join key co-locate: the join compiles with NO Exchange on
     * either side (SortMergeJoin straight over the bucket files). At 100 TB

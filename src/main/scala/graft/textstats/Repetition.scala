@@ -1,0 +1,86 @@
+package graft.textstats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Repetition / boilerplate scoring — the Gopher-style (Rae et al. 2021,
+  * "Scaling Language Models", app. A1) signals a training-data pipeline
+  * filters on: duplicate-line fraction, distinct-token fraction, and the
+  * share of the document covered by its single most frequent token/bigram.
+  *
+  * Two execution shapes, chosen per signal:
+  *
+  *   - Per-row signals ([[distinctTokenBp]], [[dupLineBp]]) are pure
+  *     Catalyst array expressions — no shuffle, embarrassingly parallel.
+  *   - Per-document mode statistics ([[topNgramStats]]) need a
+  *     count-per-(doc, gram) which is NOT per-row array work: a HOF
+  *     formulation (for each element, count its occurrences) is O(len²)
+  *     per document. Instead: explode → two-level groupBy. Both
+  *     aggregations get map-side partial aggregation, the shuffle carries
+  *     (doc, gram, count) — linear in token count, the 100 TB shape.
+  *
+  * All ratios ride as integer basis points (`floor(10000·x)`), the repo's
+  * standard for bit-exact cross-engine oracles (a rounded double diverges
+  * between engines on ties).
+  */
+object Repetition {
+
+  /** distinct tokens / tokens, in basis points. Low values ⇒ the document
+    * keeps repeating the same words (boilerplate, keyword stuffing). */
+  def distinctTokenBp(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    floor(lit(10000) * size(array_distinct(toks)).cast("double") /
+      size(toks).cast("double")).cast("long")
+  }
+
+  /** Fraction of lines that are duplicates of an earlier line, in basis
+    * points; 0 for single-line documents. */
+  def dupLineBp(text: Column): Column = {
+    val lines = split(text, "\n")
+    floor(lit(10000) * (size(lines) - size(array_distinct(lines))).cast("double") /
+      size(lines).cast("double")).cast("long")
+  }
+
+  /** Adjacent-token bigrams as strings; empty array below 2 tokens. */
+  private def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-document repetition statistics:
+    * (id, n_tokens, distinct_bp, top_token_cnt, top_bigram_cnt).
+    *
+    * `top_token_cnt` / `top_bigram_cnt` are the occurrence counts of the
+    * most frequent unigram/adjacent-bigram (the max COUNT is unique even
+    * when the arg-max gram is tied, keeping the output deterministic).
+    * Documents with < 2 tokens report top_bigram_cnt = 0. */
+  def topNgramStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // stage tokens once; both gram pipelines and the size() read this column
+    val toks = df.select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+
+    val topUni = toks
+      .select(col("id"), explode(col("toks")).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max("c").as("top_token_cnt"))
+
+    val topBi = toks
+      .select(col("id"), explode(bigrams(col("toks"))).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max("c").as("top_bigram_cnt"))
+
+    toks
+      .select(col("id"), col("n_tokens"),
+        floor(lit(10000) * size(array_distinct(col("toks"))).cast("double") /
+          col("n_tokens").cast("double")).cast("long").as("distinct_bp"))
+      .join(topUni, Seq("id"), "left")
+      .join(topBi, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"), col("distinct_bp"),
+        coalesce(col("top_token_cnt"), lit(0L)).as("top_token_cnt"),
+        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"))
+  }
+}

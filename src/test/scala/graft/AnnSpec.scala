@@ -166,6 +166,36 @@ class AnnSpec extends SparkSpec {
     assert(more >= few, s"recall did not grow with tables: $few -> $more")
   }
 
+  test("int8 quantization: tinyint storage, high recall after exact rescore") {
+    val emb = Tables.embeddings(spark, sfDir)
+    // storage really is int8: the quantized column is array<tinyint>
+    val q = Ann.quantized(emb, "vec_id", "embedding", "id")
+    assert(q.schema("qv").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = false) ||
+      q.schema("qv").dataType.simpleString == "array<tinyint>")
+    // every quantized component is within int8 by construction
+    val mx = q.select(max(array_max(transform(col("qv"),
+      x => abs(x.cast("int"))))).as("m")).head().getInt(0)
+    assert(mx <= 127)
+
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Ann.bruteForceTopKQuantized(emb, queries, "vec_id",
+      "embedding", k = 5, rerank = 32)
+    val got = quant.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized recall $recall below target")
+    // emitted cosines are the EXACT rescored values: spot-check one pair
+    val row = quant.head()
+    val local = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id").isin(row.getLong(0), row.getLong(1)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(math.abs(row.getDouble(3) -
+      localCosine(local(row.getLong(0)), local(row.getLong(1)))) < 1e-9)
+  }
+
   test("nearDupByCosine finds planted duplicate vectors, bucketed plan") {
     val base = (0 until 64).map(i => math.sin(i).toFloat)
     val near = base.updated(0, base(0) + 0.01f)

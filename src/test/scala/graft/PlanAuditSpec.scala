@@ -54,6 +54,8 @@ class PlanAuditSpec extends SparkSpec {
     val exempt = Set(
       "q20_ann_topk",      // exact baseline: broadcast NL join by design
       "q30_ann_topk_agg",  // same brute-force baseline, aggregator variant
+      "q42_quantized_topk", // coarse phase is the same brute-force scan,
+                            // just over int8 vectors; rescore join is hashed
       "q10_wordcount_hist" // single-row min/max broadcast cross join
     )
     val heavy = Set("q13_tf_topterms", "q14_svm_predict", "q15_stream_agg")

@@ -24,6 +24,23 @@ class SourcesSpec extends SparkSpec {
     assert(inferred.count() == 2)
   }
 
+  test("JSONL sink/source round-trip with explicit schema, no inference") {
+    val df = Seq((1L, "alpha \"quoted\"", 10), (2L, "line\nbreak", 20),
+      (3L, null.asInstanceOf[String], 30)).toDF("id", "text", "n")
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/t"
+    Tables.writeJsonl(df, dir)
+    val back = Tables.readJsonl(spark, dir, df.schema)
+    // names and types come from the EXPLICIT schema (not inferred/widened);
+    // nullability is uniformly true on JSON reads — any row may omit a field
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    val rows = back.orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getInt(2))).toSeq
+    // escapes, embedded newlines, and nulls all survive the round-trip
+    assert(rows == Seq((1L, Some("alpha \"quoted\""), 10),
+      (2L, Some("line\nbreak"), 20), (3L, None, 30)))
+  }
+
   test("parquet sink overwrites and reads back identically") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString + "/t"
