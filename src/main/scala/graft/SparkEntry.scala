@@ -4,7 +4,7 @@ import org.apache.spark.ml.feature.CountVectorizerModel
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{ExactDedup, MinHashDedup, NGramJaccard, SimHash}
+import graft.dedup.{DedupGroups, ExactDedup, MinHashDedup, NGramJaccard, SimHash}
 import graft.functions.TextFunctions
 import graft.ml.{Featurize, Sentiment}
 import graft.multimodal.Multimodal
@@ -476,7 +476,17 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, rerank = 32)
         .select(col("query_id"), col("cand_id"), col("rank"),
           floor(col("cos") * 1e6).cast("long").as("cos_uu"))
-    })
+    }),
+
+    // §2 row 66: dedup-group resolution — the exact n-gram Jaccard pair
+    // graph (q18, oracle-proven) collapsed into connected components via
+    // hash-min label propagation; component = min reachable doc_id. The
+    // oracle replays the same fixpoint as a recursive CTE.
+    "q43_dedup_groups" -> ((s, dir) =>
+      DedupGroups.connectedComponents(
+        NGramJaccard.similarPairs(spread(s, Tables.documents(s, dir)),
+          "doc_id", "text", n = 3, threshold = 0.8),
+        "id_a", "id_b"))
   )
 
   // ---------------------------------------------------------------------
@@ -487,6 +497,24 @@ object SparkEntry {
   // (q29). Everything deterministic has an oracle — including exact n-gram
   // Jaccard (q18) and brute-force cosine top-k (q20/q30).
   // ---------------------------------------------------------------------
+
+  /** Exact n-gram Jaccard pairs in DuckDB (see the q18 comment in
+    * [[oracleSql]]); also the pair-graph input to q43's recursive-CTE
+    * connected components. */
+  private def ngramPairsSql: String =
+    s"WITH t AS (SELECT doc_id AS id, ${tokensSql("text")} AS toks FROM documents), " +
+      "g0 AS (SELECT id, CASE WHEN len(toks) >= 3 " +
+      "THEN list_transform(generate_series(1, len(toks) - 2), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+      "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), " +
+      "gd AS (SELECT DISTINCT id, gram FROM (SELECT id, unnest(grams) AS gram FROM g0)), " +
+      "sz AS (SELECT id, count(*) AS n FROM gd GROUP BY id), " +
+      "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i " +
+      "FROM gd a JOIN gd b ON a.gram = b.gram AND a.id < b.id GROUP BY 1, 2) " +
+      "SELECT id_a, id_b, " +
+      "CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard " +
+      "FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b " +
+      "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8"
 
   /** Brute-force cosine top-k in DuckDB, mirroring [[Ann.bruteForceTopK]]'s
     * float→double promotion and LEFT-TO-RIGHT double accumulation exactly
@@ -519,20 +547,7 @@ object SparkEntry {
     // lossless and the df cap can't trigger below df=1000, so the operator's
     // output IS "all pairs with J ≥ 0.8". Short docs (< n tokens) collapse
     // to one whole-token-array shingle on both sides.
-    "q18_ngram_jaccard" ->
-      (s"WITH t AS (SELECT doc_id AS id, ${tokensSql("text")} AS toks FROM documents), " +
-        "g0 AS (SELECT id, CASE WHEN len(toks) >= 3 " +
-        "THEN list_transform(generate_series(1, len(toks) - 2), " +
-        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
-        "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), " +
-        "gd AS (SELECT DISTINCT id, gram FROM (SELECT id, unnest(grams) AS gram FROM g0)), " +
-        "sz AS (SELECT id, count(*) AS n FROM gd GROUP BY id), " +
-        "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i " +
-        "FROM gd a JOIN gd b ON a.gram = b.gram AND a.id < b.id GROUP BY 1, 2) " +
-        "SELECT id_a, id_b, " +
-        "CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard " +
-        "FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b " +
-        "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8"),
+    "q18_ngram_jaccard" -> ngramPairsSql,
 
     "q20_ann_topk" -> annTopKSql,
     "q30_ann_topk_agg" -> annTopKSql,
@@ -774,6 +789,18 @@ object SparkEntry {
     // Round-trip is lossless for (bigint, varchar, int) — the oracle is
     // simply the source projection.
     "q41_jsonl_roundtrip" ->
-      "SELECT doc_id, lang, n_chars FROM documents"
+      "SELECT doc_id, lang, n_chars FROM documents",
+
+    // Connected components over the q18 pair graph as a recursive CTE:
+    // reach(id, r) is the transitive closure of the undirected edges
+    // (UNION dedup bounds it), comp = min reachable id — the same unique
+    // fixpoint hash-min converges to.
+    "q43_dedup_groups" ->
+      ("WITH RECURSIVE pr AS (" + ngramPairsSql + "), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pr " +
+        "UNION SELECT id_b, id_a FROM pr), " +
+        "reach(id, r) AS (SELECT src, src FROM edges " +
+        "UNION SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst) " +
+        "SELECT id, min(r) AS comp FROM reach GROUP BY id")
   )
 }

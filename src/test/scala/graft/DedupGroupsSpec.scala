@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.DedupGroups
+
+class DedupGroupsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def comps(pairs: Seq[(Long, Long)], maxIters: Int = 20) =
+    DedupGroups.connectedComponents(pairs.toDF("a", "b"), "a", "b", maxIters)
+      .as[(Long, Long)].collect().toMap
+
+  test("chain, star, and disjoint components all resolve to min id") {
+    val got = comps(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),   // chain -> comp 1
+      (10L, 11L), (10L, 12L), (10L, 13L), // star -> comp 10
+      (20L, 21L)))                     // pair -> comp 20
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("edge orientation does not matter; result is a unique fixpoint") {
+    val a = comps(Seq((5L, 1L), (3L, 5L))) // reversed + shuffled orientations
+    val b = comps(Seq((1L, 5L), (5L, 3L)))
+    assert(a == b && a.values.toSet == Set(1L))
+  }
+
+  test("maxIters fails fast on a graph deeper than the round budget") {
+    // a 6-node chain has diameter 5; one round cannot finish it
+    val chain = (1L to 5L).map(i => (i, i + 1))
+    assertThrows[IllegalArgumentException] { comps(chain, maxIters = 1) }
+  }
+
+  test("canonicalize keeps the min-id member per group plus singletons") {
+    val df = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+      .withColumn("payload", col("doc_id") * 2)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = DedupGroups.canonicalize(df, pairs, "doc_id", "id_a", "id_b")
+      .select("doc_id").as[Long].collect().toSet
+    // 99 touches no pair and must survive untouched
+    assert(kept == Set(1L, 10L, 99L))
+  }
+
+  test("plan: label rounds are hash joins, never all-pairs") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    assertNoCartesian(DedupGroups.connectedComponents(pairs, "a", "b"))
+  }
+}
