@@ -58,10 +58,13 @@ object Repetition {
     * when the arg-max gram is tied, keeping the output deterministic).
     * Documents with < 2 tokens report top_bigram_cnt = 0. */
   def topNgramStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // stage tokens once; both gram pipelines and the size() read this column
+    // the tokenize pass feeds THREE branches (per-row stats, unigram agg,
+    // bigram agg) — a diamond plan Catalyst won't collapse; persist it once
+    // per the repo's diamond rule (MinHashDedup, NGramJaccard, histogram)
     val toks = df.select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .withColumn("n_tokens", size(col("toks")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val topUni = toks
       .select(col("id"), explode(col("toks")).as("g"))
