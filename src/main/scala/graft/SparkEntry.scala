@@ -486,7 +486,34 @@ object SparkEntry {
       DedupGroups.connectedComponents(
         NGramJaccard.similarPairs(spread(s, Tables.documents(s, dir)),
           "doc_id", "text", n = 3, threshold = 0.8),
-        "id_a", "id_b"))
+        "id_a", "id_b")),
+
+    // §2 row 66 (cont.): the corpus AFTER dedup — canonicalize keeps the
+    // min-id member of every near-dup group (left-anti join on the
+    // non-canonical id set; only (id, comp) ever shuffles)
+    "q44_canonical_docs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupGroups.canonicalize(docs,
+        NGramJaccard.similarPairs(spread(s, docs), "doc_id", "text",
+          n = 3, threshold = 0.8),
+        "doc_id", "id_a", "id_b")
+        .select("doc_id", "source", "n_chars")
+    }),
+
+    // §2 row 67: the curation pipeline end-to-end — quality gate +
+    // boilerplate gate + deterministic sample, then the per-source token
+    // budget (the rollup a 100 TB curation run reports). Every stage is a
+    // per-row codegen'd expression; the single shuffle is the final
+    // two-column group-count.
+    "q45_curation" -> ((s, dir) =>
+      spread(s, Tables.documents(s, dir))
+        .filter(TextStats.qualityScore(col("text")) >= 4000 &&
+          Repetition.distinctTokenBp(col("text")) >= 3000)
+        .filter(Sampling.lcgBp(col("doc_id")) < 5000)
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextStats.bpeTokenCount(col("text")).cast("long"))
+            .as("total_tokens")))
   )
 
   // ---------------------------------------------------------------------
@@ -801,6 +828,34 @@ object SparkEntry {
         "UNION SELECT id_b, id_a FROM pr), " +
         "reach(id, r) AS (SELECT src, src FROM edges " +
         "UNION SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst) " +
-        "SELECT id, min(r) AS comp FROM reach GROUP BY id")
+        "SELECT id, min(r) AS comp FROM reach GROUP BY id"),
+
+    "q44_canonical_docs" ->
+      ("WITH RECURSIVE pr AS (" + ngramPairsSql + "), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pr " +
+        "UNION SELECT id_b, id_a FROM pr), " +
+        "reach(id, r) AS (SELECT src, src FROM edges " +
+        "UNION SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst), " +
+        "cc AS (SELECT id, min(r) AS comp FROM reach GROUP BY id) " +
+        "SELECT doc_id, source, n_chars FROM documents " +
+        "WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> comp)"),
+
+    // quality uses RAW lowercased whitespace tokens (mirrors q23);
+    // distinct_bp uses CLEANED tokens (mirrors q39) — two deliberate
+    // tokenizations, same as the Spark side.
+    "q45_curation" -> {
+      val toksQ = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+      val hits = s"len(list_filter($toksQ, t -> list_contains($stopListSql, t)))"
+      val quality = s"CAST(FLOOR(CAST(LEAST(length(text), 500) * 20 AS DOUBLE) * " +
+        s"CAST(len($toksQ) - $hits AS DOUBLE) / CAST(len($toksQ) AS DOUBLE)) AS BIGINT)"
+      val toksC = tokensSql("text")
+      val dbp = s"CAST(FLOOR(10000.0 * len(list_distinct($toksC)) / len($toksC)) AS BIGINT)"
+      s"WITH f AS (SELECT doc_id, source, " +
+        s"CAST(len(regexp_extract_all(text, '${TextStats.bpeishPattern}')) AS BIGINT) AS bpe " +
+        s"FROM documents WHERE $quality >= 4000 AND $dbp >= 3000 " +
+        "AND ((doc_id % 1000003) * 1103515245 + 12345) % 10000 < 5000) " +
+        "SELECT source, count(*) AS n_docs, CAST(sum(bpe) AS BIGINT) AS total_tokens " +
+        "FROM f GROUP BY source"
+    }
   )
 }
