@@ -47,7 +47,14 @@ object DedupGroups {
       .agg(least(col("src"), min("dst")).as("comp"))
       .withColumnRenamed("src", "id")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count() // materialize before the loop mutates `labels`
+    // convergence watermark: labels only ever DECREASE (min fixpoint), so a
+    // round changed something iff Σcomp shrank — one aggregate over the
+    // already-persisted frame instead of a join against the previous
+    // labels. Decimal(38,0) so the sum can't overflow at any id range.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels) // also materializes the persist
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -57,13 +64,11 @@ object DedupGroups {
         .union(labels)
         .groupBy("id").agg(min("comp").as("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // converged iff no node's label shrank this round. The join is on the
-      // (hash-partitioned) id key both sides already have.
-      val changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") < col("prev")).limit(1).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     edges.unpersist()

@@ -70,6 +70,24 @@ object ScoringStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Socket text source — the reference's actual ingress
+    * (/root/reference/Prediction_Pipe_Line.py:101 `socketTextStream`),
+    * re-expressed on the Structured Streaming socket source. Demo/test-only
+    * BY DESIGN, exactly like upstream documents it: one connection, not
+    * replayable, no exactly-once — production ingestion stays the
+    * replayable, partition-parallel [[eventsStream]]. Exists so the
+    * streaming surface is reference-faithful end-to-end; the downstream
+    * pipeline ([[scoreStream]], [[windowedAgg]], dedup) is source-agnostic
+    * and composes over either. Returns (line string, ingest-time ts). */
+  def socketLines(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream
+      .format("socket")
+      .option("host", host)
+      .option("port", port.toString)
+      .option("includeTimestamp", "true")
+      .load()
+      .select(col("value").as("line"), col("timestamp").as("ts"))
+
   /** Watermarked windowed aggregation over the event stream. Window starts
     * ride as epoch-µs longs and value totals as integer cents (per-row
     * HALF_UP to cents, then exact long sums) so the result hash-matches a

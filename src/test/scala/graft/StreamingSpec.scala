@@ -98,6 +98,38 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 5L), s"kept $kept")
   }
 
+  test("socket source feeds the same cleaning pipeline (reference ingress)") {
+    val server = new java.net.ServerSocket(0)
+    val feeder = new Thread(() => {
+      val sock = server.accept() // the streaming query connects
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      Seq("Great product!! 10/10", "terrible, awful thing...").foreach(out.println)
+      out.flush() // keep the socket open until the query stops
+      Thread.sleep(30000)
+      sock.close()
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val cleaned = ScoringStream
+      .socketLines(spark, "localhost", server.getLocalPort)
+      .select(graft.functions.TextFunctions.cleanText(col("line")).as("text"))
+    val q = cleaned.writeStream.format("memory").queryName("sock_t")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("sock_t").count() < 2 &&
+             System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      assert(spark.table("sock_t").collect().map(_.getString(0)).toSet ==
+        Set("Great product", "terrible awful thing"))
+    } finally {
+      q.stop()
+      server.close()
+    }
+  }
+
   test("runToParquet appends with exactly-once checkpointing") {
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
     // stable source dir: the checkpoint's file-source log is keyed by path
