@@ -324,6 +324,66 @@ object Ann {
       .select("query_id", "cand_id", "rank", "cos")
   }
 
+  /** IVF with int8 ADC scoring — the full IVFADC shape (Jégou et al. 2011):
+    * k-means coarse quantizer restricts candidates to `nProbe` cells, the
+    * in-cell scan scores QUANTIZED vectors (1 byte/component riding the
+    * cell-probe join instead of 8), and only the per-query `rerank`
+    * shortlist is rescored against the exact vectors by id-join. At 100 TB
+    * this is the ANN configuration that actually ships: cells bound the
+    * candidate count, int8 bounds the scan's memory bandwidth, and the
+    * rescore join touches rerank·|queries| rows. Recall vs exact is
+    * measured in AnnSpec. */
+  def ivfTopKQuantized(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, nCentroids: Int, nProbe: Int,
+                       rerank: Int, seed: Long = 42L): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be ≥ k ($k)")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+
+    // cell assignment on the normalized vectors (same quantizer as ivfTopK);
+    // the cell scan itself carries only the int8 payload + scale
+    val cn = normalized(corpus, idCol, vecCol, "cand_id", "cv")
+      .withColumn("feat", array_to_vector(col("cv")))
+    val km = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("feat").setPredictionCol("cell")
+      .fit(cn.select("feat"))
+    val corpusCells = km.transform(cn).select(col("cand_id"), col("cell"))
+      .join(quantized(corpus, idCol, vecCol, "cand_id"), "cand_id")
+
+    val centroids = km.clusterCenters.map(_.toArray)
+    val qq = quantized(queries, idCol, vecCol, "query_id")
+      .withColumnsRenamed(Map("qv" -> "qqv", "scale" -> "qs"))
+    val qn = normalized(queries, idCol, vecCol, "query_id", "qnv")
+    val cellDists = array(centroids.zipWithIndex.map { case (ctr, i) =>
+      struct(sqDist(col("qnv"), array(ctr.map(lit): _*)).as("d"),
+        lit(i).as("cell"))
+    }: _*)
+    val probed = qn.join(qq, "query_id")
+      .withColumn("probes", slice(array_sort(cellDists), 1, nProbe))
+      .select(col("query_id"), col("qqv"), col("qs"),
+        explode(col("probes.cell")).as("cell"))
+
+    val coarse = corpusCells.join(broadcast(probed), "cell")
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("qcos", qDot(spark, col("qqv"), col("qs"), col("qv"), col("scale")))
+    val w1 = Window.partitionBy("query_id").orderBy(desc("qcos"), asc("cand_id"))
+    val shortlist = coarse.withColumn("r", row_number().over(w1))
+      .filter(col("r") <= rerank)
+      .select("query_id", "cand_id")
+
+    val qv = normalized(queries, idCol, vecCol, "query_id", "qvx")
+    val cv = normalized(corpus, idCol, vecCol, "cand_id", "cvx")
+    val rescored = shortlist
+      .join(broadcast(qv), "query_id")
+      .join(cv, "cand_id")
+      .withColumn("cos", DotProduct(spark, col("qvx"), col("cvx")))
+    val w2 = Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
+    rescored.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "cos")
+  }
+
   /** [[nearDupByCosineBanded]] with b sized from the actual corpus count and
     * L from the recall target — the configuration is a function of the data,
     * not a constant, which is what makes the plan survive a 100× scale-up.

@@ -196,6 +196,27 @@ class AnnSpec extends SparkSpec {
       localCosine(local(row.getLong(0)), local(row.getLong(1)))) < 1e-9)
   }
 
+  test("quantized IVF (IVFADC shape): recall beats cells-only loss budget") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Ann.ivfTopKQuantized(emb, queries, "vec_id", "embedding",
+        k = 5, nCentroids = 4, nProbe = 3, rerank = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    // loss comes from the probe (cells-only), not the int8 scan: with the
+    // same cells/probes the plain IVF recall is the ceiling — quantized
+    // must land within one result of it
+    val ivf = Ann.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nCentroids = 4, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= ivfRecall - 0.05,
+      s"int8 scan lost recall beyond quantization noise: $recall vs $ivfRecall")
+    assert(recall >= 0.6, s"quantized IVF recall $recall unusable")
+  }
+
   test("nearDupByCosine finds planted duplicate vectors, bucketed plan") {
     val base = (0 until 64).map(i => math.sin(i).toFloat)
     val near = base.updated(0, base(0) + 0.01f)
