@@ -461,7 +461,13 @@ object SparkEntry {
     // inference pass); write documents as JSONL, read back, project
     "q41_jsonl_roundtrip" -> ((s, dir) => {
       val src = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
-      val path = s"/tmp/graft_jsonl_${math.abs(dir.hashCode.toLong)}"
+      // staging path keyed by the sanitized sfDir NAME (not its hashCode —
+      // collisions would round-trip the wrong dataset) plus the pid, so two
+      // concurrent drivers on the same sfDir never overwrite each other's
+      // files mid-read
+      val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_jsonl_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_" + ProcessHandle.current().pid()).toString
       Tables.writeJsonl(src, path)
       Tables.readJsonl(s, path, src.schema)
     }),
@@ -766,7 +772,8 @@ object SparkEntry {
 
     // Same deterministic PII spike by doc_id, then the same four patterns —
     // written in the ASCII subset valid in both Java regex and RE2 — with
-    // counts via regexp_extract_all and the same fixed redaction order.
+    // the same SEQUENTIAL count-then-redact staging as Pii (each category
+    // counts the text with the previous categories already redacted).
     "q38_pii_redact" -> {
       val e = Pii.emailPattern; val n = Pii.ssnPattern
       val p = Pii.phonePattern; val i = Pii.ipv4Pattern
@@ -775,15 +782,16 @@ object SparkEntry {
         "WHEN doc_id % 5 = 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4567 today' " +
         "WHEN doc_id % 5 = 2 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 up' " +
         "WHEN doc_id % 5 = 3 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') " +
-        "ELSE '' END AS t FROM documents) " +
+        "ELSE '' END AS t FROM documents), " +
+        s"r1 AS (SELECT doc_id, t, regexp_replace(t, '$e', '<EMAIL>', 'g') AS t1 FROM sp), " +
+        s"r2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '$n', '<SSN>', 'g') AS t2 FROM r1), " +
+        s"r3 AS (SELECT doc_id, t, t1, t2, regexp_replace(t2, '$p', '<PHONE>', 'g') AS t3 FROM r2) " +
         "SELECT doc_id, " +
         s"CAST(len(regexp_extract_all(t, '$e')) AS BIGINT) AS n_email, " +
-        s"CAST(len(regexp_extract_all(t, '$n')) AS BIGINT) AS n_ssn, " +
-        s"CAST(len(regexp_extract_all(t, '$p')) AS BIGINT) AS n_phone, " +
-        s"CAST(len(regexp_extract_all(t, '$i')) AS BIGINT) AS n_ip, " +
-        s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(t, " +
-        s"'$e', '<EMAIL>', 'g'), '$n', '<SSN>', 'g'), '$p', '<PHONE>', 'g'), " +
-        s"'$i', '<IP>', 'g') AS redacted FROM sp"
+        s"CAST(len(regexp_extract_all(t1, '$n')) AS BIGINT) AS n_ssn, " +
+        s"CAST(len(regexp_extract_all(t2, '$p')) AS BIGINT) AS n_phone, " +
+        s"CAST(len(regexp_extract_all(t3, '$i')) AS BIGINT) AS n_ip, " +
+        s"regexp_replace(t3, '$i', '<IP>', 'g') AS redacted FROM r3"
     },
 
     "q39_repetition" ->
@@ -809,7 +817,7 @@ object SparkEntry {
     // that any engine evaluates the identical int64 arithmetic.
     "q40_stratified_sample" ->
       ("SELECT doc_id, source FROM documents " +
-        "WHERE ((doc_id % 1000003) * 1103515245 + 12345) % 10000 < " +
+        "WHERE ((doc_id % 1000003) * 1103515249 + 12345) % 10000 < " +
         "CASE source WHEN 'src0' THEN 1500 WHEN 'src1' THEN 3500 " +
         "WHEN 'src2' THEN 6000 ELSE 8000 END"),
 
@@ -853,7 +861,7 @@ object SparkEntry {
       s"WITH f AS (SELECT doc_id, source, " +
         s"CAST(len(regexp_extract_all(text, '${TextStats.bpeishPattern}')) AS BIGINT) AS bpe " +
         s"FROM documents WHERE $quality >= 4000 AND $dbp >= 3000 " +
-        "AND ((doc_id % 1000003) * 1103515245 + 12345) % 10000 < 5000) " +
+        "AND ((doc_id % 1000003) * 1103515249 + 12345) % 10000 < 5000) " +
         "SELECT source, count(*) AS n_docs, CAST(sum(bpe) AS BIGINT) AS total_tokens " +
         "FROM f GROUP BY source"
     }

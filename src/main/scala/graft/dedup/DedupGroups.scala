@@ -30,7 +30,12 @@ import org.apache.spark.storage.StorageLevel
 object DedupGroups {
 
   /** (id, component) for every id appearing in `pairs`; component = the
-    * minimum id reachable through the undirected pair graph. */
+    * minimum id reachable through the undirected pair graph.
+    *
+    * The returned frame is persisted (MEMORY_AND_DISK) — it is the loop's
+    * final fixpoint and re-derives many jobs of lineage if recomputed.
+    * Callers that keep the session running should `unpersist()` it when
+    * done ([[canonicalize]] does; Verify/Bench clearCache per query). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
@@ -51,8 +56,11 @@ object DedupGroups {
     // round changed something iff Σcomp shrank — one aggregate over the
     // already-persisted frame instead of a join against the previous
     // labels. Decimal(38,0) so the sum can't overflow at any id range.
+    // coalesce: sum over an EMPTY labels frame (no pairs found) is null —
+    // the empty graph must converge on round one, not NPE
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
+      df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("s"))
         .head().getDecimal(0)
     var prevSum = labelSum(labels) // also materializes the persist
     var converged = false
@@ -85,9 +93,14 @@ object DedupGroups {
     * thing shuffled is (id, component). */
   def canonicalize(df: DataFrame, pairs: DataFrame, idCol: String,
                    aCol: String, bCol: String): DataFrame = {
-    val dropIds = connectedComponents(pairs, aCol, bCol)
-      .filter(col("id") =!= col("comp"))
+    val cc = connectedComponents(pairs, aCol, bCol)
+    // localCheckpoint materializes the (small) non-canonical id set and
+    // cuts its lineage, so the loop's persisted label frame can be released
+    // here instead of leaking one cache entry per canonicalize call
+    val dropIds = cc.filter(col("id") =!= col("comp"))
       .select(col("id").as("__drop_id"))
+      .localCheckpoint()
+    cc.unpersist()
     df.join(dropIds, col(idCol) === col("__drop_id"), "left_anti")
   }
 }

@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   *   - [[hashBp]] — xxhash64 of (salt, key): the production path; avalanche
   *     over arbitrary/composite keys.
   *   - [[lcgBp]] — a linear-congruential mix of an integral key, expressible
-  *     verbatim in any SQL dialect (`((k % 1000003)·1103515245 + 12345) %
+  *     verbatim in any SQL dialect (`((k % 1000003)·1103515249 + 12345) %
   *     10000`): the cross-engine-oracle path, and a documented escape hatch
-  *     for engines without xxhash64. All arithmetic stays within int64
+  *     for engines without xxhash64. The multiplier is COPRIME to the 10⁴
+  *     modulus (1103515249 ≡ 5249; gcd(5249, 10000) = 1), so every basis
+  *     point in [0, 10000) is reachable — the classic LCG constant
+  *     1103515245 ≡ 5245 shares a factor 5 with 10⁴ and would quantize all
+  *     rates to multiples of 5 bp. All arithmetic stays within int64
   *     (max intermediate ≈ 1.1e15), so ANSI overflow checking never fires.
   */
 object Sampling {
@@ -32,7 +36,7 @@ object Sampling {
   /** Portable LCG basis points in [0, 10000); `key` must be a non-negative
     * integral column (ids). Mirrored literally by the DuckDB oracle. */
   def lcgBp(key: Column): Column =
-    pmod(pmod(key.cast("long"), lit(1000003L)) * lit(1103515245L) + lit(12345L),
+    pmod(pmod(key.cast("long"), lit(1000003L)) * lit(1103515249L) + lit(12345L),
       lit(10000L))
 
   /** Per-stratum threshold column from a rate table (basis points kept). */

@@ -276,13 +276,20 @@ object Ann {
     * from the rescore pass. */
   def quantized(df: DataFrame, idCol: String, vecCol: String,
                 idAlias: String): DataFrame =
-    normalized(df, idCol, vecCol, idAlias, "__nv")
-      .withColumn("__s", array_max(transform(col("__nv"), x => abs(x))) / 127.0)
-      .select(col(idAlias),
-        when(col("__s") === 0.0, transform(col("__nv"), _ => lit(0).cast("tinyint")))
-          .otherwise(transform(col("__nv"),
-            x => round(x / col("__s")).cast("tinyint"))).as("qv"),
-        col("__s").as("scale"))
+    withQuantized(normalized(df, idCol, vecCol, idAlias, "__nv"), "__nv")
+      .select(col(idAlias), col("qv"), col("scale"))
+
+  /** Append (qv, scale) derived from an ALREADY-normalized vector column —
+    * a pure per-row projection, so callers that hold a normalized frame
+    * never pay a second corpus pass (or a self-join) to quantize it. */
+  private def withQuantized(df: DataFrame, nvCol: String): DataFrame =
+    df.withColumn("__s", array_max(transform(col(nvCol), x => abs(x))) / 127.0)
+      .withColumn("qv",
+        when(col("__s") === 0.0,
+          transform(col(nvCol), _ => lit(0).cast("tinyint")))
+          .otherwise(transform(col(nvCol),
+            x => round(x / col("__s")).cast("tinyint"))))
+      .withColumnRenamed("__s", "scale")
 
   /** Quantized-dot score: int8 arrays cast to double feed the same codegen
     * [[graft.functions.DotProduct]] loop, then the two scales rescale. */
@@ -342,24 +349,25 @@ object Ann {
     val spark = corpus.sparkSession
 
     // cell assignment on the normalized vectors (same quantizer as ivfTopK);
-    // the cell scan itself carries only the int8 payload + scale
+    // qv/scale are projections on the SAME pass — no second corpus read,
+    // no corpus self-join — and the cell scan carries only the int8 payload
     val cn = normalized(corpus, idCol, vecCol, "cand_id", "cv")
       .withColumn("feat", array_to_vector(col("cv")))
     val km = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("feat").setPredictionCol("cell")
       .fit(cn.select("feat"))
-    val corpusCells = km.transform(cn).select(col("cand_id"), col("cell"))
-      .join(quantized(corpus, idCol, vecCol, "cand_id"), "cand_id")
+    val corpusCells = km.transform(withQuantized(cn, "cv"))
+      .select(col("cand_id"), col("cell"), col("qv"), col("scale"))
 
     val centroids = km.clusterCenters.map(_.toArray)
-    val qq = quantized(queries, idCol, vecCol, "query_id")
+    val qn = withQuantized(
+      normalized(queries, idCol, vecCol, "query_id", "qnv"), "qnv")
       .withColumnsRenamed(Map("qv" -> "qqv", "scale" -> "qs"))
-    val qn = normalized(queries, idCol, vecCol, "query_id", "qnv")
     val cellDists = array(centroids.zipWithIndex.map { case (ctr, i) =>
       struct(sqDist(col("qnv"), array(ctr.map(lit): _*)).as("d"),
         lit(i).as("cell"))
     }: _*)
-    val probed = qn.join(qq, "query_id")
+    val probed = qn
       .withColumn("probes", slice(array_sort(cellDists), 1, nProbe))
       .select(col("query_id"), col("qqv"), col("qs"),
         explode(col("probes.cell")).as("cell"))

@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
   * at full width on a 100 TB corpus.
   *
   * Redaction order matters and is fixed: email first (its local part may
-  * contain digit runs that the later numeric patterns would otherwise chew
-  * up), then SSN (3-2-4 digit shape), then phone (3-3-4 — disjoint from SSN
-  * because the `\b`-anchored group widths differ), then IPv4 (needs three
-  * dots, which no phone/SSN leaves behind). Counts are measured on the
-  * ORIGINAL text per category, which is exact precisely because the four
-  * patterns cannot overlap on the same span.
+  * contain digit runs — even a whole phone/SSN glued to `@domain` — that
+  * the later numeric patterns would otherwise also claim), then SSN
+  * (3-2-4 digit shape), then phone (3-3-4 — disjoint from SSN because the
+  * `\b`-anchored group widths differ), then IPv4 (needs three dots, which
+  * no phone/SSN leaves behind). Counts are measured SEQUENTIALLY on the
+  * same progressively-redacted text the redaction pipeline sees (n_ssn
+  * counts the email-redacted text, and so on), so `piiCount` equals the
+  * number of placeholders redact() emits by construction — a span like
+  * `555-123-4567@mail.com` is one email, not an email plus a phone.
   */
 object Pii {
 
@@ -38,23 +41,29 @@ object Pii {
   val ipv4Pattern: String =
     """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
 
-  def emailCount(text: Column): Column = regexp_count(text, lit(emailPattern))
-  def ssnCount(text: Column): Column = regexp_count(text, lit(ssnPattern))
-  def phoneCount(text: Column): Column = regexp_count(text, lit(phonePattern))
-  def ipv4Count(text: Column): Column = regexp_count(text, lit(ipv4Pattern))
+  /** The progressive redaction stages, in the documented order. */
+  private def afterEmail(text: Column): Column =
+    regexp_replace(text, emailPattern, "<EMAIL>")
+  private def afterSsn(text: Column): Column =
+    regexp_replace(afterEmail(text), ssnPattern, "<SSN>")
+  private def afterPhone(text: Column): Column =
+    regexp_replace(afterSsn(text), phonePattern, "<PHONE>")
 
-  /** Total PII hits across all categories (exact — patterns are disjoint). */
+  def emailCount(text: Column): Column = regexp_count(text, lit(emailPattern))
+  def ssnCount(text: Column): Column =
+    regexp_count(afterEmail(text), lit(ssnPattern))
+  def phoneCount(text: Column): Column =
+    regexp_count(afterSsn(text), lit(phonePattern))
+  def ipv4Count(text: Column): Column =
+    regexp_count(afterPhone(text), lit(ipv4Pattern))
+
+  /** Total PII spans = total placeholders redact() emits (sequential
+    * counting makes this exact even when categories overlap textually). */
   def piiCount(text: Column): Column =
     emailCount(text) + ssnCount(text) + phoneCount(text) + ipv4Count(text)
 
   /** Replace every PII span with a category placeholder, in the documented
     * order. `regexp_replace` is global in Spark (the oracle passes 'g'). */
   def redact(text: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(text, emailPattern, "<EMAIL>"),
-          ssnPattern, "<SSN>"),
-        phonePattern, "<PHONE>"),
-      ipv4Pattern, "<IP>")
+    regexp_replace(afterPhone(text), ipv4Pattern, "<IP>")
 }

@@ -26,6 +26,15 @@ class DedupGroupsSpec extends SparkSpec {
     assert(a == b && a.values.toSet == Set(1L))
   }
 
+  test("empty pair graph: empty components, canonicalize keeps everything") {
+    assert(comps(Seq.empty) == Map.empty)
+    val df = Seq(1L, 2L, 3L).toDF("doc_id")
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val kept = DedupGroups.canonicalize(df, none, "doc_id", "id_a", "id_b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
   test("maxIters fails fast on a graph deeper than the round budget") {
     // a 6-node chain has diameter 5; one round cannot finish it
     val chain = (1L to 5L).map(i => (i, i + 1))

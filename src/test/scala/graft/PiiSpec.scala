@@ -39,6 +39,14 @@ class PiiSpec extends SparkSpec {
     assert(r.getString(4) == "<EMAIL> x <EMAIL>")
   }
 
+  test("overlapping span counts once: phone glued to @domain is one email") {
+    val r = one("reach 555-123-4567@mail.com ok")
+    // sequential counting: the phone digits are inside the (already
+    // redacted) email span, so they are NOT also a phone hit
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) == (1, 0, 0, 0))
+    assert(r.getString(4) == "reach <EMAIL> ok")
+  }
+
   test("digit runs that are not PII survive") {
     val r = one("version 1.2 build 20240101 pi 3.14159")
     assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) == (0, 0, 0, 0))

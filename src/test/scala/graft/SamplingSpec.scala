@@ -20,6 +20,16 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("lcgBp reaches every residue class (multiplier coprime to 10000)") {
+    val vals = ids(20000).select(Sampling.lcgBp(col("id")).as("bp"))
+      .as[Long].collect()
+    // non-multiples of 5 must be reachable (the classic 1103515245
+    // constant shares a factor 5 with 10^4 and only ever lands on
+    // multiples of 5, quantizing every sample rate to 5 bp)
+    assert(vals.exists(_ % 5 != 0))
+    assert(vals.distinct.length > 9000, "bp distribution collapsed")
+  }
+
   test("stratified rates land near their targets") {
     val s = Sampling.stratifiedSample(ids(10000), "stratum",
       Map("true" -> 2000), defaultBp = 7000, bp = Sampling.hashBp(col("id")))
