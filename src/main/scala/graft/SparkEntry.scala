@@ -4,7 +4,7 @@ import org.apache.spark.ml.feature.CountVectorizerModel
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{DedupGroups, ExactDedup, MinHashDedup, NGramJaccard, SimHash}
+import graft.dedup.{Decontaminate, DedupGroups, ExactDedup, MinHashDedup, NGramJaccard, SimHash}
 import graft.functions.TextFunctions
 import graft.ml.{Featurize, Sentiment}
 import graft.multimodal.Multimodal
@@ -506,6 +506,18 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
     }),
 
+    // §2 row 69: benchmark decontamination — corpus docs sharing any
+    // 8-word-gram with the "eval set" (every 50th doc), with the shared
+    // count. Gram-hash intersection counts equal string-gram counts
+    // (collision odds immaterial), so the string-gram oracle is exact.
+    "q46_decontaminate" -> ((s, dir) => {
+      val docs = spread(s, Tables.documents(s, dir))
+      Decontaminate.contaminationHits(docs,
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "doc_id", "text", n = 8)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // §2 row 67: the curation pipeline end-to-end — quality gate +
     // boilerplate gate + deterministic sample, then the per-source token
     // budget (the rollup a 100 TB curation run reports). Every stage is a
@@ -864,6 +876,22 @@ object SparkEntry {
         "AND ((doc_id % 1000003) * 1103515249 + 12345) % 10000 < 5000) " +
         "SELECT source, count(*) AS n_docs, CAST(sum(bpe) AS BIGINT) AS total_tokens " +
         "FROM f GROUP BY source"
+    },
+
+    // String 8-grams mirror the Spark side's hashed grams: intersection
+    // COUNTS are identical either way (same set-cardinality argument as
+    // q18). Short docs collapse to one whole-document gram on both sides.
+    "q46_decontaminate" -> {
+      val g8 = (1 to 8).map(j => s"toks[i+${j - 1}]").mkString(" || ' ' || ")
+      s"WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents), " +
+        "g0 AS (SELECT doc_id, CASE WHEN len(toks) >= 8 " +
+        s"THEN list_transform(generate_series(1, len(toks) - 7), i -> $g8) " +
+        "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), " +
+        "cg AS (SELECT DISTINCT doc_id, gram FROM " +
+        "(SELECT doc_id, unnest(grams) AS gram FROM g0)), " +
+        "bg AS (SELECT DISTINCT gram FROM cg WHERE doc_id % 50 = 0) " +
+        "SELECT cg.doc_id, count(*) AS hits FROM cg JOIN bg USING (gram) " +
+        "GROUP BY cg.doc_id"
     }
   )
 }

@@ -1,0 +1,56 @@
+package graft
+
+import graft.dedup.Decontaminate
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val eight = "alpha beta gamma delta epsilon zeta eta theta"
+
+  test("doc sharing an 8-gram with the benchmark is flagged; others are not") {
+    val corpus = Seq(
+      (1L, s"intro words then $eight and a tail"),  // contains the 8-gram
+      (2L, "completely different content with no overlap at all here"),
+      (3L, s"$eight")                               // the 8-gram exactly
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, s"prefix $eight suffix")).toDF("doc_id", "text")
+    val hits = Decontaminate.contaminationHits(corpus, bench, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(hits.contains(1L) && hits.contains(3L) && !hits.contains(2L))
+  }
+
+  test("short benchmark doc (< n tokens) matches whole-document, not skipped") {
+    val corpus = Seq((1L, "tiny eval item"), (2L, "unrelated"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "tiny eval item")).toDF("doc_id", "text")
+    val hits = Decontaminate.contaminationHits(corpus, bench, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 1L))
+  }
+
+  test("decontaminate drops flagged docs and keeps the rest intact") {
+    val corpus = Seq(
+      (1L, s"$eight leaked"), (2L, "clean one"), (3L, "clean two"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"x $eight y")).toDF("doc_id", "text")
+    val kept = Decontaminate.decontaminate(corpus, bench, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("minHits raises the overlap bar") {
+    val corpus = Seq((1L, s"$eight only once here")).toDF("doc_id", "text")
+    val bench = Seq((100L, eight)).toDF("doc_id", "text")
+    assert(Decontaminate.contaminationHits(corpus, bench, "doc_id", "text",
+      minHits = 5).count() == 0)
+  }
+
+  test("benchmark side broadcasts; corpus is never shuffled by content") {
+    val corpus = Seq((1L, eight)).toDF("doc_id", "text")
+    val bench = Seq((100L, eight)).toDF("doc_id", "text")
+    val df = Decontaminate.contaminationHits(corpus, bench, "doc_id", "text")
+    assertNoCartesian(df)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark not broadcast:\n$plan")
+  }
+}
