@@ -430,12 +430,8 @@ object SparkEntry {
             concat(lit(" ssn 123-45-"),
               lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
           .otherwise(lit(""))))
-      spiked.select(col("doc_id"),
-        Pii.emailCount(col("t")).cast("long").as("n_email"),
-        Pii.ssnCount(col("t")).cast("long").as("n_ssn"),
-        Pii.phoneCount(col("t")).cast("long").as("n_phone"),
-        Pii.ipv4Count(col("t")).cast("long").as("n_ip"),
-        Pii.redact(col("t")).as("redacted"))
+      Pii.withPiiStats(spiked, "t")
+        .select("doc_id", "n_email", "n_ssn", "n_phone", "n_ip", "redacted")
     }),
 
     // §2 row 62: repetition/boilerplate scoring — per-row distinct-token
@@ -560,6 +556,18 @@ object SparkEntry {
       "CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard " +
       "FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b " +
       "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8"
+
+  /** Shared `WITH RECURSIVE … cc` prefix for the connected-components
+    * oracles (q43/q44): transitive closure of the undirected q18 pair
+    * graph, comp = min reachable id — the same unique fixpoint hash-min
+    * converges to. One definition so the two oracles cannot drift. */
+  private def ccSqlPrefix: String =
+    "WITH RECURSIVE pr AS (" + ngramPairsSql + "), " +
+      "edges AS (SELECT id_a AS src, id_b AS dst FROM pr " +
+      "UNION SELECT id_b, id_a FROM pr), " +
+      "reach(id, r) AS (SELECT src, src FROM edges " +
+      "UNION SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst), " +
+      "cc AS (SELECT id, min(r) AS comp FROM reach GROUP BY id) "
 
   /** Brute-force cosine top-k in DuckDB, mirroring [[Ann.bruteForceTopK]]'s
     * float→double promotion and LEFT-TO-RIGHT double accumulation exactly
@@ -843,21 +851,10 @@ object SparkEntry {
     // (UNION dedup bounds it), comp = min reachable id — the same unique
     // fixpoint hash-min converges to.
     "q43_dedup_groups" ->
-      ("WITH RECURSIVE pr AS (" + ngramPairsSql + "), " +
-        "edges AS (SELECT id_a AS src, id_b AS dst FROM pr " +
-        "UNION SELECT id_b, id_a FROM pr), " +
-        "reach(id, r) AS (SELECT src, src FROM edges " +
-        "UNION SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst) " +
-        "SELECT id, min(r) AS comp FROM reach GROUP BY id"),
+      (ccSqlPrefix + "SELECT id, comp FROM cc"),
 
     "q44_canonical_docs" ->
-      ("WITH RECURSIVE pr AS (" + ngramPairsSql + "), " +
-        "edges AS (SELECT id_a AS src, id_b AS dst FROM pr " +
-        "UNION SELECT id_b, id_a FROM pr), " +
-        "reach(id, r) AS (SELECT src, src FROM edges " +
-        "UNION SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst), " +
-        "cc AS (SELECT id, min(r) AS comp FROM reach GROUP BY id) " +
-        "SELECT doc_id, source, n_chars FROM documents " +
+      (ccSqlPrefix + "SELECT doc_id, source, n_chars FROM documents " +
         "WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> comp)"),
 
     // quality uses RAW lowercased whitespace tokens (mirrors q23);

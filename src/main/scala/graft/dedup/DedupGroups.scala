@@ -80,6 +80,9 @@ object DedupGroups {
       iter += 1
     }
     edges.unpersist()
+    // the failure path must not strand the cached label frame (callers are
+    // told to retry with higher maxIters — each attempt would leak one)
+    if (!converged) labels.unpersist()
     require(converged,
       s"connectedComponents did not converge in $maxIters rounds — the pair " +
         s"graph has diameter > $maxIters (not a near-dup cluster shape); " +

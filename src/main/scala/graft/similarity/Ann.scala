@@ -64,18 +64,36 @@ object Ann {
           when(col("__n") === 0.0, lit(0.0))
             .otherwise(x.cast("double") / col("__n"))).as(vecAlias))
 
+  /** Per-query top-k over a scored frame: rank by `cos` desc (cand_id
+    * tiebreak — deterministic), keep ≤ k. The one window formulation every
+    * top-k path shares, so tie-breaking/NaN policy can never drift between
+    * them; Spark's WindowGroupLimit caps each partition's contribution at k
+    * rows per query BEFORE the exchange. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "cos")
+  }
+
+  /** Exact-cosine rescore of a (query_id, cand_id) shortlist against
+    * normalized query/corpus frames, then [[rankTopK]]. */
+  private def rescoreExact(shortlist: DataFrame, queriesNorm: DataFrame,
+                           corpusNorm: DataFrame, k: Int): DataFrame =
+    rankTopK(shortlist
+      .join(broadcast(queriesNorm), "query_id")
+      .join(corpusNorm, "cand_id")
+      .withColumn("cos",
+        DotProduct(shortlist.sparkSession, col("qvx"), col("cvx"))), k)
+
   /** Exact cosine top-k of each query against the corpus (self-matches
     * excluded). `queries` must be small enough to broadcast. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val q = normalized(queries, idCol, vecCol, "query_id", "qv")
     val c = normalized(corpus, idCol, vecCol, "cand_id", "cv")
-    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
-      .withColumn("cos", DotProduct(corpus.sparkSession, col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "rank", "cos")
+    rankTopK(c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos", DotProduct(corpus.sparkSession, col("qv"), col("cv"))), k)
   }
 
   /** LSH-bucketed top-k: candidates limited to the query's SRP bucket.
@@ -89,13 +107,9 @@ object Ann {
       .withColumn("bucket", srpBucket(spark, col("qv"), nPlanes, dim, seed))
     val c = normalized(corpus, idCol, vecCol, "cand_id", "cv")
       .withColumn("bucket", srpBucket(spark, col("cv"), nPlanes, dim, seed))
-    val scored = c.join(broadcast(q), "bucket")
+    rankTopK(c.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", DotProduct(spark, col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "rank", "cos")
+      .withColumn("cos", DotProduct(spark, col("qv"), col("cv"))), k)
   }
 
   /** [[bruteForceTopK]] with the scoring shuffle replaced by the typed
@@ -163,13 +177,9 @@ object Ann {
       .select(col("query_id"), col("qv"),
         explode(col("probes.cell")).as("cell"))
 
-    val scored = corpusCells.join(broadcast(probed), "cell")
+    rankTopK(corpusCells.join(broadcast(probed), "cell")
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", DotProduct(corpus.sparkSession, col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "rank", "cos")
+      .withColumn("cos", DotProduct(corpus.sparkSession, col("qv"), col("cv"))), k)
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold),
@@ -297,6 +307,15 @@ object Ann {
                    qa: Column, sa: Column, qb: Column, sb: Column): Column =
     DotProduct(spark, qa.cast("array<double>"), qb.cast("array<double>")) * sa * sb
 
+  /** Top `rerank` (query_id, cand_id) per query by the coarse quantized
+    * score — the shared shortlist step of both quantized paths. */
+  private def coarseShortlist(coarse: DataFrame, rerank: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(desc("qcos"), asc("cand_id"))
+    coarse.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= rerank)
+      .select("query_id", "cand_id")
+  }
+
   /** Brute-force top-k over int8-quantized vectors with exact rescoring:
     * phase 1 scores every (query, candidate) with the cheap quantized dot
     * and keeps `rerank ≥ k` candidates per query; phase 2 joins the exact
@@ -314,21 +333,12 @@ object Ann {
     val cq = quantized(corpus, idCol, vecCol, "cand_id")
     val coarse = cq.join(broadcast(qq), col("query_id") =!= col("cand_id"))
       .withColumn("qcos", qDot(spark, col("qqv"), col("qs"), col("qv"), col("scale")))
-    val w1 = Window.partitionBy("query_id").orderBy(desc("qcos"), asc("cand_id"))
-    val shortlist = coarse.withColumn("r", row_number().over(w1))
-      .filter(col("r") <= rerank)
-      .select("query_id", "cand_id")
-    // exact rescore of the shortlist only
-    val qv = normalized(queries, idCol, vecCol, "query_id", "qvx")
-    val cv = normalized(corpus, idCol, vecCol, "cand_id", "cvx")
-    val rescored = shortlist
-      .join(broadcast(qv), "query_id")
-      .join(cv, "cand_id")
-      .withColumn("cos", DotProduct(spark, col("qvx"), col("cvx")))
-    val w2 = Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
-    rescored.withColumn("rank", row_number().over(w2))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "rank", "cos")
+    // exact rescore of the shortlist only; the corpus rescore side is a
+    // second (deliberately uncached) scan — persisting the double vectors
+    // would defeat the int8 working-set win
+    rescoreExact(coarseShortlist(coarse, rerank),
+      normalized(queries, idCol, vecCol, "query_id", "qvx"),
+      normalized(corpus, idCol, vecCol, "cand_id", "cvx"), k)
   }
 
   /** IVF with int8 ADC scoring — the full IVFADC shape (Jégou et al. 2011):
@@ -348,17 +358,20 @@ object Ann {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
 
-    // cell assignment on the normalized vectors (same quantizer as ivfTopK);
-    // qv/scale are projections on the SAME pass — no second corpus read,
-    // no corpus self-join — and the cell scan carries only the int8 payload
+    // The normalized corpus feeds THREE consumers (k-means fit, cell
+    // assignment + quantization, exact rescore) — persist the diamond's
+    // shared input once; qv/scale are projections on the same pass, so
+    // there is no second corpus read and no corpus self-join
     val cn = normalized(corpus, idCol, vecCol, "cand_id", "cv")
       .withColumn("feat", array_to_vector(col("cv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val km = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("feat").setPredictionCol("cell")
       .fit(cn.select("feat"))
     val corpusCells = km.transform(withQuantized(cn, "cv"))
       .select(col("cand_id"), col("cell"), col("qv"), col("scale"))
 
+    // the query pass likewise serves probing, coarse scoring, AND rescore
     val centroids = km.clusterCenters.map(_.toArray)
     val qn = withQuantized(
       normalized(queries, idCol, vecCol, "query_id", "qnv"), "qnv")
@@ -375,21 +388,9 @@ object Ann {
     val coarse = corpusCells.join(broadcast(probed), "cell")
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("qcos", qDot(spark, col("qqv"), col("qs"), col("qv"), col("scale")))
-    val w1 = Window.partitionBy("query_id").orderBy(desc("qcos"), asc("cand_id"))
-    val shortlist = coarse.withColumn("r", row_number().over(w1))
-      .filter(col("r") <= rerank)
-      .select("query_id", "cand_id")
-
-    val qv = normalized(queries, idCol, vecCol, "query_id", "qvx")
-    val cv = normalized(corpus, idCol, vecCol, "cand_id", "cvx")
-    val rescored = shortlist
-      .join(broadcast(qv), "query_id")
-      .join(cv, "cand_id")
-      .withColumn("cos", DotProduct(spark, col("qvx"), col("cvx")))
-    val w2 = Window.partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
-    rescored.withColumn("rank", row_number().over(w2))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "rank", "cos")
+    rescoreExact(coarseShortlist(coarse, rerank),
+      qn.select(col("query_id"), col("qnv").as("qvx")),
+      cn.select(col("cand_id"), col("cv").as("cvx")), k)
   }
 
   /** [[nearDupByCosineBanded]] with b sized from the actual corpus count and

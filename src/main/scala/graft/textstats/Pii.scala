@@ -1,6 +1,6 @@
 package graft.textstats
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** PII detection and redaction for training-data pipelines.
@@ -66,4 +66,25 @@ object Pii {
     * order. `regexp_replace` is global in Spark (the oracle passes 'g'). */
   def redact(text: Column): Column =
     regexp_replace(afterPhone(text), ipv4Pattern, "<IP>")
+
+  /** All counts + the redacted text in one pass, with each redaction stage
+    * STAGED as a column (n_email/n_ssn/n_phone/n_ip/redacted appended).
+    * The single-column helpers above each rebuild the progressive chain,
+    * which in a many-column projection leans on codegen subexpression
+    * elimination to avoid re-running full-text regexes; staging guarantees
+    * one evaluation per stage per row — the exact shape of the oracle's
+    * r1/r2/r3 CTEs. Use this form for whole-corpus scans. */
+  def withPiiStats(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__t1",
+        regexp_replace(col(textCol), emailPattern, "<EMAIL>"))
+      .withColumn("__t2", regexp_replace(col("__t1"), ssnPattern, "<SSN>"))
+      .withColumn("__t3", regexp_replace(col("__t2"), phonePattern, "<PHONE>"))
+      .withColumn("n_email",
+        regexp_count(col(textCol), lit(emailPattern)).cast("long"))
+      .withColumn("n_ssn", regexp_count(col("__t1"), lit(ssnPattern)).cast("long"))
+      .withColumn("n_phone",
+        regexp_count(col("__t2"), lit(phonePattern)).cast("long"))
+      .withColumn("n_ip", regexp_count(col("__t3"), lit(ipv4Pattern)).cast("long"))
+      .withColumn("redacted", regexp_replace(col("__t3"), ipv4Pattern, "<IP>"))
+      .drop("__t1", "__t2", "__t3")
 }
