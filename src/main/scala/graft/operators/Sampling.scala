@@ -28,10 +28,17 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Deterministic basis points in [0, 10000) from xxhash64(salt, key).
-    * pmod, not %: xxhash64 is signed and % keeps the sign. */
+  /** Deterministic basis points in [0, 10000) from xxhash64(salt, key);
+    * NULL for a null key. pmod, not %: xxhash64 is signed and % keeps the
+    * sign. The null guard matters: xxhash64 SKIPS null inputs rather than
+    * returning null, so without it every null-key row would share the one
+    * hash of the bare salt — an all-kept-or-all-dropped cliff per rate.
+    * A null bp fails every `bp < rate` filter, so null-key rows are
+    * deterministically EXCLUDED from samples (they have no stable
+    * identity to sample on). */
   def hashBp(key: Column, salt: Long = 42L): Column =
-    pmod(xxhash64(lit(salt), key), lit(10000L))
+    when(key.isNull, lit(null).cast("long"))
+      .otherwise(pmod(xxhash64(lit(salt), key), lit(10000L)))
 
   /** Portable LCG basis points in [0, 10000); `key` must be a non-negative
     * integral column (ids). Mirrored literally by the DuckDB oracle. */

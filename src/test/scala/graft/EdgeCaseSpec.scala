@@ -43,6 +43,29 @@ class EdgeCaseSpec extends SparkSpec {
     assert(byId(4L).getString(1) == "")
   }
 
+  test("pii / repetition / sampling on null, empty, and degenerate input") {
+    import graft.operators.Sampling
+    import graft.textstats.{Pii, Repetition}
+    val df = Seq((1L, "plain text"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    // null text propagates as null counts/redaction, never throws
+    val pii = Pii.withPiiStats(df, "text").orderBy("id").collect()
+    assert(pii(2).isNullAt(pii(2).fieldIndex("n_email")))
+    assert(pii(2).isNullAt(pii(2).fieldIndex("redacted")))
+    assert(pii(1).getLong(pii(1).fieldIndex("n_email")) == 0)
+    val rep = df.select(Repetition.distinctTokenBp(col("text")).as("bp"))
+      .collect()
+    assert(rep(2).isNullAt(0)) // null in, null out
+    // null sampling keys are dropped (null < threshold is null -> filtered)
+    val nullKeys = Seq(Some(1L), None).map(Tuple1(_)).toDF("id")
+      .select(col("id"), lit("s").as("stratum"))
+    assert(Sampling.stratifiedSample(nullKeys, "stratum", Map.empty, 10000,
+      Sampling.hashBp(col("id"))).count() == 1)
+    // empty frames flow through decontamination and sampling
+    import graft.dedup.Decontaminate
+    assert(Decontaminate.contaminationHits(empty, empty, "id", "text").count() == 0)
+  }
+
   test("histogram and topN on empty input") {
     assert(Relational.histogram(empty.select(col("id")), col("id"), 10)
       .count() == 0)
