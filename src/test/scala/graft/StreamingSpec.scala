@@ -98,6 +98,24 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 5L), s"kept $kept")
   }
 
+  test("deterministic sampling composes with streams (stateless filter)") {
+    import graft.operators.Sampling
+    val events = ScoringStream.eventsStream(spark, s"$sfDir/events.parquet")
+    val sampled = Sampling.stratifiedSample(events, "event_type",
+      Map("click" -> 0), defaultBp = 10000,
+      bp = Sampling.hashBp(col("event_id")))
+    val got = ScoringStream.runToMemory(spark, sampled, "append")
+    // batch equivalent over the same file — identical rows (determinism is
+    // exactly what df.sample() can NOT promise under streaming retries)
+    val batch = Sampling.stratifiedSample(
+      graft.sources.Tables.events(spark, sfDir), "event_type",
+      Map("click" -> 0), defaultBp = 10000,
+      bp = Sampling.hashBp(col("event_id")))
+    assert(got.count() > 0)
+    assert(got.select("event_id").collect().map(_.getLong(0)).toSet ==
+      batch.select("event_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("socket source feeds the same cleaning pipeline (reference ingress)") {
     val server = new java.net.ServerSocket(0)
     val feeder = new Thread(() => {
