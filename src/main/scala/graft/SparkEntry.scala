@@ -8,7 +8,7 @@ import graft.dedup.{Decontaminate, DedupGroups, ExactDedup, MinHashDedup, NGramJ
 import graft.functions.TextFunctions
 import graft.ml.{Featurize, Sentiment}
 import graft.multimodal.Multimodal
-import graft.operators.{Relational, Sampling}
+import graft.operators.{Packing, Relational, Sampling}
 import graft.similarity.Ann
 import graft.sources.Tables
 import graft.streaming.{ScoringStream, Sessionize}
@@ -502,6 +502,16 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
     }),
 
+    // §2 row 70: sequence-packing plan — every doc's (bucket, bin, offset)
+    // in the concat-and-chunk training-sequence layout; window arithmetic
+    // on token counts only, parallel across nBuckets independent streams
+    "q47_packing_plan" -> ((s, dir) =>
+      Packing.planPacking(
+        Tables.documents(s, dir).select(col("doc_id"),
+          TextStats.bpeTokenCount(col("text")).cast("long").as("n_tok")),
+        "doc_id", "n_tok", seqLen = 512, nBuckets = 8)
+        .select("doc_id", "n_tok", "bucket", "bin", "offset")),
+
     // §2 row 69: benchmark decontamination — corpus docs sharing any
     // 8-word-gram with the "eval set" (every 50th doc), with the shared
     // count. Gram-hash intersection counts equal string-gram counts
@@ -889,6 +899,17 @@ object SparkEntry {
         "bg AS (SELECT DISTINCT gram FROM cg WHERE doc_id % 50 = 0) " +
         "SELECT cg.doc_id, count(*) AS hits FROM cg JOIN bg USING (gram) " +
         "GROUP BY cg.doc_id"
-    }
+    },
+
+    // Same per-bucket running-sum window; all-integer arithmetic
+    "q47_packing_plan" ->
+      (s"WITH t AS (SELECT doc_id, " +
+        s"CAST(len(regexp_extract_all(text, '${TextStats.bpeishPattern}')) AS BIGINT) AS n_tok, " +
+        "doc_id % 8 AS bucket FROM documents), " +
+        "w AS (SELECT doc_id, n_tok, bucket, " +
+        "coalesce(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) - n_tok, 0) AS before FROM t) " +
+        "SELECT doc_id, n_tok, bucket, " +
+        "CAST(FLOOR(before / 512) AS BIGINT) AS bin, before % 512 AS offset FROM w")
   )
 }

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence-packing planner: assign every document a position in the
+  * fixed-length training sequences a tokenizer/packer will emit — the
+  * GPT-style concat-and-chunk layout (documents concatenated in a
+  * deterministic order, the stream chunked into `seqLen`-token sequences;
+  * a document may span two sequences).
+  *
+  * The plan is pure window arithmetic over token counts — no tokens or
+  * text move. Scale shape: a single global concatenation order would be
+  * one running-sum window in ONE task; instead documents are hashed into
+  * `nBuckets` independent packing streams (`bucket = pmod(id, nBuckets)`),
+  * each packed in id-order by its own partition-local running sum. Buckets
+  * pack in parallel and sequences are keyed (bucket, bin); the only cost
+  * versus a global order is ≤ one partially-filled trailing sequence per
+  * bucket — at 100 TB, nBuckets of ~waste tokens against full parallelism.
+  *
+  * Output columns (appended): `bucket`, `bin` (which sequence the document
+  * STARTS in), `offset` (token offset of the document's first token within
+  * that sequence). Every value is integer arithmetic on integer token
+  * counts — bit-exact against the DuckDB window oracle.
+  */
+object Packing {
+
+  def planPacking(df: DataFrame, idCol: String, tokenCountCol: String,
+                  seqLen: Int, nBuckets: Int): DataFrame = {
+    require(seqLen > 0 && nBuckets > 0)
+    val bucket: Column = pmod(col(idCol).cast("long"), lit(nBuckets.toLong))
+    val w = Window.partitionBy("bucket").orderBy(col(idCol))
+    val before = coalesce(
+      sum(col(tokenCountCol).cast("long")).over(w) -
+        col(tokenCountCol).cast("long"),
+      lit(0L)) // tokens packed before this doc within its bucket
+    df.withColumn("bucket", bucket)
+      .withColumn("bin", floor(before / seqLen).cast("long"))
+      .withColumn("offset", pmod(before, lit(seqLen.toLong)))
+  }
+}

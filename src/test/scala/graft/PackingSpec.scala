@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(rows: Seq[(Long, Long)], seqLen: Int, nBuckets: Int) =
+    Packing.planPacking(rows.toDF("id", "n"), "id", "n", seqLen, nBuckets)
+      .select("id", "bucket", "bin", "offset")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+
+  test("concat-and-chunk layout exact on one bucket") {
+    // tokens 100,300,200,50 into seqLen=256: offsets 0,100,144,88(bin 2)
+    val got = plan(Seq((0L, 100L), (8L, 300L), (16L, 200L), (24L, 50L)),
+      seqLen = 256, nBuckets = 1)
+    assert(got.map(r => (r._3, r._4)).toSeq ==
+      Seq((0L, 0L), (0L, 100L), (1L, 144L), (2L, 88L)))
+  }
+
+  test("buckets pack independently and offsets stay inside a sequence") {
+    val rows = (0L until 100L).map(i => (i, (i % 7) * 37 + 1))
+    val got = plan(rows, seqLen = 128, nBuckets = 4)
+    assert(got.forall(r => r._4 >= 0 && r._4 < 128))
+    assert(got.map(_._2).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // within a bucket, (bin, offset) is strictly increasing in id order
+    got.groupBy(_._2).foreach { case (_, rs) =>
+      val pos = rs.sortBy(_._1).map(r => r._3 * 128 + r._4)
+      assert(pos.zip(pos.tail).forall { case (a, b) => a < b })
+    }
+  }
+
+  test("token conservation: next doc starts where the previous ended") {
+    val rows = Seq((0L, 100L), (1L, 200L), (2L, 300L))
+    val got = Packing.planPacking(rows.toDF("id", "n"), "id", "n", 512, 1)
+      .select("id", "n", "bin", "offset")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    got.zip(got.tail).foreach { case ((_, n, b, o), (_, _, b2, o2)) =>
+      assert(b2 * 512 + o2 == b * 512 + o + n)
+    }
+  }
+}
