@@ -910,6 +910,6 @@ object SparkEntry {
         "coalesce(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id " +
         "ROWS UNBOUNDED PRECEDING) - n_tok, 0) AS before FROM t) " +
         "SELECT doc_id, n_tok, bucket, " +
-        "CAST(FLOOR(before / 512) AS BIGINT) AS bin, before % 512 AS offset FROM w")
+        "before // 512 AS bin, before % 512 AS offset FROM w")
   )
 }

@@ -30,13 +30,24 @@ object Packing {
                   seqLen: Int, nBuckets: Int): DataFrame = {
     require(seqLen > 0 && nBuckets > 0)
     val bucket: Column = pmod(col(idCol).cast("long"), lit(nBuckets.toLong))
+    // explicit ROWS frame: the default RANGE frame sums peer rows together,
+    // so two rows with an equal id would both see the peer-inclusive total
+    // (double-claimed offsets, orphaned tokens); ROWS matches the oracle's
+    // `ROWS UNBOUNDED PRECEDING` for any input
     val w = Window.partitionBy("bucket").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val before = coalesce(
       sum(col(tokenCountCol).cast("long")).over(w) -
         col(tokenCountCol).cast("long"),
       lit(0L)) // tokens packed before this doc within its bucket
     df.withColumn("bucket", bucket)
-      .withColumn("bin", floor(before / seqLen).cast("long"))
-      .withColumn("offset", pmod(before, lit(seqLen.toLong)))
+      .withColumn("__before", before)
+      // integer `div`, not floor(a/b): Divide promotes to double, and past
+      // 2^53 cumulative tokens the float quotient can land in the wrong
+      // bin while the exact pmod offset stays right (the repo's standard
+      // integer-div determinism rule)
+      .withColumn("bin", expr(s"__before div ${seqLen}"))
+      .withColumn("offset", pmod(col("__before"), lit(seqLen.toLong)))
+      .drop("__before")
   }
 }

@@ -360,15 +360,19 @@ object Ann {
 
     // The normalized corpus feeds THREE consumers (k-means fit, cell
     // assignment + quantization, exact rescore) — persist the diamond's
-    // shared input once; qv/scale are projections on the same pass, so
-    // there is no second corpus read and no corpus self-join
+    // shared input once, WITHOUT the ml-vector `feat` copy (derived per
+    // consumer; caching it would double the pinned payload). Cache
+    // contract as in DedupGroups: Verify/Bench clearCache per query;
+    // long-lived callers should spark.catalog.clearCache() between
+    // batches (or take bruteForceTopKQuantized, which deliberately
+    // caches nothing).
     val cn = normalized(corpus, idCol, vecCol, "cand_id", "cv")
-      .withColumn("feat", array_to_vector(col("cv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withFeat = cn.withColumn("feat", array_to_vector(col("cv")))
     val km = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("feat").setPredictionCol("cell")
-      .fit(cn.select("feat"))
-    val corpusCells = km.transform(withQuantized(cn, "cv"))
+      .fit(withFeat.select("feat"))
+    val corpusCells = km.transform(withQuantized(withFeat, "cv"))
       .select(col("cand_id"), col("cell"), col("qv"), col("scale"))
 
     // the query pass likewise serves probing, coarse scoring, AND rescore

@@ -32,6 +32,17 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("duplicate ids within a bucket still conserve tokens (ROWS frame)") {
+    // the default RANGE frame would give both peer rows the same
+    // peer-inclusive sum (offsets {200, 200}, tokens 0-99 orphaned)
+    val got = Packing.planPacking(
+        Seq((8L, 100L), (8L, 100L), (16L, 50L)).toDF("id", "n"),
+        "id", "n", seqLen = 256, nBuckets = 1)
+      .select("bin", "offset").as[(Long, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq((0L, 0L), (0L, 100L), (0L, 200L)))
+  }
+
   test("token conservation: next doc starts where the previous ended") {
     val rows = Seq((0L, 100L), (1L, 200L), (2L, 300L))
     val got = Packing.planPacking(rows.toDF("id", "n"), "id", "n", 512, 1)
