@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, ShortType}
 
 /** Native Catalyst expression: dot product of two numeric arrays.
   *
@@ -21,14 +21,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  private def elemOk(dt: DataType) = dt == FloatType || dt == DoubleType
+  // integral element types read directly (getByte/getShort/getInt) so the
+  // int8-quantized ANN scan dots array<tinyint> without materializing a
+  // cast array<double> copy per row per pair
+  private def elemOk(dt: DataType) = dt == FloatType || dt == DoubleType ||
+    dt == ByteType || dt == ShortType || dt == IntegerType
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(lt, _), ArrayType(rt, _)) if elemOk(lt) && elemOk(rt) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"vec_dot requires two array<float|double>, got " +
+        s"vec_dot requires two array<tinyint|smallint|int|float|double>, got " +
           s"${l.simpleString}, ${r.simpleString}")
     }
 
@@ -40,20 +44,25 @@ case class DotProduct(left: Expression, right: Expression)
   private def elemType(e: Expression) =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  private def read(arr: ArrayData, i: Int, e: Expression): Double =
+    elemType(e) match {
+      case FloatType => arr.getFloat(i).toDouble
+      case DoubleType => arr.getDouble(i)
+      case ByteType => arr.getByte(i).toDouble
+      case ShortType => arr.getShort(i).toDouble
+      case IntegerType => arr.getInt(i).toDouble
+    }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = a.numElements()
     if (b.numElements() != n) return null
-    val aFloat = elemType(left) == FloatType
-    val bFloat = elemType(right) == FloatType
     var s = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      s += x * y
+      s += read(a, i, left) * read(b, i, right)
       i += 1
     }
     s
@@ -61,9 +70,13 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      def get(arr: String, i: String, e: Expression) =
-        if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)"
-        else s"$arr.getDouble($i)"
+      def get(arr: String, i: String, e: Expression) = elemType(e) match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case DoubleType => s"$arr.getDouble($i)"
+        case ByteType => s"(double) $arr.getByte($i)"
+        case ShortType => s"(double) $arr.getShort($i)"
+        case IntegerType => s"(double) $arr.getInt($i)"
+      }
       // skip per-element null checks when the schema guarantees none
       def nullCheck(arr: String, i: String, e: Expression) =
         if (e.dataType.asInstanceOf[ArrayType].containsNull)

@@ -301,11 +301,13 @@ object Ann {
             x => round(x / col("__s")).cast("tinyint"))))
       .withColumnRenamed("__s", "scale")
 
-  /** Quantized-dot score: int8 arrays cast to double feed the same codegen
-    * [[graft.functions.DotProduct]] loop, then the two scales rescale. */
+  /** Quantized-dot score: the codegen [[graft.functions.DotProduct]] loop
+    * reads the array<tinyint> elements DIRECTLY (no cast-to-double array
+    * materialized per row per pair — that allocation would dominate the
+    * corpus×queries hot loop), then the two scales rescale. */
   private def qDot(spark: org.apache.spark.sql.SparkSession,
                    qa: Column, sa: Column, qb: Column, sb: Column): Column =
-    DotProduct(spark, qa.cast("array<double>"), qb.cast("array<double>")) * sa * sb
+    DotProduct(spark, qa, qb) * sa * sb
 
   /** Top `rerank` (query_id, cand_id) per query by the coarse quantized
     * score — the shared shortlist step of both quantized paths. */

@@ -65,6 +65,27 @@ class ExpressionSpec extends SparkSpec {
     assert(math.abs(mixed - 2.5) < 1e-12)
   }
 
+  test("vec_dot reads integral arrays directly (int8 ANN hot loop)") {
+    // tinyint x tinyint: exact int math in double (-3*5 + 7*-2 = -29)
+    val bytes = Seq((Seq(-3.toByte, 7.toByte), Seq(5.toByte, -2.toByte)))
+      .toDF("u", "v")
+    val b = bytes.select(DotProduct(spark, col("u"), col("v"))).head().getDouble(0)
+    assert(b == -29.0)
+    // identical to the cast-to-double formulation the hot path replaced
+    val viaCast = bytes.select(DotProduct(spark,
+      col("u").cast("array<double>"), col("v").cast("array<double>")))
+      .head().getDouble(0)
+    assert(b == viaCast)
+    // tinyint x double mixed
+    val m = Seq((Seq(2.toByte, 3.toByte), Seq(0.5, 1.0))).toDF("u", "v")
+      .select(DotProduct(spark, col("u"), col("v"))).head().getDouble(0)
+    assert(m == 4.0)
+    // int x int
+    val ii = Seq((Seq(100000, 3), Seq(2, -1))).toDF("u", "v")
+      .select(DotProduct(spark, col("u"), col("v"))).head().getDouble(0)
+    assert(ii == 199997.0)
+  }
+
   test("vec_dot is registered as a SQL function") {
     GraftExtensions.register(spark)
     Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("u", "v")
