@@ -69,4 +69,49 @@ class PropertySpec extends SparkSpec {
       assert(q >= 0 && q <= 10000, q.toString)
     }
   }
+
+  test("packing plan conserves tokens for arbitrary inputs") {
+    import graft.operators.Packing
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 10000L)).map(_.distinct)
+      toks <- Gen.listOfN(ids.length, Gen.choose(1L, 900L))
+    } yield ids.zip(toks)
+    val rows = gen.sample.get
+    val seqLen = 256
+    val got = Packing.planPacking(rows.toDF("id", "n"), "id", "n", seqLen, 4)
+      .select("id", "n", "bucket", "bin", "offset")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    got.groupBy(_._3).foreach { case (_, bucketRows) =>
+      // positions are exactly the running sum: start_i+1 = start_i + n_i
+      val sorted = bucketRows.sortBy(_._1)
+      sorted.foldLeft(0L) { case (expectedStart, (_, n, _, bin, off)) =>
+        assert(bin * seqLen + off == expectedStart,
+          s"gap/overlap at start $expectedStart: $sorted")
+        expectedStart + n
+      }
+    }
+    assert(got.forall(r => r._5 >= 0 && r._5 < seqLen))
+  }
+
+  test("stratified sample rate concentrates for arbitrary strata maps") {
+    import graft.operators.Sampling
+    val rates = Gen.mapOfN(3, Gen.zip(Gen.oneOf("a", "b", "c"),
+      Gen.choose(0, 10000))).sample.get
+    val df = (0L until 4000L).toDF("id")
+      .withColumn("s", element_at(array(lit("a"), lit("b"), lit("c")),
+        (pmod(col("id"), lit(3)) + 1).cast("int")))
+    val kept = Sampling.stratifiedSample(df, "s", rates, defaultBp = 5000,
+        bp = Sampling.hashBp(col("id")))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    for (stratum <- Seq("a", "b", "c")) {
+      val rate = rates.getOrElse(stratum, 5000)
+      val expected = 4000.0 / 3 * rate / 10000.0
+      val got = kept.getOrElse(stratum, 0L).toDouble
+      // binomial concentration: |got - np| < 5*sqrt(np(1-p)) + slack
+      val sd = math.sqrt(expected * (1 - rate / 10000.0))
+      assert(math.abs(got - expected) <= 5 * sd + 3,
+        s"stratum $stratum rate $rate: got $got expected $expected")
+    }
+  }
 }
