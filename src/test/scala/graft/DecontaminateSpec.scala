@@ -45,6 +45,26 @@ class DecontaminateSpec extends SparkSpec {
       minHits = 5).count() == 0)
   }
 
+  test("decontamination composes with a document stream (stream-static join)") {
+    // the corpus side is a STREAM; the benchmark gram set is static —
+    // contaminationHits' broadcast semi-join + count works unchanged as a
+    // Structured Streaming stream-static join with a complete-mode agg
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon_stream")
+    Seq((1L, s"$eight leaked"), (2L, "clean content"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(dir.toString + "/docs")
+    val schema = spark.read.parquet(dir.toString + "/docs").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.toString + "/docs")
+    val bench = Seq((100L, s"x $eight y")).toDF("doc_id", "text")
+    val hits = Decontaminate.contaminationHits(stream, bench, "doc_id", "text")
+    assert(hits.isStreaming)
+    val got = graft.streaming.ScoringStream
+      .runToMemory(spark, hits, "complete")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.contains(1L) && !got.contains(2L))
+  }
+
   test("benchmark side broadcasts; corpus is never shuffled by content") {
     val corpus = Seq((1L, eight)).toDF("doc_id", "text")
     val bench = Seq((100L, eight)).toDF("doc_id", "text")
