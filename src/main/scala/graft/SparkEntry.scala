@@ -502,6 +502,12 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
     }),
 
+    // §2 row 62 (cont.): char-level repetition — count of the most
+    // frequent 4-char window per doc (the char half of the Gopher battery)
+    "q48_char_repetition" -> ((s, dir) =>
+      Repetition.topCharNgramStats(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
     // §2 row 70: sequence-packing plan — every doc's (bucket, bin, offset)
     // in the concat-and-chunk training-sequence layout; window arithmetic
     // on token counts only, parallel across nBuckets independent streams
@@ -900,6 +906,19 @@ object SparkEntry {
         "SELECT cg.doc_id, count(*) AS hits FROM cg JOIN bg USING (gram) " +
         "GROUP BY cg.doc_id"
     },
+
+    // Same 4-char windows via substr; counts are engine-independent
+    "q48_char_repetition" ->
+      ("WITH g0 AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+        "CASE WHEN length(text) >= 4 " +
+        "THEN list_transform(generate_series(1, length(text) - 3), i -> substr(text, i, 4)) " +
+        "ELSE [text] END AS grams FROM documents), " +
+        "m AS (SELECT doc_id, max(c) AS top_char_ngram_cnt FROM (" +
+        "SELECT doc_id, g, count(*) AS c FROM (" +
+        "SELECT doc_id, unnest(grams) AS g FROM g0) GROUP BY 1, 2) GROUP BY 1) " +
+        "SELECT g0.doc_id, n_chars, " +
+        "CAST(coalesce(top_char_ngram_cnt, 0) AS BIGINT) AS top_char_ngram_cnt " +
+        "FROM g0 LEFT JOIN m ON g0.doc_id = m.doc_id"),
 
     // Same per-bucket running-sum window; all-integer arithmetic
     "q47_packing_plan" ->

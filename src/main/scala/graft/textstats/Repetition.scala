@@ -50,6 +50,12 @@ object Repetition {
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
 
+  /** (id, top_cnt): occurrence count of the most frequent gram per id —
+    * the shared explode → two-level-partial-agg mode statistic. */
+  private def topModeCount(grams: DataFrame, outCol: String): DataFrame =
+    grams.groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max("c").as(outCol))
+
   /** Per-document repetition statistics:
     * (id, n_tokens, distinct_bp, top_token_cnt, top_bigram_cnt).
     *
@@ -66,15 +72,12 @@ object Repetition {
       .withColumn("n_tokens", size(col("toks")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val topUni = toks
-      .select(col("id"), explode(col("toks")).as("g"))
-      .groupBy("id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("id").agg(max("c").as("top_token_cnt"))
+    val topUni = topModeCount(
+      toks.select(col("id"), explode(col("toks")).as("g")), "top_token_cnt")
 
-    val topBi = toks
-      .select(col("id"), explode(bigrams(col("toks"))).as("g"))
-      .groupBy("id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("id").agg(max("c").as("top_bigram_cnt"))
+    val topBi = topModeCount(
+      toks.select(col("id"), explode(bigrams(col("toks"))).as("g")),
+      "top_bigram_cnt")
 
     toks
       .select(col("id"), col("n_tokens"),
@@ -85,5 +88,30 @@ object Repetition {
       .select(col("id"), col("n_tokens"), col("distinct_bp"),
         coalesce(col("top_token_cnt"), lit(0L)).as("top_token_cnt"),
         coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"))
+  }
+
+  /** Character-level mode statistic (the char half of Gopher's repetition
+    * battery): (id, n_chars, top_char_ngram_cnt) where the count is of the
+    * most frequent n-char window. Texts shorter than n count as one
+    * whole-text gram. Note the per-row window enumeration is
+    * `substr`-based (O(len·n) bytes touched per row for ASCII) — fine for
+    * document-sized rows; a book-length corpus would earn a native
+    * rolling-window expression like ShingleHashes. */
+  def topCharNgramStats(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 4): DataFrame = {
+    require(n >= 1)
+    val t = col(textCol)
+    val grams = when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
+      .otherwise(array(t))
+    // two cheap source scans, NOT one staged frame carrying the exploded
+    // gram array through a join (persisting ~n× the text per row is worse
+    // than re-reading the column-pruned scan)
+    val base = df.select(col(idCol).as("id"), length(t).cast("long").as("n_chars"))
+    val gramRows = df.select(col(idCol).as("id"), explode(grams).as("g"))
+    base
+      .join(topModeCount(gramRows, "top_char_ngram_cnt"), Seq("id"), "left")
+      .select(col("id"), col("n_chars"),
+        coalesce(col("top_char_ngram_cnt"), lit(0L)).as("top_char_ngram_cnt"))
   }
 }

@@ -35,6 +35,19 @@ class RepetitionSpec extends SparkSpec {
     assert(out(2).getLong(3) == 1 && out(2).getLong(4) == 0)
   }
 
+  test("topCharNgramStats exact: repeated window counted, short text whole") {
+    val df = Seq(
+      (1L, "abababab"),   // "abab" windows at 1,3,5 -> top cnt 3
+      (2L, "abcdefgh"),   // all distinct -> 1
+      (3L, "xy")          // shorter than 4 -> one whole-text gram
+    ).toDF("doc_id", "text")
+    val got = Repetition.topCharNgramStats(df, "doc_id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getLong(2) == 3, got(0).toString)
+    assert(got(1).getLong(2) == 1)
+    assert(got(2).getLong(1) == 2 && got(2).getLong(2) == 1)
+  }
+
   test("topNgramStats aggregations are partial (map-side combine)") {
     val df = Seq((1L, "a a b")).toDF("doc_id", "text")
     val plan = Repetition.topNgramStats(df, "doc_id", "text")
