@@ -44,14 +44,20 @@ case class DotProduct(left: Expression, right: Expression)
   private def elemType(e: Expression) =
     e.dataType.asInstanceOf[ArrayType].elementType
 
-  private def read(arr: ArrayData, i: Int, e: Expression): Double =
+  // reader resolved ONCE per side (lazy val), not per element — the
+  // interpreted path still runs the scoring loop when codegen is disabled
+  // or falls back, and a per-element type dispatch there is 2·dim wasted
+  // branches per pair
+  private def reader(e: Expression): (ArrayData, Int) => Double =
     elemType(e) match {
-      case FloatType => arr.getFloat(i).toDouble
-      case DoubleType => arr.getDouble(i)
-      case ByteType => arr.getByte(i).toDouble
-      case ShortType => arr.getShort(i).toDouble
-      case IntegerType => arr.getInt(i).toDouble
+      case FloatType => (a, i) => a.getFloat(i).toDouble
+      case DoubleType => (a, i) => a.getDouble(i)
+      case ByteType => (a, i) => a.getByte(i).toDouble
+      case ShortType => (a, i) => a.getShort(i).toDouble
+      case IntegerType => (a, i) => a.getInt(i).toDouble
     }
+  @transient private lazy val readLeft = reader(left)
+  @transient private lazy val readRight = reader(right)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -62,7 +68,7 @@ case class DotProduct(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      s += read(a, i, left) * read(b, i, right)
+      s += readLeft(a, i) * readRight(b, i)
       i += 1
     }
     s

@@ -35,7 +35,8 @@ object GraftExtensions {
   private def vecDotBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(u, v) => DotProduct(u, v)
     case _ => throw new IllegalArgumentException(
-      "vec_dot(array<float|double>, array<float|double>)")
+      "vec_dot(array<tinyint|smallint|int|float|double>, " +
+        "array<tinyint|smallint|int|float|double>)")
   }
 
   private def simhash64Builder(args: Seq[Expression]): Expression = args match {

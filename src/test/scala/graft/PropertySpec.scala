@@ -96,8 +96,11 @@ class PropertySpec extends SparkSpec {
 
   test("stratified sample rate concentrates for arbitrary strata maps") {
     import graft.operators.Sampling
+    // fixed seed: this test asserts a STATISTICAL bound (unlike the exact
+    // invariants above), so a failure must be replayable
     val rates = Gen.mapOfN(3, Gen.zip(Gen.oneOf("a", "b", "c"),
-      Gen.choose(0, 10000))).sample.get
+      Gen.choose(0, 10000)))
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(20260812L)).get
     val df = (0L until 4000L).toDF("id")
       .withColumn("s", element_at(array(lit("a"), lit("b"), lit("c")),
         (pmod(col("id"), lit(3)) + 1).cast("int")))
