@@ -65,6 +65,28 @@ class ExpressionSpec extends SparkSpec {
     assert(math.abs(mixed - 2.5) < 1e-12)
   }
 
+  test("vec_dot interpreted eval (no codegen) matches for every element type") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, FloatType, IntegerType, ShortType}
+    def lit(v: Any, t: org.apache.spark.sql.types.DataType) =
+      Literal.create(v, ArrayType(t, containsNull = false))
+    // eval() runs nullSafeEval directly — the path codegen fallback takes
+    val cases = Seq(
+      (lit(Seq(-3.toByte, 7.toByte), ByteType),
+        lit(Seq(5.toByte, -2.toByte), ByteType), -29.0),
+      (lit(Seq(2.toShort, 3.toShort), ShortType),
+        lit(Seq(4.toShort, 5.toShort), ShortType), 23.0),
+      (lit(Seq(100000, 3), IntegerType), lit(Seq(2, -1), IntegerType), 199997.0),
+      (lit(Seq(0.5f, 2.0f), FloatType), lit(Seq(4.0f, 0.25f), FloatType), 2.5),
+      (lit(Seq(0.5, 2.0), DoubleType), lit(Seq(2.toByte, 1.toByte), ByteType), 3.0))
+    cases.foreach { case (u, v, want) =>
+      assert(DotProduct(u, v).eval(null) == want, s"$u · $v")
+    }
+    // length mismatch -> null on the interpreted path too
+    assert(DotProduct(lit(Seq(1.0), DoubleType),
+      lit(Seq(1.0, 2.0), DoubleType)).eval(null) == null)
+  }
+
   test("vec_dot reads integral arrays directly (int8 ANN hot loop)") {
     // tinyint x tinyint: exact int math in double (-3*5 + 7*-2 = -29)
     val bytes = Seq((Seq(-3.toByte, 7.toByte), Seq(5.toByte, -2.toByte)))
