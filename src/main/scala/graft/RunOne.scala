@@ -15,17 +15,22 @@ object RunOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Clock starts BEFORE construction: some queries do real work eagerly
+    // (q19's auto-sizing count, q43/q44's CC fixpoint) and must be billed.
+    val tc = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, sfDir)
-    if (args.contains("explain")) df.explain("formatted")
-    args.find(_.startsWith("dump=")).foreach { d =>
-      df.write.mode("overwrite").parquet(d.stripPrefix("dump="))
-    }
     val tp = System.nanoTime()
     df.queryExecution.executedPlan // force analysis + physical planning
     val t0 = System.nanoTime()
     val n = df.count()
-    println(f"[runone] $name rows=$n plan=${(t0 - tp) / 1e9}%.2f s " +
-      f"exec=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val tEnd = System.nanoTime()
+    if (args.contains("explain")) df.explain("formatted")
+    args.find(_.startsWith("dump=")).foreach { d =>
+      df.write.mode("overwrite").parquet(d.stripPrefix("dump="))
+    }
+    println(f"[runone] $name rows=$n construct=${(tp - tc) / 1e9}%.2f s " +
+      f"plan=${(t0 - tp) / 1e9}%.2f s exec=${(tEnd - t0) / 1e9}%.2f s " +
+      f"total=${(tEnd - tc) / 1e9}%.2f s")
     spark.stop()
   }
 }

@@ -207,13 +207,20 @@ object SparkEntry {
     // §2 row 32: embedding-cosine near-dup, multi-table SRP (L tables × b
     // bits, b sized from the corpus count so bucket population — and the
     // per-bucket self-join — stays bounded at any N; candidates unioned
-    // across tables, cosine-verified). threshold=0.3 because the synthetic
-    // embeddings have no tighter pairs (max pairwise cos ≈ 0.5); real
-    // near-dup corpora run this at ≥ 0.8 where the recall target needs
-    // fewer tables (see Ann.srpTablesFor).
-    "q19_cosine_dedup" -> ((s, dir) =>
-      Ann.nearDupByCosineAuto(spread(s, Tables.embeddings(s, dir)), "vec_id",
-        "embedding", threshold = 0.3, dim = 64)),
+    // across tables, cosine-verified). Declared at threshold 0.8, the
+    // regime the operator is designed for (L ≈ 11 tables, not the
+    // low-threshold 32-table cap — see Ann.srpTablesFor). The synthetic
+    // embeddings have no pairs tighter than cos ≈ 0.5, so every 16th
+    // vector re-enters under id + 1_000_000: exact duplicates give the
+    // query non-empty ground truth at 0.8. Low-threshold cap behavior
+    // stays pinned in AnnSpec.
+    "q19_cosine_dedup" -> ((s, dir) => {
+      val emb = spread(s, Tables.embeddings(s, dir))
+      val planted = emb.filter(col("vec_id") % 16 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      Ann.nearDupByCosineAuto(emb.unionByName(planted), "vec_id",
+        "embedding", threshold = 0.8, dim = 64)
+    }),
 
     // §2 row 33: brute-force cosine top-k (exact ANN baseline). The cosine
     // rides as floor-micro-units: both engines normalize and accumulate the
@@ -926,8 +933,10 @@ object SparkEntry {
         s"CAST(len(regexp_extract_all(text, '${TextStats.bpeishPattern}')) AS BIGINT) AS n_tok, " +
         "doc_id % 8 AS bucket FROM documents), " +
         "w AS (SELECT doc_id, n_tok, bucket, " +
-        "coalesce(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id " +
-        "ROWS UNBOUNDED PRECEDING) - n_tok, 0) AS before FROM t) " +
+        // CAST: DuckDB's sum() OVER on BIGINT yields HUGEINT, which surfaces
+        // as float64 in the driver's comparator; Spark emits int64.
+        "CAST(coalesce(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) - n_tok, 0) AS BIGINT) AS before FROM t) " +
         "SELECT doc_id, n_tok, bucket, " +
         "before // 512 AS bin, before % 512 AS offset FROM w")
   )
