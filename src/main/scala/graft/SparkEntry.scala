@@ -270,12 +270,13 @@ object SparkEntry {
         col("doc_id"),
         TextStats.fingerprint(col("text")).as("fp"))),
 
-    // §2 row 39 (cont.): winnowing-style min-window hash (rows-only:
-    // xxhash64 has no DuckDB counterpart)
+    // §2 row 39 (cont.): winnowing-style min-window hash — native O(len)
+    // rolling expression over the q25 polynomial family, so the oracle can
+    // replay it window-by-window (promoted from rows-only)
     "q31_min_window_hash" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
-        TextStats.minWindowHash(col("text")).as("min_window_hash"))),
+        TextStats.minWindowHash(s, col("text")).as("min_window_hash"))),
 
     // §2 row 40: TPC-H Q1-style pricing summary over lineitem — the
     // fact-table aggregate whose shuffle carries only (flag,status) groups
@@ -550,7 +551,27 @@ object SparkEntry {
         .groupBy("source").agg(
           count(lit(1)).as("n_docs"),
           sum(TextStats.bpeTokenCount(col("text")).cast("long"))
-            .as("total_tokens")))
+            .as("total_tokens"))),
+
+    // §2 row 44: the primary 100 TB ANN path as a driver query — k-means
+    // coarse quantizer, nProbe cells probed per query, exact cosine only on
+    // the probed candidates (~corpus × nProbe / nCentroids per query).
+    // Rows-only (probing is approximate); AnnSpec pins recall vs brute
+    // force. Compare against q20's brute-force baseline in the bench.
+    "q49_ivf_topk" -> ((s, dir) => {
+      val emb = spread(s, Tables.embeddings(s, dir))
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4)
+        .select(col("query_id"), col("cand_id"), col("rank"),
+          floor(col("cos") * 1e6).cast("long").as("cos_uu"))
+    }),
+
+    // The reference's headline deliverable as a runnable query: SVM vs LR
+    // vs NB F1 on the same split (one featurize fit, three head fits).
+    // Rows-only (model metrics); MlSpec pins each algo's F1 floor.
+    "q50_model_f1" -> ((s, dir) =>
+      Sentiment.compareModels(Sentiment.prepare(Tables.documents(s, dir)),
+        vocabSize = 1024))
   )
 
   // ---------------------------------------------------------------------
@@ -765,6 +786,22 @@ object SparkEntry {
         "list_transform(regexp_split_to_array(text, ''), " +
         "c -> CAST(coalesce(ascii(c), 0) AS BIGINT))), " +
         "(a, b) -> (a * 31 + b) % 1000000007) AS fp FROM documents"),
+
+    // Same q25 polynomial per 8-char window (the oracle recomputes each
+    // window from scratch; Spark's native expression rolls in O(len));
+    // min across windows, whole-string hash below 8 chars
+    "q31_min_window_hash" ->
+      ("SELECT doc_id, CASE WHEN length(text) >= 8 THEN " +
+        "list_min(list_transform(generate_series(1, length(text) - 7), " +
+        "i -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(regexp_split_to_array(substr(text, i, 8), ''), " +
+        "c -> CAST(coalesce(ascii(c), 0) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 1000000007))) " +
+        "ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(regexp_split_to_array(text, ''), " +
+        "c -> CAST(coalesce(ascii(c), 0) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 1000000007) END AS min_window_hash " +
+        "FROM documents"),
 
     // Spark window() aligns 6h buckets to the epoch; DuckDB time_bucket's
     // default origin (2000-01-03) is a whole multiple of 6h from the epoch,

@@ -50,6 +50,13 @@ object GraftExtensions {
       "shingle_hashes(array<string>, k: int literal)")
   }
 
+  private def minWindowHashBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(text) => MinWindowHash(text, 8)
+    case Seq(text, Literal(k: Int, _)) => MinWindowHash(text, k)
+    case _ => throw new IllegalArgumentException(
+      "min_window_hash(string[, k: int literal])")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("minhash_sig"),
@@ -63,7 +70,10 @@ object GraftExtensions {
         simhash64Builder _),
       (FunctionIdentifier("shingle_hashes"),
         new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
-        shingleHashesBuilder _))
+        shingleHashesBuilder _),
+      (FunctionIdentifier("min_window_hash"),
+        new ExpressionInfo(classOf[MinWindowHash].getName, "min_window_hash"),
+        minWindowHashBuilder _))
 
   /** Register on an already-built session (e.g. the shared test session). */
   def register(spark: SparkSession): Unit = {

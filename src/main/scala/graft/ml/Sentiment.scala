@@ -70,6 +70,32 @@ object Sentiment {
     (model, f1(preds), preds)
   }
 
+  /** The reference's headline deliverable — the three-model F1 comparison
+    * (Scalable_Project_ML_Model_Analysis.py:209-344 trains SVM / LR / NB and
+    * reports each F1) — as one DataFrame of (algo, f1). The featurization
+    * (tokenize → stopwords → CV → IDF) is fitted ONCE and its train/test
+    * outputs cached; only the classifier heads refit per algo, so the
+    * comparison costs one featurize pass + three head fits, not three full
+    * pipeline fits. */
+  def compareModels(labeled: DataFrame,
+                    algos: Seq[String] = Seq("svm", "lr", "nb"),
+                    seed: Long = 100L, vocabSize: Int = 4096): DataFrame = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val Array(train, test) = labeled.randomSplit(Array(0.8, 0.2), seed)
+    val feat = Featurize.pipeline(vocabSize = vocabSize).fit(train)
+    val fTrain = feat.transform(train).select("label", "tf", "tfidf").cache()
+    val fTest = feat.transform(test).select("label", "tf", "tfidf").cache()
+    val rows = algos.map { algo =>
+      // one-stage Pipeline wrapper: fits any classifier head to a
+      // Transformer without per-algo type gymnastics
+      val head = new Pipeline().setStages(Array(classifier(algo))).fit(fTrain)
+      algo -> f1(head.transform(fTest))
+    }
+    fTrain.unpersist(); fTest.unpersist()
+    rows.toDF("algo", "f1")
+  }
+
   /** F1 via MulticlassClassificationEvaluator
     * (ref Scalable_Project_ML_Model_Analysis.py:227-229). */
   def f1(preds: DataFrame): Double =

@@ -86,11 +86,12 @@ object TextStats {
     aggregate(split(text, ""), lit(0L),
       (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch), lit(0)), lit(1000000007L)))
 
-  /** Winnowing-style fingerprint: minimum xxhash64 over k-char windows —
-    * robust to local edits, used as a cheap near-dup prefilter. */
-  def minWindowHash(text: Column, k: Int = 8): Column =
-    when(length(text) >= k,
-      array_min(transform(sequence(lit(1), length(text) - (k - 1)),
-        i => xxhash64(call_function("substring", text, i, lit(k))))))
-      .otherwise(xxhash64(text))
+  /** Winnowing-style fingerprint: minimum polynomial hash over k-char
+    * windows — robust to local edits, used as a cheap near-dup prefilter.
+    * Native O(len) rolling expression ([[graft.functions.MinWindowHash]]);
+    * the hash family is the q25 [[fingerprint]] recurrence, so the result
+    * is replayable window-by-window in a SQL oracle. */
+  def minWindowHash(spark: org.apache.spark.sql.SparkSession,
+                    text: Column, k: Int = 8): Column =
+    graft.functions.MinWindowHash(spark, text, k)
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.functions._
 
-import graft.functions.{DotProduct, GraftExtensions, MinHashSignature, ShingleHashes, SimHash64, VectorFunctions}
+import graft.functions.{DotProduct, GraftExtensions, MinHashSignature, MinWindowHash, ShingleHashes, SimHash64, VectorFunctions}
 
 class ExpressionSpec extends SparkSpec {
   import spark.implicits._
@@ -152,6 +152,57 @@ class ExpressionSpec extends SparkSpec {
     assert(out(1L) == out(4L))
     // window hashes are order-sensitive: (a b c) != (b c d)
     assert(out(1L)(0) != out(1L)(1))
+  }
+
+  test("min_window_hash matches a per-window reference (codegen + interpreted)") {
+    val M = 1000000007L
+    def poly(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % M)
+    def reference(s: String, k: Int): Long =
+      if (s.codePointCount(0, s.length) < k) poly(s)
+      else {
+        // per-window recompute — the O(len·k) formulation the rolling
+        // expression must agree with exactly
+        val cps = s.codePoints().toArray
+        cps.sliding(k).map(w => w.foldLeft(0L)((a, c) => (a * 31 + c) % M)).min
+      }
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaa",        // all windows identical
+      "short",               // len < k -> whole-string hash
+      "exactly8",            // len == k -> single window
+      "",                    // empty -> fold seed 0
+      "café au lait über alles", // non-ASCII codepoints
+      "x" * 1000)
+    val got = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+      .select(col("id"), MinWindowHash(spark, col("text"), 8).as("mw"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i.toLong) == reference(s, 8), s"sample $i: '${s.take(20)}'")
+    }
+    // interpreted path (eval without codegen) agrees too
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    samples.foreach { s =>
+      assert(MinWindowHash(Literal(s), 8).eval(null) == reference(s, 8))
+    }
+    // null text -> null
+    assert(MinWindowHash(Literal.create(null,
+      org.apache.spark.sql.types.StringType), 8).eval(null) == null)
+  }
+
+  test("min_window_hash is registered as a SQL function") {
+    GraftExtensions.register(spark)
+    Seq("rolling hash windows here").toDF("text")
+      .createOrReplaceTempView("mwh_docs")
+    val viaSql = spark.sql(
+      "SELECT min_window_hash(text, 8) FROM mwh_docs").head().getLong(0)
+    val viaCol = Seq("rolling hash windows here").toDF("text")
+      .select(MinWindowHash(spark, col("text"), 8)).head().getLong(0)
+    assert(viaSql == viaCol)
+    // default k = 8 single-arg form
+    assert(spark.sql("SELECT min_window_hash(text) FROM mwh_docs")
+      .head().getLong(0) == viaSql)
   }
 
   test("minhash_sig survives inside the full banded pipeline") {

@@ -39,6 +39,16 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("compareModels reports all three algos above their F1 floors") {
+    val out = Sentiment.compareModels(docs, vocabSize = 256)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set("svm", "lr", "nb"))
+    // same floors as the per-algo test; the shared-featurization path must
+    // not cost quality vs the full-pipeline fits
+    for ((algo, floor) <- Seq("svm" -> 0.5, "lr" -> 0.5, "nb" -> 0.42))
+      assert(out(algo) > floor, s"$algo F1=${out(algo)} below floor $floor")
+  }
+
   test("hashing featurizer trains to comparable quality without a vocab fit") {
     val (model, f1, _) = Sentiment.trainEval(docs, "svm", seed = 100L,
       vocabSize = 1 << 12, hashing = true)

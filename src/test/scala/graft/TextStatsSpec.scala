@@ -60,7 +60,7 @@ class TextStatsSpec extends SparkSpec {
     val b = a + "EDITED"
     val rows = Seq(a, b).toDF("text")
       .select(TextStats.fingerprint(col("text")).as("fp"),
-        TextStats.minWindowHash(col("text")).as("mw")).collect()
+        TextStats.minWindowHash(spark, col("text")).as("mw")).collect()
     assert(rows(0).getLong(0) != rows(1).getLong(0)) // full-hash differs
     assert(rows(0).getLong(1) == rows(1).getLong(1)) // min-window survives
   }
