@@ -55,6 +55,24 @@ object SparkEntry {
   private def spread(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
 
+  /** Temp staging directory registered (once per path) for recursive
+    * deletion at JVM exit — round-trip queries stage under tmp without
+    * leaking a directory per run. */
+  private val stagingRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def stagingDir(name: String): String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), name).toString
+    if (stagingRegistered.add(p))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(p))
+      }))
+    p
+  }
+
   // ---------------------------------------------------------------------
   // Queries (SparkSession, sfDir) => DataFrame
   // ---------------------------------------------------------------------
@@ -462,16 +480,19 @@ object SparkEntry {
         .select("doc_id", "source")),
 
     // §2 row 64: JSONL source/sink round-trip with an EXPLICIT schema (no
-    // inference pass); write documents as JSONL, read back, project
+    // inference pass); write documents as JSONL, read back, project.
+    // NOTE: the write runs EAGERLY at query-construction time (a lazy read
+    // of an unwritten path can't round-trip) — construction is billed by
+    // Bench and RunOne, and the staging dir is removed at JVM exit.
     "q41_jsonl_roundtrip" -> ((s, dir) => {
       val src = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
       // staging path keyed by the sanitized sfDir NAME (not its hashCode —
       // collisions would round-trip the wrong dataset) plus the pid, so two
       // concurrent drivers on the same sfDir never overwrite each other's
       // files mid-read
-      val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_jsonl_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-          "_" + ProcessHandle.current().pid()).toString
+      val path = stagingDir("graft_jsonl_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + ProcessHandle.current().pid())
       Tables.writeJsonl(src, path)
       Tables.readJsonl(s, path, src.schema)
     }),
@@ -571,7 +592,19 @@ object SparkEntry {
     // Rows-only (model metrics); MlSpec pins each algo's F1 floor.
     "q50_model_f1" -> ((s, dir) =>
       Sentiment.compareModels(Sentiment.prepare(Tables.documents(s, dir)),
-        vocabSize = 1024))
+        vocabSize = 1024)),
+
+    // §2 row 35, decode made real: P6 (PPM) payloads are born on executors
+    // (one per doc_id, pixels a positional-hash function of (id, i)), then
+    // genuinely DECODED per-partition — Netpbm header parsed, RGB plane
+    // scanned for channel sums. The oracle regenerates every pixel in SQL
+    // from the same recurrence, so parsed dims AND pixel stats are
+    // hash-checked without the oracle touching binary.
+    "q51_ppm_decode" -> ((s, dir) => {
+      val media = Multimodal.ppmPayloads(s, Tables.documents(s, dir), "doc_id")
+      Multimodal.decodePpmStage(s, media).toDF()
+        .withColumnRenamed("id", "doc_id")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -702,6 +735,22 @@ object SparkEntry {
       (s"SELECT token, count(DISTINCT doc_id) AS df_docs, count(*) AS tf " +
         s"FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS token FROM documents) " +
         "WHERE token <> '' AND NOT token IN ('one', 's') GROUP BY token"),
+
+    // Regenerates the P6 pixel plane from the same positional-hash
+    // recurrence the executors encode, so the decoded stats (parsed dims +
+    // channel sums) are checked end-to-end without binary in the oracle
+    "q51_ppm_decode" ->
+      ("WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CAST(255 AS INT) AS maxval, " +
+        "CAST(coalesce(list_sum(list_transform(generate_series(0, 3*w*h - 3, 3), " +
+        "i -> ((doc_id * 1103515245 + i * 12345 + 42) % 2147483647) % 256)), 0) AS BIGINT) AS sum_r, " +
+        "CAST(coalesce(list_sum(list_transform(generate_series(1, 3*w*h - 2, 3), " +
+        "i -> ((doc_id * 1103515245 + i * 12345 + 42) % 2147483647) % 256)), 0) AS BIGINT) AS sum_g, " +
+        "CAST(coalesce(list_sum(list_transform(generate_series(2, 3*w*h - 1, 3), " +
+        "i -> ((doc_id * 1103515245 + i * 12345 + 42) % 2147483647) % 256)), 0) AS BIGINT) AS sum_b, " +
+        "CAST(3*w*h AS BIGINT) AS px_bytes FROM d"),
 
     "q21_multimodal_meta" ->
       ("SELECT source, count(*) AS n_rows, " +

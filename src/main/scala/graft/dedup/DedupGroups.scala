@@ -17,11 +17,12 @@ import org.apache.spark.storage.StorageLevel
   * min-aggregate), both with map-side partial aggregation; labels — never
   * payloads — ride the exchanges. Rounds needed = graph diameter, and
   * near-dup clusters are dense by construction (pairs share
-  * shingles/buckets), so diameters stay in the single digits; `maxIters`
-  * fails fast instead of looping silently if fed an adversarial
-  * million-node chain. (The O(log n)-round large-star/small-star variant
-  * exists for such graphs; for dedup clusters the simpler per-round plan —
-  * and one shuffle fewer per round — wins.)
+  * shingles/buckets), so diameters stay in the single digits; graphs whose
+  * diameter exhausts `maxIters` automatically fall back to the
+  * O(log n)-round large-star/small-star formulation
+  * ([[connectedComponentsStar]]) instead of failing. For dedup-shaped
+  * (dense, low-diameter) graphs label propagation stays the default — one
+  * shuffle fewer per round and a cheaper per-round plan.
   *
   * Determinism: min() over distinct ids has a unique fixpoint, so the
   * component labeling is exactly reproducible — and oracle-checkable (the
@@ -66,12 +67,17 @@ object DedupGroups {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // candidate label per node: min over its own and its neighbors' labels
+      // candidate label per node: min over its own and its neighbors' labels.
+      // localCheckpoint (not bare persist): labels feeds itself next round,
+      // so the logical plan doubles per round — 20 rounds of a
+      // non-converging graph would mean a 2^20-node plan tree before the
+      // star fallback even starts. Checkpointing materializes the same
+      // cache AND truncates lineage to it.
       val next = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("comp"))
         .union(labels)
         .groupBy("id").agg(min("comp").as("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
@@ -80,13 +86,102 @@ object DedupGroups {
       iter += 1
     }
     edges.unpersist()
-    // the failure path must not strand the cached label frame (callers are
-    // told to retry with higher maxIters — each attempt would leak one)
-    if (!converged) labels.unpersist()
+    if (!converged) {
+      // diameter > maxIters: not a near-dup cluster shape. Don't strand the
+      // cached label frame, and don't fail — re-solve with the
+      // round-logarithmic star algorithm, which a long chain can't starve.
+      labels.unpersist()
+      return connectedComponentsStar(pairs, aCol, bCol)
+    }
+    labels
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * fallback for pair graphs whose diameter exceeds what per-round label
+    * propagation can cover. Rounds are O(log n) in the component size
+    * (each pair of phases at least halves every non-star structure), where
+    * plain propagation needs diameter-many rounds.
+    *
+    * Per round, on the edge set itself (no separate label frame):
+    *  - large-star: every node u links each LARGER neighbor v > u to
+    *    m(u) = min(Γ(u) ∪ u) — one groupBy + one join, both keyed on u;
+    *  - small-star: orient edges toward the smaller endpoint; every node u
+    *    links itself and each smaller neighbor to the smallest.
+    * Both phases move edge endpoints monotonically toward component minima;
+    * the fixpoint is a star per component centered at its minimum id, read
+    * out directly as (id, comp). Shuffles carry (long, long) edges only.
+    *
+    * Convergence check: (count, Σ xxhash64(lo, hi)) over the canonical
+    * edge set — equal across a round ⇒ the set is unchanged (a sum
+    * collision while the set differs needs ≥2^64-odds cancellation; the
+    * count guard removes the trivial collisions). One aggregate per round
+    * over the already-persisted frame, same trick as the label-sum
+    * watermark above. */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+                              maxIters: Int = 50): DataFrame = {
+    // canonical undirected edges (lo < hi); self-pairs carry no information
+    var edges = pairs
+      .select(least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def watermark(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("lo"), col("hi")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("h")).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var prev = watermark(edges) // also materializes the persist
+    var converged = prev._1 == 0L // empty graph: already done
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // ---- large-star: (v, m(u)) for every neighbor v > u --------------
+      val nbrs = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .union(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = nbrs.groupBy("u")
+        .agg(least(col("u"), min("v")).as("m"))
+      val large = nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi")) // m ≤ u < v
+        .distinct()
+        .localCheckpoint() // eager: materialized before the input unpersists
+      edges.unpersist()
+      // ---- small-star: u and every smaller neighbor link to the min ----
+      val next = {
+        val d = large.select(col("hi").as("u"), col("lo").as("v")) // v < u
+        val m2 = d.groupBy("u").agg(min("v").as("m")) // m < u by construction
+        d.join(m2, "u")
+          .select(col("m").as("lo"), col("v").as("hi"))
+          .filter(col("lo") =!= col("hi")) // (m, m) self-link
+          .union(m2.select(col("m").as("lo"), col("u").as("hi")))
+          .distinct()
+          // lineage cut per round: edges appears 4× in a round's plan, so
+          // an uncut tree grows 4^rounds and the plan/codegen machinery —
+          // not the data — becomes the bottleneck
+          .localCheckpoint()
+      }
+      val cur = watermark(next)
+      large.unpersist()
+      edges = next
+      // compareTo, not equals: BigDecimal.equals is scale-sensitive
+      converged = cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0
+      prev = cur
+      iter += 1
+    }
     require(converged,
-      s"connectedComponents did not converge in $maxIters rounds — the pair " +
-        s"graph has diameter > $maxIters (not a near-dup cluster shape); " +
-        s"raise maxIters or switch to a large-star/small-star formulation")
+      s"connectedComponentsStar did not converge in $maxIters rounds")
+    // fixpoint edges are (component-min, member); centers and singletons
+    // label themselves
+    val labels = edges.select(col("hi").as("id"), col("lo").as("comp"))
+      .union(edges.select(col("lo").as("id"), col("lo").as("comp")))
+      .union(pairs.select(col(aCol).as("id"), col(aCol).as("comp"))
+        .filter(col(aCol) === col(bCol))) // degenerate self-pairs
+      .groupBy("id").agg(min("comp").as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    edges.unpersist()
     labels
   }
 

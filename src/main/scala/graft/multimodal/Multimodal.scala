@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * stages shaped the way a real pipeline runs them (per-partition batches
   * over a `Dataset`, the Scala analog of `mapInPandas`).
   *
-  * The container has no image/audio codecs, so the *decode step is a STUB* —
-  * a deterministic fake that derives "pixels" from the payload bytes. The
-  * Spark-side contract is real and tested: schema (binary + struct metadata),
-  * partition-parallel batch shape, and the invariant that payload bytes never
-  * hit the driver. Swap [[fakeDecode]] for a codec call and nothing else
-  * changes.
+  * The decode stage is REAL: payloads are Netpbm P6 (PPM) images — a public
+  * binary format simple enough to parse in pure JVM with no codec deps —
+  * and [[decodePpm]] parses the header (magic, whitespace/comments, dims,
+  * maxval) and scans the pixel plane for per-channel statistics. Swapping in
+  * a JPEG codec changes one function body; the Spark-side contract —
+  * binary column in, per-partition iterator decode, typed stats out, payload
+  * bytes never on the driver — is identical.
   */
 object Multimodal {
 
@@ -24,9 +25,13 @@ object Multimodal {
   case class MediaRow(id: Long, payload: Array[Byte], width: Int, height: Int,
                       format: String, nFrames: Int)
 
-  /** Decoded (stub) representation: a small fixed-length feature of the
-    * payload standing in for pixel data. */
-  case class Decoded(id: Long, width: Int, height: Int, feature: Array[Double])
+  /** Byte-histogram feature of an opaque payload (format-agnostic — works
+    * on any binary column, decoded or not). */
+  case class Featured(id: Long, width: Int, height: Int, feature: Array[Double])
+
+  /** Decoded P6 image statistics: parsed dims + per-channel pixel sums. */
+  case class PpmStats(id: Long, width: Int, height: Int, maxval: Int,
+                      sum_r: Long, sum_g: Long, sum_b: Long, px_bytes: Long)
 
   /** Attach an opaque binary payload + deterministic fake metadata to a text
     * table (documents stand in for a media corpus). Pure per-row expressions. */
@@ -41,11 +46,95 @@ object Multimodal {
         (pmod(xxhash64(col(textCol), lit(2)), lit(3L)) + 1).cast("int")).as("format"),
       (pmod(xxhash64(col(textCol), lit(3)), lit(64L)) + 1).cast("int").as("nFrames"))
 
-  /** STUB decode: ??? in a real deployment this calls an image codec on
-    * `payload`; here it derives a deterministic 8-dim "feature" from byte
-    * content. Runs per-partition over iterator batches — the distributed
-    * shape of a real decoder — and never collects payloads to the driver. */
-  def fakeDecode(rows: Iterator[MediaRow]): Iterator[Decoded] =
+  // ---------------------------------------------------------------------
+  // Real P6 (PPM) encode/decode — pure JVM, no codec dependencies
+  // ---------------------------------------------------------------------
+
+  /** Deterministic P6 payload for one id: dims derived from the id, pixel
+    * bytes from a positional-hash recurrence — chosen so a SQL oracle can
+    * regenerate every byte without parsing binary:
+    * `px(d, i) = ((d·1103515245 + i·12345 + 42) mod 2147483647) mod 256`.
+    * All intermediates stay well inside int64 at any realistic id range. */
+  def encodePpm(id: Long): Array[Byte] = {
+    val w = (8 + id % 9).toInt
+    val h = (8 + id % 7).toInt
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val n = 3 * w * h
+    val out = new Array[Byte](header.length + n)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < n) {
+      out(header.length + i) =
+        (((id * 1103515245L + i * 12345L + 42L) % 2147483647L) % 256L).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** REAL Netpbm P6 parser: magic, whitespace/comment-tolerant header
+    * tokens (width, height, maxval per the published spec), the single
+    * whitespace byte, then one pass over the RGB plane for per-channel
+    * sums. Malformed payloads fail loudly (corrupt media should surface,
+    * not silently zero). */
+  def decodePpm(id: Long, b: Array[Byte]): PpmStats = {
+    require(b.length >= 2 && b(0) == 'P' && b(1) == '6', s"id=$id: not a P6 PPM")
+    var pos = 2
+    def isWs(c: Byte): Boolean =
+      c == ' ' || c == '\n' || c == '\r' || c == '\t'
+    def nextInt(): Int = {
+      while (pos < b.length && (isWs(b(pos)) || b(pos) == '#')) {
+        if (b(pos) == '#') { // comment runs to end of line
+          while (pos < b.length && b(pos) != '\n') pos += 1
+        } else pos += 1
+      }
+      require(pos < b.length && b(pos) >= '0' && b(pos) <= '9',
+        s"id=$id: bad PPM header")
+      var v = 0
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        v = v * 10 + (b(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    pos += 1 // exactly one whitespace byte separates maxval from pixels
+    val n = 3 * w * h
+    require(b.length - pos >= n, s"id=$id: truncated pixel data")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < n) {
+      val v = (b(pos + i) & 0xff).toLong
+      val c = i % 3
+      if (c == 0) sr += v else if (c == 1) sg += v else sb += v
+      i += 1
+    }
+    PpmStats(id, w, h, maxval, sr, sg, sb, n.toLong)
+  }
+
+  /** Encode stage: id column → (id, payload) P6 rows, per-partition (the
+    * ingest half of the decode contract; payloads are born on executors
+    * and never visit the driver). */
+  def ppmPayloads(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, encodePpm(id))))
+      .toDF("id", "payload")
+  }
+
+  /** Decode stage: binary P6 payload → parsed dims + channel stats,
+    * per-partition over iterator batches — the distributed shape of a real
+    * decoder. */
+  def decodePpmStage(spark: SparkSession, media: DataFrame): Dataset[PpmStats] = {
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => decodePpm(id, p) })
+  }
+
+  /** Feature-extract stage: byte-histogram 8-dim feature of any opaque
+    * payload. Format-agnostic by design (runs on encoded bytes — the cheap
+    * pre-decode signal a curation pass uses to cluster/dedupe payloads
+    * before paying for a real decode). */
+  def extractFeatures(rows: Iterator[MediaRow]): Iterator[Featured] =
     rows.map { r =>
       val feature = new Array[Double](8)
       var i = 0
@@ -53,14 +142,14 @@ object Multimodal {
         feature(i % 8) += (r.payload(i) & 0xff).toDouble / 255.0
         i += 1
       }
-      Decoded(r.id, r.width, r.height, feature)
+      Featured(r.id, r.width, r.height, feature)
     }
 
-  /** Decode stage: binary payload → per-row feature vector, per-partition. */
-  def decode(spark: SparkSession, media: DataFrame): Dataset[Decoded] = {
+  /** Feature stage: payload → per-row feature vector, per-partition. */
+  def decode(spark: SparkSession, media: DataFrame): Dataset[Featured] = {
     import spark.implicits._
     media.select("id", "payload", "width", "height", "format", "nFrames")
-      .as[MediaRow].mapPartitions(fakeDecode)
+      .as[MediaRow].mapPartitions(extractFeatures)
   }
 
   /** Resize stub: metadata transform only (a real resize rewrites payload;

@@ -149,6 +149,15 @@ object ScoringStream {
     * state. A colliding band from an (itself suppressed) near-dup also
     * counts as "seen" — i.e. suppression is transitive, keeping the first
     * representative of each near-dup chain, same as batch dedup keep-first.
+    * SAME-MICROBATCH EDGE: when two near-dups land in one microbatch and
+    * collide in ≥2 bands, `dropDuplicatesWithinWatermark`'s within-batch
+    * "first seen" is arrival-order, not id-order — the wins can split so
+    * NEITHER doc keeps all its bands and the whole cluster is dropped for
+    * that batch. Batch-local pre-dedup would need a second stateful
+    * aggregation ahead of the state store, so the operator documents the
+    * edge instead: callers needing at-least-one-representative semantics
+    * should run the batch canonicalizer over the stream's parquet sink
+    * (the batch/stream pairing StreamingSpec exercises).
     * Emits (id, window_start_us) per kept doc once its `emitWindow` event
     * -time window finalizes (append mode, two chained stateful operators).
     */

@@ -35,10 +35,39 @@ class DedupGroupsSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 3L))
   }
 
-  test("maxIters fails fast on a graph deeper than the round budget") {
-    // a 6-node chain has diameter 5; one round cannot finish it
-    val chain = (1L to 5L).map(i => (i, i + 1))
-    assertThrows[IllegalArgumentException] { comps(chain, maxIters = 1) }
+  test("deep chain exhausts label propagation and auto-falls back to star") {
+    // a 60-node path has diameter 59: label propagation at maxIters=3 can't
+    // finish, so connectedComponents must hand off to the O(log n)-round
+    // large-star/small-star formulation and still produce the exact result
+    val chain = (1L to 59L).map(i => (i, i + 1))
+    val got = comps(chain, maxIters = 3)
+    assert(got.keySet == (1L to 60L).toSet)
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("connectedComponentsStar matches label propagation on cluster shapes") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (5L, 1L), (3L, 5L), // cycle-ish cluster
+      (10L, 11L), (10L, 12L), (10L, 13L),               // star
+      (20L, 21L))                                       // pair
+    val lp = comps(pairs)
+    val star = DedupGroups
+      .connectedComponentsStar(pairs.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(star == lp)
+  }
+
+  test("connectedComponentsStar: empty graph and orientation invariance") {
+    val empty = DedupGroups.connectedComponentsStar(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    assert(empty.count() == 0)
+    val fwd = DedupGroups.connectedComponentsStar(
+      Seq((1L, 5L), (5L, 3L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val rev = DedupGroups.connectedComponentsStar(
+      Seq((5L, 1L), (3L, 5L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(fwd == rev && fwd.values.toSet == Set(1L))
   }
 
   test("canonicalize keeps the min-id member per group plus singletons") {
