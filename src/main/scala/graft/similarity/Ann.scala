@@ -143,29 +143,125 @@ object Ann {
         (col("pos") + 1).cast("int").as("rank"), col("col._2").as("cos"))
   }
 
-  /** IVF (inverted-file) top-k: a k-means coarse quantizer (spark.ml KMeans)
-    * partitions the corpus into `nCentroids` cells; each query probes its
+  /** Train the IVF coarse quantizer: seeded k-means++ init + Lloyd, run
+    * LOCALLY on a bounded corpus sample — ~256 training points per centroid
+    * (the Faiss training convention), collected to the driver.
+    *
+    * Why not spark.ml KMeans: the training set is bounded BY CONSTRUCTION
+    * (nCentroids×256 rows ≈ 2 MB at 64 dims), while a distributed fit costs
+    * ~15 barrier jobs (k-means|| init passes + one per Lloyd iteration) of
+    * near-empty tasks — at bench scale those jobs were ~6× the cost of the
+    * rest of the query combined, and at 1000 executors they'd be pure
+    * scheduler churn for the same 2 MB of math. This is a bounded,
+    * documented driver-side computation (same contract as the histogram
+    * min/max probe), NOT a driver loop over corpus data: the corpus-sized
+    * passes — cell assignment and scoring — stay distributed codegen
+    * expressions over the returned centroid literals. */
+  private[similarity] def trainCentroids(vecs: DataFrame, vecCol: String,
+                                         nCentroids: Int, seed: Long,
+                                         maxIter: Int = 10): Array[Array[Double]] = {
+    val cap = nCentroids * 256L
+    val n = vecs.count()
+    require(n > 0, "IVF quantizer training needs a non-empty corpus")
+    val sampled =
+      if (n <= cap) vecs
+      else vecs.sample(withReplacement = false, cap.toDouble / n, seed)
+    val pts = sampled.select(vecCol).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val k = math.min(nCentroids, pts.length)
+    val dim = pts(0).length
+    val rnd = new scala.util.Random(seed)
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ seeding: next center drawn ∝ distance² to nearest chosen
+    val centers = new Array[Array[Double]](k)
+    centers(0) = pts(rnd.nextInt(pts.length)).clone()
+    val d2 = Array.fill(pts.length)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var i = 0
+      while (i < pts.length) {
+        d2(i) = math.min(d2(i), sq(pts(i), centers(c - 1))); i += 1
+      }
+      val total = d2.sum
+      centers(c) =
+        if (total == 0.0) pts(rnd.nextInt(pts.length)).clone()
+        else {
+          var r = rnd.nextDouble() * total; var j = 0
+          while (j < pts.length - 1 && r > d2(j)) { r -= d2(j); j += 1 }
+          pts(j).clone()
+        }
+      c += 1
+    }
+    // Lloyd to tolerance or maxIter
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val sums = Array.ofDim[Double](k, dim)
+      val cnt = new Array[Long](k)
+      var i = 0
+      while (i < pts.length) {
+        var best = 0; var bestD = Double.MaxValue; var cc = 0
+        while (cc < k) {
+          val d = sq(pts(i), centers(cc))
+          if (d < bestD) { bestD = d; best = cc }
+          cc += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += pts(i)(j); j += 1 }
+        cnt(best) += 1
+        i += 1
+      }
+      moved = false
+      var cc = 0
+      while (cc < k) {
+        if (cnt(cc) > 0) {
+          val nc = new Array[Double](dim)
+          var j = 0
+          while (j < dim) { nc(j) = sums(cc)(j) / cnt(cc); j += 1 }
+          if (sq(nc, centers(cc)) > 1e-12) moved = true
+          centers(cc) = nc
+        }
+        cc += 1
+      }
+      iter += 1
+    }
+    centers
+  }
+
+  /** Nearest-centroid cell id of a vector column — the distributed half of
+    * the quantizer: pure codegen argmin over the centroid literals (the
+    * same (d, cell) struct array the query probe sorts). */
+  private def nearestCell(v: Column, centroids: Array[Array[Double]]): Column =
+    element_at(array_sort(array(centroids.zipWithIndex.map { case (ctr, i) =>
+      struct(sqDist(v, array(ctr.map(lit): _*)).as("d"), lit(i).as("cell"))
+    }: _*)), 1)("cell")
+
+  /** IVF (inverted-file) top-k: a sample-trained k-means coarse quantizer
+    * (see [[trainCentroids]]) partitions the corpus into `nCentroids`
+    * cells; each query probes its
     * `nProbe` nearest cells and scores only those candidates. The classic
     * ANN scale path (Jégou et al., IVF/IVFADC): candidate count per query is
     * ~ corpus × nProbe / nCentroids, and raising nProbe trades latency back
-    * for recall. Cell assignment is one KMeansModel.transform pass; the
-    * centroid table rides to queries as a broadcast literal (small by
-    * construction). */
+    * for recall. Cell assignment is one codegen argmin pass over the
+    * centroid literals (small by construction — they ride to executors
+    * inside the expression itself). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int, nProbe: Int,
               seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
+    // normalized corpus feeds the quantizer count+sample AND the cell
+    // assignment pass — persist the shared input once (same cache
+    // contract as ivfTopKQuantized's cn)
     val c = normalized(corpus, idCol, vecCol, "cand_id", "cv")
-      .withColumn("feat", array_to_vector(col("cv")))
-    val km = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("feat").setPredictionCol("cell")
-      .fit(c.select("feat"))
-    val corpusCells = km.transform(c).select(col("cand_id"), col("cv"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = trainCentroids(c, "cv", nCentroids, seed)
+    val corpusCells = c.withColumn("cell", nearestCell(col("cv"), centroids))
+      .select(col("cand_id"), col("cv"), col("cell"))
 
     // distance of each query to every centroid, keep nProbe nearest cells
-    val centroids = km.clusterCenters.map(_.toArray)
     val q = normalized(queries, idCol, vecCol, "query_id", "qv")
     val cellDists = array(centroids.zipWithIndex.map { case (ctr, i) =>
       struct(sqDist(col("qv"), array(ctr.map(lit): _*)).as("d"),
@@ -356,29 +452,23 @@ object Ann {
                        vecCol: String, k: Int, nCentroids: Int, nProbe: Int,
                        rerank: Int, seed: Long = 42L): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be ≥ k ($k)")
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
 
-    // The normalized corpus feeds THREE consumers (k-means fit, cell
+    // The normalized corpus feeds THREE consumers (quantizer sample, cell
     // assignment + quantization, exact rescore) — persist the diamond's
-    // shared input once, WITHOUT the ml-vector `feat` copy (derived per
-    // consumer; caching it would double the pinned payload). Cache
+    // shared input once. Cache
     // contract as in DedupGroups: Verify/Bench clearCache per query;
     // long-lived callers should spark.catalog.clearCache() between
     // batches (or take bruteForceTopKQuantized, which deliberately
     // caches nothing).
     val cn = normalized(corpus, idCol, vecCol, "cand_id", "cv")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withFeat = cn.withColumn("feat", array_to_vector(col("cv")))
-    val km = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("feat").setPredictionCol("cell")
-      .fit(withFeat.select("feat"))
-    val corpusCells = km.transform(withQuantized(withFeat, "cv"))
+    val centroids = trainCentroids(cn, "cv", nCentroids, seed)
+    val corpusCells = withQuantized(cn, "cv")
+      .withColumn("cell", nearestCell(col("cv"), centroids))
       .select(col("cand_id"), col("cell"), col("qv"), col("scale"))
 
     // the query pass likewise serves probing, coarse scoring, AND rescore
-    val centroids = km.clusterCenters.map(_.toArray)
     val qn = withQuantized(
       normalized(queries, idCol, vecCol, "query_id", "qnv"), "qnv")
       .withColumnsRenamed(Map("qv" -> "qqv", "scale" -> "qs"))
