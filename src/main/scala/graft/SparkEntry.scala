@@ -9,7 +9,7 @@ import graft.functions.TextFunctions
 import graft.ml.{Featurize, Sentiment}
 import graft.multimodal.Multimodal
 import graft.operators.{Packing, Relational, Sampling}
-import graft.similarity.Ann
+import graft.similarity.{Ann, Centroids}
 import graft.sources.Tables
 import graft.streaming.{ScoringStream, Sessionize}
 import graft.textstats.{Pii, Repetition, TextStats}
@@ -604,7 +604,51 @@ object SparkEntry {
       val media = Multimodal.ppmPayloads(s, Tables.documents(s, dir), "doc_id")
       Multimodal.decodePpmStage(s, media).toDF()
         .withColumnRenamed("id", "doc_id")
-    })
+    }),
+
+    // Hierarchical corpus report: per-(lang, source), per-lang subtotal and
+    // grand total in ONE Expand + hash aggregate (map-side partial per
+    // grouping set — the shuffle carries keys×3, never rows)
+    "q52_rollup_report" -> ((s, dir) =>
+      Relational.rollupStats(Tables.documents(s, dir), "lang", "source",
+        "n_chars")),
+
+    // Source × language composition matrix with an EXPLICIT pivot value
+    // list — no distinct-discovery job over the corpus, frozen schema, one
+    // shuffle keyed on source alone
+    "q53_pivot_matrix" -> ((s, dir) =>
+      Relational.pivotCounts(Tables.documents(s, dir), "source", "lang",
+        Seq("de", "en", "es", "fr", "zh"))),
+
+    // "Keep the best 10% per language" curation gate — exact top-⌈N/10⌉
+    // selection per group WITHOUT a corpus-wide rank: selection runs on the
+    // (lang, score) histogram; only boundary ties ever see a row_number
+    "q54_top_quality" -> ((s, dir) => {
+      val docs = spread(s, Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"),
+          TextStats.qualityScore(col("text")).as("q"))
+      Sampling.topFracByScore(docs, "lang", "q", "doc_id",
+        fracNum = 1, fracDen = 10)
+    }),
+
+    // q46's decontamination with the Bloom pre-filter engaged: bitset probe
+    // inside whole-stage codegen gates the corpus gram stream before the
+    // exact confirm join — same output as q46 (no false negatives), probe
+    // structure ~30× smaller than a broadcast-join relation
+    "q55_bloom_decontaminate" -> ((s, dir) => {
+      val docs = spread(s, Tables.documents(s, dir))
+      Decontaminate.contaminationHitsBloom(docs,
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "doc_id", "text", n = 8)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Per-class embedding centroids as integer micro-unit SUMS — exact,
+    // order-independent, oracle-checkable; the shuffle carries at most
+    // labels×dim partial rows per map partition regardless of corpus size
+    "q56_label_centroids" -> ((s, dir) =>
+      Centroids.labelSums(spread(s, Tables.embeddings(s, dir)),
+        "label", "embedding"))
   )
 
   // ---------------------------------------------------------------------
@@ -987,18 +1031,12 @@ object SparkEntry {
     // String 8-grams mirror the Spark side's hashed grams: intersection
     // COUNTS are identical either way (same set-cardinality argument as
     // q18). Short docs collapse to one whole-document gram on both sides.
-    "q46_decontaminate" -> {
-      val g8 = (1 to 8).map(j => s"toks[i+${j - 1}]").mkString(" || ' ' || ")
-      s"WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents), " +
-        "g0 AS (SELECT doc_id, CASE WHEN len(toks) >= 8 " +
-        s"THEN list_transform(generate_series(1, len(toks) - 7), i -> $g8) " +
-        "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), " +
-        "cg AS (SELECT DISTINCT doc_id, gram FROM " +
-        "(SELECT doc_id, unnest(grams) AS gram FROM g0)), " +
-        "bg AS (SELECT DISTINCT gram FROM cg WHERE doc_id % 50 = 0) " +
-        "SELECT cg.doc_id, count(*) AS hits FROM cg JOIN bg USING (gram) " +
-        "GROUP BY cg.doc_id"
-    },
+    "q46_decontaminate" -> decontaminateSql,
+
+    // Identical oracle as q46 by design: the Bloom pre-filter has no false
+    // negatives and the confirm join removes its false positives, so the
+    // fast path must emit exactly the slow path's rows.
+    "q55_bloom_decontaminate" -> decontaminateSql,
 
     // Same 4-char windows via substr; counts are engine-independent
     "q48_char_repetition" ->
@@ -1024,6 +1062,66 @@ object SparkEntry {
         "CAST(coalesce(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id " +
         "ROWS UNBOUNDED PRECEDING) - n_tok, 0) AS BIGINT) AS before FROM t) " +
         "SELECT doc_id, n_tok, bucket, " +
-        "before // 512 AS bin, before % 512 AS offset FROM w")
+        "before // 512 AS bin, before % 512 AS offset FROM w"),
+
+    // ROLLUP expands to the same three grouping sets on both engines; NULL
+    // marks subtotal rows identically. count stays BIGINT; the sum is cast
+    // back down from DuckDB's HUGEINT (q47's lesson).
+    "q52_rollup_report" ->
+      ("SELECT lang, source, count(*) AS n, " +
+        "CAST(sum(n_chars) AS BIGINT) AS v_sum " +
+        "FROM documents GROUP BY ROLLUP(lang, source)"),
+
+    // The pivot's conditional-aggregate desugaring, written out: one
+    // CASE-sum per declared value, zero-filled exactly like the Spark side.
+    "q53_pivot_matrix" -> {
+      val cells = Seq("de", "en", "es", "fr", "zh").map(l =>
+        s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS $l")
+        .mkString(", ")
+      s"SELECT source, $cells FROM documents GROUP BY source"
+    },
+
+    // The histogram-threshold selection equals top-⌈N/10⌉ by
+    // (q DESC, doc_id ASC) when that order is total — which it is (doc_id
+    // is unique) — so a plain row_number formulation is an exact oracle.
+    "q54_top_quality" -> {
+      val toks = s"regexp_split_to_array(lower(trim(text)), '\\s+')"
+      val hits = s"len(list_filter($toks, t -> list_contains($stopListSql, t)))"
+      val quality = s"CAST(FLOOR(CAST(LEAST(length(text), 500) * 20 AS DOUBLE) * " +
+        s"CAST(len($toks) - $hits AS DOUBLE) / CAST(len($toks) AS DOUBLE)) AS BIGINT)"
+      s"WITH s AS (SELECT doc_id, lang, $quality AS q FROM documents), " +
+        "r AS (SELECT doc_id, lang, q, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id ASC) AS rn, " +
+        "count(*) OVER (PARTITION BY lang) AS n FROM s) " +
+        "SELECT doc_id, lang, q FROM r WHERE rn <= (n + 9) // 10"
+    },
+
+    // Parallel unnests zip positionally in DuckDB; micro-unit flooring on
+    // the float→double-promoted value is bit-identical to the Spark side
+    // (same IEEE promotion and multiply — the cos_uu determinism trick).
+    "q56_label_centroids" ->
+      ("SELECT label, CAST(pos AS INT) AS pos, count(*) AS n, " +
+        "CAST(sum(x_uu) AS BIGINT) AS sum_uu FROM " +
+        "(SELECT label, unnest(generate_series(0, len(embedding) - 1)) AS pos, " +
+        "unnest(list_transform(embedding, " +
+        "e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT))) AS x_uu " +
+        "FROM embeddings) GROUP BY 1, 2")
   )
+
+  /** Shared decontamination oracle — q46 and its Bloom-prefiltered twin
+    * q55 must emit identical rows (Bloom filters have no false negatives;
+    * the confirm join removes false positives), so they share one SQL
+    * definition and cannot drift. */
+  private def decontaminateSql: String = {
+    val g8 = (1 to 8).map(j => s"toks[i+${j - 1}]").mkString(" || ' ' || ")
+    s"WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents), " +
+      "g0 AS (SELECT doc_id, CASE WHEN len(toks) >= 8 " +
+      s"THEN list_transform(generate_series(1, len(toks) - 7), i -> $g8) " +
+      "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), " +
+      "cg AS (SELECT DISTINCT doc_id, gram FROM " +
+      "(SELECT doc_id, unnest(grams) AS gram FROM g0)), " +
+      "bg AS (SELECT DISTINCT gram FROM cg WHERE doc_id % 50 = 0) " +
+      "SELECT cg.doc_id, count(*) AS hits FROM cg JOIN bg USING (gram) " +
+      "GROUP BY cg.doc_id"
+  }
 }

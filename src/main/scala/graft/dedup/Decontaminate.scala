@@ -40,6 +40,55 @@ object Decontaminate {
       .filter(col("hits") >= minHits)
   }
 
+  /** [[contaminationHits]] with a Bloom-filter pre-filter on the corpus
+    * scan — the 100 TB shape for when the benchmark gram set outgrows a
+    * comfortable broadcast-join relation.
+    *
+    * A broadcast hash-join relation costs ~40-60 bytes per gram on every
+    * executor; the Bloom bitset costs `bitsPerItem` BITS (16 by default —
+    * a 30-to-1 memory ratio) and rides the plan as an `array<long>` literal
+    * probed inside whole-stage codegen ([[graft.functions.BloomContains]]).
+    * Bloom filters have no false negatives, so gating the gram stream on
+    * the bitset BEFORE the exact confirm join preserves the output exactly
+    * while the join only ever sees true hits plus the ~0.05% false-positive
+    * trickle — at 100 TB that turns a broadcast probe per corpus gram into
+    * a bitset probe per corpus gram, and shrinks the confirm join's input
+    * by ~99.9% (for very large eval sets the confirm side could then even
+    * be a shuffle join; it stays broadcast here since the gram LIST, unlike
+    * the probe structure, is only materialized once per executor).
+    *
+    * The benchmark gram hashes are collected once on the driver to build
+    * the bitset — bounded by definition (eval suites are thousands of
+    * documents; `maxGrams` fail-fasts if that assumption breaks) and the
+    * same cardinality any broadcast formulation materializes per executor.
+    */
+  def contaminationHitsBloom(corpus: DataFrame, benchmark: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int = 8, minHits: Int = 1,
+                             bitsPerItem: Int = 16,
+                             maxGrams: Int = 16 << 20): DataFrame = {
+    require(n >= 1 && minHits >= 1)
+    val spark = corpus.sparkSession
+    val grams = MinHashDedup.shingleSets(benchmark, idCol, textCol, n)
+      .select(explode(col("sh")).as("g")).distinct()
+      .limit(maxGrams + 1)
+      .collect().map(_.getLong(0))
+    require(grams.length <= maxGrams,
+      s"benchmark side exceeds $maxGrams distinct grams — not an eval-suite" +
+        " shape; use contaminationHits (shuffle join) instead")
+    val (bits, k) = graft.functions.BloomFilterSet.build(grams, bitsPerItem)
+    // confirm set from the already-collected hashes: a LocalRelation, so the
+    // benchmark is shingled exactly once
+    import spark.implicits._
+    val bg = grams.toSeq.toDF("g")
+    val cg = MinHashDedup.shingleSets(corpus, idCol, textCol, n)
+      .select(col("id"), explode(col("sh")).as("g"))
+    cg.filter(graft.functions.BloomContains(spark, col("g"), bits, k))
+      .join(broadcast(bg), "g")
+      .groupBy("id").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+  }
+
   /** Corpus minus contaminated documents (left-anti on the flagged ids). */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String,

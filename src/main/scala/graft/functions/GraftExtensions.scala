@@ -50,6 +50,13 @@ object GraftExtensions {
       "shingle_hashes(array<string>, k: int literal)")
   }
 
+  private def bloomContainsBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(h, bits, Literal(k: Int, _)) if bits.foldable =>
+      BloomContains(h, bits, k)
+    case _ => throw new IllegalArgumentException(
+      "bloom_contains(hash: bigint, bits: array<bigint> literal, k: int literal)")
+  }
+
   private def minWindowHashBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(text) => MinWindowHash(text, 8)
     case Seq(text, Literal(k: Int, _)) => MinWindowHash(text, k)
@@ -73,7 +80,10 @@ object GraftExtensions {
         shingleHashesBuilder _),
       (FunctionIdentifier("min_window_hash"),
         new ExpressionInfo(classOf[MinWindowHash].getName, "min_window_hash"),
-        minWindowHashBuilder _))
+        minWindowHashBuilder _),
+      (FunctionIdentifier("bloom_contains"),
+        new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+        bloomContainsBuilder _))
 
   /** Register on an already-built session (e.g. the shared test session). */
   def register(spark: SparkSession): Unit = {

@@ -88,6 +88,34 @@ object Relational {
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Hierarchical corpus report: `ROLLUP(g1, g2)` — per-(g1, g2), per-g1
+    * subtotal, and grand-total rows in ONE aggregation. Spark expands the
+    * rollup into a single Expand + hash aggregate, and partial (map-side)
+    * aggregation applies per grouping set — the shuffle carries at most
+    * (distinct keys × 3 grouping sets) rows per partition, never the data.
+    * Sums are computed on the long-cast value so they stay exact at any
+    * scale (no double association-order drift). */
+  def rollupStats(df: DataFrame, g1: String, g2: String,
+                  valueCol: String): DataFrame =
+    df.rollup(g1, g2).agg(
+      count(lit(1)).as("n"),
+      sum(col(valueCol).cast("long")).as("v_sum"))
+
+  /** Pivot with an EXPLICIT value list: `groupBy(key).pivot(p, values)
+    * .count()`, missing cells zero-filled. Passing `values` matters twice
+    * at scale: it skips the eager distinct-collect job Spark otherwise runs
+    * over the whole input just to discover column names, and it freezes the
+    * output schema (a rerun over new data cannot sprout columns and break
+    * downstream readers). One shuffle, keyed on `key` alone — the pivot
+    * values become conditional aggregates, not part of the shuffle key. */
+  def pivotCounts(df: DataFrame, key: String, pivotCol: String,
+                  values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "pivotCounts needs an explicit value list")
+    val p = df.groupBy(key).pivot(pivotCol, values).agg(count(lit(1)))
+    values.foldLeft(p)((acc, v) =>
+      acc.withColumn(v, coalesce(col(s"`$v`"), lit(0L))))
+  }
+
   /** Equal-width histogram of a numeric column, the declarative re-expression
     * of the reference's `rdd.flatMap(...).histogram(10)`
     * (ref Scalable_EDA_Final.py:140-146). Two passes over the column: one

@@ -61,6 +61,65 @@ object Sampling {
                        bp: Column): DataFrame =
     df.filter(bp < thresholdFor(strataCol, ratesBp, defaultBp))
 
+  /** Exact top-⌈frac·N⌉ rows per group by (score DESC, tie ASC) — the
+    * "keep the best p% of documents per language" curation gate, selected
+    * WITHOUT ranking the corpus.
+    *
+    * The naive formulation (`ntile`/`row_number` over
+    * `partitionBy(group)`) is a scale-killer: with a handful of groups
+    * (languages), the window shuffle lands the entire corpus on a handful
+    * of reducers. Instead, selection runs on a score HISTOGRAM:
+    *
+    *  1. `groupBy(group, score).count()` — partial agg; the shuffle carries
+    *     only distinct (group, score) pairs, not rows.
+    *  2. A window over that tiny histogram finds each group's threshold
+    *     score and how many boundary ties to admit (k = ⌈N·frac⌉ in exact
+    *     integer arithmetic).
+    *  3. Thresholds broadcast back; `score > thr` rows pass with a per-row
+    *     filter at the scan. Only rows EXACTLY AT the threshold get a
+    *     `row_number` — partitioned by (group, score), so the one skewed
+    *     partition is bounded by the tie multiplicity at the boundary, not
+    *     by the group size.
+    *
+    * Output set is identical to `ntile(den/num) = 1` over
+    * `(score DESC, tie ASC)` when that order is total — which is why the
+    * driver can oracle it exactly. Contract: `score` should be a
+    * bounded-cardinality column (integer quality scores, bucketed floats);
+    * a continuous double degrades step 1's histogram to ~N rows (still
+    * correct, no longer cheap). */
+  def topFracByScore(df: DataFrame, groupCol: String, scoreCol: String,
+                     tieCol: String, fracNum: Int, fracDen: Int): DataFrame = {
+    require(fracNum >= 1 && fracDen >= fracNum,
+      s"need 0 < fracNum/fracDen <= 1, got $fracNum/$fracDen")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(groupCol, scoreCol).agg(count(lit(1)).as("__c"))
+    val cumW = Window.partitionBy(groupCol).orderBy(desc(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(groupCol)
+    // k = ceil(N·num/den), all-integer; max intermediate N·num stays in
+    // int64 for any realistic corpus (num is a small ratio numerator)
+    val thr = hist
+      .withColumn("__cum", sum(col("__c")).over(cumW))
+      .withColumn("__k",
+        ((sum(col("__c")).over(totW) * fracNum + (fracDen - 1)) / fracDen)
+          .cast("long"))
+      // the threshold row: first (in score-desc order) where cum ≥ k
+      .filter(col("__cum") >= col("__k") &&
+        col("__cum") - col("__c") < col("__k"))
+      .select(col(groupCol),
+        col(scoreCol).as("__thr"),
+        (col("__k") - (col("__cum") - col("__c"))).as("__need"))
+    val joined = df.join(broadcast(thr), Seq(groupCol))
+      .filter(col(scoreCol) >= col("__thr"))
+    val tieW = Window.partitionBy(groupCol, scoreCol).orderBy(asc(tieCol))
+    joined
+      .withColumn("__r",
+        when(col(scoreCol) === col("__thr"), row_number().over(tieW))
+          .otherwise(lit(0)))
+      .filter(col("__r") <= col("__need"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Dataset mixing: per-source deterministic downsampling + a lineage tag,
     * unioned. The standard way to hit a target corpus composition (e.g.
     * 30% web / 60% books / 10% code) without a shuffle: each source is

@@ -1,0 +1,41 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-class embedding centroids — the building block for centroid-based
+  * classification, cluster seeding, and per-class drift monitoring over an
+  * embedding column.
+  *
+  * Output is (label, pos, n, sum_uu): element-wise SUMS in integer
+  * micro-units plus the class count, from which any consumer derives the
+  * mean at whatever precision it wants. Emitting integer sums, not double
+  * means, is deliberate twice over:
+  *
+  *   - Exactness: each component is floored to int micro-units
+  *     (`floor(x·10⁶)` on the float→double-promoted value — the same
+  *     determinism trick as the ANN queries' `cos_uu`) BEFORE summing, so
+  *     the aggregate is an int64 sum — associative, order-independent, and
+  *     bit-identical on any engine (a double sum's value depends on
+  *     reduction order and would never hash-match an oracle).
+  *   - Scale: the explode multiplies rows ×dim, but hash aggregation
+  *     partially combines on (label, pos) BEFORE the exchange — the shuffle
+  *     carries at most nLabels×dim partial rows per map partition (640
+  *     longs here), regardless of corpus size. No collect, no driver math.
+  *
+  * int64 headroom: |x| ≤ ~10³ per component gives |x_uu| ≤ 10⁹, so overflow
+  * needs ~10⁹ vectors per class — and Spark's ANSI-mode sum would fail loud,
+  * not wrap, if a corpus ever got there.
+  */
+object Centroids {
+
+  def labelSums(emb: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    emb
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * 1000000d).cast("long"))
+          .as("sum_uu"))
+}

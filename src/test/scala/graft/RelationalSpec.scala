@@ -63,4 +63,37 @@ class RelationalSpec extends SparkSpec {
     assert(hist.length == 1 && hist.head.getInt(0) == 0 &&
       hist.head.getLong(1) == 3L)
   }
+
+  test("rollupStats emits detail, subtotal and grand-total rows") {
+    val df = Seq(("en", "web", 10L), ("en", "web", 20L), ("en", "book", 5L),
+      ("fr", "web", 1L)).toDF("lang", "src", "v")
+    val out = Relational.rollupStats(df, "lang", "src", "v")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(
+      (Some("en"), Some("web"), 2L, 30L),
+      (Some("en"), Some("book"), 1L, 5L),
+      (Some("fr"), Some("web"), 1L, 1L),
+      (Some("en"), None, 3L, 35L),
+      (Some("fr"), None, 1L, 1L),
+      (None, None, 4L, 36L)))
+    // one Expand + aggregate, not three scans
+    val plan = Relational.rollupStats(df, "lang", "src", "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+  }
+
+  test("pivotCounts zero-fills and never runs a distinct-discovery job") {
+    val df = Seq(("w", "en"), ("w", "en"), ("w", "fr"), ("b", "en"))
+      .toDF("src", "lang")
+    val out = Relational.pivotCounts(df, "src", "lang", Seq("en", "fr", "zh"))
+    assert(out.columns.toSeq == Seq("src", "en", "fr", "zh"))
+    val m = out.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(m("w") == ((2L, 1L, 0L)) && m("b") == ((1L, 0L, 0L)))
+    // explicit values: the analyzed plan exists without running any job —
+    // a distinct-discovery pivot would need an eager collect here
+    assert(out.queryExecution.analyzed != null)
+  }
 }

@@ -69,4 +69,51 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(counts("books") - 3000L) < 200)
     assert(mixed.columns.contains("mix_source"))
   }
+
+  /** Naive reference: row_number over (score DESC, tie ASC), keep ⌈N·f⌉. */
+  private def naiveTopFrac(df: org.apache.spark.sql.DataFrame, g: String,
+                           s: String, t: String, num: Int, den: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(g).orderBy(desc(s), asc(t))
+    val n = Window.partitionBy(g)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .filter(col("__rn") * den <= col("__n") * num + (den - 1))
+      .drop("__rn", "__n")
+  }
+
+  test("topFracByScore equals the naive ranked formulation, ties included") {
+    // heavy ties at the boundary: scores 0..9 each repeated 10× per group
+    val df = (0L until 200L).toDF("id")
+      .withColumn("g", (col("id") % 2).cast("string"))
+      .withColumn("score", (col("id") / 2 % 10).cast("long"))
+    for ((num, den) <- Seq((1, 10), (1, 4), (3, 10), (1, 1))) {
+      val fast = Sampling.topFracByScore(df, "g", "score", "id", num, den)
+        .select("id").as[Long].collect().toSet
+      val slow = naiveTopFrac(df, "g", "score", "id", num, den)
+        .select("id").as[Long].collect().toSet
+      assert(fast == slow, s"mismatch at $num/$den")
+      assert(fast.size == 2 * ((100 * num + den - 1) / den))
+    }
+  }
+
+  test("topFracByScore: a group smaller than 1/frac still keeps one row") {
+    val df = Seq(("a", 5L, 1L), ("a", 7L, 2L), ("b", 1L, 3L))
+      .toDF("g", "score", "id")
+    val out = Sampling.topFracByScore(df, "g", "score", "id", 1, 10)
+      .as[(String, Long, Long)].collect().toSet
+    // k = ceil(2/10) = 1 for a (the max score wins), ceil(1/10) = 1 for b
+    assert(out == Set(("a", 7L, 2L), ("b", 1L, 3L)))
+  }
+
+  test("topFracByScore broadcasts thresholds — no corpus-wide rank window") {
+    val df = (0L until 1000L).toDF("id")
+      .withColumn("g", (col("id") % 3).cast("string"))
+      .withColumn("score", (col("id") % 17).cast("long"))
+    val out = Sampling.topFracByScore(df, "g", "score", "id", 1, 10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"thresholds not broadcast:\n$plan")
+    out.count()
+  }
 }
