@@ -12,7 +12,7 @@ import graft.operators.{Packing, Relational, Sampling}
 import graft.similarity.{Ann, Centroids}
 import graft.sources.Tables
 import graft.streaming.{ScoringStream, Sessionize}
-import graft.textstats.{Pii, Repetition, TextStats}
+import graft.textstats.{Keywords, Pii, Repetition, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator ↔ query map. */
 object SparkEntry {
@@ -648,7 +648,30 @@ object SparkEntry {
     // labels×dim partial rows per map partition regardless of corpus size
     "q56_label_centroids" -> ((s, dir) =>
       Centroids.labelSums(spread(s, Tables.embeddings(s, dir)),
-        "label", "embedding"))
+        "label", "embedding")),
+
+    // Per-document top-3 keywords by integer tf/df score — exact total
+    // order (score DESC, token ASC), so the oracle replays it row-for-row
+    "q57_keywords" -> ((s, dir) =>
+      Keywords.topKeywords(spread(s, Tables.documents(s, dir)),
+        "doc_id", "text", topK = 3)),
+
+    // Incremental dedup: docs with doc_id ≡ 9 (mod 10) play today's ingest;
+    // the rest is the "historical corpus" visible ONLY through its two
+    // persisted index tables (band index + shingle sets — never re-read as
+    // text). Rows-only: candidates are xxhash64-LSH-generated; DedupSpec
+    // pins cross-batch recall and the broadcast-probe plan shape.
+    "q58_incremental_dedup" -> ((s, dir) => {
+      val docs = spread(s, Tables.documents(s, dir))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 9)
+      val increment = docs.filter(pmod(col("doc_id"), lit(10)) === 9)
+      val corpusSets = MinHashDedup.shingleSets(corpus, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      MinHashDedup.incrementalNearDups(increment, "doc_id", "text",
+        MinHashDedup.bandIndex(corpusSets), corpusSets, threshold = 0.8)
+        .select(col("new_id"), col("dup_id"),
+          floor(col("jaccard") * 1e6).cast("long").as("jaccard_uu"))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -1094,6 +1117,24 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id ASC) AS rn, " +
         "count(*) OVER (PARTITION BY lang) AS n FROM s) " +
         "SELECT doc_id, lang, q FROM r WHERE rn <= (n + 9) // 10"
+    },
+
+    // Same integer tf·10⁶ div df score; row_number over the identical
+    // total order (score DESC, token ASC) — replayed row-for-row.
+    "q57_keywords" -> {
+      val toks = tokensSql("text")
+      s"WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM " +
+        s"(SELECT doc_id, unnest($toks) AS token FROM documents) " +
+        "WHERE token <> '' GROUP BY doc_id, token), " +
+        "df AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY token), " +
+        "s AS (SELECT doc_id, token, tf, tf * 1000000 // df_docs AS score " +
+        "FROM tf JOIN df USING (token)), " +
+        "r AS (SELECT doc_id, token, tf, score, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank " +
+        "FROM s) " +
+        "SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, " +
+        "CAST(score AS BIGINT) AS score, CAST(rank AS INT) AS rank " +
+        "FROM r WHERE rank <= 3"
     },
 
     // Parallel unnests zip positionally in DuckDB; micro-unit flooring on

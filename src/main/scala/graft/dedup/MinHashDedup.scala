@@ -150,4 +150,54 @@ object MinHashDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verifyJaccard(candidatePairsFromSets(sh, numHashes, bands), sh, threshold)
   }
+
+  /** (id, band, bucket) LSH index rows for an (id, sh) sets frame — the
+    * persisted form of a corpus for [[incrementalNearDups]]. Written once at
+    * corpus build, appended per ingest; incremental dedup then never
+    * re-shingles (or even re-reads) historical text. */
+  def bandIndex(sets: DataFrame, numHashes: Int = 16,
+                bands: Int = 4): DataFrame =
+    bandedFromSets(sets, numHashes, bands)
+
+  /** Incremental near-dup detection: today's ingest against an
+    * already-indexed corpus, without reprocessing the corpus.
+    *
+    * The historical corpus participates ONLY through its two persisted
+    * index tables — `corpusBands` (id, band, bucket), built by
+    * [[bandIndex]], and `corpusSets` (id, sh), built by [[shingleSets]] —
+    * so the 100 TB of historical text is never re-read, let alone
+    * re-shingled. Join strategy is sized to the asymmetry: the increment's
+    * band rows BROADCAST onto the corpus index scan (a daily batch is tiny
+    * against the corpus — the index is probed in place, never shuffled),
+    * and the resulting candidate id pairs — bounded by true near-dups plus
+    * LSH collisions, not corpus size — drive a broadcast semi-probe of
+    * `corpusSets` for exact-Jaccard confirmation. Within-increment pairs
+    * are found by the ordinary self-join path on the increment alone.
+    *
+    * Output: (new_id, dup_id, jaccard) — `dup_id` an indexed corpus doc or
+    * an earlier (lower-id) doc of the same increment. Contract: ids are
+    * globally unique across corpus and increment, and the index was built
+    * with the same (k, numHashes, bands).
+    */
+  def incrementalNearDups(newDocs: DataFrame, idCol: String, textCol: String,
+                          corpusBands: DataFrame, corpusSets: DataFrame,
+                          threshold: Double, k: Int = 3, numHashes: Int = 16,
+                          bands: Int = 4): DataFrame = {
+    val newSets = shingleSets(newDocs, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBands = bandedFromSets(newSets, numHashes, bands)
+      .withColumnRenamed("id", "new_id")
+    val cross = corpusBands
+      .join(broadcast(newBands), Seq("band", "bucket"))
+      .select(col("id").as("id_a"), col("new_id").as("id_b"))
+      .distinct()
+    val within = candidatePairsFromSets(newSets, numHashes, bands)
+    // confirm against the union of set sources: candidates broadcast, so
+    // the corpus set index is scanned once and filtered in place
+    val pairs = broadcast(cross.union(within))
+    verifyJaccard(pairs, corpusSets.select("id", "sh").union(newSets),
+      threshold)
+      .select(col("id_b").as("new_id"), col("id_a").as("dup_id"),
+        col("jaccard"))
+  }
 }

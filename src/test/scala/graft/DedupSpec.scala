@@ -139,4 +139,40 @@ class DedupSpec extends SparkSpec {
     // the only shared trigram is hot -> capped -> no candidate survives
     assert(out.count() == 0)
   }
+
+  test("incremental dedup finds cross-batch and within-batch dups from the index") {
+    // corpus = docs 1-5; increment replays doc 1's text (id 11), a near-dup
+    // of doc 3 (id 13), a within-increment dup pair (21, 22), and a fresh doc
+    val increment = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog again and again"),
+      (13L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (21L, "entirely novel increment content arriving in todays batch yes"),
+      (22L, "entirely novel increment content arriving in todays batch yes"),
+      (30L, "nothing like anything indexed before at all whatsoever")
+    ).toDF("id", "text")
+    val corpusSets = MinHashDedup.shingleSets(corpus, "id", "text", 3)
+    val out = MinHashDedup.incrementalNearDups(increment, "id", "text",
+      MinHashDedup.bandIndex(corpusSets), corpusSets, threshold = 0.8)
+    val pairs = out.select("new_id", "dup_id").as[(Long, Long)]
+      .collect().toSet
+    // 11 matches both exact dups 1 and 2; 13 matches 3 (and 1/2 at 10/11)
+    assert(pairs.contains((11L, 1L)) && pairs.contains((11L, 2L)))
+    assert(pairs.contains((13L, 3L)))
+    assert(pairs.contains((22L, 21L)), "within-increment dup missed")
+    assert(!pairs.exists(_._1 == 30L), "fresh doc flagged")
+    // dup side is always corpus or an earlier increment id
+    pairs.foreach { case (n, d) => assert(d < n) }
+    assertNoCartesian(out)
+  }
+
+  test("incremental dedup probes the corpus index without shuffling it") {
+    val corpusSets = MinHashDedup.shingleSets(corpus, "id", "text", 3)
+    val increment = Seq((11L, "the quick brown fox jumps over the lazy " +
+      "dog again and again")).toDF("id", "text")
+    val out = MinHashDedup.incrementalNearDups(increment, "id", "text",
+      MinHashDedup.bandIndex(corpusSets), corpusSets, threshold = 0.8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"increment not broadcast onto the index:\n$plan")
+  }
 }
