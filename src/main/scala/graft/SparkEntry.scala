@@ -8,7 +8,7 @@ import graft.dedup.{Decontaminate, DedupGroups, ExactDedup, MinHashDedup, NGramJ
 import graft.functions.TextFunctions
 import graft.ml.{Featurize, Sentiment}
 import graft.multimodal.Multimodal
-import graft.operators.{Packing, Relational, Sampling}
+import graft.operators.{Chunking, Packing, Relational, Sampling}
 import graft.similarity.{Ann, Centroids}
 import graft.sources.Tables
 import graft.streaming.{ScoringStream, Sessionize}
@@ -671,6 +671,24 @@ object SparkEntry {
         MinHashDedup.bandIndex(corpusSets), corpusSets, threshold = 0.8)
         .select(col("new_id"), col("dup_id"),
           floor(col("jaccard") * 1e6).cast("long").as("jaccard_uu"))
+    }),
+
+    // Overlapping fixed-window chunking (200-char windows, 150-char
+    // stride): retrieval/embedding context preparation. Pure per-row
+    // codegen, zero shuffles; document tails are emitted, never dropped.
+    "q59_chunking" -> ((s, dir) =>
+      Chunking.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
+        chunkChars = 200, strideChars = 150)),
+
+    // Deterministic token-budget fill: the same ~20k-token sample every
+    // run, admission-ordered by (lcg bp, doc_id). Histogram-threshold
+    // selection — no corpus-wide running-sum window (see topFracByScore).
+    "q60_token_budget" -> ((s, dir) => {
+      val docs = spread(s, Tables.documents(s, dir))
+        .select(col("doc_id"),
+          TextStats.bpeTokenCount(col("text")).cast("long").as("n_tok"))
+      Sampling.tokenBudgetSample(docs, "doc_id", "n_tok",
+        budgetTokens = 20000L, bp = Sampling.lcgBp(col("doc_id")))
     })
   )
 
@@ -1118,6 +1136,32 @@ object SparkEntry {
         "count(*) OVER (PARTITION BY lang) AS n FROM s) " +
         "SELECT doc_id, lang, q FROM r WHERE rn <= (n + 9) // 10"
     },
+
+    // Same stride grid (greatest(0, (len-1) div 150)·150 caps the start
+    // sequence), same 1-based substr clamp; char semantics (not bytes)
+    // agree across engines incl. the zh documents (q48 established this).
+    "q59_chunking" ->
+      ("WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents), " +
+        "s AS (SELECT doc_id, text, " +
+        "unnest(generate_series(0, greatest(0, ((len - 1) // 150) * 150), 150)) " +
+        "AS cs FROM d) " +
+        "SELECT doc_id, CAST(cs // 150 AS INT) AS chunk_idx, " +
+        "CAST(cs AS INT) AS chunk_start, " +
+        "substr(text, CAST(cs + 1 AS INT), 200) AS chunk_text, " +
+        "CAST(length(substr(text, CAST(cs + 1 AS INT), 200)) AS INT) " +
+        "AS n_chunk_chars FROM s"),
+
+    // Global admission order (lcg bp, doc_id) replayed as one window; the
+    // histogram-threshold selection is provably the same set. BIGINT cast
+    // on the running sum (q47's HUGEINT lesson).
+    "q60_token_budget" ->
+      (s"WITH t AS (SELECT doc_id, " +
+        s"CAST(len(regexp_extract_all(text, '${TextStats.bpeishPattern}')) AS BIGINT) AS n_tok, " +
+        "((doc_id % 1000003) * 1103515249 + 12345) % 10000 AS k FROM documents), " +
+        "w AS (SELECT doc_id, n_tok, " +
+        "CAST(coalesce(sum(n_tok) OVER (ORDER BY k, doc_id " +
+        "ROWS UNBOUNDED PRECEDING) - n_tok, 0) AS BIGINT) AS before FROM t) " +
+        "SELECT doc_id, n_tok FROM w WHERE before < 20000"),
 
     // Same integer tf·10⁶ div df score; row_number over the identical
     // total order (score DESC, token ASC) — replayed row-for-row.

@@ -120,6 +120,63 @@ object Sampling {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Deterministic token-budget sampling: admit documents in a reproducible
+    * pseudo-random order until a global token budget fills — "give me
+    * exactly ~1T tokens of this corpus, the same 1T every run".
+    *
+    * The admission order is (bp(key), id): the bp permutation shuffles
+    * documents so the prefix is an unbiased sample, and the id tiebreak
+    * makes the order total, hence the output exactly reproducible AND
+    * exactly oracle-checkable. A document is kept iff the running token
+    * total strictly before it is `< budgetTokens` — so the budget is
+    * filled, the boundary document may overflow it (training pipelines
+    * truncate the tail doc rather than undershoot), and at least one
+    * document is kept for any positive budget.
+    *
+    * A global running sum in one window would serialize the corpus through
+    * one reducer. Instead, the same histogram trick as [[topFracByScore]]:
+    *
+    *  1. per-bp-key token sums — partial agg; ≤ 10⁴ rows whatever the
+    *     corpus size;
+    *  2. one tiny window over that histogram finds which keys are fully
+    *     admitted (cumulative ≤ budget) and the remaining budget entering
+    *     each boundary key;
+    *  3. fully-admitted keys pass with a broadcast semi-probe filter at the
+    *     scan; only the one boundary key's documents (corpus/10⁴ of the
+    *     data) run an id-ordered within-key running sum.
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, tokenCol: String,
+                        budgetTokens: Long, bp: Column): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.withColumn("__k", bp)
+    val hist = keyed.groupBy("__k")
+      .agg(sum(col(tokenCol).cast("long")).as("__t"))
+    // ≤ 10⁴ histogram rows: the single-task window is bounded by the bp
+    // domain, not the corpus
+    val wk = Window.orderBy("__k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = hist
+      .withColumn("__cumk", sum(col("__t")).over(wk))
+      .withColumn("__beforek", col("__cumk") - col("__t"))
+      .filter(col("__beforek") < budgetTokens)
+    // a key is FULLY admitted iff even its last doc starts under budget
+    val full = marked.filter(col("__cumk") <= budgetTokens).select("__k")
+    val boundary = marked.filter(col("__cumk") > budgetTokens)
+      .select(col("__k"), col("__beforek"))
+    val keptFull = keyed.join(broadcast(full), Seq("__k"))
+    val wIn = Window.partitionBy("__k").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keptBoundary = keyed.join(broadcast(boundary), Seq("__k"))
+      .withColumn("__before",
+        col("__beforek") + sum(col(tokenCol).cast("long")).over(wIn)
+          - col(tokenCol).cast("long"))
+      .filter(col("__before") < budgetTokens)
+      .drop("__before", "__beforek")
+    keptFull.union(keptBoundary).drop("__k")
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Dataset mixing: per-source deterministic downsampling + a lineage tag,
     * unioned. The standard way to hit a target corpus composition (e.g.
     * 30% web / 60% books / 10% code) without a shuffle: each source is

@@ -106,6 +106,39 @@ class SamplingSpec extends SparkSpec {
     assert(out == Set(("a", 7L, 2L), ("b", 1L, 3L)))
   }
 
+  test("tokenBudgetSample equals the naive global running-sum formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 2000L).toDF("id")
+      .withColumn("n_tok", (col("id") % 37 + 1).cast("long"))
+    val bp = Sampling.lcgBp(col("id"))
+    for (budget <- Seq(1L, 500L, 7777L, 1000000L)) {
+      val fast = Sampling.tokenBudgetSample(df, "id", "n_tok", budget, bp)
+        .select("id").as[Long].collect().toSet
+      val w = Window.orderBy(Sampling.lcgBp(col("id")), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val slow = df
+        .withColumn("__before", sum(col("n_tok")).over(w) - col("n_tok"))
+        .filter(col("__before") < budget)
+        .select("id").as[Long].collect().toSet
+      assert(fast == slow, s"mismatch at budget=$budget")
+      // the budget is filled: kept tokens reach it (boundary may overflow)
+      val kept = df.filter(col("id").isin(fast.toSeq: _*))
+        .agg(sum("n_tok")).as[Long].head()
+      if (budget <= 38000L) assert(kept >= budget)
+      else assert(fast.size == 2000)
+    }
+  }
+
+  test("tokenBudgetSample is stable under repartitioning") {
+    val df = (0L until 500L).toDF("id")
+      .withColumn("n_tok", (col("id") % 11 + 1).cast("long"))
+    val a = Sampling.tokenBudgetSample(df, "id", "n_tok", 300L,
+      Sampling.lcgBp(col("id"))).select("id").as[Long].collect().toSet
+    val b = Sampling.tokenBudgetSample(df.repartition(13), "id", "n_tok",
+      300L, Sampling.lcgBp(col("id"))).select("id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("topFracByScore broadcasts thresholds — no corpus-wide rank window") {
     val df = (0L until 1000L).toDF("id")
       .withColumn("g", (col("id") % 3).cast("string"))
