@@ -38,4 +38,31 @@ object Centroids {
         count(lit(1)).as("n"),
         sum(floor(col("x").cast("double") * 1000000d).cast("long"))
           .as("sum_uu"))
+
+  /** Streaming twin of [[labelSums]]: per-event-time-window centroid sums —
+    * the embedding-drift monitor for a live ingest feed ("did this hour's
+    * class-3 centroid move?"). Same integer micro-unit math, so windows are
+    * comparable bit-for-bit against any batch baseline computed by
+    * [[labelSums]], and against each other across engines and reruns.
+    *
+    * State is bounded by watermark × (labels × dim) running sums — the
+    * per-group state is two longs, nothing buffers rows. Downstream
+    * consumers derive the mean and compare to a reference centroid;
+    * emitting sums (not means) keeps windows mergeable after the fact.
+    * Append mode: a window's row emits once, when the watermark passes it.
+    */
+  def labelSumsStream(emb: DataFrame, labelCol: String, vecCol: String,
+                      tsCol: String, watermark: String,
+                      windowLen: String): DataFrame =
+    emb
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(window(col(tsCol), windowLen), col("label"), col("pos"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * 1000000d).cast("long"))
+          .as("sum_uu"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("label"), col("pos"), col("n"), col("sum_uu"))
 }

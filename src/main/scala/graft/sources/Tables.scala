@@ -81,4 +81,24 @@ object Tables {
     df.write.mode("overwrite")
       .bucketBy(nBuckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+
+  /** Range-partitioned, sorted parquet write: every output file covers a
+    * tight, NON-OVERLAPPING range of `key`, and rows inside each file are
+    * key-sorted — so each file's parquet min/max statistics actually
+    * exclude it for out-of-range predicates, and row groups inside prune
+    * further. A hash-partitioned write scatters every key range across
+    * every file (each file's min/max spans the whole domain ⇒ statistics
+    * prune NOTHING); at 100 TB the difference between the two layouts is
+    * reading one file versus all of them for a key-range query. This is
+    * the write-side half of scan pruning — the read side (pushdown) is
+    * asserted by PlanAuditSpec.
+    *
+    * `repartitionByRange` samples the key distribution to place the
+    * boundaries, so skewed keys still yield balanced files (a static
+    * hand-picked boundary list would not). */
+  def writeRangeLayout(df: DataFrame, path: String, key: String,
+                       nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(key))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(path)
 }

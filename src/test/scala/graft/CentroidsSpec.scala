@@ -31,6 +31,37 @@ class CentroidsSpec extends SparkSpec {
     assert(s == -2L)
   }
 
+  test("streaming windowed centroids equal the batch math per window") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cent_src").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def T(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val b1 = Seq(
+      (T(0), 0, Array(1.0f, 2.0f)),
+      (T(1), 0, Array(3.0f, -1.0f)),
+      (T(2), 1, Array(0.5f, 0.5f))).toDF("ts", "label", "embedding")
+    // sentinel far ahead: advances the watermark so window 1 finalizes
+    val b2 = Seq((T(48 * 60), 9, Array(0.0f, 0.0f)))
+      .toDF("ts", "label", "embedding")
+    b1.write.parquet(s"$tmp/f1")
+    b2.write.parquet(s"$tmp/f2")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/f1").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/*")
+    val out = graft.streaming.ScoringStream.runToMemory(spark,
+      Centroids.labelSumsStream(stream, "label", "embedding", "ts",
+        watermark = "1 hour", windowLen = "10 minutes"), "append")
+      .filter(col("label") =!= 9)
+    val got = out.select("label", "pos", "n", "sum_uu")
+      .as[(Int, Int, Long, Long)].collect().toSet
+    // batch twin over the same rows — identical integer math
+    val batch = Centroids.labelSums(b1, "label", "embedding")
+      .as[(Int, Int, Long, Long)].collect().toSet
+    assert(got == batch)
+    assert(got.contains((0, 0, 2L, 4000000L))) // 1e6 + 3e6
+    assert(got.contains((0, 1, 2L, 1000000L))) // 2e6 + (-1e6)
+  }
+
   test("aggregation is partial (map-side combine before the exchange)") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = Centroids.labelSums(emb, "label", "embedding")

@@ -50,6 +50,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q52/q53 report scans never read the text column") {
+    Seq("q52_rollup_report", "q53_pivot_matrix").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("ReadSchema"), p)
+      assert(!p.split("ReadSchema")(1).takeWhile(_ != '\n').contains("text"),
+        s"$q reads text for a metadata report:\n$p")
+    }
+  }
+
+  test("q59 chunking plans zero exchanges (runs at the scan)") {
+    val p = plan("q59_chunking")
+    assert(!p.contains("Exchange"), s"chunking shuffled:\n$p")
+  }
+
+  test("q54/q60 histogram selections aggregate partially before exchanging") {
+    Seq("q54_top_quality", "q60_token_budget").foreach { q =>
+      val p = plan(q)
+      val firstAgg = p.indexOf("HashAggregate")
+      assert(firstAgg >= 0 && p.indexOf("HashAggregate", firstAgg + 1) > 0,
+        s"$q histogram aggregation not split partial/final:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q thresholds not broadcast back:\n$p")
+    }
+  }
+
   test("no declared query plans an all-pairs join (except brute-force ANN)") {
     val exempt = Set(
       "q20_ann_topk",      // exact baseline: broadcast NL join by design

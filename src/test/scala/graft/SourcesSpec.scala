@@ -50,4 +50,27 @@ class SourcesSpec extends SparkSpec {
     assert(back.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "a"), (2L, "b")))
   }
+
+  test("range layout: file key ranges are disjoint and rows key-sorted") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft_range").toString + "/t"
+    Tables.writeRangeLayout(docs, dir, "doc_id", nFiles = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    assert(files.size > 1, "range write produced a single file")
+    // each file must cover a tight range: min/max windows pairwise disjoint
+    val ranges = files.map { f =>
+      val ids = spark.read.parquet(f).select("doc_id").as[Long].collect()
+      assert(ids.toSeq == ids.toSeq.sorted, s"rows not key-sorted in $f")
+      (ids.min, ids.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+    // nothing lost in the layout pass
+    assert(spark.read.parquet(dir).count() == docs.count())
+  }
 }
