@@ -102,6 +102,36 @@ object ScoringStream {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("total_c"))
 
+  /** Watermarked stream-stream inner join: enrich a live event stream with
+    * a second live stream (e.g. late-arriving labels/annotations) matched
+    * on a key within a bounded event-time interval. This is the join mode
+    * where BOTH sides buffer state, so both constraints that make it
+    * viable on unbounded feeds are mandatory and enforced here:
+    *
+    *   - watermarks on BOTH inputs bound how long each side's rows are
+    *     retained at all;
+    *   - the TIME-INTERVAL predicate (`right.ts ∈ [left.ts, left.ts +
+    *     maxDelay]`) lets the state store evict a row as soon as no future
+    *     match can exist for it, rather than holding every key seen within
+    *     the watermark.
+    *
+    * Without the interval bound Spark would keep the full watermark window
+    * of both streams per key — the classic unbounded-state foot-gun this
+    * wrapper exists to make unrepresentable. State ≈ (events arriving
+    * within maxDelay) per side, independent of stream length.
+    */
+  def joinStreams(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String, watermark: String,
+                  maxDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $maxDelay"))
+      .drop(col(s"r.$key"))
+  }
+
   /** Score a stream of text-bearing rows with a trained pipeline: clean →
     * model.transform (tokenize/stopword/tf/idf/classify), exactly the
     * reference's per-batch flow but as one continuous streaming plan. */

@@ -98,6 +98,31 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 5L), s"kept $kept")
   }
 
+  test("stream-stream interval join matches labels within the delay bound only") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def T(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // events k1@0, k2@0; labels: k1@+5 (inside 10-min delay), k2@+30
+    // (outside), k1@-5 (before the event — must not match), plus a
+    // watermark-advancing sentinel on each side
+    val events = Seq((1L, T(0), "e1"), (2L, T(0), "e2"),
+      (999L, T(48 * 60), "s")).toDF("k", "ts", "payload")
+    val labels = Seq((1L, T(5), "good"), (2L, T(30), "late"),
+      (1L, T(-5), "early"), (999L, T(48 * 60), "s"))
+      .toDF("k", "lts", "label")
+    events.write.parquet(s"$tmp/e")
+    labels.write.parquet(s"$tmp/l")
+    def rd(p: String) = spark.readStream
+      .schema(spark.read.parquet(p).schema).parquet(p)
+    val joined = ScoringStream.joinStreams(rd(s"$tmp/e"), rd(s"$tmp/l"),
+      "k", "ts", "lts", watermark = "1 hour", maxDelay = "10 MINUTES")
+    val out = ScoringStream.runToMemory(spark, joined, "append")
+      .filter(col("k") =!= 999L)
+      .select("k", "label").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "good")), s"got $out")
+  }
+
   test("deterministic sampling composes with streams (stateless filter)") {
     import graft.operators.Sampling
     val events = ScoringStream.eventsStream(spark, s"$sfDir/events.parquet")
