@@ -229,13 +229,15 @@ object SparkEntry {
     // regime the operator is designed for (L ≈ 11 tables, not the
     // low-threshold 32-table cap — see Ann.srpTablesFor). The synthetic
     // embeddings have no pairs tighter than cos ≈ 0.5, so every 16th
-    // vector re-enters under id + 1_000_000: exact duplicates give the
-    // query non-empty ground truth at 0.8. Low-threshold cap behavior
-    // stays pinned in AnnSpec.
+    // vector re-enters under -(id+1): negative ids cannot collide with the
+    // table's non-negative ids at ANY scale factor (a fixed +1e6 offset
+    // would silently alias real ids past a million rows), and exact
+    // duplicates give the query non-empty ground truth at 0.8.
+    // Low-threshold cap behavior stays pinned in AnnSpec.
     "q19_cosine_dedup" -> ((s, dir) => {
       val emb = spread(s, Tables.embeddings(s, dir))
       val planted = emb.filter(col("vec_id") % 16 === 0)
-        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+        .withColumn("vec_id", -(col("vec_id") + lit(1L)))
       Ann.nearDupByCosineAuto(emb.unionByName(planted), "vec_id",
         "embedding", threshold = 0.8, dim = 64)
     }),

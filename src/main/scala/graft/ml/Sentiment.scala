@@ -83,6 +83,10 @@ object Sentiment {
     val spark = labeled.sparkSession
     import spark.implicits._
     val Array(train, test) = labeled.randomSplit(Array(0.8, 0.2), seed)
+    // cache the RAW split too (as trainEval does): the featurize fit makes
+    // two passes over train (CV fit, then IDF fit) and transform re-reads
+    // both sides — uncached, each pass re-derives split + cleaning
+    train.cache(); test.cache()
     val feat = Featurize.pipeline(vocabSize = vocabSize).fit(train)
     val fTrain = feat.transform(train).select("label", "tf", "tfidf").cache()
     val fTest = feat.transform(test).select("label", "tf", "tfidf").cache()
@@ -92,7 +96,7 @@ object Sentiment {
       val head = new Pipeline().setStages(Array(classifier(algo))).fit(fTrain)
       algo -> f1(head.transform(fTest))
     }
-    fTrain.unpersist(); fTest.unpersist()
+    fTrain.unpersist(); fTest.unpersist(); train.unpersist(); test.unpersist()
     rows.toDF("algo", "f1")
   }
 

@@ -89,16 +89,20 @@ object Multimodal {
       }
       require(pos < b.length && b(pos) >= '0' && b(pos) <= '9',
         s"id=$id: bad PPM header")
-      var v = 0
+      var v = 0L
       while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
         v = v * 10 + (b(pos) - '0'); pos += 1
+        // bound BEFORE the next digit: a malformed header must fail loud,
+        // not wrap Int and sneak past the truncation check as a negative n
+        require(v <= (1 << 20), s"id=$id: absurd PPM header value $v")
       }
-      v
+      v.toInt
     }
     val w = nextInt(); val h = nextInt(); val maxval = nextInt()
     pos += 1 // exactly one whitespace byte separates maxval from pixels
-    val n = 3 * w * h
-    require(b.length - pos >= n, s"id=$id: truncated pixel data")
+    val n = 3L * w * h
+    require(n <= Int.MaxValue && b.length - pos >= n,
+      s"id=$id: truncated pixel data")
     var sr = 0L; var sg = 0L; var sb = 0L
     var i = 0
     while (i < n) {

@@ -32,14 +32,13 @@ object Chunking {
     require(chunkChars >= 1, s"chunkChars must be >= 1, got $chunkChars")
     require(strideChars >= 1 && strideChars <= chunkChars,
       s"need 1 <= strideChars <= chunkChars, got $strideChars/$chunkChars")
-    val len = length(col(textCol))
     // last start strictly below len (0 for the empty doc), in stride steps;
     // integer arithmetic throughout: (len-1) div stride · stride
     val lastStart = greatest(lit(0),
       expr(s"(length($textCol) - 1) div $strideChars").cast("int")
         * strideChars)
     docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("__t"), len.as("__len"),
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
         posexplode(sequence(lit(0), lastStart, lit(strideChars)))
           .as(Seq("chunk_idx", "chunk_start")))
       .withColumn("chunk_text", // substr is 1-based; clamps at the tail

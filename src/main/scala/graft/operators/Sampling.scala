@@ -160,9 +160,13 @@ object Sampling {
       .withColumn("__cumk", sum(col("__t")).over(wk))
       .withColumn("__beforek", col("__cumk") - col("__t"))
       .filter(col("__beforek") < budgetTokens)
-    // a key is FULLY admitted iff even its last doc starts under budget
-    val full = marked.filter(col("__cumk") <= budgetTokens).select("__k")
-    val boundary = marked.filter(col("__cumk") > budgetTokens)
+    // a key is FULLY admitted only when it ends strictly under budget:
+    // at cumk == budget a zero-token tail doc would sit exactly AT the
+    // budget (before == budget), which the contract excludes — route the
+    // equality case through the boundary refinement so the per-doc
+    // `before < budget` filter decides it
+    val full = marked.filter(col("__cumk") < budgetTokens).select("__k")
+    val boundary = marked.filter(col("__cumk") >= budgetTokens)
       .select(col("__k"), col("__beforek"))
     val keptFull = keyed.join(broadcast(full), Seq("__k"))
     val wIn = Window.partitionBy("__k").orderBy(col(idCol))

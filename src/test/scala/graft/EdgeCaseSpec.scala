@@ -79,4 +79,56 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Relational.saltedJoin(dim, emptyKeyed.withColumnRenamed("v", "w2"),
       "k", 4).count() == 0)
   }
+
+  test("round-4 operators on empty and degenerate input") {
+    import graft.operators.{Chunking, Sampling}
+    import graft.textstats.Keywords
+    import graft.similarity.Centroids
+    assert(Relational.rollupStats(empty.withColumn("n", lit(1L)),
+      "id", "text", "n").count() == 0)
+    assert(Relational.pivotCounts(empty, "id", "text", Seq("a")).count() == 0)
+    assert(Chunking.chunkDocs(empty, "id", "text", 10, 5).count() == 0)
+    // NULL text keeps its id with one NULL chunk (greatest() ignores the
+    // null length on BOTH engines, so the start grid degrades to [0]) —
+    // pinned so the id-set-stability contract is explicit
+    val withNull = Seq((1L, null.asInstanceOf[String]), (2L, ""))
+      .toDF("id", "text")
+    val chunked = Chunking.chunkDocs(withNull, "id", "text", 10, 5)
+      .collect().map(r => (r.getLong(0), Option(r.getString(3)))).toSeq.sorted
+    assert(chunked == Seq((1L, None), (2L, Some(""))))
+    assert(Keywords.topKeywords(empty, "id", "text").count() == 0)
+    assert(Keywords.topKeywords(withNull, "id", "text").count() == 0)
+    val scored = Seq.empty[(Long, String, Long)].toDF("id", "g", "s")
+    assert(Sampling.topFracByScore(scored, "g", "s", "id", 1, 10).count() == 0)
+    assert(Sampling.tokenBudgetSample(scored, "id", "s", 100L,
+      Sampling.lcgBp(col("id"))).count() == 0)
+    // zero budget admits nothing
+    val some = Seq((1L, "g", 5L)).toDF("id", "g", "s")
+    assert(Sampling.tokenBudgetSample(some, "id", "s", 0L,
+      Sampling.lcgBp(col("id"))).count() == 0)
+    val emptyEmb = Seq.empty[(Int, Array[Float])].toDF("label", "embedding")
+    assert(Centroids.labelSums(emptyEmb, "label", "embedding").count() == 0)
+  }
+
+  test("incremental dedup survives a full write/read index lifecycle") {
+    // build index -> write both tables as parquet -> reopen -> probe: the
+    // production shape where the corpus exists only as files on disk
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "spark catalyst optimizer rewrites logical plans into physical plans")
+    ).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    val sets = MinHashDedup.shingleSets(corpus, "id", "text", 3)
+    sets.write.parquet(s"$dir/sets")
+    MinHashDedup.bandIndex(sets).write.parquet(s"$dir/bands")
+    val setsBack = spark.read.parquet(s"$dir/sets")
+    val bandsBack = spark.read.parquet(s"$dir/bands")
+    val increment = Seq((11L,
+      "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("id", "text")
+    val out = MinHashDedup.incrementalNearDups(increment, "id", "text",
+      bandsBack, setsBack, threshold = 0.8)
+      .select("new_id", "dup_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((11L, 1L)))
+  }
 }

@@ -129,6 +129,16 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetSample: zero-token doc exactly AT the budget is excluded") {
+    // one bp key (bp = const) ending in an n_tok=0 doc, budget == key total:
+    // that doc's strictly-before sum equals the budget and must drop —
+    // the cumk == budget key may not be blanket-admitted
+    val df = Seq((1L, 5L), (2L, 3L), (3L, 0L)).toDF("id", "n_tok")
+    val kept = Sampling.tokenBudgetSample(df, "id", "n_tok", 8L, lit(0L))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), s"got $kept")
+  }
+
   test("tokenBudgetSample is stable under repartitioning") {
     val df = (0L until 500L).toDF("id")
       .withColumn("n_tok", (col("id") % 11 + 1).cast("long"))
