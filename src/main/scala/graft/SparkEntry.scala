@@ -691,6 +691,16 @@ object SparkEntry {
           TextStats.bpeTokenCount(col("text")).cast("long").as("n_tok"))
       Sampling.tokenBudgetSample(docs, "doc_id", "n_tok",
         budgetTokens = 20000L, bp = Sampling.lcgBp(col("doc_id")))
+    }),
+
+    // Quality deciles for mixture reweighting — exact SQL-ntile semantics
+    // assembled from the score histogram + a tie-bounded window; no
+    // corpus-wide rank window (see Sampling.scoreNtile)
+    "q61_quality_deciles" -> ((s, dir) => {
+      val docs = spread(s, Tables.documents(s, dir))
+        .select(col("doc_id"), TextStats.qualityScore(col("text")).as("q"))
+      Sampling.scoreNtile(docs, "q", "doc_id", nBuckets = 10)
+        .select("doc_id", "q", "bucket")
     })
   )
 
@@ -1164,6 +1174,19 @@ object SparkEntry {
         "CAST(coalesce(sum(n_tok) OVER (ORDER BY k, doc_id " +
         "ROWS UNBOUNDED PRECEDING) - n_tok, 0) AS BIGINT) AS before FROM t) " +
         "SELECT doc_id, n_tok FROM w WHERE before < 20000"),
+
+    // Engine ntile over the same total order — the histogram+closed-form
+    // assembly must agree with DuckDB's native ntile row-for-row.
+    "q61_quality_deciles" -> {
+      val toks = s"regexp_split_to_array(lower(trim(text)), '\\s+')"
+      val hits = s"len(list_filter($toks, t -> list_contains($stopListSql, t)))"
+      val quality = s"CAST(FLOOR(CAST(LEAST(length(text), 500) * 20 AS DOUBLE) * " +
+        s"CAST(len($toks) - $hits AS DOUBLE) / CAST(len($toks) AS DOUBLE)) AS BIGINT)"
+      s"WITH s AS (SELECT doc_id, $quality AS q FROM documents) " +
+        "SELECT doc_id, q, " +
+        "CAST(ntile(10) OVER (ORDER BY q DESC, doc_id ASC) AS INT) AS bucket " +
+        "FROM s"
+    },
 
     // Same integer tf·10⁶ div df score; row_number over the identical
     // total order (score DESC, token ASC) — replayed row-for-row.

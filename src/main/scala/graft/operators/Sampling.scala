@@ -181,6 +181,61 @@ object Sampling {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Exact NTILE bucket assignment over (score DESC, tie ASC) — "which
+    * quality decile is this document in" — WITHOUT a corpus-wide rank
+    * window. The input to mixture reweighting: assign deciles here, then
+    * feed per-decile rates to [[stratifiedSample]].
+    *
+    * Standard SQL ntile semantics, reproduced exactly: with N rows and n
+    * buckets, the first N mod n buckets hold ⌈N/n⌉ rows, the rest ⌊N/n⌋ —
+    * so the output matches any engine's `ntile(n) OVER (ORDER BY score
+    * DESC, tie ASC)` row-for-row (the order is total when `tie` is
+    * unique). The global 0-based rank is assembled scale-safely:
+    *
+    *   rank = (histogram cumulative count of strictly-better scores)
+    *        + (row_number within this score, ordered by tie) - 1
+    *
+    * — the first term from the bounded (group-free) score histogram, the
+    * second from a window partitioned BY SCORE, whose partitions are tie
+    * multiplicities, never the corpus. Then the closed-form ntile:
+    * rank < rem·(q+1) ? rank div (q+1) : rem + (rank - rem·(q+1)) div q
+    * (q = N div n, rem = N mod n), all int64.
+    *
+    * Same bounded-cardinality contract as [[topFracByScore]]: `score`
+    * should be integer-like; a continuous double degrades the histogram to
+    * ~N rows (still correct, no longer cheap). */
+  def scoreNtile(df: DataFrame, scoreCol: String, tieCol: String,
+                 nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(scoreCol).agg(count(lit(1)).as("__c"))
+    val wk = Window.orderBy(desc(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // bounded histogram: cum-before per score + the global N on every row
+    val marks = hist
+      .withColumn("__before", sum(col("__c")).over(wk) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(scoreCol, "__before", "__n")
+    val wTie = Window.partitionBy(scoreCol).orderBy(asc(tieCol))
+    // all-int64 closed form; when N < n the q=0 ELSE branch is unreachable
+    // (rank < rem·1 = N always holds), so the div-by-zero never evaluates
+    val ntileExpr =
+      s"""CAST(CASE
+         |  WHEN __rank < (__n % $nBuckets) * (__n div $nBuckets + 1)
+         |  THEN __rank div (__n div $nBuckets + 1)
+         |  ELSE (__n % $nBuckets)
+         |     + (__rank - (__n % $nBuckets) * (__n div $nBuckets + 1))
+         |       div (__n div $nBuckets)
+         |END + 1 AS INT)""".stripMargin
+    df.join(broadcast(marks), Seq(scoreCol))
+      .withColumn("__rank",
+        col("__before") + row_number().over(wTie) - 1)
+      .withColumn("bucket", expr(ntileExpr))
+      .drop("__before", "__n", "__rank")
+  }
+
   /** Dataset mixing: per-source deterministic downsampling + a lineage tag,
     * unioned. The standard way to hit a target corpus composition (e.g.
     * 30% web / 60% books / 10% code) without a shuffle: each source is

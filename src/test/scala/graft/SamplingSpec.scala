@@ -139,6 +139,29 @@ class SamplingSpec extends SparkSpec {
     assert(kept == Set(1L, 2L), s"got $kept")
   }
 
+  test("scoreNtile equals the engine ntile window, heavy ties included") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 1000L).toDF("id")
+      .withColumn("score", (col("id") % 13).cast("long")) // ~77-way ties
+    for (n <- Seq(1, 3, 10, 999, 1500)) { // 1500 > N: more buckets than rows
+      val fast = Sampling.scoreNtile(df, "score", "id", n)
+        .select("id", "bucket").as[(Long, Int)].collect().toMap
+      val w = Window.orderBy(desc("score"), asc("id"))
+      val slow = df.withColumn("bucket", ntile(n).over(w))
+        .select("id", "bucket").as[(Long, Int)].collect().toMap
+      assert(fast == slow, s"ntile mismatch at n=$n")
+    }
+  }
+
+  test("scoreNtile broadcasts histogram marks; rank window is per-score") {
+    val df = (0L until 500L).toDF("id")
+      .withColumn("score", (col("id") % 7).cast("long"))
+    val out = Sampling.scoreNtile(df, "score", "id", 10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"marks not broadcast:\n$plan")
+    out.count()
+  }
+
   test("tokenBudgetSample is stable under repartitioning") {
     val df = (0L until 500L).toDF("id")
       .withColumn("n_tok", (col("id") % 11 + 1).cast("long"))
