@@ -701,6 +701,28 @@ object SparkEntry {
         .select(col("doc_id"), TextStats.qualityScore(col("text")).as("q"))
       Sampling.scoreNtile(docs, "q", "doc_id", nBuckets = 10)
         .select("doc_id", "q", "bucket")
+    }),
+
+    // Mixture reweighting end-to-end: decile assignment (q61) → per-decile
+    // deterministic keep rates (top deciles kept whole, tail thinned) →
+    // the per-decile doc/token budget a curation run reports. Every stage
+    // is already exact (ntile + lcg threshold + group agg), so the whole
+    // composition oracles.
+    "q62_mixture_reweight" -> ((s, dir) => {
+      val docs = spread(s, Tables.documents(s, dir))
+        .select(col("doc_id"),
+          TextStats.qualityScore(col("text")).as("q"),
+          TextStats.bpeTokenCount(col("text")).cast("long").as("n_tok"))
+      val deciled = Sampling.scoreNtile(docs, "q", "doc_id", nBuckets = 10)
+        .withColumn("bucket_s", col("bucket").cast("string"))
+      // deciles 1-3 kept whole; 4-7 at 50%; 8-10 at 10%
+      val rates = (1 to 10).map(b => b.toString ->
+        (if (b <= 3) 10000 else if (b <= 7) 5000 else 1000)).toMap
+      Sampling.stratifiedSample(deciled, "bucket_s", rates,
+        defaultBp = 0, bp = Sampling.lcgBp(col("doc_id")))
+        .groupBy("bucket").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"))
     })
   )
 
@@ -1186,6 +1208,25 @@ object SparkEntry {
         "SELECT doc_id, q, " +
         "CAST(ntile(10) OVER (ORDER BY q DESC, doc_id ASC) AS INT) AS bucket " +
         "FROM s"
+    },
+
+    // ntile → CASE rates → lcg threshold → group agg: each stage exact,
+    // so the composition replays end-to-end.
+    "q62_mixture_reweight" -> {
+      val toks = s"regexp_split_to_array(lower(trim(text)), '\\s+')"
+      val hits = s"len(list_filter($toks, t -> list_contains($stopListSql, t)))"
+      val quality = s"CAST(FLOOR(CAST(LEAST(length(text), 500) * 20 AS DOUBLE) * " +
+        s"CAST(len($toks) - $hits AS DOUBLE) / CAST(len($toks) AS DOUBLE)) AS BIGINT)"
+      s"WITH s AS (SELECT doc_id, $quality AS q, " +
+        s"CAST(len(regexp_extract_all(text, '${TextStats.bpeishPattern}')) AS BIGINT) AS n_tok " +
+        "FROM documents), " +
+        "d AS (SELECT doc_id, n_tok, " +
+        "CAST(ntile(10) OVER (ORDER BY q DESC, doc_id ASC) AS INT) AS bucket FROM s), " +
+        "f AS (SELECT bucket, n_tok FROM d WHERE " +
+        "((doc_id % 1000003) * 1103515249 + 12345) % 10000 < " +
+        "CASE WHEN bucket <= 3 THEN 10000 WHEN bucket <= 7 THEN 5000 ELSE 1000 END) " +
+        "SELECT bucket, count(*) AS n_docs, " +
+        "CAST(sum(n_tok) AS BIGINT) AS total_tokens FROM f GROUP BY bucket"
     },
 
     // Same integer tf·10⁶ div df score; row_number over the identical
