@@ -40,6 +40,29 @@ object Decontaminate {
       .filter(col("hits") >= minHits)
   }
 
+  /** [[contaminationHits]] without the broadcast contract: both gram
+    * streams shuffle on the gram hash. For when the "benchmark" side is
+    * NOT an eval suite — deduplicating a corpus against another corpus
+    * (e.g. "remove anything sharing 8-grams with the previous training
+    * run's data"), where gram sets run to billions and neither broadcast
+    * nor a Bloom bitset fits an executor. Costs one content shuffle of
+    * both sides' (id, gram) streams — the honest price of two unbounded
+    * inputs; output is identical to [[contaminationHits]] by construction
+    * (same gram pipeline, same join semantics, AQE free to pick the
+    * strategy per actual sizes). */
+  def contaminationHitsShuffle(corpus: DataFrame, benchmark: DataFrame,
+                               idCol: String, textCol: String,
+                               n: Int = 8, minHits: Int = 1): DataFrame = {
+    require(n >= 1 && minHits >= 1)
+    val cg = MinHashDedup.shingleSets(corpus, idCol, textCol, n)
+      .select(col("id"), explode(col("sh")).as("g"))
+    val bg = MinHashDedup.shingleSets(benchmark, idCol, textCol, n)
+      .select(explode(col("sh")).as("g")).distinct()
+    cg.join(bg, "g")
+      .groupBy("id").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+  }
+
   /** [[contaminationHits]] with a Bloom-filter pre-filter on the corpus
     * scan — the 100 TB shape for when the benchmark gram set outgrows a
     * comfortable broadcast-join relation.

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, lit, pmod}
+
 import graft.dedup.Decontaminate
 
 class DecontaminateSpec extends SparkSpec {
@@ -63,6 +65,17 @@ class DecontaminateSpec extends SparkSpec {
       .runToMemory(spark, hits, "complete")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got.contains(1L) && !got.contains(2L))
+  }
+
+  test("shuffle variant emits exactly the broadcast variant's rows") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val bcast = Decontaminate.contaminationHits(docs, bench,
+      "doc_id", "text", n = 8).as[(Long, Long)].collect().toSet
+    val shuf = Decontaminate.contaminationHitsShuffle(docs, bench,
+      "doc_id", "text", n = 8).as[(Long, Long)].collect().toSet
+    assert(bcast.nonEmpty && shuf == bcast)
   }
 
   test("benchmark side broadcasts; corpus is never shuffled by content") {
