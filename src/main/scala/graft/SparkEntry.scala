@@ -703,6 +703,16 @@ object SparkEntry {
         .select("doc_id", "q", "bucket")
     }),
 
+    // §2 row 35 (cont.): REAL nearest-neighbor resize — decode the P6
+    // header, sample the 4×4 thumbnail grid (O(tw·th) per image, never the
+    // full plane), emit per-channel sums of the sampled pixels. The oracle
+    // replays the same index map and pixel recurrence in SQL.
+    "q63_ppm_thumbnail" -> ((s, dir) => {
+      val media = Multimodal.ppmPayloads(s, Tables.documents(s, dir), "doc_id")
+      Multimodal.resizePpmStage(s, media, tw = 4, th = 4).toDF()
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Mixture reweighting end-to-end: decile assignment (q61) → per-decile
     // deterministic keep rates (top deciles kept whole, tail thinned) →
     // the per-decile doc/token budget a curation run reports. Every stage
@@ -1209,6 +1219,24 @@ object SparkEntry {
         "CAST(ntile(10) OVER (ORDER BY q DESC, doc_id ASC) AS INT) AS bucket " +
         "FROM s"
     },
+
+    // Same nearest-neighbor index map (sy = ty·h div th, sx = tx·w div tw)
+    // and the q51 pixel recurrence, replayed per sampled cell.
+    "q63_ppm_thumbnail" ->
+      ("WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h " +
+        "FROM documents), " +
+        "g AS (SELECT doc_id, w, h, unnest(generate_series(0, 15)) AS t FROM d), " +
+        "p AS (SELECT doc_id, w, h, " +
+        "3 * ((((t // 4) * h) // 4) * w + ((t % 4) * w) // 4) AS base FROM g), " +
+        "s AS (SELECT doc_id, w, h, " +
+        "((doc_id * 1103515245 + (base + 0) * 12345 + 42) % 2147483647) % 256 AS r, " +
+        "((doc_id * 1103515245 + (base + 1) * 12345 + 42) % 2147483647) % 256 AS gg, " +
+        "((doc_id * 1103515245 + (base + 2) * 12345 + 42) % 2147483647) % 256 AS bb " +
+        "FROM p) " +
+        "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CAST(4 AS INT) AS tw, CAST(4 AS INT) AS th, " +
+        "CAST(sum(r) AS BIGINT) AS t_sum_r, CAST(sum(gg) AS BIGINT) AS t_sum_g, " +
+        "CAST(sum(bb) AS BIGINT) AS t_sum_b FROM s GROUP BY doc_id, w, h"),
 
     // ntile → CASE rates → lcg threshold → group agg: each stage exact,
     // so the composition replays end-to-end.

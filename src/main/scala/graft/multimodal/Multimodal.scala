@@ -33,6 +33,11 @@ object Multimodal {
   case class PpmStats(id: Long, width: Int, height: Int, maxval: Int,
                       sum_r: Long, sum_g: Long, sum_b: Long, px_bytes: Long)
 
+  /** Nearest-neighbor thumbnail statistics: source dims + per-channel sums
+    * over the tw×th sampled pixels. */
+  case class ThumbStats(id: Long, width: Int, height: Int, tw: Int, th: Int,
+                        t_sum_r: Long, t_sum_g: Long, t_sum_b: Long)
+
   /** Attach an opaque binary payload + deterministic fake metadata to a text
     * table (documents stand in for a media corpus). Pure per-row expressions. */
   def withPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -71,12 +76,12 @@ object Multimodal {
     out
   }
 
-  /** REAL Netpbm P6 parser: magic, whitespace/comment-tolerant header
-    * tokens (width, height, maxval per the published spec), the single
-    * whitespace byte, then one pass over the RGB plane for per-channel
-    * sums. Malformed payloads fail loudly (corrupt media should surface,
-    * not silently zero). */
-  def decodePpm(id: Long, b: Array[Byte]): PpmStats = {
+  /** REAL Netpbm P6 header parse: magic, whitespace/comment-tolerant
+    * header tokens (width, height, maxval per the published spec), the
+    * single whitespace byte. Returns (w, h, maxval, pixelOffset); the RGB
+    * plane is validated to be fully present. Malformed payloads fail
+    * loudly (corrupt media should surface, not silently zero). */
+  private def parsePpmHeader(id: Long, b: Array[Byte]): (Int, Int, Int, Int) = {
     require(b.length >= 2 && b(0) == 'P' && b(1) == '6', s"id=$id: not a P6 PPM")
     var pos = 2
     def isWs(c: Byte): Boolean =
@@ -103,6 +108,14 @@ object Multimodal {
     val n = 3L * w * h
     require(n <= Int.MaxValue && b.length - pos >= n,
       s"id=$id: truncated pixel data")
+    (w, h, maxval, pos)
+  }
+
+  /** Decode: parse the header, then one pass over the RGB plane for
+    * per-channel sums. */
+  def decodePpm(id: Long, b: Array[Byte]): PpmStats = {
+    val (w, h, maxval, pos) = parsePpmHeader(id, b)
+    val n = 3 * w * h
     var sr = 0L; var sg = 0L; var sb = 0L
     var i = 0
     while (i < n) {
@@ -112,6 +125,33 @@ object Multimodal {
       i += 1
     }
     PpmStats(id, w, h, maxval, sr, sg, sb, n.toLong)
+  }
+
+  /** REAL nearest-neighbor resize: decode, sample the tw×th grid
+    * (source pixel (ty·h div th, tx·w div tw) for thumbnail cell
+    * (tx, ty) — the standard nearest-neighbor index map), emit per-channel
+    * sums over the sampled pixels. Work is O(tw·th) per image AFTER the
+    * O(1) header parse — a resize never touches the full plane, which is
+    * the point of sampling-based thumbnails at corpus scale. */
+  def resizePpm(id: Long, b: Array[Byte], tw: Int, th: Int): ThumbStats = {
+    require(tw >= 1 && th >= 1, s"id=$id: bad thumb dims ${tw}x$th")
+    val (w, h, _, pos) = parsePpmHeader(id, b)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var ty = 0
+    while (ty < th) {
+      val sy = ty * h / th
+      var tx = 0
+      while (tx < tw) {
+        val sx = tx * w / tw
+        val base = pos + 3 * (sy * w + sx)
+        sr += (b(base) & 0xff).toLong
+        sg += (b(base + 1) & 0xff).toLong
+        sb += (b(base + 2) & 0xff).toLong
+        tx += 1
+      }
+      ty += 1
+    }
+    ThumbStats(id, w, h, tw, th, sr, sg, sb)
   }
 
   /** Encode stage: id column → (id, payload) P6 rows, per-partition (the
@@ -132,6 +172,17 @@ object Multimodal {
     media.select(col("id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, p) => decodePpm(id, p) })
+  }
+
+  /** Resize stage: binary P6 payload → nearest-neighbor thumbnail channel
+    * sums, per-partition — the real-pixel half of [[resize]]'s metadata
+    * transform. */
+  def resizePpmStage(spark: SparkSession, media: DataFrame,
+                     tw: Int, th: Int): Dataset[ThumbStats] = {
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => resizePpm(id, p, tw, th) })
   }
 
   /** Feature-extract stage: byte-histogram 8-dim feature of any opaque

@@ -87,6 +87,25 @@ class MultimodalSpec extends SparkSpec {
     assert(idx == (0 until n by 4).map(_.toLong))
   }
 
+  test("resizePpm: full-size thumbnail samples every pixel exactly once") {
+    // tw = w, th = h makes the nearest-neighbor map the identity, so the
+    // thumbnail sums must equal the decode sums over the whole plane
+    for (id <- Seq(0L, 7L, 63L)) {
+      val p = Multimodal.encodePpm(id)
+      val d = Multimodal.decodePpm(id, p)
+      val t = Multimodal.resizePpm(id, p, d.width, d.height)
+      assert((t.t_sum_r, t.t_sum_g, t.t_sum_b) == ((d.sum_r, d.sum_g, d.sum_b)))
+    }
+  }
+
+  test("resizePpm: 1x1 thumbnail is exactly the top-left pixel") {
+    val id = 5L
+    val p = Multimodal.encodePpm(id)
+    val t = Multimodal.resizePpm(id, p, 1, 1)
+    def px(i: Int) = ((id * 1103515245L + i * 12345L + 42L) % 2147483647L) % 256L
+    assert((t.t_sum_r, t.t_sum_g, t.t_sum_b) == ((px(0), px(1), px(2))))
+  }
+
   test("byteStats matches a direct aggregation") {
     val got = Multimodal.byteStats(media, "source")
     val expect = media.groupBy("source").agg(
