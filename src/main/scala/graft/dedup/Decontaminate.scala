@@ -25,20 +25,31 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** (id, hits): corpus documents sharing ≥ `minHits` distinct n-grams
-    * with the benchmark, and how many they share. */
-  def contaminationHits(corpus: DataFrame, benchmark: DataFrame,
-                        idCol: String, textCol: String,
-                        n: Int = 8, minHits: Int = 1): DataFrame = {
+  /** ONE gram pipeline for every variant (shingle → explode → join on the
+    * gram → per-id hit count), parameterized only by how the benchmark
+    * gram set reaches the join — this is what makes the variants' "output
+    * identical by construction" guarantee structural rather than a
+    * three-way copy that must be edited in lockstep. */
+  private def gramJoinHits(corpus: DataFrame, benchmark: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int, minHits: Int,
+                           benchHint: DataFrame => DataFrame): DataFrame = {
     require(n >= 1 && minHits >= 1)
     val cg = MinHashDedup.shingleSets(corpus, idCol, textCol, n)
       .select(col("id"), explode(col("sh")).as("g"))
     val bg = MinHashDedup.shingleSets(benchmark, idCol, textCol, n)
       .select(explode(col("sh")).as("g")).distinct()
-    cg.join(broadcast(bg), "g")
+    cg.join(benchHint(bg), "g")
       .groupBy("id").agg(count(lit(1)).as("hits"))
       .filter(col("hits") >= minHits)
   }
+
+  /** (id, hits): corpus documents sharing ≥ `minHits` distinct n-grams
+    * with the benchmark, and how many they share. */
+  def contaminationHits(corpus: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int = 8, minHits: Int = 1): DataFrame =
+    gramJoinHits(corpus, benchmark, idCol, textCol, n, minHits, broadcast)
 
   /** [[contaminationHits]] without the broadcast contract: both gram
     * streams shuffle on the gram hash. For when the "benchmark" side is
@@ -47,21 +58,11 @@ object Decontaminate {
     * run's data"), where gram sets run to billions and neither broadcast
     * nor a Bloom bitset fits an executor. Costs one content shuffle of
     * both sides' (id, gram) streams — the honest price of two unbounded
-    * inputs; output is identical to [[contaminationHits]] by construction
-    * (same gram pipeline, same join semantics, AQE free to pick the
-    * strategy per actual sizes). */
+    * inputs; AQE remains free to pick the strategy per actual sizes. */
   def contaminationHitsShuffle(corpus: DataFrame, benchmark: DataFrame,
                                idCol: String, textCol: String,
-                               n: Int = 8, minHits: Int = 1): DataFrame = {
-    require(n >= 1 && minHits >= 1)
-    val cg = MinHashDedup.shingleSets(corpus, idCol, textCol, n)
-      .select(col("id"), explode(col("sh")).as("g"))
-    val bg = MinHashDedup.shingleSets(benchmark, idCol, textCol, n)
-      .select(explode(col("sh")).as("g")).distinct()
-    cg.join(bg, "g")
-      .groupBy("id").agg(count(lit(1)).as("hits"))
-      .filter(col("hits") >= minHits)
-  }
+                               n: Int = 8, minHits: Int = 1): DataFrame =
+    gramJoinHits(corpus, benchmark, idCol, textCol, n, minHits, identity)
 
   /** [[contaminationHits]] with a Bloom-filter pre-filter on the corpus
     * scan — the 100 TB shape for when the benchmark gram set outgrows a
@@ -98,7 +99,7 @@ object Decontaminate {
       .collect().map(_.getLong(0))
     require(grams.length <= maxGrams,
       s"benchmark side exceeds $maxGrams distinct grams — not an eval-suite" +
-        " shape; use contaminationHits (shuffle join) instead")
+        " shape; use contaminationHitsShuffle (no broadcast/bitset) instead")
     val (bits, k) = graft.functions.BloomFilterSet.build(grams, bitsPerItem)
     // confirm set from the already-collected hashes: a LocalRelation, so the
     // benchmark is shingled exactly once

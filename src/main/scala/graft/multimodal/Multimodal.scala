@@ -139,10 +139,12 @@ object Multimodal {
     var sr = 0L; var sg = 0L; var sb = 0L
     var ty = 0
     while (ty < th) {
-      val sy = ty * h / th
+      // Long intermediates: header-legal dims reach 2^20, so ty·h can
+      // overflow Int for large upsampling targets (negative index)
+      val sy = (ty.toLong * h / th).toInt
       var tx = 0
       while (tx < tw) {
-        val sx = tx * w / tw
+        val sx = (tx.toLong * w / tw).toInt
         val base = pos + 3 * (sy * w + sx)
         sr += (b(base) & 0xff).toLong
         sg += (b(base + 1) & 0xff).toLong

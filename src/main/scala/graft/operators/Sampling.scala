@@ -217,7 +217,7 @@ object Sampling {
       .withColumn("__n", sum(col("__c")).over(
         Window.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
-      .select(scoreCol, "__before", "__n")
+      .select(col(scoreCol).as("__s"), col("__before"), col("__n"))
     val wTie = Window.partitionBy(scoreCol).orderBy(asc(tieCol))
     // all-int64 closed form; when N < n the q=0 ELSE branch is unreachable
     // (rank < rem·1 = N always holds), so the div-by-zero never evaluates
@@ -229,11 +229,14 @@ object Sampling {
          |     + (__rank - (__n % $nBuckets) * (__n div $nBuckets + 1))
          |       div (__n div $nBuckets)
          |END + 1 AS INT)""".stripMargin
-    df.join(broadcast(marks), Seq(scoreCol))
+    // null-SAFE join back: a NULL score is a legitimate histogram group
+    // (desc ordering puts it last on both engines), and a plain equi-join
+    // would silently drop those rows — breaking row-for-row ntile parity
+    df.join(broadcast(marks), col(scoreCol) <=> col("__s"))
       .withColumn("__rank",
         col("__before") + row_number().over(wTie) - 1)
       .withColumn("bucket", expr(ntileExpr))
-      .drop("__before", "__n", "__rank")
+      .drop("__s", "__before", "__n", "__rank")
   }
 
   /** Dataset mixing: per-source deterministic downsampling + a lineage tag,

@@ -153,6 +153,19 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("scoreNtile keeps NULL scores and ranks them last, like engine ntile") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)), (4L, None),
+      (5L, Some(5L))).toDF("id", "score")
+    val fast = Sampling.scoreNtile(df, "score", "id", 2)
+      .select("id", "bucket").as[(Long, Int)].collect().toMap
+    val w = Window.orderBy(desc("score"), asc("id"))
+    val slow = df.withColumn("bucket", ntile(2).over(w))
+      .select("id", "bucket").as[(Long, Int)].collect().toMap
+    assert(fast.size == 5, s"NULL-score rows dropped: $fast")
+    assert(fast == slow)
+  }
+
   test("scoreNtile broadcasts histogram marks; rank window is per-score") {
     val df = (0L until 500L).toDF("id")
       .withColumn("score", (col("id") % 7).cast("long"))
