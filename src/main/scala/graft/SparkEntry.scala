@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.{Decontaminate, DedupGroups, ExactDedup, MinHashDedup, NGramJaccard, SimHash}
 import graft.functions.TextFunctions
 import graft.ml.{Featurize, Sentiment}
-import graft.multimodal.Multimodal
+import graft.multimodal.{Audio, Multimodal, Video}
 import graft.operators.{Chunking, Packing, Relational, Sampling}
 import graft.similarity.{Ann, Centroids}
 import graft.sources.Tables
@@ -713,6 +713,40 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // §2 row 90: REAL RIFF/WAVE audio decode — chunk-walk the container
+    // (fmt parse, id-sized LIST pad skipped, data found wherever it sits),
+    // then integer sample stats (loudness/clipping screen). The oracle
+    // regenerates every PCM16 sample from the encode recurrence in SQL.
+    "q64_wav_decode" -> ((s, dir) => {
+      val media = Audio.wavPayloads(s, Tables.documents(s, dir), "doc_id")
+      Audio.decodeWavStage(s, media).toDF()
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // §2 row 91: REAL video frame-sampling — walk a concatenated-P6 stream
+    // parsing every frame HEADER but scanning only every 2nd frame's pixel
+    // plane (skipped frames cost O(header)). One row per sampled frame;
+    // the oracle replays the frame grid + pixel recurrence in SQL.
+    "q65_frame_sample" -> ((s, dir) => {
+      val media = Video.videoPayloads(s, Tables.documents(s, dir), "doc_id")
+      Video.sampleVideoStage(s, media, stride = 2).toDF()
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // §2 row 92: SemDeDup-style semantic near-dup — k-means cells (data-
+    // adaptive buckets) instead of random hyperplanes, within-cell pairs
+    // cosine-verified by id-join. Planted exact duplicates (q19's negative
+    // -id trick) give non-empty ground truth. Rows-only: the k-means fit
+    // is float-iterative, not SQL-expressible; AnnSpec pins planted-pair
+    // recall and the no-cartesian plan.
+    "q66_semantic_dedup" -> ((s, dir) => {
+      val emb = spread(s, Tables.embeddings(s, dir))
+      val planted = emb.filter(col("vec_id") % 16 === 0)
+        .withColumn("vec_id", -(col("vec_id") + lit(1L)))
+      Ann.semanticNearDup(emb.unionByName(planted), "vec_id", "embedding",
+        threshold = 0.8, targetCellRows = 64)
+    }),
+
     // Mixture reweighting end-to-end: decile assignment (q61) → per-decile
     // deterministic keep rates (top deciles kept whole, tail thinned) →
     // the per-decile doc/token budget a curation run reports. Every stage
@@ -852,8 +886,8 @@ object SparkEntry {
     "q10_wordcount_hist" ->
       (s"WITH wc AS (SELECT CAST(len(${tokensSql("text")}) AS DOUBLE) AS v FROM documents), " +
         "mm AS (SELECT min(v) AS minv, max(v) AS maxv FROM wc) " +
-        "SELECT CASE WHEN maxv = minv THEN 0 " +
-        "ELSE LEAST(9, CAST(FLOOR((v - minv) * 10 / (maxv - minv)) AS INT)) END AS bucket, " +
+        "SELECT CAST(CASE WHEN maxv = minv THEN 0 " +
+        "ELSE LEAST(9, CAST(FLOOR((v - minv) * 10 / (maxv - minv)) AS INT)) END AS INT) AS bucket, " +
         "count(*) AS freq FROM wc, mm GROUP BY 1"),
 
     "q11_group_count" ->
@@ -1222,6 +1256,35 @@ object SparkEntry {
 
     // Same nearest-neighbor index map (sy = ty·h div th, sx = tx·w div tw)
     // and the q51 pixel recurrence, replayed per sampled cell.
+    // Regenerates the PCM16 sample stream from the encode recurrence —
+    // the decoded container fields (rate, count) and sample stats are
+    // checked end-to-end without binary in the oracle.
+    "q64_wav_decode" ->
+      ("WITH d AS (SELECT doc_id, 256 + doc_id % 512 AS n FROM documents), " +
+        "s AS (SELECT doc_id, n, unnest(list_transform(generate_series(0, n - 1), " +
+        "i -> ((doc_id * 1103515245 + i * 12345 + 7) % 2147483647) % 65536 - 32768)) AS v " +
+        "FROM d) " +
+        "SELECT doc_id, CAST(16000 AS INT) AS sample_rate, " +
+        "CAST(n AS BIGINT) AS n_samples, CAST(sum(v) AS BIGINT) AS sum_amp, " +
+        "CAST(sum(abs(v)) AS BIGINT) AS sum_abs, CAST(max(abs(v)) AS INT) AS peak " +
+        "FROM s GROUP BY doc_id, n"),
+
+    // Sampled-frame grid (0, 2, ...) × the per-frame pixel recurrence:
+    // every sampled frame's channel sums replayed without binary.
+    "q65_frame_sample" ->
+      ("WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h, " +
+        "2 + doc_id % 6 AS nf FROM documents), " +
+        "f AS (SELECT doc_id, w, h, unnest(generate_series(0, nf - 1, 2)) AS fr FROM d) " +
+        "SELECT doc_id, CAST(fr AS INT) AS frame, " +
+        "CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CAST(coalesce(list_sum(list_transform(generate_series(0, 3*w*h - 3, 3), " +
+        "i -> ((doc_id * 1103515245 + fr * 97531 + i * 12345 + 42) % 2147483647) % 256)), 0) AS BIGINT) AS sum_r, " +
+        "CAST(coalesce(list_sum(list_transform(generate_series(1, 3*w*h - 2, 3), " +
+        "i -> ((doc_id * 1103515245 + fr * 97531 + i * 12345 + 42) % 2147483647) % 256)), 0) AS BIGINT) AS sum_g, " +
+        "CAST(coalesce(list_sum(list_transform(generate_series(2, 3*w*h - 1, 3), " +
+        "i -> ((doc_id * 1103515245 + fr * 97531 + i * 12345 + 42) % 2147483647) % 256)), 0) AS BIGINT) AS sum_b " +
+        "FROM f"),
+
     "q63_ppm_thumbnail" ->
       ("WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h " +
         "FROM documents), " +

@@ -502,4 +502,51 @@ object Ann {
     val tables = srpTablesFor(threshold, bits, targetRecall, maxTables)
     nearDupByCosineBanded(df, idCol, vecCol, threshold, dim, tables, bits, seed)
   }
+
+  /** SemDeDup-style semantic near-dup (Abbas et al. 2023, arXiv:2303.09540):
+    * a sample-trained k-means coarse quantizer (the [[trainCentroids]] IVF
+    * machinery) clusters the corpus; candidate pairs are generated WITHIN
+    * cells only, then cosine-verified by id-join — the same
+    * bucket-join-never-all-pairs shape as [[nearDupByCosineBanded]], with
+    * data-adaptive buckets instead of random hyperplanes.
+    *
+    * Trade vs SRP tables, stated honestly: k-means cells follow data
+    * DENSITY, so semantically clustered near-dups land together with far
+    * higher probability than under random projections at the same bucket
+    * count — but there is no OR-amplification, and a pair straddling a cell
+    * boundary is missed BY DESIGN (the paper accepts exactly this). Use the
+    * SRP paths when a recall target must be engineered; use this when
+    * cluster structure is the point (it also yields the cluster ids a
+    * curation pass reuses for diversity sampling).
+    *
+    * Scale: cells are sized to ~targetCellRows by construction
+    * (k = N / targetCellRows, like [[srpBitsFor]]), so the per-cell
+    * self-join stays linear in N. Cell assignment is one codegen argmin
+    * over the centroid literals; `maxCells` caps the expression size — past
+    * ~10³ cells, shard the corpus and run per shard (the paper's own
+    * regime), keeping each quantizer bounded. */
+  def semanticNearDup(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, targetCellRows: Int = 256,
+                      maxCells: Int = 512, seed: Long = 42L): DataFrame = {
+    require(targetCellRows >= 1 && maxCells >= 1)
+    val v = normalized(df, idCol, vecCol, "id", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = v.count()
+    val k = math.min(maxCells.toLong,
+      math.max(4L, (n + targetCellRows - 1) / targetCellRows)).toInt
+    val centroids = trainCentroids(v, "v", k, seed)
+    // the cell shuffle carries (id, cell) only — vectors rejoin BY ID
+    val cells = v.withColumn("cell", nearestCell(col("v"), centroids))
+      .select("id", "cell")
+    val pairs = cells.as("l").join(cells.as("r"),
+        col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.cell").as("cell"))
+    pairs
+      .join(v.select(col("id").as("id_a"), col("v").as("__va")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("__vb")), "id_b")
+      .withColumn("cos", DotProduct(df.sparkSession, col("__va"), col("__vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cell", "cos")
+  }
 }

@@ -229,4 +229,44 @@ class AnnSpec extends SparkSpec {
     assert(!ids.contains((1L, 3L)) && !ids.contains((2L, 3L)))
     assertNoCartesian(out)
   }
+
+  test("semanticNearDup: planted near-dups recovered within cells, verified") {
+    // same planting as the banded SRP test: scaled+shifted copies sit at
+    // cosine ≈ 0.99+ of their original — close enough that a density-
+    // following quantizer must put each copy in its original's cell
+    val base = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 40)
+      .select("vec_id", "embedding")
+    val planted = base.select((col("vec_id") + 1000L).as("vec_id"),
+      transform(col("embedding"),
+        x => (x * lit(1.05) + lit(0.01)).cast("float")).as("embedding"))
+    val corpus = base.unionByName(planted)
+    val threshold = 0.95
+    val local = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val expect = (for {
+      (ia, va) <- local; (ib, vb) <- local
+      if ia < ib && localCosine(va, vb) >= threshold
+    } yield (ia, ib)).toSet
+    assert(expect.size >= 40, s"planting failed: only ${expect.size} true pairs")
+
+    val out = Ann.semanticNearDup(corpus, "vec_id", "embedding", threshold,
+      targetCellRows = 16)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (expect & got).size.toDouble / expect.size
+    assert(recall >= 0.85, s"within-cell recall $recall below target")
+    // precision exact by construction: every pair is cosine-verified
+    assert((got -- expect).isEmpty, s"unverified pairs leaked: ${got -- expect}")
+    assertNoCartesian(out)
+  }
+
+  test("semanticNearDup: cell count follows the corpus, cells ride the output") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Ann.semanticNearDup(emb, "vec_id", "embedding",
+      threshold = 0.5, targetCellRows = 64)
+    assert(out.columns.toSeq == Seq("id_a", "id_b", "cell", "cos"))
+    assertNoCartesian(out)
+    // pairs within one cell carry that cell id (the diversity-sampling hook)
+    val byCell = out.collect()
+    byCell.foreach(r => assert(r.getInt(2) >= 0))
+  }
 }
