@@ -747,6 +747,29 @@ object SparkEntry {
         threshold = 0.8, targetCellRows = 64)
     }),
 
+    // §2 row 93: compression-ratio quality signal — raw-DEFLATE length via
+    // the native deflate_len expression (one per-row codegen pass, a
+    // thread-reused zlib handle, zero shuffles). ratio_bp = raw·10⁴ div
+    // deflated: boilerplate/template spam collapses, natural text doesn't.
+    // Rows-only: DEFLATE output length is a zlib-build property, not
+    // portable SQL; ExpressionSpec pins determinism + codegen parity.
+    "q67_compression_ratio" -> ((s, dir) => {
+      val docs = spread(s, Tables.documents(s, dir))
+      docs.select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("raw_bytes"),
+          graft.functions.DeflateLen(s, col("text")).cast("long").as("deflate_bytes"))
+        .withColumn("ratio_bp",
+          col("raw_bytes") * 10000L / greatest(col("deflate_bytes"), lit(1L)))
+    }),
+
+    // §2 row 94: deterministic exact-k sample per group — the TopK
+    // aggregator caps the shuffle at k rows per group per partition (no
+    // corpus-wide rank window); LCG priority makes the k-subset
+    // reproducible AND oracle-replayable.
+    "q68_group_sample" -> ((s, dir) =>
+      Sampling.sampleKPerGroup(Tables.documents(s, dir), "source", "doc_id",
+        k = 12)),
+
     // Mixture reweighting end-to-end: decile assignment (q61) → per-decile
     // deterministic keep rates (top deciles kept whole, tail thinned) →
     // the per-decile doc/token budget a curation run reports. Every stage
@@ -1256,6 +1279,17 @@ object SparkEntry {
 
     // Same nearest-neighbor index map (sy = ty·h div th, sx = tx·w div tw)
     // and the q51 pixel recurrence, replayed per sampled cell.
+    // The LCG priority is written out literally (the lcgBp contract,
+    // unreduced); row_number over the identical (priority, id) total order
+    // replays the exact k-subset and its ranks.
+    "q68_group_sample" ->
+      ("WITH p AS (SELECT source, doc_id, " +
+        "(doc_id % 1000003) * 1103515249 + 12345 AS pri FROM documents), " +
+        "r AS (SELECT source, doc_id, CAST(row_number() OVER " +
+        "(PARTITION BY source ORDER BY pri ASC, doc_id ASC) AS INT) AS rank " +
+        "FROM p) " +
+        "SELECT source, doc_id, rank FROM r WHERE rank <= 12"),
+
     // Regenerates the PCM16 sample stream from the encode recurrence —
     // the decoded container fields (rate, count) and sample stats are
     // checked end-to-end without binary in the oracle.

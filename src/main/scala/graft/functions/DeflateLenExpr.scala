@@ -1,0 +1,81 @@
+package graft.functions
+
+import java.util.zip.Deflater
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: `deflate_len(text)` — the raw-DEFLATE
+  * (RFC 1951, zlib level 6) compressed byte length of the string's UTF-8
+  * bytes. The compression-ratio quality signal of LLM data curation
+  * (Gopher's `compression_ratio`-style repetition screen): natural text
+  * compresses to ~40-60% while boilerplate, template spam and repeated
+  * blocks collapse far below that, so `octet_length(text) / deflate_len
+  * (text)` separates them with one per-row pass and zero shuffles.
+  *
+  * Why native: a UDF would allocate a `Deflater` (a native-zlib handle)
+  * per row; this expression reuses one per thread via reset() and stays
+  * inside whole-stage codegen — the loop body is a single static call.
+  * Rows-only at the driver (DEFLATE's exact output length is a property of
+  * the zlib build, not portable SQL); the spec pins determinism,
+  * codegen==interpreted, and the monotone repetitive-vs-random contract.
+  */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"deflate_len requires string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "deflate_len"
+
+  override def nullSafeEval(input: Any): Any =
+    DeflateLen.compressedSize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.DeflateLen.compressedSize($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DeflateLen {
+
+  /** Fixed level: the signal must be comparable across a corpus, so the
+    * level is part of the function's definition, not a knob. */
+  private val Level = 6
+
+  // One native zlib handle + scratch buffer per executor thread, reused
+  // across rows via reset() — handle allocation per row would dominate.
+  private val deflaters = new ThreadLocal[Deflater] {
+    override def initialValue(): Deflater = new Deflater(Level, true)
+  }
+  private val scratch = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8192)
+  }
+
+  /** Static codegen entry point (also the interpreted eval body). */
+  def compressedSize(s: UTF8String): Int = {
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(s.getBytes)
+    d.finish()
+    val buf = scratch.get()
+    var n = 0
+    while (!d.finished()) n += d.deflate(buf)
+    n
+  }
+
+  /** Column-API entry point (register-and-call, same pattern as
+    * [[MinWindowHash]]). */
+  def apply(spark: org.apache.spark.sql.SparkSession,
+            text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    GraftExtensions.register(spark)
+    org.apache.spark.sql.functions.call_function("deflate_len", text)
+  }
+}

@@ -57,6 +57,11 @@ object GraftExtensions {
       "bloom_contains(hash: bigint, bits: array<bigint> literal, k: int literal)")
   }
 
+  private def deflateLenBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(text) => DeflateLen(text)
+    case _ => throw new IllegalArgumentException("deflate_len(string)")
+  }
+
   private def minWindowHashBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(text) => MinWindowHash(text, 8)
     case Seq(text, Literal(k: Int, _)) => MinWindowHash(text, k)
@@ -83,7 +88,10 @@ object GraftExtensions {
         minWindowHashBuilder _),
       (FunctionIdentifier("bloom_contains"),
         new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
-        bloomContainsBuilder _))
+        bloomContainsBuilder _),
+      (FunctionIdentifier("deflate_len"),
+        new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+        deflateLenBuilder _))
 
   /** Register on an already-built session (e.g. the shared test session). */
   def register(spark: SparkSession): Unit = {

@@ -120,6 +120,44 @@ object Sampling {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Deterministic exact-k sample per group — "exactly 1000 docs from every
+    * source, the same 1000 every run". Keeps the k rows with the SMALLEST
+    * LCG priority `(id % 1000003)·1103515249 + 12345` per group (ties → min
+    * id): the LCG scrambles ids, so the k-smallest-priority prefix is an
+    * unbiased-by-construction deterministic sample, reproducible across
+    * runs, partitionings and engines (the [[lcgBp]] contract, unreduced —
+    * the full product stays < 2^53, so the Double-typed aggregator buffer
+    * holds it exactly).
+    *
+    * Shape: the typed [[graft.functions.TopKAggregator]] — map-side partial
+    * aggregation caps each partition's shuffle contribution at k rows per
+    * group, where the row_number window formulation would shuffle EVERY row
+    * to its group's reducer. Same reason it wins in
+    * [[graft.similarity.Ann.bruteForceTopKAgg]].
+    *
+    * Returns (groupCol, idCol, rank) with rank 1..k in priority order;
+    * groups smaller than k keep all their rows. */
+  def sampleKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // negated priority: the aggregator keeps LARGEST scores, we want the
+    // smallest priorities; its id-ascending tie-break matches the oracle's
+    val rows = df.select(col(groupCol).cast("string").as("__g"),
+        col(idCol).cast("long").as("__id"),
+        -((col(idCol) % 1000003L) * 1103515249L + 12345L).cast("double"))
+      .as[(String, Long, Double)]
+    val topk = new graft.functions.TopKAggregator(k).toColumn
+    rows.groupByKey(_._1)
+      .mapValues { case (_, id, s) => (id, s) }
+      .agg(topk.name("topk"))
+      .toDF(groupCol, "topk")
+      .select(col(groupCol), posexplode(col("topk")))
+      .select(col(groupCol), col("col._1").as(idCol),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Deterministic token-budget sampling: admit documents in a reproducible
     * pseudo-random order until a global token budget fills — "give me
     * exactly ~1T tokens of this corpus, the same 1T every run".

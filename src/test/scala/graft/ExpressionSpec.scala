@@ -205,6 +205,42 @@ class ExpressionSpec extends SparkSpec {
       .head().getLong(0) == viaSql)
   }
 
+  test("deflate_len: deterministic, codegen == interpreted, separates text") {
+    import graft.functions.DeflateLen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val repetitive = "spam " * 400                            // 2000 bytes
+    val varied = new scala.util.Random(7).alphanumeric.take(2000).mkString
+    val df = Seq((1L, repetitive), (2L, varied)).toDF("id", "text")
+    // codegen path (whole-stage) vs interpreted eval() on the same inputs
+    val viaCodegen = df.select(col("id"), DeflateLen(spark, col("text")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def interp(s: String): Int =
+      DeflateLen(Literal.create(s,
+        org.apache.spark.sql.types.StringType)).eval(null).asInstanceOf[Int]
+    assert(viaCodegen(1L) == interp(repetitive))
+    assert(viaCodegen(2L) == interp(varied))
+    // repeated runs are bit-stable (thread-reused deflater resets cleanly)
+    assert(interp(varied) == interp(varied))
+    // the signal: same raw length, wildly different compressed length
+    assert(viaCodegen(1L) * 10 < viaCodegen(2L),
+      s"repetitive ${viaCodegen(1L)} not << varied ${viaCodegen(2L)}")
+    // empty input: small nonzero terminator, never a crash or a zero-div
+    assert(interp("") > 0 && interp("") < 8)
+    // null in, null out
+    assert(df.select(DeflateLen(spark, lit(null).cast("string")))
+      .head().isNullAt(0))
+  }
+
+  test("deflate_len is registered as a SQL function") {
+    GraftExtensions.register(spark)
+    Seq("compress me " * 50).toDF("text").createOrReplaceTempView("dl_docs")
+    val viaSql = spark.sql("SELECT deflate_len(text) FROM dl_docs")
+      .head().getInt(0)
+    val viaCol = Seq("compress me " * 50).toDF("text")
+      .select(graft.functions.DeflateLen(spark, col("text"))).head().getInt(0)
+    assert(viaSql == viaCol && viaSql > 0)
+  }
+
   test("minhash_sig survives inside the full banded pipeline") {
     import graft.dedup.MinHashDedup
     val docs = Seq(

@@ -195,4 +195,40 @@ class SamplingSpec extends SparkSpec {
       s"thresholds not broadcast:\n$plan")
     out.count()
   }
+
+  test("sampleKPerGroup equals the naive ranked formulation, ranks included") {
+    val df = ids(3000).withColumn("g", (col("id") % 7).cast("string"))
+    val got = Sampling.sampleKPerGroup(df, "g", "id", k = 25)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    import org.apache.spark.sql.expressions.Window
+    val pri = (col("id") % 1000003L) * 1103515249L + 12345L
+    val w = Window.partitionBy("g").orderBy(pri.asc, col("id").asc)
+    val naive = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 25)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("id"),
+        r.getAs[Int]("rank"))).toSet
+    assert(got == naive)
+  }
+
+  test("sampleKPerGroup: exact k per group, stable under repartitioning") {
+    val df = ids(2000).withColumn("g", (col("id") % 5).cast("string"))
+    val a = Sampling.sampleKPerGroup(df, "g", "id", k = 40)
+    val sizes = a.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.toSet == Set(40L))
+    val b = Sampling.sampleKPerGroup(df.repartition(13), "g", "id", k = 40)
+    assert(a.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      b.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    // a group smaller than k keeps all its rows
+    val tiny = Sampling.sampleKPerGroup(ids(3).withColumn("g", lit("x")),
+      "g", "id", k = 40)
+    assert(tiny.count() == 3)
+  }
+
+  test("sampleKPerGroup aggregates map-side — no rank window in the plan") {
+    val df = ids(1000).withColumn("g", (col("id") % 3).cast("string"))
+    val out = Sampling.sampleKPerGroup(df, "g", "id", k = 10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rank window leaked into plan:\n$plan")
+    out.count()
+  }
 }
