@@ -12,7 +12,7 @@ import graft.operators.{Chunking, Packing, Relational, Sampling}
 import graft.similarity.{Ann, Centroids}
 import graft.sources.Tables
 import graft.streaming.{ScoringStream, Sessionize}
-import graft.textstats.{Keywords, Pii, Repetition, TextStats}
+import graft.textstats.{Keywords, Pii, Repetition, TextStats, Urls}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator ↔ query map. */
 object SparkEntry {
@@ -54,6 +54,10 @@ object SparkEntry {
     * pipeline runs on one core. */
   private def spread(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
+
+  /** q70's blocklist, shared verbatim with the oracle's NOT IN literals. */
+  private val blockedDomains: Seq[String] =
+    (0 until 20).flatMap(i => Seq(7, 13).map(d => s"src$i-$d.example.com"))
 
   /** Temp staging directory registered (once per path) for recursive
     * deletion at JVM exit — round-trip queries stage under tmp without
@@ -762,6 +766,22 @@ object SparkEntry {
           col("raw_bytes") * 10000L / greatest(col("deflate_bytes"), lit(1L)))
     }),
 
+    // §2 row 95: Hive-partitioned write → planning-time partition pruning.
+    // Writes documents as lang=*/ directories, reads back one partition;
+    // the scan's PartitionFilters drop every other directory without I/O.
+    // Same eager-write-at-construction contract as q41 (staging dir
+    // removed at JVM exit); SourcesSpec asserts the pruned plan + guard.
+    "q69_partitioned_scan" -> ((s, dir) => {
+      val src = Tables.documents(s, dir)
+        .select("doc_id", "lang", "source", "n_chars")
+      val path = stagingDir("graft_part_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + ProcessHandle.current().pid())
+      Tables.writePartitioned(src, path, Seq("lang"))
+      s.read.parquet(path).filter(col("lang") === "en")
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
     // §2 row 94: deterministic exact-k sample per group — the TopK
     // aggregator caps the shuffle at k rows per group per partition (no
     // corpus-wide rank window); LCG priority makes the k-subset
@@ -769,6 +789,20 @@ object SparkEntry {
     "q68_group_sample" -> ((s, dir) =>
       Sampling.sampleKPerGroup(Tables.documents(s, dir), "source", "doc_id",
         k = 12)),
+
+    // §2 row 97: domain blocklist screen — synthesize deterministic URLs
+    // (documents carry none), extract the host with the shared regexp,
+    // drop blocklisted domains via broadcast anti-join, count what's kept.
+    "q70_blocklist_filter" -> ((s, dir) => {
+      import s.implicits._
+      val urls = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .withColumn("url",
+          concat(lit("https://"), col("source"), lit("-"),
+            (col("doc_id") % 97).cast("string"), lit(".example.com/doc/"),
+            col("doc_id").cast("string")))
+      Urls.dropBlocklisted(urls, "url", blockedDomains.toDF("domain"))
+        .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+    }),
 
     // Mixture reweighting end-to-end: decile assignment (q61) → per-decile
     // deterministic keep rates (top deciles kept whole, tail thinned) →
@@ -1279,6 +1313,23 @@ object SparkEntry {
 
     // Same nearest-neighbor index map (sy = ty·h div th, sx = tx·w div tw)
     // and the q51 pixel recurrence, replayed per sampled cell.
+    // Round-trip through the partitioned layout is lossless for these
+    // columns; the lang partition filter is the plain WHERE.
+    "q69_partitioned_scan" ->
+      ("SELECT doc_id, lang, source, n_chars FROM documents " +
+        "WHERE lang = 'en'"),
+
+    // Same synthetic URLs, the same regexp, and the blocklist as a NOT IN
+    // over the identical literal list (anti-join ≡ NOT IN on non-null).
+    "q70_blocklist_filter" ->
+      ("WITH u AS (SELECT doc_id, 'https://' || source || '-' || " +
+        "CAST(doc_id % 97 AS VARCHAR) || '.example.com/doc/' || " +
+        "CAST(doc_id AS VARCHAR) AS url FROM documents), " +
+        s"d AS (SELECT doc_id, regexp_extract(url, '${Urls.domainRegex}', 1) " +
+        "AS domain FROM u) " +
+        "SELECT domain, count(*) AS n_docs FROM d WHERE domain NOT IN (" +
+        blockedDomains.map(d => s"'$d'").mkString(", ") + ") GROUP BY domain"),
+
     // The LCG priority is written out literally (the lcgBp contract,
     // unreduced); row_number over the identical (priority, id) total order
     // replays the exact k-subset and its ranks.

@@ -101,4 +101,63 @@ object Tables {
     df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(key))
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(path)
+
+  /** Hive-partitioned write: one `key=value/` directory per distinct value
+    * of the partition columns; values live in directory NAMES, not data
+    * files, so a filtered scan prunes whole directories at PLANNING time —
+    * zero I/O, zero tasks for excluded partitions (the scan node's
+    * `PartitionFilters`, vs min/max statistics which still open files).
+    *
+    * Low-cardinality keys ONLY (lang, source, dt): every distinct value is
+    * a directory, and a high-cardinality partition key is the classic
+    * small-files outage — 10⁶ ids × 1000 executors = 10⁹ tiny files. Guard
+    * rail: the caller states the expected cardinality ceiling and the
+    * write fails fast if the data exceeds it (one cheap distinct-count on
+    * the key columns — catching the outage before 10⁹ files exist is worth
+    * one aggregation job). */
+  def writePartitioned(df: DataFrame, path: String, keys: Seq[String],
+                       maxPartitions: Int = 10000): Unit = {
+    import org.apache.spark.sql.functions.col
+    val n = df.select(keys.map(col): _*).distinct().count()
+    require(n <= maxPartitions,
+      s"partition key ${keys.mkString(",")} has $n distinct values " +
+        s"(> $maxPartitions): high-cardinality partition keys create the " +
+        "small-files problem; bucket or range-partition instead")
+    df.write.mode("overwrite").partitionBy(keys: _*).parquet(path)
+  }
+
+  /** Z-order clustered write: rows are laid out along a Morton
+    * (bit-interleaved) curve over TWO keys, so each output file covers a
+    * tight rectangle in (a, b) space and parquet min/max statistics prune
+    * on EITHER column — [[writeRangeLayout]] gives perfect pruning on one
+    * key and none on the other; this gives ~√F-of-domain pruning on both
+    * (the Delta/Iceberg OPTIMIZE ZORDER layout).
+    *
+    * Keys are first rank-bucketed to 2^bits dense ids with
+    * [[graft.operators.Sampling.scoreNtile]] (an exact histogram ntile, no
+    * corpus-wide rank window) — interleaving RAW values would let one
+    * skewed/wide column dominate the curve; rank buckets make the curve
+    * follow the data distribution (what OPTIMIZE ZORDER does with its
+    * range-ids). The z-value itself is 2·bits of pure per-row bit math. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    nFiles: Int, bits: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    val n = 1 << bits
+    val ranked = graft.operators.Sampling
+      .scoreNtile(df, colA, colB, n).withColumnRenamed("bucket", "__za")
+    val ranked2 = graft.operators.Sampling
+      .scoreNtile(ranked, colB, colA, n).withColumnRenamed("bucket", "__zb")
+    val a = (col("__za") - 1).cast("long")
+    val b = (col("__zb") - 1).cast("long")
+    val z = (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+    ranked2.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .select(df.columns.map(col).toIndexedSeq: _*)
+      .write.mode("overwrite").parquet(path)
+  }
 }

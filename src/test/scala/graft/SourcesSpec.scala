@@ -73,4 +73,59 @@ class SourcesSpec extends SparkSpec {
     // nothing lost in the layout pass
     assert(spark.read.parquet(dir).count() == docs.count())
   }
+
+  test("partitioned write: directory layout, planning-time pruning, guard") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
+    Tables.writePartitioned(docs, dir, Seq("lang"))
+    // values became directory names
+    val langDirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(langDirs.contains("lang=en"), s"no lang=en dir in $langDirs")
+    // a filtered scan prunes partitions at planning time
+    val scan = spark.read.parquet(dir).filter(col("lang") === "en")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("lang"),
+      s"no partition filter in scan:\n$plan")
+    assert(scan.count() == docs.filter(col("lang") === "en").count())
+    // nothing lost across all partitions
+    assert(spark.read.parquet(dir).count() == docs.count())
+    // the small-files guard: a high-cardinality key fails fast
+    assertThrows[IllegalArgumentException] {
+      Tables.writePartitioned(docs, dir + "2", Seq("doc_id"), maxPartitions = 10)
+    }
+  }
+
+  test("z-order layout: per-file rectangles are tight on BOTH keys") {
+    import org.apache.spark.sql.functions._
+    // a 64x64 grid: every (x, y) cell occupied once
+    val grid = (0 until 4096).map(i => (i.toLong, (i % 64).toLong, (i / 64).toLong))
+      .toDF("id", "x", "y")
+    val zdir = java.nio.file.Files.createTempDirectory("graft_z").toString + "/t"
+    Tables.writeZOrdered(grid, zdir, "x", "y", nFiles = 16, bits = 6)
+    def fileSpans(dir: String, c: String): Seq[Long] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+        .map { f =>
+          val v = spark.read.parquet(f).select(c).as[Long].collect()
+          v.max - v.min
+        }
+    val xs = fileSpans(zdir, "x"); val ys = fileSpans(zdir, "y")
+    assert(xs.size > 1, "z-order write produced a single file")
+    // each file covers a tight rectangle: both dims well under the full
+    // 0..63 domain (ideal for 16 files is a 16x16 tile, span 15)
+    assert(xs.sum.toDouble / xs.size <= 32, s"x spans too wide: $xs")
+    assert(ys.sum.toDouble / ys.size <= 32, s"y spans too wide: $ys")
+    // contrast: a single-key range layout leaves the OTHER key unpruned —
+    // every file spans the whole y domain
+    val rdir = java.nio.file.Files.createTempDirectory("graft_z").toString + "/r"
+    Tables.writeRangeLayout(grid, rdir, "x", nFiles = 16)
+    val ry = fileSpans(rdir, "y")
+    assert(ry.sum.toDouble / ry.size >= 60, s"unexpected y pruning: $ry")
+    // lossless
+    assert(spark.read.parquet(zdir).select("id").as[Long].collect().toSet ==
+      (0L until 4096L).toSet)
+  }
 }
