@@ -12,7 +12,7 @@ import graft.operators.{Chunking, Packing, Relational, Sampling}
 import graft.similarity.{Ann, Centroids}
 import graft.sources.Tables
 import graft.streaming.{ScoringStream, Sessionize}
-import graft.textstats.{Keywords, Pii, Repetition, TextStats, Urls}
+import graft.textstats.{Boilerplate, Keywords, Pii, Repetition, TextStats, Urls}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator ↔ query map. */
 object SparkEntry {
@@ -790,6 +790,29 @@ object SparkEntry {
       Sampling.sampleKPerGroup(Tables.documents(s, dir), "source", "doc_id",
         k = 12)),
 
+    // §2 row 98: CCNet-style line-level boilerplate removal. The word-soup
+    // docs carry no newlines, so the query first builds multi-line docs
+    // both engines can replay (8-word body lines + planted headers: one on
+    // every doc, one on every 5th, a rare footer on every 100th), then
+    // drops lines whose doc-frequency exceeds 20 and reassembles. The two
+    // planted headers vanish from every document; the rare footer stays.
+    "q71_boilerplate" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val nLines = ((size(words) + 7) / 8).cast("int")
+      val body = transform(sequence(lit(0), nLines - 1),
+        j => array_join(slice(words, j * 8 + 1, lit(8)), " "))
+      val empty = array().cast("array<string>")
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        array_join(concat(
+          array(lit("accept cookies to continue")),
+          when(col("doc_id") % 5 === 0,
+            array(lit("subscribe to our newsletter"))).otherwise(empty),
+          body,
+          when(col("doc_id") % 100 === 0,
+            array(lit("rare footer line"))).otherwise(empty)), "\n").as("text"))
+      Boilerplate.removeHotLines(docs, "doc_id", "text", maxDocs = 20)
+    }),
+
     // §2 row 97: domain blocklist screen — synthesize deterministic URLs
     // (documents carry none), extract the host with the shared regexp,
     // drop blocklisted domains via broadcast anti-join, count what's kept.
@@ -1318,6 +1341,27 @@ object SparkEntry {
     "q69_partitioned_scan" ->
       ("SELECT doc_id, lang, source, n_chars FROM documents " +
         "WHERE lang = 'en'"),
+
+    // Same line construction, DISTINCT-doc counting on the line STRING
+    // (the engine groups on xxhash64 of the line — identical up to hash
+    // collisions), string_agg ordered by position for the rebuild.
+    "q71_boilerplate" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "b AS (SELECT doc_id, list_transform(generate_series(0, (len(ws)+7)//8 - 1), " +
+        "j -> array_to_string(list_slice(ws, j*8+1, j*8+8), ' ')) AS body FROM w), " +
+        "d AS (SELECT doc_id, ['accept cookies to continue'] || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ['subscribe to our newsletter'] " +
+        "ELSE CAST([] AS VARCHAR[]) END || body || " +
+        "CASE WHEN doc_id % 100 = 0 THEN ['rare footer line'] " +
+        "ELSE CAST([] AS VARCHAR[]) END AS ls FROM b), " +
+        "l AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos, " +
+        "unnest(list_transform(ls, x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g'))) AS line FROM d), " +
+        "hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS dfd " +
+        "FROM l GROUP BY line) t WHERE dfd > 20), " +
+        "kept AS (SELECT doc_id, pos, line FROM l " +
+        "WHERE line NOT IN (SELECT line FROM hot)) " +
+        "SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text " +
+        "FROM kept GROUP BY doc_id"),
 
     // Same synthetic URLs, the same regexp, and the blocklist as a NOT IN
     // over the identical literal list (anti-join ≡ NOT IN on non-null).
