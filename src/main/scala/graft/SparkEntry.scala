@@ -8,7 +8,7 @@ import graft.dedup.{Decontaminate, DedupGroups, ExactDedup, MinHashDedup, NGramJ
 import graft.functions.TextFunctions
 import graft.ml.{Featurize, Sentiment}
 import graft.multimodal.{Audio, Multimodal, Video}
-import graft.operators.{Chunking, Packing, Relational, Sampling}
+import graft.operators.{Chunking, Funnel, Packing, Relational, Sampling}
 import graft.similarity.{Ann, Centroids}
 import graft.sources.Tables
 import graft.streaming.{ScoringStream, Sessionize}
@@ -790,6 +790,14 @@ object SparkEntry {
       Sampling.sampleKPerGroup(Tables.documents(s, dir), "source", "doc_id",
         k = 12)),
 
+    // §2 row 99: strict-order event funnel (view → click → purchase):
+    // earliest-next-after-earliest-previous chain per user, one filtered
+    // partial agg per step + user-key joins — no per-user arrays, no rank
+    // window over the stream. Exact integer µs timestamps oracle cleanly.
+    "q72_funnel" -> ((s, dir) =>
+      Funnel.funnel(Tables.events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
+
     // §2 row 98: CCNet-style line-level boilerplate removal. The word-soup
     // docs carry no newlines, so the query first builds multi-line docs
     // both engines can replay (8-word body lines + planted headers: one on
@@ -1341,6 +1349,25 @@ object SparkEntry {
     "q69_partitioned_scan" ->
       ("SELECT doc_id, lang, source, n_chars FROM documents " +
         "WHERE lang = 'en'"),
+
+    // The standard N-join funnel formulation: earliest step-1 event, then
+    // per step the min event time strictly after the previous step's time
+    // (a NULL previous propagates NULL — stalled users never advance).
+    "q72_funnel" ->
+      ("WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1_us FROM events " +
+        "WHERE event_type = 'view' GROUP BY 1), " +
+        "s2 AS (SELECT s1.user_id, s1.t1_us, min(epoch_us(e.ts)) AS t2_us " +
+        "FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id " +
+        "AND e.event_type = 'click' AND epoch_us(e.ts) > s1.t1_us " +
+        "GROUP BY 1, 2), " +
+        "s3 AS (SELECT s2.user_id, s2.t1_us, s2.t2_us, " +
+        "min(epoch_us(e.ts)) AS t3_us " +
+        "FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id " +
+        "AND e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2_us " +
+        "GROUP BY 1, 2, 3) " +
+        "SELECT user_id, t1_us, t2_us, t3_us, " +
+        "CAST(1 + CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END + " +
+        "CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END AS INT) AS depth FROM s3"),
 
     // Same line construction, DISTINCT-doc counting on the line STRING
     // (the engine groups on xxhash64 of the line — identical up to hash
