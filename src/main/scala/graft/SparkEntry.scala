@@ -790,6 +790,25 @@ object SparkEntry {
       Sampling.sampleKPerGroup(Tables.documents(s, dir), "source", "doc_id",
         k = 12)),
 
+    // §2 row 100: incremental embedding dedup — today's ingest vs the
+    // persisted SRP index + vector table (historical embeddings never
+    // re-projected); planted copies (q19's negative-id trick) give ground
+    // truth. Rows-only (probabilistic SRP candidates); AnnSpec pins
+    // planted recall, exact precision, and the broadcast-probe plan.
+    "q73_incremental_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      // fixed (L=8, b=7): sized for the sf0.1 corpus (~2k vectors, ~16
+      // rows/bucket); a production build would persist srpBitsFor-sized
+      // tables next to the corpus
+      val idx = Ann.srpIndex(emb, "vec_id", "embedding", dim = 64,
+        nTables = 8, bitsPerTable = 7)
+      val vecs = Ann.normalizedVectors(emb, "vec_id", "embedding")
+      val inc = emb.filter(col("vec_id") % 16 === 0)
+        .withColumn("vec_id", -(col("vec_id") + lit(1L)))
+      Ann.incrementalCosineDups(inc, "vec_id", "embedding", idx, vecs,
+        threshold = 0.8, dim = 64, nTables = 8, bitsPerTable = 7)
+    }),
+
     // §2 row 99: strict-order event funnel (view → click → purchase):
     // earliest-next-after-earliest-previous chain per user, one filtered
     // partial agg per step + user-key joins — no per-user arrays, no rank

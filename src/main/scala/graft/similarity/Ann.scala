@@ -503,6 +503,72 @@ object Ann {
     nearDupByCosineBanded(df, idCol, vecCol, threshold, dim, tables, bits, seed)
   }
 
+  /** Persisted SRP bucket index of an embedding corpus: (id, table, bucket)
+    * rows, written once at corpus build and appended per ingest — the
+    * embedding analog of [[graft.dedup.MinHashDedup.bandIndex]]. Pair with
+    * [[normalizedVectors]] (the cosine-confirm side) and feed both to
+    * [[incrementalCosineDups]]; the 100 TB of historical embeddings is then
+    * never re-projected at ingest time. */
+  def srpIndex(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+               nTables: Int, bitsPerTable: Int, seed: Long = 42L): DataFrame = {
+    require(nTables >= 1 && bitsPerTable >= 1 && bitsPerTable <= 24)
+    normalized(df, idCol, vecCol, "id", "v").select(col("id"),
+        posexplode(array((0 until nTables).map(t =>
+          srpBucket(df.sparkSession, col("v"), bitsPerTable, dim, seed + t)): _*)))
+      .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
+  }
+
+  /** (id, v): L2-normalized vectors — the persisted confirm-side companion
+    * of [[srpIndex]]. */
+  def normalizedVectors(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    normalized(df, idCol, vecCol, "id", "v")
+
+  /** Incremental embedding near-dup: today's ingest against an already-
+    * indexed corpus, the cosine twin of
+    * [[graft.dedup.MinHashDedup.incrementalNearDups]]. The historical
+    * corpus participates ONLY through its persisted [[srpIndex]] and
+    * [[normalizedVectors]] tables — raw historical embeddings are never
+    * re-read or re-projected. The increment's bucket rows BROADCAST onto
+    * the corpus index scan (a daily batch is tiny against the corpus; the
+    * index is probed in place, never shuffled), candidate id pairs —
+    * bounded by true near-dups plus SRP collisions — broadcast onto the
+    * vector table for exact-cosine confirmation, and within-increment
+    * pairs come from the ordinary self-join on the increment alone.
+    *
+    * Output: (new_id, dup_id, cos) — `dup_id` an indexed corpus id or an
+    * earlier (lower-id) id of the same increment. Contract: globally
+    * unique ids, and the index was built with the same
+    * (dim, nTables, bitsPerTable, seed). */
+  def incrementalCosineDups(newDocs: DataFrame, idCol: String, vecCol: String,
+                            corpusIndex: DataFrame, corpusVecs: DataFrame,
+                            threshold: Double, dim: Int, nTables: Int,
+                            bitsPerTable: Int, seed: Long = 42L): DataFrame = {
+    val newV = normalized(newDocs, idCol, vecCol, "id", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBuckets = newV.select(col("id").as("new_id"),
+        posexplode(array((0 until nTables).map(t =>
+          srpBucket(newDocs.sparkSession, col("v"), bitsPerTable, dim, seed + t)): _*)))
+      .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
+    val cross = corpusIndex
+      .join(broadcast(newBuckets), Seq("table", "bucket"))
+      .select(col("id").as("id_a"), col("new_id").as("id_b"))
+      .distinct()
+    val within = newBuckets.as("l").join(newBuckets.as("r"),
+        col("l.table") === col("r.table") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.new_id") < col("r.new_id"))
+      .select(col("l.new_id").as("id_a"), col("r.new_id").as("id_b"))
+      .distinct()
+    val pairs = broadcast(cross.union(within).distinct())
+    val vecs = corpusVecs.select("id", "v").union(newV.select("id", "v"))
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("__va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("__vb")), "id_b")
+      .withColumn("cos", DotProduct(newDocs.sparkSession, col("__va"), col("__vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_b").as("new_id"), col("id_a").as("dup_id"), col("cos"))
+  }
+
   /** SemDeDup-style semantic near-dup (Abbas et al. 2023, arXiv:2303.09540):
     * a sample-trained k-means coarse quantizer (the [[trainCentroids]] IVF
     * machinery) clusters the corpus; candidate pairs are generated WITHIN

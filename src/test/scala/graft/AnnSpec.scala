@@ -230,6 +230,46 @@ class AnnSpec extends SparkSpec {
     assertNoCartesian(out)
   }
 
+  test("incrementalCosineDups: corpus via index only, planted dups found") {
+    val base = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 60)
+      .select("vec_id", "embedding")
+    // persisted index + vector table: the only corpus-side inputs below
+    val idx = Ann.srpIndex(base, "vec_id", "embedding", dim = 64,
+      nTables = 6, bitsPerTable = 6)
+    val vecs = Ann.normalizedVectors(base, "vec_id", "embedding")
+    // increment: near-copies of corpus vecs 0..9 (ids 1000+i), plus an
+    // exact within-increment dup pair (2000, 2001 share vec 30's copy)
+    val copies = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * lit(1.05) + lit(0.01)).cast("float")).as("embedding"))
+    val pairSrc = base.filter(col("vec_id") === 30)
+    val inc = copies
+      .unionByName(pairSrc.select(lit(2000L).as("vec_id"), col("embedding")))
+      .unionByName(pairSrc.select(lit(2001L).as("vec_id"), col("embedding")))
+    val threshold = 0.95
+    val out = Ann.incrementalCosineDups(inc, "vec_id", "embedding", idx, vecs,
+      threshold, dim = 64, nTables = 6, bitsPerTable = 6)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth from local exact math over corpus ∪ increment
+    val local = (base.collect() ++ inc.collect())
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val expect = (for {
+      (ib, vb) <- local; if ib >= 1000L // only increment docs emit
+      (ia, va) <- local; if ia < ib && localCosine(va, vb) >= threshold
+    } yield (ib, ia)).toSet
+    assert(expect.size >= 12, s"planting failed: ${expect.size} true pairs")
+    // precision exact (cosine-verified); recall per SRP amplification
+    assert((got -- expect).isEmpty, s"unverified pairs: ${got -- expect}")
+    val recall = (expect & got).size.toDouble / expect.size
+    assert(recall >= 0.9, s"incremental recall $recall below target")
+    // the known plants are individually present
+    assert(got.contains((2001L, 2000L)), "within-increment dup missed")
+    assert((0 until 10).forall(i => got.contains((1000L + i, i.toLong))),
+      s"cross plants missing: $got")
+    assertNoCartesian(out)
+  }
+
   test("semanticNearDup: planted near-dups recovered within cells, verified") {
     // same planting as the banded SRP test: scaled+shifted copies sit at
     // cosine ≈ 0.99+ of their original — close enough that a density-
