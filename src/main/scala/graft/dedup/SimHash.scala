@@ -126,14 +126,26 @@ object SimHash {
     * the join degenerates toward all-pairs. Radius 4-7 callers:
     * [[nearDuplicatesMultiProbe]]. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3): DataFrame = {
+                     maxHamming: Int = 3): DataFrame =
+    nearDuplicatesFromSignatures(signatures(docs, idCol, textCol), maxHamming)
+
+  /** The Hamming-bucket join alone, over an ALREADY-COMPUTED `(id, simhash)`
+    * frame — the signature source is a parameter, not an assumption, so any
+    * 64-bit hash whose Hamming distance means "similar" plugs in: text
+    * SimHash ([[nearDuplicates]] delegates here), image perceptual dHash
+    * ([[graft.multimodal.ImageDedup.nearDupImages]]), or a persisted
+    * signature table read back from parquet (no re-hashing at all — the
+    * incremental-ingest shape). Completeness contract identical to
+    * [[nearDuplicates]]: radius ≤ 3 by pigeonhole over 4 chunks. */
+  def nearDuplicatesFromSignatures(signatures: DataFrame,
+                                   maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit chunk LSH is only complete for maxHamming <= 3, got $maxHamming")
     // self-join diamond: persist the signature pass (see multi-probe note) —
     // the two sides are identical here, but exchange reuse is best-effort
     // and AQE re-optimization can break it; persist makes the reuse a
     // contract, not a hope
-    val sig = signatures(docs, idCol, textCol)
+    val sig = signatures.select(col("id"), col("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sig.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>

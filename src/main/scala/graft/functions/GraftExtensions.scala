@@ -62,6 +62,11 @@ object GraftExtensions {
     case _ => throw new IllegalArgumentException("deflate_len(string)")
   }
 
+  private def imageDHashBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(payload) => ImageDHash(payload)
+    case _ => throw new IllegalArgumentException("image_dhash(binary)")
+  }
+
   private def minWindowHashBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(text) => MinWindowHash(text, 8)
     case Seq(text, Literal(k: Int, _)) => MinWindowHash(text, k)
@@ -91,7 +96,10 @@ object GraftExtensions {
         bloomContainsBuilder _),
       (FunctionIdentifier("deflate_len"),
         new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
-        deflateLenBuilder _))
+        deflateLenBuilder _),
+      (FunctionIdentifier("image_dhash"),
+        new ExpressionInfo(classOf[ImageDHash].getName, "image_dhash"),
+        imageDHashBuilder _))
 
   /** Register on an already-built session (e.g. the shared test session). */
   def register(spark: SparkSession): Unit = {

@@ -81,7 +81,7 @@ object Multimodal {
     * single whitespace byte. Returns (w, h, maxval, pixelOffset); the RGB
     * plane is validated to be fully present. Malformed payloads fail
     * loudly (corrupt media should surface, not silently zero). */
-  private def parsePpmHeader(id: Long, b: Array[Byte]): (Int, Int, Int, Int) = {
+  private[graft] def parsePpmHeader(id: Long, b: Array[Byte]): (Int, Int, Int, Int) = {
     require(b.length >= 2 && b(0) == 'P' && b(1) == '6', s"id=$id: not a P6 PPM")
     var pos = 2
     def isWs(c: Byte): Boolean =

@@ -135,8 +135,9 @@ class AnnSpec extends SparkSpec {
     val threshold = 0.95
     val local = corpus.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // Seq comprehension: a Map comprehension would keep one pair per ia
     val expect = (for {
-      (ia, va) <- local; (ib, vb) <- local
+      (ia, va) <- local.toSeq; (ib, vb) <- local.toSeq
       if ia < ib && localCosine(va, vb) >= threshold
     } yield (ia, ib)).toSet
     assert(expect.size >= 40, s"planting failed: only ${expect.size} true pairs")
@@ -254,9 +255,11 @@ class AnnSpec extends SparkSpec {
     // ground truth from local exact math over corpus ∪ increment
     val local = (base.collect() ++ inc.collect())
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // comprehend over a Seq, not the Map: a Map comprehension yields a Map
+    // keyed on ib, silently collapsing multiple true pairs per increment id
     val expect = (for {
-      (ib, vb) <- local; if ib >= 1000L // only increment docs emit
-      (ia, va) <- local; if ia < ib && localCosine(va, vb) >= threshold
+      (ib, vb) <- local.toSeq; if ib >= 1000L // only increment docs emit
+      (ia, va) <- local.toSeq; if ia < ib && localCosine(va, vb) >= threshold
     } yield (ib, ia)).toSet
     assert(expect.size >= 12, s"planting failed: ${expect.size} true pairs")
     // precision exact (cosine-verified); recall per SRP amplification
@@ -283,8 +286,9 @@ class AnnSpec extends SparkSpec {
     val threshold = 0.95
     val local = corpus.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // Seq comprehension: a Map comprehension would keep one pair per ia
     val expect = (for {
-      (ia, va) <- local; (ib, vb) <- local
+      (ia, va) <- local.toSeq; (ib, vb) <- local.toSeq
       if ia < ib && localCosine(va, vb) >= threshold
     } yield (ia, ib)).toSet
     assert(expect.size >= 40, s"planting failed: only ${expect.size} true pairs")
