@@ -778,8 +778,10 @@ object SparkEntry {
       docs.select(col("doc_id"),
           octet_length(col("text")).cast("long").as("raw_bytes"),
           graft.functions.DeflateLen(s, col("text")).cast("long").as("deflate_bytes"))
+        // integer `div`, matching the documented basis-point contract (a
+        // fractional `/` would emit a double and bite if ever oracled)
         .withColumn("ratio_bp",
-          col("raw_bytes") * 10000L / greatest(col("deflate_bytes"), lit(1L)))
+          expr("raw_bytes * 10000 div greatest(deflate_bytes, 1)"))
     }),
 
     // §2 row 95: Hive-partitioned write → planning-time partition pruning.

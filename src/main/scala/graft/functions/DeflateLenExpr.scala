@@ -52,6 +52,11 @@ object DeflateLen {
 
   // One native zlib handle + scratch buffer per executor thread, reused
   // across rows via reset() — handle allocation per row would dominate.
+  // Retention trade, by design: the handle is never end()'d, pinning one
+  // native zlib stream (~tens of KB) per thread until thread death. Spark
+  // executors run fixed task pools, so the retained set is bounded at
+  // #cores; under a thread-CHURNING scheduler this would leak native
+  // memory — register a cleaner there.
   private val deflaters = new ThreadLocal[Deflater] {
     override def initialValue(): Deflater = new Deflater(Level, true)
   }

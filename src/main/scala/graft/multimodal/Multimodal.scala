@@ -104,6 +104,10 @@ object Multimodal {
       v.toInt
     }
     val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    // same loud-failure contract as the Video frame walker: the byte after
+    // maxval must BE whitespace, or the parse is off-by-one into the plane
+    require(pos < b.length && isWs(b(pos)),
+      s"id=$id: missing whitespace after maxval")
     pos += 1 // exactly one whitespace byte separates maxval from pixels
     val n = 3L * w * h
     require(n <= Int.MaxValue && b.length - pos >= n,

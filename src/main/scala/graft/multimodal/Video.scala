@@ -85,6 +85,11 @@ object Video {
     }
     val w = nextInt(); val h = nextInt(); val maxval = nextInt()
     require(maxval == 255, s"id=$id: 2-byte-maxval frames unsupported")
+    // the byte after maxval MUST be the single whitespace separator; a
+    // malformed header would otherwise be silently misparsed one byte into
+    // the pixel plane instead of failing loudly
+    require(pos < b.length && isWs(b(pos)),
+      s"id=$id: missing whitespace after maxval at $start")
     pos += 1 // single whitespace byte before the plane
     require(b.length - pos >= 3L * w * h, s"id=$id: truncated frame at $start")
     (w, h, pos)

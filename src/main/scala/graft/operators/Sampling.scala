@@ -136,7 +136,11 @@ object Sampling {
     * [[graft.similarity.Ann.bruteForceTopKAgg]].
     *
     * Returns (groupCol, idCol, rank) with rank 1..k in priority order;
-    * groups smaller than k keep all their rows. */
+    * groups smaller than k keep all their rows. NOTE the output groupCol is
+    * STRING whatever the input type (the typed aggregator keys on a string):
+    * a numeric group column comes back cast, and distinct values that
+    * collide as strings would merge — join the original column back by
+    * `idCol` if the input type must be preserved. */
   def sampleKPerGroup(df: DataFrame, groupCol: String, idCol: String,
                       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

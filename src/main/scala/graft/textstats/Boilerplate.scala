@@ -23,7 +23,16 @@ object Boilerplate {
   /** Returns (idCol, textCol) with hot lines removed; documents whose every
     * line was hot disappear (callers wanting empty husks can left-join the
     * originals back). Lines are trim-normalized both for counting and in
-    * the rebuilt text. */
+    * the rebuilt text.
+    *
+    * Collision mode, stated honestly: doc-frequency is counted on
+    * `xxhash64(line)`, so two DISTINCT lines colliding in 64 bits would
+    * merge their counts and could delete a legitimate line corpus-wide —
+    * silent data loss, not an error. Expected collisions among d distinct
+    * lines ≈ d²/2⁶⁵: negligible through ~10⁸ distinct lines, but at
+    * 100 TB line cardinalities (10¹⁰+) confirm candidates against the
+    * line STRING before the anti-join (one extra semi-join over the small
+    * hot set) — or hash with two independent seeds. */
   def removeHotLines(df: DataFrame, idCol: String, textCol: String,
                      maxDocs: Int): DataFrame = {
     require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
