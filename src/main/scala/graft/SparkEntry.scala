@@ -4,15 +4,15 @@ import org.apache.spark.ml.feature.CountVectorizerModel
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{Decontaminate, DedupGroups, ExactDedup, MinHashDedup, NGramJaccard, SimHash}
+import graft.dedup.{Decontaminate, DedupGroups, ExactDedup, MinHashDedup, NGramJaccard, ParagraphDedup, SimHash}
 import graft.functions.TextFunctions
 import graft.ml.{Featurize, Sentiment}
 import graft.multimodal.{Audio, ImageDedup, Multimodal, Video}
 import graft.operators.{Chunking, Funnel, Packing, Relational, Sampling, Tuning}
-import graft.similarity.{Ann, Centroids}
+import graft.similarity.{Ann, Centroids, KnnLabel}
 import graft.sources.Tables
 import graft.streaming.{ScoringStream, Sessionize}
-import graft.textstats.{Boilerplate, Keywords, Pii, Repetition, TextStats, Urls}
+import graft.textstats.{Boilerplate, Keywords, LmScore, Pii, Repetition, TextStats, Urls}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator ↔ query map. */
 object SparkEntry {
@@ -955,6 +955,46 @@ object SparkEntry {
           a.confs("spark.sql.shuffle.partitions").toInt))
         .toDF("input_bytes", "initial_partition_num", "target_partition_bytes",
           "shuffle_partitions")
+    }),
+
+    // §2 row 102: CCNet-style LM quality signal — self-trained char-trigram
+    // conditional cross-entropy in integer micro-nats. Every per-position
+    // term is floored to a long BEFORE summation, so the per-doc figures
+    // are exact integers on both engines (no float-summation-order risk);
+    // the only float op is the single ln() per position, whose 1-ulp
+    // engine divergence sits 12 decimal digits below the 1e-6 floor grid.
+    "q77_lm_xent" -> ((s, dir) =>
+      LmScore.trigramCrossEntropy(spread(s, Tables.documents(s, dir)),
+        "doc_id", "text")),
+
+    // §2 row 103: keep-first paragraph dedup over the same synthetic
+    // paragraph construction family as q71 (documents carry no newlines):
+    // 6-word body paragraphs, a preamble planted in EVERY doc (only the
+    // lowest doc_id keeps it), and a blurb planted in every 7th (only the
+    // first of those keeps it). One agg + the reassembly groupBy.
+    "q78_paragraph_dedup" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val nParas = ((size(words) + 5) / 6).cast("int")
+      val body = transform(sequence(lit(0), nParas - 1),
+        j => array_join(slice(words, j * 6 + 1, lit(6)), " "))
+      val empty = array().cast("array<string>")
+      val docs = spread(s, Tables.documents(s, dir)).select(col("doc_id"),
+        array_join(concat(
+          array(lit("shared corpus preamble")),
+          when(col("doc_id") % 7 === 0,
+            array(lit("campaign blurb alpha"))).otherwise(empty),
+          body), "\n").as("text"))
+      ParagraphDedup.keepFirst(docs, "doc_id", "text")
+    }),
+
+    // §2 row 104: kNN pseudo-labeling — every 10th vector is "unlabeled"
+    // and takes the majority label of its 5 nearest labeled neighbors by
+    // exact cosine. Rank and vote tie-breaks are total orders, so the
+    // prediction is deterministic and the oracle replays it exactly.
+    "q79_knn_label" -> ((s, dir) => {
+      val emb = spread(s, Tables.embeddings(s, dir))
+      KnnLabel.knnLabel(emb, "vec_id", "embedding", "label",
+        col("vec_id") % 10 === 0, k = 5)
     })
   )
 
@@ -1640,7 +1680,71 @@ object SparkEntry {
         "SELECT doc_id, CAST(CASE WHEN sv >= 9223372036854775808::HUGEINT " +
         "THEN sv - 18446744073709551616::HUGEINT ELSE sv END AS BIGINT) AS dhash " +
         "FROM s"
-    }
+    },
+
+    // Same trigram/context counting, the same per-position integer floor,
+    // and HUGEINT-safe integer division for the mean. Contexts are counted
+    // as trigram PREFIXES in both engines, so probabilities sum to 1 per
+    // context by construction.
+    "q77_lm_xent" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3), " +
+        "t AS (SELECT doc_id, unnest(list_transform(" +
+        "generate_series(1, length(text) - 2), i -> substr(text, i, 3))) AS tg " +
+        "FROM d), " +
+        "tc AS (SELECT tg, count(*) AS tc FROM t GROUP BY tg), " +
+        "bc AS (SELECT substr(tg, 1, 2) AS bg, count(*) AS bc FROM t GROUP BY bg), " +
+        "s AS (SELECT doc_id, CAST(floor(-ln(CAST(tc.tc AS DOUBLE) / " +
+        "CAST(bc.bc AS DOUBLE)) * 1000000) AS BIGINT) AS nll_u " +
+        "FROM t JOIN tc USING (tg) JOIN bc ON substr(t.tg, 1, 2) = bc.bg) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri, " +
+        "CAST(sum(nll_u) AS BIGINT) AS sum_nll_u, " +
+        "CAST(sum(nll_u) // count(*) AS BIGINT) AS xent_u " +
+        "FROM s GROUP BY doc_id"),
+
+    // Keep-first replayed as row_number() = 1 over the identical
+    // (doc_id, pos) total order per paragraph STRING, then ordered
+    // reassembly — same synthetic paragraph construction as the query.
+    "q78_paragraph_dedup" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "b AS (SELECT doc_id, list_transform(generate_series(0, (len(ws)+5)//6 - 1), " +
+        "j -> array_to_string(list_slice(ws, j*6+1, j*6+6), ' ')) AS body FROM w), " +
+        "d AS (SELECT doc_id, ['shared corpus preamble'] || " +
+        "CASE WHEN doc_id % 7 = 0 THEN ['campaign blurb alpha'] " +
+        "ELSE CAST([] AS VARCHAR[]) END || body AS ls FROM b), " +
+        "l AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos, " +
+        "unnest(ls) AS para FROM d), " +
+        "k AS (SELECT doc_id, pos, para, row_number() OVER " +
+        "(PARTITION BY para ORDER BY doc_id, pos) AS rn FROM l) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras, " +
+        "string_agg(para, chr(10) ORDER BY pos) AS text " +
+        "FROM k WHERE rn = 1 GROUP BY doc_id"),
+
+    // The q20 normalization/dot-product recurrence (bit-identical doubles,
+    // see annTopKSql) extended with labels, then the two vote stages as
+    // plain GROUP BY + row_number over the (votes DESC, label ASC) order.
+    "q79_knn_label" ->
+      ("""WITH n AS (SELECT vec_id, label, embedding,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b)) AS nrm
+        |  FROM embeddings),
+        |v AS (SELECT vec_id, label, CASE WHEN nrm = 0 THEN list_transform(embedding, x -> 0.0)
+        |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)/nrm) END AS nv FROM n),
+        |q AS (SELECT vec_id AS query_id, nv AS qv FROM v WHERE vec_id % 10 = 0),
+        |s AS (SELECT query_id, v.vec_id AS cand_id, v.label AS nbr_label,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)),
+        |      i -> qv[i]*nv[i])), (a,b) -> a+b) AS cos
+        |  FROM v, q WHERE v.vec_id % 10 <> 0),
+        |r AS (SELECT query_id, nbr_label FROM (SELECT query_id, nbr_label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+        |  FROM s) WHERE rank <= 5),
+        |votes AS (SELECT query_id, nbr_label, count(*) AS votes
+        |  FROM r GROUP BY query_id, nbr_label)
+        |SELECT query_id, CAST(nbr_label AS INT) AS pred_label,
+        |       CAST(votes AS BIGINT) AS votes
+        |FROM (SELECT query_id, nbr_label, votes, row_number() OVER
+        |        (PARTITION BY query_id ORDER BY votes DESC, nbr_label ASC) AS rn
+        |      FROM votes)
+        |WHERE rn = 1""".stripMargin)
   )
 
   /** Shared decontamination oracle — q46 and its Bloom-prefiltered twin

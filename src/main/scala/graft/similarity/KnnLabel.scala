@@ -1,0 +1,49 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** kNN pseudo-labeling (label propagation) over an embedding column: each
+  * unlabeled vector takes the majority label among its k exact-cosine
+  * nearest LABELED neighbors — the standard semi-supervised bootstrap for
+  * growing a labeled training set from a small seed (and the evaluation
+  * harness for embedding quality). Ties are deterministic end-to-end:
+  * neighbor rank breaks on (cos DESC, id ASC) and the vote breaks on
+  * (votes DESC, label ASC), so the output is reproducible across runs,
+  * partitionings, and engines.
+  *
+  * Scale shape: this is [[Ann.bruteForceTopK]]'s plan — the query set
+  * broadcasts onto the labeled scan, per-partition top-k caps each
+  * partition's contribution BEFORE the exchange — plus two vote
+  * aggregations over |queries|·k rows, which is query-set-sized, not
+  * corpus-sized. The labeled corpus is never shuffled; the shortlist
+  * (|queries|·k rows) broadcasts back onto the labeled scan to fetch
+  * neighbor labels. For query sets too large to broadcast, substitute
+  * [[Ann.lshTopK]] / the IVF probe as the neighbor stage — the voting
+  * stages are unchanged.
+  */
+object KnnLabel {
+
+  /** Returns (query_id, pred_label, votes): majority label among the k
+    * nearest labeled neighbors of each query row. `isQuery` splits `emb`
+    * into the query set (scored) and the labeled set (voted); the two are
+    * disjoint by construction so self-matches cannot occur. */
+  def knnLabel(emb: DataFrame, idCol: String, vecCol: String,
+               labelCol: String, isQuery: Column, k: Int): DataFrame = {
+    val queries = emb.filter(isQuery)
+    val labeled = emb.filter(!isQuery)
+    val top = Ann.bruteForceTopK(labeled, queries, idCol, vecCol, k)
+      .select("query_id", "cand_id")
+    val votes = labeled
+      .select(col(idCol).as("cand_id"), col(labelCol).as("nbr_label"))
+      .join(broadcast(top), "cand_id")
+      .groupBy("query_id", "nbr_label")
+      .agg(count(lit(1)).as("votes"))
+    votes.groupBy("query_id")
+      .agg(max(struct(col("votes").as("votes"),
+        (-col("nbr_label").cast("long")).as("negl"))).as("w"))
+      .select(col("query_id"),
+        (-col("w").getField("negl")).cast("int").as("pred_label"),
+        col("w").getField("votes").as("votes"))
+  }
+}

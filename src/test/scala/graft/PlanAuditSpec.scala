@@ -81,7 +81,9 @@ class PlanAuditSpec extends SparkSpec {
       "q30_ann_topk_agg",  // same brute-force baseline, aggregator variant
       "q42_quantized_topk", // coarse phase is the same brute-force scan,
                             // just over int8 vectors; rescore join is hashed
-      "q10_wordcount_hist" // single-row min/max broadcast cross join
+      "q10_wordcount_hist", // single-row min/max broadcast cross join
+      "q79_knn_label"      // neighbor stage IS bruteForceTopK (q20's plan);
+                           // KnnLabelSpec pins the corpus-never-shuffled shape
     )
     val heavy = Set("q13_tf_topterms", "q14_svm_predict", "q15_stream_agg")
     SparkEntry.queries.keys
