@@ -8,7 +8,7 @@ import graft.dedup.{Decontaminate, DedupGroups, ExactDedup, MinHashDedup, NGramJ
 import graft.functions.TextFunctions
 import graft.ml.{Featurize, Sentiment}
 import graft.multimodal.{Audio, ImageDedup, Multimodal, Video}
-import graft.operators.{Chunking, Funnel, Packing, Relational, Sampling, Tuning}
+import graft.operators.{Chunking, Debounce, Funnel, Packing, Relational, Sampling, Tuning}
 import graft.similarity.{Ann, Centroids, KnnLabel}
 import graft.sources.Tables
 import graft.streaming.{ScoringStream, Sessionize}
@@ -995,6 +995,21 @@ object SparkEntry {
       val emb = spread(s, Tables.embeddings(s, dir))
       KnnLabel.knnLabel(emb, "vec_id", "embedding", "label",
         col("vec_id") % 10 === 0, k = 5)
+    }),
+
+    // §2 row 105: per-key cooldown debounce — keep an event only if ≥ 48 h
+    // after the last KEPT event of its (user, type). The kept-chain is not
+    // a window function (survival depends on prior survivors); the oracle
+    // walks the same chain as a recursive CTE. Timestamps ride as integer
+    // µs (the q72 idiom) so the comparison is exact.
+    "q80_debounce" -> ((s, dir) => {
+      val ev = spread(s, Tables.events(s, dir))
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      Debounce.debounce(ev, Seq("user_id", "event_type"), "ts_us",
+        "event_id", cooldown = 172800000000L)
     })
   )
 
@@ -1744,7 +1759,29 @@ object SparkEntry {
         |FROM (SELECT query_id, nbr_label, votes, row_number() OVER
         |        (PARTITION BY query_id ORDER BY votes DESC, nbr_label ASC) AS rn
         |      FROM votes)
-        |WHERE rn = 1""".stripMargin)
+        |WHERE rn = 1""".stripMargin),
+
+    // The kept-chain replayed as a recursive CTE: seed = each key's first
+    // event in the (ts, id) total order; step = the lowest-rn event at
+    // least the cooldown after the current kept one (rn order == ts order,
+    // so that IS the next survivor of the sequential scan).
+    "q80_debounce" ->
+      ("""WITH RECURSIVE e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL),
+        |k AS (
+        |  SELECT user_id, event_type, ts_us, event_id, rn FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_type, e.ts_us, e.event_id, e.rn
+        |  FROM e JOIN k ON e.user_id = k.user_id AND e.event_type = k.event_type
+        |  WHERE e.rn = (SELECT min(e2.rn) FROM e e2 WHERE e2.user_id = k.user_id
+        |                AND e2.event_type = k.event_type
+        |                AND e2.ts_us - k.ts_us >= 172800000000)
+        |)
+        |SELECT user_id, event_type, ts_us, event_id FROM k""".stripMargin)
   )
 
   /** Shared decontamination oracle — q46 and its Bloom-prefiltered twin
