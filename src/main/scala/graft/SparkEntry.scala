@@ -1010,7 +1010,16 @@ object SparkEntry {
           unix_micros(col("ts")).as("ts_us"), col("event_id"))
       Debounce.debounce(ev, Seq("user_id", "event_type"), "ts_us",
         "event_id", cooldown = 172800000000L)
-    })
+    }),
+
+    // §2 row 106: leakage-safe split — train/val/test assigned per DEDUP
+    // GROUP (the q43 components over the staged q18 pair graph), so
+    // near-duplicates never straddle splits. 10% test / 10% val by the
+    // portable LCG on the group label; singletons split by their own id.
+    "q81_leakage_split" -> ((s, dir) =>
+      DedupGroups.leakageSafeSplit(Tables.documents(s, dir),
+        stagedSimilarPairs(s, dir), "doc_id", "id_a", "id_b",
+        testBp = 1000, valBp = 1000, Sampling.lcgBp))
   )
 
   // ---------------------------------------------------------------------
@@ -1781,7 +1790,19 @@ object SparkEntry {
         |                AND e2.event_type = k.event_type
         |                AND e2.ts_us - k.ts_us >= 172800000000)
         |)
-        |SELECT user_id, event_type, ts_us, event_id FROM k""".stripMargin)
+        |SELECT user_id, event_type, ts_us, event_id FROM k""".stripMargin),
+
+    // The q43 recursive-CTE components, the q40/q68 LCG written out
+    // literally on the GROUP label (singletons fall back to their own id
+    // via COALESCE), and the same CASE thresholds.
+    "q81_leakage_split" ->
+      (ccSqlPrefix +
+        "SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS group_id, " +
+        "CASE WHEN ((COALESCE(cc.comp, d.doc_id) % 1000003) * 1103515249 + 12345) " +
+        "% 10000 < 1000 THEN 'test' " +
+        "WHEN ((COALESCE(cc.comp, d.doc_id) % 1000003) * 1103515249 + 12345) " +
+        "% 10000 < 2000 THEN 'val' ELSE 'train' END AS split " +
+        "FROM documents d LEFT JOIN cc ON cc.id = d.doc_id")
   )
 
   /** Shared decontamination oracle — q46 and its Bloom-prefiltered twin

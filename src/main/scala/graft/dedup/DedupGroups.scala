@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -200,5 +200,36 @@ object DedupGroups {
       .localCheckpoint()
     cc.unpersist()
     df.join(dropIds, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
+  /** Leakage-safe train/val/test split: the split is a pure function of
+    * the DEDUP GROUP label, not the document id, so near-duplicates can
+    * never straddle splits — the standard guard against eval contamination
+    * through paraphrases/mirror copies that survive exact dedup. Documents
+    * in no pair are their own singleton group (split by their own id).
+    *
+    * `bp` maps the group label to deterministic basis points (use
+    * [[graft.operators.Sampling.lcgBp]] for the portable LCG); slots
+    * [0, testBp) → "test", [testBp, testBp+valBp) → "val", rest "train".
+    * Scale shape: the label frame from [[connectedComponents]] carries only
+    * (id, comp) and joins `docs` on the id — ids and labels shuffle, text
+    * never does; the label frame is localCheckpoint'd so the CC loop's
+    * persisted lineage is released, as in [[canonicalize]]. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+                       aCol: String, bCol: String, testBp: Int, valBp: Int,
+                       bp: Column => Column): DataFrame = {
+    require(testBp >= 0 && valBp >= 0 && testBp + valBp <= 10000,
+      s"basis points out of range: test=$testBp val=$valBp")
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val labels = cc.withColumnRenamed("id", idCol).localCheckpoint()
+    cc.unpersist()
+    val g = coalesce(col("comp"), col(idCol))
+    val slot = bp(g)
+    docs.select(col(idCol))
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol), g.as("group_id"),
+        when(slot < testBp, lit("test"))
+          .when(slot < testBp + valBp, lit("val"))
+          .otherwise(lit("train")).as("split"))
   }
 }

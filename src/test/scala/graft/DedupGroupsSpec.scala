@@ -84,4 +84,40 @@ class DedupGroupsSpec extends SparkSpec {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     assertNoCartesian(DedupGroups.connectedComponents(pairs, "a", "b"))
   }
+
+  test("leakageSafeSplit: every member of a group lands in the SAME split") {
+    val docs = (1L to 200L).toDF("doc_id")
+    // chains of 4: (1,2,3,4), (5,6,7,8), ... — 50 groups
+    val pairs = (1L to 200L).grouped(4).flatMap(g =>
+      g.sliding(2).map(p => (p.head, p.last))).toSeq.toDF("id_a", "id_b")
+    val out = DedupGroups.leakageSafeSplit(docs, pairs, "doc_id",
+        "id_a", "id_b", testBp = 3000, valBp = 3000,
+        graft.operators.Sampling.lcgBp)
+      .as[(Long, Long, String)].collect()
+    val byGroup = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byGroup.values.forall(_.size == 1),
+      s"split straddles a group: ${byGroup.filter(_._2.size > 1).take(2)}")
+    assert(out.map(_._3).toSet == Set("train", "val", "test"))
+  }
+
+  test("leakageSafeSplit: singletons are their own group, split by own id") {
+    val docs = Seq(1L, 2L, 50L).toDF("doc_id")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = DedupGroups.leakageSafeSplit(docs, pairs, "doc_id",
+        "id_a", "id_b", testBp = 1000, valBp = 1000,
+        graft.operators.Sampling.lcgBp)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._2).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 50L -> 50L))
+  }
+
+  test("leakageSafeSplit is deterministic across partitionings") {
+    val docs = (1L to 120L).toDF("doc_id")
+    val pairs = (1L to 60L).map(i => (i, i + 60L)).toDF("id_a", "id_b")
+    def run(parts: Int) = DedupGroups.leakageSafeSplit(
+        docs.repartition(parts), pairs.repartition(parts), "doc_id",
+        "id_a", "id_b", testBp = 2000, valBp = 2000,
+        graft.operators.Sampling.lcgBp)
+      .as[(Long, Long, String)].collect().toSet
+    assert(run(1) == run(16))
+  }
 }
