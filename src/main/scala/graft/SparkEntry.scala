@@ -5,14 +5,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.{Decontaminate, DedupGroups, ExactDedup, MinHashDedup, NGramJaccard, ParagraphDedup, SimHash}
-import graft.functions.TextFunctions
+import graft.functions.{BpeEncode, TextFunctions}
 import graft.ml.{Featurize, Sentiment}
 import graft.multimodal.{Audio, ImageDedup, Multimodal, Video}
 import graft.operators.{Chunking, Debounce, Funnel, Packing, Relational, Sampling, Tuning}
 import graft.similarity.{Ann, Centroids, KnnLabel}
 import graft.sources.Tables
 import graft.streaming.{ScoringStream, Sessionize}
-import graft.textstats.{Boilerplate, Keywords, LmScore, Pii, Repetition, TextStats, Urls}
+import graft.textstats.{Boilerplate, Bpe, Keywords, LmScore, Pii, Repetition, TextStats, Urls}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator ↔ query map. */
 object SparkEntry {
@@ -83,6 +83,10 @@ object SparkEntry {
     * consume the stored edges, so neither query re-pays pair generation
     * (the single most expensive stage at any scale). Same construction-
     * billed contract as q41/q69/q73's staging. */
+  /** One trained merge table per (sfDir, JVM) — see the q82 comment. */
+  private val bpeMergesCache =
+    new scala.collection.concurrent.TrieMap[String, Seq[String]]()
+
   private def stagedSimilarPairs(s: SparkSession, dir: String): DataFrame = {
     val path = stagingDir("graft_pairs_" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_") +
@@ -1019,7 +1023,28 @@ object SparkEntry {
     "q81_leakage_split" -> ((s, dir) =>
       DedupGroups.leakageSafeSplit(Tables.documents(s, dir),
         stagedSimilarPairs(s, dir), "doc_id", "id_a", "id_b",
-        testBp = 1000, valBp = 1000, Sampling.lcgBp))
+        testBp = 1000, valBp = 1000, Sampling.lcgBp)),
+
+    // §2 row 107: REAL BPE — merges learned from the corpus (distributed
+    // word dict, driver merge loop, deterministic ties), applied by the
+    // native codegen `bpe_encode` expression. Training runs ONCE per
+    // (sfDir, JVM) and is billed to the first call — the q43/q73 staging
+    // contract; production trains a tokenizer once and ships the table.
+    // Rows-only by design (iterative subword merging has no SQL
+    // formulation); BpeSpec pins hand-computed merges, the reassembly
+    // invariant, determinism, codegen==interpreted.
+    "q82_bpe_tokens" -> ((s, dir) => {
+      val docs = spread(s, Tables.documents(s, dir))
+      val merges = bpeMergesCache.getOrElseUpdate(dir, Bpe.trainMerges(
+        docs.select(lower(trim(col("text"))).as("t")), "t",
+        numMerges = 200, sampleMod = 4L, maxDict = 5000))
+      docs
+        .select(col("doc_id"), length(trim(col("text"))).as("n_chars_t"),
+          size(BpeEncode(s, lower(trim(col("text"))), merges)).as("n_bpe"))
+        .select(col("doc_id"), col("n_bpe").cast("long").as("n_bpe"),
+          expr("n_chars_t * 10000L div greatest(n_bpe, 1)")
+            .as("chars_per_tok_bp"))
+    })
   )
 
   // ---------------------------------------------------------------------

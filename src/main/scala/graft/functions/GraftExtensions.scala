@@ -67,6 +67,12 @@ object GraftExtensions {
     case _ => throw new IllegalArgumentException("image_dhash(binary)")
   }
 
+  private def bpeEncodeBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(text, merges) if merges.foldable => BpeEncode(text, merges)
+    case _ => throw new IllegalArgumentException(
+      "bpe_encode(string, merges: array<string> literal)")
+  }
+
   private def minWindowHashBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(text) => MinWindowHash(text, 8)
     case Seq(text, Literal(k: Int, _)) => MinWindowHash(text, k)
@@ -99,7 +105,10 @@ object GraftExtensions {
         deflateLenBuilder _),
       (FunctionIdentifier("image_dhash"),
         new ExpressionInfo(classOf[ImageDHash].getName, "image_dhash"),
-        imageDHashBuilder _))
+        imageDHashBuilder _),
+      (FunctionIdentifier("bpe_encode"),
+        new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+        bpeEncodeBuilder _))
 
   /** Register on an already-built session (e.g. the shared test session). */
   def register(spark: SparkSession): Unit = {
