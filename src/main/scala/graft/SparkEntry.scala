@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.{Decontaminate, DedupGroups, ExactDedup, MinHashDedup, NGramJaccard, ParagraphDedup, SimHash}
-import graft.functions.{BpeEncode, TextFunctions}
+import graft.functions.{BpeEncode, CountMinAggregator, CountMinSketch, TextFunctions}
 import graft.ml.{Featurize, Sentiment}
 import graft.multimodal.{Audio, ImageDedup, Multimodal, Video}
 import graft.operators.{Chunking, Debounce, Funnel, Packing, Relational, Sampling, Tuning}
@@ -1044,6 +1044,30 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bpe").cast("long").as("n_bpe"),
           expr("n_chars_t * 10000L div greatest(n_bpe, 1)")
             .as("chars_per_tok_bp"))
+    }),
+
+    // §2 row 108: count-min heavy hitters — token frequencies estimated
+    // from a fixed 4×8192-cell sketch (map-side one-sketch-per-partition,
+    // keys never shuffled), probed at the exact top-30 tokens so the
+    // driver row exposes estimate-vs-exact side by side. The single-row
+    // sketch head() is the bounded driver action of the sketch-family
+    // precedent (q29). Rows-only (cells are xxhash64-addressed);
+    // CountMinSpec pins the ε-bound and partitioning invariance.
+    "q83_cms_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val d = 4; val w = 8192
+      val toks = spread(s, Tables.documents(s, dir))
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val sketch = toks.select(xxhash64(col("tok")).as("h")).as[Long]
+        .select(new CountMinAggregator(d, w).toColumn).head()
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        .orderBy(desc("n_exact"), asc("tok")).limit(30).collect()
+      top.toSeq.map { r =>
+        val t = r.getString(0)
+        (t, r.getLong(1), CountMinSketch.estimate(sketch,
+          CountMinSketch.hashString(t), d, w))
+      }.toDF("tok", "n_exact", "n_est")
     })
   )
 
