@@ -1068,7 +1068,16 @@ object SparkEntry {
         (t, r.getLong(1), CountMinSketch.estimate(sketch,
           CountMinSketch.hashString(t), d, w))
       }.toDF("tok", "n_exact", "n_est")
-    })
+    }),
+
+    // §2 row 109: internal duplicate-span report — per doc, the share of
+    // its distinct 8-token spans that occur in ≥ 1 other document (the
+    // corpus measured against itself). Exact oracle over string grams;
+    // the Spark side rides 64-bit gram hashes (q46's collision argument).
+    "q84_dup_spans" -> ((s, dir) =>
+      Decontaminate.duplicateSpans(
+        spread(s, Tables.documents(s, dir)), "doc_id", "text", n = 8)
+        .withColumnRenamed("id", "doc_id"))
   )
 
   // ---------------------------------------------------------------------
@@ -1851,7 +1860,26 @@ object SparkEntry {
         "% 10000 < 1000 THEN 'test' " +
         "WHEN ((COALESCE(cc.comp, d.doc_id) % 1000003) * 1103515249 + 12345) " +
         "% 10000 < 2000 THEN 'val' ELSE 'train' END AS split " +
-        "FROM documents d LEFT JOIN cc ON cc.id = d.doc_id")
+        "FROM documents d LEFT JOIN cc ON cc.id = d.doc_id"),
+
+    // The q46 gram construction verbatim (same tokenization, same 8-gram
+    // windows, same short-doc whole-document fallback), then per-gram doc
+    // frequency and the per-doc dup share, all in exact integers.
+    "q84_dup_spans" -> {
+      val g8 = (1 to 8).map(j => s"toks[i+${j - 1}]").mkString(" || ' ' || ")
+      s"WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents), " +
+        "g0 AS (SELECT doc_id, CASE WHEN len(toks) >= 8 " +
+        s"THEN list_transform(generate_series(1, len(toks) - 7), i -> $g8) " +
+        "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), " +
+        "cg AS (SELECT DISTINCT doc_id, gram FROM " +
+        "(SELECT doc_id, unnest(grams) AS gram FROM g0)), " +
+        "df AS (SELECT gram, count(DISTINCT doc_id) AS dfd FROM cg GROUP BY gram) " +
+        "SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_grams, " +
+        "CAST(sum(CASE WHEN df.dfd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, " +
+        "CAST((sum(CASE WHEN df.dfd >= 2 THEN 1 ELSE 0 END) * 10000) // count(*) " +
+        "AS BIGINT) AS dup_bp " +
+        "FROM cg JOIN df USING (gram) GROUP BY cg.doc_id"
+    }
   )
 
   /** Shared decontamination oracle — q46 and its Bloom-prefiltered twin

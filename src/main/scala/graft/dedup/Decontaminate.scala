@@ -121,4 +121,31 @@ object Decontaminate {
       minHits).select(col("id").as("__contaminated_id"))
     corpus.join(flagged, col(idCol) === col("__contaminated_id"), "left_anti")
   }
+
+  /** Internal-duplication report (the corpus measured against ITSELF): for
+    * each document, how many of its distinct word-n-gram spans also occur
+    * in at least one OTHER document — the span-level duplication measure of
+    * Lee et al.'s exact-substring study, reported per doc as
+    * (id, n_grams, n_dup, dup_bp = n_dup·10⁴ div n_grams). Paragraph
+    * dedup ([[ParagraphDedup]]) acts on structural units; this sees spans
+    * that cross paragraph boundaries or live inside reflowed text.
+    *
+    * Scale shape: one (gram-hash, id) shuffle for the doc-frequency agg
+    * (map-side combined — per-doc grams are already distinct), and the
+    * per-gram df joins back on the SAME gram-hash key, co-partitioned with
+    * the first shuffle. Text never moves; grams ride as 64-bit hashes with
+    * the collision argument the class doc states. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8): DataFrame = {
+    val grams = MinHashDedup.shingleSets(docs, idCol, textCol, n)
+      .select(col("id"), explode(col("sh")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = grams.groupBy("g")
+      .agg(countDistinct(col("id")).as("__dfd"))
+    grams.join(df, "g")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__dfd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_bp", expr("n_dup * 10000L div n_grams"))
+  }
 }

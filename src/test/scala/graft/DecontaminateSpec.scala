@@ -86,4 +86,41 @@ class DecontaminateSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"benchmark not broadcast:\n$plan")
   }
+
+  test("duplicateSpans: planted shared span flags both docs, unique doc 0") {
+    // docs 1 and 2 share one 8-token run; doc 3 shares nothing
+    val shared = "a b c d e f g h"
+    val docs = Seq(
+      (1L, s"$shared one two three"),
+      (2L, s"zero $shared"),
+      (3L, "p q r s t u v w x")).toDF("doc_id", "text")
+    val out = Decontaminate.duplicateSpans(docs, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // doc 1: grams at offsets 0..3 (11 tokens) = 4 grams, 1 shared
+    assert(out(1L) == ((4L, 1L)))
+    // doc 2: 9 tokens = 2 grams, the shared one is at offset 1
+    assert(out(2L) == ((2L, 1L)))
+    // doc 3: 9 tokens = 2 grams, none shared
+    assert(out(3L) == ((2L, 0L)))
+  }
+
+  test("duplicateSpans: exact copies are 100% duplicated (dup_bp = 10000)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val bps = Decontaminate.duplicateSpans(docs, "doc_id", "text")
+      .select("dup_bp").as[Long].collect().toSeq
+    assert(bps == Seq(10000L, 10000L))
+  }
+
+  test("duplicateSpans is partitioning-invariant") {
+    val docs = (1 to 80).map(i =>
+      (i.toLong, s"common prefix words here for all docs tail$i extra " +
+        s"pad${i % 5} filler")).toDF("doc_id", "text")
+    def run(p: Int) = Decontaminate.duplicateSpans(docs.repartition(p),
+      "doc_id", "text").as[(Long, Long, Long, Long)].collect().toSet
+    assert(run(1) == run(13))
+  }
 }
