@@ -2,10 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{ExactDedup, MinHashDedup, NGramJaccard, SimHash}
+import graft.dedup.{ExactDedup, MinHashDedup, NGramJaccard, ParagraphDedup, SimHash}
 import graft.functions.TextFunctions
-import graft.operators.Relational
-import graft.textstats.TextStats
+import graft.operators.{Debounce, Relational}
+import graft.similarity.KnnLabel
+import graft.textstats.{LmScore, TextStats}
 
 /** Degenerate and adversarial inputs: empty frames, single rows, unicode,
   * null text. Operators must return empty/sane results, not throw. */
@@ -130,5 +131,32 @@ class EdgeCaseSpec extends SparkSpec {
       bandsBack, setsBack, threshold = 0.8)
       .select("new_id", "dup_id").as[(Long, Long)].collect().toSet
     assert(out == Set((11L, 1L)))
+  }
+
+  test("round-5 operators on empty and degenerate input") {
+    // LM scoring: empty frame and all-too-short docs both yield no rows
+    assert(LmScore.trigramCrossEntropy(empty, "id", "text").count() == 0)
+    assert(LmScore.trigramCrossEntropy(
+      Seq((1L, "ab"), (2L, "")).toDF("id", "text"), "id", "text").count() == 0)
+    // paragraph dedup: empty frame in, empty out; single doc unchanged
+    assert(ParagraphDedup.keepFirst(empty, "id", "text").count() == 0)
+    val solo = ParagraphDedup.keepFirst(one, "id", "text").collect()
+    assert(solo.length == 1 && solo.head.getString(2) ==
+      "only one document here")
+    // debounce: empty frame, and a single event always kept
+    val noEv = Seq.empty[(Long, String, Long, Long)]
+      .toDF("user_id", "event_type", "ts_us", "event_id")
+    assert(Debounce.debounce(noEv, Seq("user_id", "event_type"), "ts_us",
+      "event_id", 10L).count() == 0)
+    val oneEv = Seq((1L, "a", 5L, 7L))
+      .toDF("user_id", "event_type", "ts_us", "event_id")
+    assert(Debounce.debounce(oneEv, Seq("user_id", "event_type"), "ts_us",
+      "event_id", 10L).count() == 1)
+    // kNN labeling: an empty query set yields no predictions (not a crash)
+    val emb = (1L to 6L).map(i =>
+      (i, Seq.fill(4)(i.toFloat), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+    assert(KnnLabel.knnLabel(emb, "vec_id", "embedding", "label",
+      col("vec_id") < 0, k = 3).count() == 0)
   }
 }
