@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.{Decontaminate, DedupGroups, ExactDedup, MinHashDedup, NGramJaccard, ParagraphDedup, SimHash}
-import graft.functions.{BpeEncode, CountMinAggregator, CountMinSketch, TextFunctions}
+import graft.functions.{BpeEncode, CountMinAggregator, CountMinSketch, NormalizeText, TextFunctions}
 import graft.ml.{Featurize, Sentiment}
 import graft.multimodal.{Audio, ImageDedup, Multimodal, Video}
 import graft.operators.{Chunking, Debounce, Funnel, Packing, Relational, Sampling, Tuning}
@@ -1078,6 +1078,22 @@ object SparkEntry {
       Decontaminate.duplicateSpans(
         spread(s, Tables.documents(s, dir)), "doc_id", "text", n = 8)
         .withColumnRenamed("id", "doc_id"))
+
+    ,
+    // §2 row 110: Unicode NFC normalization — every doc decorated with a
+    // DECOMPOSED "café" (e + U+0301) and the U+FB01 ligature, then
+    // normalized by the native `normalize_text` expression; the oracle is
+    // DuckDB's independent nfc_normalize, so two implementations of
+    // UAX #15 must agree byte-for-byte (they do; it is a standard).
+    // NFC composes the accent (length shrinks by 1) and leaves the
+    // ligature alone — NFKC folding is spec'd, DuckDB has no NFKC.
+    "q85_normalize" -> ((s, dir) => {
+      val decorated = concat(col("text"), lit(" café ﬁnal"))
+      spread(s, Tables.documents(s, dir)).select(col("doc_id"),
+        length(decorated).cast("long").as("len_raw"),
+        length(NormalizeText(s, decorated, "NFC")).cast("long").as("len_nfc"),
+        NormalizeText(s, decorated, "NFC").as("text_nfc"))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -1879,7 +1895,15 @@ object SparkEntry {
         "CAST((sum(CASE WHEN df.dfd >= 2 THEN 1 ELSE 0 END) * 10000) // count(*) " +
         "AS BIGINT) AS dup_bp " +
         "FROM cg JOIN df USING (gram) GROUP BY cg.doc_id"
-    }
+    },
+
+    // DuckDB's independent UAX #15 implementation as the referee; the
+    // appended literal is the same DECOMPOSED bytes (e + U+0301, U+FB01)
+    // the query appends. Composing the accent shrinks length by one.
+    "q85_normalize" ->
+      ("SELECT doc_id, CAST(length(text || ' café ﬁnal') AS BIGINT) AS len_raw, " +
+        "CAST(length(nfc_normalize(text || ' café ﬁnal')) AS BIGINT) AS len_nfc, " +
+        "nfc_normalize(text || ' café ﬁnal') AS text_nfc FROM documents")
   )
 
   /** Shared decontamination oracle — q46 and its Bloom-prefiltered twin

@@ -67,6 +67,13 @@ object GraftExtensions {
     case _ => throw new IllegalArgumentException("image_dhash(binary)")
   }
 
+  private def normalizeTextBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(text, Literal(f: org.apache.spark.unsafe.types.UTF8String, _)) =>
+      NormalizeText(text, f.toString)
+    case _ => throw new IllegalArgumentException(
+      "normalize_text(string, form: 'NFC'|'NFD'|'NFKC'|'NFKD' literal)")
+  }
+
   private def bpeEncodeBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(text, merges) if merges.foldable => BpeEncode(text, merges)
     case _ => throw new IllegalArgumentException(
@@ -108,7 +115,10 @@ object GraftExtensions {
         imageDHashBuilder _),
       (FunctionIdentifier("bpe_encode"),
         new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
-        bpeEncodeBuilder _))
+        bpeEncodeBuilder _),
+      (FunctionIdentifier("normalize_text"),
+        new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+        normalizeTextBuilder _))
 
   /** Register on an already-built session (e.g. the shared test session). */
   def register(spark: SparkSession): Unit = {

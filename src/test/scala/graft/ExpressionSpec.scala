@@ -251,4 +251,44 @@ class ExpressionSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("normalize_text: NFC composes, NFKC folds compatibility forms") {
+    import graft.functions.NormalizeText
+    val decomposed = "café"        // e + combining acute
+    val composed = "café"           // precomposed é
+    val rows = Seq(
+      (1L, decomposed), (2L, composed), (3L, "ﬁnal"),
+      (4L, "ｆｕｌｌ"), (5L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val out = rows.select(col("id"),
+      NormalizeText(spark, col("t"), "NFC").as("nfc"),
+      NormalizeText(spark, col("t"), "NFKC").as("nfkc")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    // NFC: both spellings converge on the composed form -> hashes now agree
+    assert(out(1L)._1 == composed && out(2L)._1 == composed)
+    // NFC leaves the ligature; NFKC folds it (and fullwidth letters)
+    assert(out(3L)._1 == "ﬁnal" && out(3L)._2 == "final")
+    assert(out(4L)._2 == "full")
+    assert(out(5L) == ((null, null)))    // null propagates
+    // interpreted eval == plan result
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = NormalizeText(Literal.create(decomposed,
+      org.apache.spark.sql.types.StringType), "NFC")
+    assert(e.eval(null).toString == composed)
+  }
+
+  test("normalize_text: dedup that unnormalized text evades") {
+    import graft.functions.NormalizeText
+    val docs = Seq(
+      (1L, "le café du coin est ouvert"),
+      (2L, "le café du coin est ouvert")).toDF("id", "text")
+    // raw: different strings -> exact dedup keeps both
+    assert(graft.dedup.ExactDedup.keepFirst(docs, Seq("text"), "id")
+      .count() == 2)
+    // normalized first -> recognized as the same document
+    val normed = docs.select(col("id"),
+      NormalizeText(spark, col("text"), "NFC").as("text"))
+    assert(graft.dedup.ExactDedup.keepFirst(normed, Seq("text"), "id")
+      .count() == 1)
+  }
 }
