@@ -8,7 +8,7 @@ import graft.dedup.{Decontaminate, DedupGroups, ExactDedup, MinHashDedup, NGramJ
 import graft.functions.{BpeEncode, CountMinAggregator, CountMinSketch, NormalizeText, TextFunctions}
 import graft.ml.{Featurize, Sentiment}
 import graft.multimodal.{Audio, ImageDedup, Multimodal, Video}
-import graft.operators.{Chunking, Debounce, Funnel, Packing, Relational, Sampling, Tuning}
+import graft.operators.{Chunking, Debounce, Funnel, Intervals, Packing, Relational, Sampling, Tuning}
 import graft.similarity.{Ann, Centroids, KnnLabel}
 import graft.sources.Tables
 import graft.streaming.{ScoringStream, Sessionize}
@@ -1093,7 +1093,19 @@ object SparkEntry {
         length(decorated).cast("long").as("len_raw"),
         length(NormalizeText(s, decorated, "NFC")).cast("long").as("len_nfc"),
         NormalizeText(s, decorated, "NFC").as("text_nfc"))
-    })
+    }),
+
+    // §2 row 111: interval-union coverage — each event opens a 30-minute
+    // activity window; per user, merged-segment count and total covered
+    // time in integer µs. The oracle replays the identical running-max
+    // sweep in SQL, so the comparison is exact.
+    "q86_interval_coverage" -> ((s, dir) =>
+      Intervals.coverage(
+        spread(s, Tables.events(s, dir))
+          .filter(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us")),
+        Seq("user_id"), "ts_us", width = 1800000000L)
+        .withColumnRenamed("covered", "covered_us"))
   )
 
   // ---------------------------------------------------------------------
@@ -1903,7 +1915,26 @@ object SparkEntry {
     "q85_normalize" ->
       ("SELECT doc_id, CAST(length(text || ' café ﬁnal') AS BIGINT) AS len_raw, " +
         "CAST(length(nfc_normalize(text || ' café ﬁnal')) AS BIGINT) AS len_nfc, " +
-        "nfc_normalize(text || ' café ﬁnal') AS text_nfc FROM documents")
+        "nfc_normalize(text || ' café ﬁnal') AS text_nfc FROM documents"),
+
+    // The identical running-max sweep in SQL windows. Tie order among
+    // equal timestamps cannot change the result (fixed-width intervals of
+    // the same start merge unconditionally), so the comparison is exact.
+    "q86_interval_coverage" ->
+      ("""WITH e AS (SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 1800000000 AS en FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |o AS (SELECT user_id, s, en, max(en) OVER (PARTITION BY user_id
+        |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM e),
+        |g AS (SELECT user_id, s, en, sum(CASE WHEN pm IS NULL OR s > pm
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg FROM o),
+        |sg AS (SELECT user_id, seg, min(s) AS ss, max(en) AS se
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_segments,
+        |       CAST(sum(se - ss) AS BIGINT) AS covered_us
+        |FROM sg GROUP BY user_id""".stripMargin)
   )
 
   /** Shared decontamination oracle — q46 and its Bloom-prefiltered twin
