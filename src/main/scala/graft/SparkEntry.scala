@@ -8,7 +8,7 @@ import graft.dedup.{Decontaminate, DedupGroups, ExactDedup, MinHashDedup, NGramJ
 import graft.functions.{BpeEncode, CountMinAggregator, CountMinSketch, NormalizeText, TextFunctions}
 import graft.ml.{Featurize, Sentiment}
 import graft.multimodal.{Audio, ImageDedup, Multimodal, Video}
-import graft.operators.{Chunking, Debounce, Funnel, Intervals, Packing, Relational, Sampling, Tuning}
+import graft.operators.{Chunking, Debounce, Funnel, Intervals, Packing, Relational, Robust, Sampling, Tuning}
 import graft.similarity.{Ann, Centroids, KnnLabel}
 import graft.sources.Tables
 import graft.streaming.{ScoringStream, Sessionize}
@@ -1105,7 +1105,18 @@ object SparkEntry {
           .filter(col("ts").isNotNull && col("user_id").isNotNull)
           .select(col("user_id"), unix_micros(col("ts")).as("ts_us")),
         Seq("user_id"), "ts_us", width = 1800000000L)
-        .withColumnRenamed("covered", "covered_us"))
+        .withColumnRenamed("covered", "covered_us")),
+
+    // §2 row 112: robust outlier screen — per-source median/MAD of doc
+    // length and the count of docs beyond median ± 3·MAD. Quantiles are
+    // exact lower-nearest-rank integers computed on the (group, value)
+    // count frame (the cumulative window runs over DISTINCT lengths per
+    // source, never rows), so the SQL replay lands on identical integers.
+    "q87_robust_outliers" -> ((s, dir) =>
+      Robust.outlierScreen(
+        spread(s, Tables.documents(s, dir)).select(col("source"),
+          col("n_chars")),
+        "source", "n_chars", k = 3))
   )
 
   // ---------------------------------------------------------------------
@@ -1934,7 +1945,35 @@ object SparkEntry {
         |  FROM g GROUP BY 1, 2)
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_segments,
         |       CAST(sum(se - ss) AS BIGINT) AS covered_us
-        |FROM sg GROUP BY user_id""".stripMargin)
+        |FROM sg GROUP BY user_id""".stripMargin),
+
+    // The identical integer quantile definition (smallest value whose
+    // cumulative count x 10^4 reaches q x total) replayed twice — median
+    // over lengths, MAD over |length - median| — then the strict 3-MAD
+    // count. No floats anywhere.
+    "q87_robust_outliers" ->
+      ("""WITH c AS (SELECT source, n_chars AS v, count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT source, v, sum(cnt) OVER (PARTITION BY source ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu,
+        |    sum(cnt) OVER (PARTITION BY source) AS tot FROM c),
+        |med AS (SELECT source, min(v) AS median FROM cum
+        |  WHERE cu * 10000 >= 5000 * tot GROUP BY source),
+        |d AS (SELECT d0.source, abs(d0.n_chars - med.median) AS dv
+        |  FROM documents d0 JOIN med ON d0.source = med.source),
+        |dc AS (SELECT source, dv, count(*) AS cnt FROM d GROUP BY 1, 2),
+        |dcum AS (SELECT source, dv, sum(cnt) OVER (PARTITION BY source ORDER BY dv
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu,
+        |    sum(cnt) OVER (PARTITION BY source) AS tot FROM dc),
+        |mad AS (SELECT source, min(dv) AS mad FROM dcum
+        |  WHERE cu * 10000 >= 5000 * tot GROUP BY source)
+        |SELECT d0.source, min(med.median) AS median, min(mad.mad) AS mad,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN abs(d0.n_chars - med.median) > 3 * mad.mad
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM documents d0 JOIN med ON d0.source = med.source
+        |JOIN mad ON d0.source = mad.source
+        |GROUP BY d0.source""".stripMargin)
   )
 
   /** Shared decontamination oracle — q46 and its Bloom-prefiltered twin

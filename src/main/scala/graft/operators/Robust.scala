@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust per-group statistics over an INTEGRAL value column: exact
+  * lower-nearest-rank quantiles, median/MAD, and the median±k·MAD outlier
+  * screen — the curation filter for "drop documents whose length (token
+  * count, compression ratio, …) is pathological FOR THEIR SOURCE", where
+  * mean/stddev would be dragged by the very outliers being hunted.
+  *
+  * Exactness without a row-level rank window: quantiles are computed on
+  * the (group, value)-COUNT frame — the cumulative-sum window runs over
+  * DISTINCT values per group (bounded by value cardinality, e.g. ≤ a few
+  * thousand distinct lengths, regardless of row count), never over rows.
+  * The quantile definition is integer-exact: the smallest value whose
+  * cumulative count × 10⁴ reaches qBp × total — no interpolation, no
+  * floats, so an independent SQL replay lands on the same integers.
+  */
+object Robust {
+
+  /** (groupCol, q_value): the exact qBp-quantile (basis points, lower
+    * nearest rank) of `valCol` per group. */
+  def groupQuantile(df: DataFrame, groupCol: String, valCol: String,
+                    qBp: Int): DataFrame = {
+    require(qBp >= 1 && qBp <= 10000, s"qBp must be in [1, 10000], got $qBp")
+    val counts = df.groupBy(col(groupCol), col(valCol).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val byGroup = Window.partitionBy(groupCol)
+    val cum = sum(col("__cnt"))
+      .over(byGroup.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, 0))
+    val tot = sum(col("__cnt")).over(byGroup)
+    counts
+      .withColumn("__cum", cum).withColumn("__tot", tot)
+      .filter(col("__cum") * 10000L >= lit(qBp.toLong) * col("__tot"))
+      .groupBy(groupCol)
+      .agg(min(col("__v")).as("q_value"))
+  }
+
+  /** (groupCol, median, mad, n): exact median and median-absolute-
+    * deviation per group. Two quantile passes — the second over the
+    * |x − median| deviations after a broadcast-joinable medians frame
+    * (one row per group) rejoins the data. */
+  def medianMad(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val med = groupQuantile(df, groupCol, valCol, 5000)
+      .withColumnRenamed("q_value", "median")
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("__dev", abs(col(valCol) - col("median")))
+    val mad = groupQuantile(dev, groupCol, "__dev", 5000)
+      .withColumnRenamed("q_value", "mad")
+    val n = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
+    med.join(mad, groupCol).join(n, groupCol)
+  }
+
+  /** Per-group outlier report: (groupCol, median, mad, n, n_outliers)
+    * where an outlier has |x − median| > k·MAD (strict, integer). With
+    * MAD = 0 (over half the group at one value) only values differing
+    * from the median at all can be outliers when k ≥ 1. */
+  def outlierScreen(df: DataFrame, groupCol: String, valCol: String,
+                    k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val stats = medianMad(df, groupCol, valCol)
+    df.join(broadcast(stats.select(col(groupCol), col("median"), col("mad"))),
+        groupCol)
+      .withColumn("__out",
+        when(abs(col(valCol) - col("median")) > lit(k.toLong) * col("mad"),
+          1L).otherwise(0L))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum(col("__out")).as("n_outliers"),
+        min(col("median")).as("median"), min(col("mad")).as("mad"))
+      .select(col(groupCol), col("median"), col("mad"), col("n"),
+        col("n_outliers"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Robust
+
+class RobustSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupQuantile: exact lower-nearest-rank values") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 100L),
+      ("b", 7L)).toDF("g", "v")
+    def q(bp: Int) = Robust.groupQuantile(df, "g", "v", bp)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // n=5: median rank ceil(0.5*5)=3 -> value 3; p20 -> rank 1 -> 1;
+    // p99 -> rank ceil(4.95)=5 -> 100
+    assert(q(5000) == Map("a" -> 3L, "b" -> 7L))
+    assert(q(2000) == Map("a" -> 1L, "b" -> 7L))
+    assert(q(9900) == Map("a" -> 100L, "b" -> 7L))
+  }
+
+  test("median/MAD resist the outlier that drags mean/stddev") {
+    // 9 values near 10 plus one at 10000: median 10, MAD 1
+    val vals = Seq(9L, 9L, 10L, 10L, 10L, 11L, 11L, 12L, 8L, 10000L)
+    val df = vals.map(("s", _)).toDF("g", "v")
+    val out = Robust.medianMad(df, "g", "v").collect().head
+    assert(out.getLong(1) == 10L && out.getLong(2) == 1L && out.getLong(3) == 10L)
+  }
+
+  test("outlierScreen counts exactly the beyond-k-MAD rows") {
+    val vals = Seq(9L, 9L, 10L, 10L, 10L, 11L, 11L, 12L, 8L, 10000L)
+    val df = vals.map(("s", _)).toDF("g", "v")
+    val out = Robust.outlierScreen(df, "g", "v", k = 3).collect().head
+    // |v-10| > 3*1: only 10000 (and not 12 or 8, at deviation 2)
+    assert(out.getLong(4) == 1L, out.toString)
+  }
+
+  test("MAD = 0 degenerate: any deviation at all is an outlier") {
+    val df = (Seq.fill(9)(5L) :+ 6L).map(("s", _)).toDF("g", "v")
+    val out = Robust.outlierScreen(df, "g", "v", k = 3).collect().head
+    assert(out.getLong(2) == 0L && out.getLong(4) == 1L)
+  }
+
+  test("partitioning-invariant on real documents") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars"))
+    def run(p: Int) = Robust.outlierScreen(docs.repartition(p),
+      "source", "n_chars").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(run(1) == run(16))
+  }
+
+  test("plan: cumulative windows run on the distinct-value frame, not rows") {
+    val df = (1 to 1000).map(i => ("s", (i % 7).toLong)).toDF("g", "v")
+    val p = Robust.groupQuantile(df, "g", "v", 5000)
+      .queryExecution.executedPlan.toString
+    // the window's input is the (group, value) aggregate, so an
+    // aggregation must appear below the window operator
+    val wi = p.indexOf("Window")
+    assert(wi > 0 && p.indexOf("HashAggregate", wi) > 0,
+      s"window not over the count frame:\n$p")
+  }
+}
