@@ -1116,7 +1116,32 @@ object SparkEntry {
       Robust.outlierScreen(
         spread(s, Tables.documents(s, dir)).select(col("source"),
           col("n_chars")),
-        "source", "n_chars", k = 3))
+        "source", "n_chars", k = 3)),
+
+    // §2 row 105 (streaming half) as a driver row: the SAME kept-chain,
+    // computed by the streaming engine — flatMapGroupsWithState over an
+    // AvailableNow file stream of the staged events — and checked against
+    // the SAME recursive-CTE oracle as q80. One trigger carries all
+    // events, so per-key in-order arrival holds by construction and
+    // stream == batch == oracle exactly.
+    "q88_debounce_stream" -> ((s, dir) => {
+      val src = stagingDir("graft_evstream_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + ProcessHandle.current().pid())
+      if (!new java.io.File(src).exists() ||
+          Option(new java.io.File(src).list()).forall(_.isEmpty)) {
+        Tables.events(s, dir)
+          .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+            col("event_type").isNotNull)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"), col("event_id"))
+          .write.mode("overwrite").parquet(src)
+      }
+      val stream = s.readStream
+        .schema(s.read.parquet(src).schema).parquet(src)
+      ScoringStream.runToMemory(s,
+        Debounce.debounceStream(s, stream, 172800000000L), "append")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -1180,6 +1205,26 @@ object SparkEntry {
       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
       |      FROM s)
       |WHERE rank <= 5""".stripMargin
+
+  /** Kept-chain oracle shared by the batch (q80) and streaming (q88)
+    * declarations — the two engines must produce identical rows. */
+  private def debounceSql: String =
+    ("""WITH RECURSIVE e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL),
+        |k AS (
+        |  SELECT user_id, event_type, ts_us, event_id, rn FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_type, e.ts_us, e.event_id, e.rn
+        |  FROM e JOIN k ON e.user_id = k.user_id AND e.event_type = k.event_type
+        |  WHERE e.rn = (SELECT min(e2.rn) FROM e e2 WHERE e2.user_id = k.user_id
+        |                AND e2.event_type = k.event_type
+        |                AND e2.ts_us - k.ts_us >= 172800000000)
+        |)
+        |SELECT user_id, event_type, ts_us, event_id FROM k""".stripMargin)
 
   def oracleSql: Map[String, String] = Map(
     // Exact n-gram Jaccard is SQL-expressible over raw 3-gram STRINGS: the
@@ -1871,23 +1916,8 @@ object SparkEntry {
     // event in the (ts, id) total order; step = the lowest-rn event at
     // least the cooldown after the current kept one (rn order == ts order,
     // so that IS the next survivor of the sequential scan).
-    "q80_debounce" ->
-      ("""WITH RECURSIVE e AS (
-        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
-        |         row_number() OVER (PARTITION BY user_id, event_type
-        |                            ORDER BY epoch_us(ts), event_id) AS rn
-        |  FROM events
-        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL),
-        |k AS (
-        |  SELECT user_id, event_type, ts_us, event_id, rn FROM e WHERE rn = 1
-        |  UNION ALL
-        |  SELECT e.user_id, e.event_type, e.ts_us, e.event_id, e.rn
-        |  FROM e JOIN k ON e.user_id = k.user_id AND e.event_type = k.event_type
-        |  WHERE e.rn = (SELECT min(e2.rn) FROM e e2 WHERE e2.user_id = k.user_id
-        |                AND e2.event_type = k.event_type
-        |                AND e2.ts_us - k.ts_us >= 172800000000)
-        |)
-        |SELECT user_id, event_type, ts_us, event_id FROM k""".stripMargin),
+    "q80_debounce" -> debounceSql,
+
 
     // The q43 recursive-CTE components, the q40/q68 LCG written out
     // literally on the GROUP label (singletons fall back to their own id
@@ -1973,7 +2003,11 @@ object SparkEntry {
         |         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM documents d0 JOIN med ON d0.source = med.source
         |JOIN mad ON d0.source = mad.source
-        |GROUP BY d0.source""".stripMargin)
+        |GROUP BY d0.source""".stripMargin),
+
+    // The streaming kept-chain must equal the batch kept-chain — one
+    // oracle text serves both (see debounceSql).
+    "q88_debounce_stream" -> debounceSql
   )
 
   /** Shared decontamination oracle — q46 and its Bloom-prefiltered twin
