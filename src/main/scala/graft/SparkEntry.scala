@@ -77,21 +77,28 @@ object SparkEntry {
     p
   }
 
-  /** The q18 n-gram Jaccard pair graph, eager-written to parquet on first
-    * use per (sfDir, JVM) and read back by q43/q44 — production computes
-    * the pair graph ONCE and both group resolution and canonicalization
-    * consume the stored edges, so neither query re-pays pair generation
-    * (the single most expensive stage at any scale). Same construction-
-    * billed contract as q41/q69/q73's staging. */
   /** One trained merge table per (sfDir, JVM) — see the q82 comment. */
   private val bpeMergesCache =
     new scala.collection.concurrent.TrieMap[String, Seq[String]]()
 
+  /** True iff `path` holds a COMPLETE parquet write: parquet commits a
+    * _SUCCESS marker last, so a staging dir left behind by a crashed
+    * write (partial task files, no marker) re-stages instead of being
+    * silently consumed — the failure mode of a bare exists() check. */
+  private def stagedOk(path: String): Boolean =
+    new java.io.File(path, "_SUCCESS").exists()
+
+  /** The q18 n-gram Jaccard pair graph, eager-written to parquet on first
+    * use per (sfDir, JVM) and read back by q43/q44/q81 — production
+    * computes the pair graph ONCE and group resolution, canonicalization
+    * and the leakage split all consume the stored edges, so no query
+    * re-pays pair generation (the single most expensive stage at any
+    * scale). Same construction-billed contract as q41/q69/q73's staging. */
   private def stagedSimilarPairs(s: SparkSession, dir: String): DataFrame = {
     val path = stagingDir("graft_pairs_" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_") +
       "_" + ProcessHandle.current().pid())
-    if (!new java.io.File(path).exists()) {
+    if (!stagedOk(path)) {
       NGramJaccard.similarPairs(spread(s, Tables.documents(s, dir)),
         "doc_id", "text", n = 3, threshold = 0.8)
         .write.mode("overwrite").parquet(path)
@@ -830,7 +837,7 @@ object SparkEntry {
         "_" + ProcessHandle.current().pid())
       val idxPath = s"$base/srp_index"
       val vecPath = s"$base/norm_vecs"
-      if (!new java.io.File(idxPath).exists()) {
+      if (!stagedOk(idxPath) || !stagedOk(vecPath)) {
         // spread() before the projection-heavy build: the one-row-group
         // parquet would otherwise pin all signature math to one core
         val emb = spread(s, Tables.embeddings(s, dir))
@@ -1059,10 +1066,12 @@ object SparkEntry {
       val toks = spread(s, Tables.documents(s, dir))
         .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
         .filter(length(col("tok")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sketch = toks.select(xxhash64(col("tok")).as("h")).as[Long]
         .select(new CountMinAggregator(d, w).toColumn).head()
       val top = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
         .orderBy(desc("n_exact"), asc("tok")).limit(30).collect()
+      toks.unpersist()
       top.toSeq.map { r =>
         val t = r.getString(0)
         (t, r.getLong(1), CountMinSketch.estimate(sketch,
@@ -1128,8 +1137,7 @@ object SparkEntry {
       val src = stagingDir("graft_evstream_" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_") +
         "_" + ProcessHandle.current().pid())
-      if (!new java.io.File(src).exists() ||
-          Option(new java.io.File(src).list()).forall(_.isEmpty)) {
+      if (!stagedOk(src)) {
         Tables.events(s, dir)
           .filter(col("ts").isNotNull && col("user_id").isNotNull &&
             col("event_type").isNotNull)

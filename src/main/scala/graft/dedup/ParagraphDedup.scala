@@ -33,8 +33,11 @@ object ParagraphDedup {
     * only its first position — same rule, no special case. */
   def keepFirst(df: DataFrame, idCol: String, textCol: String,
                 sep: String = "\n"): DataFrame = {
+    // split() takes a REGEX; the separator is a literal (quoted), so a
+    // "|" or "." separator splits on the character, not the pattern
     val paras = df
-      .select(col(idCol), posexplode(split(col(textCol), sep)))
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
       .select(col(idCol), col("pos"), col("col").as("para"))
     val kept = paras.groupBy("para")
       .agg(min(struct(col(idCol).as("id"), col("pos").as("pos"))).as("first"))

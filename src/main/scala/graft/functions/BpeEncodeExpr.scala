@@ -95,12 +95,26 @@ object BpeEncode {
     new GenericArrayData(out.toArray)
   }
 
+  /** Initial symbols: one per Unicode CODE POINT, not UTF-16 code unit —
+    * splitting a surrogate pair would turn astral characters (emoji, rare
+    * CJK) into lone surrogates that encode as '?', breaking the
+    * reassembly invariant. Shared with [[graft.textstats.Bpe]] so train
+    * and apply agree on the alphabet. */
+  def codePointSymbols(w: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val syms = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var ci = 0
+    while (ci < w.length) {
+      val cp = w.codePointAt(ci)
+      syms += new String(Character.toChars(cp))
+      ci += Character.charCount(cp)
+    }
+    syms
+  }
+
   private def encodeWord(w: String,
                          ranks: java.util.HashMap[String, Integer],
                          out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
-    var syms = new scala.collection.mutable.ArrayBuffer[String](w.length)
-    var ci = 0
-    while (ci < w.length) { syms += String.valueOf(w.charAt(ci)); ci += 1 }
+    var syms = codePointSymbols(w)
     var done = syms.length <= 1
     while (!done) {
       // lowest-rank adjacent pair present in the table

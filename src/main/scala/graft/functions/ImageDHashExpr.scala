@@ -56,9 +56,14 @@ object ImageDHash {
 
   /** Static codegen entry point (also the interpreted eval body). Malformed
     * payloads fail loudly via the shared P6 parser — corrupt media should
-    * surface, not hash to garbage. */
+    * surface, not hash to garbage. That contract includes sample width:
+    * a maxval above 255 means 2-byte samples, and reading its plane as
+    * 1-byte pixels would hash interleaved high/low bytes into a
+    * meaningless (and silently wrong) signature. */
   def compute(b: Array[Byte]): Long = {
-    val (w, h, _, pos) = graft.multimodal.Multimodal.parsePpmHeader(-1L, b)
+    val (w, h, maxval, pos) = graft.multimodal.Multimodal.parsePpmHeader(-1L, b)
+    require(maxval <= 255,
+      s"image_dhash supports 1-byte samples only, got maxval=$maxval")
     var hash = 0L
     var ty = 0
     while (ty < Rows) {

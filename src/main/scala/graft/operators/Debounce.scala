@@ -38,6 +38,10 @@ object Debounce {
                tieCol: String, cooldown: Long): DataFrame = {
     require(keyCols.nonEmpty, "debounce needs at least one key column")
     require(cooldown > 0, s"cooldown must be positive, got $cooldown")
+    require(events.schema(tsCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"debounce requires a LongType epoch column (the scan reads longs); " +
+        s"got ${events.schema(tsCol).dataType.simpleString} — cast first")
     val sorted = events
       .repartition(keyCols.map(col): _*)
       .sortWithinPartitions(
@@ -73,7 +77,11 @@ object Debounce {
     * order-sensitive by definition, so out-of-order late data would need a
     * watermark-deep reorder buffer in front; stated honestly rather than
     * pretended away). State is 8 bytes per live key, NoTimeout here —
-    * production hangs a ProcessingTimeTimeout on it to shed dead keys. */
+    * production hangs a ProcessingTimeTimeout on it to shed dead keys.
+    * Memory bound, also stated honestly: each TRIGGER buffers one key's
+    * batch on the heap to sort it (unlike the batch twin's external
+    * sort) — fine for steady streams, but an AvailableNow catch-up run
+    * over a hot key's full history belongs on [[debounce]] instead. */
   def debounceStream(spark: SparkSession, events: DataFrame,
                      cooldown: Long): DataFrame = {
     import spark.implicits._

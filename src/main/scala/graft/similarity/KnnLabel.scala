@@ -30,6 +30,12 @@ object KnnLabel {
     * disjoint by construction so self-matches cannot occur. */
   def knnLabel(emb: DataFrame, idCol: String, vecCol: String,
                labelCol: String, isQuery: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(emb.schema(labelCol).dataType),
+      s"knnLabel requires an integral label column (the vote tie-break " +
+        s"negates it); got ${emb.schema(labelCol).dataType.simpleString} — " +
+        "map string labels to ids first")
     val queries = emb.filter(isQuery)
     val labeled = emb.filter(!isQuery)
     val top = Ann.bruteForceTopK(labeled, queries, idCol, vecCol, k)

@@ -44,7 +44,7 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("w")).limit(maxDict)
       .collect()
-      .map(r => (r.getString(0).map(String.valueOf(_)).toArray, r.getLong(1)))
+      .map(r => (BpeEncode.codePointSymbols(r.getString(0)).toArray, r.getLong(1)))
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[String]
     var words = dict
