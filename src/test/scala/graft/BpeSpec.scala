@@ -84,6 +84,14 @@ class BpeSpec extends SparkSpec {
     assert(t.toDouble / c < 0.8, s"weak compression: ${t.toDouble / c}")
   }
 
+  test("astral characters stay intact (code-point symbols, not UTF-16)") {
+    val out = Seq(("a\ud83d\ude00b", 1L)).toDF("t", "id")
+      .select(BpeEncode(spark, col("t"), Seq.empty[String]).as("toks"))
+      .collect().head.getSeq[String](0)
+    assert(out == Seq("a", "\ud83d\ude00", "b"))
+    assert(out.mkString == "a\ud83d\ude00b") // reassembly survives emoji
+  }
+
   test("bpe_encode is registered as a SQL function via GraftExtensions") {
     GraftExtensions.register(spark)
     Seq(("hug", 1L)).toDF("t", "id").createOrReplaceTempView("bpe_in")

@@ -82,6 +82,15 @@ class DebounceSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), s"global sort:\n$p")
   }
 
+  test("non-long ts column is rejected at plan time, not per row") {
+    val df = Seq((1L, "a", 5, 7L))
+      .toDF("user_id", "event_type", "ts_s", "event_id")
+    val e = intercept[IllegalArgumentException] {
+      Debounce.debounce(df, Seq("user_id"), "ts_s", "event_id", 10L)
+    }
+    assert(e.getMessage.contains("LongType"))
+  }
+
   test("streaming twin continues the chain across triggers") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_deb_src").toString
     val ev = graft.sources.Tables.events(spark, sfDir)

@@ -40,6 +40,13 @@ class ParagraphDedupSpec extends SparkSpec {
     assert(out(1L)._2 == "zebra\napple\nmiddle")
   }
 
+  test("regex-metachar separator splits on the literal character") {
+    val out = ParagraphDedup.keepFirst(
+      Seq((1L, "x|y|x")).toDF("id", "text"), "id", "text", sep = "|")
+      .collect().head
+    assert(out.getLong(1) == 2L && out.getString(2) == "x|y")
+  }
+
   test("partitioning-invariant (min over a total order)") {
     val docs = (1 to 100).map(i =>
       (i.toLong, s"shared preamble\nunique body $i\nshared footer"))
