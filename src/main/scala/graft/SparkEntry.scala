@@ -1149,6 +1149,30 @@ object SparkEntry {
         .schema(s.read.parquet(src).schema).parquet(src)
       ScoringStream.runToMemory(s,
         Debounce.debounceStream(s, stream, 172800000000L), "append")
+    }),
+
+    // §2 row 113: temperature-flattened mixture (the mT5/multilingual
+    // upsampling rule): per-stratum keep-rate ∝ n^(α−1) with α = 1/2,
+    // normalized so the rarest stratum keeps 100%. Strata here are the
+    // decimal-digit count of doc_id (sizes 10/90/400 — deterministic,
+    // integer, and naturally skewed; the corpus's sources are uniform by
+    // construction). Rates use 10⁴/√(n/nmin) — sqrt and divide are
+    // IEEE-correctly-rounded, so both engines floor identical doubles;
+    // no pow(), whose last-ulp freedom would make the floor a coin flip.
+    "q89_temperature_mix" -> ((s, dir) => {
+      val docs = spread(s, Tables.documents(s, dir))
+        .withColumn("stratum",
+          length(col("doc_id").cast("string")).cast("int"))
+      val counts = docs.groupBy("stratum").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ #digits rows
+      val nMin = counts.values.min
+      val rates = counts.map { case (st, n) => st.toString ->
+        math.min(10000L,
+          math.floor(10000.0 / math.sqrt(n.toDouble / nMin)).toLong).toInt }
+      val st = docs.withColumn("stratum_s", col("stratum").cast("string"))
+      Sampling.stratifiedSample(st, "stratum_s", rates, defaultBp = 0,
+          bp = Sampling.lcgBp(col("doc_id")))
+        .groupBy("stratum").agg(count(lit(1)).as("n_kept"))
     })
   )
 
@@ -2015,7 +2039,23 @@ object SparkEntry {
 
     // The streaming kept-chain must equal the batch kept-chain — one
     // oracle text serves both (see debounceSql).
-    "q88_debounce_stream" -> debounceSql
+    "q88_debounce_stream" -> debounceSql,
+
+    // Same strata, the same correctly-rounded 10^4/sqrt(n/nmin) rate, the
+    // literal LCG — every float op is IEEE-exact on both engines, so the
+    // floors agree and the kept sets are identical.
+    "q89_temperature_mix" ->
+      ("""WITH d AS (SELECT doc_id,
+        |    CAST(length(CAST(doc_id AS VARCHAR)) AS INT) AS stratum
+        |  FROM documents),
+        |c AS (SELECT stratum, count(*) AS n FROM d GROUP BY 1),
+        |m AS (SELECT min(n) AS nmin FROM c),
+        |r AS (SELECT stratum, LEAST(10000, CAST(floor(10000.0 /
+        |    sqrt(CAST(n AS DOUBLE) / nmin)) AS BIGINT)) AS bp FROM c, m)
+        |SELECT d.stratum, CAST(count(*) AS BIGINT) AS n_kept
+        |FROM d JOIN r USING (stratum)
+        |WHERE ((d.doc_id % 1000003) * 1103515249 + 12345) % 10000 < r.bp
+        |GROUP BY 1""".stripMargin)
   )
 
   /** Shared decontamination oracle — q46 and its Bloom-prefiltered twin
