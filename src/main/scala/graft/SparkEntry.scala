@@ -1173,7 +1173,16 @@ object SparkEntry {
       Sampling.stratifiedSample(st, "stratum_s", rates, defaultBp = 0,
           bp = Sampling.lcgBp(col("doc_id")))
         .groupBy("stratum").agg(count(lit(1)).as("n_kept"))
-    })
+    }),
+
+    // §2 row 114: triangle census of the staged q18 pair graph — the
+    // clique-ness diagnosis of dedup clusters (true duplicate groups are
+    // near-cliques; hub/star artifacts are not). Degree-oriented wedge
+    // join on the Spark side; the oracle counts the same triangles with
+    // id-ordered joins (orientation changes the work, not the count) and
+    // the same orientation-free sum d(d-1)/2 wedge census.
+    "q90_triangle_census" -> ((s, dir) =>
+      DedupGroups.triangleCensus(stagedSimilarPairs(s, dir), "id_a", "id_b"))
   )
 
   // ---------------------------------------------------------------------
@@ -2055,7 +2064,29 @@ object SparkEntry {
         |SELECT d.stratum, CAST(count(*) AS BIGINT) AS n_kept
         |FROM d JOIN r USING (stratum)
         |WHERE ((d.doc_id % 1000003) * 1103515249 + 12345) % 10000 < r.bp
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin),
+
+    // Canonical u<v edges from the same pair CTE; triangles via the
+    // three-way id-ordered join (each {x<y<z} counted once); wedges as
+    // the orientation-free degree sum; integer basis points.
+    "q90_triangle_census" -> {
+      "WITH pr AS (" + ngramPairsSql + "), " +
+        "c AS (SELECT DISTINCT LEAST(id_a, id_b) AS u, " +
+        "GREATEST(id_a, id_b) AS v FROM pr WHERE id_a <> id_b), " +
+        "deg AS (SELECT x, count(*) AS d FROM " +
+        "(SELECT u AS x FROM c UNION ALL SELECT v FROM c) GROUP BY x), " +
+        "w AS (SELECT COALESCE(CAST(sum(d * (d - 1) // 2) AS BIGINT), 0) " +
+        "AS n_wedges FROM deg), " +
+        "t AS (SELECT count(*) AS n_triangles FROM c e1 " +
+        "JOIN c e2 ON e1.v = e2.u " +
+        "JOIN c e3 ON e3.u = e1.u AND e3.v = e2.v) " +
+        "SELECT (SELECT count(*) FROM c) AS n_edges, " +
+        "(SELECT n_wedges FROM w) AS n_wedges, " +
+        "(SELECT CAST(n_triangles AS BIGINT) FROM t) AS n_triangles, " +
+        "CAST(CASE WHEN (SELECT n_wedges FROM w) = 0 THEN 0 ELSE " +
+        "(SELECT n_triangles FROM t) * 3 * 10000 // (SELECT n_wedges FROM w) " +
+        "END AS BIGINT) AS clustering_bp"
+    }
   )
 
   /** Shared decontamination oracle — q46 and its Bloom-prefiltered twin

@@ -202,6 +202,61 @@ object DedupGroups {
     df.join(dropIds, col(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** Triangle census of the pair graph: (n_edges, n_wedges, n_triangles,
+    * clustering_bp) in one row — the global clustering coefficient
+    * 3·triangles/wedges in basis points. The diagnosis this buys for
+    * dedup: TRUE duplicate clusters are near-cliques (clustering → 10⁴),
+    * while threshold-artifact clusters are stars/chains (clustering → 0),
+    * so a collapsing coefficient flags that [[connectedComponents]] is
+    * about to glue unrelated documents through hub false-positives.
+    *
+    * Scale shape (the standard degree-oriented wedge join): each
+    * undirected edge is oriented from its (degree, id)-smaller endpoint,
+    * bounding out-degree at O(√m), so the wedge self-join is
+    * Σ outdeg² = O(m^1.5) — the best known bound — instead of Σ deg²,
+    * which a hub vertex would blow up. Wedge COUNT (for the coefficient)
+    * is the orientation-free Σ d(d−1)/2, computed on the degree frame.
+    * Everything shuffled is ids and degrees; one persisted edge frame
+    * feeds degrees, wedges, and the closing semi-join. */
+  def triangleCensus(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("u").as("x"))
+      .unionAll(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+    // identical field names on both keys: CASE branches must agree on the
+    // struct TYPE, not just its shape
+    val uKey = struct(col("du").as("d"), col("u").as("x"))
+    val vKey = struct(col("dv").as("d"), col("v").as("x"))
+    val oriented = withDeg.select(
+      when(uKey < vKey, col("u")).otherwise(col("v")).as("src"),
+      when(uKey < vKey, col("v")).otherwise(col("u")).as("dst"),
+      when(uKey < vKey, vKey).otherwise(uKey).as("dk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.select(col("src"), col("dst").as("b"), col("dk").as("bk"))
+      .join(oriented.select(col("src"), col("dst").as("c"), col("dk").as("ck")),
+        Seq("src"))
+      .filter(col("bk") < col("ck"))
+    // bk < ck means the closing edge {b, c}, if present, is oriented b→c
+    val tris = wedges
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(
+        coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges")))
+      .crossJoin(tris.agg(count(lit(1)).as("n_triangles")))
+      .withColumn("clustering_bp",
+        expr("CASE WHEN n_wedges = 0 THEN 0L " +
+          "ELSE n_triangles * 3 * 10000 div n_wedges END"))
+  }
+
   /** Leakage-safe train/val/test split: the split is a pure function of
     * the DEDUP GROUP label, not the document id, so near-duplicates can
     * never straddle splits — the standard guard against eval contamination

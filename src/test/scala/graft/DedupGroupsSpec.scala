@@ -110,6 +110,32 @@ class DedupGroupsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 50L -> 50L))
   }
 
+  test("triangleCensus: clique, star, and chain shapes") {
+    def census(pairs: Seq[(Long, Long)]) =
+      DedupGroups.triangleCensus(pairs.toDF("a", "b"), "a", "b")
+        .as[(Long, Long, Long, Long)].collect().head
+    // K4 clique: 6 edges, 12 wedges, 4 triangles, clustering 10000
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(census(k4) == ((6L, 12L, 4L, 10000L)))
+    // star on 5 leaves: 5 edges, 10 wedges, 0 triangles, clustering 0
+    val star = (2L to 6L).map(i => (1L, i))
+    assert(census(star) == ((5L, 10L, 0L, 0L)))
+    // chain 1-2-3-4: 3 edges, 2 wedges, 0 triangles
+    assert(census(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == ((3L, 2L, 0L, 0L)))
+    // triangle + pendant: 4 edges, 5 wedges, 1 triangle -> 6000 bp
+    assert(census(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))) ==
+      ((4L, 5L, 1L, 6000L)))
+  }
+
+  test("triangleCensus: orientation/duplication of input edges is harmless") {
+    val fwd = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val rev = Seq((2L, 1L), (3L, 2L), (3L, 1L), (1L, 2L)) // dups + flipped
+    def census(pairs: Seq[(Long, Long)]) =
+      DedupGroups.triangleCensus(pairs.toDF("a", "b"), "a", "b")
+        .as[(Long, Long, Long, Long)].collect().head
+    assert(census(fwd) == census(rev) && census(fwd)._3 == 1L)
+  }
+
   test("leakageSafeSplit is deterministic across partitionings") {
     val docs = (1L to 120L).toDF("doc_id")
     val pairs = (1L to 60L).map(i => (i, i + 60L)).toDF("id_a", "id_b")
