@@ -82,8 +82,11 @@ class PlanAuditSpec extends SparkSpec {
       "q42_quantized_topk", // coarse phase is the same brute-force scan,
                             // just over int8 vectors; rescore join is hashed
       "q10_wordcount_hist", // single-row min/max broadcast cross join
-      "q79_knn_label"      // neighbor stage IS bruteForceTopK (q20's plan);
+      "q79_knn_label",     // neighbor stage IS bruteForceTopK (q20's plan);
                            // KnnLabelSpec pins the corpus-never-shuffled shape
+      "q90_triangle_census" // the census row is three SINGLE-ROW scalar
+                            // aggregates cross-joined; the wedge/triangle
+                            // joins themselves are hash joins on src
     )
     val heavy = Set("q13_tf_topterms", "q14_svm_predict", "q15_stream_agg")
     SparkEntry.queries.keys
