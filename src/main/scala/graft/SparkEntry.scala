@@ -8,7 +8,7 @@ import graft.dedup.{Decontaminate, DedupGroups, ExactDedup, MinHashDedup, NGramJ
 import graft.functions.{BpeEncode, CountMinAggregator, CountMinSketch, NormalizeText, TextFunctions}
 import graft.ml.{Featurize, Sentiment}
 import graft.multimodal.{Audio, ImageDedup, Multimodal, Video}
-import graft.operators.{Chunking, Debounce, Funnel, Intervals, Packing, Relational, Robust, Sampling, Tuning}
+import graft.operators.{Chunking, Debounce, Funnel, Intervals, Packing, Profile, Relational, Robust, Sampling, Tuning}
 import graft.similarity.{Ann, Centroids, KnnLabel}
 import graft.sources.Tables
 import graft.streaming.{ScoringStream, Sessionize}
@@ -1182,7 +1182,15 @@ object SparkEntry {
     // id-ordered joins (orientation changes the work, not the count) and
     // the same orientation-free sum d(d-1)/2 wedge census.
     "q90_triangle_census" -> ((s, dir) =>
-      DedupGroups.triangleCensus(stagedSimilarPairs(s, dir), "id_a", "id_b"))
+      DedupGroups.triangleCensus(stagedSimilarPairs(s, dir), "id_a", "id_b")),
+
+    // §2 row 115: schema-wide column profile — one aggregation (Expand
+    // for the multi-column exact distincts), plan-side melt to one row
+    // per column. Profiled columns are integers and strings only, whose
+    // min/max string forms are canonical on both engines.
+    "q91_column_profile" -> ((s, dir) =>
+      Profile.profile(spread(s, Tables.documents(s, dir)),
+        Seq("doc_id", "text", "lang", "source", "n_chars")))
   )
 
   // ---------------------------------------------------------------------
@@ -2086,6 +2094,19 @@ object SparkEntry {
         "CAST(CASE WHEN (SELECT n_wedges FROM w) = 0 THEN 0 ELSE " +
         "(SELECT n_triangles FROM t) * 3 * 10000 // (SELECT n_wedges FROM w) " +
         "END AS BIGINT) AS clustering_bp"
+    },
+
+    // One UNION ALL branch per column, identical metrics; counts as
+    // BIGINT, min/max as VARCHAR (canonical for bigint/varchar).
+    "q91_column_profile" -> {
+      def branch(c: String) =
+        s"SELECT '$c' AS \"column\", CAST(count(*) AS BIGINT) AS n_rows, " +
+          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, " +
+          s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+          s"CAST(min($c) AS VARCHAR) AS min_s, " +
+          s"CAST(max($c) AS VARCHAR) AS max_s FROM documents"
+      Seq("doc_id", "text", "lang", "source", "n_chars")
+        .map(branch).mkString(" UNION ALL ")
     }
   )
 
