@@ -137,6 +137,10 @@ object Decontaminate {
     * the collision argument the class doc states. */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 8): DataFrame = {
+    // cache contract (the Ann/DedupGroups convention): the grams diamond
+    // persists for the life of the returned plan; Verify/Bench clearCache
+    // between queries, and long-lived callers should unpersist via
+    // spark.catalog.clearCache() after materializing the report
     val grams = MinHashDedup.shingleSets(docs, idCol, textCol, n)
       .select(col("id"), explode(col("sh")).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

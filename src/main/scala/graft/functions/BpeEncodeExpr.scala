@@ -34,6 +34,13 @@ case class BpeEncode(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
+      // a foldable-but-NULL merges literal (CAST(NULL AS ARRAY<STRING>))
+      // would otherwise pass here and NPE when the lazy `ranks` is forced
+      // at codegen time — reject it as an analysis error instead
+      case (StringType, ArrayType(StringType, _))
+          if right.foldable && right.eval(null) == null =>
+        TypeCheckResult.TypeCheckFailure(
+          "bpe_encode merges must not be null")
       case (StringType, ArrayType(StringType, _)) if right.foldable =>
         TypeCheckResult.TypeCheckSuccess
       case (StringType, ArrayType(StringType, _)) =>

@@ -25,7 +25,12 @@ object Robust {
   def groupQuantile(df: DataFrame, groupCol: String, valCol: String,
                     qBp: Int): DataFrame = {
     require(qBp >= 1 && qBp <= 10000, s"qBp must be in [1, 10000], got $qBp")
-    val counts = df.groupBy(col(groupCol), col(valCol).as("__v"))
+    // NULL values are EXCLUDED (the SQL-aggregate convention): Spark's
+    // window orders NULLs first while DuckDB orders them last, so letting
+    // a NULL into the cumulative count would skew quantiles and diverge
+    // between engines
+    val counts = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(valCol).as("__v"))
       .agg(count(lit(1)).as("__cnt"))
     val byGroup = Window.partitionBy(groupCol)
     val cum = sum(col("__cnt"))

@@ -49,7 +49,10 @@ object KnnLabel {
       .agg(max(struct(col("votes").as("votes"),
         (-col("nbr_label").cast("long")).as("negl"))).as("w"))
       .select(col("query_id"),
-        (-col("w").getField("negl")).cast("int").as("pred_label"),
+        // cast back to the INPUT label type: a long label narrowed to int
+        // here would be silently truncated
+        (-col("w").getField("negl"))
+          .cast(emb.schema(labelCol).dataType).as("pred_label"),
         col("w").getField("votes").as("votes"))
   }
 }

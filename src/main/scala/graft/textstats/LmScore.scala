@@ -14,7 +14,14 @@ import org.apache.spark.sql.functions._
   * All arithmetic after the per-position log is INTEGER: each position
   * contributes floor(-ln(P(c₃|c₁c₂)) · 10⁶) as a long, and the per-doc
   * figure is an integer-division mean — so sums are exact and immune to
-  * float summation order across partitions/engines. Because the model is
+  * float summation order across partitions/engines. Residual cross-engine
+  * risk: ln() itself is NOT IEEE correctly-rounded, so JVM Math.log and a
+  * C libm may differ by 1 ulp — a ratio whose -ln lands within ~1e-10 of
+  * an exact micro-nat boundary could floor differently between engines.
+  * No (tc, bc) pair at the tested scales sits on such a boundary, but the
+  * per-ratio flip probability grows with distinct-ratio count; an
+  * engine-portability-first deployment would tolerate ±1 per nll_u in a
+  * comparator rather than demand bit equality. Because the model is
   * trained on the corpus being scored, every document trigram is in the
   * model by construction and no smoothing term is needed.
   *
