@@ -188,7 +188,11 @@ object SparkEntry {
   // Queries (SparkSession, sfDir) => DataFrame
   // ---------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ declaredEquivalents
+
+  private def baseQueries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2 rows 1, 5: source read + projection + rename
     "q01_read_project" -> ((s, dir) =>
       Relational.rename(
@@ -1273,6 +1277,78 @@ object SparkEntry {
         Seq("doc_id", "text", "lang", "source", "n_chars")))
   )
 
+  /** §2 rows declared as driver queries whose CONTRACT is equality with an
+    * already-oracled formulation: each runs a different physical plan (the
+    * point of the operator) but must emit exactly the rows of the SQL it
+    * shares with its twin, so the DuckDB oracle proves the rewrite, not
+    * just the result. Split out only to keep `queries` under Scala's
+    * single-method size comfort zone. */
+  private def declaredEquivalents
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2 row 88: corpus-vs-corpus decontamination with NO broadcast/bitset
+    // contract — both gram streams shuffle on the gram hash (the shape for
+    // a benchmark side too big for any executor-resident structure). Must
+    // equal q46 exactly; shares its oracle verbatim.
+    "q92_shuffle_decontaminate" -> ((s, dir) => {
+      val docs = spread(s, Tables.documents(s, dir))
+      Decontaminate.contaminationHitsShuffle(docs,
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "doc_id", "text", n = 8)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // §2 row 34: SRP-LSH bucketed top-k as a driver row — candidates
+    // limited to the query's sign-random-projection bucket (2^4 buckets:
+    // a 16× candidate cut). Rows-only by design (bucketing is lossy);
+    // AnnSpec measures recall vs the q20 brute-force baseline.
+    "q93_lsh_topk" -> ((s, dir) => {
+      val emb = spread(s, Tables.embeddings(s, dir))
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nPlanes = 4, dim = 64)
+        .select(col("query_id"), col("cand_id"), col("rank"),
+          floor(col("cos") * 1e6).cast("long").as("cos_uu"))
+    }),
+
+    // §2 row 48: salted skew join as a driver row — the shuffle key
+    // becomes (custkey, salt) so a hot customer spreads over 8 reducers;
+    // the oracle is the PLAIN join SQL the salted plan must equal (salt
+    // values affect placement, never output).
+    "q94_salted_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).withColumnRenamed("o_custkey", "custkey")
+      val c = Tables.customer(s, dir)
+        .withColumnRenamed("c_custkey", "custkey")
+        .select("custkey", "c_name", "c_mktsegment")
+      Relational.saltedJoin(o, c, "custkey", saltFactor = 8)
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    }),
+
+    // §2 row 58: partial-agg exact dedup as a driver row — min_by hash
+    // aggregation whose map-side combine reduces every partition to one
+    // candidate row per key BEFORE the exchange (vs q03's window, which
+    // shuffles every duplicate). Same determinism contract, same oracle
+    // as q03.
+    "q95_dedup_partial_agg" -> ((s, dir) =>
+      ExactDedup.keepFirstAgg(Tables.documents(s, dir), Seq("text"),
+        "doc_id")),
+
+    // §2 row 26: model persistence as a driver row — train the reference's
+    // SVM pipeline, save the WHOLE PipelineModel as one artifact, load it
+    // back, and score with the LOADED model (the deployment path,
+    // ref Scalable_Project_SVM_Model_Deployment.py:126-237). Rows-only
+    // (ML predictions); MlSpec pins saved==loaded predictions exactly.
+    "q96_model_roundtrip" -> ((s, dir) => {
+      val docs = Sentiment.prepare(Tables.documents(s, dir))
+      val (model, _, _) = Sentiment.trainEval(docs, "svm", seed = 100L,
+        vocabSize = 1024)
+      val path = stagingDir("graft_model_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + ProcessHandle.current().pid())
+      Sentiment.save(model, path)
+      Sentiment.load(path).transform(docs)
+        .select("doc_id", "label", "prediction")
+    })
+  )
+
   // ---------------------------------------------------------------------
   // DuckDB oracle SQL — keys match `queries`; column aliases match exactly.
   // Only genuinely engine-specific outputs stay rows-only: model predictions
@@ -1674,6 +1750,23 @@ object SparkEntry {
     // COUNTS are identical either way (same set-cardinality argument as
     // q18). Short docs collapse to one whole-document gram on both sides.
     "q46_decontaminate" -> decontaminateSql,
+
+    // Same oracle as q46 by design: dropping the broadcast contract
+    // changes the exchange strategy, never the rows.
+    "q92_shuffle_decontaminate" -> decontaminateSql,
+
+    // The PLAIN inner-join SQL the salted plan must reproduce: salt
+    // values move rows between reducers but the join output is
+    // salt-independent (inner join, dimension side replicated per salt).
+    "q94_salted_join" ->
+      ("SELECT o_orderkey, o_totalprice, c_name, c_mktsegment " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey"),
+
+    // q03's oracle verbatim: min_by aggregation and the row_number window
+    // must pick identical rows (doc_id unique within each text group).
+    "q95_dedup_partial_agg" ->
+      ("SELECT doc_id, text, lang, source, n_chars FROM documents " +
+        "QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1"),
 
     // Identical oracle as q46 by design: the Bloom pre-filter has no false
     // negatives and the confirm join removes its false positives, so the
