@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.{Decontaminate, DedupGroups, ExactDedup, MinHashDedup, NGramJaccard, ParagraphDedup, SimHash}
 import graft.functions.{BpeEncode, CountMinAggregator, CountMinSketch, NormalizeText, TextFunctions}
 import graft.ml.{Featurize, Sentiment}
-import graft.multimodal.{Audio, ImageDedup, Multimodal, Video}
+import graft.multimodal.{Audio, AudioDedup, ImageDedup, Multimodal, Video}
 import graft.operators.{Chunking, Debounce, Funnel, Intervals, Packing, Profile, Relational, Robust, Sampling, Tuning}
 import graft.similarity.{Ann, Centroids, KnnLabel}
 import graft.sources.Tables
@@ -1346,6 +1346,19 @@ object SparkEntry {
       Sentiment.save(model, path)
       Sentiment.load(path).transform(docs)
         .select("doc_id", "label", "prediction")
+    }),
+
+    // Audio twin of q75: Haitsma–Kalker-style 64-bit perceptual
+    // fingerprint of every WAV payload via the native `audio_fp`
+    // expression — per-row codegen over the real RIFF walk, zero
+    // exchanges. Integer-exact end-to-end, so the oracle replays frame
+    // band energies and double-difference signs from the sample
+    // recurrence in SQL. The Hamming-bucket near-dup join over these
+    // signatures (AudioDedup.nearDupAudio) is pinned by AudioDedupSpec's
+    // planted-noisy-copy recall + no-cartesian asserts.
+    "q97_audio_fp" -> ((s, dir) => {
+      val media = Audio.wavPayloads(s, Tables.documents(s, dir), "doc_id")
+      AudioDedup.fingerprints(media).withColumnRenamed("id", "doc_id")
     })
   )
 
@@ -2068,6 +2081,39 @@ object SparkEntry {
         "SELECT doc_id, CAST(CASE WHEN sv >= 9223372036854775808::HUGEINT " +
         "THEN sv - 18446744073709551616::HUGEINT ELSE sv END AS BIGINT) AS dhash " +
         "FROM s"
+    },
+
+    // audio_fp replayed without binary: the q64 sample recurrence, frame
+    // assignment f = (17(i+1)−1) div n (inverse of lo(f) = f·n div 17),
+    // integer band-energy sums with the lag terms recomputed from the
+    // recurrence (guarded to stay within the frame, as in compute()), and
+    // the double-difference sign bits summed through HUGEINT into a
+    // signed 64-bit value exactly like q75's dhash fold.
+    "q97_audio_fp" -> {
+      def x(i: String): String =
+        s"((doc_id * 1103515245 + ($i) * 12345 + 7) % 2147483647) % 65536 - 32768"
+      def bit(m: Int, hi: String, lo: String): String =
+        s"CASE WHEN (b.$hi - b.$lo) - (a.$hi - a.$lo) > 0 " +
+          s"THEN (1::HUGEINT << CAST(a.f * 4 + $m AS INT)) ELSE 0::HUGEINT END"
+      "WITH d AS (SELECT doc_id, 256 + doc_id % 512 AS n FROM documents), " +
+        "i AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d), " +
+        "s AS (SELECT doc_id, i, (17 * (i + 1) - 1) // n AS f, " +
+        "(((17 * (i + 1) - 1) // n) * n) // 17 AS lo, " +
+        s"${x("i")} AS x0, ${x("i - 1")} AS x1, ${x("i - 2")} AS x2 FROM i), " +
+        "e AS (SELECT doc_id, f, sum(abs(x0)) AS e0, " +
+        "sum(CASE WHEN i - 1 >= lo THEN abs(x0 - x1) ELSE 0 END) AS e1, " +
+        "sum(CASE WHEN i - 1 >= lo THEN abs(x0 + x1) ELSE 0 END) AS e2, " +
+        "sum(CASE WHEN i - 2 >= lo THEN abs(x0 - x2) ELSE 0 END) AS e3, " +
+        "sum(CASE WHEN i - 2 >= lo THEN abs(x0 + x2) ELSE 0 END) AS e4 " +
+        "FROM s GROUP BY doc_id, f), " +
+        "p AS (SELECT a.doc_id, " +
+        s"${bit(0, "e0", "e1")} + ${bit(1, "e1", "e2")} + " +
+        s"${bit(2, "e2", "e3")} + ${bit(3, "e3", "e4")} AS bv " +
+        "FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1), " +
+        "t AS (SELECT doc_id, sum(bv) AS sv FROM p GROUP BY doc_id) " +
+        "SELECT doc_id, CAST(CASE WHEN sv >= 9223372036854775808::HUGEINT " +
+        "THEN sv - 18446744073709551616::HUGEINT ELSE sv END AS BIGINT) AS afp " +
+        "FROM t"
     },
 
     // Same trigram/context counting, the same per-position integer floor,

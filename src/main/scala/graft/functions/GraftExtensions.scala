@@ -67,6 +67,11 @@ object GraftExtensions {
     case _ => throw new IllegalArgumentException("image_dhash(binary)")
   }
 
+  private def audioFpBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(payload) => AudioFingerprint(payload)
+    case _ => throw new IllegalArgumentException("audio_fp(binary)")
+  }
+
   private def normalizeTextBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(text, Literal(f: org.apache.spark.unsafe.types.UTF8String, _)) =>
       NormalizeText(text, f.toString)
@@ -113,6 +118,9 @@ object GraftExtensions {
       (FunctionIdentifier("image_dhash"),
         new ExpressionInfo(classOf[ImageDHash].getName, "image_dhash"),
         imageDHashBuilder _),
+      (FunctionIdentifier("audio_fp"),
+        new ExpressionInfo(classOf[AudioFingerprint].getName, "audio_fp"),
+        audioFpBuilder _),
       (FunctionIdentifier("bpe_encode"),
         new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
         bpeEncodeBuilder _),

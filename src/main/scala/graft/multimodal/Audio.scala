@@ -56,8 +56,23 @@ object Audio {
     * RIFF(12) · fmt(24) · LIST(8 + pad) · data(8 + 2n). The LIST pad length
     * is id-dependent and even (RIFF chunks are word-aligned), so `data`
     * never sits at a fixed offset across the corpus. */
-  def encodeWav(id: Long): Array[Byte] = {
-    val n = nSamples(id)
+  def encodeWav(id: Long): Array[Byte] =
+    buildWav(id, Array.tabulate(nSamples(id))(i => sampleAt(id, i)))
+
+  /** [[encodeWav]]'s sample stream plus bounded deterministic noise
+    * (clamped int16) — a "re-recorded" near-copy for planted near-dup
+    * ground truth and fingerprint-robustness tests. */
+  def encodeWavNoisy(id: Long, maxDelta: Int): Array[Byte] = {
+    require(maxDelta >= 0)
+    buildWav(id, Array.tabulate(nSamples(id)) { i =>
+      val d = Math.floorMod(id * 2654435761L + i * 40503L + 11L,
+        2L * maxDelta + 1L).toInt - maxDelta
+      math.max(-32768, math.min(32767, sampleAt(id, i) + d))
+    })
+  }
+
+  private def buildWav(id: Long, samples: Array[Int]): Array[Byte] = {
+    val n = samples.length
     val sampleRate = 16000
     val pad = (4 + 2 * (id % 6)).toInt // even, 4..14 bytes of LIST body
     val dataSize = 2 * n
@@ -80,7 +95,7 @@ object Audio {
     putAscii(out, pos, "data"); putLeInt(out, pos + 4, dataSize); pos += 8
     var i = 0
     while (i < n) {
-      putLeShort(out, pos + 2 * i, sampleAt(id, i) & 0xffff)
+      putLeShort(out, pos + 2 * i, samples(i) & 0xffff)
       i += 1
     }
     out
@@ -96,19 +111,21 @@ object Audio {
   private def fourCC(b: Array[Byte], pos: Int): String =
     new String(b, pos, 4, "US-ASCII")
 
-  /** REAL RIFF/WAVE decode: verify the RIFF/WAVE container, WALK the chunk
-    * list (word-aligned sizes per the spec), parse `fmt ` (PCM16 mono
+  /** The RIFF chunk WALK alone: verify the RIFF/WAVE container, walk the
+    * chunk list (word-aligned sizes per the spec), parse `fmt ` (PCM16 mono
     * enforced — anything else fails loudly, corrupt media should surface),
-    * then one pass over the `data` samples for integer stats. */
-  def decodeWav(id: Long, b: Array[Byte]): WavStats = {
+    * stop at `data`. Returns (sampleRate, byte offset of the first sample,
+    * sample count) — the one parser every audio stage shares ([[decodeWav]]
+    * stats, [[graft.functions.AudioFingerprint]] signatures), same
+    * one-parser-every-stage rule as [[Multimodal.parsePpmHeader]]. */
+  def locateData(id: Long, b: Array[Byte]): (Int, Int, Int) = {
     require(b.length >= 44 && fourCC(b, 0) == "RIFF" && fourCC(b, 8) == "WAVE",
       s"id=$id: not a RIFF/WAVE payload")
     val end = math.min(b.length.toLong, 8L + leInt(b, 4))
     var pos = 12
     var sampleRate = -1
     var fmtSeen = false
-    var stats: WavStats = null
-    while (pos + 8 <= end && stats == null) {
+    while (pos + 8 <= end) {
       val cid = fourCC(b, pos)
       val csz = leInt(b, pos + 4)
       require(csz >= 0 && pos + 8 + csz <= end, s"id=$id: truncated chunk $cid")
@@ -122,25 +139,35 @@ object Audio {
           fmtSeen = true
         case "data" =>
           require(fmtSeen, s"id=$id: data chunk before fmt")
-          val n = csz / 2
-          var sum = 0L; var sabs = 0L; var peak = 0
-          var i = 0
-          while (i < n) {
-            val u = leShort(b, pos + 8 + 2 * i)
-            val s = if (u >= 32768) u - 65536 else u // sign-extend int16
-            sum += s
-            val a = math.abs(s)
-            sabs += a
-            if (a > peak) peak = a
-            i += 1
-          }
-          stats = WavStats(id, sampleRate, n.toLong, sum, sabs, peak)
+          return (sampleRate, pos + 8, csz / 2)
         case _ => // LIST/INFO/fact/...: skip
       }
       pos += 8 + csz + (csz & 1) // chunks are word-aligned
     }
-    require(stats != null, s"id=$id: no data chunk")
-    stats
+    throw new IllegalArgumentException(s"id=$id: no data chunk")
+  }
+
+  /** Sign-extended int16 sample `i` of a located data chunk. */
+  @inline def sampleLe16(b: Array[Byte], dataPos: Int, i: Int): Int = {
+    val u = leShort(b, dataPos + 2 * i)
+    if (u >= 32768) u - 65536 else u
+  }
+
+  /** REAL RIFF/WAVE decode: [[locateData]]'s chunk walk, then one pass over
+    * the `data` samples for integer stats. */
+  def decodeWav(id: Long, b: Array[Byte]): WavStats = {
+    val (sampleRate, dataPos, n) = locateData(id, b)
+    var sum = 0L; var sabs = 0L; var peak = 0
+    var i = 0
+    while (i < n) {
+      val s = sampleLe16(b, dataPos, i)
+      sum += s
+      val a = math.abs(s)
+      sabs += a
+      if (a > peak) peak = a
+      i += 1
+    }
+    WavStats(id, sampleRate, n.toLong, sum, sabs, peak)
   }
 
   /** Encode stage: id column → (id, payload) WAV rows, per-partition
