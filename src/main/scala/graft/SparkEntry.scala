@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.{Decontaminate, DedupGroups, ExactDedup, MinHashDedup, NGramJaccard, ParagraphDedup, SimHash}
 import graft.functions.{BpeEncode, CountMinAggregator, CountMinSketch, NormalizeText, TextFunctions}
 import graft.ml.{Featurize, Sentiment}
-import graft.multimodal.{Audio, AudioDedup, ImageDedup, Multimodal, Video}
+import graft.multimodal.{Audio, AudioDedup, ImageDedup, Multimodal, Video, VideoDedup}
 import graft.operators.{Chunking, Debounce, Funnel, Intervals, Packing, Profile, Relational, Robust, Sampling, Tuning}
 import graft.similarity.{Ann, Centroids, KnnLabel}
 import graft.sources.Tables
@@ -1359,6 +1359,18 @@ object SparkEntry {
     "q97_audio_fp" -> ((s, dir) => {
       val media = Audio.wavPayloads(s, Tables.documents(s, dir), "doc_id")
       AudioDedup.fingerprints(media).withColumnRenamed("id", "doc_id")
+    }),
+
+    // Video twin of q75/q97: per-frame image dHash over every 2nd frame of
+    // the concatenated-P6 stream, folded to one 64-bit clip signature by
+    // per-bit MAJORITY vote — the keyframe-voting reduction. Native
+    // codegen, skip-by-header walk (skipped frames cost O(header)),
+    // integer-exact, so the oracle replays grid, gradient signs and
+    // majority votes from the pixel recurrence. The Hamming-bucket join
+    // (VideoDedup.nearDupVideos) is pinned by VideoDedupSpec.
+    "q98_video_dhash" -> ((s, dir) => {
+      val media = Video.videoPayloads(s, Tables.documents(s, dir), "doc_id")
+      VideoDedup.signatures(media, stride = 2).withColumnRenamed("id", "doc_id")
     })
   )
 
@@ -2114,6 +2126,34 @@ object SparkEntry {
         "SELECT doc_id, CAST(CASE WHEN sv >= 9223372036854775808::HUGEINT " +
         "THEN sv - 18446744073709551616::HUGEINT ELSE sv END AS BIGINT) AS afp " +
         "FROM t"
+    },
+
+    // video_dhash replayed without binary: q75's grid/gradient-sign dHash
+    // with the q65 frame term, per (doc, bit) vote counts over the sampled
+    // frame grid (0, 2, ...), strict majority 2·ones > nsamp, HUGEINT fold.
+    "q98_video_dhash" -> {
+      def gray(base: String): String =
+        "((" + Seq(0, 1, 2).map(c =>
+          s"((doc_id * 1103515245 + f * 97531 + ($base + $c) * 12345 + 42) " +
+            "% 2147483647) % 256").mkString(" + ") + ") // 3)"
+      "WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h, " +
+        "2 + doc_id % 6 AS nf FROM documents), " +
+        "fr AS (SELECT doc_id, w, h, unnest(generate_series(0, nf - 1, 2)) AS f " +
+        "FROM d), " +
+        "c AS (SELECT doc_id, f, ty.range AS ty, tx.range AS tx, " +
+        "3 * (((ty.range * h) // 8) * w + (tx.range * w) // 9) AS bl, " +
+        "3 * (((ty.range * h) // 8) * w + ((tx.range + 1) * w) // 9) AS br " +
+        "FROM fr, range(8) ty, range(8) tx), " +
+        "v AS (SELECT doc_id, ty, tx, " +
+        "sum(CASE WHEN " + gray("bl") + " < " + gray("br") +
+        " THEN 1 ELSE 0 END) AS ones, count(*) AS nsamp " +
+        "FROM c GROUP BY doc_id, ty, tx), " +
+        "s AS (SELECT doc_id, sum(CASE WHEN 2 * ones > nsamp " +
+        "THEN (1::HUGEINT << CAST(ty * 8 + tx AS INT)) ELSE 0::HUGEINT END) AS sv " +
+        "FROM v GROUP BY doc_id) " +
+        "SELECT doc_id, CAST(CASE WHEN sv >= 9223372036854775808::HUGEINT " +
+        "THEN sv - 18446744073709551616::HUGEINT ELSE sv END AS BIGINT) AS vhash " +
+        "FROM s"
     },
 
     // Same trigram/context counting, the same per-position integer floor,

@@ -72,6 +72,12 @@ object GraftExtensions {
     case _ => throw new IllegalArgumentException("audio_fp(binary)")
   }
 
+  private def videoDHashBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(payload, Literal(stride: Int, _)) => VideoDHash(payload, stride)
+    case _ => throw new IllegalArgumentException(
+      "video_dhash(binary, stride: int literal)")
+  }
+
   private def normalizeTextBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(text, Literal(f: org.apache.spark.unsafe.types.UTF8String, _)) =>
       NormalizeText(text, f.toString)
@@ -121,6 +127,9 @@ object GraftExtensions {
       (FunctionIdentifier("audio_fp"),
         new ExpressionInfo(classOf[AudioFingerprint].getName, "audio_fp"),
         audioFpBuilder _),
+      (FunctionIdentifier("video_dhash"),
+        new ExpressionInfo(classOf[VideoDHash].getName, "video_dhash"),
+        videoDHashBuilder _),
       (FunctionIdentifier("bpe_encode"),
         new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
         bpeEncodeBuilder _),

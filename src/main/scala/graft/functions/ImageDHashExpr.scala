@@ -64,6 +64,13 @@ object ImageDHash {
     val (w, h, maxval, pos) = graft.multimodal.Multimodal.parsePpmHeader(-1L, b)
     require(maxval <= 255,
       s"image_dhash supports 1-byte samples only, got maxval=$maxval")
+    hashPlane(b, w, h, pos)
+  }
+
+  /** The grid hash over an ALREADY-LOCATED w×h RGB plane at byte `pos` —
+    * split out so [[VideoDHash]] can hash each sampled frame of a
+    * concatenated-P6 stream IN PLACE (no per-frame payload copy). */
+  def hashPlane(b: Array[Byte], w: Int, h: Int, pos: Int): Long = {
     var hash = 0L
     var ty = 0
     while (ty < Rows) {

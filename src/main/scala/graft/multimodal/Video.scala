@@ -64,8 +64,10 @@ object Video {
     c == ' ' || c == '\n' || c == '\r' || c == '\t'
 
   /** Parse one P6 header starting at `start`; returns (w, h, pixelOffset).
-    * Malformed frames fail loudly (corrupt media should surface). */
-  private def parseFrameHeader(id: Long, b: Array[Byte], start: Int): (Int, Int, Int) = {
+    * Malformed frames fail loudly (corrupt media should surface).
+    * `private[graft]`: [[graft.functions.VideoDHash]] reuses this walk to
+    * hash sampled frames in place — one parser, every video stage. */
+  private[graft] def parseFrameHeader(id: Long, b: Array[Byte], start: Int): (Int, Int, Int) = {
     require(start + 2 <= b.length && b(start) == 'P' && b(start + 1) == '6',
       s"id=$id: frame at $start is not P6")
     var pos = start + 2
