@@ -1371,6 +1371,37 @@ object SparkEntry {
     "q98_video_dhash" -> ((s, dir) => {
       val media = Video.videoPayloads(s, Tables.documents(s, dir), "doc_id")
       VideoDedup.signatures(media, stride = 2).withColumnRenamed("id", "doc_id")
+    }),
+
+    // Incremental image dedup vs a PERSISTED dhash index — the image twin
+    // of q58 (MinHash bands) and q73 (SRP embeddings), closing the ingest
+    // shape for all modalities: the corpus is hashed once (staged parquet,
+    // content-hash cache), and today's batch — the %10==9 images plus
+    // planted exact re-uploads of %16==0 corpus images under fresh
+    // negative ids — probes it via the broadcast chunk join, never
+    // re-reading corpus payloads. Exact oracle: dhash is integer-exact and
+    // the radius-3 chunk join is COMPLETE by pigeonhole, so DuckDB's plain
+    // bit_count(xor) pair scan over the recurrence-derived hashes is the
+    // same set by definition.
+    "q99_incremental_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val idx = docs.filter(pmod(col("doc_id"), lit(10)) =!= 9)
+      val idxPath = artifactPath("dhash_idx",
+        dir, codeHash(classOf[graft.functions.ImageDHash], ImageDedup.getClass))
+      stageParquet(idxPath) { tmp =>
+        ImageDedup.dHashes(Multimodal.ppmPayloads(s, spread(s, idx), "doc_id"))
+          .write.parquet(tmp)
+      }
+      val planted = idx.filter(pmod(col("doc_id"), lit(16)) === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (-(id + 1L), Multimodal.encodePpm(id))))
+        .toDF("id", "payload")
+      val incMedia = Multimodal.ppmPayloads(s,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 9), "doc_id")
+        .unionByName(planted)
+      ImageDedup.incrementalNearDupImages(incMedia, s.read.parquet(idxPath),
+        maxHamming = 3)
     })
   )
 
@@ -1386,6 +1417,29 @@ object SparkEntry {
   /** Exact n-gram Jaccard pairs in DuckDB (see the q18 comment in
     * [[oracleSql]]); also the pair-graph input to q43's recursive-CTE
     * connected components. */
+  /** Per-doc image dHash replayed from the pixel recurrence — q75's
+    * oracle, shared with q99's incremental-probe oracle. Gray at
+    * pixel-plane byte offset `base` is (r+g+b) over 3, integer div. */
+  private def imageDHashOracleSql: String = {
+    def gray(base: String): String =
+      "((" + Seq(0, 1, 2).map(c =>
+        s"((doc_id * 1103515245 + ($base + $c) * 12345 + 42) % 2147483647) % 256")
+        .mkString(" + ") + ") // 3)"
+    "WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h " +
+      "FROM documents), " +
+      "c AS (SELECT doc_id, ty.range AS ty, tx.range AS tx, " +
+      "3 * (((ty.range * h) // 8) * w + (tx.range * w) // 9) AS bl, " +
+      "3 * (((ty.range * h) // 8) * w + ((tx.range + 1) * w) // 9) AS br " +
+      "FROM d, range(8) ty, range(8) tx), " +
+      "b AS (SELECT doc_id, CASE WHEN " + gray("bl") + " < " + gray("br") +
+      " THEN (1::HUGEINT << CAST(ty * 8 + tx AS INT)) ELSE 0::HUGEINT END AS bv " +
+      "FROM c), " +
+      "s AS (SELECT doc_id, sum(bv) AS sv FROM b GROUP BY doc_id) " +
+      "SELECT doc_id, CAST(CASE WHEN sv >= 9223372036854775808::HUGEINT " +
+      "THEN sv - 18446744073709551616::HUGEINT ELSE sv END AS BIGINT) AS dhash " +
+      "FROM s"
+  }
+
   private def ngramPairsSql: String =
     s"WITH t AS (SELECT doc_id AS id, ${tokensSql("text")} AS toks FROM documents), " +
       "g0 AS (SELECT id, CASE WHEN len(toks) >= 3 " +
@@ -2074,25 +2128,26 @@ object SparkEntry {
     // grayscale → gradient-sign bits summed as HUGEINT (bit 63 overflows
     // BIGINT), then folded back to the signed two's-complement BIGINT the
     // engine emits.
-    "q75_image_dhash" -> {
-      // gray at pixel-plane byte offset `base` (r+g+b over 3, integer div)
-      def gray(base: String): String =
-        "((" + Seq(0, 1, 2).map(c =>
-          s"((doc_id * 1103515245 + ($base + $c) * 12345 + 42) % 2147483647) % 256")
-          .mkString(" + ") + ") // 3)"
-      "WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h " +
-        "FROM documents), " +
-        "c AS (SELECT doc_id, ty.range AS ty, tx.range AS tx, " +
-        "3 * (((ty.range * h) // 8) * w + (tx.range * w) // 9) AS bl, " +
-        "3 * (((ty.range * h) // 8) * w + ((tx.range + 1) * w) // 9) AS br " +
-        "FROM d, range(8) ty, range(8) tx), " +
-        "b AS (SELECT doc_id, CASE WHEN " + gray("bl") + " < " + gray("br") +
-        " THEN (1::HUGEINT << CAST(ty * 8 + tx AS INT)) ELSE 0::HUGEINT END AS bv " +
-        "FROM c), " +
-        "s AS (SELECT doc_id, sum(bv) AS sv FROM b GROUP BY doc_id) " +
-        "SELECT doc_id, CAST(CASE WHEN sv >= 9223372036854775808::HUGEINT " +
-        "THEN sv - 18446744073709551616::HUGEINT ELSE sv END AS BIGINT) AS dhash " +
-        "FROM s"
+    "q75_image_dhash" -> imageDHashOracleSql,
+
+    // The incremental probe replayed as a plain pair scan: dhash is
+    // integer-exact (shared q75 helper) and the radius-3 chunk join is
+    // complete by pigeonhole, so "all pairs with bit_count(xor) <= 3"
+    // IS the operator's output set — cross pairs (increment × index) plus
+    // within-increment pairs under the same id< orientation.
+    "q99_incremental_image_dedup" -> {
+      s"WITH base AS ($imageDHashOracleSql), " +
+        "idx AS (SELECT doc_id AS id, dhash FROM base WHERE doc_id % 10 != 9), " +
+        "inc AS (SELECT doc_id AS id, dhash FROM base WHERE doc_id % 10 = 9 " +
+        "UNION ALL SELECT -(doc_id + 1), dhash FROM base " +
+        "WHERE doc_id % 10 != 9 AND doc_id % 16 = 0) " +
+        "SELECT i.id AS new_id, x.id AS dup_id, " +
+        "CAST(bit_count(xor(i.dhash, x.dhash)) AS INT) AS hamming " +
+        "FROM inc i JOIN idx x ON bit_count(xor(i.dhash, x.dhash)) <= 3 " +
+        "UNION ALL " +
+        "SELECT a.id, b.id, CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) " +
+        "FROM inc a JOIN inc b ON b.id < a.id " +
+        "AND bit_count(xor(a.dhash, b.dhash)) <= 3"
     },
 
     // audio_fp replayed without binary: the q64 sample recurrence, frame

@@ -147,15 +147,44 @@ object SimHash {
     // contract, not a hope
     val sig = signatures.select(col("id"), col("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val chunked = sig.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
+    val chunked = chunk16(sig)
     chunked.as("l").join(chunked.as("r"),
         col("l.band") === col("r.band") &&
           col("l.chunk") === col("r.chunk") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        hamming(col("l.simhash"), col("r.simhash")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** (id, simhash, band, chunk) — each signature exploded into its four
+    * 16-bit chunks, the bucket key of every Hamming join here. */
+  private def chunk16(sig: DataFrame): DataFrame =
+    sig.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
+
+  /** Incremental Hamming near-dup: today's `probeSigs` against an
+    * already-built `indexSigs` table (both `(id, simhash)` — the index
+    * typically read back from parquet, signatures never recomputed), the
+    * signature-join twin of
+    * [[graft.dedup.MinHashDedup.incrementalNearDups]]. Join strategy is
+    * sized to the asymmetry: the increment's chunk rows BROADCAST onto the
+    * index's chunk scan (a daily batch is tiny against the corpus — the
+    * index is probed in place, never shuffled). Same radius-≤3 pigeonhole
+    * completeness contract as [[nearDuplicatesFromSignatures]]. Output:
+    * (new_id, dup_id, hamming), `dup_id` an indexed id; ids must be
+    * disjoint across index and probe. */
+  def nearDuplicatesAgainstIndex(indexSigs: DataFrame, probeSigs: DataFrame,
+                                 maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit chunk LSH is only complete for maxHamming <= 3, got $maxHamming")
+    chunk16(indexSigs.select(col("id"), col("simhash"))).as("l")
+      .join(broadcast(chunk16(probeSigs.select(col("id"), col("simhash")))).as("r"),
+        col("l.band") === col("r.band") && col("l.chunk") === col("r.chunk"))
+      .select(col("r.id").as("new_id"), col("l.id").as("dup_id"),
         hamming(col("l.simhash"), col("r.simhash")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()

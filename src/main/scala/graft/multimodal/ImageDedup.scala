@@ -36,4 +36,29 @@ object ImageDedup {
   def nearDupImages(media: DataFrame, maxHamming: Int = 3): DataFrame =
     SimHash.nearDuplicatesFromSignatures(
       dHashes(media).withColumnRenamed("dhash", "simhash"), maxHamming)
+
+  /** Incremental image dedup: today's ingest against an already-hashed
+    * corpus, without reprocessing (or even re-reading) historical images —
+    * the image twin of [[graft.dedup.MinHashDedup.incrementalNearDups]]
+    * and the q73 embedding ingest. The corpus participates ONLY through
+    * its persisted `(id, dhash)` signature table (built by [[dHashes]],
+    * written once at corpus build, appended per ingest): cross pairs come
+    * from [[graft.dedup.SimHash.nearDuplicatesAgainstIndex]] (the
+    * increment's chunk rows broadcast onto the index scan), within-batch
+    * pairs from the ordinary self-join on the increment alone.
+    *
+    * Output: (new_id, dup_id, hamming) — `dup_id` an indexed corpus image
+    * or an earlier (lower-id) image of the same increment. Contract: ids
+    * are globally unique across corpus and increment. */
+  def incrementalNearDupImages(newMedia: DataFrame, indexSigs: DataFrame,
+                               maxHamming: Int = 3): DataFrame = {
+    val probeSigs = dHashes(newMedia).withColumnRenamed("dhash", "simhash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cross = SimHash.nearDuplicatesAgainstIndex(
+      indexSigs.withColumnRenamed("dhash", "simhash"), probeSigs, maxHamming)
+    val within = SimHash.nearDuplicatesFromSignatures(probeSigs, maxHamming)
+      .select(col("id_b").as("new_id"), col("id_a").as("dup_id"),
+        col("hamming"))
+    cross.unionByName(within)
+  }
 }

@@ -86,6 +86,38 @@ class ImageDedupSpec extends SparkSpec {
     assert(h.nonEmpty && h.forall(_ == 0))
   }
 
+  test("incremental dedup vs persisted dhash index: cross-batch recall, " +
+    "corpus payloads never re-read") {
+    val corpus = (0L until 40L).map(id => (id, Multimodal.encodePpm(id)))
+      .toDF("id", "payload")
+    // the persisted index shape: signatures written to parquet and read
+    // back — the only corpus artifact the probe may touch
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_dhash_idx_spec").toString
+    ImageDedup.dHashes(corpus).write.mode("overwrite").parquet(idxDir)
+    val indexSigs = spark.read.parquet(idxDir)
+    // today's batch: re-encoded copies of corpus images 0..19 under fresh
+    // ids, plus genuinely new images (1000..1009) and one within-batch
+    // duplicate pair (2000, 2001 share pixels of image 500)
+    val probe = ((0L until 20L).map(id =>
+        (id + 100L, reencoded(Multimodal.encodePpm(id)))) ++
+      (1000L until 1010L).map(id => (id, Multimodal.encodePpm(id))) ++
+      Seq((2000L, Multimodal.encodePpm(500L)),
+        (2001L, reencoded(Multimodal.encodePpm(500L)))))
+      .toDF("id", "payload")
+    val out = ImageDedup.incrementalNearDupImages(probe, indexSigs,
+      maxHamming = 3)
+    assertNoCartesian(out)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 20L).foreach { id =>
+      assert(got.contains((id + 100L, id)), s"cross-batch pair $id missed")
+    }
+    assert(got.contains((2001L, 2000L)), "within-batch pair missed")
+    // an unrelated fresh image must not match everything (sanity bound:
+    // dup partners of 1000..1009 can only be near-hash coincidences)
+    assert(got.count(p => p._1 >= 1000L && p._1 < 1010L) <= 3)
+  }
+
   test("only O(grid) pixels are read: hash cost independent of image size") {
     // a large image whose plane is only partially materialized would throw;
     // the expression must touch just the sampled grid — build a 512×512
