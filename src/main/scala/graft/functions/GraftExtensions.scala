@@ -72,6 +72,12 @@ object GraftExtensions {
     case _ => throw new IllegalArgumentException("audio_fp(binary)")
   }
 
+  private def charGramHashesBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(text, Literal(n: Int, _)) => CharGramHashes(text, n)
+    case _ => throw new IllegalArgumentException(
+      "char_gram_hashes(string, n: int literal)")
+  }
+
   private def videoDHashBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(payload, Literal(stride: Int, _)) => VideoDHash(payload, stride)
     case _ => throw new IllegalArgumentException(
@@ -130,6 +136,9 @@ object GraftExtensions {
       (FunctionIdentifier("video_dhash"),
         new ExpressionInfo(classOf[VideoDHash].getName, "video_dhash"),
         videoDHashBuilder _),
+      (FunctionIdentifier("char_gram_hashes"),
+        new ExpressionInfo(classOf[CharGramHashes].getName, "char_gram_hashes"),
+        charGramHashesBuilder _),
       (FunctionIdentifier("bpe_encode"),
         new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
         bpeEncodeBuilder _),

@@ -93,22 +93,24 @@ object Repetition {
   /** Character-level mode statistic (the char half of Gopher's repetition
     * battery): (id, n_chars, top_char_ngram_cnt) where the count is of the
     * most frequent n-char window. Texts shorter than n count as one
-    * whole-text gram. Note the per-row window enumeration is
-    * `substr`-based (O(len·n) bytes touched per row for ASCII) — fine for
-    * document-sized rows; a book-length corpus would earn a native
-    * rolling-window expression like ShingleHashes. */
+    * whole-text gram. Window enumeration is the native rolling
+    * [[graft.functions.CharGramHashes]] expression — one code-point walk
+    * per row, windows hashed in place (the earlier `substr` formulation
+    * copied O(len·n) bytes through two interpreted lambdas), and the
+    * explode/groupBy counts 8-byte longs instead of n-char strings. Mode
+    * counts over hashes equal mode counts over grams absent a
+    * within-document XXH64 collision (P ≈ pairs·2⁻⁶⁴; RepetitionSpec
+    * cross-checks against the substr formulation on real corpus text). */
   def topCharNgramStats(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 4): DataFrame = {
     require(n >= 1)
     val t = col(textCol)
-    val grams = when(length(t) >= n,
-      transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
-      .otherwise(array(t))
     // two cheap source scans, NOT one staged frame carrying the exploded
     // gram array through a join (persisting ~n× the text per row is worse
     // than re-reading the column-pruned scan)
     val base = df.select(col(idCol).as("id"), length(t).cast("long").as("n_chars"))
-    val gramRows = df.select(col(idCol).as("id"), explode(grams).as("g"))
+    val gramRows = df.select(col(idCol).as("id"),
+      explode(graft.functions.CharGramHashes(df.sparkSession, t, n)).as("g"))
     base
       .join(topModeCount(gramRows, "top_char_ngram_cnt"), Seq("id"), "left")
       .select(col("id"), col("n_chars"),

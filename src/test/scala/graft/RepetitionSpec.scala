@@ -48,6 +48,52 @@ class RepetitionSpec extends SparkSpec {
     assert(got(2).getLong(1) == 2 && got(2).getLong(2) == 1)
   }
 
+  test("char_gram_hashes: shape + code-point windows + codegen==interpreted") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.functions.CharGramHashes
+    def local(t: String, n: Int): Seq[Long] =
+      CharGramHashes.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), n)
+        .toLongArray().toSeq
+    // window count: len−n+1, or exactly one for short strings (incl. "")
+    assert(local("abababab", 4).size == 5)
+    assert(local("xy", 4).size == 1 && local("", 4).size == 1)
+    // equal windows hash equal, distinct windows distinct (here)
+    val h = local("abababab", 4)
+    assert(h(0) == h(2) && h(2) == h(4) && h(0) != h(1))
+    // code-point semantics: multi-byte chars are ONE position, same as
+    // substr — "héllo" has 2 windows of 4 chars
+    assert(local("héllo", 4).size == 2)
+    // codegen path (via the registered function) matches local compute
+    val viaPlan = Seq(("ababéba", 1)).toDF("t", "x")
+      .select(CharGramHashes(spark, col("t"), 4).as("h"))
+      .head().getSeq[Long](0)
+    assert(viaPlan == local("ababéba", 4))
+    // interpreted eval matches too
+    val interp = CharGramHashes(Literal("ababéba"), 4)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+    assert(interp == local("ababéba", 4))
+  }
+
+  test("hash-based char mode counts == substr-based counts on real corpus") {
+    // the collision-risk cross-check promised in topCharNgramStats' doc:
+    // recompute with the old substr formulation and demand equality
+    val docs = graft.sources.Tables.documents(spark, sfDir).limit(300)
+    val t = col("text")
+    val grams = when(length(t) >= 4,
+      transform(sequence(lit(1), length(t) - 3), i => t.substr(i, lit(4))))
+      .otherwise(array(t))
+    val ref = docs.select(col("doc_id").as("id"), explode(grams).as("g"))
+      .groupBy("id", "g").count()
+      .groupBy("id").agg(max("count").as("ref_cnt"))
+    val got = Repetition.topCharNgramStats(docs, "doc_id", "text")
+      .join(ref, Seq("id"))
+    assert(got.filter(col("top_char_ngram_cnt") =!= col("ref_cnt")).isEmpty,
+      "hash-mode count diverged from substr-mode count")
+    assert(got.count() == 300)
+  }
+
   test("topNgramStats aggregations are partial (map-side combine)") {
     val df = Seq((1L, "a a b")).toDF("doc_id", "text")
     val plan = Repetition.topNgramStats(df, "doc_id", "text")
