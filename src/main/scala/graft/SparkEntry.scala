@@ -1402,6 +1402,90 @@ object SparkEntry {
         .unionByName(planted)
       ImageDedup.incrementalNearDupImages(incMedia, s.read.parquet(idxPath),
         maxHamming = 3)
+    }),
+
+    // §2 row 56 as a driver row (the q88 AvailableNow trick): streaming
+    // exact dedup held to the batch DISTINCT oracle. The projection keeps
+    // ONLY the dedup keys, so every duplicate row is identical and the
+    // state store's arrival-order winner is value-deterministic; the
+    // 3650-day watermark keeps every key in state for the bounded replay,
+    // making the emitted set exactly DISTINCT(user_id, event_type).
+    "q100_dedup_stream" -> ((s, dir) => {
+      val src = stagingDir("graft_dedupstream_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + ProcessHandle.current().pid())
+      if (!stagedOk(src)) {
+        Tables.events(s, dir)
+          .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+            col("event_type").isNotNull)
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .write.mode("overwrite").parquet(src)
+      }
+      val stream = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
+      ScoringStream.runToMemory(s,
+        ScoringStream.dedupStream(stream, Seq("user_id", "event_type"),
+          "ts", "3650 days").select("user_id", "event_type"), "append")
+    }),
+
+    // §2 row 59 as a driver row: streaming MinHash near-dup suppression
+    // over an AvailableNow documents stream (synthetic event-time ts =
+    // doc_id MINUTES, staged as ONE sorted file so arrival order — the
+    // state store's within-batch tie-break — is the (ts, id) order). The
+    // 2-hour watermark is the real streaming regime: band state and the
+    // emit windows both live on the moving horizon, so every 10-minute
+    // window whose end the final watermark passes emits its survivors
+    // (the trailing 2 h stays pending, exactly as it would mid-stream).
+    // Rows-only BY DESIGN twice over: minhash buckets are xxhash64-based
+    // (q16's justification), and the same-microbatch band-split edge is
+    // documented at the operator. StreamingSpec pins stream==batch
+    // candidate behavior on controlled data.
+    "q101_minhash_stream" -> ((s, dir) => {
+      val src = stagingDir("graft_mhstream_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + ProcessHandle.current().pid())
+      if (!stagedOk(src)) {
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"),
+            timestamp_micros(col("doc_id") * 60000000L).as("ts"))
+          .orderBy("doc_id").coalesce(1)
+          .write.mode("overwrite").parquet(src)
+      }
+      val stream = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
+      ScoringStream.runToMemory(s,
+        ScoringStream.dedupStreamMinHash(stream, "doc_id", "text", "ts",
+          watermark = "2 hours", emitWindow = "10 minutes"), "append")
+    }),
+
+    // §2 row 84 as a driver row: watermarked stream-stream interval join
+    // (clicks enriched with the same user's purchases within the next
+    // hour) held to the batch join oracle — a join's output is a SET of
+    // matches, so with both AvailableNow streams fully inside the
+    // 3650-day watermark the emitted pairs are exactly the batch
+    // interval join, arrival order irrelevant.
+    "q102_stream_interval_join" -> ((s, dir) => {
+      val src = stagingDir("graft_joinstream_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + ProcessHandle.current().pid())
+      if (!stagedOk(src)) {
+        Tables.events(s, dir)
+          .filter(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+          .write.mode("overwrite").parquet(src)
+      }
+      def side(tpe: String, tsName: String) = s.readStream
+        .schema(s.read.parquet(src).schema).parquet(src)
+        .filter(col("event_type") === tpe)
+        .withColumnRenamed("ts", tsName)
+      val joined = ScoringStream.joinStreams(
+        side("click", "l_ts").withColumnRenamed("event_id", "click_id"),
+        side("purchase", "r_ts")
+          .withColumnRenamed("event_id", "purchase_id").drop("event_type"),
+        key = "user_id", leftTs = "l_ts", rightTs = "r_ts",
+        watermark = "3650 days", maxDelay = "1 hour")
+      ScoringStream.runToMemory(s, joined
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          unix_micros(col("l_ts")).as("click_ts_us"),
+          unix_micros(col("r_ts")).as("purchase_ts_us")), "append")
     })
   )
 
@@ -1833,6 +1917,27 @@ object SparkEntry {
     // Same oracle as q46 by design: dropping the broadcast contract
     // changes the exchange strategy, never the rows.
     "q92_shuffle_decontaminate" -> decontaminateSql,
+
+    // Streaming exact dedup held to the batch set: the projection keeps
+    // only the dedup keys, so the state store's arrival-order winner is
+    // value-identical to DISTINCT, and the 3650-day watermark retains
+    // every key for the bounded replay.
+    "q100_dedup_stream" ->
+      ("SELECT DISTINCT user_id, event_type FROM events " +
+        "WHERE ts IS NOT NULL AND user_id IS NOT NULL " +
+        "AND event_type IS NOT NULL"),
+
+    // Stream-stream interval join held to the batch join: a join's output
+    // is a SET of matches, and with both bounded streams fully inside the
+    // watermark the emitted pairs are exactly the batch interval join.
+    "q102_stream_interval_join" ->
+      ("WITH e AS (SELECT user_id, event_type, event_id, ts FROM events " +
+        "WHERE ts IS NOT NULL AND user_id IS NOT NULL) " +
+        "SELECT l.user_id, l.event_id AS click_id, r.event_id AS purchase_id, " +
+        "epoch_us(l.ts) AS click_ts_us, epoch_us(r.ts) AS purchase_ts_us " +
+        "FROM e l JOIN e r ON l.user_id = r.user_id " +
+        "AND l.event_type = 'click' AND r.event_type = 'purchase' " +
+        "AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR"),
 
     // The PLAIN inner-join SQL the salted plan must reproduce: salt
     // values move rows between reducers but the join output is
