@@ -36,7 +36,12 @@ object Bench {
     // round under sandbox contention (q27/q36/q44 in r4 regressed with
     // byte-identical code); the median is stable to one outlier run
     val runsPer = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma list of name prefixes — dev subset runs (the driver
+    // sets neither env, so it always benches everything)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       val runs = (1 to runsPer).map { _ =>
         val t0 = System.nanoTime()
         // a failed query must NOT be billed as an ordinary (short) timing —

@@ -1218,16 +1218,14 @@ object SparkEntry {
     // events, so per-key in-order arrival holds by construction and
     // stream == batch == oracle exactly.
     "q88_debounce_stream" -> ((s, dir) => {
-      val src = stagingDir("graft_evstream_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-        "_" + ProcessHandle.current().pid())
-      if (!stagedOk(src)) {
+      val src = artifactPath("evstream", dir, codeHash(SparkEntry.getClass))
+      stageParquet(src) { tmp =>
         Tables.events(s, dir)
           .filter(col("ts").isNotNull && col("user_id").isNotNull &&
             col("event_type").isNotNull)
           .select(col("user_id"), col("event_type"),
             unix_micros(col("ts")).as("ts_us"), col("event_id"))
-          .write.mode("overwrite").parquet(src)
+          .write.mode("overwrite").parquet(tmp)
       }
       val stream = s.readStream
         .schema(s.read.parquet(src).schema).parquet(src)
@@ -1411,20 +1409,19 @@ object SparkEntry {
     // 3650-day watermark keeps every key in state for the bounded replay,
     // making the emitted set exactly DISTINCT(user_id, event_type).
     "q100_dedup_stream" -> ((s, dir) => {
-      val src = stagingDir("graft_dedupstream_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-        "_" + ProcessHandle.current().pid())
-      if (!stagedOk(src)) {
+      val src = artifactPath("dedupstream", dir, codeHash(SparkEntry.getClass))
+      stageParquet(src) { tmp =>
         Tables.events(s, dir)
           .filter(col("ts").isNotNull && col("user_id").isNotNull &&
             col("event_type").isNotNull)
           .select(col("user_id"), col("event_type"), col("ts"))
-          .write.mode("overwrite").parquet(src)
+          .write.mode("overwrite").parquet(tmp)
       }
       val stream = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
       ScoringStream.runToMemory(s,
         ScoringStream.dedupStream(stream, Seq("user_id", "event_type"),
-          "ts", "3650 days").select("user_id", "event_type"), "append")
+          "ts", "3650 days").select("user_id", "event_type"), "append",
+        statePartitions = Some(8))
     }),
 
     // §2 row 59 as a driver row: streaming MinHash near-dup suppression
@@ -1440,20 +1437,19 @@ object SparkEntry {
     // documented at the operator. StreamingSpec pins stream==batch
     // candidate behavior on controlled data.
     "q101_minhash_stream" -> ((s, dir) => {
-      val src = stagingDir("graft_mhstream_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-        "_" + ProcessHandle.current().pid())
-      if (!stagedOk(src)) {
+      val src = artifactPath("mhstream", dir, codeHash(SparkEntry.getClass))
+      stageParquet(src) { tmp =>
         Tables.documents(s, dir)
           .select(col("doc_id"), col("text"),
             timestamp_micros(col("doc_id") * 60000000L).as("ts"))
           .orderBy("doc_id").coalesce(1)
-          .write.mode("overwrite").parquet(src)
+          .write.mode("overwrite").parquet(tmp)
       }
       val stream = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
       ScoringStream.runToMemory(s,
         ScoringStream.dedupStreamMinHash(stream, "doc_id", "text", "ts",
-          watermark = "2 hours", emitWindow = "10 minutes"), "append")
+          watermark = "2 hours", emitWindow = "10 minutes"), "append",
+        statePartitions = Some(8))
     }),
 
     // §2 row 84 as a driver row: watermarked stream-stream interval join
@@ -1463,14 +1459,12 @@ object SparkEntry {
     // 3650-day watermark the emitted pairs are exactly the batch
     // interval join, arrival order irrelevant.
     "q102_stream_interval_join" -> ((s, dir) => {
-      val src = stagingDir("graft_joinstream_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-        "_" + ProcessHandle.current().pid())
-      if (!stagedOk(src)) {
+      val src = artifactPath("joinstream", dir, codeHash(SparkEntry.getClass))
+      stageParquet(src) { tmp =>
         Tables.events(s, dir)
           .filter(col("ts").isNotNull && col("user_id").isNotNull)
           .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
-          .write.mode("overwrite").parquet(src)
+          .write.mode("overwrite").parquet(tmp)
       }
       def side(tpe: String, tsName: String) = s.readStream
         .schema(s.read.parquet(src).schema).parquet(src)
@@ -1485,7 +1479,8 @@ object SparkEntry {
       ScoringStream.runToMemory(s, joined
         .select(col("user_id"), col("click_id"), col("purchase_id"),
           unix_micros(col("l_ts")).as("click_ts_us"),
-          unix_micros(col("r_ts")).as("purchase_ts_us")), "append")
+          unix_micros(col("r_ts")).as("purchase_ts_us")), "append",
+        statePartitions = Some(8))
     })
   )
 

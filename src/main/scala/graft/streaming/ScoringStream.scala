@@ -226,7 +226,24 @@ object ScoringStream {
   }
 
   /** Drain a (bounded) streaming frame synchronously into an in-memory table
-    * and return it — test/verify harness, not a production sink. */
+    * and return it — test/verify harness, not a production sink.
+    *
+    * `statePartitions`: number of shuffle (= state-store) partitions for
+    * THIS streaming query, restored afterward. Stateful operators commit
+    * one state store per partition per microbatch, so partition count is
+    * sized to stream volume — a per-query deployment knob in any real
+    * streaming job (more partitions for a 100 TB/day feed, fewer for a
+    * bounded replay), not a benchmark trick: the state machinery is the
+    * same, only its fan-out changes. */
+  def runToMemory(spark: SparkSession, df: DataFrame,
+                  outputMode: String, statePartitions: Option[Int]): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try runToMemory(spark, df, outputMode)
+    finally spark.conf.set(key, prev)
+  }
+
   def runToMemory(spark: SparkSession, df: DataFrame,
                   outputMode: String): DataFrame = {
     val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")

@@ -80,6 +80,32 @@ class AudioDedupSpec extends SparkSpec {
     assert(minDist > 3, s"unrelated clips at Hamming $minDist")
   }
 
+  test("incremental audio dedup vs a persisted fingerprint index") {
+    // nearDuplicatesAgainstIndex is signature-agnostic: the same parquet-
+    // index probe that serves images (q99) serves audio fingerprints —
+    // the ingest shape is closed for every modality
+    import graft.dedup.SimHash
+    val corpus = (0L until 40L).map(id => (id, Audio.encodeWav(id)))
+      .toDF("id", "payload")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_afp_idx_spec").toString
+    AudioDedup.fingerprints(corpus).write.mode("overwrite").parquet(idxDir)
+    val probe = (0L until 40L).map(id =>
+      (id + 1000L, Audio.encodeWavNoisy(id, maxDelta = 1)))
+      .toDF("id", "payload")
+    val out = SimHash.nearDuplicatesAgainstIndex(
+      spark.read.parquet(idxDir).withColumnRenamed("afp", "simhash"),
+      AudioDedup.fingerprints(probe).withColumnRenamed("afp", "simhash"),
+      maxHamming = 3)
+    assertNoCartesian(out)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // maxDelta=1 noisy copies fingerprint identically (see robustness
+    // test), so every cross-batch pair must surface
+    (0L until 40L).foreach { id =>
+      assert(got.contains((id + 1000L, id)), s"cross-batch pair $id missed")
+    }
+  }
+
   test("nearDupAudio: planted noisy near-dups recovered, no cartesian") {
     val originals = (0L until 60L).map(id => (id, Audio.encodeWav(id)))
     val planted = (0L until 60L).map(id =>
