@@ -1481,6 +1481,29 @@ object SparkEntry {
           unix_micros(col("l_ts")).as("click_ts_us"),
           unix_micros(col("r_ts")).as("purchase_ts_us")), "append",
         statePartitions = Some(8))
+    }),
+
+    // Cross-modal screen: which clips contain a frame perceptually
+    // matching a known still image. Clips here are 3-still concatenations
+    // (frames = stills doc_id, +1, +2 mod N) so the blocklist — the
+    // %16==0 stills — is provably present in three clips each; the image
+    // chunk rows broadcast onto the frame-signature scan (the clip corpus
+    // is the 100 TB side in production). Exact oracle: per-frame dhash ==
+    // the still's q75 dhash, and the radius-3 chunk join is complete by
+    // pigeonhole, so DuckDB's bit_count(xor) pair scan is the same set.
+    "q103_video_frame_screen" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val n = docs.count() // bounded driver read: one long, sizes the wrap
+      val clips = spread(s, docs.select(col("doc_id"))).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Seq(id, (id + 1) % n, (id + 2) % n)
+            .map(Multimodal.encodePpm).reduce(_ ++ _))
+        }).toDF("id", "payload")
+      val blocklist = ImageDedup.dHashes(Multimodal.ppmPayloads(s,
+        docs.filter(pmod(col("doc_id"), lit(16)) === 0), "doc_id"))
+      VideoDedup.framesMatchingImages(clips, blocklist,
+        stride = 1, maxHamming = 3)
     })
   )
 
@@ -2248,6 +2271,23 @@ object SparkEntry {
         "SELECT a.id, b.id, CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) " +
         "FROM inc a JOIN inc b ON b.id < a.id " +
         "AND bit_count(xor(a.dhash, b.dhash)) <= 3"
+    },
+
+    // Frame f of clip c is the still (c+f) mod N, so its dhash is that
+    // still's q75 hash; the blocklist is the %16==0 stills; the radius-3
+    // chunk join is complete, so the operator's output is exactly the
+    // plain pair scan.
+    "q103_video_frame_screen" -> {
+      s"WITH base AS ($imageDHashOracleSql), " +
+        "n AS (SELECT count(*) AS n FROM documents), " +
+        "fr AS (SELECT d.doc_id AS clip_id, f.range AS frame, b.dhash " +
+        "FROM documents d CROSS JOIN range(3) f CROSS JOIN n " +
+        "JOIN base b ON b.doc_id = (d.doc_id + f.range) % n.n), " +
+        "img AS (SELECT doc_id AS image_id, dhash FROM base " +
+        "WHERE doc_id % 16 = 0) " +
+        "SELECT fr.clip_id, CAST(fr.frame AS INT) AS frame, img.image_id, " +
+        "CAST(bit_count(xor(fr.dhash, img.dhash)) AS INT) AS hamming " +
+        "FROM fr JOIN img ON bit_count(xor(fr.dhash, img.dhash)) <= 3"
     },
 
     // audio_fp replayed without binary: the q64 sample recurrence, frame

@@ -158,12 +158,16 @@ object SimHash {
       .distinct()
   }
 
-  /** (id, simhash, band, chunk) — each signature exploded into its four
-    * 16-bit chunks, the bucket key of every Hamming join here. */
-  private def chunk16(sig: DataFrame): DataFrame =
-    sig.select(col("id"), col("simhash"),
+  /** (id, [carry...,] simhash, band, chunk) — each signature exploded into
+    * its four 16-bit chunks, the bucket key of every Hamming join here.
+    * `private[graft]` so cross-modal composers
+    * ([[graft.multimodal.VideoDedup.framesMatchingImages]]) can reuse the
+    * bucket layout; `carry` columns (e.g. a frame index) ride along. */
+  private[graft] def chunk16(sig: DataFrame,
+                             carry: Seq[String] = Nil): DataFrame =
+    sig.select(Seq(col("id")) ++ carry.map(col) ++ Seq(col("simhash"),
       posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))): _*)
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "chunk"))
 
   /** Incremental Hamming near-dup: today's `probeSigs` against an

@@ -84,6 +84,12 @@ object GraftExtensions {
       "video_dhash(binary, stride: int literal)")
   }
 
+  private def videoFrameDHashesBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(payload, Literal(stride: Int, _)) => VideoFrameDHashes(payload, stride)
+    case _ => throw new IllegalArgumentException(
+      "video_frame_dhashes(binary, stride: int literal)")
+  }
+
   private def normalizeTextBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(text, Literal(f: org.apache.spark.unsafe.types.UTF8String, _)) =>
       NormalizeText(text, f.toString)
@@ -136,6 +142,9 @@ object GraftExtensions {
       (FunctionIdentifier("video_dhash"),
         new ExpressionInfo(classOf[VideoDHash].getName, "video_dhash"),
         videoDHashBuilder _),
+      (FunctionIdentifier("video_frame_dhashes"),
+        new ExpressionInfo(classOf[VideoFrameDHashes].getName, "video_frame_dhashes"),
+        videoFrameDHashesBuilder _),
       (FunctionIdentifier("char_gram_hashes"),
         new ExpressionInfo(classOf[CharGramHashes].getName, "char_gram_hashes"),
         charGramHashesBuilder _),

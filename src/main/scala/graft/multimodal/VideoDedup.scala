@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.dedup.SimHash
-import graft.functions.VideoDHash
+import graft.functions.{VideoDHash, VideoFrameDHashes}
 
 /** Video near-duplicate detection: dedup clips the way the pipeline dedups
   * text (SimHash), images (dHash) and audio (audio_fp). Composes the
@@ -40,4 +40,39 @@ object VideoDedup {
     SimHash.nearDuplicatesFromSignatures(
       signatures(media, stride).withColumnRenamed("vhash", "simhash"),
       maxHamming)
+
+  /** (id, frame, dhash) per-sampled-frame signatures — the un-folded
+    * stream behind [[signatures]], one `posexplode` over the native
+    * [[graft.functions.VideoFrameDHashes]] array. */
+  def frameSignatures(media: DataFrame, stride: Int = 2): DataFrame =
+    media.select(col("id").cast("long").as("id"),
+      posexplode(VideoFrameDHashes(media.sparkSession, col("payload"), stride)))
+      .select(col("id"), (col("pos") * stride).as("frame"),
+        col("col").as("dhash"))
+
+  /** Cross-modal screen: which clips contain a frame perceptually
+    * matching a known still image (blocklist screening, provenance
+    * tracing). Join strategy is sized to the asymmetry of the real
+    * workload — the clip corpus is the 100 TB side, the image signature
+    * table the curated list — so the IMAGE chunk rows BROADCAST onto the
+    * frame-signature scan; clip payloads never shuffle, only (id, frame,
+    * hash) rows. Same radius-≤3 pigeonhole completeness as every Hamming
+    * join here. Output: (clip_id, frame, image_id, hamming). */
+  def framesMatchingImages(videoMedia: DataFrame, imageSigs: DataFrame,
+                           stride: Int = 2, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit chunk LSH is only complete for maxHamming <= 3, got $maxHamming")
+    val fr = SimHash.chunk16(
+      frameSignatures(videoMedia, stride).withColumnRenamed("dhash", "simhash"),
+      carry = Seq("frame")).as("v")
+    val im = SimHash.chunk16(
+      imageSigs.withColumnRenamed("dhash", "simhash")).as("i")
+    fr.join(broadcast(im),
+        col("v.band") === col("i.band") && col("v.chunk") === col("i.chunk"))
+      .select(col("v.id").as("clip_id"), col("v.frame").as("frame"),
+        col("i.id").as("image_id"),
+        SimHash.hamming(col("v.simhash"), col("i.simhash")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

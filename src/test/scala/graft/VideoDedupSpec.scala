@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.BinaryType
 
 import graft.functions.{GraftExtensions, ImageDHash, VideoDHash}
-import graft.multimodal.{Video, VideoDedup}
+import graft.multimodal.{Multimodal, Video, VideoDedup}
 
 /** Video perceptual signature + near-dup (q98): the native `video_dhash`
   * majority-vote expression and the Hamming-bucket near-dup join over it —
@@ -102,6 +102,53 @@ class VideoDedupSpec extends SparkSpec {
       VideoDHash.compute(Video.encodeVideo(3L).dropRight(5), 2)
     }
     intercept[Exception] { VideoDHash.compute(Video.encodeVideo(3L), 0) }
+  }
+
+  test("video_frame_dhashes: per-frame stream matches sliced image dHash, " +
+    "stride honored") {
+    import graft.functions.VideoFrameDHashes
+    (0L until 16L).foreach { id =>
+      val b = Video.encodeVideo(id)
+      val frames = frameSlices(b)
+      val all = frames.map { case (w, h, px) => ImageDHash.hashPlane(b, w, h, px) }
+      assert(VideoDHash.computeFrames(b, 1).toSeq == all, s"stride-1 id=$id")
+      assert(VideoDHash.computeFrames(b, 2).toSeq ==
+        all.indices.filter(_ % 2 == 0).map(all), s"stride-2 id=$id")
+    }
+    // plan-path equals local compute (codegen) and interpreted
+    val viaPlan = Seq((7L, Video.encodeVideo(7L))).toDF("id", "payload")
+      .select(VideoFrameDHashes(spark, col("payload"), 2).as("h"))
+      .head().getSeq[Long](0)
+    assert(viaPlan == VideoDHash.computeFrames(Video.encodeVideo(7L), 2).toSeq)
+    val interp = VideoFrameDHashes(
+      Literal.create(Video.encodeVideo(7L), BinaryType), 2)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+    assert(interp == viaPlan)
+  }
+
+  test("framesMatchingImages: planted stills located in clips, image side " +
+    "broadcast, no cartesian") {
+    // clips 100..119 each embed still image (clipId - 100) as frame 1
+    val clips = (100L until 120L).map { cid =>
+      val still = Multimodal.encodePpm(cid - 100L)
+      val filler1 = Multimodal.encodePpm(cid + 5000L)
+      val filler2 = Multimodal.encodePpm(cid + 9000L)
+      (cid, filler1 ++ still ++ filler2)
+    }.toDF("id", "payload")
+    val images = (0L until 20L).map(id => (id, Multimodal.encodePpm(id)))
+      .toDF("id", "payload")
+    val out = VideoDedup.framesMatchingImages(clips,
+      graft.multimodal.ImageDedup.dHashes(images), stride = 1, maxHamming = 3)
+    assertNoCartesian(out)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"image side not broadcast:\n$plan")
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    (100L until 120L).foreach { cid =>
+      assert(got.contains((cid, 1, cid - 100L)), s"planted still in $cid missed")
+    }
   }
 
   test("nearDupVideos: planted re-muxed dups all recovered, no cartesian") {
