@@ -9,6 +9,7 @@ import graft.functions.{BpeEncode, CountMinAggregator, CountMinSketch, Normalize
 import graft.ml.{Featurize, Sentiment}
 import graft.multimodal.{Audio, AudioDedup, ImageDedup, Multimodal, Video, VideoDedup}
 import graft.operators.{Chunking, Debounce, Funnel, Intervals, Packing, Profile, Relational, Robust, Sampling, Tuning}
+import graft.search.{Bm25, Rrf}
 import graft.similarity.{Ann, Centroids, KnnLabel}
 import graft.sources.Tables
 import graft.streaming.{ScoringStream, Sessionize}
@@ -1504,6 +1505,35 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(16)) === 0), "doc_id"))
       VideoDedup.framesMatchingImages(clips, blocklist,
         stride = 1, maxHamming = 3)
+    }),
+
+    // §2 row 120: BM25 inverted-index retrieval. Every 100th document is a
+    // query against the whole corpus; integer-micro Lucene BM25 makes the
+    // ranking engine-exact (the one float op is the idf ln, floored at 10⁻⁶
+    // like q77). The plan is the inverted-index probe: query terms
+    // broadcast onto the postings scan, nothing corpus-sized shuffles on
+    // token.
+    "q104_bm25" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Bm25.topK(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", k = 10)
+    }),
+
+    // §2 row 121: hybrid lexical+dense retrieval fused by reciprocal-rank
+    // fusion — BM25 (q104's ranking, k=20 deep) and brute-force cosine
+    // (q20's ranking, k=20) combined as Σ 10⁶ div (60 + rank). Both input
+    // rankings are total-ordered and exact, and RRF is pure int64, so the
+    // fused list replays row-for-row in SQL.
+    "q105_hybrid_rrf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = spread(s, Tables.embeddings(s, dir))
+      val lex = Bm25.topK(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", k = 20)
+        .select("query_id", "doc_id", "rank")
+      val dense = Ann.bruteForceTopK(emb,
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
+      Rrf.fuse(Seq(lex, dense), k = 10)
     })
   )
 
@@ -1592,6 +1622,38 @@ object SparkEntry {
       |      FROM s)
       |WHERE rank <= 5""".stripMargin
 
+  /** BM25 lexical-ranking CTE chain (q104, and q105's lexical half):
+    * integer-micro Lucene BM25 with k1=1.2, b=0.75 — the same fixed-point
+    * recurrence as [[graft.search.Bm25]], every division `//` on
+    * non-negative int64 so Spark's `div` and DuckDB's `//` agree. The one
+    * float op is the idf ln, floored at micro-precision (the q77 ulp
+    * caveat applies). Emits `lex(query_id, doc_id, score_u, rank)` with
+    * rank ≤ `k`; queries are documents with doc_id % 100 = 0. */
+  private def bm25LexCtes(k: Int): String =
+    s"""tf AS (SELECT doc_id, token, count(*) AS tf FROM
+       |    (SELECT doc_id, unnest(${tokensSql("text")}) AS token FROM documents)
+       |  WHERE token <> '' GROUP BY doc_id, token),
+       |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) * 1000 // count(*) AS BIGINT) AS avgdl_m FROM dlen),
+       |idf AS (SELECT token, CAST(floor(ln(1 + (n_docs - df + 0.5)/(df + 0.5)) * 1000000) AS BIGINT) AS idf_u
+       |  FROM (SELECT token, count(*) AS df FROM tf GROUP BY token), st),
+       |qt AS (SELECT doc_id AS query_id, token FROM tf WHERE doc_id % 100 = 0),
+       |hits AS (SELECT qt.query_id, tf.doc_id, tf.tf, idf.idf_u
+       |  FROM tf JOIN qt USING (token) JOIN idf USING (token)
+       |  WHERE tf.doc_id <> qt.query_id),
+       |sc AS (SELECT query_id, hits.doc_id,
+       |    CAST(sum(idf_u * (tf * 2200) // (tf * 1000 +
+       |      (1200 * (1000 - 750 + (750 * (dl * 1000000 // avgdl_m)) // 1000)) // 1000))
+       |      AS BIGINT) AS score_u
+       |  FROM hits JOIN dlen ON hits.doc_id = dlen.doc_id, st
+       |  GROUP BY query_id, hits.doc_id),
+       |lex AS (SELECT query_id, doc_id, score_u, CAST(rank AS INT) AS rank FROM
+       |    (SELECT query_id, doc_id, score_u,
+       |       row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, doc_id ASC) AS rank
+       |     FROM sc)
+       |  WHERE rank <= $k)""".stripMargin
+
   /** Kept-chain oracle shared by the batch (q80) and streaming (q88)
     * declarations — the two engines must produce identical rows. */
   private def debounceSql: String =
@@ -1624,6 +1686,42 @@ object SparkEntry {
 
     "q20_ann_topk" -> annTopKSql,
     "q30_ann_topk_agg" -> annTopKSql,
+
+    "q104_bm25" ->
+      s"WITH ${bm25LexCtes(10)} SELECT query_id, doc_id, score_u, rank FROM lex",
+
+    // Hybrid RRF: the q104 lexical chain (k=20) UNION ALL the q20 dense
+    // chain (k=20, queries vec_id % 100 = 0), fused as Σ 10⁶ // (60+rank).
+    // Pure int64 after the two exact sub-rankings, so row-for-row.
+    "q105_hybrid_rrf" ->
+      s"""WITH ${bm25LexCtes(20)},
+         |n AS (SELECT vec_id, embedding,
+         |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b)) AS nrm
+         |  FROM embeddings),
+         |v AS (SELECT vec_id, CASE WHEN nrm = 0 THEN list_transform(embedding, x -> 0.0)
+         |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)/nrm) END AS nv FROM n),
+         |qv AS (SELECT vec_id AS query_id, nv AS qvec FROM v WHERE vec_id % 100 = 0),
+         |ds AS (SELECT query_id, v.vec_id AS doc_id,
+         |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qvec)),
+         |      i -> qvec[i]*nv[i])), (a,b) -> a+b) AS cos
+         |  FROM v, qv WHERE v.vec_id <> query_id),
+         |den AS (SELECT query_id, doc_id, rank FROM
+         |    (SELECT query_id, doc_id,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
+         |     FROM ds)
+         |  WHERE rank <= 20),
+         |u AS (SELECT query_id, doc_id, rank FROM lex
+         |      UNION ALL SELECT query_id, doc_id, rank FROM den),
+         |f AS (SELECT query_id, doc_id,
+         |    CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_u,
+         |    CAST(count(*) AS BIGINT) AS n_lists
+         |  FROM u GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, rrf_u, n_lists, CAST(rank AS INT) AS rank FROM
+         |  (SELECT query_id, doc_id, rrf_u, n_lists,
+         |     row_number() OVER (PARTITION BY query_id ORDER BY rrf_u DESC, doc_id ASC) AS rank
+         |   FROM f)
+         |WHERE rank <= 10""".stripMargin,
 
     "q01_read_project" ->
       "SELECT doc_id, lang, source, n_chars AS chars FROM documents",

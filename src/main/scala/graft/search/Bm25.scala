@@ -1,0 +1,118 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** BM25 full-text retrieval over the corpus — the inverted-index ranking
+  * every training-data pipeline eventually needs (benchmark-contamination
+  * audits "which training docs would retrieve for this eval question",
+  * RAG index construction, lexical hard-negative mining for embedding
+  * training). The reference has no retrieval surface; this is an
+  * LLM-data-pipeline extension row built on the public Okapi BM25 /
+  * Lucene formulation (Robertson & Zaragoza 2009).
+  *
+  * Scoring is Lucene's non-negative variant, carried in INTEGER
+  * micro-units so cross-partition/cross-engine sums are exact:
+  *
+  *   idf_u    = floor(ln(1 + (N - df + 0.5)/(df + 0.5)) · 10⁶)
+  *   ratio_m  = dl·10⁶ div avgdl_m            (dl/avgdl, scaled 10³)
+  *   norm_m   = 10³ - b_m + (b_m·ratio_m) div 10³
+  *   denom_m  = tf·10³ + (k1_m·norm_m) div 10³
+  *   score_u  = Σ_terms idf_u · (tf·(k1_m + 10³)) div denom_m
+  *
+  * with k1_m/b_m the BM25 constants in milli-units (defaults 1200/750 =
+  * the classic k1=1.2, b=0.75) and avgdl_m the corpus mean doc length in
+  * milli-tokens. After the one floor at idf, everything is int64: the
+  * per-term quotient is a single `div`, and the per-(query,doc) sum is
+  * order-independent — so a DuckDB oracle replays it bit-for-bit.
+  * Residual cross-engine risk is the same documented ln() 1-ulp mode as
+  * [[graft.textstats.LmScore]]: ln is not IEEE correctly-rounded, so an
+  * idf ratio landing within ~1e-10 of a micro-nat boundary could floor
+  * differently between libms. Overflow headroom: idf_u ≤ ln(1+2N)·10⁶
+  * (≈ 2.7e7 even at N = 10¹¹ docs) times tf·2200 keeps the product below
+  * 2⁶³ for any document under ~4·10⁹ tokens.
+  *
+  * Scale shape (the inverted-index probe, not a corpus join):
+  *   1. tf — groupBy (doc, token), map-side combined; the exchange
+  *      carries (doc, token, count), never token instances.
+  *   2. dl / avgdl / N — aggregates OF tf (already one row per
+  *      (doc, token)); the corpus-constant stats ride a broadcast
+  *      single-row crossJoin (the [[graft.operators.Relational]]
+  *      histogram precedent).
+  *   3. df ⋈ query terms — query terms are the small side and broadcast
+  *      onto the vocabulary scan; only query-term idf rows survive.
+  *   4. postings probe — the surviving (term, idf) rows broadcast onto
+  *      the tf scan: every posting list is read once, nothing
+  *      corpus-sized shuffles on token.
+  *   5. dl attach + per-query sum — hits are |postings-of-query-terms|
+  *      rows; the dl join is left to AQE (hits side demotes to broadcast
+  *      when small) and the final groupBy/top-k window partitions by
+  *      query, bounded by the query count, never the corpus.
+  */
+object Bm25 {
+
+  /** (query_id, doc_id, score_u) — integer-micro BM25 of every corpus doc
+    * that shares ≥1 token with the query (self-pairs excluded when ids
+    * collide). `queries` must be small enough to broadcast. */
+  def scoreAll(corpus: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qIdCol: String, qTextCol: String,
+               k1Milli: Int = 1200, bMilli: Int = 750): DataFrame = {
+    require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
+      s"BM25 constants out of range: k1_m=$k1Milli b_m=$bMilli")
+    val tf = corpus
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // corpus constants: docs-with-tokens count and mean length in
+    // milli-tokens; a single row, broadcast onto everything downstream
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tok"))
+      .withColumn("avgdl_m", expr("tot_tok * 1000 div n_docs"))
+    val idf = tf.groupBy("token").agg(count(lit(1)).as("df_docs"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_u",
+        floor(log(lit(1.0) +
+          (col("n_docs") - col("df_docs") + lit(0.5)) /
+            (col("df_docs") + lit(0.5))) * 1e6).cast("long"))
+      .select("token", "idf_u")
+    // query terms are SETS (classic BM25 drops query-side tf at k3=0);
+    // tf-on-queries would need its own frame — the distinct projection is
+    // exactly the (id, token) grain the probe wants
+    val qterms = queries
+      .select(col(qIdCol).as("query_id"),
+        explode(TextFunctions.tokens(col(qTextCol))).as("token"))
+      .filter(col("token") =!= "").distinct()
+    val qidf = idf.join(broadcast(qterms), "token")
+    val hits = tf.join(broadcast(qidf), "token")
+      .filter(col("doc_id") =!= col("query_id"))
+    hits.join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_u", expr(
+        s"""idf_u * (tf * (${k1Milli} + 1000)) div
+           |(tf * 1000 + (${k1Milli} * (1000 - ${bMilli} +
+           |(${bMilli} * (dl * 1000000 div avgdl_m)) div 1000)) div 1000)
+           |""".stripMargin.replace("\n", " ")))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("term_u").as("score_u"))
+  }
+
+  /** Top-`k` per query by integer BM25, rank total-ordered (score desc,
+    * doc_id asc) so an oracle replays it row-for-row. */
+  def topK(corpus: DataFrame, idCol: String, textCol: String,
+           queries: DataFrame, qIdCol: String, qTextCol: String,
+           k: Int, k1Milli: Int = 1200, bMilli: Int = 750): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score_u"), asc("doc_id"))
+    scoreAll(corpus, idCol, textCol, queries, qIdCol, qTextCol,
+      k1Milli, bMilli)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "score_u", "rank")
+  }
+}

@@ -84,9 +84,15 @@ class PlanAuditSpec extends SparkSpec {
       "q10_wordcount_hist", // single-row min/max broadcast cross join
       "q79_knn_label",     // neighbor stage IS bruteForceTopK (q20's plan);
                            // KnnLabelSpec pins the corpus-never-shuffled shape
-      "q90_triangle_census" // the census row is three SINGLE-ROW scalar
+      "q90_triangle_census", // the census row is three SINGLE-ROW scalar
                             // aggregates cross-joined; the wedge/triangle
                             // joins themselves are hash joins on src
+      "q104_bm25",          // BNLJ nodes are the broadcast SINGLE-ROW
+                            // corpus-stats attaches (N/avgdl); the postings
+                            // probe itself is a broadcast hash join —
+                            // SearchSpec bounds the BNLJ count at 2
+      "q105_hybrid_rrf"     // contains q104's stats attaches plus q20's
+                            // exempt brute-force dense baseline
     )
     val heavy = Set("q13_tf_topterms", "q14_svm_predict", "q15_stream_agg")
     SparkEntry.queries.keys

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.search.{Bm25, Rrf}
+
+/** BM25 retrieval + reciprocal-rank fusion invariants: relevance ordering,
+  * tf saturation, length normalization, integer-exact fusion arithmetic,
+  * and the no-all-pairs plan guard. */
+class SearchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("BM25 ranks the rare-term match above common-term matches") {
+    // "zyzzyva" appears in exactly one candidate; "the" is everywhere.
+    val corpus = docsDf(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the zyzzyva beetle is a real the insect",
+      3L -> "the the the the common words only here",
+      4L -> "another document about the weather today")
+    val queries = docsDf(100L -> "zyzzyva the")
+    val top = Bm25.topK(corpus, "doc_id", "text",
+      queries, "doc_id", "text", k = 4).collect()
+    assert(top.head.getAs[Long]("doc_id") == 2L,
+      s"rare-term doc should rank first: ${top.mkString(", ")}")
+    assert(top.forall(_.getAs[Int]("rank") >= 1))
+  }
+
+  test("BM25 tf weighting saturates: 10x tf gives < 10x per-term score") {
+    // same doc length (padding with distinct fillers), tf 1 vs tf 10
+    val fill = (1 to 9).map(i => s"filler$i").mkString(" ")
+    val corpus = docsDf(
+      1L -> (Seq.fill(10)("needle").mkString(" ") + " pad"),
+      2L -> (s"needle $fill pad"),
+      3L -> "unrelated words entirely different topic")
+    val queries = docsDf(100L -> "needle")
+    val sc = Bm25.scoreAll(corpus, "doc_id", "text",
+      queries, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_u"))
+      .toMap
+    assert(sc(1L) > sc(2L), "higher tf must still score higher")
+    assert(sc(1L) < 10 * sc(2L),
+      s"saturation: tf=10 score ${sc(1L)} must be < 10x tf=1 score ${sc(2L)}")
+  }
+
+  test("BM25 length normalization: same tf, shorter doc ranks higher") {
+    val longTail = (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = docsDf(
+      1L -> s"needle $longTail",
+      2L -> "needle short doc",
+      3L -> "no match here at all")
+    val queries = docsDf(100L -> "needle")
+    val top = Bm25.topK(corpus, "doc_id", "text",
+      queries, "doc_id", "text", k = 3).collect()
+    assert(top.head.getAs[Long]("doc_id") == 2L,
+      s"shorter doc with equal tf should rank first: ${top.mkString(", ")}")
+  }
+
+  test("BM25 excludes self-pairs and emits contiguous ranks") {
+    val corpus = docsDf(
+      0L -> "alpha beta gamma",
+      1L -> "alpha beta delta",
+      2L -> "alpha epsilon zeta")
+    // query id 0 collides with corpus id 0 → self-pair must be excluded
+    val top = Bm25.topK(corpus, "doc_id", "text",
+      corpus.filter(col("doc_id") === 0), "doc_id", "text", k = 5).collect()
+    assert(!top.exists(_.getAs[Long]("doc_id") == 0L), "self-pair leaked")
+    assert(top.map(_.getAs[Int]("rank")).sorted.sameElements(1 to top.length),
+      "ranks must be contiguous from 1")
+  }
+
+  test("BM25 probe plan has no cartesian; BNLJ only for 1-row stat attach") {
+    val corpus = docsDf((0L until 20L).map(i =>
+      i -> s"token$i shared common word${i % 5}"): _*)
+    val df = Bm25.topK(corpus, "doc_id", "text",
+      corpus.filter(col("doc_id") % 10 === 0), "doc_id", "text", k = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"plan contains CartesianProduct:\n$plan")
+    // the two BroadcastNestedLoopJoin nodes are the broadcast SINGLE-ROW
+    // corpus-stats crossJoins (idf + scoring) — the Relational histogram
+    // precedent, bounded build side by construction. Anything beyond those
+    // two means a real join degenerated.
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 2, s"unexpected BNLJ count $bnlj (only the 1-row stats " +
+      s"attaches are allowed):\n$plan")
+  }
+
+  test("RRF fusion arithmetic is the exact integer sum of both lists") {
+    val l1 = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val l2 = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "doc_id", "rank")
+    val fused = Rrf.fuse(Seq(l1, l2), k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rrf_u"), r.getAs[Long]("n_lists"), r.getAs[Int]("rank")))
+      .toMap
+    // doc 11: rank 2 in l1 + rank 1 in l2 = 1e6/62 + 1e6/61 = 16129+16393
+    assert(fused(11L) == ((16129L + 16393L, 2L, 1)), s"got ${fused(11L)}")
+    // doc 10: only l1 rank 1 = 1e6/61
+    assert(fused(10L) == ((16393L, 1L, 2)), s"got ${fused(10L)}")
+    // doc 12: only l2 rank 2 = 1e6/62
+    assert(fused(12L) == ((16129L, 1L, 3)), s"got ${fused(12L)}")
+  }
+
+  test("RRF of a single list preserves that list's order") {
+    val l = Seq((7L, 3L, 1), (7L, 9L, 2), (7L, 5L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val fused = Rrf.fuse(Seq(l), k = 3).orderBy("rank")
+      .select("doc_id").as[Long].collect()
+    assert(fused.sameElements(Array(3L, 9L, 5L)))
+  }
+
+  test("RRF consensus doc beats single-list docs at comparable ranks") {
+    // doc 50 is rank 3 in BOTH lists; doc 60/61 are rank 1 in one list only.
+    // 2/(60+3) > 1/(60+1) in RRF terms: consensus wins.
+    val l1 = Seq((1L, 60L, 1), (1L, 70L, 2), (1L, 50L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val l2 = Seq((1L, 61L, 1), (1L, 71L, 2), (1L, 50L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val top = Rrf.fuse(Seq(l1, l2), k = 1).collect()
+    assert(top.head.getAs[Long]("doc_id") == 50L,
+      s"consensus doc should win: ${top.mkString(", ")}")
+  }
+}
