@@ -10,7 +10,7 @@ import graft.ml.{Featurize, Sentiment}
 import graft.multimodal.{Audio, AudioDedup, ImageDedup, Multimodal, Video, VideoDedup}
 import graft.operators.{Chunking, Debounce, Funnel, Intervals, Packing, Profile, Relational, Robust, Sampling, Tuning}
 import graft.search.{Bm25, Rrf}
-import graft.similarity.{Ann, Centroids, KnnLabel}
+import graft.similarity.{Ann, Centroids, KnnLabel, SemanticScreen}
 import graft.sources.Tables
 import graft.streaming.{ScoringStream, Sessionize}
 import graft.textstats.{Boilerplate, Bpe, Keywords, LmScore, Pii, Repetition, TextStats, Urls}
@@ -1534,6 +1534,53 @@ object SparkEntry {
         emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 20)
         .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
       Rrf.fuse(Seq(lex, dense), k = 10)
+    }),
+
+    // §2 row 122: semantic decontamination screen — exact max-cosine of
+    // every corpus embedding against a small reference set (every 50th
+    // vector plays the benchmark eval set; exact copies planted under
+    // negative ids give non-empty contamination ground truth). Refs
+    // broadcast onto the corpus scan; max/count over per-pair floored
+    // micro-cosines are order-independent int64, so the oracle replays
+    // them exactly.
+    "q106_semantic_screen" -> ((s, dir) => {
+      val emb = spread(s, Tables.embeddings(s, dir))
+      val refs = emb.filter(col("vec_id") % 50 === 0)
+      val planted = refs.select((-col("vec_id") - 1).as("vec_id"),
+        col("embedding"))
+      val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+        .select("vec_id", "embedding").unionByName(planted)
+      SemanticScreen.screen(corpus, "vec_id", "embedding",
+        refs, "vec_id", "embedding", tauMicro = 900000L)
+    }),
+
+    // §2 row 123: incremental audio dedup vs a PERSISTED fingerprint index
+    // (the audio twin of q99, closing the incremental-ingest shape for the
+    // last modality): corpus WAVs fingerprinted once into an (id, afp)
+    // parquet table — content-hash staged — and today's batch (every 10th
+    // doc, plus planted exact re-uploads under negative ids) probes it,
+    // increment chunk rows broadcast onto the index scan.
+    "q107_incremental_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val idx = docs.filter(pmod(col("doc_id"), lit(10)) =!= 9)
+      val idxPath = artifactPath("afp_idx", dir,
+        codeHash(classOf[graft.functions.AudioFingerprint],
+          AudioDedup.getClass))
+      stageParquet(idxPath) { tmp =>
+        AudioDedup.fingerprints(
+          Audio.wavPayloads(s, spread(s, idx), "doc_id"))
+          .write.parquet(tmp)
+      }
+      val planted = idx.filter(pmod(col("doc_id"), lit(16)) === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (-(id + 1L), Audio.encodeWav(id))))
+        .toDF("id", "payload")
+      val incMedia = Audio.wavPayloads(s,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 9), "doc_id")
+        .unionByName(planted)
+      AudioDedup.incrementalNearDupAudio(incMedia, s.read.parquet(idxPath),
+        maxHamming = 3)
     })
   )
 
@@ -1552,6 +1599,40 @@ object SparkEntry {
   /** Per-doc image dHash replayed from the pixel recurrence — q75's
     * oracle, shared with q99's incremental-probe oracle. Gray at
     * pixel-plane byte offset `base` is (r+g+b) over 3, integer div. */
+  /** Per-doc audio fingerprint replayed from the q64 sample recurrence —
+    * q97's oracle, shared with q107's incremental-probe oracle. Frame
+    * assignment f = (17(i+1)−1) div n (inverse of lo(f) = f·n div 17),
+    * integer band-energy sums with lag terms recomputed from the
+    * recurrence (guarded to stay within the frame, as in compute()), and
+    * the double-difference sign bits summed through HUGEINT into a signed
+    * 64-bit value exactly like q75's dhash fold. */
+  private def audioFpOracleSql: String = {
+    def x(i: String): String =
+      s"((doc_id * 1103515245 + ($i) * 12345 + 7) % 2147483647) % 65536 - 32768"
+    def bit(m: Int, hi: String, lo: String): String =
+      s"CASE WHEN (b.$hi - b.$lo) - (a.$hi - a.$lo) > 0 " +
+        s"THEN (1::HUGEINT << CAST(a.f * 4 + $m AS INT)) ELSE 0::HUGEINT END"
+    "WITH d AS (SELECT doc_id, 256 + doc_id % 512 AS n FROM documents), " +
+      "i AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d), " +
+      "s AS (SELECT doc_id, i, (17 * (i + 1) - 1) // n AS f, " +
+      "(((17 * (i + 1) - 1) // n) * n) // 17 AS lo, " +
+      s"${x("i")} AS x0, ${x("i - 1")} AS x1, ${x("i - 2")} AS x2 FROM i), " +
+      "e AS (SELECT doc_id, f, sum(abs(x0)) AS e0, " +
+      "sum(CASE WHEN i - 1 >= lo THEN abs(x0 - x1) ELSE 0 END) AS e1, " +
+      "sum(CASE WHEN i - 1 >= lo THEN abs(x0 + x1) ELSE 0 END) AS e2, " +
+      "sum(CASE WHEN i - 2 >= lo THEN abs(x0 - x2) ELSE 0 END) AS e3, " +
+      "sum(CASE WHEN i - 2 >= lo THEN abs(x0 + x2) ELSE 0 END) AS e4 " +
+      "FROM s GROUP BY doc_id, f), " +
+      "p AS (SELECT a.doc_id, " +
+      s"${bit(0, "e0", "e1")} + ${bit(1, "e1", "e2")} + " +
+      s"${bit(2, "e2", "e3")} + ${bit(3, "e3", "e4")} AS bv " +
+      "FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1), " +
+      "t AS (SELECT doc_id, sum(bv) AS sv FROM p GROUP BY doc_id) " +
+      "SELECT doc_id, CAST(CASE WHEN sv >= 9223372036854775808::HUGEINT " +
+      "THEN sv - 18446744073709551616::HUGEINT ELSE sv END AS BIGINT) AS afp " +
+      "FROM t"
+  }
+
   private def imageDHashOracleSql: String = {
     def gray(base: String): String =
       "((" + Seq(0, 1, 2).map(c =>
@@ -1722,6 +1803,33 @@ object SparkEntry {
          |     row_number() OVER (PARTITION BY query_id ORDER BY rrf_u DESC, doc_id ASC) AS rank
          |   FROM f)
          |WHERE rank <= 10""".stripMargin,
+
+    // Exact max-cosine screen: the q20 normalization/dot recurrence
+    // (bit-identical doubles), per-pair floor to micro-units, then
+    // order-independent int64 max/count per corpus id.
+    "q106_semantic_screen" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 != 0
+        |    UNION ALL SELECT -(vec_id + 1), embedding FROM embeddings WHERE vec_id % 50 = 0),
+        |cn AS (SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b)) AS nrm
+        |  FROM base),
+        |cv AS (SELECT vec_id AS id, CASE WHEN nrm = 0 THEN list_transform(embedding, x -> 0.0)
+        |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)/nrm) END AS cvx FROM cn),
+        |rn AS (SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b)) AS nrm
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |rv AS (SELECT vec_id AS ref_id, CASE WHEN nrm = 0 THEN list_transform(embedding, x -> 0.0)
+        |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)/nrm) END AS rvx FROM rn),
+        |p AS (SELECT cv.id,
+        |    CAST(floor(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(cvx)),
+        |      i -> cvx[i]*rvx[i])), (a,b) -> a+b) * 1000000) AS BIGINT) AS cos_uu
+        |  FROM cv, rv)
+        |SELECT id, max(cos_uu) AS max_cos_uu,
+        |       CAST(sum(CASE WHEN cos_uu >= 900000 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |       CAST(CASE WHEN max(cos_uu) >= 900000 THEN 1 ELSE 0 END AS INT) AS contaminated
+        |FROM p GROUP BY id""".stripMargin,
 
     "q01_read_project" ->
       "SELECT doc_id, lang, source, n_chars AS chars FROM documents",
@@ -2394,31 +2502,25 @@ object SparkEntry {
     // recurrence (guarded to stay within the frame, as in compute()), and
     // the double-difference sign bits summed through HUGEINT into a
     // signed 64-bit value exactly like q75's dhash fold.
-    "q97_audio_fp" -> {
-      def x(i: String): String =
-        s"((doc_id * 1103515245 + ($i) * 12345 + 7) % 2147483647) % 65536 - 32768"
-      def bit(m: Int, hi: String, lo: String): String =
-        s"CASE WHEN (b.$hi - b.$lo) - (a.$hi - a.$lo) > 0 " +
-          s"THEN (1::HUGEINT << CAST(a.f * 4 + $m AS INT)) ELSE 0::HUGEINT END"
-      "WITH d AS (SELECT doc_id, 256 + doc_id % 512 AS n FROM documents), " +
-        "i AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d), " +
-        "s AS (SELECT doc_id, i, (17 * (i + 1) - 1) // n AS f, " +
-        "(((17 * (i + 1) - 1) // n) * n) // 17 AS lo, " +
-        s"${x("i")} AS x0, ${x("i - 1")} AS x1, ${x("i - 2")} AS x2 FROM i), " +
-        "e AS (SELECT doc_id, f, sum(abs(x0)) AS e0, " +
-        "sum(CASE WHEN i - 1 >= lo THEN abs(x0 - x1) ELSE 0 END) AS e1, " +
-        "sum(CASE WHEN i - 1 >= lo THEN abs(x0 + x1) ELSE 0 END) AS e2, " +
-        "sum(CASE WHEN i - 2 >= lo THEN abs(x0 - x2) ELSE 0 END) AS e3, " +
-        "sum(CASE WHEN i - 2 >= lo THEN abs(x0 + x2) ELSE 0 END) AS e4 " +
-        "FROM s GROUP BY doc_id, f), " +
-        "p AS (SELECT a.doc_id, " +
-        s"${bit(0, "e0", "e1")} + ${bit(1, "e1", "e2")} + " +
-        s"${bit(2, "e2", "e3")} + ${bit(3, "e3", "e4")} AS bv " +
-        "FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1), " +
-        "t AS (SELECT doc_id, sum(bv) AS sv FROM p GROUP BY doc_id) " +
-        "SELECT doc_id, CAST(CASE WHEN sv >= 9223372036854775808::HUGEINT " +
-        "THEN sv - 18446744073709551616::HUGEINT ELSE sv END AS BIGINT) AS afp " +
-        "FROM t"
+    "q97_audio_fp" -> audioFpOracleSql,
+
+    // The incremental audio probe replayed as a plain pair scan: afp is
+    // integer-exact (shared q97 helper) and the radius-3 chunk join is
+    // complete by pigeonhole — the q99 argument verbatim, over audio
+    // fingerprints instead of image dhashes.
+    "q107_incremental_audio_dedup" -> {
+      s"WITH base AS ($audioFpOracleSql), " +
+        "idx AS (SELECT doc_id AS id, afp FROM base WHERE doc_id % 10 != 9), " +
+        "inc AS (SELECT doc_id AS id, afp FROM base WHERE doc_id % 10 = 9 " +
+        "UNION ALL SELECT -(doc_id + 1), afp FROM base " +
+        "WHERE doc_id % 10 != 9 AND doc_id % 16 = 0) " +
+        "SELECT i.id AS new_id, x.id AS dup_id, " +
+        "CAST(bit_count(xor(i.afp, x.afp)) AS INT) AS hamming " +
+        "FROM inc i JOIN idx x ON bit_count(xor(i.afp, x.afp)) <= 3 " +
+        "UNION ALL " +
+        "SELECT a.id, b.id, CAST(bit_count(xor(a.afp, b.afp)) AS INT) " +
+        "FROM inc a JOIN inc b ON b.id < a.id " +
+        "AND bit_count(xor(a.afp, b.afp)) <= 3"
     },
 
     // video_dhash replayed without binary: q75's grid/gradient-sign dHash

@@ -40,4 +40,27 @@ object AudioDedup {
   def nearDupAudio(media: DataFrame, maxHamming: Int = 3): DataFrame =
     SimHash.nearDuplicatesFromSignatures(
       fingerprints(media).withColumnRenamed("afp", "simhash"), maxHamming)
+
+  /** Incremental audio dedup: today's `(id, payload)` batch against an
+    * already-fingerprinted corpus (`indexSigs` = `(id, afp)`, typically
+    * read back from parquet — historical payloads never re-decoded), plus
+    * within-batch pairs from the ordinary self-join on the increment
+    * alone. The audio twin of
+    * [[graft.multimodal.ImageDedup.incrementalNearDupImages]]: the
+    * increment's chunk rows BROADCAST onto the index scan via
+    * [[graft.dedup.SimHash.nearDuplicatesAgainstIndex]], the corpus is
+    * probed in place, never shuffled. Output: (new_id, dup_id, hamming);
+    * ids must be disjoint across index and batch. */
+  def incrementalNearDupAudio(newMedia: DataFrame, indexSigs: DataFrame,
+                              maxHamming: Int = 3): DataFrame = {
+    val probeSigs = fingerprints(newMedia)
+      .withColumnRenamed("afp", "simhash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cross = SimHash.nearDuplicatesAgainstIndex(
+      indexSigs.withColumnRenamed("afp", "simhash"), probeSigs, maxHamming)
+    val within = SimHash.nearDuplicatesFromSignatures(probeSigs, maxHamming)
+      .select(col("id_b").as("new_id"), col("id_a").as("dup_id"),
+        col("hamming"))
+    cross.unionByName(within)
+  }
 }

@@ -51,8 +51,9 @@ object Ann {
   /** (<idAlias>, <vecAlias>) with the vector L2-normalized, staged so the
     * norm is computed once per row (an inline norm inside a downstream
     * expression would re-evaluate per reference). */
-  private def normalized(df: DataFrame, idCol: String, vecCol: String,
-                         idAlias: String, vecAlias: String): DataFrame =
+  private[similarity] def normalized(df: DataFrame, idCol: String,
+                                     vecCol: String, idAlias: String,
+                                     vecAlias: String): DataFrame =
     df.select(col(idCol).as(idAlias), col(vecCol).as("__v"),
         sqrt(DotProduct(df.sparkSession, col(vecCol), col(vecCol))).as("__n"))
       // zero vectors stay zero (cos = 0 against everything) — dividing by a

@@ -106,6 +106,31 @@ class AudioDedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalNearDupAudio: cross-batch AND within-batch pairs, " +
+    "one operator call") {
+    val corpus = (0L until 30L).map(id => (id, Audio.encodeWav(id)))
+      .toDF("id", "payload")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_afp_inc_spec").toString
+    AudioDedup.fingerprints(corpus).write.mode("overwrite").parquet(idxDir)
+    // today's batch: noisy re-uploads of corpus clips 0..9 under fresh ids,
+    // fresh clips, and one within-batch duplicate pair (both from clip 500)
+    val probe = ((0L until 10L).map(id =>
+        (id + 1000L, Audio.encodeWavNoisy(id, maxDelta = 1))) ++
+      (2000L until 2005L).map(id => (id, Audio.encodeWav(id))) ++
+      Seq((3000L, Audio.encodeWav(500L)),
+        (3001L, Audio.encodeWavNoisy(500L, maxDelta = 1))))
+      .toDF("id", "payload")
+    val out = AudioDedup.incrementalNearDupAudio(probe,
+      spark.read.parquet(idxDir), maxHamming = 3)
+    assertNoCartesian(out)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 10L).foreach { id =>
+      assert(got.contains((id + 1000L, id)), s"cross-batch pair $id missed")
+    }
+    assert(got.contains((3001L, 3000L)), "within-batch pair missed")
+  }
+
   test("nearDupAudio: planted noisy near-dups recovered, no cartesian") {
     val originals = (0L until 60L).map(id => (id, Audio.encodeWav(id)))
     val planted = (0L until 60L).map(id =>

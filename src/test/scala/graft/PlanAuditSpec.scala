@@ -91,8 +91,12 @@ class PlanAuditSpec extends SparkSpec {
                             // corpus-stats attaches (N/avgdl); the postings
                             // probe itself is a broadcast hash join —
                             // SearchSpec bounds the BNLJ count at 2
-      "q105_hybrid_rrf"     // contains q104's stats attaches plus q20's
+      "q105_hybrid_rrf",    // contains q104's stats attaches plus q20's
                             // exempt brute-force dense baseline
+      "q106_semantic_screen" // the exact decontamination screen IS the
+                            // deliberate refs-broadcast nested loop (q20's
+                            // shape); SemanticScreenSpec pins exactly one
+                            // BNLJ with the refs as build side
     )
     val heavy = Set("q13_tf_topterms", "q14_svm_predict", "q15_stream_agg")
     SparkEntry.queries.keys
