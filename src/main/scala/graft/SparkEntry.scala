@@ -4,7 +4,7 @@ import org.apache.spark.ml.feature.CountVectorizerModel
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{Decontaminate, DedupGroups, ExactDedup, MinHashDedup, NGramJaccard, ParagraphDedup, SimHash}
+import graft.dedup.{Decontaminate, DedupGroups, ExactDedup, MinHashDedup, NGramJaccard, ParagraphDedup, SimHash, SpanScrub}
 import graft.functions.{BpeEncode, CountMinAggregator, CountMinSketch, NormalizeText, TextFunctions}
 import graft.ml.{Featurize, Sentiment}
 import graft.multimodal.{Audio, AudioDedup, ImageDedup, Multimodal, Video, VideoDedup}
@@ -1581,7 +1581,18 @@ object SparkEntry {
         .unionByName(planted)
       AudioDedup.incrementalNearDupAudio(incMedia, s.read.parquet(idxPath),
         maxHamming = 3)
-    })
+    }),
+
+    // §2 row 124: exact duplicated-span REMOVAL (the scrub half of q84's
+    // report — Lee et al. 2022 exact substring dedup): every token inside
+    // an 8-gram occurring ≥ 2 times in the corpus is deleted. Gram
+    // analysis shuffles hashes and covered-position ints only; the text
+    // rewrite is an in-row HOF filter after a left join of the per-doc
+    // covered arrays.
+    "q108_span_scrub" -> ((s, dir) =>
+      SpanScrub.scrubDuplicateSpans(spread(s, Tables.documents(s, dir)),
+        "doc_id", "text", n = 8)
+        .withColumnRenamed("id", "doc_id"))
   )
 
   // ---------------------------------------------------------------------
@@ -1830,6 +1841,38 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN cos_uu >= 900000 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
         |       CAST(CASE WHEN max(cos_uu) >= 900000 THEN 1 ELSE 0 END AS INT) AS contaminated
         |FROM p GROUP BY id""".stripMargin,
+
+    // The scrub replayed on gram STRINGS (hash equality ≈ gram equality,
+    // the q84 argument): positional grams via the parallel-unnest zip (the
+    // q56 precedent), occurrence counts with multiplicity, covered
+    // positions p..p+7 (whole doc for the collapsed short-doc gram), kept
+    // tokens re-agged in position order. 1-based here vs 0-based in the
+    // engine — internal only, outputs are the rewritten strings.
+    "q108_span_scrub" -> {
+      val g8 = (1 to 8).map(j => s"toks[i+${j - 1}]").mkString(" || ' ' || ")
+      s"WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents), " +
+        "g0 AS (SELECT doc_id, len(toks) AS nt, CASE WHEN len(toks) >= 8 " +
+        s"THEN list_transform(generate_series(1, len(toks) - 7), i -> $g8) " +
+        "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), " +
+        "pg AS (SELECT doc_id, nt, unnest(generate_series(1, len(grams))) AS p, " +
+        "unnest(grams) AS gram FROM g0), " +
+        "occ AS (SELECT gram, count(*) AS occ FROM pg GROUP BY gram), " +
+        "cov AS (SELECT DISTINCT doc_id, cp FROM " +
+        "(SELECT pg.doc_id, unnest(generate_series(pg.p, least(pg.p + 7, pg.nt))) AS cp " +
+        "FROM pg JOIN occ USING (gram) WHERE occ.occ >= 2)), " +
+        "ca AS (SELECT doc_id, list(cp) AS cov FROM cov GROUP BY doc_id), " +
+        "tok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, " +
+        "unnest(toks) AS tok FROM t), " +
+        "kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok " +
+        "LEFT JOIN ca USING (doc_id) " +
+        "WHERE ca.cov IS NULL OR NOT list_contains(ca.cov, tok.pos)), " +
+        "ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct, " +
+        "count(*) AS n_kept FROM kept GROUP BY doc_id) " +
+        "SELECT t.doc_id, coalesce(ka.ct, '') AS clean_text, " +
+        "CAST(len(t.toks) AS INT) AS n_tok, " +
+        "CAST(len(t.toks) - coalesce(ka.n_kept, 0) AS INT) AS n_removed " +
+        "FROM t LEFT JOIN ka USING (doc_id)"
+    },
 
     "q01_read_project" ->
       "SELECT doc_id, lang, source, n_chars AS chars FROM documents",
