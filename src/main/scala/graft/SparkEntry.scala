@@ -1592,7 +1592,26 @@ object SparkEntry {
     "q108_span_scrub" -> ((s, dir) =>
       SpanScrub.scrubDuplicateSpans(spread(s, Tables.documents(s, dir)),
         "doc_id", "text", n = 8)
-        .withColumnRenamed("id", "doc_id"))
+        .withColumnRenamed("id", "doc_id")),
+
+    // §2 row 125: BM25 retrieval against a PERSISTED impact index — the
+    // per-(term, doc) weight precomputed and parquet-staged once
+    // (content-hash keyed), so the query workload never re-tokenizes the
+    // corpus: the 100 TB split between the one heavy index pass and cheap
+    // probes. Same queries and k as q104, and the impact decomposition is
+    // score-identical by construction, so q104's oracle applies verbatim
+    // (the q92/q46 precedent).
+    "q109_bm25_index" -> ((s, dir) => {
+      val idxPath = artifactPath("bm25_idx", dir,
+        codeHash(Bm25.getClass))
+      stageParquet(idxPath) { tmp =>
+        Bm25.buildImpactIndex(Tables.documents(s, dir), "doc_id", "text")
+          .write.parquet(tmp)
+      }
+      Bm25.searchIndex(s.read.parquet(idxPath),
+        Tables.documents(s, dir).filter(col("doc_id") % 100 === 0),
+        "doc_id", "text", k = 10)
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -1780,6 +1799,10 @@ object SparkEntry {
     "q30_ann_topk_agg" -> annTopKSql,
 
     "q104_bm25" ->
+      s"WITH ${bm25LexCtes(10)} SELECT query_id, doc_id, score_u, rank FROM lex",
+
+    // score-identical to q104 by the impact decomposition — same oracle
+    "q109_bm25_index" ->
       s"WITH ${bm25LexCtes(10)} SELECT query_id, doc_id, score_u, rank FROM lex",
 
     // Hybrid RRF: the q104 lexical chain (k=20) UNION ALL the q20 dense

@@ -54,14 +54,14 @@ import graft.functions.TextFunctions
   */
 object Bm25 {
 
-  /** (query_id, doc_id, score_u) — integer-micro BM25 of every corpus doc
-    * that shares ≥1 token with the query (self-pairs excluded when ids
-    * collide). `queries` must be small enough to broadcast. */
-  def scoreAll(corpus: DataFrame, idCol: String, textCol: String,
-               queries: DataFrame, qIdCol: String, qTextCol: String,
-               k1Milli: Int = 1200, bMilli: Int = 750): DataFrame = {
-    require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
-      s"BM25 constants out of range: k1_m=$k1Milli b_m=$bMilli")
+  /** (tf, dl, stats, idf) corpus-side frames shared by [[scoreAll]] and
+    * [[buildImpactIndex]]: per-(doc, token) counts, per-doc lengths, the
+    * single-row corpus constants (docs-with-tokens count and mean length
+    * in milli-tokens — broadcast onto everything downstream), and
+    * per-token micro-idf. */
+  private def corpusFrames(corpus: DataFrame, idCol: String,
+                           textCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val tf = corpus
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(col(textCol))).as("token"))
@@ -69,8 +69,6 @@ object Bm25 {
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    // corpus constants: docs-with-tokens count and mean length in
-    // milli-tokens; a single row, broadcast onto everything downstream
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tok"))
       .withColumn("avgdl_m", expr("tot_tok * 1000 div n_docs"))
     val idf = tf.groupBy("token").agg(count(lit(1)).as("df_docs"))
@@ -80,23 +78,44 @@ object Bm25 {
           (col("n_docs") - col("df_docs") + lit(0.5)) /
             (col("df_docs") + lit(0.5))) * 1e6).cast("long"))
       .select("token", "idf_u")
-    // query terms are SETS (classic BM25 drops query-side tf at k3=0);
-    // tf-on-queries would need its own frame — the distinct projection is
-    // exactly the (id, token) grain the probe wants
-    val qterms = queries
+    (tf, dl, stats, idf)
+  }
+
+  /** The fixed-point per-term weight (the scoring recurrence in the class
+    * doc), applied to a frame carrying (tf, dl, idf_u, avgdl_m). */
+  private def termWeight(k1Milli: Int, bMilli: Int): String =
+    s"""idf_u * (tf * (${k1Milli} + 1000)) div
+       |(tf * 1000 + (${k1Milli} * (1000 - ${bMilli} +
+       |(${bMilli} * (dl * 1000000 div avgdl_m)) div 1000)) div 1000)
+       |""".stripMargin.replace("\n", " ")
+
+  /** Distinct (query_id, token) — classic BM25 drops query-side tf at
+    * k3=0, so the SET projection is exactly the grain the probe wants. */
+  private def queryTerms(queries: DataFrame, qIdCol: String,
+                         qTextCol: String): DataFrame =
+    queries
       .select(col(qIdCol).as("query_id"),
         explode(TextFunctions.tokens(col(qTextCol))).as("token"))
       .filter(col("token") =!= "").distinct()
-    val qidf = idf.join(broadcast(qterms), "token")
+
+  /** (query_id, doc_id, score_u) — integer-micro BM25 of every corpus doc
+    * that shares ≥1 token with the query (self-pairs excluded when ids
+    * collide). `queries` must be small enough to broadcast. Unlike the
+    * [[buildImpactIndex]] path, idf joins the query terms FIRST, so
+    * weights are only computed for postings the queries can touch. */
+  def scoreAll(corpus: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qIdCol: String, qTextCol: String,
+               k1Milli: Int = 1200, bMilli: Int = 750): DataFrame = {
+    require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
+      s"BM25 constants out of range: k1_m=$k1Milli b_m=$bMilli")
+    val (tf, dl, stats, idf) = corpusFrames(corpus, idCol, textCol)
+    val qidf = idf.join(broadcast(
+      queryTerms(queries, qIdCol, qTextCol)), "token")
     val hits = tf.join(broadcast(qidf), "token")
       .filter(col("doc_id") =!= col("query_id"))
     hits.join(dl, "doc_id")
       .crossJoin(broadcast(stats))
-      .withColumn("term_u", expr(
-        s"""idf_u * (tf * (${k1Milli} + 1000)) div
-           |(tf * 1000 + (${k1Milli} * (1000 - ${bMilli} +
-           |(${bMilli} * (dl * 1000000 div avgdl_m)) div 1000)) div 1000)
-           |""".stripMargin.replace("\n", " ")))
+      .withColumn("term_u", expr(termWeight(k1Milli, bMilli)))
       .groupBy("query_id", "doc_id")
       .agg(sum("term_u").as("score_u"))
   }
@@ -107,12 +126,55 @@ object Bm25 {
            queries: DataFrame, qIdCol: String, qTextCol: String,
            k: Int, k1Milli: Int = 1200, bMilli: Int = 750): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    rankTopK(scoreAll(corpus, idCol, textCol, queries, qIdCol, qTextCol,
+      k1Milli, bMilli), k)
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(desc("score_u"), asc("doc_id"))
-    scoreAll(corpus, idCol, textCol, queries, qIdCol, qTextCol,
-      k1Milli, bMilli)
-      .withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "doc_id", "score_u", "rank")
+  }
+
+  /** IMPACT index: the whole per-(term, doc) BM25 weight precomputed at
+    * index time — `(token, doc_id, w_u)` with w_u the exact `term_u` of
+    * [[scoreAll]] (every factor — tf, idf, doc length, the corpus
+    * constants — is known when the corpus is indexed; query-side tf is
+    * dropped at k3=0, so nothing about a future query changes the weight;
+    * Lucene ships the same precomputation as impact postings). Persist
+    * this to parquet once and [[searchIndex]] never touches corpus text
+    * again: at 100 TB the index build is the one heavy pass, and every
+    * subsequent query workload is a broadcast probe of a three-column
+    * long/string table, partition-prunable by token if written sorted. */
+  def buildImpactIndex(corpus: DataFrame, idCol: String, textCol: String,
+                       k1Milli: Int = 1200, bMilli: Int = 750): DataFrame = {
+    require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
+      s"BM25 constants out of range: k1_m=$k1Milli b_m=$bMilli")
+    val (tf, dl, stats, idf) = corpusFrames(corpus, idCol, textCol)
+    tf.join(dl, "doc_id")
+      .join(idf, "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("w_u", expr(termWeight(k1Milli, bMilli)))
+      .select("token", "doc_id", "w_u")
+  }
+
+  /** Top-`k` retrieval against a prebuilt [[buildImpactIndex]] table —
+    * scores are Σ w_u over the query's terms, bit-identical to [[topK]]
+    * on the corpus the index was built from (SearchSpec pins the
+    * equality). Query terms broadcast onto the postings scan; self-pairs
+    * (query_id == doc_id) are excluded, mirroring [[scoreAll]]. */
+  def searchIndex(index: DataFrame, queries: DataFrame, qIdCol: String,
+                  qTextCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qterms = queries
+      .select(col(qIdCol).as("query_id"),
+        explode(TextFunctions.tokens(col(qTextCol))).as("token"))
+      .filter(col("token") =!= "").distinct()
+    rankTopK(index.join(broadcast(qterms), "token")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("w_u").as("score_u")), k)
   }
 }

@@ -88,6 +88,24 @@ class SearchSpec extends SparkSpec {
       s"attaches are allowed):\n$plan")
   }
 
+  test("impact-index probe == direct topK, through a real parquet " +
+    "round-trip") {
+    val corpus = docsDf((0L until 30L).map(i =>
+      i -> s"doc $i talks about topic${i % 7} and shares common words"): _*)
+    val queries = corpus.filter(col("doc_id") % 10 === 0)
+    val direct = Bm25.topK(corpus, "doc_id", "text",
+      queries, "doc_id", "text", k = 5)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_idx_spec").toString
+    Bm25.buildImpactIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(idxDir)
+    val probed = Bm25.searchIndex(spark.read.parquet(idxDir),
+      queries, "doc_id", "text", k = 5)
+    assert(probed.exceptAll(direct).isEmpty && direct.exceptAll(probed).isEmpty,
+      "index probe must be score-identical to direct scoring")
+    assert(direct.count() > 0)
+  }
+
   test("RRF fusion arithmetic is the exact integer sum of both lists") {
     val l1 = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
     val l2 = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "doc_id", "rank")
