@@ -1611,6 +1611,35 @@ object SparkEntry {
       Bm25.searchIndex(s.read.parquet(idxPath),
         Tables.documents(s, dir).filter(col("doc_id") % 100 === 0),
         "doc_id", "text", k = 10)
+    }),
+
+    // §2 row 126: incremental video dedup vs a persisted signature index —
+    // the video twin of q99/q107, completing the incremental-ingest shape
+    // for every signature modality (text bands, embeddings, image, audio,
+    // video). Same split: corpus %10!=9 signed once into staged parquet;
+    // today's batch = %10==9 clips plus planted exact re-uploads of
+    // %16==0 corpus clips under negative ids.
+    "q110_incremental_video_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val idx = docs.filter(pmod(col("doc_id"), lit(10)) =!= 9)
+      val idxPath = artifactPath("vhash_idx", dir,
+        codeHash(classOf[graft.functions.VideoDHash],
+          VideoDedup.getClass))
+      stageParquet(idxPath) { tmp =>
+        VideoDedup.signatures(
+          Video.videoPayloads(s, spread(s, idx), "doc_id"), stride = 2)
+          .write.parquet(tmp)
+      }
+      val planted = idx.filter(pmod(col("doc_id"), lit(16)) === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (-(id + 1L), Video.encodeVideo(id))))
+        .toDF("id", "payload")
+      val incMedia = Video.videoPayloads(s,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 9), "doc_id")
+        .unionByName(planted)
+      VideoDedup.incrementalNearDupVideos(incMedia, s.read.parquet(idxPath),
+        stride = 2, maxHamming = 3)
     })
   )
 
@@ -1626,6 +1655,36 @@ object SparkEntry {
   /** Exact n-gram Jaccard pairs in DuckDB (see the q18 comment in
     * [[oracleSql]]); also the pair-graph input to q43's recursive-CTE
     * connected components. */
+  /** Per-clip video dHash replayed from the pixel recurrence — q98's
+    * oracle, shared with q110's incremental-probe oracle: q75's
+    * grid/gradient-sign dHash with the q65 frame term, per (doc, bit)
+    * vote counts over the sampled frame grid (0, 2, ...), strict
+    * majority 2·ones > nsamp, HUGEINT fold. */
+  private def videoDHashOracleSql: String = {
+    def gray(base: String): String =
+      "((" + Seq(0, 1, 2).map(c =>
+        s"((doc_id * 1103515245 + f * 97531 + ($base + $c) * 12345 + 42) " +
+          "% 2147483647) % 256").mkString(" + ") + ") // 3)"
+    "WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h, " +
+      "2 + doc_id % 6 AS nf FROM documents), " +
+      "fr AS (SELECT doc_id, w, h, unnest(generate_series(0, nf - 1, 2)) AS f " +
+      "FROM d), " +
+      "c AS (SELECT doc_id, f, ty.range AS ty, tx.range AS tx, " +
+      "3 * (((ty.range * h) // 8) * w + (tx.range * w) // 9) AS bl, " +
+      "3 * (((ty.range * h) // 8) * w + ((tx.range + 1) * w) // 9) AS br " +
+      "FROM fr, range(8) ty, range(8) tx), " +
+      "v AS (SELECT doc_id, ty, tx, " +
+      "sum(CASE WHEN " + gray("bl") + " < " + gray("br") +
+      " THEN 1 ELSE 0 END) AS ones, count(*) AS nsamp " +
+      "FROM c GROUP BY doc_id, ty, tx), " +
+      "s AS (SELECT doc_id, sum(CASE WHEN 2 * ones > nsamp " +
+      "THEN (1::HUGEINT << CAST(ty * 8 + tx AS INT)) ELSE 0::HUGEINT END) AS sv " +
+      "FROM v GROUP BY doc_id) " +
+      "SELECT doc_id, CAST(CASE WHEN sv >= 9223372036854775808::HUGEINT " +
+      "THEN sv - 18446744073709551616::HUGEINT ELSE sv END AS BIGINT) AS vhash " +
+      "FROM s"
+  }
+
   /** Per-doc image dHash replayed from the pixel recurrence — q75's
     * oracle, shared with q99's incremental-probe oracle. Gray at
     * pixel-plane byte offset `base` is (r+g+b) over 3, integer div. */
@@ -2592,29 +2651,24 @@ object SparkEntry {
     // video_dhash replayed without binary: q75's grid/gradient-sign dHash
     // with the q65 frame term, per (doc, bit) vote counts over the sampled
     // frame grid (0, 2, ...), strict majority 2·ones > nsamp, HUGEINT fold.
-    "q98_video_dhash" -> {
-      def gray(base: String): String =
-        "((" + Seq(0, 1, 2).map(c =>
-          s"((doc_id * 1103515245 + f * 97531 + ($base + $c) * 12345 + 42) " +
-            "% 2147483647) % 256").mkString(" + ") + ") // 3)"
-      "WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h, " +
-        "2 + doc_id % 6 AS nf FROM documents), " +
-        "fr AS (SELECT doc_id, w, h, unnest(generate_series(0, nf - 1, 2)) AS f " +
-        "FROM d), " +
-        "c AS (SELECT doc_id, f, ty.range AS ty, tx.range AS tx, " +
-        "3 * (((ty.range * h) // 8) * w + (tx.range * w) // 9) AS bl, " +
-        "3 * (((ty.range * h) // 8) * w + ((tx.range + 1) * w) // 9) AS br " +
-        "FROM fr, range(8) ty, range(8) tx), " +
-        "v AS (SELECT doc_id, ty, tx, " +
-        "sum(CASE WHEN " + gray("bl") + " < " + gray("br") +
-        " THEN 1 ELSE 0 END) AS ones, count(*) AS nsamp " +
-        "FROM c GROUP BY doc_id, ty, tx), " +
-        "s AS (SELECT doc_id, sum(CASE WHEN 2 * ones > nsamp " +
-        "THEN (1::HUGEINT << CAST(ty * 8 + tx AS INT)) ELSE 0::HUGEINT END) AS sv " +
-        "FROM v GROUP BY doc_id) " +
-        "SELECT doc_id, CAST(CASE WHEN sv >= 9223372036854775808::HUGEINT " +
-        "THEN sv - 18446744073709551616::HUGEINT ELSE sv END AS BIGINT) AS vhash " +
-        "FROM s"
+    "q98_video_dhash" -> videoDHashOracleSql,
+
+    // The incremental video probe replayed as a plain pair scan: vhash is
+    // integer-exact (shared q98 helper) and the radius-3 chunk join is
+    // complete by pigeonhole — the q99/q107 argument over clip signatures.
+    "q110_incremental_video_dedup" -> {
+      s"WITH base AS ($videoDHashOracleSql), " +
+        "idx AS (SELECT doc_id AS id, vhash FROM base WHERE doc_id % 10 != 9), " +
+        "inc AS (SELECT doc_id AS id, vhash FROM base WHERE doc_id % 10 = 9 " +
+        "UNION ALL SELECT -(doc_id + 1), vhash FROM base " +
+        "WHERE doc_id % 10 != 9 AND doc_id % 16 = 0) " +
+        "SELECT i.id AS new_id, x.id AS dup_id, " +
+        "CAST(bit_count(xor(i.vhash, x.vhash)) AS INT) AS hamming " +
+        "FROM inc i JOIN idx x ON bit_count(xor(i.vhash, x.vhash)) <= 3 " +
+        "UNION ALL " +
+        "SELECT a.id, b.id, CAST(bit_count(xor(a.vhash, b.vhash)) AS INT) " +
+        "FROM inc a JOIN inc b ON b.id < a.id " +
+        "AND bit_count(xor(a.vhash, b.vhash)) <= 3"
     },
 
     // Same trigram/context counting, the same per-position integer floor,

@@ -75,4 +75,27 @@ object VideoDedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Incremental video dedup: today's `(id, payload)` clips against an
+    * already-signed corpus (`indexSigs` = `(id, vhash)`, typically read
+    * back from parquet — historical clips never re-decoded), plus
+    * within-batch pairs from the self-join on the increment alone. The
+    * video twin of [[graft.multimodal.ImageDedup.incrementalNearDupImages]]
+    * / [[graft.multimodal.AudioDedup.incrementalNearDupAudio]] — the same
+    * broadcast probe of [[graft.dedup.SimHash.nearDuplicatesAgainstIndex]].
+    * `stride` must match the index build. Output: (new_id, dup_id,
+    * hamming); ids must be disjoint across index and batch. */
+  def incrementalNearDupVideos(newMedia: DataFrame, indexSigs: DataFrame,
+                               stride: Int = 2,
+                               maxHamming: Int = 3): DataFrame = {
+    val probeSigs = signatures(newMedia, stride)
+      .withColumnRenamed("vhash", "simhash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cross = SimHash.nearDuplicatesAgainstIndex(
+      indexSigs.withColumnRenamed("vhash", "simhash"), probeSigs, maxHamming)
+    val within = SimHash.nearDuplicatesFromSignatures(probeSigs, maxHamming)
+      .select(col("id_b").as("new_id"), col("id_a").as("dup_id"),
+        col("hamming"))
+    cross.unionByName(within)
+  }
 }

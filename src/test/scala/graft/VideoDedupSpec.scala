@@ -167,4 +167,30 @@ class VideoDedupSpec extends SparkSpec {
       .select("hamming").collect().map(_.getInt(0))
     assert(h.nonEmpty && h.forall(_ == 0))
   }
+
+  test("incrementalNearDupVideos: cross-batch AND within-batch pairs vs " +
+    "a persisted signature index") {
+    val corpus = (0L until 25L).map(id => (id, Video.encodeVideo(id)))
+      .toDF("id", "payload")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_vhash_idx_spec").toString
+    VideoDedup.signatures(corpus, stride = 2)
+      .write.mode("overwrite").parquet(idxDir)
+    // today's batch: re-muxed copies of corpus clips 0..9 under fresh ids,
+    // fresh clips, and one within-batch duplicate pair (both clip 500)
+    val probe = ((0L until 10L).map(id =>
+        (id + 1000L, reencoded(Video.encodeVideo(id)))) ++
+      (2000L until 2005L).map(id => (id, Video.encodeVideo(id))) ++
+      Seq((3000L, Video.encodeVideo(500L)),
+        (3001L, reencoded(Video.encodeVideo(500L)))))
+      .toDF("id", "payload")
+    val out = VideoDedup.incrementalNearDupVideos(probe,
+      spark.read.parquet(idxDir), stride = 2, maxHamming = 3)
+    assertNoCartesian(out)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 10L).foreach { id =>
+      assert(got.contains((id + 1000L, id)), s"cross-batch pair $id missed")
+    }
+    assert(got.contains((3001L, 3000L)), "within-batch pair missed")
+  }
 }
