@@ -1523,11 +1523,13 @@ object SparkEntry {
     // fusion — BM25 (q104's ranking, k=20 deep) and brute-force cosine
     // (q20's ranking, k=20) combined as Σ 10⁶ div (60 + rank). Both input
     // rankings are total-ordered and exact, and RRF is pure int64, so the
-    // fused list replays row-for-row in SQL.
+    // fused list replays row-for-row in SQL. The lexical half probes the
+    // q109 staged impact index (score-identical by construction), so the
+    // hybrid pays one postings probe, not a corpus re-tokenize.
     "q105_hybrid_rrf" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val emb = spread(s, Tables.embeddings(s, dir))
-      val lex = Bm25.topK(docs, "doc_id", "text",
+      val lex = Bm25.searchIndex(s.read.parquet(stagedBm25Index(s, dir)),
         docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", k = 20)
         .select("query_id", "doc_id", "rank")
       val dense = Ann.bruteForceTopK(emb,
@@ -1601,17 +1603,10 @@ object SparkEntry {
     // probes. Same queries and k as q104, and the impact decomposition is
     // score-identical by construction, so q104's oracle applies verbatim
     // (the q92/q46 precedent).
-    "q109_bm25_index" -> ((s, dir) => {
-      val idxPath = artifactPath("bm25_idx", dir,
-        codeHash(Bm25.getClass))
-      stageParquet(idxPath) { tmp =>
-        Bm25.buildImpactIndex(Tables.documents(s, dir), "doc_id", "text")
-          .write.parquet(tmp)
-      }
-      Bm25.searchIndex(s.read.parquet(idxPath),
+    "q109_bm25_index" -> ((s, dir) =>
+      Bm25.searchIndex(s.read.parquet(stagedBm25Index(s, dir)),
         Tables.documents(s, dir).filter(col("doc_id") % 100 === 0),
-        "doc_id", "text", k = 10)
-    }),
+        "doc_id", "text", k = 10)),
 
     // §2 row 126: incremental video dedup vs a persisted signature index —
     // the video twin of q99/q107, completing the incremental-ingest shape
@@ -1655,6 +1650,17 @@ object SparkEntry {
   /** Exact n-gram Jaccard pairs in DuckDB (see the q18 comment in
     * [[oracleSql]]); also the pair-graph input to q43's recursive-CTE
     * connected components. */
+  /** Stage the BM25 impact index for `dir` (content-hash keyed) and
+    * return its path — shared by q109 and q105's lexical half. */
+  private def stagedBm25Index(s: SparkSession, dir: String): String = {
+    val idxPath = artifactPath("bm25_idx", dir, codeHash(Bm25.getClass))
+    stageParquet(idxPath) { tmp =>
+      Bm25.buildImpactIndex(Tables.documents(s, dir), "doc_id", "text")
+        .write.parquet(tmp)
+    }
+    idxPath
+  }
+
   /** Per-clip video dHash replayed from the pixel recurrence — q98's
     * oracle, shared with q110's incremental-probe oracle: q75's
     * grid/gradient-sign dHash with the q65 frame term, per (doc, bit)

@@ -91,8 +91,9 @@ class PlanAuditSpec extends SparkSpec {
                             // corpus-stats attaches (N/avgdl); the postings
                             // probe itself is a broadcast hash join —
                             // SearchSpec bounds the BNLJ count at 2
-      "q105_hybrid_rrf",    // contains q104's stats attaches plus q20's
-                            // exempt brute-force dense baseline
+      "q105_hybrid_rrf",    // dense half IS q20's exempt brute-force
+                            // baseline (the lexical half probes the staged
+                            // impact index — no stats attach in-plan)
       "q106_semantic_screen" // the exact decontamination screen IS the
                             // deliberate refs-broadcast nested loop (q20's
                             // shape); SemanticScreenSpec pins exactly one
