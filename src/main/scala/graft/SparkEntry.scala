@@ -119,27 +119,49 @@ object SparkEntry {
     * production pipeline persists next to the corpus; later cold JVMs
     * re-read them instead of re-paying construction. Leakage is bounded:
     * one dir per (kind, code version, sfDir), replaced when code changes. */
+  /** Fingerprint of the source data the artifact derives from: (name,
+    * length, mtime) of every parquet in `dir`. Regenerating the test data
+    * IN PLACE (same path, new content) therefore invalidates every staged
+    * artifact — without this, artifacts were keyed on the path string
+    * only and a rebuilt corpus would silently serve stale indexes. */
+  private def dataStamp(dir: String): String = {
+    val files = Option(new java.io.File(dir).listFiles)
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    files.foreach(f => md.update(
+      s"${f.getName}:${f.length}:${f.lastModified}".getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString.take(12)
+  }
+
   private def artifactPath(kind: String, dir: String, ver: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_cache_${kind}_${ver}_" +
+      s"graft_cache_${kind}_${ver}_${dataStamp(dir)}_" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
 
   /** Stage a parquet artifact at `path` exactly once across JVMs.
-    * Concurrent drivers race benignly: each writes a pid-suffixed tmp dir
-    * and the first atomic rename wins; the loser's tmp is discarded. The
-    * `_SUCCESS` gate keeps crashed partial writes invisible (a stale
-    * incomplete dir at `path` is cleared and replaced). */
+    * Concurrent drivers each write a pid-suffixed tmp dir; the PROMOTE
+    * step (recheck → clear stale dst → rename) runs under an OS advisory
+    * file lock, so a loser can never delete a winner's just-promoted
+    * complete artifact (the unguarded recheck/rmTree/rename had that
+    * window). FileLock releases on process death — no stale-lock mode.
+    * The `_SUCCESS` gate keeps crashed partial writes invisible. */
   private def stageParquet(path: String)(write: String => Unit): Unit =
     if (!stagedOk(path)) {
       val tmp = path + ".tmp" + ProcessHandle.current().pid()
       write(tmp)
       val t = new java.io.File(tmp)
       val dst = new java.io.File(path)
-      if (!t.renameTo(dst)) {
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(path + ".lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = ch.lock()
+      try {
         if (stagedOk(path)) rmTree(t) // lost the race to a complete write
         else { rmTree(dst); if (!t.renameTo(dst)) sys.error(
           s"stageParquet: cannot promote $tmp to $path") }
-      }
+      } finally { lock.release(); ch.close() }
     }
 
   /** The q18 n-gram Jaccard pair graph, written to the content-keyed
@@ -150,7 +172,8 @@ object SparkEntry {
     * generation, the single most expensive stage at any scale. */
   private def stagedSimilarPairs(s: SparkSession, dir: String): DataFrame = {
     val path = artifactPath("pairs_n3t80", dir,
-      codeHash(NGramJaccard.getClass))
+      codeHash(NGramJaccard.getClass, MinHashDedup.getClass,
+        classOf[graft.functions.ShingleHashes], TextFunctions.getClass))
     stageParquet(path) { tmp =>
       NGramJaccard.similarPairs(spread(s, Tables.documents(s, dir)),
         "doc_id", "text", n = 3, threshold = 0.8)
@@ -168,7 +191,7 @@ object SparkEntry {
                               train: => Seq[String]): Seq[String] =
     bpeMergesCache.getOrElseUpdate(dir, {
       val f = new java.io.File(
-        artifactPath("bpe_m200s4d5000", dir, codeHash(Bpe.getClass)) + ".txt")
+        artifactPath("bpe_m200s4d5000", dir, codeHash(Bpe.getClass, TextFunctions.getClass)) + ".txt")
       if (f.exists()) {
         val src = scala.io.Source.fromFile(f, "UTF-8")
         try src.getLines().toList finally src.close()
@@ -916,7 +939,7 @@ object SparkEntry {
       // rows/bucket); the index + normalized vectors live in the
       // content-keyed artifact cache — persisted next to the corpus, as a
       // production build would, and re-read by later cold JVMs
-      val base = artifactPath("srp_L8b7d64", dir, codeHash(Ann.getClass))
+      val base = artifactPath("srp_L8b7d64", dir, codeHash(Ann.getClass, classOf[graft.functions.DotProduct]))
       val idxPath = s"$base/srp_index"
       val vecPath = s"$base/norm_vecs"
       // spread() before the projection-heavy build: the one-row-group
@@ -1387,10 +1410,11 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val idx = docs.filter(pmod(col("doc_id"), lit(10)) =!= 9)
       val idxPath = artifactPath("dhash_idx",
-        dir, codeHash(classOf[graft.functions.ImageDHash], ImageDedup.getClass))
+        dir, codeHash(classOf[graft.functions.ImageDHash], ImageDedup.getClass,
+          Multimodal.getClass))
       stageParquet(idxPath) { tmp =>
         ImageDedup.dHashes(Multimodal.ppmPayloads(s, spread(s, idx), "doc_id"))
-          .write.parquet(tmp)
+          .write.mode("overwrite").parquet(tmp)
       }
       val planted = idx.filter(pmod(col("doc_id"), lit(16)) === 0)
         .select(col("doc_id")).as[Long]
@@ -1495,7 +1519,14 @@ object SparkEntry {
     "q103_video_frame_screen" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val n = docs.count() // bounded driver read: one long, sizes the wrap
+      // bounded driver read (one row): the wrap size, PLUS the contiguity
+      // contract the oracle's modular join silently assumes — ids must be
+      // exactly 0..n-1 or engine and oracle diverge instead of failing
+      val st = docs.agg(count(lit(1)), min("doc_id"), max("doc_id")).head()
+      val n = st.getLong(0)
+      require(st.getLong(1) == 0L && st.getLong(2) == n - 1,
+        s"q103 requires contiguous doc_ids 0..${n - 1}, got " +
+          s"[${st.getLong(1)}, ${st.getLong(2)}]")
       val clips = spread(s, docs.select(col("doc_id"))).as[Long]
         .mapPartitions(_.map { id =>
           (id, Seq(id, (id + 1) % n, (id + 2) % n)
@@ -1515,7 +1546,9 @@ object SparkEntry {
     // token.
     "q104_bm25" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Bm25.topK(docs, "doc_id", "text",
+      // spread: the single-row-group parquet would otherwise pin the
+      // corpus tokenize+explode (the heavy stage) to one core
+      Bm25.topK(spread(s, docs), "doc_id", "text",
         docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", k = 10)
     }),
 
@@ -1568,11 +1601,11 @@ object SparkEntry {
       val idx = docs.filter(pmod(col("doc_id"), lit(10)) =!= 9)
       val idxPath = artifactPath("afp_idx", dir,
         codeHash(classOf[graft.functions.AudioFingerprint],
-          AudioDedup.getClass))
+          AudioDedup.getClass, Audio.getClass))
       stageParquet(idxPath) { tmp =>
         AudioDedup.fingerprints(
           Audio.wavPayloads(s, spread(s, idx), "doc_id"))
-          .write.parquet(tmp)
+          .write.mode("overwrite").parquet(tmp)
       }
       val planted = idx.filter(pmod(col("doc_id"), lit(16)) === 0)
         .select(col("doc_id")).as[Long]
@@ -1620,11 +1653,11 @@ object SparkEntry {
       val idx = docs.filter(pmod(col("doc_id"), lit(10)) =!= 9)
       val idxPath = artifactPath("vhash_idx", dir,
         codeHash(classOf[graft.functions.VideoDHash],
-          VideoDedup.getClass))
+          VideoDedup.getClass, Video.getClass))
       stageParquet(idxPath) { tmp =>
         VideoDedup.signatures(
           Video.videoPayloads(s, spread(s, idx), "doc_id"), stride = 2)
-          .write.parquet(tmp)
+          .write.mode("overwrite").parquet(tmp)
       }
       val planted = idx.filter(pmod(col("doc_id"), lit(16)) === 0)
         .select(col("doc_id")).as[Long]
@@ -1653,10 +1686,12 @@ object SparkEntry {
   /** Stage the BM25 impact index for `dir` (content-hash keyed) and
     * return its path — shared by q109 and q105's lexical half. */
   private def stagedBm25Index(s: SparkSession, dir: String): String = {
-    val idxPath = artifactPath("bm25_idx", dir, codeHash(Bm25.getClass))
+    val idxPath = artifactPath("bm25_idx", dir,
+      codeHash(Bm25.getClass, TextFunctions.getClass))
     stageParquet(idxPath) { tmp =>
-      Bm25.buildImpactIndex(Tables.documents(s, dir), "doc_id", "text")
-        .write.parquet(tmp)
+      Bm25.buildImpactIndex(spread(s, Tables.documents(s, dir)),
+        "doc_id", "text")
+        .write.mode("overwrite").parquet(tmp)
     }
     idxPath
   }

@@ -193,4 +193,26 @@ object SimHash {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** The full incremental-ingest composition every modality shares:
+    * today's `probeSigs` against the persisted `indexSigs`
+    * ([[nearDuplicatesAgainstIndex]] — cross-batch pairs), PLUS
+    * within-batch pairs from the ordinary self-join on the increment
+    * alone, reoriented to the same (new_id, dup_id, hamming) schema. The
+    * probe projection is persisted ONCE here; the self-join leg's
+    * internal persist hits Spark's CacheManager plan-dedup, so a single
+    * cache entry serves both legs. Modality wrappers
+    * ([[graft.multimodal.ImageDedup.incrementalNearDupImages]] and the
+    * audio/video twins) are one renamed-column call each — the
+    * composition, orientation rule, and cache lifecycle live only here. */
+  def incrementalNearDups(indexSigs: DataFrame, probeSigs: DataFrame,
+                          maxHamming: Int = 3): DataFrame = {
+    val probe = probeSigs.select(col("id"), col("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cross = nearDuplicatesAgainstIndex(indexSigs, probe, maxHamming)
+    val within = nearDuplicatesFromSignatures(probe, maxHamming)
+      .select(col("id_b").as("new_id"), col("id_a").as("dup_id"),
+        col("hamming"))
+    cross.unionByName(within)
+  }
 }

@@ -52,15 +52,8 @@ object AudioDedup {
     * probed in place, never shuffled. Output: (new_id, dup_id, hamming);
     * ids must be disjoint across index and batch. */
   def incrementalNearDupAudio(newMedia: DataFrame, indexSigs: DataFrame,
-                              maxHamming: Int = 3): DataFrame = {
-    val probeSigs = fingerprints(newMedia)
-      .withColumnRenamed("afp", "simhash")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cross = SimHash.nearDuplicatesAgainstIndex(
-      indexSigs.withColumnRenamed("afp", "simhash"), probeSigs, maxHamming)
-    val within = SimHash.nearDuplicatesFromSignatures(probeSigs, maxHamming)
-      .select(col("id_b").as("new_id"), col("id_a").as("dup_id"),
-        col("hamming"))
-    cross.unionByName(within)
-  }
+                              maxHamming: Int = 3): DataFrame =
+    SimHash.incrementalNearDups(
+      indexSigs.withColumnRenamed("afp", "simhash"),
+      fingerprints(newMedia).withColumnRenamed("afp", "simhash"), maxHamming)
 }

@@ -51,14 +51,8 @@ object ImageDedup {
     * or an earlier (lower-id) image of the same increment. Contract: ids
     * are globally unique across corpus and increment. */
   def incrementalNearDupImages(newMedia: DataFrame, indexSigs: DataFrame,
-                               maxHamming: Int = 3): DataFrame = {
-    val probeSigs = dHashes(newMedia).withColumnRenamed("dhash", "simhash")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cross = SimHash.nearDuplicatesAgainstIndex(
-      indexSigs.withColumnRenamed("dhash", "simhash"), probeSigs, maxHamming)
-    val within = SimHash.nearDuplicatesFromSignatures(probeSigs, maxHamming)
-      .select(col("id_b").as("new_id"), col("id_a").as("dup_id"),
-        col("hamming"))
-    cross.unionByName(within)
-  }
+                               maxHamming: Int = 3): DataFrame =
+    SimHash.incrementalNearDups(
+      indexSigs.withColumnRenamed("dhash", "simhash"),
+      dHashes(newMedia).withColumnRenamed("dhash", "simhash"), maxHamming)
 }

@@ -87,15 +87,9 @@ object VideoDedup {
     * hamming); ids must be disjoint across index and batch. */
   def incrementalNearDupVideos(newMedia: DataFrame, indexSigs: DataFrame,
                                stride: Int = 2,
-                               maxHamming: Int = 3): DataFrame = {
-    val probeSigs = signatures(newMedia, stride)
-      .withColumnRenamed("vhash", "simhash")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cross = SimHash.nearDuplicatesAgainstIndex(
-      indexSigs.withColumnRenamed("vhash", "simhash"), probeSigs, maxHamming)
-    val within = SimHash.nearDuplicatesFromSignatures(probeSigs, maxHamming)
-      .select(col("id_b").as("new_id"), col("id_a").as("dup_id"),
-        col("hamming"))
-    cross.unionByName(within)
-  }
+                               maxHamming: Int = 3): DataFrame =
+    SimHash.incrementalNearDups(
+      indexSigs.withColumnRenamed("vhash", "simhash"),
+      signatures(newMedia, stride).withColumnRenamed("vhash", "simhash"),
+      maxHamming)
 }

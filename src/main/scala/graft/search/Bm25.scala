@@ -168,10 +168,7 @@ object Bm25 {
   def searchIndex(index: DataFrame, queries: DataFrame, qIdCol: String,
                   qTextCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val qterms = queries
-      .select(col(qIdCol).as("query_id"),
-        explode(TextFunctions.tokens(col(qTextCol))).as("token"))
-      .filter(col("token") =!= "").distinct()
+    val qterms = queryTerms(queries, qIdCol, qTextCol)
     rankTopK(index.join(broadcast(qterms), "token")
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy("query_id", "doc_id")

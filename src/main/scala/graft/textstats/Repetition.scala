@@ -109,8 +109,16 @@ object Repetition {
     // gram array through a join (persisting ~n× the text per row is worse
     // than re-reading the column-pruned scan)
     val base = df.select(col(idCol).as("id"), length(t).cast("long").as("n_chars"))
+    // NULL text must still emit ONE gram row (g = null, mode count 1): the
+    // oracle's CASE falls to [text] = [NULL] and counts it, and the old
+    // substr formulation did the same. CharGramHashes is null-in-null-out
+    // (the expression convention), so explode alone would DROP the row and
+    // coalesce to 0 — a silent engine/oracle divergence on null-bearing
+    // corpora.
     val gramRows = df.select(col(idCol).as("id"),
-      explode(graft.functions.CharGramHashes(df.sparkSession, t, n)).as("g"))
+      explode(when(t.isNull, array(lit(null).cast("long")))
+        .otherwise(graft.functions.CharGramHashes(df.sparkSession, t, n)))
+        .as("g"))
     base
       .join(topModeCount(gramRows, "top_char_ngram_cnt"), Seq("id"), "left")
       .select(col("id"), col("n_chars"),

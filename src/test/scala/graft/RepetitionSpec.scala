@@ -48,6 +48,19 @@ class RepetitionSpec extends SparkSpec {
     assert(got(2).getLong(1) == 2 && got(2).getLong(2) == 1)
   }
 
+  test("topCharNgramStats: NULL text emits one gram row (count 1), " +
+    "matching the oracle's [NULL] branch") {
+    // the q48 oracle's CASE falls through to [text] = [NULL] and counts
+    // it; the null-safe native expression alone would drop the row → 0
+    val df = Seq((1L, Option("abcdefgh")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = Repetition.topCharNgramStats(df, "doc_id", "text")
+      .orderBy("id").collect()
+    assert(got(1).isNullAt(1), "n_chars of NULL text must be NULL")
+    assert(got(1).getLong(2) == 1L,
+      s"NULL text must count its one null gram: ${got(1)}")
+  }
+
   test("char_gram_hashes: shape + code-point windows + codegen==interpreted") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import graft.functions.CharGramHashes
