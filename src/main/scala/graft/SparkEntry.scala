@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.{Decontaminate, DedupGroups, ExactDedup, MinHashDedup, NGramJaccard, ParagraphDedup, SimHash, SpanScrub}
 import graft.functions.{BpeEncode, CountMinAggregator, CountMinSketch, NormalizeText, TextFunctions}
-import graft.ml.{Featurize, Sentiment}
+import graft.ml.{Featurize, QualityClassifier, Sentiment}
 import graft.multimodal.{Audio, AudioDedup, ImageDedup, Multimodal, Video, VideoDedup}
 import graft.operators.{Chunking, Debounce, Funnel, Intervals, Packing, Profile, Relational, Robust, Sampling, Tuning}
 import graft.search.{Bm25, Rrf}
@@ -82,6 +82,13 @@ object SparkEntry {
     * the cross-JVM file cache in `stagedBpeMerges`. */
   private val bpeMergesCache =
     new scala.collection.concurrent.TrieMap[String, Seq[String]]()
+
+  /** Loaded quality-classifier models per artifact path — the in-memory
+    * layer over q111's staged save/load (model loads spawn several small
+    * jobs; once per JVM is enough). */
+  private val qclfCache = new scala.collection.concurrent.TrieMap[String,
+    (org.apache.spark.ml.PipelineModel,
+      org.apache.spark.ml.classification.LogisticRegressionModel)]()
 
   /** True iff `path` holds a COMPLETE parquet write: parquet commits a
     * _SUCCESS marker last, so a staging dir left behind by a crashed
@@ -1668,6 +1675,39 @@ object SparkEntry {
         .unionByName(planted)
       VideoDedup.incrementalNearDupVideos(incMedia, s.read.parquet(idxPath),
         stride = 2, maxHamming = 3)
+    }),
+
+    // §2 row 127: classifier-based quality filter (the CCNet/GPT-3 data
+    // component, third leg of the quality triad after q23's heuristic and
+    // q77's LM perplexity): weak labels from the heuristic score's own
+    // terciles, LR on hashed TF-IDF (the no-driver-fit q36 featurizer),
+    // whole corpus scored. Rows-only: LR probabilities are
+    // float-iterative and engine-specific (the q14/q36/q50
+    // justification); QualityClassifierSpec pins planted
+    // fluent-vs-garbled separation.
+    // Model trained ONCE per (code, data) into the staged artifact cache
+    // (the q82 BPE precedent — train-once/score-many is the production
+    // shape); the declared work is the corpus-wide transform.
+    "q111_quality_classifier" -> ((s, dir) => {
+      val mPath = artifactPath("qclf", dir,
+        codeHash(QualityClassifier.getClass, Featurize.getClass,
+          graft.textstats.TextStats.getClass))
+      stageParquet(mPath) { tmp =>
+        val (feat, lr) = QualityClassifier.train(
+          spread(s, Tables.documents(s, dir)), "doc_id", "text")
+        feat.write.overwrite().save(tmp + "/feat")
+        lr.write.overwrite().save(tmp + "/lr")
+        // ML writers place _SUCCESS inside their subdirs; the staging
+        // gate wants one at the artifact root
+        new java.io.File(tmp, "_SUCCESS").createNewFile()
+      }
+      val (feat, lr) = qclfCache.getOrElseUpdate(mPath,
+        (org.apache.spark.ml.PipelineModel.load(mPath + "/feat"),
+          org.apache.spark.ml.classification.LogisticRegressionModel
+            .load(mPath + "/lr")))
+      QualityClassifier.score(
+        spread(s, Tables.documents(s, dir)), "doc_id", "text", feat, lr)
+        .withColumnRenamed("id", "doc_id")
     })
   )
 
