@@ -119,56 +119,88 @@ object SparkEntry {
     md.digest().take(6).map("%02x".format(_)).mkString
   }
 
-  /** Persistent (cross-JVM) staged-artifact path: keyed on the artifact
-    * kind+parameters, the operator bytecode hash, and the sanitized sfDir
-    * name — NOT the pid, and NOT deleted at exit. These artifacts are
-    * build-once inputs (pair graph, SRP index, BPE merge table) that a
-    * production pipeline persists next to the corpus; later cold JVMs
-    * re-read them instead of re-paying construction. Leakage is bounded:
-    * one dir per (kind, code version, sfDir), replaced when code changes. */
-  /** Fingerprint of the source data the artifact derives from: (name,
-    * length, mtime) of every parquet in `dir`. Regenerating the test data
-    * IN PLACE (same path, new content) therefore invalidates every staged
-    * artifact — without this, artifacts were keyed on the path string
-    * only and a rebuilt corpus would silently serve stale indexes. */
+  /** Fingerprint of the source data the artifact derives from: every
+    * regular file under `dir` (RECURSIVE — a Spark-written table is a
+    * DIRECTORY of part files whose top-level length/mtime barely move on
+    * rewrite) as (relative path, length, mtime). Regenerating the test
+    * data IN PLACE (same path, new content) therefore invalidates every
+    * staged artifact — without this, artifacts were keyed on the path
+    * string only and a rebuilt corpus would silently serve stale
+    * indexes. */
   private def dataStamp(dir: String): String = {
-    val files = Option(new java.io.File(dir).listFiles)
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val root = new java.io.File(dir)
     val md = java.security.MessageDigest.getInstance("MD5")
-    files.foreach(f => md.update(
-      s"${f.getName}:${f.length}:${f.lastModified}".getBytes("UTF-8")))
+    def visit(f: java.io.File): Unit =
+      if (f.isDirectory)
+        Option(f.listFiles).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).foreach(visit)
+      else md.update(
+        s"${root.toPath.relativize(f.toPath)}:${f.length}:${f.lastModified}"
+          .getBytes("UTF-8"))
+    visit(root)
     md.digest().map("%02x".format(_)).mkString.take(12)
   }
 
-  private def artifactPath(kind: String, dir: String, ver: String): String =
-    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_cache_${kind}_${ver}_${dataStamp(dir)}_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+  /** Persistent (cross-JVM) staged-artifact path: keyed on the artifact
+    * kind+parameters, the operator (+helper) bytecode hash, the source
+    * data stamp, and the sanitized sfDir name — NOT the pid, and NOT
+    * deleted at exit. These artifacts are build-once inputs (pair graph,
+    * SRP index, BPE merges, signature/postings indexes) a production
+    * pipeline persists next to the corpus; later cold JVMs re-read them
+    * instead of re-paying construction. Stale GENERATIONS (same kind+dir,
+    * older code or data) are best-effort deleted here, at the moment a
+    * new generation's path is minted — so tmp holds one live generation
+    * per (kind, sfDir) plus its small .lock file, not an unbounded
+    * history. */
+  private def artifactPath(kind: String, dir: String, ver: String): String = {
+    val dirSafe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val name = s"graft_cache_${kind}_${ver}_${dataStamp(dir)}_" + dirSafe
+    val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
+    Option(tmpRoot.listFiles).getOrElse(Array.empty[java.io.File])
+      .filter { f =>
+        val n = f.getName
+        n.startsWith(s"graft_cache_${kind}_") &&
+          (n.endsWith("_" + dirSafe) || n.endsWith("_" + dirSafe + ".lock") ||
+            n.endsWith("_" + dirSafe + ".txt")) &&
+          !n.startsWith(name)
+      }
+      .foreach(f => scala.util.Try(rmTree(f)))
+    java.nio.file.Paths.get(tmpRoot.getPath, name).toString
+  }
+
+  /** Per-path JVM-level monitors for the promote step: nio FileLocks are
+    * per-JVM, so two THREADS of one driver racing the same artifact would
+    * hit OverlappingFileLockException — same-JVM contention serializes
+    * here first, cross-JVM contention on the OS lock below. */
+  private val promoteMonitors =
+    new scala.collection.concurrent.TrieMap[String, Object]()
 
   /** Stage a parquet artifact at `path` exactly once across JVMs.
     * Concurrent drivers each write a pid-suffixed tmp dir; the PROMOTE
-    * step (recheck → clear stale dst → rename) runs under an OS advisory
-    * file lock, so a loser can never delete a winner's just-promoted
-    * complete artifact (the unguarded recheck/rmTree/rename had that
-    * window). FileLock releases on process death — no stale-lock mode.
-    * The `_SUCCESS` gate keeps crashed partial writes invisible. */
+    * step (recheck → clear stale dst → rename) runs under a JVM monitor
+    * plus an OS advisory file lock, so a loser can never delete a
+    * winner's just-promoted complete artifact (the unguarded
+    * recheck/rmTree/rename had that window). FileLock releases on process
+    * death — no stale-lock mode. The `_SUCCESS` gate keeps crashed
+    * partial writes invisible. */
   private def stageParquet(path: String)(write: String => Unit): Unit =
     if (!stagedOk(path)) {
       val tmp = path + ".tmp" + ProcessHandle.current().pid()
       write(tmp)
       val t = new java.io.File(tmp)
       val dst = new java.io.File(path)
-      val ch = java.nio.channels.FileChannel.open(
-        java.nio.file.Paths.get(path + ".lock"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      val lock = ch.lock()
-      try {
-        if (stagedOk(path)) rmTree(t) // lost the race to a complete write
-        else { rmTree(dst); if (!t.renameTo(dst)) sys.error(
-          s"stageParquet: cannot promote $tmp to $path") }
-      } finally { lock.release(); ch.close() }
+      promoteMonitors.getOrElseUpdate(path, new Object).synchronized {
+        val ch = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(path + ".lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        val lock = ch.lock()
+        try {
+          if (stagedOk(path)) rmTree(t) // lost the race to a complete write
+          else { rmTree(dst); if (!t.renameTo(dst)) sys.error(
+            s"stageParquet: cannot promote $tmp to $path") }
+        } finally { lock.release(); ch.close() }
+      }
     }
 
   /** The q18 n-gram Jaccard pair graph, written to the content-keyed
@@ -195,10 +227,15 @@ object SparkEntry {
     * construction). Cross-JVM twin of the pair-graph cache above; the
     * TrieMap keeps the parsed table per JVM. */
   private def stagedBpeMerges(s: SparkSession, dir: String,
-                              train: => Seq[String]): Seq[String] =
-    bpeMergesCache.getOrElseUpdate(dir, {
-      val f = new java.io.File(
-        artifactPath("bpe_m200s4d5000", dir, codeHash(Bpe.getClass, TextFunctions.getClass)) + ".txt")
+                              train: => Seq[String]): Seq[String] = {
+    // the in-memory layer is keyed on the STAMPED path (code + data), not
+    // the sfDir alone — a corpus regenerated under a long-lived JVM must
+    // miss here and consult the new on-disk generation (qclfCache already
+    // keys this way)
+    val stamped = artifactPath("bpe_m200s4d5000", dir,
+      codeHash(Bpe.getClass, TextFunctions.getClass)) + ".txt"
+    bpeMergesCache.getOrElseUpdate(stamped, {
+      val f = new java.io.File(stamped)
       if (f.exists()) {
         val src = scala.io.Source.fromFile(f, "UTF-8")
         try src.getLines().toList finally src.close()
@@ -214,6 +251,7 @@ object SparkEntry {
         merges
       }
     })
+  }
 
   // ---------------------------------------------------------------------
   // Queries (SparkSession, sfDir) => DataFrame
@@ -1528,12 +1566,18 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       // bounded driver read (one row): the wrap size, PLUS the contiguity
       // contract the oracle's modular join silently assumes — ids must be
-      // exactly 0..n-1 or engine and oracle diverge instead of failing
-      val st = docs.agg(count(lit(1)), min("doc_id"), max("doc_id")).head()
+      // exactly 0..n-1 or engine and oracle diverge instead of failing.
+      // countDistinct closes the duplicate-with-gap hole (count/min/max
+      // alone cannot tell {0,2,2} from {0,1,2}): n distinct values inside
+      // [0, n-1] is contiguity.
+      val st = docs.agg(count(lit(1)), count_distinct(col("doc_id")),
+        min("doc_id"), max("doc_id")).head()
       val n = st.getLong(0)
-      require(st.getLong(1) == 0L && st.getLong(2) == n - 1,
+      require(n > 0, "q103 requires a non-empty documents table")
+      require(st.getLong(1) == n && st.getLong(2) == 0L &&
+        st.getLong(3) == n - 1,
         s"q103 requires contiguous doc_ids 0..${n - 1}, got " +
-          s"[${st.getLong(1)}, ${st.getLong(2)}]")
+          s"${st.getLong(1)} distinct in [${st.getLong(2)}, ${st.getLong(3)}]")
       val clips = spread(s, docs.select(col("doc_id"))).as[Long]
         .mapPartitions(_.map { id =>
           (id, Seq(id, (id + 1) % n, (id + 2) % n)

@@ -145,8 +145,17 @@ object SimHash {
     // the two sides are identical here, but exchange reuse is best-effort
     // and AQE re-optimization can break it; persist makes the reuse a
     // contract, not a hope
-    val sig = signatures.select(col("id"), col("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    selfJoinPersisted(signatures.select(col("id"), col("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      maxHamming)
+  }
+
+  /** The self-join half of [[nearDuplicatesFromSignatures]] over an
+    * ALREADY-PERSISTED `(id, simhash)` frame — split out so
+    * [[incrementalNearDups]] can feed ONE cache entry to both of its
+    * legs (calling the public method would persist a second Project of
+    * the same rows: CacheManager matches analyzed plans, not data). */
+  private def selfJoinPersisted(sig: DataFrame, maxHamming: Int): DataFrame = {
     val chunked = chunk16(sig)
     chunked.as("l").join(chunked.as("r"),
         col("l.band") === col("r.band") &&
@@ -199,18 +208,23 @@ object SimHash {
     * ([[nearDuplicatesAgainstIndex]] — cross-batch pairs), PLUS
     * within-batch pairs from the ordinary self-join on the increment
     * alone, reoriented to the same (new_id, dup_id, hamming) schema. The
-    * probe projection is persisted ONCE here; the self-join leg's
-    * internal persist hits Spark's CacheManager plan-dedup, so a single
-    * cache entry serves both legs. Modality wrappers
-    * ([[graft.multimodal.ImageDedup.incrementalNearDupImages]] and the
-    * audio/video twins) are one renamed-column call each — the
-    * composition, orientation rule, and cache lifecycle live only here. */
+    * probe projection is persisted exactly ONCE here and feeds both legs
+    * ([[selfJoinPersisted]] exists so the within leg doesn't re-persist a
+    * second Project of the same rows). Cache contract: the Verify/Bench
+    * clearCache-per-query convention releases it; long-lived callers
+    * should `spark.catalog.clearCache()` after materializing. Modality
+    * wrappers ([[graft.multimodal.ImageDedup.incrementalNearDupImages]]
+    * and the audio/video twins) are one renamed-column call each — the
+    * composition, orientation rule, and cache lifecycle live only
+    * here. */
   def incrementalNearDups(indexSigs: DataFrame, probeSigs: DataFrame,
                           maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit chunk LSH is only complete for maxHamming <= 3, got $maxHamming")
     val probe = probeSigs.select(col("id"), col("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cross = nearDuplicatesAgainstIndex(indexSigs, probe, maxHamming)
-    val within = nearDuplicatesFromSignatures(probe, maxHamming)
+    val within = selfJoinPersisted(probe, maxHamming)
       .select(col("id_b").as("new_id"), col("id_a").as("dup_id"),
         col("hamming"))
     cross.unionByName(within)

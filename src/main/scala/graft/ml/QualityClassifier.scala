@@ -41,6 +41,8 @@ object QualityClassifier {
       : (PipelineModel, LogisticRegressionModel) = {
     require(labelQuantile > 0 && labelQuantile < 0.5,
       s"labelQuantile must be in (0, 0.5), got $labelQuantile")
+    // null text drops out of labeling naturally (null q_bp fails both
+    // quantile gates); the quantiles themselves ignore nulls too
     val scored = docs.select(col(idCol).as("id"), col(textCol).as("text"),
       TextStats.qualityScore(col(textCol)).as("q_bp"))
     // exact percentile (integral column) — deterministic weak-label gates
@@ -48,6 +50,13 @@ object QualityClassifier {
       s"percentile(q_bp, array($labelQuantile, ${1 - labelQuantile}))")
       .as("t")).head().getSeq[Double](0)
     val (lo, hi) = (thr(0), thr(1))
+    // lo == hi means both gates select the same mass and every labeled
+    // row would get label 1 — a silently degenerate all-"good" classifier
+    // on a low-variance (boilerplate-heavy) corpus; fail loudly instead
+    require(lo < hi,
+      s"quality distribution is degenerate (p$labelQuantile == " +
+        s"p${1 - labelQuantile} == $lo): weak labeling needs separable " +
+        "terciles — label from a trusted/raw corpus split instead")
     val labeled = scored
       .filter(col("q_bp") <= lo || col("q_bp") >= hi)
       .withColumn("label", when(col("q_bp") >= hi, 1.0).otherwise(0.0))
@@ -71,7 +80,11 @@ object QualityClassifier {
   def score(docs: DataFrame, idCol: String, textCol: String,
             featurizer: PipelineModel,
             model: LogisticRegressionModel): DataFrame = {
-    val scored = docs.select(col(idCol).as("id"), col(textCol).as("text"),
+    // NULL text featurizes as "" (spark.ml Tokenizer's udf NPEs on null,
+    // which would kill the whole job for one bad row); q_bp stays the raw
+    // column's score (null) so the caller can still see the row was empty
+    val scored = docs.select(col(idCol).as("id"),
+      coalesce(col(textCol), lit("")).as("text"),
       TextStats.qualityScore(col(textCol)).as("q_bp"))
     model.transform(featurizer.transform(scored))
       .select(col("id"), col("q_bp"),

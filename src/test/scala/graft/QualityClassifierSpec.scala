@@ -43,6 +43,18 @@ class QualityClassifierSpec extends SparkSpec {
     assert(garbled.forall(g => pred(g._1) == 0))
   }
 
+  test("NULL text scores as empty (no NPE) with a null q_bp") {
+    val docs = (fluent ++ garbled).toDF("doc_id", "text")
+      .unionByName(Seq((999L, Option.empty[String])).toDF("doc_id", "text"))
+    val out = QualityClassifier.trainScore(docs, "doc_id", "text",
+      numFeatures = 512)
+    val row = out.filter(col("id") === 999L).collect().head
+    assert(row.isNullAt(row.fieldIndex("q_bp")),
+      "null text must keep a null heuristic score")
+    val p = row.getAs[Long]("p_good_uu")
+    assert(p >= 0L && p <= 1000000L, s"null-text probability bounds: $p")
+  }
+
   test("labelQuantile is validated") {
     val docs = fluent.toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
