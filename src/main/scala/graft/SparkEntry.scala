@@ -13,7 +13,7 @@ import graft.search.{Bm25, Rrf}
 import graft.similarity.{Ann, Centroids, KnnLabel, SemanticScreen}
 import graft.sources.Tables
 import graft.streaming.{ScoringStream, Sessionize}
-import graft.textstats.{Boilerplate, Bpe, Keywords, LmScore, Pii, Repetition, TextStats, Urls}
+import graft.textstats.{Boilerplate, Bpe, Collocations, Keywords, LmScore, Pii, Repetition, TextStats, Urls}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator ↔ query map. */
 object SparkEntry {
@@ -1752,7 +1752,15 @@ object SparkEntry {
       QualityClassifier.score(
         spread(s, Tables.documents(s, dir)), "doc_id", "text", feat, lr)
         .withColumnRenamed("id", "doc_id")
-    })
+    }),
+
+    // §2 row 128: PMI collocation mining — adjacent word pairs co-occurring
+    // far above chance (tokenizer/vocab design, boilerplate phrase
+    // discovery). Counts int64; the ratio is one IEEE double expression
+    // and the single ln·10⁶ floor carries the documented q77 ulp caveat.
+    "q112_pmi_collocations" -> ((s, dir) =>
+      Collocations.pmiBigrams(
+        spread(s, Tables.documents(s, dir)), "text", minCount = 5L))
   )
 
   // ---------------------------------------------------------------------
@@ -2048,6 +2056,28 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN cos_uu >= 900000 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
         |       CAST(CASE WHEN max(cos_uu) >= 900000 THEN 1 ELSE 0 END AS INT) AS contaminated
         |FROM p GROUP BY id""".stripMargin,
+
+    // Bigram/unigram counts over the same token recurrence; the PMI ratio
+    // is the identical one-expression double (casts in the same places →
+    // bit-identical IEEE), floored at micro-precision (q77 ulp caveat).
+    "q112_pmi_collocations" -> {
+      val toks = tokensSql("text")
+      s"WITH t AS (SELECT $toks AS toks FROM documents), " +
+        "pr AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM " +
+        "(SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t) " +
+        "WHERE toks[i] <> '' AND toks[i+1] <> ''), " +
+        "c12 AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY w1, w2 " +
+        "HAVING count(*) >= 5), " +
+        "uni AS (SELECT w, count(*) AS c FROM " +
+        "(SELECT unnest(toks) AS w FROM t) WHERE w <> '' GROUP BY w), " +
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni) " +
+        "SELECT c12.w1, c12.w2, CAST(c12 AS BIGINT) AS c12, " +
+        "CAST(floor(ln((CAST(c12 AS DOUBLE) * CAST(n_tok AS DOUBLE)) / " +
+        "(CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))) * 1000000) AS BIGINT) AS pmi_u " +
+        "FROM c12 " +
+        "JOIN uni u1 ON u1.w = c12.w1 " +
+        "JOIN uni u2 ON u2.w = c12.w2, tot"
+    },
 
     // The scrub replayed on gram STRINGS (hash equality ≈ gram equality,
     // the q84 argument): positional grams via the parallel-unnest zip (the

@@ -1,0 +1,61 @@
+package graft.textstats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** PMI collocation mining — which adjacent word pairs co-occur far more
+  * than chance (Church & Hanks 1990): the corpus-analysis step behind
+  * tokenizer/vocabulary design (multi-word units worth single tokens),
+  * boilerplate phrase discovery, and feature engineering. PMI(w1, w2) =
+  * ln(P(w1,w2) / (P(w1)·P(w2))) = ln(c12·N / (c1·c2)).
+  *
+  * Exactness: counts are int64; the ratio is computed in DOUBLE as
+  * (c12·N)/(c1·c2) with every count cast first — IEEE multiply/divide on
+  * identical operands is bit-identical across engines, so the single
+  * ln·10⁶ floor carries the one documented ulp risk (the q77/LmScore
+  * statement). The c12 ≥ minCount gate kills the low-count noise PMI is
+  * notorious for AND bounds the output.
+  *
+  * Scale shape: two map-side-combined count aggregations (bigrams,
+  * unigrams — both vocabulary-bounded after combine, so the exchanges
+  * carry (string, count) rows, not token instances), the corpus total as
+  * a broadcast single-row crossJoin, and the unigram joins left to AQE
+  * (vocabulary can exceed broadcast at corpus scale — the Keywords
+  * reasoning). Bigram enumeration is IN-ROW (zip of the token array with
+  * its own tail) — no positional explode-join.
+  */
+object Collocations {
+
+  /** (w1, w2, c12, pmi_u): every adjacent pair occurring ≥ `minCount`
+    * times, with integer-micro PMI. */
+  def pmiBigrams(docs: DataFrame, textCol: String,
+                 minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = TextFunctions.tokens(col(textCol))
+    // adjacent pairs via the array zipped with its own tail, in the row
+    val tail1 = greatest(size(toks) - 1, lit(0))
+    val pairs = docs.select(explode(zip_with(
+      slice(toks, lit(1), tail1),
+      slice(toks, lit(2), tail1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val uni = docs.select(explode(toks).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum("c").as("n_tok"))
+    c12
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_u", floor(log(
+        (col("c12").cast("double") * col("n_tok").cast("double")) /
+          (col("c1").cast("double") * col("c2").cast("double"))) * 1e6)
+        .cast("long"))
+      .select("w1", "w2", "c12", "pmi_u")
+  }
+}

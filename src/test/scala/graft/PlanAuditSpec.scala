@@ -94,10 +94,12 @@ class PlanAuditSpec extends SparkSpec {
       "q105_hybrid_rrf",    // dense half IS q20's exempt brute-force
                             // baseline (the lexical half probes the staged
                             // impact index — no stats attach in-plan)
-      "q106_semantic_screen" // the exact decontamination screen IS the
+      "q106_semantic_screen", // the exact decontamination screen IS the
                             // deliberate refs-broadcast nested loop (q20's
                             // shape); SemanticScreenSpec pins exactly one
                             // BNLJ with the refs as build side
+      "q112_pmi_collocations" // single-row corpus-total broadcast
+                            // crossJoin (the q10 histogram precedent)
     )
     val heavy = Set("q13_tf_topterms", "q14_svm_predict", "q15_stream_agg")
     SparkEntry.queries.keys
