@@ -1760,7 +1760,18 @@ object SparkEntry {
     // and the single ln·10⁶ floor carries the documented q77 ulp caveat.
     "q112_pmi_collocations" -> ((s, dir) =>
       Collocations.pmiBigrams(
-        spread(s, Tables.documents(s, dir)), "text", minCount = 5L))
+        spread(s, Tables.documents(s, dir)), "text", minCount = 5L)),
+
+    // §2 row 129: quality-aware canonical selection — q44's group
+    // resolution with the survivor chosen by the q23 quality score
+    // (id tie-break) instead of min id: a truncated near-dup loses to
+    // the cleanest member regardless of arrival order. Same staged pair
+    // graph, exact recursive-CTE oracle with the same window.
+    "q113_canonical_best" -> ((s, dir) =>
+      DedupGroups.canonicalizeBest(Tables.documents(s, dir),
+        stagedSimilarPairs(s, dir), "doc_id", "id_a", "id_b",
+        TextStats.qualityScore(col("text")))
+        .select("doc_id", "source", "n_chars"))
   )
 
   // ---------------------------------------------------------------------
@@ -2394,6 +2405,23 @@ object SparkEntry {
     "q44_canonical_docs" ->
       (ccSqlPrefix + "SELECT doc_id, source, n_chars FROM documents " +
         "WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> comp)"),
+
+    // Same components, survivor = max quality (q23's exact expression)
+    // with id ascending tie-break — the identical total order windowed
+    // in both engines.
+    "q113_canonical_best" -> {
+      val toks = s"regexp_split_to_array(lower(trim(d.text)), '\\s+')"
+      val hits = s"len(list_filter($toks, t -> list_contains($stopListSql, t)))"
+      val qs = s"CAST(FLOOR(CAST(LEAST(length(d.text), 500) * 20 AS DOUBLE) * " +
+        s"CAST(len($toks) - $hits AS DOUBLE) / CAST(len($toks) AS DOUBLE)) AS BIGINT)"
+      ccSqlPrefix +
+        s", m AS (SELECT cc.id, cc.comp, $qs AS qs " +
+        "FROM cc JOIN documents d ON d.doc_id = cc.id), " +
+        "lose AS (SELECT id FROM (SELECT id, row_number() OVER " +
+        "(PARTITION BY comp ORDER BY qs DESC, id ASC) AS rk FROM m) WHERE rk > 1) " +
+        "SELECT doc_id, source, n_chars FROM documents " +
+        "WHERE doc_id NOT IN (SELECT id FROM lose)"
+    },
 
     // quality uses RAW lowercased whitespace tokens (mirrors q23);
     // distinct_bp uses CLEANED tokens (mirrors q39) — two deliberate

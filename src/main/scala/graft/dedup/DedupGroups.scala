@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -196,6 +197,34 @@ object DedupGroups {
     // cuts its lineage, so the loop's persisted label frame can be released
     // here instead of leaking one cache entry per canonicalize call
     val dropIds = cc.filter(col("id") =!= col("comp"))
+      .select(col("id").as("__drop_id"))
+      .localCheckpoint()
+    cc.unpersist()
+    df.join(dropIds, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
+  /** [[canonicalize]] with the survivor chosen by QUALITY, not id: per
+    * near-dup group, the member maximizing `score` survives (id ascending
+    * tie-break — a total order, so oracle-replayable). This is what
+    * production dedup actually wants: an exact re-upload should lose to
+    * the earlier copy, but a truncated or boilerplate-wrapped near-dup
+    * should lose to the cleanest member regardless of arrival order.
+    *
+    * Scale shape: only GROUP MEMBERS (ids appearing in a pair) enter the
+    * score join and the per-component window — partition size is one
+    * dup group, never the corpus — and the final left-anti join ships
+    * just the loser id set; rows in no pair never shuffle at all. */
+  def canonicalizeBest(df: DataFrame, pairs: DataFrame, idCol: String,
+                       aCol: String, bCol: String,
+                       score: Column): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val members = df.select(col(idCol).cast("long").as("id"),
+      score.as("__score")).join(cc, "id")
+    val w = Window.partitionBy("comp")
+      .orderBy(desc("__score"), asc("id"))
+    val dropIds = members
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1)
       .select(col("id").as("__drop_id"))
       .localCheckpoint()
     cc.unpersist()

@@ -80,6 +80,20 @@ class DedupGroupsSpec extends SparkSpec {
     assert(kept == Set(1L, 10L, 99L))
   }
 
+  test("canonicalizeBest keeps the max-score member (id tie-break), " +
+    "singletons untouched") {
+    val df = Seq(
+      (1L, 10L), (2L, 30L), (3L, 20L), // group {1,2,3}: 2 wins on score
+      (10L, 5L), (11L, 5L),            // group {10,11}: tie → min id 10
+      (99L, 1L))                       // singleton: survives regardless
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = DedupGroups.canonicalizeBest(df, pairs, "doc_id",
+      "id_a", "id_b", col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 10L, 99L), s"got $kept")
+  }
+
   test("plan: label rounds are hash joins, never all-pairs") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     assertNoCartesian(DedupGroups.connectedComponents(pairs, "a", "b"))
