@@ -1771,7 +1771,14 @@ object SparkEntry {
       DedupGroups.canonicalizeBest(Tables.documents(s, dir),
         stagedSimilarPairs(s, dir), "doc_id", "id_a", "id_b",
         TextStats.qualityScore(col("text")))
-        .select("doc_id", "source", "n_chars"))
+        .select("doc_id", "source", "n_chars")),
+
+    // §2 row 130: cross-source duplication matrix — near-dup pairs per
+    // unordered (source, source) combination from the staged pair graph;
+    // the overlap audit behind mixture-weight decisions.
+    "q114_cross_source_dups" -> ((s, dir) =>
+      DedupGroups.crossSourceMatrix(stagedSimilarPairs(s, dir),
+        Tables.documents(s, dir), "doc_id", "source"))
   )
 
   // ---------------------------------------------------------------------
@@ -2405,6 +2412,17 @@ object SparkEntry {
     "q44_canonical_docs" ->
       (ccSqlPrefix + "SELECT doc_id, source, n_chars FROM documents " +
         "WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> comp)"),
+
+    // The pair graph's endpoints joined to their sources, canonically
+    // ordered, counted.
+    "q114_cross_source_dups" ->
+      (s"WITH pr AS ($ngramPairsSql), " +
+        "j AS (SELECT LEAST(da.source, db.source) AS source_a, " +
+        "GREATEST(da.source, db.source) AS source_b FROM pr " +
+        "JOIN documents da ON da.doc_id = pr.id_a " +
+        "JOIN documents db ON db.doc_id = pr.id_b) " +
+        "SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs " +
+        "FROM j GROUP BY source_a, source_b"),
 
     // Same components, survivor = max quality (q23's exact expression)
     // with id ascending tie-break — the identical total order windowed

@@ -231,6 +231,32 @@ object DedupGroups {
     df.join(dropIds, col(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** Cross-source duplication matrix: how many near-dup pairs straddle
+    * each (source, source) combination — the analysis behind dataset
+    * mixing decisions (a web slice that heavily duplicates the books
+    * slice should not get independent mixture weight) and crawl-overlap
+    * audits. Sources are canonically ordered (least first) so each
+    * unordered pair counts once. Scale shape: the pair graph is the
+    * already-bounded candidate set; two id-keyed joins attach sources
+    * (the doc side prunable to (id, source)), then a vocabulary-bounded
+    * groupBy — nothing corpus-sized shuffles beyond the (id, source)
+    * projection. */
+  def crossSourceMatrix(pairs: DataFrame, docs: DataFrame, idCol: String,
+                        srcCol: String, aCol: String = "id_a",
+                        bCol: String = "id_b"): DataFrame = {
+    val src = docs.select(col(idCol).cast("long").as("__id"),
+      col(srcCol).as("__src"))
+    pairs
+      .join(src, col(aCol).cast("long") === col("__id"))
+      .withColumnRenamed("__src", "src_a").drop("__id")
+      .join(src, col(bCol).cast("long") === col("__id"))
+      .withColumnRenamed("__src", "src_b").drop("__id")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Triangle census of the pair graph: (n_edges, n_wedges, n_triangles,
     * clustering_bp) in one row — the global clustering coefficient
     * 3·triangles/wedges in basis points. The diagnosis this buys for

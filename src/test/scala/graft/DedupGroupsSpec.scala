@@ -94,6 +94,19 @@ class DedupGroupsSpec extends SparkSpec {
     assert(kept == Set(2L, 10L, 99L), s"got $kept")
   }
 
+  test("crossSourceMatrix: canonical source order, unordered pairs " +
+    "counted once") {
+    val docs = Seq((1L, "web"), (2L, "books"), (3L, "web"), (4L, "code"))
+      .toDF("doc_id", "source")
+    // (web,books) twice — once in each orientation — plus (web,web)
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = DedupGroups.crossSourceMatrix(pairs, docs, "doc_id", "source")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Long]("n_pairs"))).toMap
+    assert(got == Map(("books", "web") -> 2L, ("web", "web") -> 1L),
+      s"got $got")
+  }
+
   test("plan: label rounds are hash joins, never all-pairs") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     assertNoCartesian(DedupGroups.connectedComponents(pairs, "a", "b"))
