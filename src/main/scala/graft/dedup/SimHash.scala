@@ -217,6 +217,20 @@ object SimHash {
     * and the audio/video twins) are one renamed-column call each — the
     * composition, orientation rule, and cache lifecycle live only
     * here. */
+  /** Commit a batch's `(id, simhash)` signatures into a persisted index
+    * table (parquet append) — the WRITE half of the incremental loop:
+    * probe today's batch with [[incrementalNearDups]], act on the pairs,
+    * then commit the batch here so tomorrow's probe sees today's
+    * documents. Appending parquet files is atomic at file granularity
+    * and never rewrites history, so the index grows by exactly the
+    * increment — at 100 TB the index table is only ever appended and
+    * scanned, never shuffled. NOTE: for user-owned index tables, not the
+    * engine's content-hash staged artifacts (those are pure functions of
+    * (code, data) and must not be mutated). */
+  def appendToIndex(sigs: DataFrame, path: String): Unit =
+    sigs.select(col("id"), col("simhash"))
+      .write.mode("append").parquet(path)
+
   def incrementalNearDups(indexSigs: DataFrame, probeSigs: DataFrame,
                           maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,

@@ -165,6 +165,35 @@ class DedupSpec extends SparkSpec {
     assertNoCartesian(out)
   }
 
+  test("two-day ingest loop: append day-1 signatures, day-2 probe sees " +
+    "day-1 docs") {
+    import graft.dedup.SimHash
+    // day 0: corpus signed into a persisted index table
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_ingest_loop_spec").toString
+    val sig = (c: org.apache.spark.sql.DataFrame) =>
+      SimHash.signatures(c, "id", "text")
+    SimHash.appendToIndex(sig(corpus), idxDir)
+    // day 1: fresh docs probe (no dups), then COMMIT them to the index
+    val day1 = Seq(
+      (101L, "day one document about completely novel subject matter here"),
+      (102L, "another fresh day one document on a different novel topic"))
+      .toDF("id", "text")
+    val p1 = SimHash.incrementalNearDups(
+      spark.read.parquet(idxDir), sig(day1))
+    assert(!p1.select("dup_id").as[Long].collect().exists(_ >= 100L))
+    SimHash.appendToIndex(sig(day1), idxDir)
+    // day 2: a re-upload of a DAY-1 doc must now hit the index
+    val day2 = Seq(
+      (201L, "day one document about completely novel subject matter here"))
+      .toDF("id", "text")
+    val p2 = SimHash.incrementalNearDups(
+      spark.read.parquet(idxDir), sig(day2))
+      .select("new_id", "dup_id").as[(Long, Long)].collect().toSet
+    assert(p2.contains((201L, 101L)),
+      s"day-2 probe must see the committed day-1 doc: $p2")
+  }
+
   test("incremental dedup probes the corpus index without shuffling it") {
     val corpusSets = MinHashDedup.shingleSets(corpus, "id", "text", 3)
     val increment = Seq((11L, "the quick brown fox jumps over the lazy " +
