@@ -218,8 +218,12 @@ object DedupGroups {
                        aCol: String, bCol: String,
                        score: Column): DataFrame = {
     val cc = connectedComponents(pairs, aCol, bCol)
-    val members = df.select(col(idCol).cast("long").as("id"),
-      score.as("__score")).join(cc, "id")
+    // join BEFORE projecting the score: the quality expression is the
+    // dominant per-row cost and must run over group members only, not
+    // the corpus (a select-then-join would push the Project below the
+    // join and score every row)
+    val members = df.join(cc, col(idCol).cast("long") === cc("id"))
+      .select(cc("id"), cc("comp"), score.as("__score"))
     val w = Window.partitionBy("comp")
       .orderBy(desc("__score"), asc("id"))
     val dropIds = members

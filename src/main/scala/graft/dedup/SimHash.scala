@@ -217,6 +217,19 @@ object SimHash {
     * and the audio/video twins) are one renamed-column call each — the
     * composition, orientation rule, and cache lifecycle live only
     * here. */
+  def incrementalNearDups(indexSigs: DataFrame, probeSigs: DataFrame,
+                          maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit chunk LSH is only complete for maxHamming <= 3, got $maxHamming")
+    val probe = probeSigs.select(col("id"), col("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cross = nearDuplicatesAgainstIndex(indexSigs, probe, maxHamming)
+    val within = selfJoinPersisted(probe, maxHamming)
+      .select(col("id_b").as("new_id"), col("id_a").as("dup_id"),
+        col("hamming"))
+    cross.unionByName(within)
+  }
+
   /** Commit a batch's `(id, simhash)` signatures into a persisted index
     * table (parquet append) — the WRITE half of the incremental loop:
     * probe today's batch with [[incrementalNearDups]], act on the pairs,
@@ -230,17 +243,4 @@ object SimHash {
   def appendToIndex(sigs: DataFrame, path: String): Unit =
     sigs.select(col("id"), col("simhash"))
       .write.mode("append").parquet(path)
-
-  def incrementalNearDups(indexSigs: DataFrame, probeSigs: DataFrame,
-                          maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"4x16-bit chunk LSH is only complete for maxHamming <= 3, got $maxHamming")
-    val probe = probeSigs.select(col("id"), col("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cross = nearDuplicatesAgainstIndex(indexSigs, probe, maxHamming)
-    val within = selfJoinPersisted(probe, maxHamming)
-      .select(col("id_b").as("new_id"), col("id_a").as("dup_id"),
-        col("hamming"))
-    cross.unionByName(within)
-  }
 }

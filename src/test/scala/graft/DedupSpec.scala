@@ -181,7 +181,10 @@ class DedupSpec extends SparkSpec {
       .toDF("id", "text")
     val p1 = SimHash.incrementalNearDups(
       spark.read.parquet(idxDir), sig(day1))
-    assert(!p1.select("dup_id").as[Long].collect().exists(_ >= 100L))
+    // both fresh docs are novel and distinct: NO pairs at all — an
+    // id-range check would be vacuous for the cross-batch leg (corpus
+    // dup_ids are < 100 by construction)
+    assert(p1.count() == 0, s"day-1 probe must be clean: ${p1.collect().toSeq}")
     SimHash.appendToIndex(sig(day1), idxDir)
     // day 2: a re-upload of a DAY-1 doc must now hit the index
     val day2 = Seq(
