@@ -1799,8 +1799,13 @@ object SparkEntry {
     val idxPath = artifactPath("bm25_idx", dir,
       codeHash(Bm25.getClass, TextFunctions.getClass))
     stageParquet(idxPath) { tmp =>
+      // token-sorted layout: parquet min/max row-group stats line up with
+      // the probe's pushed IN(token) filter, so selective query workloads
+      // read only their terms' postings
       Bm25.buildImpactIndex(spread(s, Tables.documents(s, dir)),
         "doc_id", "text")
+        .repartitionByRange(8, col("token"))
+        .sortWithinPartitions("token")
         .write.mode("overwrite").parquet(tmp)
     }
     idxPath

@@ -164,12 +164,28 @@ object Bm25 {
     * scores are Σ w_u over the query's terms, bit-identical to [[topK]]
     * on the corpus the index was built from (SearchSpec pins the
     * equality). Query terms broadcast onto the postings scan; self-pairs
-    * (query_id == doc_id) are excluded, mirroring [[scoreAll]]. */
+    * (query_id == doc_id) are excluded, mirroring [[scoreAll]].
+    *
+    * Scan pruning: the distinct query-term set is collected (a bounded
+    * driver read — `queries` must broadcast by contract, so its
+    * vocabulary is small) and pushed into the index scan as an IN
+    * filter. A broadcast join alone reads EVERY posting row; the pushed
+    * filter reaches the parquet reader, and against a token-sorted index
+    * layout (see the staged q109 write) min/max row-group stats skip
+    * everything but the query terms' postings — the difference between
+    * scanning 100 TB of postings and scanning the few row groups a query
+    * workload touches. Sets larger than `maxPushdownTerms` skip the
+    * collect and fall back to the plain broadcast join. */
   def searchIndex(index: DataFrame, queries: DataFrame, qIdCol: String,
-                  qTextCol: String, k: Int): DataFrame = {
+                  qTextCol: String, k: Int,
+                  maxPushdownTerms: Int = 10000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val qterms = queryTerms(queries, qIdCol, qTextCol)
-    rankTopK(index.join(broadcast(qterms), "token")
+    val terms = qterms.select("token").distinct()
+      .limit(maxPushdownTerms + 1).collect().map(_.getString(0))
+    val scan = if (terms.length <= maxPushdownTerms)
+      index.filter(col("token").isin(terms.toSeq: _*)) else index
+    rankTopK(scan.join(broadcast(qterms), "token")
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy("query_id", "doc_id")
       .agg(sum("w_u").as("score_u")), k)

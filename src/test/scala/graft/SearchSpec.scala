@@ -106,6 +106,20 @@ class SearchSpec extends SparkSpec {
     assert(direct.count() > 0)
   }
 
+  test("index probe pushes the query-term IN filter to the parquet scan") {
+    val corpus = docsDf((0L until 30L).map(i =>
+      i -> s"doc $i mentions term$i plus shared filler words here"): _*)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_push_spec").toString
+    Bm25.buildImpactIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(idxDir)
+    val plan = Bm25.searchIndex(spark.read.parquet(idxDir),
+      docsDf(100L -> "term3 filler"), "doc_id", "text", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"query terms must reach the postings scan as a pushed filter:\n$plan")
+  }
+
   test("RRF fusion arithmetic is the exact integer sum of both lists") {
     val l1 = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
     val l2 = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "doc_id", "rank")
