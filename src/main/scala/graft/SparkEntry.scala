@@ -1778,7 +1778,16 @@ object SparkEntry {
     // the overlap audit behind mixture-weight decisions.
     "q114_cross_source_dups" -> ((s, dir) =>
       DedupGroups.crossSourceMatrix(stagedSimilarPairs(s, dir),
-        Tables.documents(s, dir), "doc_id", "source"))
+        Tables.documents(s, dir), "doc_id", "source")),
+
+    // §2 row 131: LONG duplicated spans — Lee et al. §4 at the published
+    // 50-token length: maximal runs of corpus-duplicated 8-gram starts,
+    // reported as (doc, start, end, tokens) spans. Gram counting is q108's
+    // hash shuffle; the run window sees only duplicated starts (ints).
+    "q115_long_spans" -> ((s, dir) =>
+      SpanScrub.longDuplicateSpans(spread(s, Tables.documents(s, dir)),
+        "doc_id", "text", k = 8, minTokens = 50)
+        .withColumnRenamed("id", "doc_id"))
   )
 
   // ---------------------------------------------------------------------
@@ -2444,6 +2453,31 @@ object SparkEntry {
         "(PARTITION BY comp ORDER BY qs DESC, id ASC) AS rk FROM m) WHERE rk > 1) " +
         "SELECT doc_id, source, n_chars FROM documents " +
         "WHERE doc_id NOT IN (SELECT id FROM lose)"
+    },
+
+    // The run-length replay on gram STRINGS (hash equality ≈ gram
+    // equality, the q84/q108 argument): duplicated starts via the q108
+    // gram construction, runs via the same p − row_number() trick,
+    // 1-based here vs 0-based in the engine (converted on output).
+    "q115_long_spans" -> {
+      val g8 = (1 to 8).map(j => s"toks[i+${j - 1}]").mkString(" || ' ' || ")
+      s"WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents), " +
+        "g0 AS (SELECT doc_id, len(toks) AS nt, CASE WHEN len(toks) >= 8 " +
+        s"THEN list_transform(generate_series(1, len(toks) - 7), i -> $g8) " +
+        "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), " +
+        "pg AS (SELECT doc_id, nt, unnest(generate_series(1, len(grams))) AS p, " +
+        "unnest(grams) AS gram FROM g0), " +
+        "occ AS (SELECT gram, count(*) AS occ FROM pg GROUP BY gram), " +
+        "ds AS (SELECT pg.doc_id, pg.nt, pg.p FROM pg " +
+        "JOIN occ USING (gram) WHERE occ.occ >= 2), " +
+        "r AS (SELECT doc_id, nt, p, p - row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY p) AS grp FROM ds), " +
+        "sp AS (SELECT doc_id, min(p) AS p1, max(p) AS p2, max(nt) AS nt " +
+        "FROM r GROUP BY doc_id, grp) " +
+        "SELECT doc_id, CAST(p1 - 1 AS INT) AS span_start, " +
+        "CAST(LEAST(p2 + 7, nt) - 1 AS INT) AS span_end, " +
+        "CAST(LEAST(p2 + 7, nt) - p1 + 1 AS INT) AS span_tok " +
+        "FROM sp WHERE LEAST(p2 + 7, nt) - p1 + 1 >= 50"
     },
 
     // quality uses RAW lowercased whitespace tokens (mirrors q23);

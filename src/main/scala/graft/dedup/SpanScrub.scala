@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -72,5 +73,51 @@ object SpanScrub {
           .as("clean_text"),
         size(col("toks")).as("n_tok"),
         (size(col("toks")) - size(col("kept"))).as("n_removed"))
+  }
+
+  /** LONG duplicated spans — the detection half of Lee et al. §4 at their
+    * published span length (50 tokens): one row `(doc_id, span_start,
+    * span_end, span_tok)` per maximal run of corpus-duplicated `k`-gram
+    * starts covering ≥ `minTokens` tokens (positions 0-based inclusive).
+    * A duplicated substring of length L ≥ `minTokens` produces L−k+1
+    * consecutive duplicated starts, so no qualifying span is missed; a
+    * run whose grams match DIFFERENT partners can chain into one reported
+    * span (the documented over-approximation every gram-seeded distributed
+    * variant of the suffix-array pass accepts — the union is still exactly
+    * the text [[scrubDuplicateSpans]] would delete at gram size k).
+    *
+    * Scale shape: gram counting is the q108 pass (hash shuffle, map-side
+    * combined); run detection windows ONLY the duplicated starts — the
+    * exchange carries (id, p, nt) ints bounded by the duplicated-position
+    * count, and the per-doc partition is bounded by doc length, never the
+    * corpus. Short docs (< k tokens) collapse to a whole-doc gram whose
+    * span is nt < k ≤ `minTokens` tokens and never qualifies. */
+  def longDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, minTokens: Int = 50): DataFrame = {
+    require(k >= 2, s"span gram size must be >= 2, got $k")
+    require(minTokens >= k,
+      s"minTokens must be >= gram size $k, got $minTokens")
+    val spark = docs.sparkSession
+    val posGrams = docs
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("id"), size(col("toks")).as("nt"),
+        posexplode(graft.functions.ShingleHashes(spark, col("toks"), k)))
+      .withColumnsRenamed(Map("pos" -> "p", "col" -> "g"))
+    val occ = posGrams.groupBy("g").agg(count(lit(1)).as("occ"))
+    val dupStarts = posGrams.join(occ, "g")
+      .filter(col("occ") >= 2)
+      .select("id", "nt", "p")
+    // p − row_number() is constant exactly within a run of consecutive
+    // duplicated starts; a run p1..p2 covers tokens p1..min(p2+k−1, nt−1)
+    val run = Window.partitionBy("id").orderBy("p")
+    dupStarts
+      .withColumn("grp", col("p") - row_number().over(run))
+      .groupBy("id", "grp")
+      .agg(min("p").as("span_start"), max("p").as("p2"), max("nt").as("nt"))
+      .withColumn("span_end", least(col("p2") + lit(k - 1), col("nt") - 1))
+      .withColumn("span_tok", col("span_end") - col("span_start") + 1)
+      .filter(col("span_tok") >= minTokens)
+      .select(col("id"), col("span_start"), col("span_end"), col("span_tok"))
   }
 }

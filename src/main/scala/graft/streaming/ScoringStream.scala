@@ -208,6 +208,29 @@ object ScoringStream {
       .select(col("id"), unix_micros(col("window.start")).as("window_start_us"))
   }
 
+  /** Streaming signature COMMIT — the streaming twin of
+    * [[graft.dedup.SimHash.appendToIndex]], closing the incremental-dedup
+    * write half for live feeds: sign each arriving document per-row (the
+    * zero-exchange [[graft.dedup.SimHash.signatures]] expression — no
+    * state, no shuffle) and append `(id, simhash)` to the persisted index
+    * table with exactly-once checkpointing. Tomorrow's batch (or stream)
+    * probes the same table via `nearDuplicatesAgainstIndex` — the full
+    * ingest loop (probe → act → commit) now runs without any batch job in
+    * the write path.
+    *
+    * Table ownership: the parquet STREAM sink publishes committed files
+    * through its `_spark_metadata` log, which is what makes restart
+    * exactly-once (a retried microbatch re-lists, never double-appends) —
+    * but readers then see ONLY log-listed files, so a stream-committed
+    * index dir must not also take batch [[graft.dedup.SimHash
+    * .appendToIndex]] appends (those files would be invisible). One
+    * writer regime per index table; both regimes read identically via
+    * `spark.read.parquet`. */
+  def commitSignaturesStream(docs: DataFrame, idCol: String, textCol: String,
+                             indexPath: String, checkpoint: String): Unit =
+    runToParquet(graft.dedup.SimHash.signatures(docs, idCol, textCol),
+      indexPath, checkpoint)
+
   /** Production file sink: append the streaming frame to a parquet
     * directory with exactly-once checkpointing, draining everything
     * currently available (AvailableNow) before returning. Restarting with

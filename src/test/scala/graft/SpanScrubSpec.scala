@@ -66,4 +66,63 @@ class SpanScrubSpec extends SparkSpec {
     assert(df.select("id").distinct().count() == 30)
     assertNoCartesian(df)
   }
+
+  // -------------------------------------------------------------------
+  // longDuplicateSpans — the detection half at Lee-et-al span lengths
+  // -------------------------------------------------------------------
+
+  private def spans(minTokens: Int, rows: (Long, String)*) =
+    SpanScrub.longDuplicateSpans(
+      rows.toDF("id", "text"), "id", "text", k = 4, minTokens = minTokens)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Int]("span_tok")))
+      .toSet
+
+  test("a planted long span is reported in both docs with exact bounds") {
+    val shared = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val out = spans(10,
+      1L -> s"pre1 pre2 $shared post1",
+      2L -> s"$shared tail1 tail2 tail3",
+      3L -> "nothing duplicated in this one at all")
+    // doc 1: span covers tokens 2..11; doc 2: tokens 0..9
+    assert(out == Set((1L, 2, 11, 10), (2L, 0, 9, 10)), s"got $out")
+  }
+
+  test("spans shorter than minTokens are not reported") {
+    val shared = "alpha beta gamma delta epsilon" // 5 tokens
+    val out = spans(6,
+      1L -> s"one two $shared three",
+      2L -> s"$shared four five six")
+    assert(out.isEmpty, s"got $out")
+  }
+
+  test("two separate duplicated runs in one doc yield two span rows") {
+    val a = (1 to 6).map(i => s"aa$i").mkString(" ")
+    val b = (1 to 6).map(i => s"bb$i").mkString(" ")
+    val out = spans(6,
+      1L -> s"$a gap1 gap2 gap3 $b",
+      2L -> s"$a x1 x2 x3 x4 x5 $b")
+    assert(out.count(_._1 == 1L) == 2, s"doc 1 must carry two spans: $out")
+    assert(out.count(_._1 == 2L) == 2, s"doc 2 must carry two spans: $out")
+    // doc 1: aa-run at 0..5, bb-run at 9..14
+    assert(out.contains((1L, 0, 5, 6)) && out.contains((1L, 9, 14, 6)),
+      s"got $out")
+  }
+
+  test("within-doc repetition qualifies (multiplicity counting)") {
+    val run = (1 to 8).map(i => s"rep$i").mkString(" ")
+    val out = spans(8, 1L -> s"$run middle $run", 2L -> "unrelated words")
+    assert(out.contains((1L, 0, 7, 8)) && out.contains((1L, 9, 16, 8)),
+      s"got $out")
+  }
+
+  test("short docs never qualify; plan is join-safe") {
+    val df = SpanScrub.longDuplicateSpans(
+      (Seq(1L -> "tiny pair", 2L -> "tiny pair") ++
+        (3L to 20L).map(i => i -> s"unique doc $i body w$i x$i y$i"))
+        .toDF("id", "text"), "id", "text", k = 4, minTokens = 4)
+    assert(df.filter(df("id").isin(1L, 2L)).count() == 0)
+    assertNoCartesian(df)
+  }
 }
