@@ -1787,7 +1787,33 @@ object SparkEntry {
     "q115_long_spans" -> ((s, dir) =>
       SpanScrub.longDuplicateSpans(spread(s, Tables.documents(s, dir)),
         "doc_id", "text", k = 8, minTokens = 50)
-        .withColumnRenamed("id", "doc_id"))
+        .withColumnRenamed("id", "doc_id")),
+
+    // §2 row 132: STREAMING signature commit — the write half of the
+    // incremental-dedup loop on a live feed: per-row zero-exchange simhash
+    // over an AvailableNow documents stream, appended to the persisted
+    // index table with exactly-once checkpointing (the parquet stream
+    // sink's _spark_metadata log — reruns drain nothing and re-read).
+    // Rows-only BY DESIGN: signatures are xxhash64-based (q17's
+    // justification); StreamingSpec pins index == batch signatures exactly
+    // and the exactly-once restart.
+    "q116_signature_commit_stream" -> ((s, dir) => {
+      val src = artifactPath("sigcommitsrc", dir, codeHash(SparkEntry.getClass))
+      stageParquet(src) { tmp =>
+        Tables.documents(s, dir).select("doc_id", "text")
+          .write.mode("overwrite").parquet(tmp)
+      }
+      // the sink dir is NOT stageParquet-gated: its idempotence mechanism
+      // is the streaming CHECKPOINT (a crashed run resumes and drains the
+      // remainder; a completed run appends nothing on rerun)
+      val base = artifactPath("sigcommit", dir,
+        codeHash(ScoringStream.getClass, SimHash.getClass))
+      val stream = s.readStream
+        .schema(s.read.parquet(src).schema).parquet(src)
+      ScoringStream.commitSignaturesStream(stream, "doc_id", "text",
+        s"$base/idx", s"$base/ckpt")
+      s.read.parquet(s"$base/idx").withColumnRenamed("id", "doc_id")
+    })
   )
 
   // ---------------------------------------------------------------------

@@ -188,6 +188,49 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/out").count() == n1)
   }
 
+  test("streaming signature commit: index == batch sigs, exactly-once, probeable") {
+    import spark.implicits._
+    import graft.dedup.SimHash
+    val base = java.nio.file.Files.createTempDirectory("graft_sigcommit").toString
+    val d1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "spark catalyst optimizer rewrites logical plans into physical plans"))
+      .toDF("id", "text")
+    val d2 = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "completely new content about streaming watermarks and state stores"))
+      .toDF("id", "text")
+    d1.write.parquet(s"$base/src/f1")
+    def stream() = spark.readStream
+      .schema(spark.read.parquet(s"$base/src/f1").schema)
+      .parquet(s"$base/src/*")
+    def commit() = ScoringStream.commitSignaturesStream(
+      stream(), "id", "text", s"$base/idx", s"$base/ckpt")
+    def idx() = spark.read.parquet(s"$base/idx")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "simhash").as[(Long, Long)].collect().toSet
+
+    // day 1: stream-committed index == batch signatures, bit for bit
+    commit()
+    assert(asSet(idx()) == asSet(SimHash.signatures(d1, "id", "text")))
+    // restart with the same checkpoint and nothing new: no re-append
+    commit()
+    assert(idx().count() == 2)
+    // the committed index is probeable BEFORE day 2 lands: the day-2
+    // exact copy (id 3) hits day-1's id 1; the new doc (id 4) hits nothing
+    val hits = SimHash.nearDuplicatesAgainstIndex(idx(),
+      SimHash.signatures(d2, "id", "text"), maxHamming = 3)
+    assert(hits.select("new_id", "dup_id").as[(Long, Long)].collect().toSet
+      == Set((3L, 1L)), "exact copy must hit its day-1 original")
+    // day 2 arrives: the same checkpoint drains ONLY the increment and
+    // the index now equals batch signatures of both days
+    d2.write.parquet(s"$base/src/f2")
+    commit()
+    assert(asSet(idx()) ==
+      asSet(SimHash.signatures(d1.unionByName(d2), "id", "text")))
+    assertNoCartesian(hits)
+  }
+
   test("native session_window matches a hand-built lag/cumsum sessionization") {
     val events = Tables.events(spark, sfDir)
     val native = Sessionize.sessionWindows(events, "1 hour")
