@@ -1813,6 +1813,19 @@ object SparkEntry {
       ScoringStream.commitSignaturesStream(stream, "doc_id", "text",
         s"$base/idx", s"$base/ckpt")
       s.read.parquet(s"$base/idx").withColumnRenamed("id", "doc_id")
+    }),
+
+    // §2 row 133: hard-negative mining — exact cosine top-5 per anchor
+    // among DIFFERENT-label vectors, the label inequality in the join
+    // predicate (not a post-filter) so same-label twins can't crowd true
+    // negatives out. Cosine rides as floor-micro-units (q20's hash-safe
+    // convention).
+    "q117_hard_negatives" -> ((s, dir) => {
+      val emb = spread(s, Tables.embeddings(s, dir))
+      Ann.hardNegativesTopK(emb, emb.filter(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", "label", k = 5)
+        .select(col("query_id"), col("cand_id"), col("rank"),
+          floor(col("cos") * 1e6).cast("long").as("cos_uu"))
     })
   )
 
@@ -2047,6 +2060,29 @@ object SparkEntry {
 
     "q20_ann_topk" -> annTopKSql,
     "q30_ann_topk_agg" -> annTopKSql,
+
+    // The q20 normalization/dot recurrence with the label carried and the
+    // different-label predicate inside the candidate generator — same
+    // bit-identical doubles, same floor-micro projection.
+    "q117_hard_negatives" ->
+      """WITH n AS (SELECT vec_id, label, embedding,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b)) AS nrm
+        |  FROM embeddings),
+        |v AS (SELECT vec_id, label, CASE WHEN nrm = 0 THEN list_transform(embedding, x -> 0.0)
+        |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)/nrm) END AS nv FROM n),
+        |q AS (SELECT vec_id AS query_id, label AS q_label, nv AS qv
+        |  FROM v WHERE vec_id % 25 = 0),
+        |s AS (SELECT query_id, v.vec_id AS cand_id,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)),
+        |      i -> qv[i]*nv[i])), (a,b) -> a+b) AS cos
+        |  FROM v, q WHERE v.vec_id <> query_id AND v.label <> q_label)
+        |SELECT query_id, cand_id, CAST(rank AS INT) AS rank,
+        |       CAST(floor(cos*1000000) AS BIGINT) AS cos_uu
+        |FROM (SELECT query_id, cand_id, cos,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+        |      FROM s)
+        |WHERE rank <= 5""".stripMargin,
 
     "q104_bm25" ->
       s"WITH ${bm25LexCtes(10)} SELECT query_id, doc_id, score_u, rank FROM lex",

@@ -54,16 +54,28 @@ object Ann {
   private[similarity] def normalized(df: DataFrame, idCol: String,
                                      vecCol: String, idAlias: String,
                                      vecAlias: String): DataFrame =
-    df.select(col(idCol).as(idAlias), col(vecCol).as("__v"),
-        sqrt(DotProduct(df.sparkSession, col(vecCol), col(vecCol))).as("__n"))
+    normalizedCarry(df, idCol, vecCol, idAlias, vecAlias, Nil)
+
+  /** [[normalized]] carrying extra columns through (the
+    * [[graft.dedup.MinHashDedup.shingleSetsCarry]] pattern) — label-aware
+    * consumers keep their metadata without a second join back to the
+    * source frame. */
+  private[similarity] def normalizedCarry(df: DataFrame, idCol: String,
+                                          vecCol: String, idAlias: String,
+                                          vecAlias: String,
+                                          carry: Seq[String]): DataFrame =
+    df.select(col(idCol).as(idAlias) +: col(vecCol).as("__v") +:
+        sqrt(DotProduct(df.sparkSession, col(vecCol), col(vecCol))).as("__n") +:
+        carry.map(col): _*)
       // zero vectors stay zero (cos = 0 against everything) — dividing by a
       // zero norm would yield NaN components, and NaN sorts ABOVE every
       // real cosine under desc(), ranking the zero vector as everyone's
       // top match
-      .select(col(idAlias),
+      .select(col(idAlias) +:
         transform(col("__v"), x =>
           when(col("__n") === 0.0, lit(0.0))
-            .otherwise(x.cast("double") / col("__n"))).as(vecAlias))
+            .otherwise(x.cast("double") / col("__n"))).as(vecAlias) +:
+        carry.map(col): _*)
 
   /** Per-query top-k over a scored frame: rank by `cos` desc (cand_id
     * tiebreak — deterministic), keep ≤ k. The one window formulation every
@@ -95,6 +107,32 @@ object Ann {
     val c = normalized(corpus, idCol, vecCol, "cand_id", "cv")
     rankTopK(c.join(broadcast(q), col("query_id") =!= col("cand_id"))
       .withColumn("cos", DotProduct(corpus.sparkSession, col("qv"), col("cv"))), k)
+  }
+
+  /** Hard-negative mining — the contrastive-training data-prep step
+    * (in-batch negatives are mostly easy; retrieval-mined hard negatives
+    * are the published recipe, e.g. DPR/ANCE): for each anchor, the exact
+    * cosine top-`k` among corpus items carrying a DIFFERENT `labelCol`
+    * value. The label inequality is part of the JOIN predicate, not a
+    * post-filter on a k-truncated list — a same-label near-twin can never
+    * crowd a true negative out of the top-k. Null-labeled rows never pair
+    * (SQL null-inequality semantics, documented rather than patched: a
+    * label-less item is neither a positive nor a safe negative).
+    *
+    * Same plan shape as [[bruteForceTopK]] — anchors broadcast, corpus
+    * scanned once, per-partition scoring — and the same exactness: this
+    * is the auditable baseline the LSH/IVF shortlist variants would be
+    * measured against. */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = normalizedCarry(queries, idCol, vecCol, "query_id", "qv",
+      Seq(labelCol)).withColumnRenamed(labelCol, "__ql")
+    val c = normalizedCarry(corpus, idCol, vecCol, "cand_id", "cv",
+      Seq(labelCol)).withColumnRenamed(labelCol, "__cl")
+    rankTopK(c.join(broadcast(q),
+        col("query_id") =!= col("cand_id") && col("__ql") =!= col("__cl"))
+      .withColumn("cos",
+        DotProduct(corpus.sparkSession, col("qv"), col("cv"))), k)
   }
 
   /** LSH-bucketed top-k: candidates limited to the query's SRP bucket.

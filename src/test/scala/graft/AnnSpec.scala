@@ -50,6 +50,51 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("hardNegativesTopK: same-label twins excluded, never crowd the top-k") {
+    // anchor 1 (label 0): id 2 is a same-label NEAR-TWIN (most similar of
+    // all), ids 3/4 are different-label and less similar. The twin must
+    // not appear, and must not push 3/4 out of a k=2 list.
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.99f, 0.01f, 0.0f), 0),   // same label, cos ≈ 1
+      (3L, Seq(0.9f, 0.1f, 0.0f), 1),
+      (4L, Seq(0.8f, 0.2f, 0.0f), 2),
+      (5L, Seq(0.0f, 1.0f, 0.0f), 0)
+    ).toDF("id", "vec", "label")
+    val got = Ann.hardNegativesTopK(df, df.filter(col("id") === 1L),
+      "id", "vec", "label", k = 2).collect()
+      .map(r => (r.getInt(2), r.getLong(1))).toMap
+    assert(got == Map(1 -> 3L, 2 -> 4L), s"got $got")
+  }
+
+  test("hardNegativesTopK equals bruteForceTopK when every label differs") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .withColumn("ulabel", col("vec_id")) // unique labels: only self excluded
+    val queries = emb.filter(col("vec_id") < 3)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val hard = asMap(Ann.hardNegativesTopK(emb, queries, "vec_id",
+      "embedding", "ulabel", k = 3))
+    val brute = asMap(Ann.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", k = 3))
+    assert(hard == brute)
+  }
+
+  test("hardNegativesTopK output never pairs equal labels") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 8)
+    val out = Ann.hardNegativesTopK(emb, queries, "vec_id", "embedding",
+      "label", k = 5)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val samePairs = out
+      .join(labels.select(col("vec_id").as("query_id"), col("label").as("ql")),
+        "query_id")
+      .join(labels.select(col("vec_id").as("cand_id"), col("label").as("cl")),
+        "cand_id")
+      .filter(col("ql") === col("cl")).count()
+    assert(samePairs == 0)
+  }
+
   test("lshTopK recall vs brute force is usable") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 20)

@@ -98,8 +98,12 @@ class PlanAuditSpec extends SparkSpec {
                             // deliberate refs-broadcast nested loop (q20's
                             // shape); SemanticScreenSpec pins exactly one
                             // BNLJ with the refs as build side
-      "q112_pmi_collocations" // single-row corpus-total broadcast
+      "q112_pmi_collocations", // single-row corpus-total broadcast
                             // crossJoin (the q10 histogram precedent)
+      "q117_hard_negatives" // the mining stage IS q20's brute-force
+                            // baseline with the label inequality folded
+                            // into the broadcast NL predicate — anchors
+                            // broadcast, corpus scanned once
     )
     val heavy = Set("q13_tf_topterms", "q14_svm_predict", "q15_stream_agg")
     SparkEntry.queries.keys
