@@ -8,7 +8,7 @@ import graft.dedup.{Decontaminate, DedupGroups, ExactDedup, MinHashDedup, NGramJ
 import graft.functions.{BpeEncode, CountMinAggregator, CountMinSketch, NormalizeText, TextFunctions}
 import graft.ml.{Featurize, QualityClassifier, Sentiment}
 import graft.multimodal.{Audio, AudioDedup, ImageDedup, Multimodal, Video, VideoDedup}
-import graft.operators.{Chunking, Debounce, Funnel, Intervals, Packing, Profile, Relational, Robust, Sampling, Tuning}
+import graft.operators.{Chunking, Debounce, EpochShuffle, Funnel, Intervals, Packing, Profile, Relational, Robust, Sampling, Tuning}
 import graft.search.{Bm25, Rrf}
 import graft.similarity.{Ann, Centroids, KnnLabel, SemanticScreen}
 import graft.sources.Tables
@@ -1805,9 +1805,14 @@ object SparkEntry {
       }
       // the sink dir is NOT stageParquet-gated: its idempotence mechanism
       // is the streaming CHECKPOINT (a crashed run resumes and drains the
-      // remainder; a completed run appends nothing on rerun)
+      // remainder; a completed run appends nothing on rerun). The key MUST
+      // also cover SparkEntry's bytecode — the checkpoint's offset log
+      // records absolute source-file paths under `src`, so a re-staged src
+      // (new SparkEntry hash) with an old checkpoint would abort with a
+      // basePath mismatch instead of draining the new dir.
       val base = artifactPath("sigcommit", dir,
-        codeHash(ScoringStream.getClass, SimHash.getClass))
+        codeHash(ScoringStream.getClass, SimHash.getClass,
+          SparkEntry.getClass))
       val stream = s.readStream
         .schema(s.read.parquet(src).schema).parquet(src)
       ScoringStream.commitSignaturesStream(stream, "doc_id", "text",
@@ -1826,7 +1831,15 @@ object SparkEntry {
         "vec_id", "embedding", "label", k = 5)
         .select(col("query_id"), col("cand_id"), col("rank"),
           floor(col("cos") * 1e6).cast("long").as("cos_uu"))
-    })
+    }),
+
+    // §2 row 134: deterministic epoch-shuffle ordering — every doc gets a
+    // reproducible pseudo-random global position for epoch 7; the
+    // two-level bucket-offset formulation, never a corpus-wide sort task.
+    "q118_epoch_shuffle" -> ((s, dir) =>
+      EpochShuffle.epochOrder(spread(s, Tables.documents(s, dir)),
+        "doc_id", epoch = 7)
+        .select(col("doc_id"), col("shuffle_key"), col("pos")))
   )
 
   // ---------------------------------------------------------------------
@@ -2083,6 +2096,21 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
         |      FROM s)
         |WHERE rank <= 5""".stripMargin,
+
+    // The naive global-rank formulation the distributed two-level plan
+    // must equal: same multiply–xorshift scramble (products < 2^48, xor
+    // operands < 2^31, inside BIGINT on both engines), same (key, id)
+    // tiebreak.
+    "q118_epoch_shuffle" ->
+      """WITH s1 AS (SELECT doc_id,
+        |    (((doc_id + 7*1000003) % 2147483647) * 48271) % 2147483647 AS v
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |s2 AS (SELECT doc_id,
+        |    (xor(v, v >> 15) * 69621) % 2147483647 AS w FROM s1),
+        |k AS (SELECT doc_id, xor(w, w >> 13) AS shuffle_key FROM s2)
+        |SELECT doc_id, shuffle_key,
+        |       row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS pos
+        |FROM k""".stripMargin,
 
     "q104_bm25" ->
       s"WITH ${bm25LexCtes(10)} SELECT query_id, doc_id, score_u, rank FROM lex",
