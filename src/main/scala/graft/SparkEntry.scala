@@ -13,7 +13,7 @@ import graft.search.{Bm25, Rrf}
 import graft.similarity.{Ann, Centroids, KnnLabel, SemanticScreen}
 import graft.sources.Tables
 import graft.streaming.{ScoringStream, Sessionize}
-import graft.textstats.{Boilerplate, Bpe, Collocations, Keywords, LmScore, Pii, Repetition, TextStats, Urls}
+import graft.textstats.{Boilerplate, Bpe, Collocations, Keywords, LmScore, Pii, Repetition, TextStats, Urls, VocabCoverage}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator ↔ query map. */
 object SparkEntry {
@@ -1839,7 +1839,21 @@ object SparkEntry {
     "q118_epoch_shuffle" -> ((s, dir) =>
       EpochShuffle.epochOrder(spread(s, Tables.documents(s, dir)),
         "doc_id", epoch = 7)
-        .select(col("doc_id"), col("shuffle_key"), col("pos")))
+        .select(col("doc_id"), col("shuffle_key"), col("pos"))),
+
+    // §2 row 135: vocabulary coverage / OOV audit — top-100 corpus words
+    // as the frozen vocab, per-source out-of-vocabulary rates; the
+    // truncation study behind any vocabSize knob.
+    "q119_vocab_coverage" -> ((s, dir) =>
+      VocabCoverage.oovReport(spread(s, Tables.documents(s, dir)),
+        "text", "source", vocabSize = 100)),
+
+    // §2 row 136: order-independent dataset fingerprint per source —
+    // two xor-folded polynomial channels + row count; the
+    // data-versioning / replica-verification checksum.
+    "q120_dataset_fingerprint" -> ((s, dir) =>
+      Profile.datasetFingerprint(spread(s, Tables.documents(s, dir)),
+        "source", Seq("doc_id", "text", "lang", "n_chars")))
   )
 
   // ---------------------------------------------------------------------
@@ -2111,6 +2125,38 @@ object SparkEntry {
         |SELECT doc_id, shuffle_key,
         |       row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS pos
         |FROM k""".stripMargin,
+
+    // q12's token pipeline, top-100 vocab by (count desc, word asc), the
+    // same left-join/aggregate the Spark side runs; integer-div basis
+    // points, NULL (not an error) for a token-less source.
+    "q119_vocab_coverage" ->
+      (s"WITH t AS (SELECT source, token FROM " +
+        s"(SELECT source, unnest(${tokensSql("text")}) AS token FROM documents) " +
+        "WHERE token <> ''), " +
+        "cnt AS (SELECT token, count(*) AS c FROM t GROUP BY token), " +
+        "vocab AS (SELECT token FROM cnt ORDER BY c DESC, token LIMIT 100) " +
+        "SELECT source, count(*) AS tokens, " +
+        "count(*) FILTER (WHERE v.token IS NULL) AS oov_tokens, " +
+        "count(DISTINCT CASE WHEN v.token IS NULL THEN t.token END) AS oov_types, " +
+        "CASE WHEN count(*) = 0 THEN NULL ELSE " +
+        "(count(*) FILTER (WHERE v.token IS NULL)) * 10000 // count(*) END AS oov_bp " +
+        "FROM t LEFT JOIN vocab v ON t.token = v.token GROUP BY source"),
+
+    // The q25 polynomial replayed over the '|'-encoded row in two base
+    // channels, xor-folded per source — bit_xor is order-independent on
+    // both engines, so no ORDER BY anywhere.
+    "q120_dataset_fingerprint" -> {
+      def ch(base: Int) =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(regexp_split_to_array(concat_ws('|', " +
+          "CAST(doc_id AS VARCHAR), text, lang, CAST(n_chars AS VARCHAR)), ''), " +
+          "c -> CAST(coalesce(ascii(c), 0) AS BIGINT))), " +
+          s"(a, b) -> (a * $base + b) % 1000000007)"
+      s"WITH h AS (SELECT source, ${ch(31)} AS h31, ${ch(37)} AS h37 " +
+        "FROM documents) " +
+        "SELECT source, count(*) AS n_rows, bit_xor(h31) AS fp31, " +
+        "bit_xor(h37) AS fp37 FROM h GROUP BY source"
+    },
 
     "q104_bm25" ->
       s"WITH ${bm25LexCtes(10)} SELECT query_id, doc_id, score_u, rank FROM lex",

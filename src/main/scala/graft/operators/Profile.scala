@@ -38,4 +38,37 @@ object Profile {
       col(s"__max_$c").as("max_s"))): _*))
     one.select(melted.as("p")).select("p.*")
   }
+
+  /** Order-independent dataset checksum per group — the data-versioning /
+    * replica-verification primitive: two pipeline stages (or two
+    * clusters) holding the same logical slice produce the same
+    * fingerprint regardless of row order, partitioning, or file layout.
+    *
+    * Per row: the q25 polynomial hash ([[graft.textstats.TextStats
+    * .fingerprintBase]], portable to the SQL oracle) of the
+    * '|'-concatenated `encodeCols`, in TWO independent base channels
+    * (31, 37); per group: row count + the xor-fold of each channel.
+    * bit_xor is commutative/associative, so the aggregate is one
+    * map-side-combined pass with no ordering requirement anywhere — the
+    * property a sum-based checksum only gets by risking overflow (and
+    * engine-specific overflow semantics).
+    *
+    * PRECONDITION (documented, not patched): `encodeCols` must include a
+    * unique key — xor cancels PAIRS of identical encodings, so only a
+    * unique key makes "identical rows" impossible and the checksum
+    * injective-in-practice. concat_ws skips NULLs identically on both
+    * engines; include only columns whose string form is canonical on
+    * both (integers, strings — the [[profile]] rule). */
+  def datasetFingerprint(df: DataFrame, groupCol: String,
+                         encodeCols: Seq[String]): DataFrame = {
+    require(encodeCols.nonEmpty, "datasetFingerprint needs encode columns")
+    val enc = concat_ws("|", encodeCols.map(c => col(c).cast("string")): _*)
+    df.select(col(groupCol),
+        graft.textstats.TextStats.fingerprintBase(enc, 31).as("__h31"),
+        graft.textstats.TextStats.fingerprintBase(enc, 37).as("__h37"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h31)").as("fp31"),
+        expr("bit_xor(__h37)").as("fp37"))
+  }
 }

@@ -82,9 +82,16 @@ object TextStats {
   /** Polynomial rolling hash of the whole document (mod 1e9+7, base 31) —
     * a content fingerprint computed per row via `aggregate` over the
     * character array. */
-  def fingerprint(text: Column): Column =
+  def fingerprint(text: Column): Column = fingerprintBase(text, 31)
+
+  /** [[fingerprint]] with a chosen polynomial base: independent bases give
+    * independent hash channels (used by the dataset checksum, where a
+    * single xor-folded channel could cancel; two bases make a joint
+    * collision require simultaneous cancellation in both). */
+  def fingerprintBase(text: Column, base: Int): Column =
     aggregate(split(text, ""), lit(0L),
-      (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch), lit(0)), lit(1000000007L)))
+      (acc, ch) => pmod(acc * base + coalesce(ascii(ch), lit(0)),
+        lit(1000000007L)))
 
   /** Winnowing-style fingerprint: minimum polynomial hash over k-char
     * windows — robust to local edits, used as a cheap near-dup prefilter.

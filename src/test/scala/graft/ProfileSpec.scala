@@ -35,4 +35,24 @@ class ProfileSpec extends SparkSpec {
     val out = Profile.profile(df, Seq("tag")).collect().head
     assert(out.getLong(1) == 0L && out.getLong(3) == 0L && out.isNullAt(4))
   }
+
+  test("datasetFingerprint is order/partitioning-invariant, content-sensitive") {
+    val rows = (1 to 40).map(i => (i.toLong, s"text $i", s"s${i % 3}"))
+    val a = rows.toDF("id", "text", "source")
+    val b = scala.util.Random.shuffle(rows).toDF("id", "text", "source")
+      .repartition(7)
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Profile.datasetFingerprint(df, "source", Seq("id", "text"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(fp(a) == fp(b), "same logical slice must checksum identically")
+    // one edited row flips its source's fingerprint in both channels
+    val edited = rows.map { case (i, t, s) =>
+      (i, if (i == 17L) t + "!" else t, s) }.toDF("id", "text", "source")
+    val (fa, fe) = (fp(a), fp(edited))
+    val src = "s" + (17 % 3)
+    assert(fa(src)._2 != fe(src)._2 && fa(src)._3 != fe(src)._3)
+    assert(fa.filterNot(_._1 == src) == fe.filterNot(_._1 == src),
+      "untouched sources must keep their fingerprints")
+  }
 }
