@@ -8,7 +8,7 @@ import graft.dedup.{Decontaminate, DedupGroups, ExactDedup, MinHashDedup, NGramJ
 import graft.functions.{BpeEncode, CountMinAggregator, CountMinSketch, NormalizeText, TextFunctions}
 import graft.ml.{Featurize, QualityClassifier, Sentiment}
 import graft.multimodal.{Audio, AudioDedup, ImageDedup, Multimodal, Video, VideoDedup}
-import graft.operators.{Chunking, Debounce, EpochShuffle, Funnel, Intervals, Packing, Profile, Relational, Robust, Sampling, Tuning}
+import graft.operators.{Chunking, Debounce, EpochShuffle, Funnel, Intervals, Packing, Profile, Relational, Robust, Sampling, SnapshotDiff, Tuning}
 import graft.search.{Bm25, Rrf}
 import graft.similarity.{Ann, Centroids, KnnLabel, SemanticScreen}
 import graft.sources.Tables
@@ -1853,7 +1853,21 @@ object SparkEntry {
     // data-versioning / replica-verification checksum.
     "q120_dataset_fingerprint" -> ((s, dir) =>
       Profile.datasetFingerprint(spread(s, Tables.documents(s, dir)),
-        "source", Seq("doc_id", "text", "lang", "n_chars")))
+        "source", Seq("doc_id", "text", "lang", "n_chars"))),
+
+    // §2 row 137: snapshot diff — v2 is a deterministic in-query release
+    // (drop doc_id%10==3, edit text of %7==0 via null-propagating ||,
+    // re-add %13==0 under shifted ids); every key classified
+    // added/removed/changed, unchanged bulk never emitted.
+    "q121_snapshot_diff" -> ((s, dir) => {
+      val docs = spread(s, Tables.documents(s, dir))
+      val v2 = docs.filter(col("doc_id") % 10 =!= 3)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit("!"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      SnapshotDiff.diff(docs, v2, "doc_id", Seq("text"))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -2156,6 +2170,30 @@ object SparkEntry {
         "FROM documents) " +
         "SELECT source, count(*) AS n_rows, bit_xor(h31) AS fp31, " +
         "bit_xor(h37) AS fp37 FROM h GROUP BY source"
+    },
+
+    // Same deterministic v2 derivation (|| is null-propagating on both
+    // engines, so a null text stays unchanged under the %7 edit;
+    // concat_ws('|', NULL) is '' on both), same two-channel compare.
+    "q121_snapshot_diff" -> {
+      def ch(base: Int) =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(regexp_split_to_array(concat_ws('|', text), ''), " +
+          "c -> CAST(coalesce(ascii(c), 0) AS BIGINT))), " +
+          s"(a, b) -> (a * $base + b) % 1000000007)"
+      "WITH v2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 " +
+        "THEN text || '!' ELSE text END AS text " +
+        "FROM documents WHERE doc_id % 10 <> 3 " +
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, text " +
+        "FROM documents WHERE doc_id % 13 = 0), " +
+        s"a AS (SELECT doc_id, ${ch(31)} AS h31, ${ch(37)} AS h37 FROM documents), " +
+        s"b AS (SELECT doc_id, ${ch(31)} AS h31, ${ch(37)} AS h37 FROM v2), " +
+        "j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, " +
+        "CASE WHEN a.doc_id IS NULL THEN 'added' " +
+        "WHEN b.doc_id IS NULL THEN 'removed' " +
+        "WHEN a.h31 <> b.h31 OR a.h37 <> b.h37 THEN 'changed' END AS status " +
+        "FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id) " +
+        "SELECT doc_id, status FROM j WHERE status IS NOT NULL"
     },
 
     "q104_bm25" ->
