@@ -1867,6 +1867,29 @@ object SparkEntry {
         .unionByName(docs.filter(col("doc_id") % 13 === 0)
           .withColumn("doc_id", col("doc_id") + 1000000L))
       SnapshotDiff.diff(docs, v2, "doc_id", Seq("text"))
+    }),
+
+    // §2 row 138: streaming OOV monitor — the frozen top-100 vocab
+    // broadcast into an AvailableNow documents feed cut into 4
+    // microbatches; per-batch partial counts appended, idempotent
+    // read-side rollup. Occurrence counts are additive, so the rollup is
+    // EXACTLY the batch audit (q119 minus the non-additive type count)
+    // no matter where the batch boundaries fell.
+    "q122_oov_monitor_stream" -> ((s, dir) => {
+      val src = artifactPath("oovmonsrc", dir, codeHash(SparkEntry.getClass))
+      stageParquet(src) { tmp =>
+        Tables.documents(s, dir).select("doc_id", "text", "source")
+          .repartition(4).write.mode("overwrite").parquet(tmp)
+      }
+      val base = artifactPath("oovmon", dir, codeHash(SparkEntry.getClass,
+        ScoringStream.getClass, VocabCoverage.getClass))
+      val vocab = VocabCoverage.topVocab(Tables.documents(s, dir),
+        "text", "source", vocabSize = 100)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      ScoringStream.monitorOovStream(stream, "text", "source", vocab,
+        s"$base/mon", s"$base/ckpt")
+      ScoringStream.readOovMonitor(s, s"$base/mon")
     })
   )
 
@@ -2152,6 +2175,21 @@ object SparkEntry {
         "SELECT source, count(*) AS tokens, " +
         "count(*) FILTER (WHERE v.token IS NULL) AS oov_tokens, " +
         "count(DISTINCT CASE WHEN v.token IS NULL THEN t.token END) AS oov_types, " +
+        "CASE WHEN count(*) = 0 THEN NULL ELSE " +
+        "(count(*) FILTER (WHERE v.token IS NULL)) * 10000 // count(*) END AS oov_bp " +
+        "FROM t LEFT JOIN vocab v ON t.token = v.token GROUP BY source"),
+
+    // q119's audit minus the non-additive distinct-type count: the
+    // streamed rollup must equal the batch numbers exactly — additive
+    // counts are batch-boundary-invariant.
+    "q122_oov_monitor_stream" ->
+      (s"WITH t AS (SELECT source, token FROM " +
+        s"(SELECT source, unnest(${tokensSql("text")}) AS token FROM documents) " +
+        "WHERE token <> ''), " +
+        "cnt AS (SELECT token, count(*) AS c FROM t GROUP BY token), " +
+        "vocab AS (SELECT token FROM cnt ORDER BY c DESC, token LIMIT 100) " +
+        "SELECT source, count(*) AS tokens, " +
+        "count(*) FILTER (WHERE v.token IS NULL) AS oov_tokens, " +
         "CASE WHEN count(*) = 0 THEN NULL ELSE " +
         "(count(*) FILTER (WHERE v.token IS NULL)) * 10000 // count(*) END AS oov_bp " +
         "FROM t LEFT JOIN vocab v ON t.token = v.token GROUP BY source"),

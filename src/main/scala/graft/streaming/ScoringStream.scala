@@ -231,6 +231,58 @@ object ScoringStream {
     runToParquet(graft.dedup.SimHash.signatures(docs, idCol, textCol),
       indexPath, checkpoint)
 
+  /** Streaming OOV monitor — the live half of the vocabulary-coverage
+    * audit ([[graft.textstats.VocabCoverage.oovReport]]): a FROZEN `vocab`
+    * (one `token` column, broadcast into every microbatch via the
+    * stream-static join) watches an arriving document feed for
+    * out-of-vocabulary drift — the canary for an upstream source change
+    * or a tokenizer falling behind the data.
+    *
+    * Each microbatch appends PARTIAL per-source rows `(batch_id, source,
+    * tokens, oov_tokens)` to the monitor table; occurrence counts are
+    * additive, so [[readOovMonitor]]'s rollup equals the batch audit
+    * EXACTLY regardless of how the feed was cut into batches (distinct
+    * OOV *types* are not additive and stay batch-audit-only, documented).
+    * foreachBatch's sink contract is at-least-once — a retried batch can
+    * append its partials twice — so partials carry the batch id and the
+    * reader collapses exact-duplicate `(batch_id, source)` rows before
+    * summing: the standard idempotent-consumer pairing for a
+    * non-transactional append sink. Per-batch totals stay queryable for
+    * the drift timeline ("which batch spiked?"). */
+  def monitorOovStream(docs: DataFrame, textCol: String, sourceCol: String,
+                       vocab: DataFrame, path: String,
+                       checkpoint: String): Unit = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.textstats.VocabCoverage.tokenStream(batch, textCol, sourceCol)
+          .join(broadcast(vocab.withColumn("__in", lit(1))),
+            Seq("token"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("tokens"),
+            count(when(col("__in").isNull, 1)).as("oov_tokens"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(path)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Idempotent rollup of [[monitorOovStream]]'s monitor table: collapse
+    * retry-duplicated `(batch_id, source)` partials (identical by
+    * construction — max is collapse, not choice), then sum to per-source
+    * totals with integer-div basis points — the batch audit's numbers. */
+  def readOovMonitor(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("batch_id", "source")
+      .agg(max("tokens").as("__t"), max("oov_tokens").as("__o"))
+      .groupBy("source")
+      .agg(sum("__t").as("tokens"), sum("__o").as("oov_tokens"))
+      .withColumn("oov_bp", expr(
+        "CASE WHEN tokens = 0 THEN NULL ELSE (oov_tokens * 10000) div tokens END"))
+
   /** Production file sink: append the streaming frame to a parquet
     * directory with exactly-once checkpointing, draining everything
     * currently available (AvailableNow) before returning. Restarting with

@@ -29,16 +29,31 @@ import graft.functions.TextFunctions
   */
 object VocabCoverage {
 
-  def oovReport(docs: DataFrame, textCol: String, sourceCol: String,
-                vocabSize: Int): DataFrame = {
-    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
-    def toks = docs.select(col(sourceCol).as("source"),
+  /** The exploded, empty-filtered (source, token) stream — q12's pipeline. */
+  private[graft] def tokenStream(docs: DataFrame, textCol: String,
+                                 sourceCol: String): DataFrame =
+    docs.select(col(sourceCol).as("source"),
         explode(TextFunctions.tokens(col(textCol))).as("token"))
       .filter(col("token") =!= "")
-    val vocab = toks.groupBy("token").agg(count(lit(1)).as("__c"))
+
+  /** Top-`vocabSize` corpus words by (count desc, word asc) — the frozen
+    * vocabulary both the batch audit and the streaming monitor check
+    * against. Deterministic ties; vocabulary-bounded count shuffle. */
+  def topVocab(docs: DataFrame, textCol: String, sourceCol: String,
+               vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    tokenStream(docs, textCol, sourceCol)
+      .groupBy("token").agg(count(lit(1)).as("__c"))
       .orderBy(desc("__c"), asc("token")).limit(vocabSize)
-      .select(col("token"), lit(1).as("__in"))
-    toks.join(broadcast(vocab), Seq("token"), "left")
+      .select(col("token"))
+  }
+
+  def oovReport(docs: DataFrame, textCol: String, sourceCol: String,
+                vocabSize: Int): DataFrame = {
+    val vocab = topVocab(docs, textCol, sourceCol, vocabSize)
+      .withColumn("__in", lit(1))
+    tokenStream(docs, textCol, sourceCol)
+      .join(broadcast(vocab), Seq("token"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("tokens"),
         count(when(col("__in").isNull, 1)).as("oov_tokens"),

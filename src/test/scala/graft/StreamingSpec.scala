@@ -231,6 +231,39 @@ class StreamingSpec extends SparkSpec {
     assertNoCartesian(hits)
   }
 
+  test("streaming OOV monitor rollup == batch audit; retry partials collapse") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_oovmon").toString
+    docs.repartition(3).write.mode("overwrite").parquet(s"$tmp/src")
+    val vocab = graft.textstats.VocabCoverage.topVocab(docs, "text", "source", 50)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/src").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src")
+    ScoringStream.monitorOovStream(stream, "text", "source", vocab,
+      s"$tmp/mon", s"$tmp/ckpt")
+    // multiple microbatches actually happened (partial rows carry ids)
+    val batches = spark.read.parquet(s"$tmp/mon")
+      .select("batch_id").distinct().count()
+    assert(batches >= 2, s"expected a multi-batch drain, got $batches")
+    def roll() = ScoringStream.readOovMonitor(spark, s"$tmp/mon")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val streamed = roll()
+    val batch = graft.textstats.VocabCoverage
+      .oovReport(docs, "text", "source", 50)
+      .select("source", "tokens", "oov_tokens", "oov_bp")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(streamed == batch,
+      s"rollup must equal the batch audit: ${streamed.size}/${batch.size}")
+    // simulate a foreachBatch retry: re-append one batch's partials
+    // verbatim — the (batch_id, source) collapse must absorb them
+    val partials = spark.read.parquet(s"$tmp/mon")
+    partials.filter(col("batch_id") === 0L)
+      .write.mode("append").parquet(s"$tmp/mon")
+    assert(roll() == batch, "duplicated retry partials changed the rollup")
+  }
+
   test("native session_window matches a hand-built lag/cumsum sessionization") {
     val events = Tables.events(spark, sfDir)
     val native = Sessionize.sessionWindows(events, "1 hour")
