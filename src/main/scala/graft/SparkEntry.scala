@@ -1890,7 +1890,14 @@ object SparkEntry {
       ScoringStream.monitorOovStream(stream, "text", "source", vocab,
         s"$base/mon", s"$base/ckpt")
       ScoringStream.readOovMonitor(s, s"$base/mon")
-    })
+    }),
+
+    // §2 row 139: dedup impact report — per-source kept/removed counts
+    // under the q43/q44 pair graph; the shrinkage audit behind
+    // mixture-weight decisions and the dedup-config regression canary.
+    "q123_dedup_impact" -> ((s, dir) =>
+      DedupGroups.dedupImpact(Tables.documents(s, dir),
+        stagedSimilarPairs(s, dir), "doc_id", "id_a", "id_b", "source"))
   )
 
   // ---------------------------------------------------------------------
@@ -2638,6 +2645,17 @@ object SparkEntry {
     "q44_canonical_docs" ->
       (ccSqlPrefix + "SELECT doc_id, source, n_chars FROM documents " +
         "WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> comp)"),
+
+    // q44's component resolution rolled up per source: the same loser id
+    // set LEFT-joined and counted, integer-div basis points.
+    "q123_dedup_impact" ->
+      (ccSqlPrefix + ", dr AS (SELECT id FROM cc WHERE id <> comp) " +
+        "SELECT source, count(*) AS n_docs, count(dr.id) AS n_removed, " +
+        "count(*) - count(dr.id) AS n_kept, " +
+        "CASE WHEN count(*) = 0 THEN NULL ELSE " +
+        "(count(dr.id) * 10000) // count(*) END AS removed_bp " +
+        "FROM documents LEFT JOIN dr ON documents.doc_id = dr.id " +
+        "GROUP BY source"),
 
     // The pair graph's endpoints joined to their sources, canonically
     // ordered, counted.

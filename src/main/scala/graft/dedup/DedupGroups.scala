@@ -346,4 +346,34 @@ object DedupGroups {
           .when(slot < testBp + valBp, lit("val"))
           .otherwise(lit("train")).as("split"))
   }
+
+  /** Per-group shrinkage audit of [[canonicalize]]: how much of each
+    * `groupCol` slice (source, language, ...) would near-dup dedup remove
+    * — the number every mixture-weight decision needs NEXT TO the
+    * cross-source overlap matrix (a slice that is 40% internal
+    * duplicates does not deserve its raw row count's weight), and the
+    * regression canary for the dedup config itself (a threshold change
+    * that doubles removal in one source shows up here first).
+    *
+    * Same component resolution as [[canonicalize]]; the loser id set
+    * (pair-graph members only — bounded by duplicates, not corpus)
+    * broadcasts onto a LEFT join marking removed rows, and one
+    * map-side-combined aggregate yields kept/removed counts with
+    * integer-div basis points. The corpus is scanned once and never
+    * shuffled on content. */
+  def dedupImpact(df: DataFrame, pairs: DataFrame, idCol: String,
+                  aCol: String, bCol: String, groupCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val dropIds = cc.filter(col("id") =!= col("comp"))
+      .select(col("id").as("__drop_id"))
+      .localCheckpoint()
+    cc.unpersist()
+    df.join(broadcast(dropIds), col(idCol) === col("__drop_id"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("__drop_id")).as("n_removed"))
+      .withColumn("n_kept", col("n_docs") - col("n_removed"))
+      .withColumn("removed_bp", expr(
+        "CASE WHEN n_docs = 0 THEN NULL ELSE (n_removed * 10000) div n_docs END"))
+  }
 }

@@ -163,6 +163,25 @@ class DedupGroupsSpec extends SparkSpec {
     assert(census(fwd) == census(rev) && census(fwd)._3 == 1L)
   }
 
+  test("dedupImpact counts agree with canonicalize, removed ids bounded") {
+    // groups: {1,2,3} (src a,a,b), {10,11} (b,b); 20 is pair-free (src a)
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (10L, "b"), (11L, "b"),
+      (20L, "a")).toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = DedupGroups.dedupImpact(docs, pairs, "doc_id", "id_a", "id_b",
+        "source").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // a: docs {1,2,20}, removed {2} → (3,1,2,3333); b: {3,10,11}, removed
+    // {3,11} → (3,2,1,6666)
+    assert(got == Map("a" -> (3L, 1L, 2L, 3333L), "b" -> (3L, 2L, 1L, 6666L)),
+      s"got $got")
+    // kept totals must equal canonicalize's survivor count
+    val kept = DedupGroups.canonicalize(docs, pairs, "doc_id", "id_a", "id_b")
+      .count()
+    assert(got.values.map(_._3).sum == kept)
+  }
+
   test("leakageSafeSplit is deterministic across partitionings") {
     val docs = (1L to 120L).toDF("doc_id")
     val pairs = (1L to 60L).map(i => (i, i + 60L)).toDF("id_a", "id_b")
