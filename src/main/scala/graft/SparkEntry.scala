@@ -1897,7 +1897,35 @@ object SparkEntry {
     // mixture-weight decisions and the dedup-config regression canary.
     "q123_dedup_impact" -> ((s, dir) =>
       DedupGroups.dedupImpact(Tables.documents(s, dir),
-        stagedSimilarPairs(s, dir), "doc_id", "id_a", "id_b", "source"))
+        stagedSimilarPairs(s, dir), "doc_id", "id_a", "id_b", "source")),
+
+    // §2 row 140: epoch-shuffled packing plan — q118's reproducible
+    // permutation feeding q47's packer: sequences built from the epoch
+    // order (bucket = pos % 8, packed in pos order), the full
+    // shuffle→pack composition a training-data loader runs per epoch.
+    "q124_epoch_packing" -> ((s, dir) => {
+      val docs = spread(s, Tables.documents(s, dir))
+      val ord = EpochShuffle.epochOrder(docs, "doc_id", epoch = 7)
+        .select("doc_id", "pos")
+      val withTok = ord.join(docs.select(col("doc_id"),
+        TextStats.bpeTokenCount(col("text")).cast("long").as("n_tok")),
+        "doc_id")
+      Packing.planPacking(withTok, "pos", "n_tok", seqLen = 512, nBuckets = 8)
+        .select("doc_id", "pos", "n_tok", "bucket", "bin", "offset")
+    }),
+
+    // §2 row 141: embedding-norm audit — per-label count, min/max/sum
+    // norm in micro-units + zero-vector count; the vector-ingest sanity
+    // gate.
+    "q125_embedding_norms" -> ((s, dir) =>
+      Centroids.normAudit(spread(s, Tables.embeddings(s, dir)),
+        "label", "embedding")),
+
+    // §2 row 142: duplication spectrum — how many texts occur exactly k
+    // times (Lee et al. Fig 1); hash-grouped, longs-only shuffles.
+    "q126_dup_spectrum" -> ((s, dir) =>
+      ExactDedup.duplicationSpectrum(spread(s, Tables.documents(s, dir)),
+        "text"))
   )
 
   // ---------------------------------------------------------------------
@@ -2656,6 +2684,47 @@ object SparkEntry {
         "(count(dr.id) * 10000) // count(*) END AS removed_bp " +
         "FROM documents LEFT JOIN dr ON documents.doc_id = dr.id " +
         "GROUP BY source"),
+
+    // q118's rank CTEs feeding q47's window CTEs, joined on doc_id —
+    // the exact composition the Spark side runs.
+    "q124_epoch_packing" ->
+      (s"WITH s1 AS (SELECT doc_id, " +
+        "(((doc_id + 7*1000003) % 2147483647) * 48271) % 2147483647 AS v " +
+        "FROM documents WHERE doc_id IS NOT NULL), " +
+        "s2 AS (SELECT doc_id, (xor(v, v >> 15) * 69621) % 2147483647 AS w FROM s1), " +
+        "k AS (SELECT doc_id, xor(w, w >> 13) AS shuffle_key FROM s2), " +
+        "p AS (SELECT doc_id, row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS pos FROM k), " +
+        "t AS (SELECT p.doc_id, pos, " +
+        s"CAST(len(regexp_extract_all(text, '${TextStats.bpeishPattern}')) AS BIGINT) AS n_tok, " +
+        "pos % 8 AS bucket FROM p JOIN documents d ON d.doc_id = p.doc_id), " +
+        "w AS (SELECT doc_id, pos, n_tok, bucket, " +
+        "CAST(coalesce(sum(n_tok) OVER (PARTITION BY bucket ORDER BY pos " +
+        "ROWS UNBOUNDED PRECEDING) - n_tok, 0) AS BIGINT) AS before FROM t) " +
+        "SELECT doc_id, pos, n_tok, bucket, " +
+        "before // 512 AS bin, before % 512 AS offset FROM w"),
+
+    // The q20 left-fold dot product under IEEE sqrt, floored to
+    // micro-units BEFORE aggregating — int64 group math thereafter
+    // (sum cast back down from DuckDB's HUGEINT, q47's lesson).
+    "q125_embedding_norms" ->
+      ("WITH n AS (SELECT label, CAST(floor(sqrt(list_reduce(" +
+        "list_prepend(0.0, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b)) " +
+        "* 1000000) AS BIGINT) AS nu FROM embeddings) " +
+        "SELECT label, count(*) AS n, min(nu) AS min_uu, max(nu) AS max_uu, " +
+        "CAST(sum(nu) AS BIGINT) AS sum_uu, " +
+        "count(*) FILTER (WHERE nu = 0) AS n_zero FROM n GROUP BY label"),
+
+    // The q25 hash per text, group sizes, then sizes-of-sizes — the
+    // identical spectrum on both engines (NULL texts form one group on
+    // both: GROUP BY treats NULLs as equal).
+    "q126_dup_spectrum" ->
+      ("WITH h AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(regexp_split_to_array(text, ''), " +
+        "c -> CAST(coalesce(ascii(c), 0) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 1000000007) AS h FROM documents), " +
+        "c AS (SELECT h, count(*) AS copies FROM h GROUP BY h) " +
+        "SELECT copies, count(*) AS n_texts FROM c GROUP BY copies"),
 
     // The pair graph's endpoints joined to their sources, canonically
     // ordered, counted.

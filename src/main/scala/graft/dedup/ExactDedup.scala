@@ -49,4 +49,25 @@ object ExactDedup {
   def dupCounts(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
+
+  /** Duplication spectrum — the Lee et al. Fig-1 histogram "how many
+    * texts occur exactly k times": size every exact-content group, then
+    * count groups per size. The first question asked of any new crawl
+    * (is it 2% duplicated or 40%?) and the before/after evidence for an
+    * exact-dedup pass.
+    *
+    * Content identity is the portable q25 polynomial hash of `valueCol`
+    * ([[graft.textstats.TextStats.fingerprintBase]]), so only LONGS
+    * shuffle — never the text — and the SQL oracle replays the identical
+    * spectrum. A hash collision merges two distinct texts into one group
+    * (mod-1e9+7 space; birthday-bounded, and the oracle computes the
+    * SAME hash so the comparison is still exact over the hash spectrum);
+    * a production run at corpus scale would widen to a 128-bit hash, the
+    * same plan shape. Two map-side-combined shuffles, both bounded by
+    * distinct counts: (hash) then (group size). */
+  def duplicationSpectrum(df: DataFrame, valueCol: String): DataFrame =
+    df.select(graft.textstats.TextStats.fingerprintBase(col(valueCol), 31)
+        .as("__h"))
+      .groupBy("__h").agg(count(lit(1)).as("copies"))
+      .groupBy("copies").agg(count(lit(1)).as("n_texts"))
 }

@@ -65,4 +65,30 @@ object Centroids {
           .as("sum_uu"))
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("label"), col("pos"), col("n"), col("sum_uu"))
+
+  /** Per-class embedding-norm audit — the ingest sanity gate for a vector
+    * column: count, min/max/sum of the L2 norm in integer micro-units,
+    * and the zero-vector count (a batch of zero or wildly-scaled vectors
+    * is an upstream encoder bug caught HERE, not as silent cosine
+    * garbage three stages later).
+    *
+    * Exactness rides the q20 normalization contract: the norm is
+    * IEEE-correctly-rounded sqrt over the left-folded double dot product
+    * (the native `vec_dot` expression folds left-to-right exactly like
+    * the oracle's list_reduce), floored to micro-units BEFORE
+    * aggregating — so min/max/sum are int64 math, order-independent and
+    * engine-identical (the [[labelSums]] rule). One map-side-combined
+    * aggregate; nothing but (label, long) pairs shuffle. */
+  def normAudit(emb: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    val normUu = floor(sqrt(graft.functions.DotProduct(spark,
+      col(vecCol), col(vecCol))) * 1000000d).cast("long")
+    emb.select(col(labelCol).as("label"), normUu.as("__nu"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        min("__nu").as("min_uu"),
+        max("__nu").as("max_uu"),
+        sum("__nu").as("sum_uu"),
+        count(when(col("__nu") === 0L, 1)).as("n_zero"))
+  }
 }

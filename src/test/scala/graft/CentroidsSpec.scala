@@ -74,4 +74,18 @@ class CentroidsSpec extends SparkSpec {
     val dim = emb.select(size(col("embedding"))).as[Int].head()
     assert(out.count() == emb.select("label").distinct().count() * dim)
   }
+
+  test("normAudit: exact micro-unit norms, zero vectors counted") {
+    val df = Seq(
+      (0, Seq(3.0f, 4.0f)),   // norm 5.0 → 5_000_000
+      (0, Seq(0.0f, 0.0f)),   // zero vector
+      (1, Seq(1.0f, 0.0f))
+    ).toDF("label", "vec")
+    val got = Centroids.normAudit(df, "label", "vec")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got(0) == ((2L, 0L, 5000000L, 5000000L, 1L)), s"got ${got(0)}")
+    assert(got(1) == ((1L, 1000000L, 1000000L, 1000000L, 0L)))
+  }
 }

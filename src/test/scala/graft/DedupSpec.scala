@@ -207,4 +207,16 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"increment not broadcast onto the index:\n$plan")
   }
+
+  test("duplicationSpectrum: planted copy counts land in the right buckets") {
+    // 4 singleton texts, one text ×3, one text ×2 →
+    // spectrum {1→4, 2→1, 3→1}; plus two NULL texts forming one group ×2
+    val df = (Seq.fill(3)("thrice") ++ Seq.fill(2)("twice") ++
+      Seq("a", "b", "c", "d")).map(Tuple1(_)).toDF("text")
+      .unionByName(Seq(Tuple1(null: String), Tuple1(null: String))
+        .toDF("text"))
+    val got = ExactDedup.duplicationSpectrum(df, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 4L, 2L -> 2L, 3L -> 1L), s"got $got")
+  }
 }
