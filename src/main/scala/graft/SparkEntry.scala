@@ -13,7 +13,7 @@ import graft.search.{Bm25, Rrf}
 import graft.similarity.{Ann, Centroids, KnnLabel, SemanticScreen}
 import graft.sources.Tables
 import graft.streaming.{ScoringStream, Sessionize}
-import graft.textstats.{Boilerplate, Bpe, Collocations, Keywords, LmScore, Pii, Repetition, TextStats, Urls, VocabCoverage}
+import graft.textstats.{Boilerplate, Bpe, Collocations, Drift, Keywords, LmScore, Markup, Pii, Repetition, Scripts, TextStats, Urls, VocabCoverage}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator ↔ query map. */
 object SparkEntry {
@@ -1925,7 +1925,169 @@ object SparkEntry {
     // times (Lee et al. Fig 1); hash-grouped, longs-only shuffles.
     "q126_dup_spectrum" -> ((s, dir) =>
       ExactDedup.duplicationSpectrum(spread(s, Tables.documents(s, dir)),
-        "text"))
+        "text")),
+
+    // §2 row 143: signature-index compaction — the maintenance half of
+    // the incremental loop appendToIndex grows: a generational
+    // (id, simhash, gen) index with planted re-signs (gen 1 for
+    // doc_id%7==3) and tombstones (doc_id%13==5) compacted to one live
+    // row per surviving id. Signatures here are deterministic arithmetic
+    // (compaction is relational maintenance — its semantics don't depend
+    // on signature content), so the oracle replays the (gen, simhash)
+    // winner rule and the anti-join exactly.
+    "q127_index_compaction" -> ((s, dir) => {
+      val docs = spread(s, Tables.documents(s, dir))
+      val gen0 = docs.select(col("doc_id").as("id"),
+        pmod(col("doc_id") * 1103515245L + 12345L, lit(2147483647L))
+          .as("simhash"),
+        lit(0L).as("gen"))
+      val gen1 = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id").as("id"),
+          pmod(col("doc_id") * 1103515249L + 54321L, lit(2147483647L))
+            .as("simhash"),
+          lit(1L).as("gen"))
+      val tomb = docs.filter(col("doc_id") % 13 === 5)
+        .select(col("doc_id").as("id"))
+      SimHash.compactIndex(gen0.unionByName(gen1), tomb)
+    }),
+
+    // §2 row 144: HTML/markup → text extraction — documents wrapped into
+    // deterministic HTML in-query (title/style/script/comment chrome,
+    // entity-encoded headline, 1-2 links), then script/style/comment
+    // payloads dropped, tags stripped, core entities decoded, whitespace
+    // squeezed; href outlinks extracted in document order. All per-row
+    // codegen'd regexps, RE2-compatible by construction, so the oracle
+    // replays the extraction byte-for-byte.
+    "q128_markup_extract" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>d"), id,
+        lit("</title><style type=\"text/css\">p { color: #222; }</style>" +
+          "<script>if (a<b && c>d) { s=\"x&y\"; }</script><!-- build "), id,
+        lit(" --></head><body><h1>T &amp; C &lt;"), id,
+        lit("&gt;</h1><p>"), col("text"),
+        lit("</p><a href=\"https://ex.com/d"), id, lit("\">l</a>"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("<p>alt</p><a href=\"http://alt.org/p"), id,
+            lit("?x=1\">m</a>"))).otherwise(lit("")),
+        lit("&nbsp;&#39;fin&#39;</body></html>"))
+      // links ride as a '|'-joined string: document order is defined on
+      // both engines, and the flat column keeps the comparator happy
+      Markup.extract(
+        spread(s, Tables.documents(s, dir)).withColumn("html", html),
+        "doc_id", "html")
+        .withColumn("links_csv", array_join(col("links"), "|"))
+        .drop("links")
+    }),
+
+    // §2 row 145: Unicode script-mix profile — documents decorated with
+    // deterministic non-Latin runs (Cyrillic/CJK/Greek/Arabic/Hangul by
+    // doc_id residue), then censused per script range; dominant script,
+    // ≥5%-share script count, and the mixed-script (homoglyph/mojibake)
+    // flag. Counts are delete-and-diff over explicit BMP ranges, so both
+    // engines count identical code points.
+    "q129_script_mix" -> ((s, dir) => {
+      val dec = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          expr("repeat(' привет мир', CAST(doc_id % 5 AS INT))"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 1,
+          expr("repeat(' 中文テキスト', CAST(doc_id % 7 AS INT))"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 2, lit(" γεια σου κόσμε"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 3, lit(" مرحبا بالعالم"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 4, lit(" 안녕하세요 세계"))
+          .otherwise(lit("")))
+      Scripts.profile(
+        spread(s, Tables.documents(s, dir)).withColumn("text", dec),
+        "doc_id", "text")
+    }),
+
+    // §2 row 146: water-filling quota sample — a skewed strata frame
+    // (per-source sizes 1..5 per 100 ids via the doc_id%100 gate), a
+    // global budget of 150 rows allocated so small sources keep
+    // everything and freed budget redistributes evenly, then exactly
+    // alloc_s docs per source in (LCG priority, id) order via the
+    // map-side-capped top-k aggregator. Every stage is integer-exact.
+    "q130_quota_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(100L)) <
+          (pmod(col("doc_id"), lit(20L)) + 1L) * 5L)
+      Sampling.quotaSample(docs, "source", "doc_id", budget = 150L)
+    }),
+
+    // §2 row 147: quality-signal rank ensemble — exact deciles of the
+    // heuristic quality score (q61's machinery) and of the
+    // distinct-token fraction (q39's repetition signal), fused as the
+    // decile sum: rank-space fusion needs no cross-signal calibration
+    // (the q105 RRF argument applied to quality gating). Both deciles
+    // are engine-ntile-exact, so the composite replays row-for-row.
+    "q131_quality_ensemble" -> ((s, dir) => {
+      val docs = spread(s, Tables.documents(s, dir))
+      val q = Sampling.scoreNtile(
+        docs.select(col("doc_id"), TextStats.qualityScore(col("text"))
+          .as("q")), "q", "doc_id", nBuckets = 10)
+        .select(col("doc_id"), col("bucket").as("q_decile"))
+      val d = Sampling.scoreNtile(
+        docs.select(col("doc_id"),
+          floor(lit(10000) * size(array_distinct(
+            TextFunctions.tokens(col("text")))).cast("double") /
+            size(TextFunctions.tokens(col("text"))).cast("double"))
+            .cast("long").as("d_bp")),
+        "d_bp", "doc_id", nBuckets = 10)
+        .select(col("doc_id"), col("bucket").as("d_decile"))
+      q.join(d, "doc_id")
+        .withColumn("ens", (col("q_decile") + col("d_decile")).cast("long"))
+        .withColumn("keep", (col("ens") <= 8).cast("long"))
+    }),
+
+    // §2 row 148: packing efficiency audit — per bucket of q47's layout:
+    // volume, emitted sequences, tail padding waste, fill rate, and the
+    // mid-document sequence-boundary split counts that decide whether a
+    // boundary-respecting packer is worth its waste. One partial agg over
+    // the plan frame; all-integer, oracle-exact.
+    "q132_packing_audit" -> ((s, dir) => {
+      val plan = Packing.planPacking(
+        Tables.documents(s, dir).select(col("doc_id"),
+          TextStats.bpeTokenCount(col("text")).cast("long").as("n_tok")),
+        "doc_id", "n_tok", seqLen = 512, nBuckets = 8)
+      Packing.auditPacking(plan, "n_tok", seqLen = 512)
+    }),
+
+    // §2 row 149: deterministic sampling of a live feed — the row-63
+    // hash-vs-threshold decision is a pure row function, so the streaming
+    // sample is STATELESS (no watermark, no state store) and exactly
+    // equals the batch filter whatever the microbatch boundaries: the
+    // property that makes deterministic sampling retry/replay-safe at
+    // ingest time. AvailableNow over a 4-file staged copy, held to the
+    // batch oracle.
+    "q133_stream_sample" -> ((s, dir) => {
+      val src = artifactPath("streamsample", dir, codeHash(SparkEntry.getClass))
+      stageParquet(src) { tmp =>
+        Tables.documents(s, dir).select("doc_id", "source")
+          .repartition(4).write.mode("overwrite").parquet(tmp)
+      }
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      ScoringStream.runToMemory(s,
+        Sampling.stratifiedSample(stream, "source", Map.empty, 3000,
+          Sampling.lcgBp(col("doc_id"))).select("doc_id", "source"),
+        "append")
+    }),
+
+    // §2 row 150: token-distribution drift (PSI) between two corpus
+    // slices — per-token (p_a − p_b)·ln(p_a/p_b) micro-units over the
+    // top-200 union vocabulary with add-one smoothing; floors before
+    // sums, so the corpus PSI is an exact int64 downstream of this
+    // frame. The one ln·10⁶ floor per token carries the documented q77
+    // ulp caveat.
+    "q134_token_drift" -> ((s, dir) => {
+      val docs = spread(s, Tables.documents(s, dir))
+      Drift.tokenDrift(docs.filter(col("doc_id") % 20 < 10),
+        docs.filter(col("doc_id") % 20 >= 10), "text", topK = 200)
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -2725,6 +2887,174 @@ object SparkEntry {
         "(a, b) -> (a * 31 + b) % 1000000007) AS h FROM documents), " +
         "c AS (SELECT h, count(*) AS copies FROM h GROUP BY h) " +
         "SELECT copies, count(*) AS n_texts FROM c GROUP BY copies"),
+
+    // The same generational index built in SQL, the identical
+    // (gen desc, simhash desc) winner per id, tombstones dropped.
+    "q127_index_compaction" ->
+      ("WITH g AS (SELECT doc_id AS id, " +
+        "(doc_id * 1103515245 + 12345) % 2147483647 AS simhash, 0 AS gen " +
+        "FROM documents UNION ALL " +
+        "SELECT doc_id, (doc_id * 1103515249 + 54321) % 2147483647, 1 " +
+        "FROM documents WHERE doc_id % 7 = 3), " +
+        "w AS (SELECT id, simhash, row_number() OVER " +
+        "(PARTITION BY id ORDER BY gen DESC, simhash DESC) AS rk FROM g) " +
+        "SELECT id, CAST(simhash AS BIGINT) AS simhash FROM w " +
+        "WHERE rk = 1 AND id NOT IN " +
+        "(SELECT doc_id FROM documents WHERE doc_id % 13 = 5)"),
+
+    // The identical markup decoration and extraction chain — RE2 regexes
+    // byte-for-byte, entity replaces in the same order (&amp; last).
+    "q128_markup_extract" -> {
+      val id = "CAST(doc_id AS VARCHAR)"
+      val html =
+        s"'<html><head><title>d' || $id || " +
+          "'</title><style type=\"text/css\">p { color: #222; }</style>" +
+          s"<script>if (a<b && c>d) { s=\"x&y\"; }</script><!-- build ' || $id || " +
+          s"' --></head><body><h1>T &amp; C &lt;' || $id || '&gt;</h1><p>' || text || " +
+          s"'</p><a href=\"https://ex.com/d' || $id || '\">l</a>' || " +
+          s"CASE WHEN doc_id % 3 = 0 THEN '<p>alt</p><a href=\"http://alt.org/p' " +
+          s"|| $id || '?x=1\">m</a>' ELSE '' END || " +
+          "'&nbsp;&#39;fin&#39;</body></html>'"
+      s"WITH h AS (SELECT doc_id, $html AS html FROM documents), " +
+        "nb AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
+        "html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'), " +
+        "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), " +
+        "'(?s)<!--.*?-->', ' ', 'g') AS nb FROM h) " +
+        "SELECT doc_id, " +
+        "trim(regexp_replace(replace(replace(replace(replace(replace(replace(" +
+        "regexp_replace(nb, '(?s)<[^>]*>', ' ', 'g'), " +
+        "'&nbsp;', ' '), '&quot;', '\"'), '&#39;', ''''), '&lt;', '<'), " +
+        "'&gt;', '>'), '&amp;', '&'), '\\s+', ' ', 'g')) AS text, " +
+        "CAST(len(regexp_extract_all(nb, '(?i)href=\"([^\"]*)\"', 1)) AS BIGINT) " +
+        "AS n_links, " +
+        "array_to_string(regexp_extract_all(nb, '(?i)href=\"([^\"]*)\"', 1), '|') " +
+        "AS links_csv FROM nb"
+    },
+
+    // The identical decoration, the identical delete-and-diff counts over
+    // the same BMP ranges, the same dominance/threshold arithmetic.
+    "q129_script_mix" -> {
+      val t = "text || " +
+        "CASE WHEN doc_id % 3 = 0 THEN repeat(' привет мир', CAST(doc_id % 5 AS INT)) ELSE '' END || " +
+        "CASE WHEN doc_id % 4 = 1 THEN repeat(' 中文テキスト', CAST(doc_id % 7 AS INT)) ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 2 THEN ' γεια σου κόσμε' ELSE '' END || " +
+        "CASE WHEN doc_id % 11 = 3 THEN ' مرحبا بالعالم' ELSE '' END || " +
+        "CASE WHEN doc_id % 13 = 4 THEN ' 안녕하세요 세계' ELSE '' END"
+      val cnts = Scripts.classes.map { case (n, cls) =>
+        s"CAST(length(t) - length(regexp_replace(t, '$cls', '', 'g')) AS BIGINT) AS n_$n"
+      }.mkString(", ")
+      val names = Scripts.classes.map(_._1)
+      val tot = names.map(n => s"n_$n").mkString(" + ")
+      val m = "GREATEST(" + names.map(n => s"n_$n").mkString(", ") + ")"
+      val dom = "CASE WHEN n_script_chars = 0 THEN 'none' " +
+        names.map(n => s"WHEN n_$n = $m THEN '$n'").mkString(" ", " ", " ") +
+        "ELSE 'none' END"
+      val nsc = names.map(n =>
+        s"(CASE WHEN n_$n > 0 AND n_$n * 10000 >= 500 * n_script_chars " +
+          "THEN 1 ELSE 0 END)").mkString(" + ")
+      s"WITH dec AS (SELECT doc_id, $t AS t FROM documents), " +
+        s"c AS (SELECT doc_id, $cnts FROM dec), " +
+        s"tt AS (SELECT *, CAST($tot AS BIGINT) AS n_script_chars FROM c), " +
+        s"dd AS (SELECT *, $dom AS dom_script, CAST($nsc AS BIGINT) AS n_scripts FROM tt) " +
+        "SELECT *, CAST(CASE WHEN n_scripts >= 2 THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS mixed FROM dd"
+    },
+
+    // The water-filling closed form over the strata frame (feasibility is
+    // prefix-closed under (n asc, stratum asc), so t = count of full
+    // rows), then the identical (LCG priority, id) per-stratum prefix.
+    "q130_quota_sample" ->
+      ("WITH d AS (SELECT * FROM documents " +
+        "WHERE doc_id % 100 < (doc_id % 20 + 1) * 5), " +
+        "c AS (SELECT source, count(*) AS n FROM d GROUP BY 1), " +
+        "o AS (SELECT source, n, row_number() OVER (ORDER BY n, source) AS j, " +
+        "sum(n) OVER (ORDER BY n, source ROWS UNBOUNDED PRECEDING) AS cum, " +
+        "count(*) OVER () AS s FROM c), " +
+        "f AS (SELECT *, (n * (s - j + 1) <= 150 - (cum - n)) AS fl FROM o), " +
+        "tt AS (SELECT count(*) AS s, sum(CASE WHEN fl THEN 1 ELSE 0 END) AS t, " +
+        "coalesce(sum(CASE WHEN fl THEN n ELSE 0 END), 0) AS cumt FROM f), " +
+        "a AS (SELECT f.source, CASE WHEN f.fl THEN f.n " +
+        "ELSE (150 - tt.cumt) // (tt.s - tt.t) + " +
+        "(CASE WHEN f.j - tt.t <= (150 - tt.cumt) % (tt.s - tt.t) " +
+        "THEN 1 ELSE 0 END) END AS alloc FROM f, tt), " +
+        "r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source " +
+        "ORDER BY (doc_id % 1000003) * 1103515249 + 12345, doc_id) AS rank " +
+        "FROM d) " +
+        "SELECT r.source, r.doc_id, CAST(r.rank AS INT) AS rank " +
+        "FROM r JOIN a USING (source) WHERE r.rank <= a.alloc"),
+
+    // Engine ntile over both signals' total orders, fused by the same
+    // integer sum and threshold.
+    "q131_quality_ensemble" -> {
+      val toks = s"regexp_split_to_array(lower(trim(text)), '\\s+')"
+      val hits = s"len(list_filter($toks, t -> list_contains($stopListSql, t)))"
+      val quality = s"CAST(FLOOR(CAST(LEAST(length(text), 500) * 20 AS DOUBLE) * " +
+        s"CAST(len($toks) - $hits AS DOUBLE) / CAST(len($toks) AS DOUBLE)) AS BIGINT)"
+      val toksC = tokensSql("text")
+      val dbp = s"CAST(FLOOR(10000.0 * len(list_distinct($toksC)) / len($toksC)) AS BIGINT)"
+      s"WITH q AS (SELECT doc_id, $quality AS q FROM documents), " +
+        "qd AS (SELECT doc_id, CAST(ntile(10) OVER (ORDER BY q DESC, doc_id ASC) " +
+        "AS INT) AS q_decile FROM q), " +
+        s"d AS (SELECT doc_id, $dbp AS d_bp FROM documents), " +
+        "dd AS (SELECT doc_id, CAST(ntile(10) OVER (ORDER BY d_bp DESC, doc_id ASC) " +
+        "AS INT) AS d_decile FROM d) " +
+        "SELECT qd.doc_id, q_decile, d_decile, " +
+        "CAST(q_decile + d_decile AS BIGINT) AS ens, " +
+        "CAST(CASE WHEN q_decile + d_decile <= 8 THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS keep FROM qd JOIN dd ON qd.doc_id = dd.doc_id"
+    },
+
+    // q47's window CTEs + the audit aggregation — all-integer.
+    "q132_packing_audit" ->
+      (s"WITH t AS (SELECT doc_id, " +
+        s"CAST(len(regexp_extract_all(text, '${TextStats.bpeishPattern}')) AS BIGINT) AS n_tok, " +
+        "doc_id % 8 AS bucket FROM documents), " +
+        "w AS (SELECT doc_id, n_tok, bucket, " +
+        "CAST(coalesce(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) - n_tok, 0) AS BIGINT) AS before FROM t), " +
+        // "offset" is a DuckDB reserved word — the replay names it "off"
+        "p AS (SELECT doc_id, n_tok, bucket, before % 512 AS off FROM w), " +
+        "g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS total_tokens, " +
+        "CAST(count(*) FILTER (WHERE off + n_tok > 512) AS BIGINT) AS split_docs, " +
+        "CAST(coalesce(sum(CASE WHEN n_tok > 0 " +
+        "THEN (off + n_tok - 1) // 512 ELSE 0 END), 0) AS BIGINT) AS splits " +
+        "FROM p GROUP BY bucket), " +
+        "nb AS (SELECT *, (total_tokens + 511) // 512 AS n_bins FROM g) " +
+        "SELECT *, n_bins * 512 - total_tokens AS tail_waste, " +
+        "CASE WHEN n_bins = 0 THEN 10000 " +
+        "ELSE total_tokens * 10000 // (n_bins * 512) END AS fill_bp FROM nb"),
+
+    // The stateless stream filter is held to the literal batch LCG — no
+    // state, no watermark, so microbatch boundaries cannot matter.
+    "q133_stream_sample" ->
+      ("SELECT doc_id, source FROM documents " +
+        "WHERE ((doc_id % 1000003) * 1103515249 + 12345) % 10000 < 3000"),
+
+    // The identical PSI chain: counts, full-outer merge, deterministic
+    // top-200 cut, single-expression psi floor (the one ln ulp caveat).
+    "q134_token_drift" -> {
+      val toks = tokensSql("text")
+      val psi = "CAST(FLOOR(((CAST(c_a + 1 AS DOUBLE) / (t_a + 200)) " +
+        "- (CAST(c_b + 1 AS DOUBLE) / (t_b + 200))) " +
+        "* LN((CAST(c_a + 1 AS DOUBLE) / (t_a + 200)) " +
+        "/ (CAST(c_b + 1 AS DOUBLE) / (t_b + 200))) " +
+        "* 1000000) AS BIGINT)"
+      s"WITH aa AS (SELECT text FROM documents WHERE doc_id % 20 < 10), " +
+        "bb AS (SELECT text FROM documents WHERE doc_id % 20 >= 10), " +
+        s"ca AS (SELECT t AS token, count(*) AS c FROM " +
+        s"(SELECT unnest($toks) AS t FROM aa) WHERE t <> '' GROUP BY t), " +
+        s"cb AS (SELECT t AS token, count(*) AS c FROM " +
+        s"(SELECT unnest($toks) AS t FROM bb) WHERE t <> '' GROUP BY t), " +
+        "m AS (SELECT coalesce(ca.token, cb.token) AS token, " +
+        "CAST(coalesce(ca.c, 0) AS BIGINT) AS c_a, " +
+        "CAST(coalesce(cb.c, 0) AS BIGINT) AS c_b " +
+        "FROM ca FULL OUTER JOIN cb ON ca.token = cb.token), " +
+        "v AS (SELECT * FROM m ORDER BY c_a + c_b DESC, token ASC LIMIT 200), " +
+        "ta AS (SELECT coalesce(sum(c), 0) AS t_a FROM ca), " +
+        "tb AS (SELECT coalesce(sum(c), 0) AS t_b FROM cb) " +
+        s"SELECT token, c_a, c_b, $psi AS psi_u FROM v, ta, tb"
+    },
 
     // The pair graph's endpoints joined to their sources, canonically
     // ordered, counted.

@@ -243,4 +243,35 @@ object SimHash {
   def appendToIndex(sigs: DataFrame, path: String): Unit =
     sigs.select(col("id"), col("simhash"))
       .write.mode("append").parquet(path)
+
+  /** Compact a generational signature index — the MAINTENANCE half of the
+    * incremental loop that [[appendToIndex]] grows: day-over-day appends
+    * accumulate (a) stale rows for re-signed ids (a document edited after
+    * ingest gets a new signature appended under a later generation) and
+    * (b) rows for documents since deleted from the corpus. Compaction
+    * rewrites the index to exactly one live row per surviving id:
+    *
+    *   - `index` is `(id, simhash, gen)` with `gen` the append generation
+    *     (a batch number / ingest date); the winner per id is the
+    *     lexicographic max of (gen, simhash) — newest generation, and a
+    *     deterministic max-simhash tie-break if one (id, gen) was ever
+    *     double-appended, so the output is reproducible whatever the row
+    *     order.
+    *   - `tombstones` is the deleted-id set, dropped via LEFT ANTI join.
+    *
+    * Scale shape: the winner selection is ONE map-side-combined
+    * `max(struct(gen, simhash))` groupBy — each partition ships at most
+    * one candidate per id it touches, never the append history — and the
+    * tombstone set (deletes are a trickle next to the corpus, by
+    * contract) broadcasts onto the result. Nothing wider than
+    * (id, 2×long) ever shuffles. Output `(id, simhash)` is exactly the
+    * schema [[nearDuplicatesAgainstIndex]] probes, so
+    * `compactIndex(...).write.mode("overwrite")` is the whole compaction
+    * job. */
+  def compactIndex(index: DataFrame, tombstones: DataFrame): DataFrame =
+    index.select(col("id"), col("simhash"), col("gen"))
+      .groupBy("id")
+      .agg(max(struct(col("gen"), col("simhash"))).as("__w"))
+      .select(col("id"), col("__w.simhash").as("simhash"))
+      .join(broadcast(tombstones.select("id")), Seq("id"), "left_anti")
 }

@@ -50,4 +50,48 @@ object Packing {
       .withColumn("offset", pmod(col("__before"), lit(seqLen.toLong)))
       .drop("__before")
   }
+
+  /** Efficiency audit of a [[planPacking]] layout — the numbers that
+    * decide the `seqLen`/`nBuckets` knobs and whether a doc-boundary-
+    * respecting packer (the [[graft.operators.Chunking]] family) is worth
+    * its waste: per bucket,
+    *
+    *   - `n_docs`, `total_tokens` — volume;
+    *   - `n_bins` = ceil(total/seqLen) — sequences this bucket emits;
+    *   - `tail_waste` = n_bins·seqLen − total — padding tokens in the one
+    *     partially-filled trailing sequence (concat-and-chunk fills every
+    *     other bin exactly, so tail waste IS the bucket's total waste);
+    *   - `fill_bp` — total·10⁴ div capacity (10000 for an empty bucket:
+    *     nothing requested, nothing wasted);
+    *   - `split_docs` — documents straddling ≥ 1 sequence boundary (each
+    *     costs a mid-document attention break at training time);
+    *   - `splits` — total boundary crossings ((offset+n_tok−1) div seqLen
+    *     per doc: a doc longer than several sequences counts each
+    *     crossing).
+    *
+    * One map-side-combined aggregate over the plan frame; all-integer, so
+    * the DuckDB replay is exact. `tokenCountCol` must be the column
+    * [[planPacking]] packed (null token counts pack at (bin 0, offset 0)
+    * by the planner's coalesce and are excluded from token sums on both
+    * engines). */
+  def auditPacking(plan: DataFrame, tokenCountCol: String,
+                   seqLen: Int): DataFrame = {
+    require(seqLen > 0)
+    val tok = col(tokenCountCol).cast("long")
+    plan.groupBy("bucket").agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(tok), lit(0L)).as("total_tokens"),
+        count(when(col("offset") + tok > seqLen, 1)).as("split_docs"),
+        coalesce(sum(expr(
+          s"CASE WHEN $tokenCountCol > 0 " +
+            s"THEN (offset + $tokenCountCol - 1) div $seqLen " +
+            "ELSE 0 END")), lit(0L)).as("splits"))
+      .withColumn("n_bins",
+        expr(s"(total_tokens + ${seqLen - 1}) div $seqLen"))
+      .withColumn("tail_waste",
+        col("n_bins") * seqLen - col("total_tokens"))
+      .withColumn("fill_bp", expr(
+        s"CASE WHEN n_bins = 0 THEN 10000 " +
+          s"ELSE total_tokens * 10000 div (n_bins * $seqLen) END"))
+  }
 }

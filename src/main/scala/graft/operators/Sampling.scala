@@ -292,4 +292,90 @@ object Sampling {
       df.filter(bpOf(df) < lit(rateBp)).withColumn("mix_source", lit(tag))
     }.reduce(_ unionByName _)
   }
+
+  /** Water-filling quota allocation: split a global row `budget` across
+    * strata so no stratum is allocated more rows than it has, small
+    * strata keep everything, and the budget freed by small strata is
+    * redistributed EVENLY among the rest — the "balanced mixture with
+    * cap redistribution" rule behind per-language / per-source caps
+    * (the naive `budget / nStrata` share strands budget on strata
+    * smaller than their share; proportional allocation lets one giant
+    * crawl starve every small source).
+    *
+    * All-integer closed form over the strata frame sorted by
+    * (n asc, stratum asc): a stratum at 1-based position j (of S, with
+    * cum_{j-1} rows in smaller strata) is FULLY kept iff
+    * `n_j · (S − j + 1) ≤ budget − cum_{j-1}` — the feasibility test is
+    * prefix-closed under this order, so the fully-kept set is positions
+    * 1..t with t = (first failing position) − 1. The remaining budget
+    * R = budget − cum_t splits as `R div (S−t)` each, the first
+    * `R mod (S−t)` capped strata (in the same total order) getting one
+    * extra — so Σ alloc == min(budget, Σ n) EXACTLY, and the allocation
+    * is deterministic and engine-replayable.
+    *
+    * Scale shape: one map-side-combined count per stratum, then windows
+    * over the STRATA frame — bounded by the source/language count (the
+    * [[graft.operators.Packing]] bounded-window precedent), never the
+    * corpus. Output: (stratum, n, alloc). */
+  def quotaAllocate(df: DataFrame, strataCol: String,
+                    budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n"))
+    val ord = Window.orderBy(asc("n"), asc(strataCol))
+    val cumW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val marked = counts
+      .withColumn("__j", row_number().over(ord))
+      .withColumn("__cum", sum(col("n")).over(cumW))
+      .withColumn("__s", count(lit(1)).over(allW))
+      .withColumn("__full",
+        col("n") * (col("__s") - col("__j") + 1) <=
+          lit(budget) - (col("__cum") - col("n")))
+    // t, cum_t as scalars on every row (window over the strata frame)
+    val witht = marked
+      .withColumn("__t", sum(when(col("__full"), 1L).otherwise(0L)).over(allW))
+      .withColumn("__cumt",
+        sum(when(col("__full"), col("n")).otherwise(0L)).over(allW))
+    // integer div/mod via expr (Column./ is floating); the ELSE branch is
+    // only evaluated on non-full rows, where __s > __t is guaranteed
+    // (a non-full row exists, so t < S — no division by zero)
+    witht.withColumn("alloc", expr(
+        s"""CASE WHEN __full THEN n
+           |ELSE ($budget - __cumt) div (__s - __t)
+           |   + (CASE WHEN __j - __t <= ($budget - __cumt) % (__s - __t)
+           |      THEN 1 ELSE 0 END)
+           |END""".stripMargin.replace("\n", " ")))
+      .select(col(strataCol), col("n"), col("alloc").cast("long").as("alloc"))
+  }
+
+  /** The selection half of [[quotaAllocate]]: exactly `alloc_s` rows per
+    * stratum, chosen in ([[lcgBp]]-priority, id) order — the same
+    * deterministic unbiased prefix as [[sampleKPerGroup]], with a
+    * PER-STRATUM k. Shape: the typed top-k aggregator runs at
+    * k = max(alloc) (map-side capped, no corpus rank window), then the
+    * broadcast allocation table trims each stratum to its own quota.
+    * Returns (stratum, id, rank) with rank 1..alloc_s; `maxAllocCap`
+    * fails fast if the per-partition cap the aggregator buffers would
+    * exceed driver-safe bounds (raise it deliberately for big budgets). */
+  def quotaSample(df: DataFrame, strataCol: String, idCol: String,
+                  budget: Long, maxAllocCap: Int = 1 << 22): DataFrame = {
+    val alloc = quotaAllocate(df, strataCol, budget)
+    // bounded driver read: one row, the max over the strata frame
+    val kMaxRow = alloc.agg(max("alloc")).head()
+    val kMax = if (kMaxRow.isNullAt(0)) 0L else kMaxRow.getLong(0)
+    require(kMax <= maxAllocCap,
+      s"max per-stratum allocation $kMax exceeds maxAllocCap $maxAllocCap")
+    if (kMax <= 0L)
+      df.select(col(strataCol).cast("string").as(strataCol),
+        col(idCol).cast("long").as(idCol), lit(1).cast("int").as("rank"))
+        .filter(lit(false))
+    else
+      sampleKPerGroup(df, strataCol, idCol, kMax.toInt)
+        .join(broadcast(alloc.select(col(strataCol).cast("string")
+          .as(strataCol), col("alloc"))), strataCol)
+        .filter(col("rank") <= col("alloc"))
+        .select(col(strataCol), col(idCol), col("rank"))
+  }
 }

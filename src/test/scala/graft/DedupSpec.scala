@@ -208,6 +208,39 @@ class DedupSpec extends SparkSpec {
       s"increment not broadcast onto the index:\n$plan")
   }
 
+  test("compactIndex: newest generation wins, tombstones drop, ties break high") {
+    // id 1 re-signed (gen 1 beats gen 0), id 2 tombstoned, id 3 has a
+    // double-appended (id, gen) pair (max simhash wins — deterministic),
+    // id 4 untouched
+    val idx = Seq((1L, 10L, 0L), (1L, 20L, 1L), (2L, 5L, 0L),
+      (3L, 7L, 0L), (3L, 9L, 0L), (4L, 3L, 0L))
+      .toDF("id", "simhash", "gen")
+    val tomb = Seq(Tuple1(2L)).toDF("id")
+    val got = SimHash.compactIndex(idx, tomb)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 20L, 3L -> 9L, 4L -> 3L), s"got $got")
+    // maintenance must stay a partial-agg + broadcast-anti shape
+    val plan = SimHash.compactIndex(idx, tomb).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("Window"), s"compaction must not window:\n$plan")
+    assert("(?i)aggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregation:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstones must broadcast-anti:\n$plan")
+    assertNoCartesian(SimHash.compactIndex(idx, tomb))
+  }
+
+  test("compactIndex output probes identically to a fresh index") {
+    // compacted (id, simhash) is the exact schema the incremental probe
+    // reads — the compaction job slots into the loop with no adapter
+    val idx = Seq((1L, 0x1234L, 0L), (1L, 0x5678L, 1L)).toDF("id", "simhash", "gen")
+    val compacted = SimHash.compactIndex(idx, Seq.empty[Long].map(Tuple1(_)).toDF("id"))
+    val probe = Seq((100L, 0x5678L)).toDF("id", "simhash")
+    val pairs = SimHash.nearDuplicatesAgainstIndex(compacted, probe, maxHamming = 0)
+      .select("new_id", "dup_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 1L)), s"got $pairs")
+  }
+
   test("duplicationSpectrum: planted copy counts land in the right buckets") {
     // 4 singleton texts, one text ×3, one text ×2 →
     // spectrum {1→4, 2→1, 3→1}; plus two NULL texts forming one group ×2

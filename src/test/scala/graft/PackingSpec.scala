@@ -52,4 +52,40 @@ class PackingSpec extends SparkSpec {
       assert(b2 * 512 + o2 == b * 512 + o + n)
     }
   }
+
+  test("auditPacking: hand-computed waste, fill and split counts") {
+    // seqLen 10, one bucket, tokens 4,5,3,9,0: bins hold 10+10+1 of 21
+    // tokens; docs 3 (off 9 + 3) and 4 (off 2 + 9) cross one boundary each
+    val plan = Packing.planPacking(
+      Seq((0L, 4L), (1L, 5L), (2L, 3L), (3L, 9L), (4L, 0L)).toDF("id", "n"),
+      "id", "n", seqLen = 10, nBuckets = 1)
+    val r = Packing.auditPacking(plan, "n", seqLen = 10).head()
+    val m = r.getValuesMap[Any](Seq("n_docs", "total_tokens", "n_bins",
+      "tail_waste", "fill_bp", "split_docs", "splits"))
+    assert(m == Map("n_docs" -> 5L, "total_tokens" -> 21L, "n_bins" -> 3L,
+      "tail_waste" -> 9L, "fill_bp" -> 7000L, "split_docs" -> 2L,
+      "splits" -> 2L), s"got $m")
+  }
+
+  test("auditPacking: a doc spanning several sequences counts every crossing") {
+    val plan = Packing.planPacking(Seq((0L, 25L)).toDF("id", "n"),
+      "id", "n", seqLen = 10, nBuckets = 1)
+    val r = Packing.auditPacking(plan, "n", seqLen = 10).head()
+    assert(r.getAs[Long]("splits") == 2L &&
+      r.getAs[Long]("split_docs") == 1L &&
+      r.getAs[Long]("n_bins") == 3L && r.getAs[Long]("tail_waste") == 5L)
+  }
+
+  test("auditPacking: zero-token and null-token degenerates") {
+    val plan = Packing.planPacking(
+      Seq((0L, Some(0L)), (1L, Some(0L)), (2L, None)).toDF("id", "n"),
+      "id", "n", seqLen = 10, nBuckets = 1)
+    val r = Packing.auditPacking(plan, "n", seqLen = 10).head()
+    // nothing requested: no bins, no waste, perfect fill; null token
+    // counts are counted as docs but excluded from token sums
+    assert(r.getAs[Long]("n_docs") == 3L &&
+      r.getAs[Long]("total_tokens") == 0L &&
+      r.getAs[Long]("n_bins") == 0L && r.getAs[Long]("tail_waste") == 0L &&
+      r.getAs[Long]("fill_bp") == 10000L && r.getAs[Long]("splits") == 0L)
+  }
 }

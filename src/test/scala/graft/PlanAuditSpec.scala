@@ -100,10 +100,15 @@ class PlanAuditSpec extends SparkSpec {
                             // BNLJ with the refs as build side
       "q112_pmi_collocations", // single-row corpus-total broadcast
                             // crossJoin (the q10 histogram precedent)
-      "q117_hard_negatives" // the mining stage IS q20's brute-force
+      "q117_hard_negatives", // the mining stage IS q20's brute-force
                             // baseline with the label inequality folded
                             // into the broadcast NL predicate — anchors
                             // broadcast, corpus scanned once
+      "q134_token_drift"    // BNLJ nodes are the two broadcast SINGLE-ROW
+                            // per-side token totals crossJoined onto the
+                            // 200-row vocab frame (the q104/q112 stats-
+                            // attach precedent); the merge itself is a
+                            // hash full-outer on the vocab-bounded frames
     )
     val heavy = Set("q13_tf_topterms", "q14_svm_predict", "q15_stream_agg")
     SparkEntry.queries.keys

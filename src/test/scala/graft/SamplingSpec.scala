@@ -231,4 +231,67 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"rank window leaked into plan:\n$plan")
     out.count()
   }
+
+  /** Skewed strata frame: sizes 2, 3, 10, 50 under strata a, b, c, d. */
+  private def skewed = {
+    val sizes = Seq("a" -> 2, "b" -> 3, "c" -> 10, "d" -> 50)
+    sizes.zipWithIndex.flatMap { case ((g, n), i) =>
+      (0 until n).map(j => (i * 1000L + j, g))
+    }.toDF("id", "g")
+  }
+
+  test("quotaAllocate: hand-computed water level, budget conserved exactly") {
+    // budget 20 over sizes 2,3,10,50: a,b fully kept (2+3), R=15 over 2
+    // capped strata -> 7 each, remainder 1 to the first capped (c)
+    val got = Sampling.quotaAllocate(skewed, "g", budget = 20L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("a" -> 2L, "b" -> 3L, "c" -> 8L, "d" -> 7L), s"got $got")
+  }
+
+  test("quotaAllocate: budget >= corpus keeps everything; 0 keeps nothing") {
+    val all = Sampling.quotaAllocate(skewed, "g", budget = 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(all == Map("a" -> 2L, "b" -> 3L, "c" -> 10L, "d" -> 50L))
+    val none = Sampling.quotaAllocate(skewed, "g", budget = 0L)
+      .collect().map(r => r.getLong(2)).toSeq
+    assert(none == Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("quotaAllocate conserves the budget across random skews") {
+    // sum(alloc) == min(budget, total) and alloc_s <= n_s, always
+    for (budget <- Seq(1L, 7L, 33L, 64L, 65L, 66L, 200L)) {
+      val rows = Sampling.quotaAllocate(skewed, "g", budget).collect()
+      val total = rows.map(_.getLong(1)).sum
+      assert(rows.map(_.getLong(2)).sum == math.min(budget, total),
+        s"budget $budget not conserved")
+      assert(rows.forall(r => r.getLong(2) <= r.getLong(1)),
+        s"allocation exceeds stratum size at budget $budget")
+    }
+  }
+
+  test("quotaSample equals the naive per-stratum ranked prefix") {
+    val naive = {
+      import org.apache.spark.sql.expressions.Window
+      val pr = (col("id") % 1000003L) * 1103515249L + 12345L
+      val w = Window.partitionBy("g").orderBy(pr.asc, col("id").asc)
+      skewed.withColumn("rank", row_number().over(w))
+        .join(Sampling.quotaAllocate(skewed, "g", 20L), "g")
+        .filter(col("rank") <= col("alloc"))
+        .select(col("g"), col("id"), col("rank"))
+    }
+    val got = Sampling.quotaSample(skewed, "g", "id", budget = 20L)
+    assert(got.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getInt(2))).toSet ==
+      naive.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getInt(2))).toSet)
+    assert(got.count() == 20L)
+    // the CORPUS selection must ride the map-side-capped aggregator (the
+    // only windows in the plan are quotaAllocate's bounded strata-frame
+    // ones — a row_number over corpus rows would shuffle every row to its
+    // stratum's reducer)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("topkaggregator") &&
+      plan.contains("partial_topkaggregator"),
+      s"selection must use the map-side-capped top-k aggregator:\n$plan")
+  }
 }
