@@ -2087,6 +2087,51 @@ object SparkEntry {
       val docs = spread(s, Tables.documents(s, dir))
       Drift.tokenDrift(docs.filter(col("doc_id") % 20 < 10),
         docs.filter(col("doc_id") % 20 >= 10), "text", topK = 200)
+    }),
+
+    // §2 row 151: impact-index staleness report — which tokens' BM25 idf
+    // moved beyond 1000 micro-nats (or appeared/vanished) between the
+    // corpus and a deterministic v2 release (q121's derivation with a
+    // token-visible edit); the rebuild trigger for q109's staged index,
+    // which cannot be maintained incrementally because idf is a global
+    // function of (N, df).
+    "q135_idf_delta" -> ((s, dir) => {
+      val docs = spread(s, Tables.documents(s, dir))
+      val v2 = docs.filter(col("doc_id") % 10 =!= 3)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" zzedit"))).otherwise(col("text")))
+      Bm25.idfDelta(docs, v2, "doc_id", "text", minDeltaMicro = 1000L)
+    }),
+
+    // §2 row 152: URL canonicalization + URL-level dedup — deterministic
+    // messy URLs (case variants, www, default ports, utm/fbclid
+    // decorations, fragments, root slashes, junk) canonicalized, then
+    // first-id-per-canonical resolved; first_id == doc_id marks the
+    // keeper, NULL canonical (junk) never impersonates an identity.
+    "q136_url_canonical" -> ((s, dir) => {
+      val docs = spread(s, Tables.documents(s, dir))
+      val sid = (col("doc_id") % 50).cast("string")
+      val id = col("doc_id").cast("string")
+      val url = when(col("doc_id") % 6 === 0,
+          concat(lit("HTTP://WWW.Site"), sid, lit(".example.com:80/p/"), id,
+            lit("?utm_source=x&id="), id, lit("#frag")))
+        .when(col("doc_id") % 6 === 1,
+          concat(lit("http://site"), sid, lit(".example.com/p/"), id,
+            lit("?id="), id))
+        .when(col("doc_id") % 6 === 2,
+          concat(lit("https://Site"), sid, lit(".EXAMPLE.com:443/P/"), id,
+            lit("?id="), id, lit("&fbclid=abc")))
+        .when(col("doc_id") % 6 === 3,
+          concat(lit("http://www.site"), sid, lit(".example.com/")))
+        .when(col("doc_id") % 6 === 4,
+          concat(lit("http://site"), sid, lit(".example.com")))
+        .otherwise(concat(lit("not a url "), id))
+      val canon = docs.select(col("doc_id"),
+        Urls.canonicalizeUrl(url).as("url_canon"))
+      val firsts = canon.filter(col("url_canon").isNotNull)
+        .groupBy("url_canon").agg(min("doc_id").as("first_id"))
+      canon.join(firsts, Seq("url_canon"), "left")
+        .select("doc_id", "url_canon", "first_id")
     })
   )
 
@@ -3002,6 +3047,32 @@ object SparkEntry {
         "CAST(q_decile + d_decile AS BIGINT) AS ens, " +
         "CAST(CASE WHEN q_decile + d_decile <= 8 THEN 1 ELSE 0 END AS BIGINT) " +
         "AS keep FROM qd JOIN dd ON qd.doc_id = dd.doc_id"
+    },
+
+    // The same v2 derivation, the q104 idf expression per side, the same
+    // full-outer merge and tolerance filter. The per-(token, version)
+    // ln·10⁶ floor carries the documented q77 ulp caveat.
+    "q135_idf_delta" -> {
+      def side(src: String, df: String, idf: String) =
+        s"(SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS $df, " +
+          "CAST(floor(ln(1 + (n - count(DISTINCT doc_id) + 0.5) / " +
+          s"(count(DISTINCT doc_id) + 0.5)) * 1000000) AS BIGINT) AS $idf " +
+          s"FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS token " +
+          s"FROM $src), (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n " +
+          s"FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS token " +
+          s"FROM $src) WHERE token <> '') " +
+          "WHERE token <> '' GROUP BY token, n)"
+      "WITH v2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 " +
+        "THEN text || ' zzedit' ELSE text END AS text " +
+        "FROM documents WHERE doc_id % 10 <> 3), " +
+        s"a AS ${side("documents", "df_a", "idf_a_u")}, " +
+        s"b AS ${side("v2", "df_b", "idf_b_u")} " +
+        "SELECT coalesce(a.token, b.token) AS token, " +
+        "coalesce(df_a, 0) AS df_a, coalesce(df_b, 0) AS df_b, " +
+        "idf_a_u, idf_b_u, abs(idf_a_u - idf_b_u) AS delta_u " +
+        "FROM a FULL OUTER JOIN b ON a.token = b.token " +
+        "WHERE coalesce(df_a, 0) = 0 OR coalesce(df_b, 0) = 0 " +
+        "OR abs(idf_a_u - idf_b_u) >= 1000"
     },
 
     // q47's window CTEs + the audit aggregation — all-integer.

@@ -77,8 +77,52 @@ object Bm25 {
         floor(log(lit(1.0) +
           (col("n_docs") - col("df_docs") + lit(0.5)) /
             (col("df_docs") + lit(0.5))) * 1e6).cast("long"))
-      .select("token", "idf_u")
+      .select("token", "df_docs", "idf_u")
     (tf, dl, stats, idf)
+  }
+
+  /** (token, df_docs, idf_u) vocabulary frame — the version-sensitive
+    * half of the impact weight, exposed for [[idfDelta]]. */
+  def idfFrame(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpusFrames(corpus, idCol, textCol)._4
+
+  /** Index-staleness report between two corpus versions — the rebuild
+    * trigger for a persisted [[buildImpactIndex]] table. An impact index
+    * CANNOT be maintained incrementally: idf is a global function of
+    * (N, df), so ANY corpus change perturbs every token's weight a
+    * little — the honest question is not "which postings changed" but
+    * "which moved beyond tolerance". Per union-vocabulary token:
+    * document frequency and micro-idf under each version, and the
+    * absolute idf shift; a token is reported iff it appeared/vanished
+    * (df 0 on one side, idf NULL — vocabulary churn always matters) or
+    * shifted ≥ `minDeltaMicro` micro-nats. An empty report = the staged
+    * index is still serving scores within tolerance; a large one prices
+    * the rebuild.
+    *
+    * Scale shape: two vocabulary-bounded map-side-combined df
+    * aggregates (token instances never shuffle as rows), broadcast
+    * single-row corpus stats, one vocabulary-sized full-outer merge.
+    * Exactness: df/N exact int64; the one ln·10⁶ floor per (token,
+    * version) is the documented q77/q104 libm-ulp caveat. */
+  def idfDelta(v1: DataFrame, v2: DataFrame, idCol: String, textCol: String,
+               minDeltaMicro: Long): DataFrame = {
+    require(minDeltaMicro >= 0, s"minDeltaMicro must be >= 0, got $minDeltaMicro")
+    val a = idfFrame(v1, idCol, textCol)
+      .select(col("token"), col("df_docs").as("df_a"),
+        col("idf_u").as("idf_a_u"))
+    val b = idfFrame(v2, idCol, textCol)
+      .select(col("token"), col("df_docs").as("df_b"),
+        col("idf_u").as("idf_b_u"))
+    a.join(b, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("df_a"), lit(0L)).as("df_a"),
+        coalesce(col("df_b"), lit(0L)).as("df_b"),
+        col("idf_a_u"), col("idf_b_u"))
+      .withColumn("delta_u", abs(col("idf_a_u") - col("idf_b_u")))
+      // a NULL delta (one side absent) fails the >= branch by SQL
+      // three-valued logic — those rows enter through the df = 0 arms
+      .filter(col("df_a") === 0 || col("df_b") === 0 ||
+        col("delta_u") >= minDeltaMicro)
   }
 
   /** The fixed-point per-term weight (the scoring recurrence in the class

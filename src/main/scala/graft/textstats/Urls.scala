@@ -35,4 +35,57 @@ object Urls {
       .join(b, col("__domain") === col("__blocked"), "left_anti")
       .withColumnRenamed("__domain", "domain")
   }
+
+  /** Scheme + authority prefix of a URL (everything through the host and
+    * optional port); shared with the oracle. */
+  val schemeHostRegex = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+
+  /** Query parameters dropped by [[canonicalizeUrl]] — the cross-site
+    * tracking decorations that make one page arrive under thousands of
+    * distinct URLs in a crawl. */
+  val trackingParamRegex = "^(utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid|ref)="
+
+  /** Canonical form of a URL — the normalization a crawl pipeline runs
+    * BEFORE URL-level dedup, where it typically shrinks the frontier more
+    * than any content hash (the same page arrives as http/HTTPS, with and
+    * without www, with a fragment, and under a fan of utm_* click
+    * decorations):
+    *
+    *   1. fragment dropped (`#...` is client-side only);
+    *   2. scheme + host lowercased (path/query case PRESERVED — paths are
+    *      case-sensitive by RFC 3986);
+    *   3. `www.` host prefix dropped;
+    *   4. default ports dropped (`:80` for http, `:443` for https — only
+    *      for their own scheme);
+    *   5. tracking parameters removed ([[trackingParamRegex]]), remaining
+    *      parameter ORDER preserved (reordering would merge
+    *      `?a=1&b=2`-vs-`?b=2&a=1` but also break signed URLs — the
+    *      conservative choice); a now-empty query loses its `?`;
+    *   6. a bare host-root trailing slash dropped
+    *      (`http://a.com/` ≡ `http://a.com`).
+    *
+    * NULL for values with no `scheme://` authority (the [[domainOf]]
+    * contract: junk must not impersonate a canonical identity). Pure
+    * per-row regexp/string ops, zero shuffles, RE2-compatible and free of
+    * group-replacement syntax (Java `$1` vs RE2 `\1` differ), so a DuckDB
+    * oracle replays it byte-for-byte. */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val prefixRaw = regexp_extract(noFrag, schemeHostRegex, 0)
+    val rest = regexp_replace(noFrag, schemeHostRegex, "")
+    val p1 = regexp_replace(lower(prefixRaw), "://www\\.", "://")
+    val p2 = when(p1.startsWith("http://"), regexp_replace(p1, ":80$", ""))
+      .when(p1.startsWith("https://"), regexp_replace(p1, ":443$", ""))
+      .otherwise(p1)
+    val path = regexp_replace(rest, "\\?.*", "")
+    val query = regexp_extract(rest, "\\?(.*)", 1)
+    val kept = filter(split(query, "&"),
+      t => !t.rlike(trackingParamRegex))
+    val joined = array_join(kept, "&")
+    val canon = concat(p2, path,
+      when(joined === "", lit("")).otherwise(concat(lit("?"), joined)))
+    val deslashed = when(canon.rlike("^[a-z][a-z0-9+.-]*://[^/?#]+/$"),
+      canon.substr(lit(1), length(canon) - 1)).otherwise(canon)
+    when(prefixRaw === "", lit(null).cast("string")).otherwise(deslashed)
+  }
 }

@@ -104,11 +104,15 @@ class PlanAuditSpec extends SparkSpec {
                             // baseline with the label inequality folded
                             // into the broadcast NL predicate — anchors
                             // broadcast, corpus scanned once
-      "q134_token_drift"    // BNLJ nodes are the two broadcast SINGLE-ROW
+      "q134_token_drift",   // BNLJ nodes are the two broadcast SINGLE-ROW
                             // per-side token totals crossJoined onto the
                             // 200-row vocab frame (the q104/q112 stats-
                             // attach precedent); the merge itself is a
                             // hash full-outer on the vocab-bounded frames
+      "q135_idf_delta"      // same: each side's idf frame attaches its
+                            // broadcast single-row (n_docs, avgdl) stats
+                            // via the q104 crossJoin; the version merge is
+                            // a hash full-outer on vocab-bounded frames
     )
     val heavy = Set("q13_tf_topterms", "q14_svm_predict", "q15_stream_agg")
     SparkEntry.queries.keys

@@ -154,4 +154,30 @@ class SearchSpec extends SparkSpec {
     assert(top.head.getAs[Long]("doc_id") == 50L,
       s"consensus doc should win: ${top.mkString(", ")}")
   }
+
+  test("idfDelta: hand-computed shifts, vocabulary churn, tolerance gate") {
+    val v1 = docsDf(1L -> "aa bb", 2L -> "aa")
+    val v2 = docsDf(1L -> "aa bb", 2L -> "aa", 3L -> "aa cc")
+    def idfU(n: Long, df: Long): Long =
+      math.floor(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 1e6).toLong
+    val all = Bm25.idfDelta(v1, v2, "doc_id", "text", minDeltaMicro = 0L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // aa: df 2/2 -> 3/3; bb: 1/2 -> 1/3; cc appears (df_a = 0, idf_a NULL)
+    assert(all("aa").getLong(1) == 2L && all("aa").getLong(2) == 3L)
+    assert(all("aa").getLong(5) ==
+      math.abs(idfU(2, 2) - idfU(3, 3)), s"got ${all("aa")}")
+    assert(all("bb").getLong(5) == math.abs(idfU(2, 1) - idfU(3, 1)))
+    assert(all("cc").getLong(1) == 0L && all("cc").isNullAt(3) &&
+      all("cc").isNullAt(5), s"got ${all("cc")}")
+    // a vanished token is always reported, whatever the tolerance
+    val gone = Bm25.idfDelta(docsDf(1L -> "aa xx"), docsDf(1L -> "aa"),
+      "doc_id", "text", minDeltaMicro = Long.MaxValue).collect()
+    assert(gone.map(_.getString(0)).toSet == Set("xx"))
+  }
+
+  test("idfDelta of identical corpora under tolerance is empty") {
+    val c = docsDf(1L -> "aa bb cc", 2L -> "aa dd")
+    assert(Bm25.idfDelta(c, docsDf(1L -> "aa bb cc", 2L -> "aa dd"),
+      "doc_id", "text", minDeltaMicro = 1L).count() == 0L)
+  }
 }
