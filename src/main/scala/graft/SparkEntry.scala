@@ -3075,6 +3075,55 @@ object SparkEntry {
         "OR abs(idf_a_u - idf_b_u) >= 1000"
     },
 
+    // Step-for-step replay of Urls.canonicalizeUrl — every regexp is the
+    // Scala constant verbatim (RE2-compatible, no group-replacement
+    // syntax), the URL fan is the same doc_id % 6 CASE, and DuckDB's
+    // regexp_extract/string_split share Spark's no-match-is-empty-string
+    // and split('', '&') = [''] semantics the Scala relies on.
+    "q136_url_canonical" -> {
+      val pre = Urls.schemeHostRegex
+      val trk = Urls.trackingParamRegex
+      "WITH u AS (SELECT doc_id, CASE doc_id % 6 " +
+        "WHEN 0 THEN 'HTTP://WWW.Site' || CAST(doc_id % 50 AS VARCHAR) || " +
+        "'.example.com:80/p/' || CAST(doc_id AS VARCHAR) || " +
+        "'?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '#frag' " +
+        "WHEN 1 THEN 'http://site' || CAST(doc_id % 50 AS VARCHAR) || " +
+        "'.example.com/p/' || CAST(doc_id AS VARCHAR) || " +
+        "'?id=' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 2 THEN 'https://Site' || CAST(doc_id % 50 AS VARCHAR) || " +
+        "'.EXAMPLE.com:443/P/' || CAST(doc_id AS VARCHAR) || " +
+        "'?id=' || CAST(doc_id AS VARCHAR) || '&fbclid=abc' " +
+        "WHEN 3 THEN 'http://www.site' || CAST(doc_id % 50 AS VARCHAR) || " +
+        "'.example.com/' " +
+        "WHEN 4 THEN 'http://site' || CAST(doc_id % 50 AS VARCHAR) || " +
+        "'.example.com' " +
+        "ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url " +
+        "FROM documents), " +
+        "s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nofrag FROM u), " +
+        s"s2 AS (SELECT doc_id, regexp_extract(nofrag, '$pre', 0) AS pre, " +
+        s"regexp_replace(nofrag, '$pre', '') AS rest FROM s1), " +
+        "s3 AS (SELECT doc_id, pre, rest, " +
+        "regexp_replace(lower(pre), '://www\\.', '://') AS p1 FROM s2), " +
+        "s4 AS (SELECT doc_id, pre, " +
+        "CASE WHEN p1 LIKE 'http://%' THEN regexp_replace(p1, ':80$', '') " +
+        "WHEN p1 LIKE 'https://%' THEN regexp_replace(p1, ':443$', '') " +
+        "ELSE p1 END AS p2, " +
+        "regexp_replace(rest, '\\?.*', '') AS path, " +
+        "regexp_extract(rest, '\\?(.*)', 1) AS query FROM s3), " +
+        "s5 AS (SELECT doc_id, pre, p2 || path || " +
+        "CASE WHEN j = '' THEN '' ELSE '?' || j END AS canon FROM " +
+        "(SELECT *, array_to_string(list_filter(string_split(query, '&'), " +
+        s"t -> NOT regexp_matches(t, '$trk')), '&') AS j FROM s4)), " +
+        "c AS (SELECT doc_id, CASE WHEN pre = '' THEN NULL " +
+        "WHEN regexp_matches(canon, '^[a-z][a-z0-9+.-]*://[^/?#]+/$') " +
+        "THEN substr(canon, 1, length(canon) - 1) ELSE canon END AS url_canon " +
+        "FROM s5), " +
+        "f AS (SELECT url_canon, min(doc_id) AS first_id FROM c " +
+        "WHERE url_canon IS NOT NULL GROUP BY url_canon) " +
+        "SELECT c.doc_id, c.url_canon, f.first_id " +
+        "FROM c LEFT JOIN f ON c.url_canon = f.url_canon"
+    },
+
     // q47's window CTEs + the audit aggregation — all-integer.
     "q132_packing_audit" ->
       (s"WITH t AS (SELECT doc_id, " +

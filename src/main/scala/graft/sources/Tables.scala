@@ -17,16 +17,30 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read nanos as long (session conf) and normalize to a proper
-    * TimestampType (µs) column so downstream window/watermark ops just work. */
+
+  /** Normalize an event frame's `ts` column to TimestampType whatever the
+    * parquet writer produced — generators have shipped TIMESTAMP(NANOS)
+    * (readable only as long via the legacy nanos-as-long conf) and plain
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false (read as TIMESTAMP_NTZ).
+    * The session timezone is pinned to UTC (GraftSession), so the NTZ→TZ
+    * cast is instant-preserving and both layouts yield the identical
+    * micros-since-epoch column the oracles and window math assume. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      // integer `div`, NOT `/`: Divide promotes the long nanos (~1.7e18,
+      // past double's 2^53 exact range) to double, corrupting ~1.5% of
+      // timestamps by 1 µs after truncation
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer `div`, NOT `/`: Divide promotes the long nanos (~1.7e18, past
-    // double's 2^53 exact range) to double, corrupting ~1.5% of timestamps
-    // by 1 µs after truncation
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(load(spark, dir, "events"))
   }
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

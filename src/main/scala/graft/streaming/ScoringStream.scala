@@ -64,10 +64,10 @@ object ScoringStream {
         d.toString
       } else path
     val schema = spark.read.parquet(dir).schema
-    // integer `div` — see Tables.events: double division corrupts ~1.5% of
-    // nano timestamps by 1 µs
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // ts layout varies by generator (long nanos vs TIMESTAMP_NTZ µs) —
+    // same normalization as the batch reader, see Tables.normalizeTs
+    graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(dir))
   }
 
   /** Socket text source — the reference's actual ingress

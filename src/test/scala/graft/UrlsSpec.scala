@@ -37,4 +37,50 @@ class UrlsSpec extends SparkSpec {
     // the extracted domain rides the output for downstream per-domain stats
     assert(out.columns.contains("domain"))
   }
+
+  test("canonicalizeUrl normalizes each documented axis, one at a time") {
+    val rows = Seq(
+      // scheme+host case-folded, path case preserved
+      ("HTTP://ExAmple.COM/Path/File", Some("http://example.com/Path/File")),
+      // www. dropped
+      ("https://www.example.com/a", Some("https://example.com/a")),
+      // default port dropped, but only for its own scheme
+      ("http://example.com:80/a", Some("http://example.com/a")),
+      ("https://example.com:443/a", Some("https://example.com/a")),
+      ("http://example.com:443/a", Some("http://example.com:443/a")),
+      ("http://example.com:8080/a", Some("http://example.com:8080/a")),
+      // fragment dropped
+      ("http://example.com/a#sec2", Some("http://example.com/a")),
+      // tracking params removed, other params and their ORDER preserved
+      ("http://e.com/p?utm_source=x&b=2&gclid=g&a=1",
+        Some("http://e.com/p?b=2&a=1")),
+      // query emptied entirely loses its '?'
+      ("http://e.com/p?utm_campaign=x&fbclid=y", Some("http://e.com/p")),
+      // non-tracking param that merely CONTAINS a tracking name survives
+      ("http://e.com/p?xutm_source=1&refx=2",
+        Some("http://e.com/p?xutm_source=1&refx=2")),
+      // bare host-root slash dropped; deeper trailing slashes kept
+      ("http://example.com/", Some("http://example.com")),
+      ("http://example.com/a/", Some("http://example.com/a/")),
+      // junk / schemeless → NULL, never a canonical identity
+      ("example.com/no-scheme", None),
+      ("not a url", None),
+      ("", None))
+    val got = rows.map(_._1).toDF("url")
+      .select(Urls.canonicalizeUrl(col("url"))).collect()
+      .map(r => Option(r.getString(0))).toSeq
+    assert(got == rows.map(_._2),
+      got.zip(rows).filter { case (g, (_, e)) => g != e }.mkString("; "))
+  }
+
+  test("canonicalizeUrl merges the full decoration fan onto one identity") {
+    val variants = Seq(
+      "HTTP://WWW.Example.com:80/page?utm_source=a#top",
+      "http://example.com/page",
+      "http://www.example.com/page?fbclid=zzz",
+      "http://Example.COM:80/page")
+    val got = variants.toDF("url")
+      .select(Urls.canonicalizeUrl(col("url"))).distinct().collect()
+    assert(got.length == 1 && got.head.getString(0) == "http://example.com/page")
+  }
 }
