@@ -2132,6 +2132,35 @@ object SparkEntry {
         .groupBy("url_canon").agg(min("doc_id").as("first_id"))
       canon.join(firsts, Seq("url_canon"), "left")
         .select("doc_id", "url_canon", "first_id")
+    }),
+
+    // §2 row 153: blocked fuzzy record linkage — each document's 24-char
+    // text prefix as the record string, linked against a
+    // deterministically-corrupted twin feed (by doc_id % 4: last char
+    // dropped / char 2 substituted / 'q' inserted at 7 / unchanged)
+    // within 4-char-prefix blocks at Levenshtein ≤ 1. The %4=1 class
+    // corrupts INSIDE the blocking prefix, so those twins land in
+    // another block and are (correctly, deterministically) missed — the
+    // classic blocking-recall trade the operator documents.
+    "q137_record_linkage" -> ((s, dir) => {
+      import graft.operators.RecordLinkage
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), expr("substring(text, 1, 24)").as("rec"))
+      val dirty = docs.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, expr("substring(rec, 1, 23)"))
+        .when(col("doc_id") % 4 === 1,
+          concat(expr("substring(rec, 1, 1)"), lit("#"),
+            expr("substring(rec, 3)")))
+        .when(col("doc_id") % 4 === 2,
+          concat(expr("substring(rec, 1, 6)"), lit("q"),
+            expr("substring(rec, 7)")))
+        .otherwise(col("rec")).as("rec"))
+      RecordLinkage.linkBlocked(
+        RecordLinkage.shape(docs, "doc_id",
+          expr("substring(rec, 1, 4)"), "rec"),
+        RecordLinkage.shape(dirty, "doc_id",
+          expr("substring(rec, 1, 4)"), "rec"),
+        maxDist = 1)
     })
   )
 
@@ -3123,6 +3152,26 @@ object SparkEntry {
         "SELECT c.doc_id, c.url_canon, f.first_id " +
         "FROM c LEFT JOIN f ON c.url_canon = f.url_canon"
     },
+
+    // Same %4 corruption fan, same 4-char-prefix block join; DuckDB's
+    // levenshtein is the same unit-cost edit distance as Spark's (the
+    // Spark side's threshold/length-guard variants only skip work, never
+    // change the kept set or the reported distance).
+    "q137_record_linkage" ->
+      ("WITH rec AS (SELECT doc_id, substr(text, 1, 24) AS rec " +
+        "FROM documents), " +
+        "dirty AS (SELECT doc_id, CASE doc_id % 4 " +
+        "WHEN 0 THEN substr(rec, 1, 23) " +
+        "WHEN 1 THEN substr(rec, 1, 1) || '#' || substr(rec, 3) " +
+        "WHEN 2 THEN substr(rec, 1, 6) || 'q' || substr(rec, 7) " +
+        "ELSE rec END AS rec FROM rec), " +
+        "l AS (SELECT doc_id AS id_l, substr(rec, 1, 4) AS block, " +
+        "rec AS s_l FROM rec), " +
+        "r AS (SELECT doc_id AS id_r, substr(rec, 1, 4) AS block, " +
+        "rec AS s_r FROM dirty) " +
+        "SELECT id_l, id_r, CAST(levenshtein(s_l, s_r) AS BIGINT) AS dist " +
+        "FROM l JOIN r ON l.block = r.block " +
+        "WHERE levenshtein(s_l, s_r) <= 1"),
 
     // q47's window CTEs + the audit aggregation — all-integer.
     "q132_packing_audit" ->

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RecordLinkage
+
+class RecordLinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def shaped(rows: Seq[(Long, String)]) =
+    RecordLinkage.shape(rows.toDF("id", "s"), "id",
+      expr("substring(s, 1, 2)"), "s")
+
+  test("linkBlocked finds within-block pairs up to maxDist, with exact dist") {
+    val clean = shaped(Seq(
+      (1L, "ab-1234"), (2L, "ab-9999"), (3L, "cd-5678")))
+    val dirty = shaped(Seq(
+      (10L, "ab-1239"),   // 1 sub from id 1
+      (11L, "ab-124"),    // 1 del from id 1 (and 2 edits from "ab-9999")
+      (12L, "cd-5678"),   // exact copy of id 3
+      (13L, "cd-0000")))  // 4 subs from id 3: out of budget
+    val got = RecordLinkage.linkBlocked(clean, dirty, maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 1L), (1L, 11L, 1L), (3L, 12L, 0L)))
+  }
+
+  test("an edit inside the blocking prefix is missed — the documented trade") {
+    val clean = shaped(Seq((1L, "ab-1234")))
+    val dirty = shaped(Seq((20L, "zb-1234"))) // dist 1, but block zb ≠ ab
+    assert(RecordLinkage.linkBlocked(clean, dirty, maxDist = 1).isEmpty)
+  }
+
+  test("selfLinkBlocked emits each unordered pair once, never self pairs") {
+    val t = shaped(Seq(
+      (1L, "ab-1234"), (2L, "ab-1235"), (3L, "ab-1234"), (4L, "ab-77777")))
+    val got = RecordLinkage.selfLinkBlocked(t, maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // (1,2) sub, (1,3) exact, (2,3) sub; 4 is 3+ edits from all
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 0L), (2L, 3L, 1L)))
+  }
+
+  test("plan is a hash equi-join on the block key, never all-pairs") {
+    val d = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr("substring(text, 1, 24)").as("rec"))
+    val shapedDocs = RecordLinkage.shape(d, "doc_id",
+      expr("substring(rec, 1, 4)"), "rec")
+    val out = RecordLinkage.linkBlocked(shapedDocs, shapedDocs, maxDist = 1)
+    assertNoCartesian(out)
+    // every record matches at least itself at dist 0
+    assert(out.filter(col("id_l") === col("id_r") && col("dist") === 0)
+      .count() == d.count())
+  }
+
+  test("length guard and thresholded distance never drop a true match") {
+    // strings whose length differs by exactly maxDist still verify
+    val clean = shaped(Seq((1L, "ab-12")))
+    val dirty = shaped(Seq((2L, "ab-123"), (3L, "ab-1234")))
+    val got = RecordLinkage.linkBlocked(clean, dirty, maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L))) // +2 chars is past both guards
+  }
+}
