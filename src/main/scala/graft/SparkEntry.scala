@@ -2161,6 +2161,37 @@ object SparkEntry {
         RecordLinkage.shape(dirty, "doc_id",
           expr("substring(rec, 1, 4)"), "rec"),
         maxDist = 1)
+    }),
+
+    // §2 row 154: link-graph PageRank — the full crawl-side composition:
+    // deterministic per-doc HTML (each doc on host h{doc_id%20} links to
+    // h{(3d+1)%20}, even docs also to h{(7d+2)%20}), outlinks extracted
+    // by q128's markup pipeline, hosts by q70's domainOf, then 3 fixed
+    // integer micro-unit PageRank iterations over the collapsed host
+    // graph. The oracle replays the ARITHMETIC edge derivation (the
+    // extraction provably yields those hosts — q128/q70 already pin the
+    // extraction itself) and the identical integer recurrence.
+    "q138_pagerank" -> ((s, dir) => {
+      import graft.operators.LinkGraph
+      val docs = spread(s, Tables.documents(s, dir))
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><body><a href=\"https://h"),
+        ((id * 3 + 1) % 20).cast("string"),
+        lit(".example.com/p"), id.cast("string"), lit("\">a</a>"),
+        when(id % 2 === 0, concat(
+          lit("<a href=\"https://h"), ((id * 7 + 2) % 20).cast("string"),
+          lit(".example.com/q"), id.cast("string"), lit("\">b</a>")))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      val links = Markup.extract(docs.withColumn("html", html),
+        "doc_id", "html")
+        .select(col("doc_id"), explode(col("links")).as("link"))
+      val edges = links.select(
+        concat(lit("h"), (col("doc_id") % 20).cast("string"),
+          lit(".example.com")).as("src"),
+        Urls.domainOf(col("link")).as("dst"))
+      LinkGraph.pageRank(edges, iters = 3)
     })
   )
 
@@ -3172,6 +3203,35 @@ object SparkEntry {
         "SELECT id_l, id_r, CAST(levenshtein(s_l, s_r) AS BIGINT) AS dist " +
         "FROM l JOIN r ON l.block = r.block " +
         "WHERE levenshtein(s_l, s_r) <= 1"),
+
+    // Arithmetic edge derivation (the hosts the q128-pinned extraction
+    // provably emits), then the identical integer micro-unit recurrence —
+    // one CTE per fixed iteration, every division an integer floor, so
+    // both engines produce bit-identical ranks.
+    "q138_pagerank" -> {
+      val host = "'.example.com'"
+      val e1 = "SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || " + host +
+        " AS src, 'h' || CAST((3 * doc_id + 1) % 20 AS VARCHAR) || " + host +
+        " AS dst FROM documents"
+      val e2 = "SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || " + host +
+        " AS src, 'h' || CAST((7 * doc_id + 2) % 20 AS VARCHAR) || " + host +
+        " AS dst FROM documents WHERE doc_id % 2 = 0"
+      val iters = (1 to 3).map { i =>
+        s"p$i AS (SELECT n.node, " +
+          "CAST(150000 + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS pr " +
+          "FROM nodes n LEFT JOIN " +
+          "(SELECT e.dst AS node, sum(p.pr // d.outdeg) AS m " +
+          s"FROM e JOIN p${i - 1} p ON p.node = e.src " +
+          "JOIN deg d ON d.src = e.src GROUP BY e.dst) s " +
+          "ON s.node = n.node)"
+      }.mkString(", ")
+      s"WITH e AS (SELECT DISTINCT src, dst FROM ($e1 UNION ALL $e2)), " +
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg " +
+        "FROM e GROUP BY src), " +
+        "p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes), " +
+        iters + " SELECT node, pr FROM p3"
+    },
 
     // q47's window CTEs + the audit aggregation — all-integer.
     "q132_packing_audit" ->

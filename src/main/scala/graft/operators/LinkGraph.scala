@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Host-graph centrality for crawl prioritization — PageRank over an edge
+  * list, the standard quality prior a web-corpus pipeline feeds into URL
+  * frontier scheduling and per-host mixture weights (hosts that the link
+  * graph endorses get crawled deeper and weighted higher than link-farm
+  * islands).
+  *
+  * All arithmetic is INTEGER micro-units (1.0 ≡ 1,000,000), the repo's
+  * rows-76/102 rule: per-node rank starts at 10⁶, each iteration computes
+  *
+  *   pr'(u) = 150000 + (85 · Σ_{v→u} (pr(v) div outdeg(v))) div 100
+  *
+  * with every division an integer floor — so the result is exactly
+  * reproducible on any engine and any partitioning (float PageRank differs
+  * run-to-run under reassociated sums; this one cannot). The damping
+  * split (0.15 / 0.85) is the Brin–Page constant. Deliberate semantics,
+  * all documented: ITERATIONS ARE FIXED (a convergence check is a second
+  * per-iteration aggregate; fixed depth is deterministic cost and
+  * deterministic output — callers wanting convergence compare successive
+  * frames themselves); parallel edges collapse (an endorsement counts
+  * once); DANGLING mass evaporates (the redistribution variant adds a
+  * broadcast scalar per iteration but makes every rank depend on the
+  * global dangling sum's own floor order — evaporation keeps the
+  * per-node recurrence purely local and is the common simplification).
+  *
+  * Scale notes: the edge list with out-degrees is computed ONCE and
+  * persisted across iterations; each iteration is one equi-join of the
+  * (node, pr) frame onto edges (both shuffle-partitioned on the join key)
+  * plus one map-side-combined sum per destination — per-iteration cost is
+  * O(|E|/p) with no driver-side state and nothing quadratic. Ranks and
+  * degrees are the only things that shuffle; at web scale the edge frame
+  * would be bucketed by src so the per-iteration join is exchange-free.
+  */
+object LinkGraph {
+
+  /** (node, pr) after `iters` fixed integer-PageRank iterations over
+    * `edges` (columns `src`, `dst`; parallel edges collapse; node set =
+    * distinct src ∪ dst). pr is micro-units, initial 1,000,000 per node. */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be ≥ 0, got $iters")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // edge+degree diamond reused every iteration — materialize it once
+    // (callers run Verify/Bench's clearCache-per-query convention)
+    val withDeg = e.join(deg, Seq("src")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    var pr = nodes.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(pr, withDeg("src") === pr("node"))
+        .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("m"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100"))
+            .as("pr"))
+    }
+    pr
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LinkGraph
+
+class LinkGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(String, String)], iters: Int): Map[String, Long] =
+    LinkGraph.pageRank(edges.toDF("src", "dst"), iters)
+      .as[(String, Long)].collect().toMap
+
+  test("hand-computed two iterations on a 3-node graph") {
+    val e = Seq(("A", "B"), ("B", "A"), ("C", "A"))
+    // p0 = 1e6 each; outdeg all 1
+    // p1: A: 150000+(85*(1e6+1e6))//100 = 1850000
+    //     B: 150000+(85*1e6)//100      = 1000000
+    //     C: 150000 (no inlinks)
+    assert(ranks(e, 1) ==
+      Map("A" -> 1850000L, "B" -> 1000000L, "C" -> 150000L))
+    // p2: A: 150000+(85*(1000000+150000))//100 = 1127500
+    //     B: 150000+(85*1850000)//100          = 1722500
+    assert(ranks(e, 2) ==
+      Map("A" -> 1127500L, "B" -> 1722500L, "C" -> 150000L))
+  }
+
+  test("iters = 0 returns the uniform initial ranks") {
+    assert(ranks(Seq(("A", "B")), 0) == Map("A" -> 1000000L, "B" -> 1000000L))
+  }
+
+  test("parallel edges collapse; an endorsement counts once") {
+    val dup = ranks(Seq(("A", "B"), ("A", "B"), ("A", "C")), 2)
+    val one = ranks(Seq(("A", "B"), ("A", "C")), 2)
+    assert(dup == one)
+  }
+
+  test("out-degree splits contribution with integer floor") {
+    // A→B, A→C: each gets pr(A) div 2 = 500000
+    // B: 150000+(85*500000)//100 = 575000, same C
+    val r = ranks(Seq(("A", "B"), ("A", "C")), 1)
+    assert(r("B") == 575000L && r("C") == 575000L && r("A") == 150000L)
+  }
+
+  test("dangling mass evaporates by documented design; ranks stay local") {
+    // B has no outlinks: its rank is received, never re-emitted
+    val r = ranks(Seq(("A", "B")), 3)
+    assert(r("A") == 150000L)
+    // B's steady state: 150000 + (85 * 150000) // 100 after A settles
+    assert(r("B") == 150000L + (85L * 150000L) / 100L)
+  }
+
+  test("self-loop feeds its own next rank, no special-casing") {
+    val r = ranks(Seq(("A", "A")), 1)
+    assert(r == Map("A" -> (150000L + (85L * 1000000L) / 100L)))
+  }
+
+  test("plan: equi-joins only, never all-pairs") {
+    val df = LinkGraph.pageRank(
+      Seq(("A", "B"), ("B", "C"), ("C", "A")).toDF("src", "dst"), 3)
+    assertNoCartesian(df)
+  }
+
+  test("partitioning invariance: same ranks under a different layout") {
+    val e = (0L until 200L).map(i => (s"h${i % 11}", s"h${(i * 3 + 1) % 11}"))
+    val a = ranks(e, 3)
+    val b = LinkGraph.pageRank(e.toDF("src", "dst").repartition(7), 3)
+      .as[(String, Long)].collect().toMap
+    assert(a == b)
+  }
+}
