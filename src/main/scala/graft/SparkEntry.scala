@@ -13,7 +13,7 @@ import graft.search.{Bm25, Rrf}
 import graft.similarity.{Ann, Centroids, KnnLabel, SemanticScreen}
 import graft.sources.Tables
 import graft.streaming.{ScoringStream, Sessionize}
-import graft.textstats.{Boilerplate, Bpe, Collocations, Drift, Keywords, LmScore, Markup, Pii, Repetition, Scripts, TextStats, Urls, VocabCoverage}
+import graft.textstats.{Boilerplate, Bpe, Collocations, Drift, Dsir, Keywords, LmScore, Markup, Pii, Repetition, Scripts, TextStats, Urls, VocabCoverage}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator ↔ query map. */
 object SparkEntry {
@@ -2192,6 +2192,18 @@ object SparkEntry {
           lit(".example.com")).as("src"),
         Urls.domainOf(col("link")).as("dst"))
       LinkGraph.pageRank(edges, iters = 3)
+    }),
+
+    // §2 row 155: DSIR importance scoring — sources src0-src2 as the
+    // target domain, the whole corpus as the raw pool, hashed-unigram
+    // models over 1024 buckets, exact top-100 keep set by
+    // (micro-nat weight desc, doc_id).
+    "q139_dsir" -> ((s, dir) => {
+      val docs = spread(s, Tables.documents(s, dir))
+      Dsir.importanceWeights(docs, "doc_id", "text",
+        col("source").isin("src0", "src1", "src2"),
+        buckets = 1024, keepK = 100)
+        .withColumnRenamed("id", "doc_id")
     })
   )
 
@@ -3231,6 +3243,39 @@ object SparkEntry {
         "FROM e GROUP BY src), " +
         "p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes), " +
         iters + " SELECT node, pr FROM p3"
+    },
+
+    // Same q25-polynomial per-token bucket hash, same add-one-smoothed
+    // count models, the identical single-division + ln + micro-nat floor
+    // per bucket (the one ln carries the q77 ulp caveat), int64 sums per
+    // doc, row_number replay of the TakeOrdered keep set.
+    "q139_dsir" -> {
+      val hash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(regexp_split_to_array(token, ''), " +
+        "c -> CAST(coalesce(ascii(c), 0) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 1000000007) % 1024"
+      "WITH t AS (SELECT doc_id, " +
+        "CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1 ELSE 0 END " +
+        s"AS is_t, unnest(${tokensSql("text")}) AS token FROM documents), " +
+        s"tk AS (SELECT doc_id, is_t, $hash AS bucket FROM t " +
+        "WHERE token <> ''), " +
+        "raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM tk " +
+        "GROUP BY bucket), " +
+        "tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM tk " +
+        "WHERE is_t = 1 GROUP BY bucket), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS r_tot, " +
+        "CAST(count(*) FILTER (WHERE is_t = 1) AS BIGINT) AS t_tot FROM tk), " +
+        "d AS (SELECT raw.bucket, " +
+        "CAST(floor(ln(((coalesce(ct, 0) + 1) * (r_tot + 1024)) / " +
+        "((cr + 1) * (t_tot + 1024))) * 1000000) AS BIGINT) AS d_u " +
+        "FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, tot), " +
+        "pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, " +
+        "CAST(sum(d_u) AS BIGINT) AS w_u FROM tk " +
+        "JOIN d ON tk.bucket = d.bucket GROUP BY doc_id), " +
+        "r AS (SELECT doc_id, n_tok, w_u, " +
+        "row_number() OVER (ORDER BY w_u DESC, doc_id) AS rk FROM pd) " +
+        "SELECT doc_id, n_tok, w_u, " +
+        "CAST(CASE WHEN rk <= 100 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM r"
     },
 
     // q47's window CTEs + the audit aggregation — all-integer.

@@ -1,0 +1,85 @@
+package graft.textstats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** DSIR-style importance scoring — "select raw-corpus documents that look
+  * like the target domain" (Xie et al. 2023, *Data Selection for Language
+  * Models via Importance Resampling*), the standard pretraining-mixture
+  * step when a small high-quality target corpus (wiki, books) should
+  * steer what's kept from a huge raw crawl.
+  *
+  * Each document scores Σ_tokens [ln p_target(bucket) − ln p_raw(bucket)]
+  * under hashed-unigram bag-of-words models with add-one smoothing over
+  * `buckets` hash buckets: positive ⇒ the doc's token mix is more
+  * target-like than raw-average. Hashing (the q25 polynomial per token,
+  * mod `buckets`) makes the model a FIXED-size table independent of
+  * vocabulary — the property that lets the same code run at 100 TB, and
+  * exactly the trick the paper uses.
+  *
+  * Determinism contract (the rows-76/102 micro-unit rule): the per-bucket
+  * log-ratio is floored to integer micro-nats ONCE, then per-doc scores
+  * are int64 sums of those floored values — order/partitioning
+  * independent, engine-replayable. Numerator/denominator products stay
+  * exact int64; the single `/` is one correctly-rounded double op; the
+  * one ln per bucket carries the documented q77 1-ulp caveat.
+  *
+  * Scale notes: two bucket-bounded map-side-combined count aggregates
+  * (≤ `buckets` rows each — broadcastable whatever the corpus size),
+  * broadcast single-row totals, then one broadcast join of the delta
+  * table onto the token stream and a per-doc partial-agg sum. Token
+  * instances never shuffle as rows; the only per-doc shuffle carries
+  * (doc_id, int64). Selection is TakeOrdered top-k (per-partition heads,
+  * never a global sort shuffle).
+  */
+object Dsir {
+
+  /** q25 polynomial hash of one token, mod `buckets`. */
+  private def bucketOf(token: Column, buckets: Int): Column =
+    pmod(aggregate(split(token, ""), lit(0L),
+      (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch), lit(0)),
+        lit(1000000007L))), lit(buckets.toLong))
+
+  /** (doc_id, n_tok, w_u, keep): per-document importance weight in
+    * micro-nats and a keep flag marking the exact top-`keepK` docs by
+    * (w_u desc, id asc — deterministic ties). `isTarget` defines the
+    * target-domain subset of `docs` (rows where it is true). */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, buckets: Int = 1024,
+                        keepK: Int = 100): DataFrame = {
+    require(buckets > 0 && keepK >= 0, s"bad buckets=$buckets keepK=$keepK")
+    val toks = docs.select(col(idCol).as("id"), isTarget.as("is_t"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .select(col("id"), col("is_t"), bucketOf(col("token"), buckets).as("bucket"))
+    // raw = ALL docs (the target is part of the raw corpus here, as in
+    // the paper's raw-pool setup); both aggregates are bucket-bounded
+    val raw = toks.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter(col("is_t")).groupBy("bucket")
+      .agg(count(lit(1)).as("ct"))
+    val totals = toks.agg(
+      count(lit(1)).as("r_tot"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("t_tot"))
+    // delta table: ≤ `buckets` rows — broadcast onto the token stream.
+    // Only buckets present in raw matter (every doc token is in raw by
+    // construction); absent-from-target buckets smooth to ct = 0.
+    val delta = raw
+      .join(tgt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        expr(s"CAST(floor(ln(((ct + 1) * (r_tot + $buckets)) / " +
+          s"((cr + 1) * (t_tot + $buckets))) * 1000000) AS BIGINT)")
+          .as("d_u"))
+    val perDoc = toks
+      .join(broadcast(delta), Seq("bucket"))
+      .groupBy("id").agg(count(lit(1)).as("n_tok"), sum("d_u").as("w_u"))
+    val top = perDoc.orderBy(col("w_u").desc, col("id"))
+      .limit(keepK).select(col("id"), lit(1L).as("keep"))
+    perDoc.join(broadcast(top), Seq("id"), "left")
+      .na.fill(0L, Seq("keep"))
+      .select(col("id"), col("n_tok"), col("w_u"), col("keep"))
+  }
+}
