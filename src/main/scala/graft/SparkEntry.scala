@@ -2204,6 +2204,22 @@ object SparkEntry {
         col("source").isin("src0", "src1", "src2"),
         buckets = 1024, keepK = 100)
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // §2 row 156: containment (excerpt) detection — the corpus plus a
+    // planted excerpt feed (every doc_id%5==0 doc's first 180 chars as
+    // id+10000): each excerpt's gram set sits ≥0.8 inside its source
+    // while the pair's symmetric Jaccard is far below any dedup
+    // threshold — the asymmetric case q18 cannot see.
+    "q140_containment" -> ((s, dir) => {
+      import graft.dedup.Containment
+      val docs = spread(s, Tables.documents(s, dir))
+      val corpus = docs.select(col("doc_id").as("id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000).as("id"),
+            expr("substring(text, 1, 180)").as("text")))
+      Containment.containedPairs(corpus, "id", "text",
+        n = 3, threshold = 0.8)
     })
   )
 
@@ -3276,6 +3292,34 @@ object SparkEntry {
         "row_number() OVER (ORDER BY w_u DESC, doc_id) AS rk FROM pd) " +
         "SELECT doc_id, n_tok, w_u, " +
         "CAST(CASE WHEN rk <= 100 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM r"
+    },
+
+    // q18's gram-string-space replay (distinct grams ↔ distinct hashes)
+    // over the corpus+excerpt union, normalized by the SMALLER set with
+    // the deterministic (size, id) orientation. The DF cap never fires
+    // at this scale (df ≤ corpus size < 1000), so the oracle needn't
+    // model it — same as q18.
+    "q140_containment" -> {
+      "WITH corpus AS (SELECT doc_id AS id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 10000, substr(text, 1, 180) " +
+        "FROM documents WHERE doc_id % 5 = 0), " +
+        s"t AS (SELECT id, ${tokensSql("text")} AS toks FROM corpus), " +
+        "g0 AS (SELECT id, CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), " +
+        "gd AS (SELECT DISTINCT id, gram FROM " +
+        "(SELECT id, unnest(grams) AS gram FROM g0)), " +
+        "sz AS (SELECT id, count(*) AS n FROM gd GROUP BY id), " +
+        "inter AS (SELECT a.id AS id_in, b.id AS id_of, count(*) AS i " +
+        "FROM gd a JOIN gd b ON a.gram = b.gram AND a.id <> b.id " +
+        "GROUP BY 1, 2) " +
+        "SELECT id_in, id_of, " +
+        "CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment " +
+        "FROM inter JOIN sz sa ON sa.id = id_in " +
+        "JOIN sz sb ON sb.id = id_of " +
+        "WHERE (sa.n < sb.n OR (sa.n = sb.n AND id_in < id_of)) " +
+        "AND CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.8"
     },
 
     // q47's window CTEs + the audit aggregation — all-integer.

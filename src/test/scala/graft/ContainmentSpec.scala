@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Containment, NGramJaccard}
+
+class ContainmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  // cleanText strips digits, so tokens must be alphabetic-only
+  private def tok(i: Int) = s"t${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+  private val article = (1 to 60).map(tok).mkString(" ")
+  private val excerpt = (10 to 21).map(tok).mkString(" ")
+
+  test("a planted excerpt is found with high containment while the same " +
+    "pair is invisible to symmetric Jaccard at the same threshold") {
+    val docs = Seq((1L, article), (2L, excerpt),
+      (3L, (100 to 160).map(tok).mkString(" ")))
+      .toDF("id", "text")
+    val got = Containment.containedPairs(docs, "id", "text",
+        n = 3, threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet == Set((2L, 1L)))
+    // excerpt grams: 10 of 10 inside the article
+    assert(got.head._3 == 1.0)
+    assert(NGramJaccard.similarPairs(docs, "id", "text",
+      n = 3, threshold = 0.8).isEmpty)
+  }
+
+  test("exact duplicates emit exactly one row, oriented by id, c = 1.0") {
+    val docs = Seq((7L, article), (4L, article)).toDF("id", "text")
+    val got = Containment.containedPairs(docs, "id", "text",
+        n = 3, threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((4L, 7L, 1.0)))
+  }
+
+  test("unrelated documents never pair; no self pairs") {
+    val docs = Seq((1L, article),
+      (2L, (200 to 260).map(tok).mkString(" "))).toDF("id", "text")
+    assert(Containment.containedPairs(docs, "id", "text",
+      n = 3, threshold = 0.5).isEmpty)
+  }
+
+  test("orientation: the smaller distinct-gram set is always id_in") {
+    val docs = Seq((9L, excerpt), (2L, article)).toDF("id", "text")
+    val got = Containment.containedPairs(docs, "id", "text",
+        n = 3, threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet == Set((9L, 2L)))
+  }
+
+  test("partial overlap below threshold is dropped, above kept, exact value") {
+    // contained side has 8 grams; 6 shared with the container
+    val small = ((1 to 8) ++ (300 to 303)).map(tok).mkString(" ")
+    val big = ((1 to 10) ++ (400 to 440)).map(tok).mkString(" ")
+    val docs = Seq((1L, big), (2L, small)).toDF("id", "text")
+    // small: 10 distinct 3-grams, big misses those touching w100..w103
+    val at = Containment.containedPairs(docs, "id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(at.length == 1 && at.head._1 == 2L)
+    assert(at.head._3 == 0.6, at.head.toString) // 6 of 10 grams shared
+    assert(Containment.containedPairs(docs, "id", "text", 3, 0.7).isEmpty)
+  }
+
+  test("plan: posting equi-joins only, never all-pairs") {
+    val docs = Seq((1L, article), (2L, excerpt)).toDF("id", "text")
+    assertNoCartesian(
+      Containment.containedPairs(docs, "id", "text", 3, 0.8))
+  }
+}
