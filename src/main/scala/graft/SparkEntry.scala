@@ -2220,6 +2220,15 @@ object SparkEntry {
             expr("substring(text, 1, 180)").as("text")))
       Containment.containedPairs(corpus, "id", "text",
         n = 3, threshold = 0.8)
+    }),
+
+    // §2 row 157: Efraimidis–Spirakis weighted sample — 100 docs drawn
+    // without replacement with inclusion odds ∝ n_chars, clocks seeded
+    // by the q25 hash of the id; keep flag over the full corpus.
+    "q141_weighted_sample" -> ((s, dir) => {
+      Sampling.weightedSample(spread(s, Tables.documents(s, dir)),
+        "doc_id", "n_chars", k = 100)
+        .withColumnRenamed("id", "doc_id")
     })
   )
 
@@ -3320,6 +3329,24 @@ object SparkEntry {
         "JOIN sz sb ON sb.id = id_of " +
         "WHERE (sa.n < sb.n OR (sa.n = sb.n AND id_in < id_of)) " +
         "AND CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.8"
+    },
+
+    // The identical clock: q25 polynomial hash of the id string → u in
+    // (0, 1] → −ln(u)/w, row_number replay of the TakeOrdered winners
+    // (ln carries the q77 ulp caveat; id tiebreak).
+    "q141_weighted_sample" -> {
+      val hash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(regexp_split_to_array(CAST(doc_id AS VARCHAR), ''), " +
+        "c -> CAST(coalesce(ascii(c), 0) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 1000000007)"
+      s"WITH h AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w, $hash AS hv " +
+        "FROM documents), " +
+        "k AS (SELECT doc_id, w, " +
+        "-ln((hv + 1) / 1000000008.0) / w AS ekey FROM h), " +
+        "r AS (SELECT doc_id, w, " +
+        "row_number() OVER (ORDER BY ekey ASC, doc_id) AS rk FROM k) " +
+        "SELECT doc_id, w, " +
+        "CAST(CASE WHEN rk <= 100 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM r"
     },
 
     // q47's window CTEs + the audit aggregation — all-integer.

@@ -378,4 +378,35 @@ object Sampling {
         .filter(col("rank") <= col("alloc"))
         .select(col(strataCol), col(idCol), col("rank"))
   }
+
+  /** Weighted sample WITHOUT replacement, k rows with inclusion odds ∝
+    * `weightCol` — Efraimidis–Spirakis (2006) exponential clocks: each row
+    * draws `e = −ln(u) / w` (u a deterministic uniform from the q25
+    * polynomial hash of its id) and the k SMALLEST e win. The property
+    * that matters at 100 TB: the draw is a pure per-row function — no
+    * global weight total, no prefix-sum pass, no normalization — so one
+    * scan plus a TakeOrdered head (per-partition top-k, never a corpus
+    * sort) finishes the job, and the sample is reproducible across runs,
+    * partitionings, and engines (the one `ln` per row carries the
+    * documented q77 ulp caveat; ranks tie-break by id).
+    *
+    * Scaling all weights by a constant rescales every clock by the same
+    * factor — the selection is invariant, another ES property the spec
+    * pins. Precondition: weights > 0 (zero/negative weights have no
+    * exponential clock; callers filter first). Returns every input row
+    * with its weight and a keep ∈ {0,1} flag marking the winners. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 0, s"k must be ≥ 0, got $k")
+    val hv = graft.textstats.TextStats.fingerprint(col(idCol).cast("string"))
+    val u = (hv + lit(1L)) / lit(1000000008.0) // (0, 1], never ln(0)
+    val scored = df.select(col(idCol).as("id"),
+      col(weightCol).cast("long").as("w"),
+      (-log(u) / col(weightCol).cast("double")).as("ekey"))
+    val top = scored.orderBy(col("ekey").asc, col("id")).limit(k)
+      .select(col("id"), lit(1L).as("keep"))
+    scored.join(broadcast(top), Seq("id"), "left")
+      .na.fill(0L, Seq("keep"))
+      .select(col("id"), col("w"), col("keep"))
+  }
 }

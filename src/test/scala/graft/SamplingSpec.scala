@@ -294,4 +294,51 @@ class SamplingSpec extends SparkSpec {
       plan.contains("partial_topkaggregator"),
       s"selection must use the map-side-capped top-k aggregator:\n$plan")
   }
+
+  // ---- weightedSample (Efraimidis–Spirakis) ----
+
+  /** Scala reference of the identical clock: q25 polynomial hash of the
+    * id string, u in (0, 1], e = −ln(u)/w. */
+  private def esKey(id: Long, w: Long): Double = {
+    val h = id.toString.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    -math.log((h + 1) / 1000000008.0) / w
+  }
+
+  private def esRun(rows: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    Sampling.weightedSample(rows.toDF("id", "w"), "id", "w", k)
+      .select("id", "keep").as[(Long, Long)].collect().toMap
+
+  test("weightedSample matches a from-scratch reference selection exactly") {
+    val rows = (1L to 200L).map(i => (i, 1L + i % 17))
+    val expect = rows.sortBy { case (id, w) => (esKey(id, w), id) }
+      .take(25).map(_._1).toSet
+    val got = esRun(rows, 25)
+    assert(got.count(_._2 == 1L) == 25)
+    assert(got.filter(_._2 == 1L).keySet == expect)
+  }
+
+  test("weightedSample: an overwhelming weight is always selected") {
+    val rows = (1L to 50L).map(i => (i, 1L)) :+ (99L, 1000000000L)
+    assert(esRun(rows, 5)(99L) == 1L)
+  }
+
+  test("weightedSample selection is invariant under weight rescaling") {
+    val rows = (1L to 100L).map(i => (i, 1L + i % 7))
+    val a = esRun(rows, 10).filter(_._2 == 1L).keySet
+    val b = Sampling.weightedSample(
+      rows.map { case (i, w) => (i, w * 1000L) }.toDF("id", "w"),
+      "id", "w", 10)
+      .select("id", "keep").as[(Long, Long)].collect().toMap
+      .filter(_._2 == 1L).keySet
+    assert(a == b)
+  }
+
+  test("weightedSample is partitioning-invariant and emits every row") {
+    val rows = (1L to 120L).map(i => (i, 1L + i % 5))
+    val a = esRun(rows, 30)
+    val b = Sampling.weightedSample(rows.toDF("id", "w").repartition(7),
+        "id", "w", 30)
+      .select("id", "keep").as[(Long, Long)].collect().toMap
+    assert(a == b && a.size == 120)
+  }
 }
