@@ -2229,6 +2229,24 @@ object SparkEntry {
       Sampling.weightedSample(spread(s, Tables.documents(s, dir)),
         "doc_id", "n_chars", k = 100)
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // §2 row 158: per-host reputation rollup — q138's host graph ranks ×
+    // q23's quality × exact-dup share fused into one integer mixture
+    // weight per host. Edges are derived arithmetically here (q138
+    // already pins the markup→domain extraction composition end to end).
+    "q142_host_reputation" -> ((s, dir) => {
+      import graft.operators.{LinkGraph, Reputation}
+      val docs = spread(s, Tables.documents(s, dir))
+      val id = col("doc_id")
+      def h(e: org.apache.spark.sql.Column) =
+        concat(lit("h"), e.cast("string"), lit(".example.com"))
+      val e1 = docs.select(h(id % 20).as("src"), h((id * 3 + 1) % 20).as("dst"))
+      val e2 = docs.filter(id % 2 === 0)
+        .select(h(id % 20).as("src"), h((id * 7 + 2) % 20).as("dst"))
+      val pr = LinkGraph.pageRank(e1.unionAll(e2), iters = 3)
+      Reputation.hostReputation(docs.withColumn("host", h(id % 20)),
+        "host", "doc_id", "text", pr)
     })
   )
 
@@ -2363,6 +2381,34 @@ object SparkEntry {
       "CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard " +
       "FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b " +
       "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8"
+
+  /** Shared PageRank CTE chain for q138/q142 (one definition, no drift):
+    * the arithmetic host edges, then one CTE per fixed integer-micro-unit
+    * iteration — ranks land in `p3 (node, pr)`. */
+  private def pagerankCtes: String = {
+    val host = "'.example.com'"
+    val e1 = "SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || " + host +
+      " AS src, 'h' || CAST((3 * doc_id + 1) % 20 AS VARCHAR) || " + host +
+      " AS dst FROM documents"
+    val e2 = "SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || " + host +
+      " AS src, 'h' || CAST((7 * doc_id + 2) % 20 AS VARCHAR) || " + host +
+      " AS dst FROM documents WHERE doc_id % 2 = 0"
+    val iters = (1 to 3).map { i =>
+      s"p$i AS (SELECT n.node, " +
+        "CAST(150000 + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS pr " +
+        "FROM nodes n LEFT JOIN " +
+        "(SELECT e.dst AS node, sum(p.pr // d.outdeg) AS m " +
+        s"FROM e JOIN p${i - 1} p ON p.node = e.src " +
+        "JOIN deg d ON d.src = e.src GROUP BY e.dst) s " +
+        "ON s.node = n.node)"
+    }.mkString(", ")
+    s"e AS (SELECT DISTINCT src, dst FROM ($e1 UNION ALL $e2)), " +
+      "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+      "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg " +
+      "FROM e GROUP BY src), " +
+      "p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes), " +
+      iters
+  }
 
   /** Shared `WITH RECURSIVE … cc` prefix for the connected-components
     * oracles (q43/q44): transitive closure of the undirected q18 pair
@@ -3244,31 +3290,9 @@ object SparkEntry {
     // Arithmetic edge derivation (the hosts the q128-pinned extraction
     // provably emits), then the identical integer micro-unit recurrence —
     // one CTE per fixed iteration, every division an integer floor, so
-    // both engines produce bit-identical ranks.
-    "q138_pagerank" -> {
-      val host = "'.example.com'"
-      val e1 = "SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || " + host +
-        " AS src, 'h' || CAST((3 * doc_id + 1) % 20 AS VARCHAR) || " + host +
-        " AS dst FROM documents"
-      val e2 = "SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || " + host +
-        " AS src, 'h' || CAST((7 * doc_id + 2) % 20 AS VARCHAR) || " + host +
-        " AS dst FROM documents WHERE doc_id % 2 = 0"
-      val iters = (1 to 3).map { i =>
-        s"p$i AS (SELECT n.node, " +
-          "CAST(150000 + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS pr " +
-          "FROM nodes n LEFT JOIN " +
-          "(SELECT e.dst AS node, sum(p.pr // d.outdeg) AS m " +
-          s"FROM e JOIN p${i - 1} p ON p.node = e.src " +
-          "JOIN deg d ON d.src = e.src GROUP BY e.dst) s " +
-          "ON s.node = n.node)"
-      }.mkString(", ")
-      s"WITH e AS (SELECT DISTINCT src, dst FROM ($e1 UNION ALL $e2)), " +
-        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
-        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg " +
-        "FROM e GROUP BY src), " +
-        "p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes), " +
-        iters + " SELECT node, pr FROM p3"
-    },
+    // both engines produce bit-identical ranks. CTEs shared verbatim
+    // with q142's reputation rollup so the two cannot drift.
+    "q138_pagerank" -> (s"WITH $pagerankCtes SELECT node, pr FROM p3"),
 
     // Same q25-polynomial per-token bucket hash, same add-one-smoothed
     // count models, the identical single-division + ln + micro-nat floor
@@ -3347,6 +3371,39 @@ object SparkEntry {
         "row_number() OVER (ORDER BY ekey ASC, doc_id) AS rk FROM k) " +
         "SELECT doc_id, w, " +
         "CAST(CASE WHEN rk <= 100 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM r"
+    },
+
+    // q138's shared PageRank CTEs + the q23 quality expression + the q25
+    // fingerprint dup grouping, fused with the identical fixed-order
+    // integer divisions.
+    "q142_host_reputation" -> {
+      val toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+      val hits = s"len(list_filter($toks, t -> list_contains($stopListSql, t)))"
+      val quality = s"CAST(FLOOR(CAST(LEAST(length(text), 500) * 20 AS DOUBLE) * " +
+        s"CAST(len($toks) - $hits AS DOUBLE) / CAST(len($toks) AS DOUBLE)) AS BIGINT)"
+      val fp = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(regexp_split_to_array(text, ''), " +
+        "c -> CAST(coalesce(ascii(c), 0) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 1000000007)"
+      s"WITH $pagerankCtes, " +
+        "d AS (SELECT doc_id AS id, " +
+        "'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host, " +
+        s"$fp AS fp, $quality AS q FROM documents), " +
+        "kp AS (SELECT fp, min(id) AS keep_id FROM d GROUP BY fp), " +
+        "f AS (SELECT d.host, d.q, " +
+        "CASE WHEN d.id <> kp.keep_id THEN 1 ELSE 0 END AS is_dup " +
+        "FROM d JOIN kp ON d.fp = kp.fp), " +
+        "a AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(q) AS BIGINT) AS q_sum, " +
+        "CAST(sum(is_dup) AS BIGINT) AS n_dup FROM f GROUP BY host), " +
+        "j AS (SELECT a.host, n_docs, " +
+        "CAST(q_sum // n_docs AS BIGINT) AS qmean_bp, " +
+        "CAST((10000 * n_dup) // n_docs AS BIGINT) AS dup_bp, " +
+        "CAST(coalesce(p.pr, 150000) AS BIGINT) AS pr_u " +
+        "FROM a LEFT JOIN p3 p ON p.node = a.host) " +
+        "SELECT host, n_docs, qmean_bp, dup_bp, pr_u, " +
+        "CAST(((pr_u * qmean_bp) // 10000) * (10000 - dup_bp) // 10000 " +
+        "AS BIGINT) AS rep_u FROM j"
     },
 
     // q47's window CTEs + the audit aggregation — all-integer.
