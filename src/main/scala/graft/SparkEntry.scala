@@ -2247,6 +2247,31 @@ object SparkEntry {
       val pr = LinkGraph.pageRank(e1.unionAll(e2), iters = 3)
       Reputation.hostReputation(docs.withColumn("host", h(id % 20)),
         "host", "doc_id", "text", pr)
+    }),
+
+    // §2 row 159: streaming DSIR scoring — the frozen delta model trained
+    // in batch, broadcast into an arriving document feed (stream-static
+    // join), per-doc weights aggregated in complete mode: weights are
+    // int64 sums over token instances, so the 4-microbatch drain equals
+    // the batch scoring EXACTLY whatever the batch boundaries.
+    "q143_dsir_stream" -> ((s, dir) => {
+      val src = artifactPath("dsirstream", dir,
+        codeHash(SparkEntry.getClass, Dsir.getClass))
+      stageParquet(src) { tmp =>
+        Tables.documents(s, dir).select("doc_id", "text")
+          .repartition(4).write.mode("overwrite").parquet(tmp)
+      }
+      // the model is static across microbatches — persist it so the
+      // stream-static join doesn't re-train per trigger
+      val delta = Dsir.model(Tables.documents(s, dir), "doc_id", "text",
+        col("source").isin("src0", "src1", "src2"), buckets = 1024)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      ScoringStream.runToMemory(s,
+        Dsir.score(stream, "doc_id", "text", delta, buckets = 1024)
+          .withColumnRenamed("id", "doc_id"),
+        "complete", Some(8))
     })
   )
 
@@ -2381,6 +2406,35 @@ object SparkEntry {
       "CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard " +
       "FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b " +
       "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8"
+
+  /** Shared DSIR CTE chain for q139/q143 (one definition, no drift):
+    * token buckets via the q25 polynomial, smoothed target/raw models,
+    * per-bucket micro-nat delta, per-doc sums — lands in `pd (doc_id,
+    * n_tok, w_u)`. */
+  private def dsirCtes: String = {
+    val hash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(regexp_split_to_array(token, ''), " +
+      "c -> CAST(coalesce(ascii(c), 0) AS BIGINT))), " +
+      "(a, b) -> (a * 31 + b) % 1000000007) % 1024"
+    "t AS (SELECT doc_id, " +
+      "CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1 ELSE 0 END " +
+      s"AS is_t, unnest(${tokensSql("text")}) AS token FROM documents), " +
+      s"tk AS (SELECT doc_id, is_t, $hash AS bucket FROM t " +
+      "WHERE token <> ''), " +
+      "raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM tk " +
+      "GROUP BY bucket), " +
+      "tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM tk " +
+      "WHERE is_t = 1 GROUP BY bucket), " +
+      "tot AS (SELECT CAST(count(*) AS BIGINT) AS r_tot, " +
+      "CAST(count(*) FILTER (WHERE is_t = 1) AS BIGINT) AS t_tot FROM tk), " +
+      "d AS (SELECT raw.bucket, " +
+      "CAST(floor(ln(((coalesce(ct, 0) + 1) * (r_tot + 1024)) / " +
+      "((cr + 1) * (t_tot + 1024))) * 1000000) AS BIGINT) AS d_u " +
+      "FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, tot), " +
+      "pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, " +
+      "CAST(sum(d_u) AS BIGINT) AS w_u FROM tk " +
+      "JOIN d ON tk.bucket = d.bucket GROUP BY doc_id)"
+  }
 
   /** Shared PageRank CTE chain for q138/q142 (one definition, no drift):
     * the arithmetic host edges, then one CTE per fixed integer-micro-unit
@@ -3297,35 +3351,20 @@ object SparkEntry {
     // Same q25-polynomial per-token bucket hash, same add-one-smoothed
     // count models, the identical single-division + ln + micro-nat floor
     // per bucket (the one ln carries the q77 ulp caveat), int64 sums per
-    // doc, row_number replay of the TakeOrdered keep set.
-    "q139_dsir" -> {
-      val hash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        "list_transform(regexp_split_to_array(token, ''), " +
-        "c -> CAST(coalesce(ascii(c), 0) AS BIGINT))), " +
-        "(a, b) -> (a * 31 + b) % 1000000007) % 1024"
-      "WITH t AS (SELECT doc_id, " +
-        "CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1 ELSE 0 END " +
-        s"AS is_t, unnest(${tokensSql("text")}) AS token FROM documents), " +
-        s"tk AS (SELECT doc_id, is_t, $hash AS bucket FROM t " +
-        "WHERE token <> ''), " +
-        "raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM tk " +
-        "GROUP BY bucket), " +
-        "tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM tk " +
-        "WHERE is_t = 1 GROUP BY bucket), " +
-        "tot AS (SELECT CAST(count(*) AS BIGINT) AS r_tot, " +
-        "CAST(count(*) FILTER (WHERE is_t = 1) AS BIGINT) AS t_tot FROM tk), " +
-        "d AS (SELECT raw.bucket, " +
-        "CAST(floor(ln(((coalesce(ct, 0) + 1) * (r_tot + 1024)) / " +
-        "((cr + 1) * (t_tot + 1024))) * 1000000) AS BIGINT) AS d_u " +
-        "FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, tot), " +
-        "pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, " +
-        "CAST(sum(d_u) AS BIGINT) AS w_u FROM tk " +
-        "JOIN d ON tk.bucket = d.bucket GROUP BY doc_id), " +
+    // doc, row_number replay of the TakeOrdered keep set. CTEs shared
+    // with q143's streaming twin (one definition, no drift).
+    "q139_dsir" ->
+      (s"WITH $dsirCtes, " +
         "r AS (SELECT doc_id, n_tok, w_u, " +
         "row_number() OVER (ORDER BY w_u DESC, doc_id) AS rk FROM pd) " +
         "SELECT doc_id, n_tok, w_u, " +
-        "CAST(CASE WHEN rk <= 100 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM r"
-    },
+        "CAST(CASE WHEN rk <= 100 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM r"),
+
+    // The streaming twin is held to the BATCH model+scoring SQL exactly:
+    // weights are additive over token instances, so the 4-microbatch
+    // drain must land on the identical per-doc table.
+    "q143_dsir_stream" ->
+      (s"WITH $dsirCtes SELECT doc_id, n_tok, w_u FROM pd"),
 
     // q18's gram-string-space replay (distinct grams ↔ distinct hashes)
     // over the corpus+excerpt union, normalized by the SMALLER set with

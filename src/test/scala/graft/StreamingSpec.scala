@@ -141,6 +141,28 @@ class StreamingSpec extends SparkSpec {
       batch.select("event_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("streaming DSIR scoring under a frozen model equals batch exactly, " +
+    "whatever the microbatch boundaries") {
+    import graft.textstats.Dsir
+    val docs = Tables.documents(spark, sfDir)
+    val delta = Dsir.model(docs, "doc_id", "text",
+        col("source").isin("src0", "src1"), buckets = 1024)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dir = java.nio.file.Files.createTempDirectory("dsir_stream").toString
+    docs.select("doc_id", "text").repartition(5)
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val got = ScoringStream.runToMemory(spark,
+        Dsir.score(stream, "doc_id", "text", delta, buckets = 1024),
+        "complete", Some(4))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = Dsir.score(docs, "doc_id", "text", delta, buckets = 1024)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == batch && got.nonEmpty, s"stream=${got.size} batch=${batch.size}")
+    delta.unpersist()
+  }
+
   test("socket source feeds the same cleaning pipeline (reference ingress)") {
     val server = new java.net.ServerSocket(0)
     val feeder = new Thread(() => {
