@@ -2272,6 +2272,37 @@ object SparkEntry {
         Dsir.score(stream, "doc_id", "text", delta, buckets = 1024)
           .withColumnRenamed("id", "doc_id"),
         "complete", Some(8))
+    }),
+
+    // §2 row 160: incremental record linkage vs a persisted master index
+    // — masters (doc_id%10≠9) shaped+staged once; today's batch = the
+    // %10==9 records plus corrupted twins (id = −(doc_id+1), corruption
+    // class by doc_id%3) of the %16==0 masters; probe-vs-index plus
+    // within-batch self-linkage.
+    "q144_incremental_linkage" -> ((s, dir) => {
+      import graft.operators.RecordLinkage
+      val rec = Tables.documents(s, dir)
+        .select(col("doc_id"), expr("substring(text, 1, 24)").as("rec"))
+      val idxPath = artifactPath("reclink_idx", dir,
+        codeHash(RecordLinkage.getClass))
+      stageParquet(idxPath) { tmp =>
+        RecordLinkage.shape(rec.filter(col("doc_id") % 10 =!= 9), "doc_id",
+          expr("substring(rec, 1, 4)"), "rec")
+          .write.mode("overwrite").parquet(tmp)
+      }
+      val twins = rec.filter(col("doc_id") % 10 =!= 9)
+        .filter(col("doc_id") % 16 === 0)
+        .select((-(col("doc_id") + 1)).as("doc_id"),
+          when(col("doc_id") % 3 === 0, expr("substring(rec, 1, 23)"))
+            .when(col("doc_id") % 3 === 1,
+              concat(expr("substring(rec, 1, 6)"), lit("q"),
+                expr("substring(rec, 7)")))
+            .otherwise(col("rec")).as("rec"))
+      val batch = rec.filter(col("doc_id") % 10 === 9).unionByName(twins)
+      RecordLinkage.incrementalLink(s.read.parquet(idxPath),
+        RecordLinkage.shape(batch, "doc_id",
+          expr("substring(rec, 1, 4)"), "rec"),
+        maxDist = 1)
     })
   )
 
@@ -3365,6 +3396,31 @@ object SparkEntry {
     // drain must land on the identical per-doc table.
     "q143_dsir_stream" ->
       (s"WITH $dsirCtes SELECT doc_id, n_tok, w_u FROM pd"),
+
+    // Full replay without the staging: same master/batch split, same %3
+    // corruption fan, probe-vs-index plus within-batch pairs with the
+    // larger-id-is-new convention.
+    "q144_incremental_linkage" ->
+      ("WITH rec AS (SELECT doc_id, substr(text, 1, 24) AS rec " +
+        "FROM documents), " +
+        "idx AS (SELECT doc_id AS id, substr(rec, 1, 4) AS block, " +
+        "rec AS s FROM rec WHERE doc_id % 10 <> 9), " +
+        "tw AS (SELECT -(doc_id + 1) AS id, CASE doc_id % 3 " +
+        "WHEN 0 THEN substr(rec, 1, 23) " +
+        "WHEN 1 THEN substr(rec, 1, 6) || 'q' || substr(rec, 7) " +
+        "ELSE rec END AS s FROM rec " +
+        "WHERE doc_id % 10 <> 9 AND doc_id % 16 = 0), " +
+        "nb AS (SELECT doc_id AS id, substr(rec, 1, 4) AS block, " +
+        "rec AS s FROM rec WHERE doc_id % 10 = 9 " +
+        "UNION ALL SELECT id, substr(s, 1, 4), s FROM tw) " +
+        "SELECT n.id AS new_id, x.id AS match_id, " +
+        "CAST(levenshtein(n.s, x.s) AS BIGINT) AS dist " +
+        "FROM nb n JOIN idx x ON n.block = x.block " +
+        "WHERE levenshtein(n.s, x.s) <= 1 " +
+        "UNION ALL SELECT b.id, a.id, " +
+        "CAST(levenshtein(a.s, b.s) AS BIGINT) " +
+        "FROM nb a JOIN nb b ON a.block = b.block AND a.id < b.id " +
+        "AND levenshtein(a.s, b.s) <= 1"),
 
     // q18's gram-string-space replay (distinct grams ↔ distinct hashes)
     // over the corpus+excerpt union, normalized by the SMALLER set with

@@ -65,4 +65,22 @@ object RecordLinkage {
     * pairs (dist 0 by definition) never do. */
   def selfLinkBlocked(df: DataFrame, maxDist: Int): DataFrame =
     linkBlocked(df, df, maxDist).filter(col("id_l") < col("id_r"))
+
+  /** Incremental linkage — the rows-79/100/123/126 ingest shape for
+    * RECORDS: today's shaped batch probed against a PERSISTED shaped
+    * master index (read back from parquet; the master strings are never
+    * re-derived), plus within-batch self-linkage so two corrupted
+    * arrivals of the same entity link to each other even when the master
+    * is absent. Returns (new_id, match_id, dist); for within-batch pairs
+    * new_id is the larger id (arrival-order convention, deterministic).
+    * At scale the index parquet is bucketed by block so the daily probe
+    * join is exchange-free on the master side. */
+  def incrementalLink(index: DataFrame, batch: DataFrame,
+                      maxDist: Int): DataFrame =
+    linkBlocked(batch, index, maxDist)
+      .select(col("id_l").as("new_id"), col("id_r").as("match_id"),
+        col("dist"))
+      .unionByName(selfLinkBlocked(batch, maxDist)
+        .select(col("id_r").as("new_id"), col("id_l").as("match_id"),
+          col("dist")))
 }

@@ -51,6 +51,30 @@ class RecordLinkageSpec extends SparkSpec {
       .count() == d.count())
   }
 
+  test("incrementalLink: batch probes the index AND itself; new-vs-new " +
+    "pairs carry the larger id as new_id") {
+    val index = shaped(Seq((1L, "ab-1234"), (2L, "cd-5678")))
+    val batch = shaped(Seq(
+      (10L, "ab-1235"),   // 1 sub from master 1
+      (11L, "ab-1236"),   // 1 sub from master 1 AND from 10
+      (12L, "xy-0000")))  // matches nothing
+    val got = RecordLinkage.incrementalLink(index, batch, maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (10L, 1L, 1L), (11L, 1L, 1L), // vs index
+      (11L, 10L, 1L)))              // within batch, larger id is new
+  }
+
+  test("incrementalLink round-trips through a parquet-persisted index") {
+    val dir = java.nio.file.Files.createTempDirectory("reclink").toString
+    shaped(Seq((1L, "ab-1234"), (2L, "cd-5678")))
+      .write.mode("overwrite").parquet(dir)
+    val got = RecordLinkage.incrementalLink(spark.read.parquet(dir),
+        shaped(Seq((10L, "cd-5679"))), maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 2L, 1L)))
+  }
+
   test("length guard and thresholded distance never drop a true match") {
     // strings whose length differs by exactly maxDist still verify
     val clean = shaped(Seq((1L, "ab-12")))
