@@ -2303,6 +2303,21 @@ object SparkEntry {
         RecordLinkage.shape(batch, "doc_id",
           expr("substring(rec, 1, 4)"), "rec"),
         maxDist = 1)
+    }),
+
+    // §2 row 161: containment scrub — q140's pair set turned into the
+    // actionable keeper table: every contained doc dropped (the maximal
+    // container of any chain survives, so content is kept exactly once),
+    // with the smallest container as evidence.
+    "q145_containment_scrub" -> ((s, dir) => {
+      import graft.dedup.Containment
+      val docs = spread(s, Tables.documents(s, dir))
+      val corpus = docs.select(col("doc_id").as("id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000).as("id"),
+            expr("substring(text, 1, 180)").as("text")))
+      Containment.scrubContained(corpus, "id", "text",
+        n = 3, threshold = 0.8)
     })
   )
 
@@ -2437,6 +2452,32 @@ object SparkEntry {
       "CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard " +
       "FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b " +
       "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8"
+
+  /** Shared containment CTE chain for q140/q145 (one definition, no
+    * drift): the corpus+excerpt union, gram-string sets, and the oriented
+    * verified pair set — lands in `cp (id_in, id_of, containment)`;
+    * `corpus (id, text)` stays visible for the scrub's left join. */
+  private def containmentCtes: String =
+    "corpus AS (SELECT doc_id AS id, text FROM documents " +
+      "UNION ALL SELECT doc_id + 10000, substr(text, 1, 180) " +
+      "FROM documents WHERE doc_id % 5 = 0), " +
+      s"t AS (SELECT id, ${tokensSql("text")} AS toks FROM corpus), " +
+      "g0 AS (SELECT id, CASE WHEN len(toks) >= 3 " +
+      "THEN list_transform(generate_series(1, len(toks) - 2), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+      "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), " +
+      "gd AS (SELECT DISTINCT id, gram FROM " +
+      "(SELECT id, unnest(grams) AS gram FROM g0)), " +
+      "sz AS (SELECT id, count(*) AS n FROM gd GROUP BY id), " +
+      "inter AS (SELECT a.id AS id_in, b.id AS id_of, count(*) AS i " +
+      "FROM gd a JOIN gd b ON a.gram = b.gram AND a.id <> b.id " +
+      "GROUP BY 1, 2), " +
+      "cp AS (SELECT id_in, id_of, " +
+      "CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment " +
+      "FROM inter JOIN sz sa ON sa.id = id_in " +
+      "JOIN sz sb ON sb.id = id_of " +
+      "WHERE (sa.n < sb.n OR (sa.n = sb.n AND id_in < id_of)) " +
+      "AND CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.8)"
 
   /** Shared DSIR CTE chain for q139/q143 (one definition, no drift):
     * token buckets via the q25 polynomial, smoothed target/raw models,
@@ -3426,29 +3467,20 @@ object SparkEntry {
     // over the corpus+excerpt union, normalized by the SMALLER set with
     // the deterministic (size, id) orientation. The DF cap never fires
     // at this scale (df ≤ corpus size < 1000), so the oracle needn't
-    // model it — same as q18.
-    "q140_containment" -> {
-      "WITH corpus AS (SELECT doc_id AS id, text FROM documents " +
-        "UNION ALL SELECT doc_id + 10000, substr(text, 1, 180) " +
-        "FROM documents WHERE doc_id % 5 = 0), " +
-        s"t AS (SELECT id, ${tokensSql("text")} AS toks FROM corpus), " +
-        "g0 AS (SELECT id, CASE WHEN len(toks) >= 3 " +
-        "THEN list_transform(generate_series(1, len(toks) - 2), " +
-        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
-        "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), " +
-        "gd AS (SELECT DISTINCT id, gram FROM " +
-        "(SELECT id, unnest(grams) AS gram FROM g0)), " +
-        "sz AS (SELECT id, count(*) AS n FROM gd GROUP BY id), " +
-        "inter AS (SELECT a.id AS id_in, b.id AS id_of, count(*) AS i " +
-        "FROM gd a JOIN gd b ON a.gram = b.gram AND a.id <> b.id " +
-        "GROUP BY 1, 2) " +
-        "SELECT id_in, id_of, " +
-        "CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment " +
-        "FROM inter JOIN sz sa ON sa.id = id_in " +
-        "JOIN sz sb ON sb.id = id_of " +
-        "WHERE (sa.n < sb.n OR (sa.n = sb.n AND id_in < id_of)) " +
-        "AND CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.8"
-    },
+    // model it — same as q18. CTEs shared with q145's scrub (no drift).
+    "q140_containment" ->
+      (s"WITH $containmentCtes SELECT id_in, id_of, containment FROM cp"),
+
+    // The scrub over the same pair CTEs: a row is dropped iff it appears
+    // as id_in; its container evidence is the min id_of.
+    "q145_containment_scrub" ->
+      (s"WITH $containmentCtes, " +
+        "drops AS (SELECT id_in, min(id_of) AS contained_in FROM cp " +
+        "GROUP BY id_in) " +
+        "SELECT c.id, CAST(CASE WHEN d.id_in IS NULL THEN 1 ELSE 0 END " +
+        "AS BIGINT) AS kept, d.contained_in " +
+        "FROM (SELECT id FROM corpus) c " +
+        "LEFT JOIN drops d ON d.id_in = c.id"),
 
     // The identical clock: q25 polynomial hash of the id string → u in
     // (0, 1] → −ln(u)/w, row_number replay of the TakeOrdered winners

@@ -70,4 +70,25 @@ object Containment {
       .filter(col("containment") >= threshold)
       .select("id_in", "id_of", "containment")
   }
+
+  /** The scrub: (id, kept, contained_in) for every input row — kept = 0
+    * iff the doc is ≥ `threshold` contained in some larger doc, with the
+    * smallest such container as evidence (NULL for keepers). Dropping
+    * every contained doc — even when its container is itself contained
+    * elsewhere — is the standard one-pass rule: orientation is acyclic
+    * (strictly-larger set, id tiebreak), so the maximal container of any
+    * chain is never contained and always survives; the content is kept
+    * exactly once. */
+  def scrubContained(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, threshold: Double = 0.8,
+                     maxDf: Int = 1000): DataFrame = {
+    val drops = containedPairs(docs, idCol, textCol, n, threshold, maxDf)
+      .groupBy("id_in").agg(min("id_of").as("contained_in"))
+      .withColumnRenamed("id_in", "id")
+    docs.select(col(idCol).as("id"))
+      .join(drops, Seq("id"), "left")
+      .select(col("id"),
+        when(col("contained_in").isNull, 1L).otherwise(0L).as("kept"),
+        col("contained_in"))
+  }
 }

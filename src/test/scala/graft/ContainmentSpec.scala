@@ -63,6 +63,21 @@ class ContainmentSpec extends SparkSpec {
     assert(Containment.containedPairs(docs, "id", "text", 3, 0.7).isEmpty)
   }
 
+  test("scrubContained drops exactly the contained docs with evidence; " +
+    "a containment chain keeps only the maximal container") {
+    // chain: tiny ⊂ mid ⊂ big — one-pass rule drops tiny AND mid
+    val tiny = (20 to 31).map(tok).mkString(" ")
+    val mid = (15 to 40).map(tok).mkString(" ")
+    val big = (1 to 60).map(tok).mkString(" ")
+    val docs = Seq((1L, big), (2L, mid), (3L, tiny),
+      (4L, (200 to 260).map(tok).mkString(" "))).toDF("id", "text")
+    val got = Containment.scrubContained(docs, "id", "text", 3, 0.8)
+      .as[(Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((1L, None)) && got(4L) == ((1L, None)))
+    assert(got(2L) == ((0L, Some(1L))) && got(3L) == ((0L, Some(1L))))
+  }
+
   test("plan: posting equi-joins only, never all-pairs") {
     val docs = Seq((1L, article), (2L, excerpt)).toDF("id", "text")
     assertNoCartesian(
