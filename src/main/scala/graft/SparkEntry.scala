@@ -2318,6 +2318,21 @@ object SparkEntry {
             expr("substring(text, 1, 180)").as("text")))
       Containment.scrubContained(corpus, "id", "text",
         n = 3, threshold = 0.8)
+    }),
+
+    // §2 row 162: reciprocal-link profile over q138's host graph — the
+    // link-exchange share per host, the rank-inflation signal PageRank
+    // alone misses.
+    "q146_reciprocal_links" -> ((s, dir) => {
+      import graft.operators.LinkGraph
+      val docs = spread(s, Tables.documents(s, dir))
+      val id = col("doc_id")
+      def h(e: org.apache.spark.sql.Column) =
+        concat(lit("h"), e.cast("string"), lit(".example.com"))
+      val e1 = docs.select(h(id % 20).as("src"), h((id * 3 + 1) % 20).as("dst"))
+      val e2 = docs.filter(id % 2 === 0)
+        .select(h(id % 20).as("src"), h((id * 7 + 2) % 20).as("dst"))
+      LinkGraph.reciprocalProfile(e1.unionAll(e2))
     })
   )
 
@@ -3532,6 +3547,21 @@ object SparkEntry {
         "CAST(((pr_u * qmean_bp) // 10000) * (10000 - dup_bp) // 10000 " +
         "AS BIGINT) AS rep_u FROM j"
     },
+
+    // The q138 edge CTE, self-loops excluded, reverse-pair semi join —
+    // an edge is reciprocated iff its reverse exists.
+    "q146_reciprocal_links" ->
+      (s"WITH $pagerankCtes, " +
+        "ex AS (SELECT src, dst FROM e WHERE src <> dst), " +
+        "rc AS (SELECT a.src, CAST(count(*) AS BIGINT) AS recip " +
+        "FROM ex a JOIN ex b ON a.src = b.dst AND a.dst = b.src " +
+        "GROUP BY a.src), " +
+        "dg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg " +
+        "FROM ex GROUP BY src) " +
+        "SELECT dg.src AS host, outdeg, " +
+        "CAST(coalesce(recip, 0) AS BIGINT) AS recip, " +
+        "CAST((10000 * coalesce(recip, 0)) // outdeg AS BIGINT) AS recip_bp " +
+        "FROM dg LEFT JOIN rc ON rc.src = dg.src"),
 
     // q47's window CTEs + the audit aggregation — all-integer.
     "q132_packing_audit" ->

@@ -62,4 +62,30 @@ object LinkGraph {
     }
     pr
   }
+
+  /** Link-exchange (reciprocal-link) profile — the classic link-farm
+    * signal PageRank alone misses: two hosts endorsing each other inflate
+    * both ranks, so per host we report what share of its outlinks are
+    * reciprocated. (host, outdeg, recip, recip_bp) with recip_bp =
+    * 10⁴·recip div outdeg; organic sites sit low, exchange rings near
+    * 10⁴ — the q142 reputation table's natural next column.
+    *
+    * Self-loops are excluded (a page linking itself is not an exchange),
+    * and hosts with no non-self outlinks don't appear (no behavior to
+    * measure). One distinct + one self equi-join on the (src, dst) pair —
+    * an edge is reciprocated iff its reverse exists — plus two map-side
+    * combined counts; everything keys on host strings, nothing quadratic. */
+  def reciprocalProfile(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .filter(col("src") =!= col("dst"))
+      .persist()
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val recip = e.join(rev, Seq("src", "dst"), "left_semi")
+      .groupBy("src").agg(count(lit(1)).as("recip"))
+    e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .join(recip, Seq("src"), "left")
+      .na.fill(0L, Seq("recip"))
+      .select(col("src").as("host"), col("outdeg"), col("recip"),
+        expr("(10000 * recip) div outdeg").as("recip_bp"))
+  }
 }

@@ -55,6 +55,24 @@ class LinkGraphSpec extends SparkSpec {
     assert(r == Map("A" -> (150000L + (85L * 1000000L) / 100L)))
   }
 
+  test("reciprocalProfile: exchange share per host, self-loops excluded") {
+    val e = Seq(("A", "B"), ("B", "A"), ("A", "C"), ("C", "C"))
+    val got = LinkGraph.reciprocalProfile(e.toDF("src", "dst"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // A: 2 outlinks, 1 reciprocated → 5000 bp; B: 1 of 1 → 10000 bp
+    assert(got == Map("A" -> ((2L, 1L, 5000L)), "B" -> ((1L, 1L, 10000L))))
+    // C's only edge is a self-loop → no measurable exchange, absent
+  }
+
+  test("reciprocalProfile: parallel edges collapse before counting") {
+    val e = Seq(("A", "B"), ("A", "B"), ("B", "A"))
+    val got = LinkGraph.reciprocalProfile(e.toDF("src", "dst"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("A") == ((1L, 1L, 10000L)))
+  }
+
   test("plan: equi-joins only, never all-pairs") {
     val df = LinkGraph.pageRank(
       Seq(("A", "B"), ("B", "C"), ("C", "A")).toDF("src", "dst"), 3)
