@@ -109,10 +109,15 @@ class PlanAuditSpec extends SparkSpec {
                             // 200-row vocab frame (the q104/q112 stats-
                             // attach precedent); the merge itself is a
                             // hash full-outer on the vocab-bounded frames
-      "q135_idf_delta"      // same: each side's idf frame attaches its
+      "q135_idf_delta",     // same: each side's idf frame attaches its
                             // broadcast single-row (n_docs, avgdl) stats
                             // via the q104 crossJoin; the version merge is
                             // a hash full-outer on vocab-bounded frames
+      "q139_dsir"           // the BNLJ is the broadcast SINGLE-ROW
+                            // (r_tot, t_tot) totals crossJoined onto the
+                            // ≤1024-row bucket delta table (the q112
+                            // stats-attach precedent); the scoring join
+                            // itself is a broadcast hash join on bucket
     )
     val heavy = Set("q13_tf_topterms", "q14_svm_predict", "q15_stream_agg")
     SparkEntry.queries.keys
