@@ -2333,6 +2333,21 @@ object SparkEntry {
       val e2 = docs.filter(id % 2 === 0)
         .select(h(id % 20).as("src"), h((id * 7 + 2) % 20).as("dst"))
       LinkGraph.reciprocalProfile(e1.unionAll(e2))
+    }),
+
+    // §2 row 163: declarative data-quality gate — completeness, range,
+    // format and uniqueness rules over `documents` in one audit; the
+    // corpus's planted exact-dup texts make the text-uniqueness rule
+    // FAIL by design (a real refresh gate would stop right there).
+    "q147_quality_rules" -> ((s, dir) => {
+      import graft.operators.QualityRules
+      import graft.operators.QualityRules._
+      QualityRules.audit(Tables.documents(s, dir), Seq(
+        NotNull("text"),
+        InRange("n_chars", 1L, 100000L),
+        Matches("lang", "^[a-z]{2}$"),
+        Unique("doc_id"),
+        Unique("text")))
     })
   )
 
@@ -3562,6 +3577,31 @@ object SparkEntry {
         "CAST(coalesce(recip, 0) AS BIGINT) AS recip, " +
         "CAST((10000 * coalesce(recip, 0)) // outdeg AS BIGINT) AS recip_bp " +
         "FROM dg LEFT JOIN rc ON rc.src = dg.src"),
+
+    // One conditional-sum branch per row rule, HAVING-count subquery per
+    // uniqueness rule — exact int64 violation counts, same pass gate.
+    "q147_quality_rules" ->
+      ("SELECT rule, \"column\", violations, " +
+        "CAST(CASE WHEN violations <= 0 THEN 1 ELSE 0 END AS BIGINT) AS pass " +
+        "FROM (" +
+        "SELECT 'not_null' AS rule, 'text' AS \"column\", " +
+        "CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS violations FROM documents " +
+        "UNION ALL SELECT 'in_range', 'n_chars', " +
+        "CAST(sum(CASE WHEN n_chars IS NOT NULL AND (n_chars < 1 OR " +
+        "n_chars > 100000) THEN 1 ELSE 0 END) AS BIGINT) FROM documents " +
+        "UNION ALL SELECT 'matches', 'lang', " +
+        "CAST(sum(CASE WHEN lang IS NOT NULL AND " +
+        "NOT regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END) " +
+        "AS BIGINT) FROM documents " +
+        "UNION ALL SELECT 'unique', 'doc_id', " +
+        "CAST(coalesce(sum(n), 0) AS BIGINT) FROM " +
+        "(SELECT count(*) AS n FROM documents WHERE doc_id IS NOT NULL " +
+        "GROUP BY doc_id HAVING count(*) > 1) " +
+        "UNION ALL SELECT 'unique', 'text', " +
+        "CAST(coalesce(sum(n), 0) AS BIGINT) FROM " +
+        "(SELECT count(*) AS n FROM documents WHERE text IS NOT NULL " +
+        "GROUP BY text HAVING count(*) > 1))"),
 
     // q47's window CTEs + the audit aggregation — all-integer.
     "q132_packing_audit" ->
