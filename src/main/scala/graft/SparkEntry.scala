@@ -2348,6 +2348,19 @@ object SparkEntry {
         Matches("lang", "^[a-z]{2}$"),
         Unique("doc_id"),
         Unique("text")))
+    }),
+
+    // §2 row 164: event-rate spike detection — hourly counts per event
+    // type held against that type's OWN exact median ± 3·MAD (row 112's
+    // robust screen applied to a time series): the ingest-health monitor
+    // that survives outliers precisely because the baseline is robust.
+    "q148_rate_spikes" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("c"))
+      Robust.rateSpikes(hourly, "event_type", "c", k = 3)
+        .select(col("event_type"), unix_micros(col("hour")).as("hour_us"),
+          col("c"), col("median"), col("mad"), col("spike"))
     })
   )
 
@@ -3602,6 +3615,33 @@ object SparkEntry {
         "CAST(coalesce(sum(n), 0) AS BIGINT) FROM " +
         "(SELECT count(*) AS n FROM documents WHERE text IS NOT NULL " +
         "GROUP BY text HAVING count(*) > 1))"),
+
+    // The q87 exact lower-nearest-rank quantile replay (distinct-value
+    // cumulative counts, min v with cum·10⁴ ≥ q·tot), once for the
+    // median and once for the MAD deviations, then the strict 3·MAD gate.
+    "q148_rate_spikes" -> {
+      def q50(src: String, vcol: String, out: String) =
+        s"(SELECT event_type, min(v) AS $out FROM " +
+          s"(SELECT event_type, $vcol AS v, " +
+          "sum(cnt) OVER (PARTITION BY event_type ORDER BY v " +
+          "ROWS UNBOUNDED PRECEDING) AS cum, " +
+          "sum(cnt) OVER (PARTITION BY event_type) AS tot FROM " +
+          s"(SELECT event_type, $vcol, count(*) AS cnt FROM $src " +
+          s"GROUP BY event_type, $vcol)) " +
+          "WHERE cum * 10000 >= 5000 * tot GROUP BY event_type)"
+      "WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, " +
+        "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+        s"med AS ${q50("h", "c", "median")}, " +
+        "dv AS (SELECT h.event_type, abs(h.c - m.median) AS d " +
+        "FROM h JOIN med m ON h.event_type = m.event_type), " +
+        s"mad AS ${q50("dv", "d", "mad")} " +
+        "SELECT h.event_type, epoch_us(h.hour) AS hour_us, h.c, " +
+        "m.median, md.mad, " +
+        "CAST(CASE WHEN abs(h.c - m.median) > 3 * md.mad THEN 1 ELSE 0 END " +
+        "AS BIGINT) AS spike " +
+        "FROM h JOIN med m ON h.event_type = m.event_type " +
+        "JOIN mad md ON h.event_type = md.event_type"
+    },
 
     // q47's window CTEs + the audit aggregation — all-integer.
     "q132_packing_audit" ->

@@ -59,6 +59,26 @@ object Robust {
     med.join(mad, groupCol).join(n, groupCol)
   }
 
+  /** Per-row spike flags against the group's own robust baseline: every
+    * input row (typically a per-time-bucket count) comes back with its
+    * group median, MAD, and spike = 1 iff |v − median| > k·MAD (strict,
+    * integer) — the rate-anomaly monitor shape, robust exactly because
+    * the outliers being hunted cannot drag the baseline. MAD = 0 (over
+    * half the buckets at one count) degenerates to "any deviation
+    * flags", documented rather than fudged. Passthrough columns ride
+    * along; the stats frame is one row per group, broadcast back. */
+  def rateSpikes(counts: DataFrame, groupCol: String, valCol: String,
+                 k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    counts.join(
+        broadcast(medianMad(counts, groupCol, valCol)
+          .select(col(groupCol), col("median"), col("mad"))),
+        Seq(groupCol))
+      .withColumn("spike",
+        when(abs(col(valCol) - col("median")) > lit(k.toLong) * col("mad"),
+          1L).otherwise(0L))
+  }
+
   /** Per-group outlier report: (groupCol, median, mad, n, n_outliers)
     * where an outlier has |x − median| > k·MAD (strict, integer). With
     * MAD = 0 (over half the group at one value) only values differing

@@ -41,6 +41,29 @@ class RobustSpec extends SparkSpec {
     assert(out.getLong(2) == 0L && out.getLong(4) == 1L)
   }
 
+  test("rateSpikes flags exactly the beyond-k-MAD buckets, with stats " +
+    "and passthrough columns riding along") {
+    import org.apache.spark.sql.functions.col
+    // a: counts 8,10,10,12,100 → median 10, devs {0,0,2,2,90} → MAD 2
+    //    spike iff |c-10| > 6 → only the 100
+    // b: flat 5s → MAD 0, nothing deviates, nothing flags
+    val counts = Seq(
+      ("a", 1L, 8L), ("a", 2L, 10L), ("a", 3L, 10L), ("a", 4L, 12L),
+      ("a", 5L, 100L),
+      ("b", 1L, 5L), ("b", 2L, 5L), ("b", 3L, 5L))
+      .toDF("g", "hour", "c")
+    val got = Robust.rateSpikes(counts, "g", "c", k = 3)
+      .select(col("g"), col("hour"), col("c"), col("median"), col("mad"),
+        col("spike"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got(("a", 5L)) == ((100L, 10L, 2L, 1L)))
+    assert(got(("a", 1L)) == ((8L, 10L, 2L, 0L)))
+    assert(got(("a", 4L)) == ((12L, 10L, 2L, 0L)))
+    assert(got.filter(_._1._1 == "b").values.forall(_._4 == 0L))
+    assert(got.size == 8)
+  }
+
   test("partitioning-invariant on real documents") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select(col("source"), col("n_chars"))
