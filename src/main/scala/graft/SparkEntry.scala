@@ -2361,7 +2361,27 @@ object SparkEntry {
       Robust.rateSpikes(hourly, "event_type", "c", k = 3)
         .select(col("event_type"), unix_micros(col("hour")).as("hour_us"),
           col("c"), col("median"), col("mad"), col("spike"))
-    })
+    }),
+
+    // §2 row 165: tokenizer fertility audit — per source: whitespace vs
+    // BPE-ish token totals, fertility (BPE tokens per 10⁴ whitespace
+    // words) and chars-per-BPE-token in centi-units; the tokenizer-fit
+    // companion to q119's OOV rates (a source with outlier fertility is
+    // a source the tokenizer fragments — cost and context-window burn).
+    // One map-side-combined aggregate; integer-floor ratios.
+    "q149_fertility" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextStats.wsTokenCount(col("text")).cast("long"))
+            .as("ws_tokens"),
+          sum(TextStats.bpeTokenCount(col("text")).cast("long"))
+            .as("bpe_tokens"),
+          sum(length(col("text")).cast("long")).as("chars"))
+        .select(col("source"), col("n_docs"), col("ws_tokens"),
+          col("bpe_tokens"), col("chars"),
+          expr("(10000 * bpe_tokens) div ws_tokens").as("fertility_bp"),
+          expr("(100 * chars) div bpe_tokens").as("chars_per_tok_c")))
   )
 
   // ---------------------------------------------------------------------
@@ -3642,6 +3662,23 @@ object SparkEntry {
         "FROM h JOIN med m ON h.event_type = m.event_type " +
         "JOIN mad md ON h.event_type = md.event_type"
     },
+
+    // q24's two token counters summed per source, integer-floor ratios.
+    "q149_fertility" ->
+      ("SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) " +
+        "AS ws_tokens, " +
+        s"CAST(sum(len(regexp_extract_all(text, '${TextStats.bpeishPattern}'))) " +
+        "AS BIGINT) AS bpe_tokens, " +
+        "CAST(sum(length(text)) AS BIGINT) AS chars, " +
+        "CAST((10000 * CAST(sum(len(regexp_extract_all(text, " +
+        s"'${TextStats.bpeishPattern}'))) AS BIGINT)) // " +
+        "CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) " +
+        "AS BIGINT) AS fertility_bp, " +
+        "CAST((100 * CAST(sum(length(text)) AS BIGINT)) // " +
+        s"CAST(sum(len(regexp_extract_all(text, '${TextStats.bpeishPattern}'))) " +
+        "AS BIGINT) AS BIGINT) AS chars_per_tok_c " +
+        "FROM documents GROUP BY source"),
 
     // q47's window CTEs + the audit aggregation — all-integer.
     "q132_packing_audit" ->

@@ -64,4 +64,20 @@ class TextStatsSpec extends SparkSpec {
     assert(rows(0).getLong(0) != rows(1).getLong(0)) // full-hash differs
     assert(rows(0).getLong(1) == rows(1).getLong(1)) // min-window survives
   }
+
+  test("fertility rollup math: q149's ratios on a hand frame") {
+    // "ab cd!" → ws 2, bpe 3 (ab, cd, !), chars 6
+    // "x y-z" → ws 2, bpe 4 (x, y, -, z), chars 5
+    val df = Seq(("s1", "ab cd!"), ("s1", "x y-z")).toDF("source", "text")
+    val got = df.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextStats.wsTokenCount(col("text")).cast("long")).as("ws_tokens"),
+        sum(TextStats.bpeTokenCount(col("text")).cast("long")).as("bpe_tokens"),
+        sum(length(col("text")).cast("long")).as("chars"))
+      .select(col("ws_tokens"), col("bpe_tokens"), col("chars"),
+        expr("(10000 * bpe_tokens) div ws_tokens").as("f"),
+        expr("(100 * chars) div bpe_tokens").as("cpt"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got == ((4L, 7L, 11L, 17500L, 157L)))
+  }
 }
