@@ -2381,7 +2381,25 @@ object SparkEntry {
         .select(col("source"), col("n_docs"), col("ws_tokens"),
           col("bpe_tokens"), col("chars"),
           expr("(10000 * bpe_tokens) div ws_tokens").as("fertility_bp"),
-          expr("(100 * chars) div bpe_tokens").as("chars_per_tok_c")))
+          expr("(100 * chars) div bpe_tokens").as("chars_per_tok_c"))),
+
+    // §2 row 166: fragment-stitch detection — the corpus plus derived
+    // pagination fragments (doc_id%7==0: chars 1-240 as id+20000,
+    // chars 181-end as id+30000 — a 60-char overlap strip): the tail of
+    // the first fragment must land on the head of the second, the
+    // ordered relation whole-set Jaccard/containment score near zero.
+    "q150_stitch" -> ((s, dir) => {
+      import graft.dedup.Stitch
+      val docs = spread(s, Tables.documents(s, dir))
+      val corpus = docs.select(col("doc_id").as("id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 20000).as("id"),
+            expr("substring(text, 1, 240)").as("text")))
+        .unionAll(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 30000).as("id"),
+            expr("substring(text, 181)").as("text")))
+      Stitch.stitchPairs(corpus, "id", "text", n = 3, h = 8, minBp = 5000)
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -3679,6 +3697,32 @@ object SparkEntry {
         s"CAST(sum(len(regexp_extract_all(text, '${TextStats.bpeishPattern}'))) " +
         "AS BIGINT) AS BIGINT) AS chars_per_tok_c " +
         "FROM documents GROUP BY source"),
+
+    // q18's gram-string-space replay over the corpus+fragment union; the
+    // oracle compares ALL ordered pairs (the posting join only prunes
+    // zero-overlap candidates, which score 0 < minBp anyway) with the
+    // same slice-then-distinct windows and integer-bp gate.
+    "q150_stitch" -> {
+      "WITH corpus AS (SELECT doc_id AS id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 20000, substr(text, 1, 240) " +
+        "FROM documents WHERE doc_id % 7 = 0 " +
+        "UNION ALL SELECT doc_id + 30000, substr(text, 181) " +
+        "FROM documents WHERE doc_id % 7 = 0), " +
+        s"t AS (SELECT id, ${tokensSql("text")} AS toks FROM corpus), " +
+        "g0 AS (SELECT id, CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), " +
+        "ht AS (SELECT id, list_distinct(grams[1:8]) AS head, " +
+        "list_distinct(CASE WHEN len(grams) >= 8 " +
+        "THEN grams[len(grams)-7:len(grams)] ELSE grams END) AS tail " +
+        "FROM g0) " +
+        "SELECT a.id AS id_a, b.id AS id_b, " +
+        "CAST((10000 * len(list_intersect(a.tail, b.head))) // 8 AS BIGINT) " +
+        "AS overlap_bp " +
+        "FROM ht a JOIN ht b ON a.id <> b.id " +
+        "WHERE (10000 * len(list_intersect(a.tail, b.head))) // 8 >= 5000"
+    },
 
     // q47's window CTEs + the audit aggregation — all-integer.
     "q132_packing_audit" ->

@@ -1,0 +1,67 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Fragment-stitch detection — the ORDERED near-dup relation dedup
+  * misses: a long page fetched as paginated fragments (or a document
+  * split by a chunking bug upstream) yields docs where the TAIL of one
+  * overlaps the HEAD of the next. Whole-set Jaccard (q18) and
+  * containment (q140) both score such pairs near zero — the shared
+  * region is a sliver of each — yet the pair is exactly what a
+  * reassembly pass needs. The signal: the last `h` token-n-grams of A
+  * vs the first `h` of B, overlap ≥ minBp basis points of `h`.
+  *
+  * Direction matters and comes for free: candidates join TAIL postings
+  * of one side against HEAD postings of the other, so (a, b) means
+  * "a's end continues into b's start" — the edge list of the
+  * reassembly chain, ready for row-66's connected components or a
+  * simple follow-the-unique-successor walk.
+  *
+  * Scale shape is the q18 family's: only 2·h gram postings per doc
+  * (CONSTANT per doc, not proportional to length — head/tail windows
+  * are fixed), hot-gram DF cap as the outage guard, pair dedup, then
+  * verification bounded by candidates with integer-bp scoring
+  * ((10⁴·|∩|) div h — no floats). Docs with fewer than h grams carry
+  * their whole sequence; the fixed-h denominator keeps tiny fragments
+  * from reaching high scores on one shared gram. */
+object Stitch {
+
+  /** Ordered pairs (id_a, id_b, overlap_bp): a's tail-grams overlap b's
+    * head-grams in ≥ minBp/10⁴ of `h`. Self pairs excluded. */
+  def stitchPairs(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, h: Int = 8, minBp: Int = 5000,
+                  maxDf: Int = 1000): DataFrame = {
+    require(h >= 1 && minBp >= 1 && minBp <= 10000,
+      s"bad h=$h minBp=$minBp")
+    val spark = docs.sparkSession
+    val seqs = docs.select(col(idCol).as("id"),
+      graft.functions.ShingleHashes(spark,
+        TextFunctions.tokens(col(textCol)), n).as("sh"))
+    // head/tail windows sliced BEFORE distinct (a repeated gram inside
+    // the window collapses, matching the oracle's order of operations)
+    val hs = seqs.select(col("id"),
+        array_distinct(slice(col("sh"), 1, h)).as("head"),
+        array_distinct(when(size(col("sh")) >= h,
+          slice(col("sh"), -h, h)).otherwise(col("sh"))).as("tail"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val heads = hs.select(col("id").as("id_b"), explode(col("head")).as("g"))
+    val tails = hs.select(col("id").as("id_a"), explode(col("tail")).as("g"))
+    val hot = heads.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("g")
+    val cand = tails.join(broadcast(hot), Seq("g"), "left_anti")
+      .join(heads.join(broadcast(hot), Seq("g"), "left_anti"), Seq("g"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(hs.select(col("id").as("id_a"), col("tail")), "id_a")
+      .join(hs.select(col("id").as("id_b"), col("head")), "id_b")
+      .withColumn("overlap_bp",
+        expr("(10000 * CAST(size(array_intersect(tail, head)) AS BIGINT))" +
+          s" div $h"))
+      .filter(col("overlap_bp") >= minBp)
+      .select("id_a", "id_b", "overlap_bp")
+  }
+}
