@@ -2399,6 +2399,53 @@ object SparkEntry {
           .select((col("doc_id") + 30000).as("id"),
             expr("substring(text, 181)").as("text")))
       Stitch.stitchPairs(corpus, "id", "text", n = 3, h = 8, minBp = 5000)
+    }),
+
+    // §2 row 167: per-source winsorization — n_chars clipped into each
+    // source's exact [p5, p95] band; rows survive, tails can't dominate
+    // downstream aggregates.
+    "q151_winsorize" -> ((s, dir) =>
+      Robust.winsorize(Tables.documents(s, dir)
+          .select("doc_id", "source", "n_chars"),
+        "source", "n_chars", loBp = 500, hiBp = 9500)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("q_lo"), col("q_hi"), col("clipped"), col("was_clipped"))),
+
+    // §2 row 168: streaming record linkage — today's record feed probed
+    // against the static master index in-flight (stream-static broadcast
+    // hash join + the thresholded distance, a pure row predicate: NO
+    // state, NO watermark), so the drained pair set equals the batch
+    // linkage EXACTLY whatever the microbatch boundaries.
+    "q152_linkage_stream" -> ((s, dir) => {
+      import graft.operators.RecordLinkage
+      val rec = Tables.documents(s, dir)
+        .select(col("doc_id"), expr("substring(text, 1, 24)").as("rec"))
+      val masters = RecordLinkage.shape(rec.filter(col("doc_id") % 10 =!= 9),
+        "doc_id", expr("substring(rec, 1, 4)"), "rec")
+      // the arriving feed is q144's: the held-out tenth plus corrupted
+      // twins of the %16==0 masters — so the stream carries real matches
+      val twins = rec.filter(col("doc_id") % 10 =!= 9)
+        .filter(col("doc_id") % 16 === 0)
+        .select((-(col("doc_id") + 1)).as("doc_id"),
+          when(col("doc_id") % 3 === 0, expr("substring(rec, 1, 23)"))
+            .when(col("doc_id") % 3 === 1,
+              concat(expr("substring(rec, 1, 6)"), lit("q"),
+                expr("substring(rec, 7)")))
+            .otherwise(col("rec")).as("rec"))
+      val src = artifactPath("linkstream", dir,
+        codeHash(RecordLinkage.getClass, SparkEntry.getClass))
+      stageParquet(src) { tmp =>
+        rec.filter(col("doc_id") % 10 === 9).unionByName(twins)
+          .repartition(4).write.mode("overwrite").parquet(tmp)
+      }
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      ScoringStream.runToMemory(s,
+        RecordLinkage.linkBlocked(
+          RecordLinkage.shape(stream, "doc_id",
+            expr("substring(rec, 1, 4)"), "rec"),
+          masters, maxDist = 1),
+        "append")
     })
   )
 
@@ -3723,6 +3770,48 @@ object SparkEntry {
         "FROM ht a JOIN ht b ON a.id <> b.id " +
         "WHERE (10000 * len(list_intersect(a.tail, b.head))) // 8 >= 5000"
     },
+
+    // The q87 lower-nearest-rank quantile replay at p5/p95 per source,
+    // then the same clip + flag per row.
+    "q151_winsorize" ->
+      ("WITH vc AS (SELECT source, n_chars AS v, count(*) AS cnt " +
+        "FROM documents GROUP BY 1, 2), " +
+        "cw AS (SELECT source, v, " +
+        "sum(cnt) OVER (PARTITION BY source ORDER BY v " +
+        "ROWS UNBOUNDED PRECEDING) AS cum, " +
+        "sum(cnt) OVER (PARTITION BY source) AS tot FROM vc), " +
+        "lo AS (SELECT source, min(v) AS q_lo FROM cw " +
+        "WHERE cum * 10000 >= 500 * tot GROUP BY source), " +
+        "hi AS (SELECT source, min(v) AS q_hi FROM cw " +
+        "WHERE cum * 10000 >= 9500 * tot GROUP BY source) " +
+        "SELECT d.doc_id, d.source, d.n_chars, lo.q_lo, hi.q_hi, " +
+        "CAST(greatest(least(d.n_chars, hi.q_hi), lo.q_lo) AS BIGINT) " +
+        "AS clipped, " +
+        "CAST(CASE WHEN d.n_chars < lo.q_lo OR d.n_chars > hi.q_hi " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS was_clipped " +
+        "FROM documents d JOIN lo ON lo.source = d.source " +
+        "JOIN hi ON hi.source = d.source"),
+
+    // The streaming probe is held to the BATCH linkage SQL exactly: the
+    // per-pair decision is a pure row predicate, so batch boundaries
+    // cannot change the drained pair set (the q133 property). Feed and
+    // twins are q144's; only the probe-vs-index half exists here.
+    "q152_linkage_stream" ->
+      ("WITH rec AS (SELECT doc_id, substr(text, 1, 24) AS rec " +
+        "FROM documents), " +
+        "tw AS (SELECT -(doc_id + 1) AS id, CASE doc_id % 3 " +
+        "WHEN 0 THEN substr(rec, 1, 23) " +
+        "WHEN 1 THEN substr(rec, 1, 6) || 'q' || substr(rec, 7) " +
+        "ELSE rec END AS s FROM rec " +
+        "WHERE doc_id % 10 <> 9 AND doc_id % 16 = 0), " +
+        "l AS (SELECT doc_id AS id_l, substr(rec, 1, 4) AS block, " +
+        "rec AS s_l FROM rec WHERE doc_id % 10 = 9 " +
+        "UNION ALL SELECT id, substr(s, 1, 4), s FROM tw), " +
+        "r AS (SELECT doc_id AS id_r, substr(rec, 1, 4) AS block, " +
+        "rec AS s_r FROM rec WHERE doc_id % 10 <> 9) " +
+        "SELECT id_l, id_r, CAST(levenshtein(s_l, s_r) AS BIGINT) AS dist " +
+        "FROM l JOIN r ON l.block = r.block " +
+        "WHERE levenshtein(s_l, s_r) <= 1"),
 
     // q47's window CTEs + the audit aggregation — all-integer.
     "q132_packing_audit" ->

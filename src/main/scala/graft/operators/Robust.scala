@@ -79,6 +79,30 @@ object Robust {
           1L).otherwise(0L))
   }
 
+  /** Per-group winsorization — clip `valCol` into its group's
+    * [loBp, hiBp] exact quantile band instead of dropping rows (the
+    * gentler alternative to the outlier screen when the row should
+    * survive but its value shouldn't dominate a downstream aggregate,
+    * e.g. length features feeding a mixture weight). Every row comes
+    * back with the clipped value and a flag; bounds are the same
+    * lower-nearest-rank integers as [[groupQuantile]], broadcast back
+    * as one row per group. */
+  def winsorize(df: DataFrame, groupCol: String, valCol: String,
+                loBp: Int, hiBp: Int): DataFrame = {
+    require(1 <= loBp && loBp < hiBp && hiBp <= 10000,
+      s"need 1 ≤ loBp < hiBp ≤ 10000, got $loBp/$hiBp")
+    val lo = groupQuantile(df, groupCol, valCol, loBp)
+      .withColumnRenamed("q_value", "q_lo")
+    val hi = groupQuantile(df, groupCol, valCol, hiBp)
+      .withColumnRenamed("q_value", "q_hi")
+    df.join(broadcast(lo.join(hi, groupCol)), groupCol)
+      .withColumn("clipped",
+        greatest(least(col(valCol), col("q_hi")), col("q_lo")))
+      .withColumn("was_clipped",
+        when(col(valCol) < col("q_lo") || col(valCol) > col("q_hi"), 1L)
+          .otherwise(0L))
+  }
+
   /** Per-group outlier report: (groupCol, median, mad, n, n_outliers)
     * where an outlier has |x − median| > k·MAD (strict, integer). With
     * MAD = 0 (over half the group at one value) only values differing

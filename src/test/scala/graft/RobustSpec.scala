@@ -64,6 +64,22 @@ class RobustSpec extends SparkSpec {
     assert(got.size == 8)
   }
 
+  test("winsorize clips into the exact per-group quantile band, flags " +
+    "only moved rows, keeps every row") {
+    import org.apache.spark.sql.functions.col
+    // group g: values 1..20 → p10 (lower nearest rank) = 2, p90 = 18
+    val df = (1L to 20L).map(v => ("g", v)).toDF("grp", "v")
+    val got = Robust.winsorize(df, "grp", "v", loBp = 1000, hiBp = 9000)
+      .select(col("v"), col("q_lo"), col("q_hi"), col("clipped"),
+        col("was_clipped"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 20)
+    assert(got.forall { case (_, lo, hi, _, _) => lo == 2L && hi == 18L })
+    assert(got.forall { case (v, _, _, c, f) =>
+      c == math.min(math.max(v, 2L), 18L) &&
+        f == (if (v < 2L || v > 18L) 1L else 0L) })
+  }
+
   test("partitioning-invariant on real documents") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select(col("source"), col("n_chars"))

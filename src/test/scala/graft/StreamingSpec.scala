@@ -163,6 +163,30 @@ class StreamingSpec extends SparkSpec {
     delta.unpersist()
   }
 
+  test("streaming record linkage against a static master index equals " +
+    "the batch linkage (stateless row predicate)") {
+    import org.apache.spark.sql.functions.expr
+    import graft.operators.RecordLinkage
+    val rec = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        expr("substring(text, 1, 24)").as("rec"))
+    def shaped(df: org.apache.spark.sql.DataFrame) =
+      RecordLinkage.shape(df, "doc_id", expr("substring(rec, 1, 4)"), "rec")
+    val masters = shaped(rec.filter(expr("doc_id % 10 <> 9")))
+    val probeSrc = rec.filter(expr("doc_id % 10 = 9"))
+    val dir = java.nio.file.Files.createTempDirectory("linkstream").toString
+    probeSrc.repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val got = ScoringStream.runToMemory(spark,
+        RecordLinkage.linkBlocked(shaped(stream), masters, maxDist = 1),
+        "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = RecordLinkage.linkBlocked(shaped(probeSrc), masters, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch && got.nonEmpty)
+  }
+
   test("socket source feeds the same cleaning pipeline (reference ingress)") {
     val server = new java.net.ServerSocket(0)
     val feeder = new Thread(() => {
