@@ -2401,6 +2401,23 @@ object SparkEntry {
       Stitch.stitchPairs(corpus, "id", "text", n = 3, h = 8, minBp = 5000)
     }),
 
+    // §2 row 169: reassembly plan — q150's pair set reduced to
+    // mutual-best simple chains with component labels and walk
+    // positions; the executable output of fragment detection.
+    "q153_assembly_plan" -> ((s, dir) => {
+      import graft.dedup.Stitch
+      val docs = spread(s, Tables.documents(s, dir))
+      val corpus = docs.select(col("doc_id").as("id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 20000).as("id"),
+            expr("substring(text, 1, 240)").as("text")))
+        .unionAll(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 30000).as("id"),
+            expr("substring(text, 181)").as("text")))
+      Stitch.assemblyPlan(
+        Stitch.stitchPairs(corpus, "id", "text", n = 3, h = 8, minBp = 5000))
+    }),
+
     // §2 row 167: per-source winsorization — n_chars clipped into each
     // source's exact [p5, p95] band; rows survive, tails can't dominate
     // downstream aggregates.
@@ -2606,6 +2623,31 @@ object SparkEntry {
       "JOIN sz sb ON sb.id = id_of " +
       "WHERE (sa.n < sb.n OR (sa.n = sb.n AND id_in < id_of)) " +
       "AND CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.8)"
+
+  /** Shared stitch CTE chain for q150/q153 (one definition, no drift):
+    * corpus+fragment union, ordered gram sequences, slice-then-distinct
+    * head/tail windows, all-ordered-pairs scoring — lands in
+    * `sp (id_a, id_b, overlap_bp)`. */
+  private def stitchCtes: String =
+    "corpus AS (SELECT doc_id AS id, text FROM documents " +
+      "UNION ALL SELECT doc_id + 20000, substr(text, 1, 240) " +
+      "FROM documents WHERE doc_id % 7 = 0 " +
+      "UNION ALL SELECT doc_id + 30000, substr(text, 181) " +
+      "FROM documents WHERE doc_id % 7 = 0), " +
+      s"t AS (SELECT id, ${tokensSql("text")} AS toks FROM corpus), " +
+      "g0 AS (SELECT id, CASE WHEN len(toks) >= 3 " +
+      "THEN list_transform(generate_series(1, len(toks) - 2), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+      "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), " +
+      "ht AS (SELECT id, list_distinct(grams[1:8]) AS head, " +
+      "list_distinct(CASE WHEN len(grams) >= 8 " +
+      "THEN grams[len(grams)-7:len(grams)] ELSE grams END) AS tail " +
+      "FROM g0), " +
+      "sp AS (SELECT a.id AS id_a, b.id AS id_b, " +
+      "CAST((10000 * len(list_intersect(a.tail, b.head))) // 8 AS BIGINT) " +
+      "AS overlap_bp " +
+      "FROM ht a JOIN ht b ON a.id <> b.id " +
+      "WHERE (10000 * len(list_intersect(a.tail, b.head))) // 8 >= 5000)"
 
   /** Shared DSIR CTE chain for q139/q143 (one definition, no drift):
     * token buckets via the q25 polynomial, smoothed target/raw models,
@@ -3748,27 +3790,39 @@ object SparkEntry {
     // q18's gram-string-space replay over the corpus+fragment union; the
     // oracle compares ALL ordered pairs (the posting join only prunes
     // zero-overlap candidates, which score 0 < minBp anyway) with the
-    // same slice-then-distinct windows and integer-bp gate.
-    "q150_stitch" -> {
-      "WITH corpus AS (SELECT doc_id AS id, text FROM documents " +
-        "UNION ALL SELECT doc_id + 20000, substr(text, 1, 240) " +
-        "FROM documents WHERE doc_id % 7 = 0 " +
-        "UNION ALL SELECT doc_id + 30000, substr(text, 181) " +
-        "FROM documents WHERE doc_id % 7 = 0), " +
-        s"t AS (SELECT id, ${tokensSql("text")} AS toks FROM corpus), " +
-        "g0 AS (SELECT id, CASE WHEN len(toks) >= 3 " +
-        "THEN list_transform(generate_series(1, len(toks) - 2), " +
-        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
-        "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), " +
-        "ht AS (SELECT id, list_distinct(grams[1:8]) AS head, " +
-        "list_distinct(CASE WHEN len(grams) >= 8 " +
-        "THEN grams[len(grams)-7:len(grams)] ELSE grams END) AS tail " +
-        "FROM g0) " +
-        "SELECT a.id AS id_a, b.id AS id_b, " +
-        "CAST((10000 * len(list_intersect(a.tail, b.head))) // 8 AS BIGINT) " +
-        "AS overlap_bp " +
-        "FROM ht a JOIN ht b ON a.id <> b.id " +
-        "WHERE (10000 * len(list_intersect(a.tail, b.head))) // 8 >= 5000"
+    // same slice-then-distinct windows and integer-bp gate. CTEs shared
+    // with q153's assembly plan (no drift).
+    "q150_stitch" ->
+      (s"WITH $stitchCtes SELECT id_a, id_b, overlap_bp FROM sp"),
+
+    // The same pair CTEs, mutual-best row_number replay, recursive-CTE
+    // component labels and head-walk positions — the unbounded recursion
+    // equals Spark's maxLen-bounded walk because mutual-best chains are
+    // simple paths (and a cycle has no head on either engine).
+    "q153_assembly_plan" -> {
+      s"WITH RECURSIVE $stitchCtes, " +
+        "su AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, " +
+        "row_number() OVER (PARTITION BY id_a " +
+        "ORDER BY overlap_bp DESC, id_b ASC) AS rn FROM sp) WHERE rn = 1), " +
+        "pr AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, " +
+        "row_number() OVER (PARTITION BY id_b " +
+        "ORDER BY overlap_bp DESC, id_a ASC) AS rn FROM sp) WHERE rn = 1), " +
+        "kept AS (SELECT sp.id_a, sp.id_b FROM sp " +
+        "JOIN su ON sp.id_a = su.id_a AND sp.id_b = su.id_b " +
+        "JOIN pr ON sp.id_a = pr.id_a AND sp.id_b = pr.id_b), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM kept " +
+        "UNION SELECT id_b, id_a FROM kept), " +
+        "reach(id, r) AS (SELECT src, src FROM edges " +
+        "UNION SELECT e.src, reach.r FROM edges e " +
+        "JOIN reach ON reach.id = e.dst), " +
+        "cc AS (SELECT id, min(r) AS comp FROM reach GROUP BY id), " +
+        "heads AS (SELECT DISTINCT id_a AS id FROM kept " +
+        "WHERE id_a NOT IN (SELECT id_b FROM kept)), " +
+        "walk(id, pos) AS (SELECT id, CAST(0 AS BIGINT) FROM heads " +
+        "UNION ALL SELECT k.id_b, pos + 1 FROM kept k " +
+        "JOIN walk ON walk.id = k.id_a) " +
+        "SELECT walk.id, cc.comp AS chain_id, walk.pos " +
+        "FROM walk JOIN cc ON cc.id = walk.id"
     },
 
     // The q87 lower-nearest-rank quantile replay at p5/p95 per source,

@@ -64,4 +64,41 @@ object Stitch {
       .filter(col("overlap_bp") >= minBp)
       .select("id_a", "id_b", "overlap_bp")
   }
+
+  /** Reassembly plan from [[stitchPairs]] output: (id, chain_id, pos).
+    * An edge survives only when it is MUTUAL-BEST — a's strongest
+    * successor AND b's strongest predecessor (max overlap_bp, smaller
+    * partner id on ties) — which breaks fan-in/fan-out so every node has
+    * ≤ 1 in- and ≤ 1 out-edge and the kept graph is a set of simple
+    * chains. chain_id = the chain's minimum id (row 66's components over
+    * the kept edges); pos counts from each chain head (no in-edge),
+    * walked `maxLen` steps — one bounded equi-join per step, the q138
+    * fixed-iteration discipline. Fragments in no kept edge are complete
+    * documents, not fragments — they don't appear. */
+  def assemblyPlan(pairs: DataFrame, maxLen: Int = 8): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be ≥ 1, got $maxLen")
+    val succ = pairs.groupBy("id_a")
+      .agg(max_by(col("id_b"),
+        struct(col("overlap_bp"), -col("id_b"))).as("id_b"))
+    val pred = pairs.groupBy("id_b")
+      .agg(max_by(col("id_a"),
+        struct(col("overlap_bp"), -col("id_a"))).as("id_a"))
+    val kept = pairs.select("id_a", "id_b")
+      .join(succ, Seq("id_a", "id_b"), "left_semi")
+      .join(pred, Seq("id_a", "id_b"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val comp = DedupGroups.connectedComponents(kept, "id_a", "id_b")
+    val heads = kept.select(col("id_a").as("id")).distinct()
+      .join(kept.select(col("id_b").as("id")).distinct(), Seq("id"),
+        "left_anti")
+    var frontier = heads.select(col("id"), lit(0L).as("pos"))
+    var out = frontier
+    for (_ <- 1 to maxLen) {
+      frontier = frontier.join(kept, frontier("id") === kept("id_a"))
+        .select(col("id_b").as("id"), (col("pos") + 1L).as("pos"))
+      out = out.unionAll(frontier)
+    }
+    out.join(comp, Seq("id"))
+      .select(col("id"), col("comp").as("chain_id"), col("pos"))
+  }
 }

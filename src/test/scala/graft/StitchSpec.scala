@@ -55,6 +55,27 @@ class StitchSpec extends SparkSpec {
     assert(got.isEmpty)
   }
 
+  test("assemblyPlan: mutual-best edges form chains with component ids " +
+    "and walk positions; fan-in loses to the stronger predecessor") {
+    val pairs = Seq(
+      (1L, 2L, 10000L),  // chain 1→2→3
+      (2L, 3L, 10000L),
+      (9L, 2L, 7500L),   // weaker predecessor of 2: loses to 1→2
+      (7L, 8L, 8750L))   // separate chain 7→8
+      .toDF("id_a", "id_b", "overlap_bp")
+    val got = Stitch.assemblyPlan(pairs, maxLen = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 2L),
+      (7L, 7L, 0L), (8L, 7L, 1L)))
+  }
+
+  test("assemblyPlan: a 2-cycle has no head and emits nothing") {
+    val pairs = Seq((1L, 2L, 10000L), (2L, 1L, 10000L))
+      .toDF("id_a", "id_b", "overlap_bp")
+    assert(Stitch.assemblyPlan(pairs, maxLen = 4).isEmpty)
+  }
+
   test("plan: posting equi-joins only, never all-pairs") {
     val docs = (1L to 30L).map(i =>
       (i, (i.toInt to i.toInt + 30).map(tok).mkString(" "))).toDF("id", "text")
