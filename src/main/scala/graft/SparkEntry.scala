@@ -2418,6 +2418,28 @@ object SparkEntry {
         Stitch.stitchPairs(corpus, "id", "text", n = 3, h = 8, minBp = 5000))
     }),
 
+    // §2 row 170: TrustRank over q138's host graph — the restart mass is
+    // each host's quality-derived teleport ((150000·qmean_bp) div 10⁴),
+    // so trust flows from vetted content outward and link-farm islands
+    // seeded with nothing starve.
+    "q154_trustrank" -> ((s, dir) => {
+      import graft.operators.LinkGraph
+      val docs = spread(s, Tables.documents(s, dir))
+      val id = col("doc_id")
+      def h(e: org.apache.spark.sql.Column) =
+        concat(lit("h"), e.cast("string"), lit(".example.com"))
+      val e1 = docs.select(h(id % 20).as("src"), h((id * 3 + 1) % 20).as("dst"))
+      val e2 = docs.filter(id % 2 === 0)
+        .select(h(id % 20).as("src"), h((id * 7 + 2) % 20).as("dst"))
+      val tele = docs
+        .select(h(id % 20).as("node"),
+          TextStats.qualityScore(col("text")).as("q"))
+        .groupBy("node").agg(sum("q").as("qs"), count(lit(1)).as("n"))
+        .select(col("node"),
+          expr("(150000 * (qs div n)) div 10000").as("tele"))
+      LinkGraph.trustRank(e1.unionAll(e2), tele, iters = 3)
+    }),
+
     // §2 row 167: per-source winsorization — n_chars clipped into each
     // source's exact [p5, p95] band; rows survive, tails can't dominate
     // downstream aggregates.
@@ -2623,6 +2645,16 @@ object SparkEntry {
       "JOIN sz sb ON sb.id = id_of " +
       "WHERE (sa.n < sb.n OR (sa.n = sb.n AND id_in < id_of)) " +
       "AND CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.8)"
+
+  /** DuckDB mirror of TextStats.qualityScore(text) — shared by
+    * q142/q154 (one definition, no drift; q23 predates the extraction
+    * and keeps its inline copy with the extra ratio columns). */
+  private def qualityScoreSql: String = {
+    val toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    val hits = s"len(list_filter($toks, t -> list_contains($stopListSql, t)))"
+    s"CAST(FLOOR(CAST(LEAST(length(text), 500) * 20 AS DOUBLE) * " +
+      s"CAST(len($toks) - $hits AS DOUBLE) / CAST(len($toks) AS DOUBLE)) AS BIGINT)"
+  }
 
   /** Shared stitch CTE chain for q150/q153 (one definition, no drift):
     * corpus+fragment union, ordered gram sequences, slice-then-distinct
@@ -3674,10 +3706,7 @@ object SparkEntry {
     // fingerprint dup grouping, fused with the identical fixed-order
     // integer divisions.
     "q142_host_reputation" -> {
-      val toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
-      val hits = s"len(list_filter($toks, t -> list_contains($stopListSql, t)))"
-      val quality = s"CAST(FLOOR(CAST(LEAST(length(text), 500) * 20 AS DOUBLE) * " +
-        s"CAST(len($toks) - $hits AS DOUBLE) / CAST(len($toks) AS DOUBLE)) AS BIGINT)"
+      val quality = qualityScoreSql
       val fp = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         "list_transform(regexp_split_to_array(text, ''), " +
         "c -> CAST(coalesce(ascii(c), 0) AS BIGINT))), " +
@@ -3701,6 +3730,32 @@ object SparkEntry {
         "SELECT host, n_docs, qmean_bp, dup_bp, pr_u, " +
         "CAST(((pr_u * qmean_bp) // 10000) * (10000 - dup_bp) // 10000 " +
         "AS BIGINT) AS rep_u FROM j"
+    },
+
+    // The q138 edge/node/deg CTEs (iteration CTEs p1-p3 go unreferenced),
+    // the shared quality expression rolled to per-host teleports, then
+    // the teleport-seeded integer recurrence per fixed iteration.
+    "q154_trustrank" -> {
+      val iters = (1 to 3).map { i =>
+        s"pp$i AS (SELECT n.node, " +
+          "CAST(t.tele + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS pr " +
+          "FROM nodes n JOIN tl t ON t.node = n.node LEFT JOIN " +
+          "(SELECT e.dst AS node, sum(p.pr // d.outdeg) AS m " +
+          s"FROM e JOIN pp${i - 1} p ON p.node = e.src " +
+          "JOIN deg d ON d.src = e.src GROUP BY e.dst) s " +
+          "ON s.node = n.node)"
+      }.mkString(", ")
+      s"WITH $pagerankCtes, " +
+        "tq AS (SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || " +
+        "'.example.com' AS node, " +
+        "CAST((150000 * (CAST(sum(q) AS BIGINT) // " +
+        "CAST(count(*) AS BIGINT))) // 10000 AS BIGINT) AS tele FROM " +
+        s"(SELECT doc_id, $qualityScoreSql AS q FROM documents) " +
+        "GROUP BY 1), " +
+        "tl AS (SELECT n.node, CAST(coalesce(tq.tele, 0) AS BIGINT) AS tele " +
+        "FROM nodes n LEFT JOIN tq ON tq.node = n.node), " +
+        "pp0 AS (SELECT node, tele AS pr FROM tl), " +
+        iters + " SELECT node, pr FROM pp3"
     },
 
     // The q138 edge CTE, self-loops excluded, reverse-pair semi join —

@@ -63,6 +63,45 @@ object LinkGraph {
     pr
   }
 
+  /** TrustRank — personalized PageRank (Gyöngyi et al. 2004): the
+    * restart mass is NOT uniform but a caller-supplied per-node teleport
+    * table (here typically derived from content quality), so trust
+    * propagates FROM vetted seeds through the link graph and spam hosts
+    * — reachable mostly from other spam — starve. Same integer
+    * micro-unit discipline as [[pageRank]]:
+    *
+    *   pr₀(u) = tele(u);  pr'(u) = tele(u) + (85 · Σ pr(v) div outdeg(v)) div 100
+    *
+    * Nodes absent from the teleport table restart with 0 (never seeded —
+    * they only earn rank through inlinks from seeded regions); dangling
+    * mass evaporates and parallel edges collapse exactly as in
+    * [[pageRank]]. Same per-iteration cost shape: one equi-join + one
+    * map-side-combined sum; the teleport table joins once and persists. */
+  def trustRank(edges: DataFrame, teleport: DataFrame,
+                iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be ≥ 0, got $iters")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(deg, Seq("src")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val tele = nodes.join(teleport, Seq("node"), "left")
+      .select(col("node"), coalesce(col("tele"), lit(0L)).as("tele"))
+      .persist()
+    var pr = tele.select(col("node"), col("tele").as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(pr, withDeg("src") === pr("node"))
+        .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("m"))
+      pr = tele.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (col("tele") + expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100"))
+            .as("pr"))
+    }
+    pr
+  }
+
   /** Link-exchange (reciprocal-link) profile — the classic link-farm
     * signal PageRank alone misses: two hosts endorsing each other inflate
     * both ranks, so per host we report what share of its outlinks are

@@ -55,6 +55,32 @@ class LinkGraphSpec extends SparkSpec {
     assert(r == Map("A" -> (150000L + (85L * 1000000L) / 100L)))
   }
 
+  test("trustRank: hand-computed seeded iteration; unseeded nodes only " +
+    "earn rank through inlinks from seeded regions") {
+    val edges = Seq(("S", "A"), ("A", "B")).toDF("src", "dst")
+    val tele = Seq(("S", 1000000L)).toDF("node", "tele")
+    // pp0: S=1e6, A=0, B=0
+    // pp1: S=1e6 (no inlinks, tele only)
+    //      A: 0 + (85·1e6)//100 = 850000; B: 0 + 0 = 0
+    val r1 = LinkGraph.trustRank(edges, tele, 1)
+      .as[(String, Long)].collect().toMap
+    assert(r1 == Map("S" -> 1000000L, "A" -> 850000L, "B" -> 0L))
+    // pp2: A: (85·1e6)//100 = 850000; B: (85·850000)//100 = 722500
+    val r2 = LinkGraph.trustRank(edges, tele, 2)
+      .as[(String, Long)].collect().toMap
+    assert(r2 == Map("S" -> 1000000L, "A" -> 850000L, "B" -> 722500L))
+  }
+
+  test("trustRank with uniform teleport 150000 reduces toward pageRank's " +
+    "restart structure on seeded nodes") {
+    val edges = Seq(("A", "B"), ("B", "A")).toDF("src", "dst")
+    val tele = Seq(("A", 150000L), ("B", 150000L)).toDF("node", "tele")
+    // pr0 = 150000 each; pr1 = 150000 + (85·150000)//100 = 277500 each
+    val r = LinkGraph.trustRank(edges, tele, 1)
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("A" -> 277500L, "B" -> 277500L))
+  }
+
   test("reciprocalProfile: exchange share per host, self-loops excluded") {
     val e = Seq(("A", "B"), ("B", "A"), ("A", "C"), ("C", "C"))
     val got = LinkGraph.reciprocalProfile(e.toDF("src", "dst"))
