@@ -2440,6 +2440,30 @@ object SparkEntry {
       LinkGraph.trustRank(e1.unionAll(e2), tele, iters = 3)
     }),
 
+    // §2 row 171: streaming quality-rules monitor — the live half of the
+    // q147 gate: per-microbatch PARTIAL row-rule violation counts into a
+    // monitor table, idempotent read-side rollup; row-rule counts are
+    // additive so the drain equals the batch audit EXACTLY (uniqueness
+    // is non-additive and stays batch-side, the q122 boundary).
+    "q155_rules_monitor_stream" -> ((s, dir) => {
+      import graft.operators.QualityRules._
+      val src = artifactPath("rulemonsrc", dir, codeHash(SparkEntry.getClass))
+      stageParquet(src) { tmp =>
+        Tables.documents(s, dir).select("doc_id", "text", "lang", "n_chars")
+          .repartition(4).write.mode("overwrite").parquet(tmp)
+      }
+      val base = artifactPath("rulemon", dir, codeHash(SparkEntry.getClass,
+        ScoringStream.getClass, graft.operators.QualityRules.getClass))
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      ScoringStream.monitorRulesStream(stream, Seq(
+        NotNull("text"),
+        InRange("n_chars", 1L, 100000L),
+        Matches("lang", "^[a-z]{2}$")),
+        s"$base/mon", s"$base/ckpt")
+      ScoringStream.readRulesMonitor(s, s"$base/mon")
+    }),
+
     // §2 row 167: per-source winsorization — n_chars clipped into each
     // source's exact [p5, p95] band; rows survive, tails can't dominate
     // downstream aggregates.
@@ -3772,6 +3796,24 @@ object SparkEntry {
         "CAST(coalesce(recip, 0) AS BIGINT) AS recip, " +
         "CAST((10000 * coalesce(recip, 0)) // outdeg AS BIGINT) AS recip_bp " +
         "FROM dg LEFT JOIN rc ON rc.src = dg.src"),
+
+    // The streaming monitor is held to the batch audit's ROW-rule rows
+    // exactly (additive counts; the uniqueness rows stay batch-side by
+    // the documented boundary).
+    "q155_rules_monitor_stream" ->
+      ("SELECT rule, \"column\", violations, " +
+        "CAST(CASE WHEN violations <= 0 THEN 1 ELSE 0 END AS BIGINT) AS pass " +
+        "FROM (" +
+        "SELECT 'not_null' AS rule, 'text' AS \"column\", " +
+        "CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS violations FROM documents " +
+        "UNION ALL SELECT 'in_range', 'n_chars', " +
+        "CAST(sum(CASE WHEN n_chars IS NOT NULL AND (n_chars < 1 OR " +
+        "n_chars > 100000) THEN 1 ELSE 0 END) AS BIGINT) FROM documents " +
+        "UNION ALL SELECT 'matches', 'lang', " +
+        "CAST(sum(CASE WHEN lang IS NOT NULL AND " +
+        "NOT regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END) " +
+        "AS BIGINT) FROM documents)"),
 
     // One conditional-sum branch per row rule, HAVING-count subquery per
     // uniqueness rule — exact int64 violation counts, same pass gate.

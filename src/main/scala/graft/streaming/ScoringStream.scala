@@ -283,6 +283,50 @@ object ScoringStream {
       .withColumn("oov_bp", expr(
         "CASE WHEN tokens = 0 THEN NULL ELSE (oov_tokens * 10000) div tokens END"))
 
+  /** Streaming half of the row-167/163 quality gate — per-microbatch
+    * PARTIAL row-rule violation counts appended to a monitor table
+    * (the q122 shape): row-rule violations are SUMS of per-row
+    * indicators, hence additive across any batch split, so the read-side
+    * rollup equals the batch audit EXACTLY. Uniqueness rules are
+    * non-additive (a value unique in every batch can be duplicated
+    * across them) and stay batch-side by design — the same honest
+    * additivity boundary the OOV monitor draws for distinct-type counts.
+    * foreachBatch's at-least-once contract is handled by the idempotent
+    * pairing: partials carry batch_id, [[readRulesMonitor]] collapses
+    * exact-duplicate (batch_id, rule, column) rows before summing. */
+  def monitorRulesStream(docs: DataFrame,
+                         rules: Seq[graft.operators.QualityRules.Rule],
+                         path: String, checkpoint: String): Unit = {
+    require(!rules.exists(_.isInstanceOf[graft.operators.QualityRules.Unique]),
+      "uniqueness is not additive across batches; run it batch-side")
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.QualityRules.audit(batch, rules,
+            maxViolations = Long.MaxValue)
+          .select(col("rule"), col("column"), col("violations"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(path)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Idempotent rollup of [[monitorRulesStream]]'s table: collapse
+    * retry-duplicated (batch_id, rule, column) partials, sum, and apply
+    * the pass gate — the batch audit's numbers for row rules. */
+  def readRulesMonitor(spark: SparkSession, path: String,
+                       maxViolations: Long = 0L): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("batch_id", "rule", "column")
+      .agg(max("violations").as("__v"))
+      .groupBy("rule", "column")
+      .agg(sum("__v").as("violations"))
+      .withColumn("pass",
+        when(col("violations") <= maxViolations, 1L).otherwise(0L))
+
   /** Production file sink: append the streaming frame to a parquet
     * directory with exactly-once checkpointing, draining everything
     * currently available (AvailableNow) before returning. Restarting with

@@ -48,6 +48,44 @@ class QualityRulesSpec extends SparkSpec {
     assert(audit.count() == 3L)
   }
 
+  test("streaming monitor rollup equals the batch audit for row rules, " +
+    "and simulated retry partials collapse") {
+    import graft.streaming.ScoringStream
+    val rules = Seq(NotNull("text"), InRange("n", 0L, 100L),
+      Matches("lang", "^[a-z]{2}$"))
+    val tmp = java.nio.file.Files.createTempDirectory("rulemon").toString
+    df.repartition(3).write.mode("overwrite").parquet(s"$tmp/src")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/src").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src")
+    ScoringStream.monitorRulesStream(stream, rules,
+      s"$tmp/mon", s"$tmp/ckpt")
+    // a retried batch re-appends identical partials: duplicate batch 0's
+    // rows and expect the rollup to absorb them
+    val mon = spark.read.parquet(s"$tmp/mon")
+    mon.filter(col("batch_id") === 0L).write.mode("append")
+      .parquet(s"$tmp/mon")
+    val got = ScoringStream.readRulesMonitor(spark, s"$tmp/mon")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val batch = QualityRules.audit(df, rules)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == batch, s"stream=$got batch=$batch")
+  }
+
+  test("streaming monitor refuses non-additive uniqueness rules") {
+    import graft.streaming.ScoringStream
+    val tmp = java.nio.file.Files.createTempDirectory("rulemon2").toString
+    df.write.mode("overwrite").parquet(s"$tmp/src")
+    val err = intercept[IllegalArgumentException] {
+      ScoringStream.monitorRulesStream(
+        spark.readStream.schema(df.schema).parquet(s"$tmp/src"),
+        Seq(Unique("id")), s"$tmp/mon", s"$tmp/ckpt")
+    }
+    assert(err.getMessage.contains("additive"))
+  }
+
   test("a clean table passes every rule") {
     val got = run(Seq(NotNull("text"), Unique("id")))
       .filter { case ((r, c), _) => c == "id" || r == "not_null" }
