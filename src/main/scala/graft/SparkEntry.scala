@@ -2464,6 +2464,12 @@ object SparkEntry {
       ScoringStream.readRulesMonitor(s, s"$base/mon")
     }),
 
+    // §2 row 172: per-dimension embedding audit — dead/constant and
+    // zero-heavy dimensions surfaced; micro-unit floors at the row make
+    // every aggregate exact int64.
+    "q156_dim_audit" -> ((s, dir) =>
+      Centroids.dimAudit(spread(s, Tables.embeddings(s, dir)), "embedding")),
+
     // §2 row 167: per-source winsorization — n_chars clipped into each
     // source's exact [p5, p95] band; rows survive, tails can't dominate
     // downstream aggregates.
@@ -3814,6 +3820,20 @@ object SparkEntry {
         "CAST(sum(CASE WHEN lang IS NOT NULL AND " +
         "NOT regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END) " +
         "AS BIGINT) FROM documents)"),
+
+    // DuckDB zips parallel unnests, giving (index, value) pairs; the
+    // same row-level micro-unit floor, exact int64 aggregates.
+    "q156_dim_audit" ->
+      ("WITH t AS (SELECT unnest(generate_series(1, len(embedding))) AS i, " +
+        "unnest(embedding) AS x FROM embeddings), " +
+        "u AS (SELECT CAST(i - 1 AS BIGINT) AS dim, " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS x_u FROM t) " +
+        "SELECT dim, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(count(*) FILTER (WHERE x_u = 0) AS BIGINT) AS n_zero, " +
+        "min(x_u) AS min_u, max(x_u) AS max_u, " +
+        "CAST(sum(x_u) AS BIGINT) AS sum_u, " +
+        "CAST(CASE WHEN min(x_u) = max(x_u) THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS dead FROM u GROUP BY dim"),
 
     // One conditional-sum branch per row rule, HAVING-count subquery per
     // uniqueness rule — exact int64 violation counts, same pass gate.

@@ -91,4 +91,27 @@ object Centroids {
         sum("__nu").as("sum_uu"),
         count(when(col("__nu") === 0L, 1)).as("n_zero"))
   }
+
+  /** Per-DIMENSION embedding audit — the transpose view of [[normAudit]]:
+    * a dimension that is constant across the corpus ("dead" — an encoder
+    * bug or a truncated export) or near-saturated contributes nothing
+    * but cost to every similarity op downstream, and only a per-dim scan
+    * can see it. Values are floored to integer micro-units AT THE ROW
+    * (float→double exact, one correctly-rounded multiply, floor), so
+    * min/max/sum aggregate as exact int64 — order- and partitioning-
+    * independent, unlike float sums, which reassociate. The explode
+    * shuffles only (dim, int64) pairs, map-side combined down to one row
+    * per dimension. */
+  def dimAudit(emb: DataFrame, vecCol: String): DataFrame =
+    emb.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("x_u"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("x_u") === 0L, 1)).as("n_zero"),
+        min("x_u").as("min_u"),
+        max("x_u").as("max_u"),
+        sum("x_u").as("sum_u"))
+      .withColumn("dead",
+        when(col("min_u") === col("max_u"), 1L).otherwise(0L))
 }

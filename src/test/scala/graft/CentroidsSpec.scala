@@ -88,4 +88,24 @@ class CentroidsSpec extends SparkSpec {
     assert(got(0) == ((2L, 0L, 5000000L, 5000000L, 1L)), s"got ${got(0)}")
     assert(got(1) == ((1L, 1000000L, 1000000L, 1000000L, 0L)))
   }
+
+  test("dimAudit: dead and zero-heavy dimensions surface with exact " +
+    "micro-unit stats, partitioning-invariant") {
+    import org.apache.spark.sql.functions.col
+    // dim 0 varies; dim 1 constant 0.5 (dead); dim 2 all zero (dead+zero)
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.5f, 0.0f)),
+      (2L, Seq(-2.5f, 0.5f, 0.0f)),
+      (3L, Seq(0.25f, 0.5f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      Centroids.dimAudit(df, "embedding")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    val got = collect(emb)
+    assert(got(0L) == ((3L, 0L, -2500000L, 1000000L, -1250000L, 0L)))
+    assert(got(1L) == ((3L, 0L, 500000L, 500000L, 1500000L, 1L)))
+    assert(got(2L) == ((3L, 3L, 0L, 0L, 0L, 1L)))
+    assert(collect(emb.repartition(5)) == got)
+  }
 }
