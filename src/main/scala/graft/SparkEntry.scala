@@ -2478,6 +2478,28 @@ object SparkEntry {
     "q156_dim_audit" -> ((s, dir) =>
       Centroids.dimAudit(spread(s, Tables.embeddings(s, dir)), "embedding")),
 
+    // §2 row 173: streaming rate-spike monitor — the live half of q148:
+    // per-microbatch hourly-count partials (batch boundaries may split
+    // an hour — the read side sums across batches after the idempotent
+    // collapse), robust baseline applied at read time; the drain equals
+    // the batch screen EXACTLY.
+    "q157_rate_monitor_stream" -> ((s, dir) => {
+      val src = artifactPath("ratemonsrc", dir, codeHash(SparkEntry.getClass))
+      stageParquet(src) { tmp =>
+        Tables.events(s, dir).select("event_id", "event_type", "ts")
+          .repartition(4).write.mode("overwrite").parquet(tmp)
+      }
+      val base = artifactPath("ratemon", dir, codeHash(SparkEntry.getClass,
+        ScoringStream.getClass, Robust.getClass))
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      ScoringStream.monitorRateStream(stream, "event_type", "ts",
+        s"$base/mon", s"$base/ckpt")
+      ScoringStream.readRateMonitor(s, s"$base/mon", k = 3)
+        .select(col("event_type"), unix_micros(col("hour")).as("hour_us"),
+          col("c"), col("median"), col("mad"), col("spike"))
+    }),
+
     // §2 row 167: per-source winsorization — n_chars clipped into each
     // source's exact [p5, p95] band; rows survive, tails can't dominate
     // downstream aggregates.
@@ -2683,6 +2705,33 @@ object SparkEntry {
       "JOIN sz sb ON sb.id = id_of " +
       "WHERE (sa.n < sb.n OR (sa.n = sb.n AND id_in < id_of)) " +
       "AND CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.8)"
+
+  /** Shared q148/q157 oracle (one definition, no drift): hourly counts
+    * per event type, the q87 lower-nearest-rank median and MAD, the
+    * strict 3·MAD gate. */
+  private def rateSpikesSql: String = {
+    def q50(src: String, vcol: String, out: String) =
+      s"(SELECT event_type, min(v) AS $out FROM " +
+        s"(SELECT event_type, $vcol AS v, " +
+        "sum(cnt) OVER (PARTITION BY event_type ORDER BY v " +
+        "ROWS UNBOUNDED PRECEDING) AS cum, " +
+        "sum(cnt) OVER (PARTITION BY event_type) AS tot FROM " +
+        s"(SELECT event_type, $vcol, count(*) AS cnt FROM $src " +
+        s"GROUP BY event_type, $vcol)) " +
+        "WHERE cum * 10000 >= 5000 * tot GROUP BY event_type)"
+    "WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, " +
+      "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+      s"med AS ${q50("h", "c", "median")}, " +
+      "dv AS (SELECT h.event_type, abs(h.c - m.median) AS d " +
+      "FROM h JOIN med m ON h.event_type = m.event_type), " +
+      s"mad AS ${q50("dv", "d", "mad")} " +
+      "SELECT h.event_type, epoch_us(h.hour) AS hour_us, h.c, " +
+      "m.median, md.mad, " +
+      "CAST(CASE WHEN abs(h.c - m.median) > 3 * md.mad THEN 1 ELSE 0 END " +
+      "AS BIGINT) AS spike " +
+      "FROM h JOIN med m ON h.event_type = m.event_type " +
+      "JOIN mad md ON h.event_type = md.event_type"
+  }
 
   /** DuckDB mirror of TextStats.qualityScore(text) — shared by
     * q142/q154 (one definition, no drift; q23 predates the extraction
@@ -3871,29 +3920,12 @@ object SparkEntry {
     // The q87 exact lower-nearest-rank quantile replay (distinct-value
     // cumulative counts, min v with cum·10⁴ ≥ q·tot), once for the
     // median and once for the MAD deviations, then the strict 3·MAD gate.
-    "q148_rate_spikes" -> {
-      def q50(src: String, vcol: String, out: String) =
-        s"(SELECT event_type, min(v) AS $out FROM " +
-          s"(SELECT event_type, $vcol AS v, " +
-          "sum(cnt) OVER (PARTITION BY event_type ORDER BY v " +
-          "ROWS UNBOUNDED PRECEDING) AS cum, " +
-          "sum(cnt) OVER (PARTITION BY event_type) AS tot FROM " +
-          s"(SELECT event_type, $vcol, count(*) AS cnt FROM $src " +
-          s"GROUP BY event_type, $vcol)) " +
-          "WHERE cum * 10000 >= 5000 * tot GROUP BY event_type)"
-      "WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, " +
-        "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
-        s"med AS ${q50("h", "c", "median")}, " +
-        "dv AS (SELECT h.event_type, abs(h.c - m.median) AS d " +
-        "FROM h JOIN med m ON h.event_type = m.event_type), " +
-        s"mad AS ${q50("dv", "d", "mad")} " +
-        "SELECT h.event_type, epoch_us(h.hour) AS hour_us, h.c, " +
-        "m.median, md.mad, " +
-        "CAST(CASE WHEN abs(h.c - m.median) > 3 * md.mad THEN 1 ELSE 0 END " +
-        "AS BIGINT) AS spike " +
-        "FROM h JOIN med m ON h.event_type = m.event_type " +
-        "JOIN mad md ON h.event_type = md.event_type"
-    },
+    "q148_rate_spikes" -> rateSpikesSql,
+
+    // The streaming monitor is held to the BATCH screen verbatim: hourly
+    // counts are additive across the drain (read side sums batch
+    // partials) and the baseline is computed at read time.
+    "q157_rate_monitor_stream" -> rateSpikesSql,
 
     // q24's two token counters summed per source, integer-floor ratios.
     "q149_fertility" ->

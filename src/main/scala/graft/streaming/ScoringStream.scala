@@ -327,6 +327,46 @@ object ScoringStream {
       .withColumn("pass",
         when(col("violations") <= maxViolations, 1L).otherwise(0L))
 
+  /** Streaming half of the row-164 rate-spike monitor — per-microbatch
+    * PARTIAL (event_type, hour, count) rows appended with their batch_id:
+    * hourly counts are additive, and — unlike the q122/q155 monitors —
+    * partials from DIFFERENT batches legitimately share an (event_type,
+    * hour) cell (a batch boundary can split an hour), so the read-side
+    * first collapses retry-duplicated (batch_id, type, hour) rows, then
+    * SUMS across batches. The robust median±MAD baseline is computed at
+    * READ time over the summed series (a per-type global statistic has
+    * no incremental form under a min-fixpoint-free definition — the same
+    * honest boundary the OOV monitor draws for distinct types). */
+  def monitorRateStream(events: DataFrame, typeCol: String, tsCol: String,
+                        path: String, checkpoint: String): Unit = {
+    val q = events.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.groupBy(col(typeCol).as("event_type"),
+            date_trunc("hour", col(tsCol)).as("hour"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(path)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Idempotent rollup + read-time baseline for [[monitorRateStream]]:
+    * collapse retry duplicates, sum across batches, then the row-164
+    * robust screen — the batch q148 numbers exactly. */
+  def readRateMonitor(spark: SparkSession, path: String,
+                      k: Int = 3): DataFrame =
+    graft.operators.Robust.rateSpikes(
+      spark.read.parquet(path)
+        .groupBy("batch_id", "event_type", "hour")
+        .agg(max("c").as("__c"))
+        .groupBy("event_type", "hour")
+        .agg(sum("__c").as("c")),
+      "event_type", "c", k)
+
   /** Production file sink: append the streaming frame to a parquet
     * directory with exactly-once checkpointing, draining everything
     * currently available (AvailableNow) before returning. Restarting with

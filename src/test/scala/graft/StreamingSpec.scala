@@ -187,6 +187,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch && got.nonEmpty)
   }
 
+  test("streaming rate monitor: cross-batch hour cells sum, retry " +
+    "partials collapse, and the rollup equals the batch screen") {
+    import org.apache.spark.sql.functions.{col, date_trunc, count, lit}
+    import graft.operators.Robust
+    val ev = Tables.events(spark, sfDir).select("event_id", "event_type", "ts")
+    val tmp = java.nio.file.Files.createTempDirectory("ratemon").toString
+    // repartition splits rows of the same hour across files → batches
+    ev.repartition(4).write.mode("overwrite").parquet(s"$tmp/src")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/src").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src")
+    ScoringStream.monitorRateStream(stream, "event_type", "ts",
+      s"$tmp/mon", s"$tmp/ckpt")
+    // simulate an at-least-once retry of batch 0
+    val mon = spark.read.parquet(s"$tmp/mon")
+    mon.filter(col("batch_id") === 0L).write.mode("append")
+      .parquet(s"$tmp/mon")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_type", "hour", "c", "median", "mad", "spike")
+        .collect().map(r => (r.getString(0), r.get(1).toString) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val got = key(ScoringStream.readRateMonitor(spark, s"$tmp/mon"))
+    val hourly = ev.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val batch = key(Robust.rateSpikes(hourly, "event_type", "c", 3))
+    assert(got == batch && got.nonEmpty)
+  }
+
   test("socket source feeds the same cleaning pipeline (reference ingress)") {
     val server = new java.net.ServerSocket(0)
     val feeder = new Thread(() => {
