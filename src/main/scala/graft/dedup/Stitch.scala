@@ -72,11 +72,14 @@ object Stitch {
     * ≤ 1 in- and ≤ 1 out-edge and the kept graph is a set of simple
     * chains. chain_id = the chain's minimum id (row 66's components over
     * the kept edges); pos counts from each chain head (no in-edge),
-    * walked `maxLen` steps — one bounded equi-join per step, the q138
-    * fixed-iteration discipline. Fragments in no kept edge are complete
-    * documents, not fragments — they don't appear. */
-  def assemblyPlan(pairsIn: DataFrame, maxLen: Int = 8): DataFrame = {
-    require(maxLen >= 1, s"maxLen must be ≥ 1, got $maxLen")
+    * walked until the frontier drains — one bounded equi-join per step.
+    * Termination is STRUCTURAL, not a tuned cap: the kept graph has
+    * in-degree ≤ 1 and out-degree ≤ 1, so it is a disjoint union of
+    * simple paths and simple cycles; cycles have no head, so a walk
+    * started from heads can never enter one and drains after the longest
+    * chain. Fragments in no kept edge are complete documents, not
+    * fragments — they don't appear. */
+  def assemblyPlan(pairsIn: DataFrame): DataFrame = {
     // the pair frame's lineage is the whole posting+verify pipeline and
     // feeds SIX consumers (succ, pred, two semi probes, CC's edges, the
     // walk) — materialize it once (Verify/Bench clear per query)
@@ -96,22 +99,27 @@ object Stitch {
     val heads = kept.select(col("id_a").as("id")).distinct()
       .join(kept.select(col("id_b").as("id")).distinct(), Seq("id"),
         "left_anti")
-    // each step persists its (tiny) frontier and the loop exits as soon
-    // as it drains — without this, the union's branch i re-executes an
-    // i-deep join chain and the final action pays O(maxLen²) stages of
-    // pure scheduling overhead for mostly-empty frames
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var frontier = heads.select(col("id"), lit(0L).as("pos")).persist(lvl)
+    // each step localCheckpoints its (tiny) frontier: lineage is CUT per
+    // step, so the next join's plan is one scan ⋈ kept whatever the
+    // depth — without this the step-i frontier nests all i prior plans
+    // and the walk pays O(steps²) in plan strings and re-executed join
+    // chains. The union accumulator checkpoints every 16 steps for the
+    // same reason (the row-154 lineage rule).
+    var frontier = heads.select(col("id"), lit(0L).as("pos"))
+      .localCheckpoint()
     var out = frontier
     var step = 0
     var drained = frontier.isEmpty
-    while (step < maxLen && !drained) {
+    while (!drained) {
+      step += 1
       frontier = frontier.join(kept, frontier("id") === kept("id_a"))
         .select(col("id_b").as("id"), (col("pos") + 1L).as("pos"))
-        .persist(lvl)
+        .localCheckpoint()
       if (frontier.isEmpty) drained = true
-      else out = out.unionAll(frontier)
-      step += 1
+      else {
+        out = out.unionAll(frontier)
+        if (step % 16 == 0) out = out.localCheckpoint()
+      }
     }
     out.join(comp, Seq("id"))
       .select(col("id"), col("comp").as("chain_id"), col("pos"))

@@ -36,41 +36,56 @@ object QualityRules {
   final case class Unique(column: String) extends Rule
 
   /** One verdict row per rule: (rule, column, violations, pass) with
-    * pass = 1 iff violations ≤ maxViolations. Rule order is preserved in
-    * the declared order via union; consumers usually filter pass = 0. */
+    * pass = 1 iff violations ≤ maxViolations. Rows come back in EXACTLY
+    * the declared order, interleavings included — each rule carries its
+    * declared index through the union and the (rule-count-bounded) final
+    * sort. Rule/column names are attached as `lit` columns, never
+    * interpolated into SQL text, so names containing quotes cannot break
+    * expression parsing. Consumers usually filter pass = 0. */
   def audit(df: DataFrame, rules: Seq[Rule],
             maxViolations: Long = 0L): DataFrame = {
     require(rules.nonEmpty, "audit needs at least one rule")
-    val rowRules = rules.collect {
-      case NotNull(c) => ("not_null", c,
+    val rowRules = rules.zipWithIndex.collect {
+      case (NotNull(c), i) => (i, "not_null", c,
         sum(when(col(c).isNull, 1L).otherwise(0L)))
-      case InRange(c, lo, hi) => ("in_range", c,
+      case (InRange(c, lo, hi), i) => (i, "in_range", c,
         sum(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L)
           .otherwise(0L)))
-      case Matches(c, re) => ("matches", c,
+      case (Matches(c, re), i) => (i, "matches", c,
         sum(when(col(c).isNotNull && !col(c).rlike(re), 1L).otherwise(0L)))
     }
     val rowFrame: Option[DataFrame] =
       if (rowRules.isEmpty) None
       else {
-        val aggd = df.agg(rowRules.head._3.as("m0"),
-          rowRules.tail.zipWithIndex.map { case (r, i) =>
-            r._3.as(s"m${i + 1}") }: _*)
-        // stack melts the ONE aggregated row into one row per rule —
-        // no re-aggregation, the table is scanned exactly once
-        val stackArgs = rowRules.zipWithIndex.map { case ((n, c, _), i) =>
-          s"'$n', '$c', m$i" }.mkString(", ")
-        Some(aggd.select(expr(
-          s"stack(${rowRules.size}, $stackArgs) AS (rule, column, violations)")))
+        val aggd = df.agg(rowRules.head._4.as("m0"),
+          rowRules.tail.zipWithIndex.map { case (r, j) =>
+            r._4.as(s"m${j + 1}") }: _*)
+        // stack melts the ONE aggregated row into one row per rule — no
+        // re-aggregation, the table is scanned exactly once. Only the
+        // local ordinal and the measure alias enter the SQL string; the
+        // declared index / rule / column attach via element_at over lit
+        // arrays (position __j + 1), immune to quoting
+        val stackArgs = rowRules.indices.map(j => s"$j, m$j").mkString(", ")
+        val stacked = aggd.select(expr(
+          s"stack(${rowRules.size}, $stackArgs) AS (__j, violations)"))
+        Some(stacked.select(
+          element_at(array(rowRules.map(r => lit(r._1)): _*),
+            col("__j") + 1).as("__i"),
+          element_at(array(rowRules.map(r => lit(r._2)): _*),
+            col("__j") + 1).as("rule"),
+          element_at(array(rowRules.map(r => lit(r._3)): _*),
+            col("__j") + 1).as("column"),
+          col("violations")))
       }
-    val uniqFrames = rules.collect { case Unique(c) =>
+    val uniqFrames = rules.zipWithIndex.collect { case (Unique(c), i) =>
       df.filter(col(c).isNotNull).groupBy(col(c)).agg(count(lit(1)).as("n"))
         .filter(col("n") > 1L)
         .agg(coalesce(sum(col("n")), lit(0L)).as("violations"))
-        .select(lit("unique").as("rule"), lit(c).as("column"),
-          col("violations"))
+        .select(lit(i).as("__i"), lit("unique").as("rule"),
+          lit(c).as("column"), col("violations"))
     }
     (rowFrame.toSeq ++ uniqFrames).reduce(_.unionAll(_))
+      .orderBy("__i").drop("__i")
       .withColumn("pass",
         when(col("violations") <= maxViolations, 1L).otherwise(0L))
   }

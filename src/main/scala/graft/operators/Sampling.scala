@@ -96,13 +96,14 @@ object Sampling {
     val cumW = Window.partitionBy(groupCol).orderBy(desc(scoreCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totW = Window.partitionBy(groupCol)
-    // k = ceil(N·num/den), all-integer; max intermediate N·num stays in
-    // int64 for any realistic corpus (num is a small ratio numerator)
+    // k = ceil(N·num/den), all-integer (`div`, never Column./ which is
+    // double division with a 2^53 exactness bound); N·num stays in int64
+    // for any realistic corpus (num is a small ratio numerator)
     val thr = hist
       .withColumn("__cum", sum(col("__c")).over(cumW))
+      .withColumn("__tot", sum(col("__c")).over(totW))
       .withColumn("__k",
-        ((sum(col("__c")).over(totW) * fracNum + (fracDen - 1)) / fracDen)
-          .cast("long"))
+        expr(s"(__tot * $fracNum + ${fracDen - 1}) div $fracDen"))
       // the threshold row: first (in score-desc order) where cum ≥ k
       .filter(col("__cum") >= col("__k") &&
         col("__cum") - col("__c") < col("__k"))
@@ -191,7 +192,11 @@ object Sampling {
                         budgetTokens: Long, bp: Column): DataFrame = {
     require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
     import org.apache.spark.sql.expressions.Window
-    val keyed = df.withColumn("__k", bp)
+    // rows whose bp key is NULL (e.g. hashBp of a null key) are excluded
+    // up front: without this they would form a null histogram bucket that
+    // consumes budget yet is dropped by the null-unequal equi-joins below,
+    // silently undershooting the budget
+    val keyed = df.withColumn("__k", bp).filter(col("__k").isNotNull)
     val hist = keyed.groupBy("__k")
       .agg(sum(col(tokenCol).cast("long")).as("__t"))
     // ≤ 10⁴ histogram rows: the single-task window is bounded by the bp

@@ -69,10 +69,15 @@ object Dsir {
     val totals = toks.agg(
       count(lit(1)).as("r_tot"),
       sum(when(col("is_t"), 1L).otherwise(0L)).as("t_tot"))
-    // only buckets present in raw matter (every doc token is in raw by
-    // construction); absent-from-target buckets smooth to ct = 0
-    raw.join(tgt, Seq("bucket"), "left")
-      .na.fill(0L, Seq("ct"))
+    // emit the FULL bucket domain (still ≤ `buckets` rows): buckets never
+    // seen in the raw pool smooth to cr = 0 / ct = 0, so score()'s inner
+    // join is lossless even for documents whose tokens the frozen model
+    // never saw — the exact frozen-model/streaming use the API advertises
+    val domain = toks.sparkSession.range(buckets)
+      .select(col("id").as("bucket"))
+    domain.join(raw, Seq("bucket"), "left")
+      .join(tgt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("cr", "ct"))
       .crossJoin(broadcast(totals))
       .select(col("bucket"),
         expr(s"CAST(floor(ln(((ct + 1) * (r_tot + $buckets)) / " +

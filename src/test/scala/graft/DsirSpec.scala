@@ -46,6 +46,24 @@ class DsirSpec extends SparkSpec {
     assert(got(1L)._1 == 2L && got(1L)._2 == got(2L)._2)
   }
 
+  test("score() under a frozen model keeps tokens the training pool never " +
+    "saw: n_tok counts them and they carry the smoothed zero-count delta") {
+    val train = Seq(
+      (1L, "alpha alpha alpha"), (2L, "alpha alpha alpha"),
+      (3L, "beta beta beta"), (4L, "beta beta beta")).toDF("doc_id", "text")
+    val delta = Dsir.model(train, "doc_id", "text", col("doc_id") <= 2L)
+    val got = Dsir.score(Seq((9L, "alpha zeta")).toDF("doc_id", "text"),
+      "doc_id", "text", delta)
+      .as[(Long, Long, Long)].collect().head
+    def bucket(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L) % 1024
+    assert(Set("alpha", "zeta").map(bucket).size == 2) // distinct buckets
+    // alpha: ct=6 cr=6; zeta unseen: ct=0 cr=0 → smoothed zero-count delta
+    val dAlpha = math.floor(math.log((7.0 * 1036.0) / (7.0 * 1030.0)) * 1e6).toLong
+    val dUnseen = math.floor(math.log(1036.0 / 1030.0) * 1e6).toLong
+    assert(got == ((9L, 2L, dAlpha + dUnseen)), got.toString)
+  }
+
   test("partitioning invariance of weights and keep set") {
     val docs = (0L until 120L)
       .map(i => (i, s"w${i % 7} w${(i * 3) % 11} w${(i * 5) % 13}"))

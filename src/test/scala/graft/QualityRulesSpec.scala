@@ -86,6 +86,23 @@ class QualityRulesSpec extends SparkSpec {
     assert(err.getMessage.contains("additive"))
   }
 
+  test("declared order is preserved even when unique rules interleave " +
+    "row rules, and quoted column names cannot break the melt") {
+    val got = QualityRules.audit(df, Seq(
+      Unique("text"), NotNull("text"), Unique("id"), InRange("n", 0L, 100L)))
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq(
+      ("unique", "text"), ("not_null", "text"),
+      ("unique", "id"), ("in_range", "n")), got.mkString(","))
+    // a column whose NAME contains a single quote: attached via lit, so
+    // the stack SQL never sees it
+    val quoted = Seq((1L, "x"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "it's")
+    val q = QualityRules.audit(quoted, Seq(NotNull("it's")))
+      .as[(String, String, Long, Long)].collect()
+    assert(q.toSeq == Seq(("not_null", "it's", 1L, 0L)))
+  }
+
   test("a clean table passes every rule") {
     val got = run(Seq(NotNull("text"), Unique("id")))
       .filter { case ((r, c), _) => c == "id" || r == "not_null" }

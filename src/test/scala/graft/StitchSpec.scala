@@ -63,7 +63,7 @@ class StitchSpec extends SparkSpec {
       (9L, 2L, 7500L),   // weaker predecessor of 2: loses to 1→2
       (7L, 8L, 8750L))   // separate chain 7→8
       .toDF("id_a", "id_b", "overlap_bp")
-    val got = Stitch.assemblyPlan(pairs, maxLen = 4)
+    val got = Stitch.assemblyPlan(pairs)
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set(
       (1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 2L),
@@ -73,7 +73,16 @@ class StitchSpec extends SparkSpec {
   test("assemblyPlan: a 2-cycle has no head and emits nothing") {
     val pairs = Seq((1L, 2L, 10000L), (2L, 1L, 10000L))
       .toDF("id_a", "id_b", "overlap_bp")
-    assert(Stitch.assemblyPlan(pairs, maxLen = 4).isEmpty)
+    assert(Stitch.assemblyPlan(pairs).isEmpty)
+  }
+
+  test("assemblyPlan: a 20-fragment chain walks to its full depth — " +
+    "the drain loop has no truncation cap") {
+    val pairs = (1L to 19L).map(i => (i, i + 1, 10000L))
+      .toDF("id_a", "id_b", "overlap_bp")
+    val got = Stitch.assemblyPlan(pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == (1L to 20L).map(i => (i, 1L, i - 1)).toSet)
   }
 
   test("plan: posting equi-joins only, never all-pairs") {
