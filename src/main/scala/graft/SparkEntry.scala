@@ -2545,6 +2545,203 @@ object SparkEntry {
             expr("substring(rec, 1, 4)"), "rec"),
           masters, maxDist = 1),
         "append")
+    }),
+
+    // §2 row 2: the parquet sink as its own driver row — write a projection,
+    // read it back, oracle the read-back against the source (parquet is
+    // lossless for these types, so the round-trip IS identity). Same
+    // eager-write-at-construction contract as q41.
+    "q158_parquet_roundtrip" -> ((s, dir) => {
+      val src = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+      val path = stagingDir("graft_pq_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + ProcessHandle.current().pid())
+      Tables.writeParquet(src, path)
+      s.read.parquet(path)
+    }),
+
+    // §2 row 45: header-CSV sink + source round-trip, schema passed
+    // explicitly on the read (no inference pass — the q41 rule). Columns
+    // chosen CSV-safe (ints + [a-z]{2} lang codes): the round-trip is exact,
+    // so the oracle is the plain source projection.
+    "q159_csv_roundtrip" -> ((s, dir) => {
+      val src = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      val path = stagingDir("graft_csv_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + ProcessHandle.current().pid())
+      Tables.writeCsv(src, path)
+      Tables.readCsv(s, path, Some(src.schema))
+    }),
+
+    // §2 row 47: bucketed+sorted managed-table write, declared as a driver
+    // row via read-back — content is layout-invariant, so the oracle is the
+    // source projection; the exchange-free co-located join the layout
+    // exists for stays asserted in BucketingSpec.
+    "q160_bucketed_readback" -> ((s, dir) => {
+      val table = "graft_q160_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+      if (loc.exists()) rmTree(loc)
+      Tables.writeBucketed(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        table, "doc_id", nBuckets = 8)
+      s.table(table)
+    }),
+
+    // §2 row 83: range-partitioned sorted write → min/max file pruning; the
+    // read-back carries a key-range filter (the query shape the layout
+    // serves), oracled exactly; SourcesSpec asserts the non-overlapping
+    // per-file ranges.
+    "q161_range_readback" -> ((s, dir) => {
+      val src = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      val path = stagingDir("graft_range_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + ProcessHandle.current().pid())
+      Tables.writeRangeLayout(src, path, "doc_id", nFiles = 8)
+      s.read.parquet(path)
+        .filter(col("doc_id") >= 100L && col("doc_id") < 400L)
+    }),
+
+    // §2 row 96: Z-order clustered write → min/max pruning on EITHER key;
+    // the read-back carries the two-sided rectangle predicate the curve
+    // exists for, oracled exactly (content is layout-invariant).
+    "q162_zorder_readback" -> ((s, dir) => {
+      val src = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+      val path = stagingDir("graft_zorder_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + ProcessHandle.current().pid())
+      Tables.writeZOrdered(src, path, "doc_id", "n_chars", nFiles = 8)
+      s.read.parquet(path)
+        .filter(col("doc_id") < 300L && col("n_chars") < 600L)
+    }),
+
+    // §2 row 20: IDF — the fitted model's per-term (df, idf) table, EXACT:
+    // Spark's IDF is ln((m+1)/(df+1)) with df = docs containing the term,
+    // both integers the oracle recomputes from the shared token CTE; the
+    // one ln·10⁶ floor carries the documented q77 1-ulp caveat. vocabSize
+    // 2^17 keeps the vocab un-truncated at any tested SF (the q13 rule).
+    "q163_idf" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Sentiment.prepare(Tables.documents(s, dir))
+      val model = Featurize.fit(docs, vocabSize = 1 << 17)
+      val cv = model.stages(2).asInstanceOf[CountVectorizerModel]
+      val idfm = model.stages(3)
+        .asInstanceOf[org.apache.spark.ml.feature.IDFModel]
+      val (idf, df) = (idfm.idf.toArray, idfm.docFreq)
+      cv.vocabulary.toIndexedSeq.zipWithIndex
+        .filter { case (t, _) => t.nonEmpty }
+        .map { case (t, i) =>
+          (t, df(i), math.floor(idf(i) * 1e6).toLong) }
+        .toDF("term", "df_docs", "idf_uu")
+    }),
+
+    // §2 row 21: randomSplit + cache as its own driver row. Rows-only BY
+    // DESIGN: split membership comes from Bernoulli per-partition sampling,
+    // a function of the physical partition layout no SQL engine replays;
+    // MlSpec pins disjointness, exhaustiveness and seed-determinism.
+    "q164_random_split" -> ((s, dir) => {
+      val docs = Sentiment.prepare(Tables.documents(s, dir))
+      val Array(train, test) = docs.randomSplit(Array(0.8, 0.2), seed = 100L)
+      train.cache(); test.cache()
+      train.select(lit("train").as("split"), col("doc_id"))
+        .unionAll(test.select(lit("test").as("split"), col("doc_id")))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+    }),
+
+    // §2 row 23: logistic-regression train + predict (the q14 shape with
+    // the LR head). Rows-only (ML predictions); MlSpec pins F1 floors and
+    // prediction determinism per seed.
+    "q165_lr_predict" -> ((s, dir) => {
+      val docs = Sentiment.prepare(Tables.documents(s, dir))
+      val (_, _, preds) = Sentiment.trainEval(docs, "lr", seed = 100L,
+        vocabSize = 1024)
+      preds.select("doc_id", "label", "prediction")
+    }),
+
+    // §2 row 24: naive-Bayes train + predict (multinomial over tf counts —
+    // see the Sentiment.classifier note). Rows-only (ML predictions).
+    "q166_nb_predict" -> ((s, dir) => {
+      val docs = Sentiment.prepare(Tables.documents(s, dir))
+      val (_, _, preds) = Sentiment.trainEval(docs, "nb", seed = 100L,
+        vocabSize = 1024)
+      preds.select("doc_id", "label", "prediction")
+    }),
+
+    // §2 row 25: MulticlassClassificationEvaluator as its own driver row —
+    // the held-out F1 in floored micro-units. Rows-only (a scalar of ML
+    // predictions); MlSpec pins the floor and cross-run determinism.
+    "q167_f1_eval" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Sentiment.prepare(Tables.documents(s, dir))
+      val (_, f1, _) = Sentiment.trainEval(docs, "svm", seed = 100L,
+        vocabSize = 1024)
+      Seq(("svm", math.floor(f1 * 1e6).toLong)).toDF("algo", "f1_uu")
+    }),
+
+    // §2 row 43: the native one-pass `minhash_sig` codegen expression as
+    // its own driver row — per-(doc, hash-index) signature minima.
+    // Rows-only BY DESIGN (XXH64-addressed, the q31 justification: DuckDB
+    // has no xxhash64); ExpressionSpec pins values against the HOF
+    // formulation and DedupSpec pins the banded join built on it.
+    "q168_minhash_sig" -> ((s, dir) => {
+      val docs = spread(s, Tables.documents(s, dir))
+      docs.select(col("doc_id"),
+        MinHashDedup.minhashSignature(s,
+          graft.functions.ShingleHashes(s,
+            TextFunctions.tokens(col("text")), 3), 16).as("sig"))
+        .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "sig")))
+    }),
+
+    // §2 row 46: top-|weight| coefficient inspection of the fitted linear
+    // model. Rows-only (trained weights); MlSpec pins vocab alignment and
+    // that the terms are real vocabulary entries.
+    "q169_top_coefficients" -> ((s, dir) => {
+      val docs = Sentiment.prepare(Tables.documents(s, dir))
+      val (model, _, _) = Sentiment.trainEval(docs, "svm", seed = 100L,
+        vocabSize = 1024)
+      Sentiment.topCoefficients(s, model, n = 20)
+        .select(col("term"),
+          floor(col("weight") * 1e6).cast("long").as("weight_uu"))
+    }),
+
+    // §2 row 49: the production streaming parquet sink — drain a stateless
+    // event projection through runToParquet (exactly-once checkpointing,
+    // AvailableNow) and read the sink back. EXACT oracle: the pipeline is
+    // stateless, so the drained sink content equals the batch projection
+    // whatever the microbatch boundaries; restart-resume semantics are
+    // pinned by StreamingSpec.
+    "q170_stream_sink" -> ((s, dir) => {
+      val base = stagingDir("graft_sink_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + ProcessHandle.current().pid())
+      val stream = ScoringStream.eventsStream(s, s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("value_c"))
+      ScoringStream.runToParquet(stream, s"$base/out", s"$base/ckpt")
+      s.read.parquet(s"$base/out")
+    }),
+
+    // §2 row 82: streaming centroid-drift monitor — per-window per-label
+    // per-dimension centroid sums over an embedding feed (ts synthesized
+    // hourly from vec_id, so windows are deterministic). Complete-mode
+    // drain emits every window; integer micro-unit sums make the result
+    // EXACTLY the batch windowed aggregate, so the oracle replays window
+    // arithmetic + the q56 unnest in SQL.
+    "q171_centroid_drift_stream" -> ((s, dir) => {
+      val src = artifactPath("driftsrc", dir, codeHash(SparkEntry.getClass))
+      stageParquet(src) { tmp =>
+        Tables.embeddings(s, dir)
+          .withColumn("ts", timestamp_micros(col("vec_id") * 3600000000L))
+          .repartition(4).write.mode("overwrite").parquet(tmp)
+      }
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      ScoringStream.runToMemory(s,
+        Centroids.labelSumsStream(stream, "label", "embedding", "ts",
+          watermark = "1 hour", windowLen = "6 hours"),
+        "complete")
     })
   )
 
@@ -4770,7 +4967,64 @@ object SparkEntry {
           s"CAST(max($c) AS VARCHAR) AS max_s FROM documents"
       Seq("doc_id", "text", "lang", "source", "n_chars")
         .map(branch).mkString(" UNION ALL ")
-    }
+    },
+
+    // Round-trips are lossless for these types — the oracle is the plain
+    // source projection (the q41 rule).
+    "q158_parquet_roundtrip" ->
+      "SELECT doc_id, source, n_chars FROM documents",
+
+    "q159_csv_roundtrip" ->
+      "SELECT doc_id, lang, n_chars FROM documents",
+
+    "q160_bucketed_readback" ->
+      "SELECT doc_id, source, n_chars FROM documents",
+
+    // Layout-only writes: content equals the filtered source projection.
+    "q161_range_readback" ->
+      ("SELECT doc_id, lang, n_chars FROM documents " +
+        "WHERE doc_id >= 100 AND doc_id < 400"),
+
+    "q162_zorder_readback" ->
+      ("SELECT doc_id, source, n_chars FROM documents " +
+        "WHERE doc_id < 300 AND n_chars < 600"),
+
+    // Spark IDF = ln((m+1)/(df+1)), m = ALL fitted docs (empty-token docs
+    // included), df = docs containing the term after the same clean +
+    // tokenize + stopword chain as q13's vocabulary CTE. Floored micro-nats
+    // carry the documented q77 1-ulp ln caveat.
+    "q163_idf" -> {
+      val stops = (org.apache.spark.ml.feature.StopWordsRemover
+        .loadDefaultStopWords("english") ++ graft.ml.Featurize.customStopwords)
+        .map(w => s"'${w.replace("'", "''")}'").mkString(", ")
+      s"WITH tok AS (SELECT doc_id, unnest(${tokensSql("text")}) AS term " +
+        "FROM documents), " +
+        "mm AS (SELECT count(*) AS m FROM documents), " +
+        "d AS (SELECT term, count(DISTINCT doc_id) AS df_docs FROM tok " +
+        s"WHERE term <> '' AND term NOT IN ($stops) GROUP BY term) " +
+        "SELECT term, CAST(df_docs AS BIGINT) AS df_docs, " +
+        "CAST(FLOOR(LN((m + 1.0) / (df_docs + 1.0)) * 1000000) AS BIGINT) " +
+        "AS idf_uu FROM d, mm"
+    },
+
+    // Stateless projection through the exactly-once parquet sink: drained
+    // content == the batch projection whatever the batch boundaries.
+    "q170_stream_sink" ->
+      ("SELECT event_id, event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS value_c FROM events"),
+
+    // ts = vec_id hours since epoch, 6 h windows epoch-aligned on both
+    // engines — window_start_us is pure integer arithmetic on vec_id; the
+    // per-dimension micro-unit sums are the q56 unnest verbatim.
+    "q171_centroid_drift_stream" ->
+      ("SELECT CAST((vec_id * 3600000000) // 21600000000 * 21600000000 " +
+        "AS BIGINT) AS window_start_us, label, CAST(pos AS INT) AS pos, " +
+        "count(*) AS n, CAST(sum(x_uu) AS BIGINT) AS sum_uu FROM " +
+        "(SELECT vec_id, label, " +
+        "unnest(generate_series(0, len(embedding) - 1)) AS pos, " +
+        "unnest(list_transform(embedding, " +
+        "e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT))) AS x_uu " +
+        "FROM embeddings) GROUP BY 1, 2, 3")
   )
 
   /** Shared decontamination oracle — q46 and its Bloom-prefiltered twin
