@@ -2742,7 +2742,18 @@ object SparkEntry {
         Centroids.labelSumsStream(stream, "label", "embedding", "ts",
           watermark = "1 hour", windowLen = "6 hours"),
         "complete")
-    })
+    }),
+
+    // §2 row 174: the exact-substring scrub at Lee et al.'s PUBLISHED
+    // granularity — only tokens inside maximal duplicated runs covering
+    // ≥ 50 tokens are removed (q115's span machinery driving q108's
+    // rewrite), so short incidental shared phrases survive and long
+    // boilerplate/license blocks are deleted. EXACT oracle: gram replay →
+    // run fold → position union → rewrite, all in SQL.
+    "q172_long_span_scrub" -> ((s, dir) =>
+      SpanScrub.scrubLongDuplicateSpans(spread(s, Tables.documents(s, dir)),
+        "doc_id", "text", k = 8, minTokens = 50)
+        .withColumnRenamed("id", "doc_id"))
   )
 
   // ---------------------------------------------------------------------
@@ -3326,31 +3337,13 @@ object SparkEntry {
     // positions p..p+7 (whole doc for the collapsed short-doc gram), kept
     // tokens re-agged in position order. 1-based here vs 0-based in the
     // engine — internal only, outputs are the rewritten strings.
-    "q108_span_scrub" -> {
-      val g8 = (1 to 8).map(j => s"toks[i+${j - 1}]").mkString(" || ' ' || ")
-      s"WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents), " +
-        "g0 AS (SELECT doc_id, len(toks) AS nt, CASE WHEN len(toks) >= 8 " +
-        s"THEN list_transform(generate_series(1, len(toks) - 7), i -> $g8) " +
-        "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), " +
-        "pg AS (SELECT doc_id, nt, unnest(generate_series(1, len(grams))) AS p, " +
-        "unnest(grams) AS gram FROM g0), " +
-        "occ AS (SELECT gram, count(*) AS occ FROM pg GROUP BY gram), " +
-        "cov AS (SELECT DISTINCT doc_id, cp FROM " +
+    "q108_span_scrub" ->
+      (spanGramCtes +
+        ", cov AS (SELECT DISTINCT doc_id, cp FROM " +
         "(SELECT pg.doc_id, unnest(generate_series(pg.p, least(pg.p + 7, pg.nt))) AS cp " +
         "FROM pg JOIN occ USING (gram) WHERE occ.occ >= 2)), " +
-        "ca AS (SELECT doc_id, list(cp) AS cov FROM cov GROUP BY doc_id), " +
-        "tok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, " +
-        "unnest(toks) AS tok FROM t), " +
-        "kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok " +
-        "LEFT JOIN ca USING (doc_id) " +
-        "WHERE ca.cov IS NULL OR NOT list_contains(ca.cov, tok.pos)), " +
-        "ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct, " +
-        "count(*) AS n_kept FROM kept GROUP BY doc_id) " +
-        "SELECT t.doc_id, coalesce(ka.ct, '') AS clean_text, " +
-        "CAST(len(t.toks) AS INT) AS n_tok, " +
-        "CAST(len(t.toks) - coalesce(ka.n_kept, 0) AS INT) AS n_removed " +
-        "FROM t LEFT JOIN ka USING (doc_id)"
-    },
+        "ca AS (SELECT doc_id, list(cp) AS cov FROM cov GROUP BY doc_id)" +
+        scrubRewriteSql),
 
     "q01_read_project" ->
       "SELECT doc_id, lang, source, n_chars AS chars FROM documents",
@@ -4305,26 +4298,24 @@ object SparkEntry {
     // equality, the q84/q108 argument): duplicated starts via the q108
     // gram construction, runs via the same p − row_number() trick,
     // 1-based here vs 0-based in the engine (converted on output).
-    "q115_long_spans" -> {
-      val g8 = (1 to 8).map(j => s"toks[i+${j - 1}]").mkString(" || ' ' || ")
-      s"WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents), " +
-        "g0 AS (SELECT doc_id, len(toks) AS nt, CASE WHEN len(toks) >= 8 " +
-        s"THEN list_transform(generate_series(1, len(toks) - 7), i -> $g8) " +
-        "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), " +
-        "pg AS (SELECT doc_id, nt, unnest(generate_series(1, len(grams))) AS p, " +
-        "unnest(grams) AS gram FROM g0), " +
-        "occ AS (SELECT gram, count(*) AS occ FROM pg GROUP BY gram), " +
-        "ds AS (SELECT pg.doc_id, pg.nt, pg.p FROM pg " +
-        "JOIN occ USING (gram) WHERE occ.occ >= 2), " +
-        "r AS (SELECT doc_id, nt, p, p - row_number() OVER " +
-        "(PARTITION BY doc_id ORDER BY p) AS grp FROM ds), " +
-        "sp AS (SELECT doc_id, min(p) AS p1, max(p) AS p2, max(nt) AS nt " +
-        "FROM r GROUP BY doc_id, grp) " +
-        "SELECT doc_id, CAST(p1 - 1 AS INT) AS span_start, " +
+    "q115_long_spans" ->
+      (spanGramCtes + spanRunCtes +
+        " SELECT doc_id, CAST(p1 - 1 AS INT) AS span_start, " +
         "CAST(LEAST(p2 + 7, nt) - 1 AS INT) AS span_end, " +
         "CAST(LEAST(p2 + 7, nt) - p1 + 1 AS INT) AS span_tok " +
-        "FROM sp WHERE LEAST(p2 + 7, nt) - p1 + 1 >= 50"
-    },
+        "FROM sp WHERE LEAST(p2 + 7, nt) - p1 + 1 >= 50"),
+
+    // q115's maximal runs driving q108's rewrite: positions covered by
+    // ≥ 50-token spans, unioned, deleted — shared CTEs make the three
+    // span oracles definitionally consistent.
+    "q172_long_span_scrub" ->
+      (spanGramCtes + spanRunCtes +
+        ", ls AS (SELECT doc_id, p1, LEAST(p2 + 7, nt) AS pe FROM sp " +
+        "WHERE LEAST(p2 + 7, nt) - p1 + 1 >= 50), " +
+        "cov AS (SELECT DISTINCT doc_id, cp FROM " +
+        "(SELECT doc_id, unnest(generate_series(p1, pe)) AS cp FROM ls)), " +
+        "ca AS (SELECT doc_id, list(cp) AS cov FROM cov GROUP BY doc_id)" +
+        scrubRewriteSql),
 
     // quality uses RAW lowercased whitespace tokens (mirrors q23);
     // distinct_bp uses CLEANED tokens (mirrors q39) — two deliberate
@@ -5026,6 +5017,49 @@ object SparkEntry {
         "e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT))) AS x_uu " +
         "FROM embeddings) GROUP BY 1, 2, 3")
   )
+
+  /** Shared span-scrub gram CTEs (t, g0, pg, occ): per-position string
+    * 8-grams + occurrence counts, mirroring the Spark side's hashed-gram
+    * pass (the q18 set-cardinality argument). q108, q115 and q172 all
+    * build on these, so the three span oracles cannot drift. Positions
+    * are 1-based in SQL; the Spark side is 0-based — span outputs convert
+    * with p−1, coverage/rewrite stay 1-based end to end. */
+  private def spanGramCtes: String = {
+    val g8 = (1 to 8).map(j => s"toks[i+${j - 1}]").mkString(" || ' ' || ")
+    s"WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents), " +
+      "g0 AS (SELECT doc_id, len(toks) AS nt, CASE WHEN len(toks) >= 8 " +
+      s"THEN list_transform(generate_series(1, len(toks) - 7), i -> $g8) " +
+      "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), " +
+      "pg AS (SELECT doc_id, nt, unnest(generate_series(1, len(grams))) AS p, " +
+      "unnest(grams) AS gram FROM g0), " +
+      "occ AS (SELECT gram, count(*) AS occ FROM pg GROUP BY gram)"
+  }
+
+  /** Shared maximal-run CTEs (ds, r, sp) over [[spanGramCtes]]: duplicated
+    * starts folded into runs via the p − row_number() constant. */
+  private def spanRunCtes: String =
+    ", ds AS (SELECT pg.doc_id, pg.nt, pg.p FROM pg " +
+      "JOIN occ USING (gram) WHERE occ.occ >= 2), " +
+      "r AS (SELECT doc_id, nt, p, p - row_number() OVER " +
+      "(PARTITION BY doc_id ORDER BY p) AS grp FROM ds), " +
+      "sp AS (SELECT doc_id, min(p) AS p1, max(p) AS p2, max(nt) AS nt " +
+      "FROM r GROUP BY doc_id, grp)"
+
+  /** Shared scrub-rewrite tail: given a `ca (doc_id, cov)` CTE of covered
+    * 1-based positions, delete them and re-agg — q108 and q172's common
+    * second half. */
+  private def scrubRewriteSql: String =
+    ", tok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, " +
+      "unnest(toks) AS tok FROM t), " +
+      "kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok " +
+      "LEFT JOIN ca USING (doc_id) " +
+      "WHERE ca.cov IS NULL OR NOT list_contains(ca.cov, tok.pos)), " +
+      "ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct, " +
+      "count(*) AS n_kept FROM kept GROUP BY doc_id) " +
+      "SELECT t.doc_id, coalesce(ka.ct, '') AS clean_text, " +
+      "CAST(len(t.toks) AS INT) AS n_tok, " +
+      "CAST(len(t.toks) - coalesce(ka.n_kept, 0) AS INT) AS n_removed " +
+      "FROM t LEFT JOIN ka USING (doc_id)"
 
   /** Shared decontamination oracle — q46 and its Bloom-prefiltered twin
     * q55 must emit identical rows (Bloom filters have no false negatives;

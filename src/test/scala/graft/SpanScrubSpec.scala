@@ -117,6 +117,52 @@ class SpanScrubSpec extends SparkSpec {
       s"got $out")
   }
 
+  // -------------------------------------------------------------------
+  // scrubLongDuplicateSpans — the scrub at the published 50-token length
+  // -------------------------------------------------------------------
+
+  test("50-token scrub removes the boilerplate block but spares a short " +
+    "shared phrase — where the 8-gram scrub removes both") {
+    // alphabetic tokens only: the clean pass strips digits, so "bp1"
+    // would collapse to "bp" (the documented cleanText gotcha)
+    def tok(p: String, i: Int) =
+      s"$p${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val boiler = (1 to 60).map(tok("bp", _)).mkString(" ")
+    val phrase = (1 to 10).map(tok("ph", _)).mkString(" ")
+    val docs = Seq(
+      1L -> s"apre aone atwo $boiler apost aend afin",
+      2L -> s"bpre bone btwo $boiler bpost bend bfin",
+      3L -> s"cpre cone ctwo $phrase cpost cend cfin",
+      4L -> s"dpre done dtwo $phrase dpost dend dfin").toDF("id", "text")
+    val long = SpanScrub.scrubLongDuplicateSpans(docs, "id", "text",
+      k = 8, minTokens = 50).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Int]("n_removed")))).toMap
+    assert(long(1L) == (("apre aone atwo apost aend afin", 60)),
+      s"got ${long(1L)}")
+    assert(long(2L)._2 == 60)
+    // the 10-token phrase is below the published cutoff: kept intact
+    assert(long(3L)._2 == 0 && long(3L)._1.contains("phab phac"),
+      s"got ${long(3L)}")
+    assert(long(4L)._2 == 0)
+    // the gram-level scrub removes BOTH — the granularity difference
+    val gram = SpanScrub.scrubDuplicateSpans(docs, "id", "text", n = 8)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("n_removed")).toMap
+    assert(gram(1L) == 60 && gram(2L) == 60, s"got $gram")
+    assert(gram(3L) == 10 && gram(4L) == 10, s"got $gram")
+  }
+
+  test("scrubLongDuplicateSpans: every id exactly once, clean corpus " +
+    "untouched, plan join-safe") {
+    val df = SpanScrub.scrubLongDuplicateSpans(
+      (1L to 25L).map(i => (i, s"unique doc $i words w$i x$i y$i z$i"))
+        .toDF("id", "text"), "id", "text", k = 4, minTokens = 8)
+    assert(df.count() == 25)
+    assert(df.filter(df("n_removed") > 0).count() == 0)
+    assertNoCartesian(df)
+  }
+
   test("short docs never qualify; plan is join-safe") {
     val df = SpanScrub.longDuplicateSpans(
       (Seq(1L -> "tiny pair", 2L -> "tiny pair") ++
