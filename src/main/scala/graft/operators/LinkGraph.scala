@@ -34,6 +34,12 @@ import org.apache.spark.sql.functions._
   * O(|E|/p) with no driver-side state and nothing quadratic. Ranks and
   * degrees are the only things that shuffle; at web scale the edge frame
   * would be bucketed by src so the per-iteration join is exchange-free.
+  * LINEAGE IS CUT every 8 iterations (`localCheckpoint` on the rank
+  * frame — two longs per node, cheap to materialize): without it the
+  * plan nests one join per iteration and convergence-depth runs (20+)
+  * pay quadratic plan-compilation/explain cost; with it plan depth is
+  * bounded by the checkpoint cadence at any iteration count
+  * (LinkGraphSpec pins this at iters=25).
   */
 object LinkGraph {
 
@@ -50,7 +56,7 @@ object LinkGraph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     var pr = nodes.withColumn("pr", lit(1000000L))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = withDeg
         .join(pr, withDeg("src") === pr("node"))
         .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
@@ -59,6 +65,9 @@ object LinkGraph {
         .select(col("node"),
           (lit(150000L) + expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100"))
             .as("pr"))
+      // cut lineage on the cadence (class doc): plan depth stays bounded
+      // at convergence-style iteration counts
+      if (i % 8 == 0 && i < iters) pr = pr.localCheckpoint()
     }
     pr
   }
@@ -89,7 +98,7 @@ object LinkGraph {
       .select(col("node"), coalesce(col("tele"), lit(0L)).as("tele"))
       .persist()
     var pr = tele.select(col("node"), col("tele").as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = withDeg
         .join(pr, withDeg("src") === pr("node"))
         .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
@@ -98,6 +107,8 @@ object LinkGraph {
         .select(col("node"),
           (col("tele") + expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100"))
             .as("pr"))
+      // the pageRank lineage rule: bounded plan depth at any iters
+      if (i % 8 == 0 && i < iters) pr = pr.localCheckpoint()
     }
     pr
   }

@@ -105,6 +105,34 @@ class LinkGraphSpec extends SparkSpec {
     assertNoCartesian(df)
   }
 
+  test("25 iterations: plan depth stays bounded by the checkpoint " +
+    "cadence, and the 2-cycle fixpoint holds exactly") {
+    // a 2-cycle is at its integer fixpoint from iteration 0:
+    // pr' = 150000 + (85·10⁶ div 1) div 100 = 10⁶ — so any iteration
+    // count must return exactly 10⁶ per node; with lineage cut every 8
+    // iterations the final plan carries at most one cadence window of
+    // joins, not 25 (2 joins per iteration, plus edge/node scaffolding)
+    val pr = LinkGraph.pageRank(
+      Seq(("A", "B"), ("B", "A")).toDF("src", "dst"), iters = 25)
+    val nJoins = "Join".r
+      .findAllIn(pr.queryExecution.optimizedPlan.toString).size
+    assert(nJoins <= 24, s"plan grew past the checkpoint window: $nJoins joins")
+    assert(pr.as[(String, Long)].collect().toMap ==
+      Map("A" -> 1000000L, "B" -> 1000000L))
+    // trustRank under the same depth: bounded plan, seeded fixpoint
+    val tr = LinkGraph.trustRank(
+      Seq(("A", "B"), ("B", "A")).toDF("src", "dst"),
+      Seq(("A", 150000L), ("B", 150000L)).toDF("node", "tele"), iters = 25)
+    val tJoins = "Join".r
+      .findAllIn(tr.queryExecution.optimizedPlan.toString).size
+    assert(tJoins <= 24, s"trustRank plan grew: $tJoins joins")
+    // symmetric 2-cycle, outdeg 1: the per-node recurrence is scalar —
+    // replay it exactly (integer floor division on positives)
+    var p = 150000L
+    for (_ <- 1 to 25) p = 150000L + (85L * p) / 100L
+    assert(tr.as[(String, Long)].collect().toMap == Map("A" -> p, "B" -> p))
+  }
+
   test("partitioning invariance: same ranks under a different layout") {
     val e = (0L until 200L).map(i => (s"h${i % 11}", s"h${(i * 3 + 1) % 11}"))
     val a = ranks(e, 3)

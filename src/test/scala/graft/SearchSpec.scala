@@ -120,6 +120,45 @@ class SearchSpec extends SparkSpec {
       s"query terms must reach the postings scan as a pushed filter:\n$plan")
   }
 
+  test("staged index layout: token-sorted files with pairwise-disjoint " +
+    "ranges, so the pushed IN filter can prune row groups") {
+    val corpus = docsDf((0L until 60L).map(i =>
+      i -> s"doc $i mentions term$i plus shared filler words here"): _*)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_layout_spec").toString + "/idx"
+    // the exact layout transform the q109 staging applies
+    Bm25.buildImpactIndex(corpus, "doc_id", "text")
+      .repartitionByRange(8, col("token"))
+      .sortWithinPartitions("token")
+      .write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    assert(files.size > 1, "layout write produced a single file")
+    val ranges = files.map { f =>
+      val toks = spark.read.parquet(f).select("token")
+        .as[String].collect()
+      assert(toks.toSeq == toks.toSeq.sorted, s"rows not token-sorted in $f")
+      (toks.min, toks.max)
+    }.sortBy(_._1)
+    // pairwise-disjoint min/max windows: footer statistics actually
+    // exclude out-of-range files for a selective token predicate
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"overlapping file token ranges: $ranges")
+      case _ =>
+    }
+    // and the probe over THIS layout still pushes the IN filter + matches
+    // the direct scorer (the layout changes I/O, never results)
+    val queries = corpus.filter(col("doc_id") % 20 === 0)
+    val probed = Bm25.searchIndex(spark.read.parquet(dir),
+      queries, "doc_id", "text", k = 5)
+    assert(probed.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [In(token"))
+    val direct = Bm25.topK(corpus, "doc_id", "text",
+      queries, "doc_id", "text", k = 5)
+    assert(probed.exceptAll(direct).isEmpty && direct.exceptAll(probed).isEmpty)
+  }
+
   test("RRF fusion arithmetic is the exact integer sum of both lists") {
     val l1 = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
     val l2 = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "doc_id", "rank")
