@@ -2218,8 +2218,12 @@ object SparkEntry {
         .unionAll(docs.filter(col("doc_id") % 5 === 0)
           .select((col("doc_id") + 10000).as("id"),
             expr("substring(text, 1, 180)").as("text")))
+      // minInGrams = 16: the declared excerpt-detection floor — excerpts
+      // below ~18 tokens are noise here, and the floor activates the
+      // container-prefix truncation (first n − ⌈0.8·16⌉ + 1 sorted grams
+      // indexed instead of all n); the oracle carries the same floor
       Containment.containedPairs(corpus, "id", "text",
-        n = 3, threshold = 0.8)
+        n = 3, threshold = 0.8, minInGrams = 16)
     }),
 
     // §2 row 157: Efraimidis–Spirakis weighted sample — 100 docs drawn
@@ -2317,7 +2321,7 @@ object SparkEntry {
           .select((col("doc_id") + 10000).as("id"),
             expr("substring(text, 1, 180)").as("text")))
       Containment.scrubContained(corpus, "id", "text",
-        n = 3, threshold = 0.8)
+        n = 3, threshold = 0.8, minInGrams = 16)
     }),
 
     // §2 row 162: reciprocal-link profile over q138's host graph — the
@@ -2911,7 +2915,9 @@ object SparkEntry {
       "CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment " +
       "FROM inter JOIN sz sa ON sa.id = id_in " +
       "JOIN sz sb ON sb.id = id_of " +
-      "WHERE (sa.n < sb.n OR (sa.n = sb.n AND id_in < id_of)) " +
+      // the declared minInGrams = 16 noise floor on the contained side
+      "WHERE sa.n >= 16 " +
+      "AND (sa.n < sb.n OR (sa.n = sb.n AND id_in < id_of)) " +
       "AND CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.8)"
 
   /** Shared q148/q157 oracle (one definition, no drift): hourly counts

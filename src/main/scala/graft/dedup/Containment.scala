@@ -11,16 +11,26 @@ import org.apache.spark.sql.functions._
   * normalizes by the SMALLER set: c = |S_small ∩ S_big| / |S_small|.
   *
   * Candidate generation mirrors [[NGramJaccard]]'s prefix filter on the
-  * CONTAINED side only — a set with containment ≥ t must share one of its
+  * CONTAINED side — a set with containment ≥ t must share one of its
   * first ⌊(1−t)·|S|⌋+1 globally-sorted shingles with its container
-  * (lossless) — but the containing side has no such bound (any superset
-  * contains regardless of where the shared grams sit in ITS order), so
-  * the container side is indexed in FULL. That full inverted index is the
-  * honest lower bound for exact containment — it is the same postings a
-  * search engine (row 125's BM25 index) already maintains, and the
-  * hot-gram DF cap is the same 100 TB outage guard as q18's (at default
-  * settings it never fires at test scale, so the oracle needn't model
-  * it; misses are conservative and stopword-like-grams-only).
+  * (lossless). The containing side has no partner-independent bound (a
+  * tiny contained doc forces overlap T as low as ⌈t⌉, and the shared
+  * gram can sit anywhere in the container's order), so BY DEFAULT the
+  * container side is indexed in FULL — the honest lower bound for exact
+  * containment, the same postings a search engine (row 125's BM25
+  * index) already maintains. With a caller-declared noise floor
+  * `minInGrams` (contained docs below it are not reported — the
+  * excerpt-detection configuration, where sub-excerpt-length matches are
+  * noise by definition), a container-side prefix DOES exist and is
+  * applied: any qualifying pair has overlap T ≥ Tmin = ⌈t·minInGrams⌉,
+  * and the smallest intersection gram e has ≤ n_of − T non-intersection
+  * grams of the container below it, so e lies within the container's
+  * first n_of − Tmin + 1 sorted grams — indexing only that prefix is
+  * lossless for floored probes (ContainmentSpec pins floored ==
+  * unfloored on qualifying docs). The hot-gram DF cap is the same
+  * 100 TB outage guard as q18's (at default settings it never fires at
+  * test scale, so the oracle needn't model it; misses are conservative
+  * and stopword-like-grams-only).
   *
   * Orientation is deterministic: contained side = smaller distinct-gram
   * set, ties broken by id — so exact duplicates emit exactly one row.
@@ -31,10 +41,15 @@ object Containment {
 
   /** Pairs (id_in, id_of, containment): id_in's distinct word-n-gram set
     * is ≥ `threshold` contained in id_of's, with |sh_in| < |sh_of| or
-    * equal sizes and id_in < id_of. */
+    * equal sizes and id_in < id_of. `minInGrams` (default 1 = exact,
+    * every doc admissible) floors the CONTAINED side: docs with fewer
+    * distinct grams are not reported, and the container index shrinks to
+    * each doc's first n − ⌈threshold·minInGrams⌉ + 1 sorted grams (the
+    * class-doc prefix lemma — lossless for floored probes). */
   def containedPairs(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, threshold: Double = 0.8,
-                     maxDf: Int = 1000): DataFrame = {
+                     maxDf: Int = 1000, minInGrams: Int = 1): DataFrame = {
+    require(minInGrams >= 1, s"minInGrams must be >= 1, got $minInGrams")
     // sets feed the probe, the full index, and both verification joins —
     // persist the diamond once (the q18 convention; Verify/Bench clear
     // the cache per query)
@@ -43,10 +58,19 @@ object Containment {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefixLen = (size(col("sh")) - ceil(lit(threshold) * size(col("sh")))
       + 1).cast("int")
-    val probe = sets.select(col("id"), size(col("sh")).as("n"),
-      explode(slice(col("sh"), lit(1), prefixLen)).as("g"))
-    val full = sets.select(col("id"), size(col("sh")).as("n"),
-      explode(col("sh")).as("g"))
+    val probe = sets.filter(size(col("sh")) >= minInGrams)
+      .select(col("id"), size(col("sh")).as("n"),
+        explode(slice(col("sh"), lit(1), prefixLen)).as("g"))
+    // Tmin = ⌈t·minInGrams⌉ ≤ minInGrams, and any candidate container
+    // has n ≥ its partner's n ≥ minInGrams, so the prefix length
+    // n − Tmin + 1 is ≥ 1 on every admissible container; sub-floor docs
+    // are dropped from the index outright (they can only contain
+    // sub-floor probes, which the floor excludes)
+    val tMin = math.ceil(threshold * minInGrams).toInt.max(1)
+    val full = sets.filter(size(col("sh")) >= minInGrams)
+      .select(col("id"), size(col("sh")).as("n"),
+        explode(slice(col("sh"), lit(1),
+          (size(col("sh")) - lit(tMin) + 1).cast("int"))).as("g"))
     val hot = full.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("g")
     // probe and full share lineage from `sets`; distinct column names
@@ -81,8 +105,9 @@ object Containment {
     * exactly once. */
   def scrubContained(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, threshold: Double = 0.8,
-                     maxDf: Int = 1000): DataFrame = {
-    val drops = containedPairs(docs, idCol, textCol, n, threshold, maxDf)
+                     maxDf: Int = 1000, minInGrams: Int = 1): DataFrame = {
+    val drops = containedPairs(docs, idCol, textCol, n, threshold, maxDf,
+      minInGrams)
       .groupBy("id_in").agg(min("id_of").as("contained_in"))
       .withColumnRenamed("id_in", "id")
     docs.select(col(idCol).as("id"))

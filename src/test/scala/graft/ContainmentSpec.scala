@@ -78,6 +78,36 @@ class ContainmentSpec extends SparkSpec {
     assert(got(2L) == ((0L, Some(1L))) && got(3L) == ((0L, Some(1L))))
   }
 
+  test("minInGrams floor: pairs identical to the unfloored run for " +
+    "qualifying docs; sub-floor contained docs drop; lemma boundary holds") {
+    // 20 articles with overlapping vocab + one excerpt (10 grams) per 4th
+    // article + one TINY excerpt (3 grams) of article 0
+    val arts = (0L until 20L).map(i =>
+      (i, (i.toInt * 7 until i.toInt * 7 + 50).map(tok).mkString(" ")))
+    val exs = (0L until 20L by 4).map(i =>
+      (100L + i, (i.toInt * 7 + 5 until i.toInt * 7 + 17).map(tok).mkString(" ")))
+    val tiny = Seq((999L, (3 to 7).map(tok).mkString(" "))) // 5 toks → 3 grams
+    val docs = (arts ++ exs ++ tiny).toDF("id", "text")
+    val base = Containment.containedPairs(docs, "id", "text",
+      n = 3, threshold = 0.8).as[(Long, Long, Double)].collect().toSet
+    val floored = Containment.containedPairs(docs, "id", "text",
+      n = 3, threshold = 0.8, minInGrams = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    val szs = NGramJaccard.shingleSets(docs, "id", "text", 3)
+      .select(col("id"), size(col("sh")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    // losslessness on the floored domain: exactly the base pairs whose
+    // contained side has ≥ 8 grams — the container-prefix truncation
+    // loses nothing (the class-doc lemma)
+    assert(floored == base.filter(p => szs(p._1) >= 8), s"base=$base floored=$floored")
+    // the floor is doing something: the tiny excerpt pairs in base only
+    assert(base.exists(_._1 == 999L), "tiny excerpt must pair unfloored")
+    assert(!floored.exists(_._1 == 999L), "tiny excerpt must be floored out")
+    // and the planted ≥-floor excerpts all survive the truncated index
+    assert((0L until 20L by 4).forall(i => floored.exists(_._1 == 100L + i)),
+      s"qualifying excerpt lost by the truncated container index: $floored")
+  }
+
   test("plan: posting equi-joins only, never all-pairs") {
     val docs = Seq((1L, article), (2L, excerpt)).toDF("id", "text")
     assertNoCartesian(
