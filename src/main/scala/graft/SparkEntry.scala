@@ -2748,6 +2748,14 @@ object SparkEntry {
         "complete")
     }),
 
+    // §2 row 175: LSH banding planner — the (b, r) S-curve config review
+    // that sizes MinHashDedup's banding for a target threshold, scored in
+    // EXACT integer fixed point (floor at every multiply, int64 masses)
+    // so the plan hash-matches any engine's replay; best flags the
+    // (cost, r)-minimal split. Corpus-size independent planning frame.
+    "q173_lsh_plan" -> ((s, dir) =>
+      graft.dedup.LshPlan.bandPlan(s, numHashes = 16, thresholdBp = 8000)),
+
     // §2 row 174: the exact-substring scrub at Lee et al.'s PUBLISHED
     // granularity — only tokens inside maximal duplicated runs covering
     // ≥ 50 tokens are removed (q115's span machinery driving q108's
@@ -5009,6 +5017,33 @@ object SparkEntry {
     "q170_stream_sink" ->
       ("SELECT event_id, event_type, " +
         "CAST(round(value * 100) AS BIGINT) AS value_c FROM events"),
+
+    // The same fixed-point fold, multiply-for-multiply: list_reduce seeded
+    // with the base and r−1 (resp. b−1) copies to fold over, each step
+    // flooring at 10⁴ — identical to the Spark aggregate() recurrence.
+    "q173_lsh_plan" -> {
+      def powFix(base: String, exp: String): String =
+        s"CASE WHEN $exp = 1 THEN CAST($base AS BIGINT) ELSE " +
+          s"list_reduce(list_prepend(CAST($base AS BIGINT), " +
+          s"list_transform(generate_series(1, $exp - 1), " +
+          s"z -> CAST($base AS BIGINT))), (acc, x) -> (acc * x) // 10000) END"
+      "WITH sp AS (SELECT CAST(16 // r AS INT) AS b, CAST(r AS INT) AS r " +
+        "FROM (SELECT unnest(generate_series(1, 16)) AS r) WHERE 16 % r = 0), " +
+        "g AS (SELECT unnest(generate_series(0, 99)) * 100 + 50 AS s_bp), " +
+        s"e AS (SELECT b, r, s_bp, ${powFix("s_bp", "r")} AS s_r FROM sp, g), " +
+        s"p AS (SELECT b, r, s_bp, 10000 - (${powFix("(10000 - s_r)", "b")}) " +
+        "AS p_cand FROM e), " +
+        "c AS (SELECT b, r, " +
+        "CAST(sum(CASE WHEN s_bp < 8000 THEN p_cand ELSE 0 END) AS BIGINT) AS fp_u, " +
+        "CAST(sum(CASE WHEN s_bp > 8000 THEN 10000 - p_cand ELSE 0 END) AS BIGINT) AS fn_u " +
+        "FROM p GROUP BY b, r), " +
+        "cc AS (SELECT b, r, fp_u, fn_u, fp_u + fn_u AS cost_u FROM c), " +
+        "m AS (SELECT min(cost_u) AS bc FROM cc), " +
+        "m2 AS (SELECT min(r) AS br FROM cc, m WHERE cost_u = bc) " +
+        "SELECT b, r, fp_u, fn_u, CAST(cost_u AS BIGINT) AS cost_u, " +
+        "CAST(CASE WHEN cost_u = (SELECT bc FROM m) AND r = (SELECT br FROM m2) " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS best FROM cc"
+    },
 
     // ts = vec_id hours since epoch, 6 h windows epoch-aligned on both
     // engines — window_start_us is pure integer arithmetic on vec_id; the
