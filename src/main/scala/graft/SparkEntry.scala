@@ -2756,6 +2756,22 @@ object SparkEntry {
     "q173_lsh_plan" -> ((s, dir) =>
       graft.dedup.LshPlan.bandPlan(s, numHashes = 16, thresholdBp = 8000)),
 
+    // §2 row 176: curriculum ordering — q61's exact quality deciles as
+    // stages (best decile first), a fresh deterministic within-stage
+    // shuffle per epoch; pos is the exact global (decile, key, id) rank,
+    // computed via per-(stage, bucket) offsets — the EpochShuffle shape,
+    // never a corpus-wide sort task. EXACT oracle: ntile + the q118 key
+    // recurrence + one global row_number replay.
+    "q174_curriculum" -> ((s, dir) => {
+      val docs = spread(s, Tables.documents(s, dir))
+        .select(col("doc_id"), TextStats.qualityScore(col("text")).as("q"))
+      val staged = Sampling.scoreNtile(docs, "q", "doc_id", nBuckets = 10)
+      graft.operators.Curriculum.curriculumOrder(
+        staged.select(col("doc_id"), col("bucket")), "doc_id", "bucket",
+        epoch = 7)
+        .withColumnRenamed("stage", "decile")
+    }),
+
     // §2 row 174: the exact-substring scrub at Lee et al.'s PUBLISHED
     // granularity — only tokens inside maximal duplicated runs covering
     // ≥ 50 tokens are removed (q115's span machinery driving q108's
@@ -5017,6 +5033,26 @@ object SparkEntry {
     "q170_stream_sink" ->
       ("SELECT event_id, event_type, " +
         "CAST(round(value * 100) AS BIGINT) AS value_c FROM events"),
+
+    // q61's ntile CTE for the stage, q118's key CTEs verbatim (epoch 7),
+    // one global row_number over (decile, key, id) — the order the
+    // bucket-offset formulation must reproduce exactly.
+    "q174_curriculum" -> {
+      val toks = s"regexp_split_to_array(lower(trim(text)), '\\s+')"
+      val hits = s"len(list_filter($toks, t -> list_contains($stopListSql, t)))"
+      val quality = s"CAST(FLOOR(CAST(LEAST(length(text), 500) * 20 AS DOUBLE) * " +
+        s"CAST(len($toks) - $hits AS DOUBLE) / CAST(len($toks) AS DOUBLE)) AS BIGINT)"
+      s"WITH s AS (SELECT doc_id, $quality AS q FROM documents), " +
+        "nt AS (SELECT doc_id, CAST(ntile(10) OVER (ORDER BY q DESC, doc_id ASC) AS INT) AS decile FROM s), " +
+        "s1 AS (SELECT doc_id, " +
+        "(((doc_id + 7*1000003) % 2147483647) * 48271) % 2147483647 AS v " +
+        "FROM documents WHERE doc_id IS NOT NULL), " +
+        "s2 AS (SELECT doc_id, (xor(v, v >> 15) * 69621) % 2147483647 AS w FROM s1), " +
+        "k AS (SELECT doc_id, xor(w, w >> 13) AS shuffle_key FROM s2) " +
+        "SELECT nt.doc_id, decile, shuffle_key, " +
+        "row_number() OVER (ORDER BY decile, shuffle_key, nt.doc_id) - 1 AS pos " +
+        "FROM nt JOIN k ON nt.doc_id = k.doc_id"
+    },
 
     // The same fixed-point fold, multiply-for-multiply: list_reduce seeded
     // with the base and r−1 (resp. b−1) copies to fold over, each step
