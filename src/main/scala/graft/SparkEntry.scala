@@ -2772,6 +2772,41 @@ object SparkEntry {
         .withColumnRenamed("stage", "decile")
     }),
 
+    // §2 row 177: incremental containment screen — the containment cell
+    // of the incremental-ingest matrix: arriving docs (the held-out tenth
+    // plus planted 180-char excerpts of indexed docs, ids +20000) probed
+    // against the PERSISTED container index (prefix-truncated postings +
+    // sorted sets, staged once at the q140 floor); increment broadcasts
+    // onto the index scan, history never re-shingles. EXACT oracle.
+    "q175_incremental_containment" -> ((s, dir) => {
+      import graft.dedup.Containment
+      val docs = spread(s, Tables.documents(s, dir))
+      val hist = docs.filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("id"), col("text"))
+      val inc = docs.filter(col("doc_id") % 10 === 9)
+        .select(col("doc_id").as("id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 20000).as("id"),
+            expr("substring(text, 1, 180)").as("text")))
+      val base = artifactPath("contidx_n3t80m16", dir,
+        codeHash(Containment.getClass, NGramJaccard.getClass,
+          classOf[graft.functions.ShingleHashes], TextFunctions.getClass))
+      val setsPath = s"$base/sets"
+      val postPath = s"$base/postings"
+      stageParquet(setsPath) { tmp =>
+        Containment.containerSets(hist, "id", "text", 3)
+          .write.mode("overwrite").parquet(tmp)
+      }
+      val sets = s.read.parquet(setsPath)
+      stageParquet(postPath) { tmp =>
+        Containment.containerPostings(sets, threshold = 0.8,
+          minInGrams = 16).write.mode("overwrite").parquet(tmp)
+      }
+      Containment.containedAgainstIndex(inc, "id", "text",
+        s.read.parquet(postPath), sets, n = 3, threshold = 0.8,
+        minInGrams = 16)
+    }),
+
     // §2 row 174: the exact-substring scrub at Lee et al.'s PUBLISHED
     // granularity — only tokens inside maximal duplicated runs covering
     // ≥ 50 tokens are removed (q115's span machinery driving q108's
@@ -2920,15 +2955,21 @@ object SparkEntry {
     * drift): the corpus+excerpt union, gram-string sets, and the oriented
     * verified pair set — lands in `cp (id_in, id_of, containment)`;
     * `corpus (id, text)` stays visible for the scrub's left join. */
+  /** Word-trigram list over a `toks` column — shared by every
+    * containment oracle (q140/q145/q175) so the gram definition cannot
+    * drift. */
+  private def gram3Sql: String =
+    "CASE WHEN len(toks) >= 3 " +
+      "THEN list_transform(generate_series(1, len(toks) - 2), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+      "ELSE [array_to_string(toks, ' ')] END"
+
   private def containmentCtes: String =
     "corpus AS (SELECT doc_id AS id, text FROM documents " +
       "UNION ALL SELECT doc_id + 10000, substr(text, 1, 180) " +
       "FROM documents WHERE doc_id % 5 = 0), " +
       s"t AS (SELECT id, ${tokensSql("text")} AS toks FROM corpus), " +
-      "g0 AS (SELECT id, CASE WHEN len(toks) >= 3 " +
-      "THEN list_transform(generate_series(1, len(toks) - 2), " +
-      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
-      "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), " +
+      s"g0 AS (SELECT id, $gram3Sql AS grams FROM t), " +
       "gd AS (SELECT DISTINCT id, gram FROM " +
       "(SELECT id, unnest(grams) AS gram FROM g0)), " +
       "sz AS (SELECT id, count(*) AS n FROM gd GROUP BY id), " +
@@ -5033,6 +5074,33 @@ object SparkEntry {
     "q170_stream_sink" ->
       ("SELECT event_id, event_type, " +
         "CAST(round(value * 100) AS BIGINT) AS value_c FROM events"),
+
+    // Asymmetric replay of the containment CTEs: historical corpus as
+    // containers, held-out tenth + planted excerpts as the increment;
+    // same grams, same floor, fixed roles (new = contained).
+    "q175_incremental_containment" ->
+      ("WITH hist AS (SELECT doc_id AS id, text FROM documents " +
+        "WHERE doc_id % 10 <> 9), " +
+        "newd AS (SELECT doc_id AS id, text FROM documents " +
+        "WHERE doc_id % 10 = 9 " +
+        "UNION ALL SELECT doc_id + 20000, substr(text, 1, 180) " +
+        "FROM documents WHERE doc_id % 5 = 0), " +
+        s"th AS (SELECT id, ${tokensSql("text")} AS toks FROM hist), " +
+        s"tn AS (SELECT id, ${tokensSql("text")} AS toks FROM newd), " +
+        s"gh AS (SELECT id, $gram3Sql AS grams FROM th), " +
+        s"gn AS (SELECT id, $gram3Sql AS grams FROM tn), " +
+        "gdh AS (SELECT DISTINCT id, gram FROM " +
+        "(SELECT id, unnest(grams) AS gram FROM gh)), " +
+        "gdn AS (SELECT DISTINCT id, gram FROM " +
+        "(SELECT id, unnest(grams) AS gram FROM gn)), " +
+        "szn AS (SELECT id, count(*) AS n FROM gdn GROUP BY id), " +
+        "inter AS (SELECT a.id AS id_in, b.id AS id_of, count(*) AS i " +
+        "FROM gdn a JOIN gdh b ON a.gram = b.gram GROUP BY 1, 2) " +
+        "SELECT id_in AS new_id, id_of AS container_id, " +
+        "CAST(i AS DOUBLE) / CAST(sn.n AS DOUBLE) AS containment " +
+        "FROM inter JOIN szn sn ON sn.id = id_in " +
+        "WHERE sn.n >= 16 " +
+        "AND CAST(i AS DOUBLE) / CAST(sn.n AS DOUBLE) >= 0.8"),
 
     // q61's ntile CTE for the stage, q118's key CTEs verbatim (epoch 7),
     // one global row_number over (decile, key, id) — the order the

@@ -95,6 +95,74 @@ object Containment {
       .select("id_in", "id_of", "containment")
   }
 
+  /** Sorted distinct-gram sets (id, sh) of a corpus — the verification
+    * half of the persisted container index ([[containedAgainstIndex]]).
+    * Persist next to the corpus; tomorrow's ingest never re-shingles
+    * history. */
+  def containerSets(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3): DataFrame =
+    NGramJaccard.shingleSets(docs, idCol, textCol, n)
+      .select(col("id"), array_sort(col("sh")).as("sh"))
+
+  /** Candidate-generation half of the persisted container index:
+    * (id, n, g) postings over each doc's first
+    * n − ⌈threshold·minInGrams⌉ + 1 sorted grams (the class-doc prefix
+    * lemma — lossless for probes of ≥ minInGrams grams). Containers with
+    * fewer than ⌈threshold·minInGrams⌉ grams cannot contain any floored
+    * probe (|∩| ≥ ⌈t·minInGrams⌉ > n_of would be required) and are
+    * dropped outright. */
+  def containerPostings(sets: DataFrame, threshold: Double = 0.8,
+                        minInGrams: Int = 1): DataFrame = {
+    require(minInGrams >= 1, s"minInGrams must be >= 1, got $minInGrams")
+    val tMin = math.ceil(threshold * minInGrams).toInt.max(1)
+    sets.filter(size(col("sh")) >= tMin)
+      .select(col("id"), size(col("sh")).as("n"),
+        explode(slice(col("sh"), lit(1),
+          (size(col("sh")) - lit(tMin) + 1).cast("int"))).as("g"))
+  }
+
+  /** Incremental containment screen — the containment cell of the
+    * incremental-ingest matrix (rows 58/73/99/107/126 for the other
+    * signature families): which ARRIVING docs are ≥ `threshold`
+    * contained in some doc of the persisted index. Roles are fixed (new
+    * = contained, indexed = container) — a new doc that merely contains
+    * an old one is NOT flagged; that direction is yesterday's screen,
+    * already run when the old corpus was built.
+    *
+    * Scale shape: the increment's prefix grams BROADCAST onto the
+    * postings scan (history never re-shingles, never shuffles);
+    * verification joins the bounded candidate set against the persisted
+    * sorted sets. No hot-gram cap here by design: the probe side is
+    * increment-sized, so the q18-style DF outage mode (corpus × corpus
+    * hot gram) cannot arise. */
+  def containedAgainstIndex(newDocs: DataFrame, idCol: String,
+                            textCol: String, postings: DataFrame,
+                            sets: DataFrame, n: Int = 3,
+                            threshold: Double = 0.8,
+                            minInGrams: Int = 1): DataFrame = {
+    require(minInGrams >= 1, s"minInGrams must be >= 1, got $minInGrams")
+    val newSets = containerSets(newDocs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefixLen = (size(col("sh")) - ceil(lit(threshold) * size(col("sh")))
+      + 1).cast("int")
+    val probe = newSets.filter(size(col("sh")) >= minInGrams)
+      .select(col("id").as("id_in"),
+        explode(slice(col("sh"), lit(1), prefixLen)).as("g"))
+    val cand = postings.join(broadcast(probe), Seq("g"))
+      .select(col("id").as("id_of"), col("id_in")).distinct()
+    cand
+      .join(sets.select(col("id").as("id_of"), col("sh").as("sh_of")),
+        "id_of")
+      .join(newSets.select(col("id").as("id_in"), col("sh").as("sh_in")),
+        "id_in")
+      .withColumn("containment",
+        size(array_intersect(col("sh_in"), col("sh_of"))).cast("double") /
+          size(col("sh_in")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_in").as("new_id"), col("id_of").as("container_id"),
+        col("containment"))
+  }
+
   /** The scrub: (id, kept, contained_in) for every input row — kept = 0
     * iff the doc is ≥ `threshold` contained in some larger doc, with the
     * smallest such container as evidence (NULL for keepers). Dropping

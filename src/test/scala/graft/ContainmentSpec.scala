@@ -108,6 +108,40 @@ class ContainmentSpec extends SparkSpec {
       s"qualifying excerpt lost by the truncated container index: $floored")
   }
 
+  test("incremental screen: planted excerpt of an indexed doc is flagged, " +
+    "a new superset of an indexed doc is NOT (roles fixed), tiny docs " +
+    "floor out; batch index never re-probed all-pairs") {
+    val hist = Seq((1L, article),
+      (2L, (100 to 160).map(tok).mkString(" "))).toDF("id", "text")
+    val sets = Containment.containerSets(hist, "id", "text", 3)
+    val postings = Containment.containerPostings(sets, 0.8, minInGrams = 8)
+    val newDocs = Seq(
+      (10L, excerpt),                                  // excerpt of doc 1
+      (11L, (300 to 340).map(tok).mkString(" ")),      // unrelated
+      (12L, article + " " + (400 to 430).map(tok).mkString(" ")), // superset
+      (13L, (12 to 17).map(tok).mkString(" ")))        // 6 toks → sub-floor
+      .toDF("id", "text")
+    val got = Containment.containedAgainstIndex(newDocs, "id", "text",
+      postings, sets, n = 3, threshold = 0.8, minInGrams = 8)
+    val flagged = got.as[(Long, Long, Double)].collect()
+    assert(flagged.map(r => (r._1, r._2)).toSet == Set((10L, 1L)),
+      s"got ${flagged.mkString(",")}")
+    assert(flagged.head._3 == 1.0)
+    assertNoCartesian(got)
+  }
+
+  test("incremental screen at minInGrams = 1 finds sub-floor excerpts too " +
+    "(the exact default)") {
+    val hist = Seq((1L, article)).toDF("id", "text")
+    val sets = Containment.containerSets(hist, "id", "text", 3)
+    val postings = Containment.containerPostings(sets, 0.8, minInGrams = 1)
+    val tiny = Seq((13L, (12 to 17).map(tok).mkString(" "))).toDF("id", "text")
+    val got = Containment.containedAgainstIndex(tiny, "id", "text",
+      postings, sets, n = 3, threshold = 0.8, minInGrams = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet == Set((13L, 1L)), got.mkString(","))
+  }
+
   test("plan: posting equi-joins only, never all-pairs") {
     val docs = Seq((1L, article), (2L, excerpt)).toDF("id", "text")
     assertNoCartesian(
