@@ -2807,6 +2807,15 @@ object SparkEntry {
         minInGrams = 16)
     }),
 
+    // §2 row 178: content-defined chunking — boundaries where the rolling
+    // 16-char q25 polynomial meets the 2^6 mask (LBFS/Rabin style), so a
+    // local edit re-synchronizes and later chunks keep their identity;
+    // native rolling window-hash expression, in-row segmentation, zero
+    // shuffles. EXACT oracle: per-window recompute + the same mask fold.
+    "q176_cdc_chunks" -> ((s, dir) =>
+      Chunking.cdcChunks(spread(s, Tables.documents(s, dir)), "doc_id",
+        "text", w = 16, maskBits = 6)),
+
     // §2 row 174: the exact-substring scrub at Lee et al.'s PUBLISHED
     // granularity — only tokens inside maximal duplicated runs covering
     // ≥ 50 tokens are removed (q115's span machinery driving q108's
@@ -5074,6 +5083,36 @@ object SparkEntry {
     "q170_stream_sink" ->
       ("SELECT event_id, event_type, " +
         "CAST(round(value * 100) AS BIGINT) AS value_c FROM events"),
+
+    // Window hashes recomputed per position with the q25 fold (the oracle
+    // pays O(len·w); Spark's native expression rolls in O(len) — equality
+    // proves the rolling update), then the same mask/segmentation math.
+    "q176_cdc_chunks" -> {
+      def poly(x: String) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(regexp_split_to_array($x, ''), " +
+          "c -> CAST(coalesce(ascii(c), 0) AS BIGINT))), " +
+          "(a, b) -> (a * 31 + b) % 1000000007)"
+      "WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents), " +
+        "h AS (SELECT doc_id, text, len, CASE WHEN len >= 16 THEN " +
+        s"list_transform(generate_series(1, len - 15), i -> ${poly("substr(text, i, 16)")}) " +
+        "ELSE [] END AS hs FROM d), " +
+        "e0 AS (SELECT doc_id, text, len, " +
+        "list_transform(list_filter(generate_series(1, len(hs)), " +
+        "i -> hs[i] % 64 = 0), i -> i + 15) AS ends0 FROM h), " +
+        "e1 AS (SELECT doc_id, text, len, " +
+        "CASE WHEN len(ends0) > 0 AND ends0[-1] = len THEN ends0 " +
+        "ELSE list_append(ends0, len) END AS ends FROM e0), " +
+        "x AS (SELECT doc_id, text, ends, " +
+        "unnest(generate_series(1, len(ends))) AS k FROM e1) " +
+        "SELECT doc_id, CAST(k AS INT) AS chunk_idx, " +
+        "CAST(CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END AS INT) AS start, " +
+        "CAST(ends[k] - (CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END) + 1 " +
+        "AS INT) AS chunk_len, " +
+        poly("substr(text, CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END, " +
+          "ends[k] - (CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END) + 1)") +
+        " AS chunk_hash FROM x"
+    },
 
     // Asymmetric replay of the containment CTEs: historical corpus as
     // containers, held-out tenth + planted excerpts as the increment;

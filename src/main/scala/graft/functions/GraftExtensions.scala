@@ -110,6 +110,13 @@ object GraftExtensions {
       "min_window_hash(string[, k: int literal])")
   }
 
+  private def charWindowPolyHashesBuilder(args: Seq[Expression]): Expression =
+    args match {
+      case Seq(text, Literal(k: Int, _)) => CharWindowPolyHashes(text, k)
+      case _ => throw new IllegalArgumentException(
+        "char_window_polyhashes(string, k: int literal)")
+    }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("minhash_sig"),
@@ -127,6 +134,10 @@ object GraftExtensions {
       (FunctionIdentifier("min_window_hash"),
         new ExpressionInfo(classOf[MinWindowHash].getName, "min_window_hash"),
         minWindowHashBuilder _),
+      (FunctionIdentifier("char_window_polyhashes"),
+        new ExpressionInfo(classOf[CharWindowPolyHashes].getName,
+          "char_window_polyhashes"),
+        charWindowPolyHashesBuilder _),
       (FunctionIdentifier("bloom_contains"),
         new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
         bloomContainsBuilder _),

@@ -47,4 +47,64 @@ object Chunking {
       .select("doc_id", "chunk_idx", "chunk_start", "chunk_text",
         "n_chunk_chars")
   }
+
+  /** Content-defined chunking (CDC) — boundaries chosen by the CONTENT,
+    * not by fixed offsets: a chunk ends wherever the rolling `w`-char
+    * polynomial hash satisfies `h mod 2^maskBits = 0` (plus a final
+    * boundary at the document end). The Rabin/Gear trick from dedup
+    * storage (LBFS, Muthitacharoen et al. 2001), applied to text: after a
+    * local edit, boundaries RE-SYNCHRONIZE at the next content match, so
+    * all later chunks keep their identity — fixed-window chunking shifts
+    * every downstream chunk and defeats chunk-level dedup. Expected chunk
+    * length is 2^maskBits chars; documents shorter than `w` are one
+    * chunk.
+    *
+    * Output (doc_id, chunk_idx, start, chunk_len, chunk_hash): start
+    * 1-based inclusive, chunk_hash the q25 polynomial of the chunk text —
+    * join chunk_hash across docs for chunk-level dedup/delta. EXACT
+    * cross-engine: window hashes come from the native rolling
+    * [[graft.functions.CharWindowPolyHashes]] (one O(len) loop per doc),
+    * whose q25 recurrence a SQL oracle replays window-by-window; the
+    * segmentation and chunk hashes are deterministic functions of them.
+    *
+    * Scale shape: pure per-row codegen + in-row HOFs — zero shuffles;
+    * chunk rows inherit the scan's partitioning (the [[chunkDocs]]
+    * contract). */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                w: Int = 16, maskBits: Int = 6): DataFrame = {
+    require(w >= 2 && w <= 1024, s"window width w must be in [2, 1024], got $w")
+    require(maskBits >= 1 && maskBits <= 20,
+      s"maskBits must be in [1, 20], got $maskBits")
+    val spark = docs.sparkSession
+    val mask = 1L << maskBits
+    // the q25 fold, the exact Spark twin of the oracle's list_reduce
+    def poly(x: String) =
+      s"aggregate(split($x, ''), CAST(0 AS BIGINT), " +
+        "(a, c) -> (a * 31 + CAST(coalesce(ascii(c), 0) AS BIGINT)) % 1000000007)"
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+        length(col(textCol)).as("__len"),
+        graft.functions.CharWindowPolyHashes(spark, col(textCol), w)
+          .as("__hs"))
+      // boundary ends: window ending at j + w (0-based j into __hs) where
+      // the hash meets the mask; short docs take no content boundaries
+      .withColumn("__ends0", expr(
+        s"CASE WHEN __len < $w THEN CAST(array() AS array<int>) ELSE " +
+          s"transform(filter(sequence(0, size(__hs) - 1), " +
+          s"j -> __hs[j] % $mask = 0), j -> CAST(j + $w AS INT)) END"))
+      // the document end is always a boundary (emitted once)
+      .withColumn("__ends", expr(
+        "CASE WHEN size(__ends0) > 0 AND element_at(__ends0, -1) = __len " +
+          "THEN __ends0 ELSE concat(__ends0, array(CAST(__len AS INT))) END"))
+      .select(col("doc_id"), col("__t"), posexplode(expr(
+        "transform(sequence(0, size(__ends) - 1), k -> struct(" +
+          "CASE WHEN k = 0 THEN 1 ELSE element_at(__ends, k) + 1 END AS s, " +
+          "element_at(__ends, k + 1) AS e))")))
+      .select(col("doc_id"),
+        (col("pos") + 1).cast("int").as("chunk_idx"),
+        col("col.s").cast("int").as("start"),
+        (col("col.e") - col("col.s") + 1).cast("int").as("chunk_len"),
+        expr(poly("substring(__t, col.s, col.e - col.s + 1)"))
+          .as("chunk_hash"))
+  }
 }

@@ -191,6 +191,41 @@ class ExpressionSpec extends SparkSpec {
       org.apache.spark.sql.types.StringType), 8).eval(null) == null)
   }
 
+  test("char_window_polyhashes matches per-window recompute " +
+    "(codegen + interpreted); short/empty collapse") {
+    import graft.functions.CharWindowPolyHashes
+    val M = 1000000007L
+    def poly(cps: Array[Int]): Long =
+      cps.foldLeft(0L)((a, c) => (a * 31 + c) % M)
+    def reference(s: String, k: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      if (cps.length < k) Seq(poly(cps))
+      else cps.sliding(k).map(poly).toSeq
+    }
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaa", "short", "exactly8", "",
+      "café au lait über alles", "y" * 300)
+    val got = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+      .select(col("id"),
+        CharWindowPolyHashes(spark, col("text"), 8).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i.toLong) == reference(s, 8), s"sample $i: '${s.take(20)}'")
+    }
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    samples.foreach { s =>
+      val e = graft.functions.CharWindowPolyHashes(Literal(s), 8)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      assert(e.toLongArray.toSeq == reference(s, 8))
+    }
+    // and the min over the array equals min_window_hash (sibling contract)
+    val s = "the quick brown fox jumps over the lazy dog"
+    assert(reference(s, 8).min ==
+      MinWindowHash(Literal(s), 8).eval(null).asInstanceOf[Long])
+  }
+
   test("min_window_hash is registered as a SQL function") {
     GraftExtensions.register(spark)
     Seq("rolling hash windows here").toDF("text")
