@@ -2807,6 +2807,24 @@ object SparkEntry {
         minInGrams = 16)
     }),
 
+    // §2 row 179: schema-evolution read — generation 1 (doc_id, lang)
+    // and generation 2 (+ n_chars) written to one directory, read back
+    // with mergeSchema: generation-1 rows surface the late column as
+    // NULL. EXACT oracle (the CASE projection). The q41 eager-write
+    // contract; footer-merge cost is planning-time only.
+    "q177_schema_evolution" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = stagingDir("graft_evo_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + ProcessHandle.current().pid())
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+        .write.mode("overwrite").parquet(path)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("append").parquet(path)
+      Tables.readParquetMerged(s, path)
+    }),
+
     // §2 row 178: content-defined chunking — boundaries where the rolling
     // 16-char q25 polynomial meets the 2^6 mask (LBFS/Rabin style), so a
     // local edit re-synchronizes and later chunks keep their identity;
@@ -5083,6 +5101,13 @@ object SparkEntry {
     "q170_stream_sink" ->
       ("SELECT event_id, event_type, " +
         "CAST(round(value * 100) AS BIGINT) AS value_c FROM events"),
+
+    // Generation-1 rows never wrote n_chars: the merged read surfaces it
+    // as NULL exactly where the CASE does.
+    "q177_schema_evolution" ->
+      ("SELECT doc_id, lang, " +
+        "CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars " +
+        "FROM documents"),
 
     // Window hashes recomputed per position with the q25 fold (the oracle
     // pays O(len·w); Spark's native expression rolls in O(len) — equality

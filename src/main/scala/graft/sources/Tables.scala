@@ -84,6 +84,17 @@ object Tables {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Schema-evolution parquet read: merge the schemas of ALL part files
+    * (`mergeSchema`) instead of trusting one file's footer — the read
+    * path for corpora whose schema grew over time (a 100 TB corpus is
+    * written over months; later partitions carry columns earlier ones
+    * lack, and rows from old files surface the new columns as NULL).
+    * Costs one footer read per file at planning time (footers only —
+    * no data pass), which is why Spark defaults it OFF and this helper
+    * exists to opt in deliberately where evolution is real. */
+  def readParquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Save as a bucketed+sorted managed table. Two tables bucketed the same
     * way on their join key co-locate: the join compiles with NO Exchange on
     * either side (SortMergeJoin straight over the bucket files). At 100 TB

@@ -128,4 +128,21 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(zdir).select("id").as[Long].collect().toSet ==
       (0L until 4096L).toSet)
   }
+
+  test("schema-evolution read: mergeSchema unions generations, old rows " +
+    "surface late columns as NULL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString + "/t"
+    Seq((1L, "en"), (2L, "de")).toDF("id", "lang")
+      .write.mode("overwrite").parquet(dir)
+    Seq((3L, "fr", 120L)).toDF("id", "lang", "n_chars")
+      .write.mode("append").parquet(dir)
+    val merged = graft.sources.Tables.readParquetMerged(spark, dir)
+    assert(merged.columns.toSet == Set("id", "lang", "n_chars"),
+      merged.columns.mkString(","))
+    val rows = merged.select("id", "n_chars")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(120L)), rows)
+  }
 }
