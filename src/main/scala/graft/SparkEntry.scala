@@ -13,7 +13,7 @@ import graft.search.{Bm25, Rrf}
 import graft.similarity.{Ann, Centroids, KnnLabel, SemanticScreen}
 import graft.sources.Tables
 import graft.streaming.{ScoringStream, Sessionize}
-import graft.textstats.{Boilerplate, Bpe, Collocations, Drift, Dsir, Keywords, LmScore, Markup, Pii, Repetition, Scripts, TextStats, Urls, VocabCoverage}
+import graft.textstats.{Boilerplate, Bpe, ClassTfIdf, Collocations, Drift, Dsir, Keywords, LmScore, Markup, Pii, Repetition, Scripts, TextStats, Urls, VocabCoverage}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator ↔ query map. */
 object SparkEntry {
@@ -2807,6 +2807,15 @@ object SparkEntry {
         minInGrams = 16)
     }),
 
+    // §2 row 180: class-based TF-IDF — per-source distinctive terms
+    // (BERTopic c-TF-IDF): tf is one map-side-combined aggregate, idf a
+    // broadcast token join, top-5 per source via the map-side-capped
+    // string top-k aggregator. EXACT oracle (integer counts, one double
+    // division + ln floor per term, int64 products, total order).
+    "q178_class_tfidf" -> ((s, dir) =>
+      ClassTfIdf.topClassTerms(spread(s, Tables.documents(s, dir)),
+        "source", "text", k = 5)),
+
     // §2 row 179: schema-evolution read — generation 1 (doc_id, lang)
     // and generation 2 (+ n_chars) written to one directory, read back
     // with mergeSchema: generation-1 rows surface the late column as
@@ -5101,6 +5110,25 @@ object SparkEntry {
     "q170_stream_sink" ->
       ("SELECT event_id, event_type, " +
         "CAST(round(value * 100) AS BIGINT) AS value_c FROM events"),
+
+    // The c-TF-IDF recurrence replayed: same counts, same single double
+    // division inside ln, same floor, row_number over the total order.
+    "q178_class_tfidf" ->
+      (s"WITH tok AS (SELECT source, unnest(${tokensSql("text")}) AS token " +
+        "FROM documents), " +
+        "tf AS (SELECT source, token, count(*) AS tf FROM tok " +
+        "WHERE token <> '' GROUP BY 1, 2), " +
+        "ft AS (SELECT token, sum(tf) AS ft FROM tf GROUP BY token), " +
+        "tot AS (SELECT sum(tf) AS tot, count(DISTINCT source) AS nc FROM tf), " +
+        "idf AS (SELECT token, " +
+        "CAST(FLOOR(LN(CAST(ft + (tot // nc) AS DOUBLE) / " +
+        "CAST(ft AS DOUBLE)) * 1000000) AS BIGINT) AS idf_u FROM ft, tot), " +
+        "sc AS (SELECT source, tf.token, CAST(tf * idf_u AS BIGINT) AS score_u " +
+        "FROM tf JOIN idf ON tf.token = idf.token) " +
+        "SELECT source, token, score_u, CAST(rank AS INT) AS rank FROM " +
+        "(SELECT source, token, score_u, row_number() OVER " +
+        "(PARTITION BY source ORDER BY score_u DESC, token ASC) AS rank " +
+        "FROM sc) WHERE rank <= 5"),
 
     // Generation-1 rows never wrote n_chars: the merged read surfaces it
     // as NULL exactly where the CASE does.

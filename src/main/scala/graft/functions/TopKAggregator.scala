@@ -52,3 +52,44 @@ class TopKAggregator(k: Int)
   override def outputEncoder: Encoder[Seq[(Long, Double)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }
+
+/** String-payload sibling of [[TopKAggregator]] with EXACT int64 scores:
+  * keeps the k largest (score_u, token) pairs per group, descending
+  * score, ascending token on ties. Long scores stay long through the
+  * buffer — no double round-trip, so integer micro-unit scores compare
+  * exactly at any magnitude. Same scale story: map-side partial
+  * aggregation caps each partition's shuffle contribution at k rows per
+  * group, where the window formulation shuffles every scored row. */
+class TopKStrAggregator(k: Int)
+  extends Aggregator[(String, Long), List[(Long, String)], Seq[(String, Long)]] {
+
+  require(k > 0, "k must be positive")
+
+  private def insert(buf: List[(Long, String)],
+                     score: Long, tok: String): List[(Long, String)] = {
+    val (better, worse) = buf.span { case (s, t) =>
+      s > score || (s == score && t < tok)
+    }
+    val merged = better ::: ((score, tok) :: worse)
+    if (merged.length > k) merged.take(k) else merged
+  }
+
+  override def zero: List[(Long, String)] = Nil
+
+  override def reduce(buf: List[(Long, String)],
+                      row: (String, Long)): List[(Long, String)] =
+    insert(buf, row._2, row._1)
+
+  override def merge(a: List[(Long, String)],
+                     b: List[(Long, String)]): List[(Long, String)] =
+    b.foldLeft(a) { case (acc, (s, t)) => insert(acc, s, t) }
+
+  override def finish(buf: List[(Long, String)]): Seq[(String, Long)] =
+    buf.map { case (s, t) => (t, s) }
+
+  override def bufferEncoder: Encoder[List[(Long, String)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+
+  override def outputEncoder: Encoder[Seq[(String, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
