@@ -113,11 +113,19 @@ class PlanAuditSpec extends SparkSpec {
                             // broadcast single-row (n_docs, avgdl) stats
                             // via the q104 crossJoin; the version merge is
                             // a hash full-outer on vocab-bounded frames
-      "q139_dsir"           // the BNLJ is the broadcast SINGLE-ROW
+      "q139_dsir",          // the BNLJ is the broadcast SINGLE-ROW
                             // (r_tot, t_tot) totals crossJoined onto the
                             // ≤1024-row bucket delta table (the q112
                             // stats-attach precedent); the scoring join
                             // itself is a broadcast hash join on bucket
+      "q173_lsh_plan",      // single-row broadcast min-cost attach onto
+                            // the ≤ d(H)-row divisor frame (the q112
+                            // stats-attach precedent); the whole frame is
+                            // divisors × grid, corpus-independent
+      "q178_class_tfidf"    // single-row broadcast (tot, nc) attach onto
+                            // the vocab frame (the q104/q112 precedent);
+                            // scoring join is a hash join on token, top-k
+                            // rides the map-side-capped aggregator
     )
     val heavy = Set("q13_tf_topterms", "q14_svm_predict", "q15_stream_agg")
     SparkEntry.queries.keys
