@@ -2807,6 +2807,54 @@ object SparkEntry {
         minInGrams = 16)
     }),
 
+    // §2 row 181: the TPC-H Q3 shape — dim-filtered three-table join +
+    // grouped revenue + deterministic top-10 (broadcast customer dim,
+    // date filters pushed to both fact scans, cents-exact revenue per
+    // the q26 recipe, TakeOrdered — no global sort shuffle). EXACT
+    // oracle.
+    "q179_shipping_priority" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      // cut literals cast to each column's OWN timestamp layout (NTZ or
+      // TZ varies by generator run — the Tables.normalizeTs lesson), so
+      // the comparison stays on the raw column and pushes to the scan
+      val o0 = Tables.orders(s, dir)
+      val o = o0.filter(col("o_orderdate") <
+          lit("1998-06-01").cast(o0.schema("o_orderdate").dataType))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l0 = Tables.lineitem(s, dir)
+      val l = l0.filter(col("l_shipdate") >
+          lit("1998-06-01").cast(l0.schema("l_shipdate").dataType))
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long").as("rev_c"))
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum("rev_c").as("revenue_c"))
+        .select(col("l_orderkey"), col("revenue_c"),
+          // NTZ parquet layout → instant-preserving cast under the pinned
+          // UTC session (the Tables.normalizeTs contract)
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"),
+          col("o_orderpriority"))
+        .orderBy(desc("revenue_c"), asc("l_orderkey"))
+        .limit(10)
+    }),
+
+    // §2 row 182: margin-based pair mining (LASER/CCMatrix) — forward
+    // top-4 cross-side pairs scored by cosine relative to BOTH
+    // endpoints' neighborhoods; hubs deflate. Sides are the embedding
+    // table's label parity; src additionally subsampled (vec_id % 5) to
+    // honor the broadcast contract. EXACT oracle (floored micro-cosines,
+    // int64 neighborhood sums, one integer division).
+    "q180_margin_pairs" -> ((s, dir) => {
+      val emb = spread(s, Tables.embeddings(s, dir))
+      Ann.marginMining(
+        emb.filter(col("label") % 2 === 0 && col("vec_id") % 5 === 0),
+        emb.filter(col("label") % 2 =!= 0),
+        "vec_id", "embedding", k = 4)
+    }),
+
     // §2 row 180: class-based TF-IDF — per-source distinctive terms
     // (BERTopic c-TF-IDF): tf is one map-side-combined aggregate, idf a
     // broadcast token join, top-5 per source via the map-side-capped
@@ -5110,6 +5158,52 @@ object SparkEntry {
     "q170_stream_sink" ->
       ("SELECT event_id, event_type, " +
         "CAST(round(value * 100) AS BIGINT) AS value_c FROM events"),
+
+    // Per-line cents rounding THEN int64 sums (the q26 recipe); the
+    // LIMIT order is total (revenue desc, orderkey asc).
+    "q179_shipping_priority" ->
+      ("SELECT l_orderkey, " +
+        "CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) " +
+        "AS BIGINT)) AS BIGINT) AS revenue_c, " +
+        "epoch_us(o_orderdate) AS o_date_us, o_orderpriority " +
+        "FROM customer, orders, lineitem " +
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey " +
+        "AND l_orderkey = o_orderkey " +
+        "AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00' " +
+        "AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00' " +
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+        "ORDER BY revenue_c DESC, l_orderkey LIMIT 10"),
+
+    // The q20/q117 normalization/dot recurrence on both directions,
+    // floored micro-cosines into the neighborhood sums, the same single
+    // integer division.
+    "q180_margin_pairs" ->
+      """WITH n AS (SELECT vec_id, label, embedding,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b)) AS nrm
+        |  FROM embeddings),
+        |v AS (SELECT vec_id, label, CASE WHEN nrm = 0 THEN list_transform(embedding, x -> 0.0)
+        |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)/nrm) END AS nv FROM n),
+        |src AS (SELECT vec_id, nv FROM v WHERE label % 2 = 0 AND vec_id % 5 = 0),
+        |tgt AS (SELECT vec_id, nv FROM v WHERE label % 2 <> 0),
+        |f0 AS (SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(s.nv)),
+        |      i -> s.nv[i]*t.nv[i])), (a,b) -> a+b) AS cos
+        |  FROM src s, tgt t WHERE s.vec_id <> t.vec_id),
+        |fk AS (SELECT src_id, tgt_id, CAST(floor(cos*1000000) AS BIGINT) AS cos_uu
+        |  FROM (SELECT src_id, tgt_id, cos,
+        |          row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS r
+        |        FROM f0) WHERE r <= 4),
+        |bk AS (SELECT tgt_id, CAST(floor(cos*1000000) AS BIGINT) AS bcos_uu
+        |  FROM (SELECT tgt_id, src_id, cos,
+        |          row_number() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS r
+        |        FROM f0) WHERE r <= 4),
+        |ska AS (SELECT src_id, sum(cos_uu) AS ska, count(*) AS na FROM fk GROUP BY 1),
+        |skb AS (SELECT tgt_id, sum(bcos_uu) AS skb, count(*) AS nb FROM bk GROUP BY 1)
+        |SELECT fk.src_id, fk.tgt_id, fk.cos_uu,
+        |       CAST((fk.cos_uu * (na + nb) * 1000000) // (ska + skb) AS BIGINT) AS margin_mu
+        |FROM fk JOIN ska USING (src_id) JOIN skb USING (tgt_id)
+        |WHERE ska + skb > 0""".stripMargin,
 
     // The c-TF-IDF recurrence replayed: same counts, same single double
     // division inside ln, same floor, row_number over the total order.

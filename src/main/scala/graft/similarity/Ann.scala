@@ -109,6 +109,56 @@ object Ann {
       .withColumn("cos", DotProduct(corpus.sparkSession, col("qv"), col("cv"))), k)
   }
 
+  /** Margin-based pair mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix bitext-mining criterion): score each forward
+    * top-`k` cross-corpus pair by its cosine RELATIVE to both
+    * endpoints' neighborhoods,
+    *
+    *   margin(x, y) = cos(x, y) / (Σ_{NN_k(x)} cos / 2k + Σ_{NN_k(y)} cos / 2k)
+    *
+    * so a pair is kept for being closer than its endpoints' TYPICAL
+    * neighbors, not for raw cosine — hub vectors (moderately close to
+    * everything) score high on absolute cosine against every partner
+    * and are exactly what the margin deflates. The standard mining step
+    * for parallel-corpus construction and any cross-corpus alignment
+    * (caption⋈image-embedding, query⋈doc pairs).
+    *
+    * Integer projection (the q20 contract): cos_uu floored per pair,
+    * neighborhood sums as int64 sums of floored values, then ONE
+    * integer division — margin_mu = (cos_uu · (na + nb) · 10⁶) div
+    * (ska + skb) with na/nb the actual neighbor counts (= min(k, side
+    * size)) — engine-replayable bit-for-bit. margin_mu > 10⁶ ⇔ the pair
+    * beats its endpoints' average neighborhoods. Pairs whose summed
+    * neighborhoods are ≤ 0 (degenerate anti-correlated regions) carry
+    * no meaningful ratio and are dropped, documented.
+    *
+    * Scale shape: two [[bruteForceTopK]] passes (src side must satisfy
+    * its broadcast contract — mining runs per src shard in production);
+    * the forward pair frame (≤ |src|·k rows) broadcasts onto the
+    * tgt-side neighborhood aggregate, so the corpus-sized frame never
+    * re-shuffles. */
+  def marginMining(src: DataFrame, tgt: DataFrame, idCol: String,
+                   vecCol: String, k: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val fwd = bruteForceTopK(tgt, src, idCol, vecCol, k)
+      .select(col("query_id").as("src_id"), col("cand_id").as("tgt_id"),
+        floor(col("cos") * 1e6).cast("long").as("cos_uu"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bwd = bruteForceTopK(src, tgt, idCol, vecCol, k)
+      .select(col("query_id").as("tgt_id"),
+        floor(col("cos") * 1e6).cast("long").as("bcos_uu"))
+    val ska = fwd.groupBy("src_id")
+      .agg(sum("cos_uu").as("ska"), count(lit(1)).as("na"))
+    val skb = bwd.groupBy("tgt_id")
+      .agg(sum("bcos_uu").as("skb"), count(lit(1)).as("nb"))
+    // pair frame (small) broadcasts onto the corpus-sized tgt aggregate
+    skb.join(broadcast(fwd.join(broadcast(ska), "src_id")), Seq("tgt_id"))
+      .filter(col("ska") + col("skb") > 0)
+      .withColumn("margin_mu",
+        expr("(cos_uu * (na + nb) * 1000000) div (ska + skb)"))
+      .select("src_id", "tgt_id", "cos_uu", "margin_mu")
+  }
+
   /** Hard-negative mining — the contrastive-training data-prep step
     * (in-batch negatives are mostly easy; retrieval-mined hard negatives
     * are the published recipe, e.g. DPR/ANCE): for each anchor, the exact

@@ -168,6 +168,27 @@ class AnnSpec extends SparkSpec {
     assert(bits == bits.sorted)
   }
 
+  test("marginMining: the planted translation pair beats the hub vector " +
+    "that raw cosine would rank close everywhere") {
+    val src = Seq(
+      (0L, 0, Array(1f, 0f, 0f, 0f)),
+      (10L, 0, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "label", "embedding")
+    val tgt = Seq(
+      (1L, 1, Array(0.99f, 0.1f, 0f, 0f)),    // translation of vec 0
+      (3L, 1, Array(0.5f, 0.5f, 0.5f, 0.5f)), // hub: mid-cos to everything
+      (5L, 1, Array(0f, 0f, 1f, 0f)),
+      (7L, 1, Array(0f, 0f, 0f, 1f))).toDF("vec_id", "label", "embedding")
+    val got = Ann.marginMining(src, tgt, "vec_id", "embedding", k = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    val m = got.map(r => (r._1, r._2) -> r._4).toMap
+    assert(m.contains((0L, 1L)), s"true pair missing: $m")
+    assert(m((0L, 1L)) > 1000000L,
+      s"true pair must beat its neighborhoods: $m")
+    val hubMargins = got.filter(_._2 == 3L).map(_._4)
+    assert(hubMargins.nonEmpty && hubMargins.forall(_ < m((0L, 1L))),
+      s"hub pairings must score below the true pair: $m")
+  }
+
   test("banded multi-table SRP: high recall on planted near-dups, no all-pairs") {
     // plant near-duplicates: scaled+shifted copies of 40 real embeddings
     // (cosine vs the original ≈ 0.99+); ground truth from local exact math
