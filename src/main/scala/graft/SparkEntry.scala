@@ -2807,6 +2807,15 @@ object SparkEntry {
         minInGrams = 16)
     }),
 
+    // §2 row 183: character-entropy quality signal — the gibberish/loop
+    // detector (high-entropy base64 mash and low-entropy repeated
+    // generations both gate out); one ln floor per distinct char count,
+    // int64 sums, one integer division. EXACT oracle.
+    "q181_char_entropy" -> ((s, dir) =>
+      graft.textstats.Entropy.charEntropy(
+        spread(s, Tables.documents(s, dir)), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
     // §2 row 181: the TPC-H Q3 shape — dim-filtered three-table join +
     // grouped revenue + deterministic top-10 (broadcast customer dim,
     // date filters pushed to both fact scans, cents-exact revenue per
@@ -5158,6 +5167,23 @@ object SparkEntry {
     "q170_stream_sink" ->
       ("SELECT event_id, event_type, " +
         "CAST(round(value * 100) AS BIGINT) AS value_c FROM events"),
+
+    // Same per-distinct-char ln floors, int64 sums, single floor
+    // division; the greatest(0, ·) clamp keeps operands non-negative so
+    // div and // agree.
+    "q181_char_entropy" ->
+      ("WITH ch AS (SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c " +
+        "FROM documents), " +
+        "cf AS (SELECT doc_id, c, count(*) AS n FROM ch WHERE c <> '' " +
+        "GROUP BY 1, 2), " +
+        "t AS (SELECT doc_id, sum(n) AS len, " +
+        "sum(n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)) " +
+        "AS sum_u FROM cf GROUP BY 1) " +
+        "SELECT d.doc_id, CAST(coalesce(t.len, 0) AS BIGINT) AS len, " +
+        "CAST(coalesce(greatest(0, " +
+        "CAST(floor(ln(CAST(t.len AS DOUBLE)) * 1000000) AS BIGINT) * t.len " +
+        "- t.sum_u) // t.len, 0) AS BIGINT) AS ent_mu " +
+        "FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id"),
 
     // Per-line cents rounding THEN int64 sums (the q26 recipe); the
     // LIMIT order is total (revenue desc, orderkey asc).
