@@ -2807,6 +2807,15 @@ object SparkEntry {
         minInGrams = 16)
     }),
 
+    // §2 row 184: generation-loop detector — exact tail periodicity via
+    // substring self-comparison per candidate period (no hashes, both
+    // engines agree by construction); smallest period of the last 64
+    // chars, flagged only when the doc fills the window. EXACT oracle.
+    "q182_loop_signal" -> ((s, dir) =>
+      Repetition.loopSignal(spread(s, Tables.documents(s, dir)),
+        "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
     // §2 row 183: character-entropy quality signal — the gibberish/loop
     // detector (high-entropy base64 mash and low-entropy repeated
     // generations both gate out); one ln floor per distinct char count,
@@ -5167,6 +5176,20 @@ object SparkEntry {
     "q170_stream_sink" ->
       ("SELECT event_id, event_type, " +
         "CAST(round(value * 100) AS BIGINT) AS value_c FROM events"),
+
+    // The identical substring self-comparisons on the identical tail
+    // window; list_filter ascending, first element = smallest period.
+    "q182_loop_signal" ->
+      ("WITH t AS (SELECT doc_id, text, CASE WHEN length(text) >= 64 " +
+        "THEN substr(text, length(text) - 63, 64) ELSE text END AS tl " +
+        "FROM documents), " +
+        "p AS (SELECT doc_id, text, " +
+        "list_filter(generate_series(1, 16), p -> length(tl) > p AND " +
+        "substr(tl, 1, length(tl) - p) = substr(tl, p + 1, length(tl) - p)) " +
+        "AS ps FROM t) " +
+        "SELECT doc_id, CAST(coalesce(ps[1], 0) AS INT) AS tail_period, " +
+        "CAST(CASE WHEN len(ps) > 0 AND length(text) >= 64 THEN 1 ELSE 0 " +
+        "END AS BIGINT) AS loop FROM p"),
 
     // Same per-distinct-char ln floors, int64 sums, single floor
     // division; the greatest(0, ·) clamp keeps operands non-negative so

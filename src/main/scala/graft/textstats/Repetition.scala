@@ -124,4 +124,41 @@ object Repetition {
       .select(col("id"), col("n_chars"),
         coalesce(col("top_char_ngram_cnt"), lit(0L)).as("top_char_ngram_cnt"))
   }
+
+  /** Generation-loop detector — exact tail periodicity: a decoding loop
+    * emits a cycling suffix ("... and the and the and the"), which gram
+    * statistics only see indirectly. A string has period p when every
+    * character equals the one p positions later — checked EXACTLY by one
+    * substring self-comparison per candidate p (no hashes, so both
+    * engines agree by construction): substr(t, 1, L−p) = substr(t, p+1,
+    * L−p). The check runs on the LAST `tailChars` characters (loops live
+    * at the end of a generation) for p in 1..`maxPeriod`; the smallest
+    * qualifying p is reported.
+    *
+    * (id, tail_period, loop): tail_period = min qualifying p (0 when the
+    * tail is aperiodic), loop = 1 iff a period exists AND the document
+    * actually fills the tail window (short docs never flag — a 3-char doc
+    * with period 1 is not a runaway generation). Pure per-row expression
+    * work, zero shuffles, O(tailChars · maxPeriod) per doc. */
+  def loopSignal(df: DataFrame, idCol: String, textCol: String,
+                 tailChars: Int = 64, maxPeriod: Int = 16): DataFrame = {
+    require(tailChars >= 2 && maxPeriod >= 1 && maxPeriod < tailChars,
+      s"need 2 <= maxPeriod+1 <= tailChars, got $tailChars/$maxPeriod")
+    df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .withColumn("__tl", expr(
+        s"CASE WHEN length(__t) >= $tailChars " +
+          s"THEN substring(__t, length(__t) - ${tailChars - 1}, $tailChars) " +
+          "ELSE __t END"))
+      .withColumn("__ps", expr(
+        s"filter(sequence(1, $maxPeriod), p -> length(__tl) > p AND " +
+          "substring(__tl, 1, length(__tl) - p) = " +
+          "substring(__tl, p + 1, length(__tl) - p))"))
+      .select(col("id"),
+        // try_element_at: ANSI element_at throws on the empty (aperiodic)
+        // array
+        expr("CAST(coalesce(try_element_at(__ps, 1), 0) AS INT)")
+          .as("tail_period"),
+        expr(s"CASE WHEN size(__ps) > 0 AND length(__t) >= $tailChars " +
+          "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END").as("loop"))
+  }
 }

@@ -114,4 +114,24 @@ class RepetitionSpec extends SparkSpec {
     assert(plan.contains("partial_"),
       s"expected partial aggregation in plan:\n$plan")
   }
+
+  test("loopSignal: cycling tails flag with the smallest period, prose " +
+    "and short docs do not") {
+    import spark.implicits._
+    val looped = "intro text then " + ("and the " * 20)   // period 8 tail
+    val single = "filler " * 8 + "z" * 70                 // period 1 tail
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders away to find a meal somewhere else entirely today"
+    val shortLoop = "ababab"                              // period 2, short
+    val got = graft.textstats.Repetition.loopSignal(
+      Seq((1L, looped), (2L, single), (3L, prose), (4L, shortLoop))
+        .toDF("id", "text"), "id", "text")
+      .as[(Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((8, 1L)), got.toString)
+    assert(got(2L) == ((1, 1L)), got.toString)
+    assert(got(3L) == ((0, 0L)), got.toString)
+    // the period is visible but the window is not filled: no flag
+    assert(got(4L) == ((2, 0L)), got.toString)
+  }
 }
