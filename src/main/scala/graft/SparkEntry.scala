@@ -2807,6 +2807,41 @@ object SparkEntry {
         minInGrams = 16)
     }),
 
+    // §2 row 185: duplicate-count loss weighting — keep every copy,
+    // weight_bp = 10⁴ div n_copies per exact-dup group (fingerprint-
+    // grouped: only longs shuffle). EXACT oracle via the q25 polynomial.
+    "q183_dup_weights" -> ((s, dir) =>
+      ExactDedup.dupWeights(spread(s, Tables.documents(s, dir)),
+        "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
+    // §2 row 186: malformed-record quarantine — documents written as
+    // JSONL plus 7 planted broken lines, read back in PERMISSIVE mode
+    // with a corrupt-record column; the audit counts clean vs
+    // quarantined rows. EXACT oracle (the plant count is ground truth).
+    "q184_corrupt_scan" -> ((s, dir) => {
+      val src = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      val path = stagingDir("graft_quar_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + ProcessHandle.current().pid())
+      Tables.writeJsonl(src, path)
+      // plant breakage the way real feeds break: truncated JSON, bare
+      // text, half an object (no empty lines — the reader SKIPS those
+      // rather than quarantining them)
+      val bad = Seq("{\"doc_id\": 1, \"lang\": \"en\"",
+        "not json at all", "{]", "{\"doc_id\":", "[1, 2", "}{", " garbage")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "corrupt-part.json"),
+        bad.mkString("\n").getBytes("UTF-8"))
+      // cache(): Spark disallows queries whose referenced columns are
+      // ONLY the internal corrupt-record column; the cached relation
+      // lifts the restriction (the documented recipe)
+      Tables.readJsonlQuarantine(s, path, src.schema).cache()
+        .agg(
+          count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+          count(when(col("_corrupt_record").isNotNull, 1)).as("n_quarantined"))
+    }),
+
     // §2 row 184: generation-loop detector — exact tail periodicity via
     // substring self-comparison per candidate period (no hashes, both
     // engines agree by construction); smallest period of the last 64
@@ -5176,6 +5211,24 @@ object SparkEntry {
     "q170_stream_sink" ->
       ("SELECT event_id, event_type, " +
         "CAST(round(value * 100) AS BIGINT) AS value_c FROM events"),
+
+    // Same q25 fingerprint grouping (the hash-equality ≈ text-equality
+    // argument, SQL-replayable), same integer weight division.
+    "q183_dup_weights" ->
+      ("WITH f AS (SELECT doc_id, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(regexp_split_to_array(text, ''), " +
+        "c -> CAST(coalesce(ascii(c), 0) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 1000000007) AS fp FROM documents), " +
+        "c AS (SELECT fp, count(*) AS n FROM f GROUP BY fp) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_copies, " +
+        "CAST(10000 // n AS BIGINT) AS weight_bp FROM f JOIN c USING (fp)"),
+
+    // The 7 planted corrupt lines are the ground truth; every document
+    // row round-trips as one clean JSONL line.
+    "q184_corrupt_scan" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_good, " +
+        "CAST(7 AS BIGINT) AS n_quarantined FROM documents"),
 
     // The identical substring self-comparisons on the identical tail
     // window; list_filter ascending, first element = smallest period.

@@ -70,4 +70,26 @@ object ExactDedup {
         .as("__h"))
       .groupBy("__h").agg(count(lit(1)).as("copies"))
       .groupBy("copies").agg(count(lit(1)).as("n_texts"))
+
+  /** Duplicate-count loss weighting — keep every copy but downweight it:
+    * weight_bp = 10⁴ div n_copies, so a group of n duplicates carries
+    * (approximately) one document's total weight. The alternative to
+    * dropping duplicates when exact counts carry signal (popular
+    * boilerplate IS popular) — the published middle ground between
+    * keep-all and keep-one.
+    *
+    * Scale shape: documents group by their q25 polynomial fingerprint,
+    * not raw text — only (id, int64) pairs shuffle (better than the raw
+    * keepFirst move), at the q18/q84 hash-equality≈text-equality
+    * collision odds, and the fingerprint is SQL-replayable so the
+    * weights get an exact oracle. One map-side-combined count + one
+    * co-partitioned join back. */
+  def dupWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"),
+      graft.textstats.TextStats.fingerprint(col(textCol)).as("__fp"))
+    val counts = keyed.groupBy("__fp").agg(count(lit(1)).as("n_copies"))
+    keyed.join(counts, "__fp")
+      .select(col("id"), col("n_copies"),
+        expr("10000 div n_copies").as("weight_bp"))
+  }
 }

@@ -84,6 +84,24 @@ object Tables {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** JSONL source with a malformed-record QUARANTINE column: rows that
+    * fail to parse land whole in `_corrupt_record` (PERMISSIVE mode)
+    * instead of aborting the job or silently vanishing — at 100 TB a
+    * crawler feed ALWAYS contains breakage, and the honest ingest reads
+    * everything, counts the damage, and routes bad lines to a quarantine
+    * sink rather than failing the batch (FAILFAST) or dropping evidence
+    * (DROPMALFORMED). Filter `_corrupt_record IS NULL` for the clean
+    * side; the non-null side is the quarantine. */
+  def readJsonlQuarantine(spark: SparkSession, path: String,
+                          schema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** Schema-evolution parquet read: merge the schemas of ALL part files
     * (`mergeSchema`) instead of trusting one file's footer — the read
     * path for corpora whose schema grew over time (a 100 TB corpus is

@@ -252,4 +252,16 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 4L, 2L -> 2L, 3L -> 1L), s"got $got")
   }
+
+  test("dupWeights: every copy kept, weights split the group's mass") {
+    import spark.implicits._
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "same text"),
+      (4L, "unique one")).toDF("id", "text")
+    val got = graft.dedup.ExactDedup.dupWeights(docs, "id", "text")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((3L, 3333L)) && got(2L) == got(1L) && got(3L) == got(1L))
+    assert(got(4L) == ((1L, 10000L)))
+    assert(got.size == 4)
+  }
 }

@@ -145,4 +145,24 @@ class SourcesSpec extends SparkSpec {
         (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(120L)), rows)
   }
+
+  test("JSONL quarantine: broken lines land in _corrupt_record, clean " +
+    "rows parse; neither side is dropped") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_quar").toString + "/t"
+    val src = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+    graft.sources.Tables.writeJsonl(src, dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "bad.json"),
+      "{broken\nnot json".getBytes("UTF-8"))
+    import org.apache.spark.sql.functions.col
+    val df = graft.sources.Tables.readJsonlQuarantine(spark, dir,
+      src.schema).cache()
+    assert(df.filter(col("_corrupt_record").isNull).count() == 2)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 2)
+    // quarantined lines carry the raw evidence
+    val quarantined = df.filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record").as[String].collect().toSet
+    assert(quarantined == Set("{broken", "not json"), quarantined)
+  }
 }
