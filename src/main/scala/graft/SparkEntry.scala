@@ -2807,6 +2807,21 @@ object SparkEntry {
         minInGrams = 16)
     }),
 
+    // §2 row 187: join-skew diagnosis — the 10 heaviest event user keys
+    // with row share and the exact salt factor that levels each to the
+    // median key weight (the saltedJoin argument). EXACT oracle.
+    "q185_skew_report" -> ((s, dir) =>
+      graft.operators.Tuning.skewReport(
+        Tables.events(s, dir), "user_id", topK = 10)),
+
+    // §2 row 188: key-candidate + functional-dependency discovery over
+    // declared document columns — which columns identify rows, which
+    // determine which; sentinel-canonicalized pair distincts so null
+    // handling is engine-identical. EXACT oracle.
+    "q186_key_discovery" -> ((s, dir) =>
+      Profile.keyCandidates(Tables.documents(s, dir),
+        Seq("doc_id", "lang", "source", "n_chars"))),
+
     // §2 row 185: duplicate-count loss weighting — keep every copy,
     // weight_bp = 10⁴ div n_copies per exact-dup group (fingerprint-
     // grouped: only longs shuffle). EXACT oracle via the q25 polynomial.
@@ -5211,6 +5226,51 @@ object SparkEntry {
     "q170_stream_sink" ->
       ("SELECT event_id, event_type, " +
         "CAST(round(value * 100) AS BIGINT) AS value_c FROM events"),
+
+    // Per-key counts, the q87 lower-nearest-rank median over the
+    // count-of-counts histogram, integer share/salt divisions, total
+    // (n DESC, key ASC) order.
+    "q185_skew_report" ->
+      ("WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n " +
+        "FROM events WHERE user_id IS NOT NULL GROUP BY 1), " +
+        "med AS (SELECT min(v) AS med FROM " +
+        "(SELECT v, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum, " +
+        "sum(cnt) OVER () AS tot FROM " +
+        "(SELECT n AS v, count(*) AS cnt FROM c GROUP BY n)) " +
+        "WHERE cum * 10000 >= 5000 * tot), " +
+        "tt AS (SELECT sum(n) AS tot FROM c), " +
+        "r AS (SELECT key, n, row_number() OVER (ORDER BY n DESC, key ASC) " +
+        "AS rank FROM c) " +
+        "SELECT key, n, CAST((10000 * n) // tot AS BIGINT) AS share_bp, " +
+        "CAST((n + med - 1) // med AS BIGINT) AS salt_factor, " +
+        "CAST(rank AS INT) AS rank FROM r, med, tt WHERE rank <= 10"),
+
+    // The same single-pass count-distinct battery with the same
+    // chr(1)/chr(2) sentinel canonicalization for pairs.
+    "q186_key_discovery" -> {
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      def canon(c: String) = s"coalesce(CAST($c AS VARCHAR), chr(1))"
+      def pk(a: String, b: String) =
+        s"${canon(a)} || chr(2) || ${canon(b)}"
+      val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+      val branches =
+        cols.map { c =>
+          s"SELECT 'key' AS kind, '$c' AS subject, '' AS detail, " +
+            "CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_rows, " +
+            s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+            s"CAST(CASE WHEN count(DISTINCT $c) = count(*) " +
+            s"AND count($c) = count(*) THEN 1 ELSE 0 END AS BIGINT) AS holds " +
+            "FROM documents"
+        } ++ pairs.map { case (a, b) =>
+          s"SELECT 'fd', '$a', '$b', " +
+            "CAST((SELECT count(*) FROM documents) AS BIGINT), " +
+            s"CAST(count(DISTINCT ${pk(a, b)}) AS BIGINT), " +
+            s"CAST(CASE WHEN count(DISTINCT ${pk(a, b)}) = count(DISTINCT $a) " +
+            s"AND count($a) = count(*) THEN 1 ELSE 0 END AS BIGINT) " +
+            "FROM documents"
+        }
+      branches.mkString(" UNION ALL ")
+    },
 
     // Same q25 fingerprint grouping (the hash-equality ≈ text-equality
     // argument, SQL-replayable), same integer weight division.

@@ -71,4 +71,64 @@ object Profile {
         expr("bit_xor(__h31)").as("fp31"),
         expr("bit_xor(__h37)").as("fp37"))
   }
+
+  /** Key-candidate and functional-dependency discovery over DECLARED
+    * columns — the profiling step schema docs lie about: which columns
+    * actually identify rows (unique + never null), and which determine
+    * which (a → b holds iff every a-value maps to exactly one b-value,
+    * i.e. |distinct(a)| = |distinct(a, b)|). Feeds dedup-key choices,
+    * join-key validation, and the Unique rules of row 163's audit.
+    *
+    * One aggregation computes every count (the [[profile]] discipline);
+    * pair distincts canonicalize (value, value) through a sentinel-
+    * coalesced chr(1)/chr(2) concat so NULL handling is identical on
+    * both engines (multi-column DISTINCT treats nulls differently
+    * across engines; the string canonicalization does not). The melt is
+    * a plan-side stack — no driver collect. Output one row per column
+    * (kind 'key') and per ordered pair (kind 'fd'):
+    * (kind, subject, detail, n_rows, n_distinct, holds). An fd verdict
+    * requires a TOTAL determinant (subject never null) — partial FDs
+    * over a nullable determinant report holds = 0, by declared design
+    * (a determinant you cannot evaluate on every row is not a usable
+    * dedup/join key). */
+  def keyCandidates(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.size <= 8,
+      s"declare 1..8 columns, got ${cols.size}")
+    def canon(c: String) =
+      s"coalesce(CAST(`$c` AS STRING), char(1))"
+    def pairKey(a: String, b: String) =
+      s"concat(${canon(a)}, char(2), ${canon(b)})"
+    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+    val aggs =
+      cols.flatMap { c => Seq(
+        countDistinct(col(c)).as(s"__d_$c"),
+        count(col(c)).as(s"__nn_$c")) } ++
+      pairs.map { case (a, b) =>
+        countDistinct(expr(pairKey(a, b))).as(s"__p_${a}__$b") }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    // stacked measures: key rows then fd rows, all computed post-agg
+    val keyRows = cols.zipWithIndex.map { case (c, i) =>
+      (i, "key", c, "",
+        s"__d_$c",
+        s"CASE WHEN __d_$c = __n AND __nn_$c = __n THEN 1 ELSE 0 END")
+    }
+    val fdRows = pairs.zipWithIndex.map { case ((a, b), j) =>
+      (cols.size + j, "fd", a, b,
+        s"__p_${a}__$b",
+        s"CASE WHEN __p_${a}__$b = __d_$a AND __nn_$a = __n THEN 1 ELSE 0 END")
+    }
+    val rows = keyRows ++ fdRows
+    val stackArgs = rows.map { case (i, _, _, _, d, h) =>
+      s"$i, CAST($d AS BIGINT), CAST(($h) AS BIGINT)" }.mkString(", ")
+    one.select(col("__n").as("n_rows"), expr(
+        s"stack(${rows.size}, $stackArgs) AS (__j, n_distinct, holds)"))
+      .select(
+        element_at(array(rows.map(r => lit(r._2)): _*),
+          col("__j") + 1).as("kind"),
+        element_at(array(rows.map(r => lit(r._3)): _*),
+          col("__j") + 1).as("subject"),
+        element_at(array(rows.map(r => lit(r._4)): _*),
+          col("__j") + 1).as("detail"),
+        col("n_rows"), col("n_distinct"), col("holds"))
+  }
 }

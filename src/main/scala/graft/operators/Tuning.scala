@@ -66,4 +66,48 @@ object Tuning {
   /** Apply the advice to a live session (all keys are runtime SQLConf). */
   def apply(spark: SparkSession, advice: Advice): Unit =
     advice.confs.foreach { case (k, v) => spark.conf.set(k, v) }
+
+  /** Join-skew diagnosis for a key column — the report read BEFORE
+    * choosing between a plain join, AQE skew split (row 87) and a manual
+    * salted join (row 48): the `topK` heaviest keys with their share of
+    * all rows and the salt factor that would level each back to the
+    * median key's weight (salt_factor = ⌈n / median⌉ — the exact
+    * argument [[graft.operators.Relational.saltedJoin]] takes).
+    *
+    * Exact and scale-safe: per-key counts are one map-side-combined
+    * aggregate; the median key weight is the lower-nearest-rank
+    * [[Robust.groupQuantile]] over the count-of-counts histogram; the
+    * top-k ride the map-side-capped string aggregator (no key-domain
+    * window sort); the two single-row stats frames attach via the q112
+    * broadcast-crossJoin precedent. NULL keys are excluded (they
+    * never match an equi-join anyway). */
+  def skewReport(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                 topK: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = Robust.groupQuantile(
+      counts.withColumn("__g", lit(1)), "__g", "n", 5000)
+      .select(col("q_value").as("med"))
+    val tot = counts.agg(sum("n").as("tot"))
+    val topkAgg = new graft.functions.TopKStrAggregator(topK).toColumn
+    val top = counts.as[(String, Long)]
+      .groupByKey(_ => 1)
+      .mapValues(identity)
+      .agg(topkAgg.name("topk"))
+      .toDF("__one", "topk")
+      .select(posexplode(col("topk")))
+      .select(col("col._1").as("key"), col("col._2").as("n"),
+        (col("pos") + 1).cast("int").as("rank"))
+    top.crossJoin(broadcast(med)).crossJoin(broadcast(tot))
+      .select(col("key"), col("n"),
+        expr("(10000 * n) div tot").as("share_bp"),
+        expr("(n + med - 1) div med").as("salt_factor"),
+        col("rank"))
+  }
 }

@@ -122,10 +122,13 @@ class PlanAuditSpec extends SparkSpec {
                             // the ≤ d(H)-row divisor frame (the q112
                             // stats-attach precedent); the whole frame is
                             // divisors × grid, corpus-independent
-      "q178_class_tfidf"    // single-row broadcast (tot, nc) attach onto
+      "q178_class_tfidf",   // single-row broadcast (tot, nc) attach onto
                             // the vocab frame (the q104/q112 precedent);
                             // scoring join is a hash join on token, top-k
                             // rides the map-side-capped aggregator
+      "q185_skew_report"    // two single-row broadcast attaches (median,
+                            // total — the q112 precedent) onto the ≤ topK
+                            // heavy-key frame from the capped aggregator
     )
     val heavy = Set("q13_tf_topterms", "q14_svm_predict", "q15_stream_agg")
     SparkEntry.queries.keys

@@ -55,4 +55,31 @@ class ProfileSpec extends SparkSpec {
     assert(fa.filterNot(_._1 == src) == fe.filterNot(_._1 == src),
       "untouched sources must keep their fingerprints")
   }
+
+  test("keyCandidates: unique non-null columns are keys, FDs hold only " +
+    "for total determinants") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("en"), "s0"),
+      (2L, Some("en"), "s0"),
+      (3L, None, "s1")).toDF("id", "lang", "src")
+    val got = graft.operators.Profile.keyCandidates(df,
+      Seq("id", "lang", "src"))
+      .collect().map(r => (r.getAs[String]("kind"), r.getAs[String]("subject"),
+        r.getAs[String]("detail")) ->
+        ((r.getAs[Long]("n_distinct"), r.getAs[Long]("holds")))).toMap
+    assert(got(("key", "id", "")) == ((3L, 1L)))
+    // lang: 1 distinct non-null value, nullable -> not a key
+    assert(got(("key", "lang", "")) == ((1L, 0L)))
+    assert(got(("key", "src", "")) == ((2L, 0L)))      // dup values
+    // id determines everything (total + unique)
+    assert(got(("fd", "id", "lang"))._2 == 1L)
+    assert(got(("fd", "id", "src"))._2 == 1L)
+    // src -> lang: s0 -> en, s1 -> NULL: single b per a, determinant
+    // total -> holds
+    assert(got(("fd", "src", "lang"))._2 == 1L)
+    // lang is nullable: the partial FD reports 0 by declared design
+    assert(got(("fd", "lang", "src"))._2 == 0L)
+    assert(got.size == 9)
+  }
 }

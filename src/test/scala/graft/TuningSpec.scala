@@ -36,4 +36,21 @@ class TuningSpec extends SparkSpec {
         (64L << 20).toString)
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
+
+  test("skewReport: hand-built skew — shares, salt factors and ranks " +
+    "are exact; null keys excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // key a: 8 rows, b: 2, c: 2, d: 2, plus 2 null-key rows
+    val rows = Seq.fill(8)("a") ++ Seq("b", "b", "c", "c", "d", "d")
+    val df = (rows.map(Option(_)) ++ Seq(None, None)).toDF("k")
+    val got = graft.operators.Tuning.skewReport(df, "k", topK = 2)
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("n"),
+        r.getAs[Long]("share_bp"), r.getAs[Long]("salt_factor"),
+        r.getAs[Int]("rank"))).toList.sortBy(_._5)
+    // counts: a=8, b=c=d=2 -> median key weight 2, total 14 (nulls out)
+    assert(got == List(
+      ("a", 8L, 10000L * 8 / 14, 4L, 1),
+      ("b", 2L, 10000L * 2 / 14, 1L, 2)), got.toString)
+  }
 }
