@@ -2807,6 +2807,50 @@ object SparkEntry {
         minInGrams = 16)
     }),
 
+    // §2 row 190: MERGE / CDC apply — snapshot + change batch (deletes
+    // %13==5, updates %7==0 with bumped n_chars, inserts +50000 ids) →
+    // next snapshot via ONE full-outer id join. EXACT oracle (the same
+    // delete/update/insert arithmetic in SQL).
+    "q188_merge_apply" -> ((s, dir) => {
+      import graft.operators.Merge
+      val base = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      val dels = base.filter(col("doc_id") % 13 === 5)
+        .select(col("doc_id"), lit("delete").as("op"),
+          lit(null).cast("string").as("lang"),
+          lit(null).cast("long").as("n_chars"))
+      val upds = base.filter(col("doc_id") % 7 === 0 &&
+          col("doc_id") % 13 =!= 5)
+        .select(col("doc_id"), lit("update").as("op"), col("lang"),
+          (col("n_chars") + 1000).as("n_chars"))
+      val ins = base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 50000).as("doc_id"),
+          lit("insert").as("op"), lit("xx").as("lang"), lit(7L).as("n_chars"))
+      Merge.applyChanges(base, dels.unionByName(upds).unionByName(ins),
+        "doc_id")
+    }),
+
+    // §2 row 189: dynamic partition pruning — the lang-partitioned
+    // corpus joined to a FILTERED tiny dim on the partition column: the
+    // runtime DPP subquery prunes fact partitions the dim filter
+    // excludes (the q69 static-pruning row's runtime sibling; SourcesSpec
+    // asserts the dynamicpruning expression in the scan). EXACT oracle:
+    // the inner join to a 1-row-per-kept-lang dim IS the IN filter.
+    "q187_dpp_join" -> ((s, dir) => {
+      val src = Tables.documents(s, dir)
+        .select("doc_id", "lang", "source", "n_chars")
+      val path = stagingDir("graft_dpp_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + ProcessHandle.current().pid())
+      Tables.writePartitioned(src, path, Seq("lang"))
+      val dim = src.select("lang").distinct()
+        .withColumn("tier",
+          when(col("lang").isin("en", "de"), lit("keep"))
+            .otherwise(lit("drop")))
+      s.read.parquet(path)
+        .join(dim.filter(col("tier") === "keep"), Seq("lang"))
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
     // §2 row 187: join-skew diagnosis — the 10 heaviest event user keys
     // with row share and the exact salt factor that levels each to the
     // median key weight (the saltedJoin argument). EXACT oracle.
@@ -5226,6 +5270,21 @@ object SparkEntry {
     "q170_stream_sink" ->
       ("SELECT event_id, event_type, " +
         "CAST(round(value * 100) AS BIGINT) AS value_c FROM events"),
+
+    // Deletes drop, updates rewrite, inserts append — the same closed-set
+    // arithmetic.
+    "q188_merge_apply" ->
+      ("SELECT doc_id, lang, n_chars FROM (" +
+        "SELECT doc_id, lang, CASE WHEN doc_id % 7 = 0 " +
+        "THEN n_chars + 1000 ELSE n_chars END AS n_chars " +
+        "FROM documents WHERE doc_id % 13 <> 5 " +
+        "UNION ALL SELECT doc_id + 50000, 'xx', 7 FROM documents " +
+        "WHERE doc_id % 11 = 0)"),
+
+    // The kept-lang inner join is semantically the IN filter.
+    "q187_dpp_join" ->
+      ("SELECT doc_id, lang, source, n_chars FROM documents " +
+        "WHERE lang IN ('en', 'de')"),
 
     // Per-key counts, the q87 lower-nearest-rank median over the
     // count-of-counts histogram, integer share/salt divisions, total

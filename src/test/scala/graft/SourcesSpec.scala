@@ -165,4 +165,23 @@ class SourcesSpec extends SparkSpec {
       .select("_corrupt_record").as[String].collect().toSet
     assert(quarantined == Set("{broken", "not json"), quarantined)
   }
+
+  test("dynamic partition pruning: a filtered dim join plants the DPP " +
+    "subquery in the partitioned fact scan") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString + "/t"
+    Tables.writePartitioned(docs, dir, Seq("lang"))
+    val dim = docs.select("lang").distinct()
+      .withColumn("tier", when(col("lang").isin("en", "de"), lit("keep"))
+        .otherwise(lit("drop")))
+    val joined = spark.read.parquet(dir)
+      .join(dim.filter(col("tier") === "keep"), Seq("lang"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no DPP subquery in the fact scan:\n${plan.take(3000)}")
+    assert(joined.count() ==
+      docs.filter(col("lang").isin("en", "de")).count())
+  }
 }
