@@ -2829,6 +2829,43 @@ object SparkEntry {
         "doc_id")
     }),
 
+    // §2 row 191: STREAMING merge — the q188 change feed arriving as
+    // microbatches, folded into evolving snapshot generations
+    // (gen_<batchId>, restart-idempotent); disjoint change ids make the
+    // fold equal the one-shot apply, so q188's oracle applies VERBATIM.
+    "q189_merge_stream" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      val dels = base.filter(col("doc_id") % 13 === 5)
+        .select(col("doc_id"), lit("delete").as("op"),
+          lit(null).cast("string").as("lang"),
+          lit(null).cast("long").as("n_chars"))
+      val upds = base.filter(col("doc_id") % 7 === 0 &&
+          col("doc_id") % 13 =!= 5)
+        .select(col("doc_id"), lit("update").as("op"), col("lang"),
+          (col("n_chars") + 1000).as("n_chars"))
+      val ins = base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 50000).as("doc_id"),
+          lit("insert").as("op"), lit("xx").as("lang"), lit(7L).as("n_chars"))
+      val changes = dels.unionByName(upds).unionByName(ins)
+      val src = artifactPath("mergefeed", dir, codeHash(SparkEntry.getClass))
+      stageParquet(src) { tmp =>
+        changes.repartition(4).write.mode("overwrite").parquet(tmp)
+      }
+      val basePath = artifactPath("mergebase", dir,
+        codeHash(SparkEntry.getClass))
+      stageParquet(basePath) { tmp =>
+        base.write.mode("overwrite").parquet(tmp)
+      }
+      val work = stagingDir("graft_mergework_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + ProcessHandle.current().pid())
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      ScoringStream.mergeStream(stream, basePath, work, "doc_id",
+        s"$work/ckpt")
+      ScoringStream.readLatestSnapshot(s, work, basePath)
+    }),
+
     // §2 row 189: dynamic partition pruning — the lang-partitioned
     // corpus joined to a FILTERED tiny dim on the partition column: the
     // runtime DPP subquery prunes fact partitions the dim filter
@@ -5272,14 +5309,10 @@ object SparkEntry {
         "CAST(round(value * 100) AS BIGINT) AS value_c FROM events"),
 
     // Deletes drop, updates rewrite, inserts append — the same closed-set
-    // arithmetic.
-    "q188_merge_apply" ->
-      ("SELECT doc_id, lang, n_chars FROM (" +
-        "SELECT doc_id, lang, CASE WHEN doc_id % 7 = 0 " +
-        "THEN n_chars + 1000 ELSE n_chars END AS n_chars " +
-        "FROM documents WHERE doc_id % 13 <> 5 " +
-        "UNION ALL SELECT doc_id + 50000, 'xx', 7 FROM documents " +
-        "WHERE doc_id % 11 = 0)"),
+    // arithmetic; the streaming fold shares it verbatim (disjoint change
+    // ids ⇒ fold == one-shot apply).
+    "q188_merge_apply" -> mergeApplySql,
+    "q189_merge_stream" -> mergeApplySql,
 
     // The kept-lang inner join is semantically the IN filter.
     "q187_dpp_join" ->
@@ -5612,6 +5645,18 @@ object SparkEntry {
       "CAST(len(t.toks) AS INT) AS n_tok, " +
       "CAST(len(t.toks) - coalesce(ka.n_kept, 0) AS INT) AS n_removed " +
       "FROM t LEFT JOIN ka USING (doc_id)"
+
+  /** Shared MERGE oracle — q188 (batch apply) and q189 (streaming fold)
+    * must produce the identical snapshot (disjoint change ids make the
+    * fold equal the one-shot apply), so they share one SQL definition
+    * and cannot drift. */
+  private def mergeApplySql: String =
+    "SELECT doc_id, lang, n_chars FROM (" +
+      "SELECT doc_id, lang, CASE WHEN doc_id % 7 = 0 " +
+      "THEN n_chars + 1000 ELSE n_chars END AS n_chars " +
+      "FROM documents WHERE doc_id % 13 <> 5 " +
+      "UNION ALL SELECT doc_id + 50000, 'xx', 7 FROM documents " +
+      "WHERE doc_id % 11 = 0)"
 
   /** Shared decontamination oracle — q46 and its Bloom-prefiltered twin
     * q55 must emit identical rows (Bloom filters have no false negatives;

@@ -367,6 +367,59 @@ object ScoringStream {
         .agg(sum("__c").as("c")),
       "event_type", "c", k)
 
+  /** Streaming MERGE / CDC ingestion — a live change feed (id, op,
+    * payload) folded into an evolving snapshot: each microbatch applies
+    * [[graft.operators.Merge.applyChanges]] against the CURRENT
+    * generation and writes the next as `workDir/gen_<batchId>` — a
+    * poor-man's time travel: every generation stays readable until
+    * compaction. Restart-safe: a replayed batch rewrites ITS OWN
+    * generation (same id → same path, overwrite mode), so at-least-once
+    * redelivery converges to the same chain ([[readLatestSnapshot]]
+    * trusts only `_SUCCESS`-complete generations).
+    *
+    * Exactness (the q152 stateless-twin argument, lifted one level):
+    * change ids are disjoint across a well-formed feed (one change per
+    * id), and fold of disjoint-id batches equals the one-shot batch
+    * apply — so the drained final snapshot EQUALS
+    * `Merge.applyChanges(base, allChanges)` whatever the microbatch
+    * boundaries. */
+  def mergeStream(changes: DataFrame, basePath: String, workDir: String,
+                  idCol: String, checkpoint: String): Unit = {
+    val q = changes.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val cur = latestSnapshotPath(workDir, belowGen = id)
+          .getOrElse(basePath)
+        graft.operators.Merge
+          .applyChanges(spark.read.parquet(cur), batch, idCol)
+          .write.mode("overwrite").parquet(s"$workDir/gen_$id")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Highest `_SUCCESS`-complete generation under `workDir` strictly
+    * below `belowGen` (pass Long.MaxValue for "latest"). */
+  private def latestSnapshotPath(workDir: String,
+                                 belowGen: Long): Option[String] = {
+    val gens = Option(new java.io.File(workDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("gen_") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("gen_").toLong)
+      .filter(_ < belowGen)
+    if (gens.isEmpty) None else Some(s"$workDir/gen_${gens.max}")
+  }
+
+  /** The current snapshot after [[mergeStream]] drained. */
+  def readLatestSnapshot(spark: SparkSession, workDir: String,
+                         basePath: String): DataFrame =
+    spark.read.parquet(
+      latestSnapshotPath(workDir, Long.MaxValue).getOrElse(basePath))
+
   /** Production file sink: append the streaming frame to a parquet
     * directory with exactly-once checkpointing, draining everything
     * currently available (AvailableNow) before returning. Restarting with
