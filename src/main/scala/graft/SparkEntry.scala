@@ -2829,6 +2829,21 @@ object SparkEntry {
         "doc_id")
     }),
 
+    // §2 row 192: small-file compaction — a deliberately fragmented
+    // 64-file write compacted to byte-targeted file counts; layout
+    // changes, content never does (EXACT oracle = source projection);
+    // SourcesSpec pins the file-count reduction.
+    "q190_compaction" -> ((s, dir) => {
+      val src = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+      val base = stagingDir("graft_compact_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + ProcessHandle.current().pid())
+      src.repartition(64).write.mode("overwrite").parquet(s"$base/frag")
+      Tables.compact(s, s"$base/frag", s"$base/opt",
+        targetFileBytes = 64L << 20)
+      s.read.parquet(s"$base/opt")
+    }),
+
     // §2 row 191: STREAMING merge — the q188 change feed arriving as
     // microbatches, folded into evolving snapshot generations
     // (gen_<batchId>, restart-idempotent); disjoint change ids make the
@@ -5313,6 +5328,10 @@ object SparkEntry {
     // ids ⇒ fold == one-shot apply).
     "q188_merge_apply" -> mergeApplySql,
     "q189_merge_stream" -> mergeApplySql,
+
+    // Compaction is layout-only.
+    "q190_compaction" ->
+      "SELECT doc_id, source, n_chars FROM documents",
 
     // The kept-lang inner join is semantically the IN filter.
     "q187_dpp_join" ->

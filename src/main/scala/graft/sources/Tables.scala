@@ -169,6 +169,33 @@ object Tables {
     df.write.mode("overwrite").partitionBy(keys: _*).parquet(path)
   }
 
+  /** Small-file compaction — the OPTIMIZE pass every long-lived corpus
+    * needs: streaming sinks, CDC generations and per-partition writers
+    * leave thousands of tiny files, and at 100 TB the per-file open/
+    * footer/list overhead (plus driver memory for the file index)
+    * dominates scan cost long before data volume does. Rewrites `inPath`
+    * to `outPath` with ⌈bytes / targetFileBytes⌉ output files (at least
+    * one), content-identical — layout changes, rows never do. The file
+    * count derives from the ACTUAL byte size on disk, not a guess; pair
+    * with [[writeRangeLayout]] when the compacted table should also
+    * prune. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long = 128L << 20): Unit = {
+    require(targetFileBytes >= (1L << 20),
+      s"targetFileBytes must be >= 1 MiB, got $targetFileBytes")
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles).getOrElse(Array.empty[java.io.File])
+          .map(sizeOf).sum
+      else f.length
+    val bytes = sizeOf(new java.io.File(inPath))
+    val nFiles = math.max(1L,
+      (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+  }
+
   /** Z-order clustered write: rows are laid out along a Morton
     * (bit-interleaved) curve over TWO keys, so each output file covers a
     * tight rectangle in (a, b) space and parquet min/max statistics prune

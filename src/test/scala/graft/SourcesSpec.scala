@@ -184,4 +184,19 @@ class SourcesSpec extends SparkSpec {
     assert(joined.count() ==
       docs.filter(col("lang").isin("en", "de")).count())
   }
+
+  test("compaction: file count collapses to the byte target, content " +
+    "is identical") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cpt").toString
+    val df = (0L until 2000L).map(i => (i, s"v$i")).toDF("id", "v")
+    df.repartition(32).write.mode("overwrite").parquet(s"$tmp/frag")
+    def parts(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts(s"$tmp/frag") == 32)
+    graft.sources.Tables.compact(spark, s"$tmp/frag", s"$tmp/opt")
+    assert(parts(s"$tmp/opt") == 1, s"got ${parts(s"$tmp/opt")} files")
+    assert(spark.read.parquet(s"$tmp/opt").as[(Long, String)].collect().toSet
+      == df.as[(Long, String)].collect().toSet)
+  }
 }
