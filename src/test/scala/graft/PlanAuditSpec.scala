@@ -126,9 +126,13 @@ class PlanAuditSpec extends SparkSpec {
                             // the vocab frame (the q104/q112 precedent);
                             // scoring join is a hash join on token, top-k
                             // rides the map-side-capped aggregator
-      "q185_skew_report"    // two single-row broadcast attaches (median,
+      "q185_skew_report",   // two single-row broadcast attaches (median,
                             // total — the q112 precedent) onto the ≤ topK
                             // heavy-key frame from the capped aggregator
+      "q180_margin_pairs"   // both mining directions ARE q20's exempt
+                            // brute-force baseline (queries broadcast,
+                            // corpus scanned once); the margin attach
+                            // itself is a broadcast hash join
     )
     val heavy = Set("q13_tf_topterms", "q14_svm_predict", "q15_stream_agg")
     SparkEntry.queries.keys
