@@ -2829,6 +2829,14 @@ object SparkEntry {
         "doc_id")
     }),
 
+    // §2 row 193: cohort retention — users cohorted by first-seen epoch
+    // week, (cohort, offset) activity matrix; distinct (user, week)
+    // collapse first, co-partitioned join back, ≤ weeks² output rows.
+    // EXACT oracle (epoch-aligned integer weeks).
+    "q191_cohort_retention" -> ((s, dir) =>
+      graft.operators.Retention.cohortRetention(
+        Tables.events(s, dir), "user_id", "ts")),
+
     // §2 row 192: small-file compaction — a deliberately fragmented
     // 64-file write compacted to byte-targeted file counts; layout
     // changes, content never does (EXACT oracle = source projection);
@@ -5328,6 +5336,16 @@ object SparkEntry {
     // ids ⇒ fold == one-shot apply).
     "q188_merge_apply" -> mergeApplySql,
     "q189_merge_stream" -> mergeApplySql,
+
+    // Same epoch-week integer buckets, same distinct-first collapse.
+    "q191_cohort_retention" ->
+      ("WITH d AS (SELECT DISTINCT user_id, " +
+        "epoch_us(ts) // 604800000000 AS w FROM events " +
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+        "f AS (SELECT user_id, min(w) AS c FROM d GROUP BY user_id) " +
+        "SELECT c AS cohort_week, CAST(w - c AS BIGINT) AS week_offset, " +
+        "CAST(count(*) AS BIGINT) AS n_users " +
+        "FROM d JOIN f USING (user_id) GROUP BY 1, 2"),
 
     // Compaction is layout-only.
     "q190_compaction" ->

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cohort retention — the product-analytics staple over an event log:
+  * users are cohorted by their FIRST-seen epoch week, and the matrix
+  * (cohort_week, week_offset, n_users) counts how many of each cohort
+  * were active again k weeks later. Curation reads this too: a data
+  * source whose contributor cohorts stop returning is going stale.
+  *
+  * All integer: weeks are epoch-µs div 604 800 000 000 (epoch-aligned
+  * 7-day buckets — same alignment on any engine, no calendar/timezone
+  * logic to diverge on), offsets plain differences, counts exact.
+  *
+  * Scale shape: the event stream collapses FIRST to distinct
+  * (user, week) — a map-side-combined aggregate bounded by
+  * users × active-weeks, the only corpus-sized shuffle; first-seen weeks
+  * are an aggregate OF that frame; the join back is co-partitioned on
+  * user_id; the final matrix is ≤ weeks² rows. Null users are excluded
+  * (no identity, no cohort — the [[EpochShuffle]] null contract). */
+object Retention {
+
+  private val WeekUs = 604800000000L
+
+  /** (cohort_week, week_offset, n_users) from an event frame with a user
+    * id column and a timestamp column. */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val d = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        expr(s"unix_micros($tsCol) div $WeekUs").as("__w"))
+      .distinct()
+    val first = d.groupBy("__u").agg(min("__w").as("__c"))
+    d.join(first, "__u")
+      .select(col("__c").as("cohort_week"),
+        (col("__w") - col("__c")).as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+}
