@@ -2829,6 +2829,25 @@ object SparkEntry {
         "doc_id")
     }),
 
+    // §2 row 194: normalization-aware dedup — exact dedup over the
+    // canonical form lower(NFC(text)), the dedup production actually
+    // runs (case/normalization twins collapse where byte-exact dedup
+    // keeps both); planted upper-cased twins (+30000 ids) give ground
+    // truth. Partial-agg min_by keeps only the canonical-key hash in
+    // the shuffle. EXACT oracle.
+    "q192_normalized_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = docs.unionAll(docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          upper(col("text")).as("text")))
+      import s.implicits._
+      ExactDedup.keepFirstAgg(
+        corpus.withColumn("__k",
+          lower(NormalizeText(s, col("text"), "NFC"))),
+        Seq("__k"), "doc_id")
+        .select("doc_id")
+    }),
+
     // §2 row 193: cohort retention — users cohorted by first-seen epoch
     // week, (cohort, offset) activity matrix; distinct (user, week)
     // collapse first, co-partitioned join back, ≤ weeks² output rows.
@@ -5336,6 +5355,16 @@ object SparkEntry {
     // ids ⇒ fold == one-shot apply).
     "q188_merge_apply" -> mergeApplySql,
     "q189_merge_stream" -> mergeApplySql,
+
+    // Same canonical form (lower ∘ NFC — ASCII-stable on this corpus,
+    // and nfc_normalize matches the expression's NFC), same keep-min-id.
+    "q192_normalized_dedup" ->
+      ("WITH corpus AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 30000, upper(text) FROM documents " +
+        "WHERE doc_id % 9 = 0), " +
+        "k AS (SELECT doc_id, lower(nfc_normalize(text)) AS ck FROM corpus) " +
+        "SELECT doc_id FROM k " +
+        "QUALIFY row_number() OVER (PARTITION BY ck ORDER BY doc_id) = 1"),
 
     // Same epoch-week integer buckets, same distinct-first collapse.
     "q191_cohort_retention" ->
