@@ -13,7 +13,7 @@ import graft.search.{Bm25, Rrf}
 import graft.similarity.{Ann, Centroids, KnnLabel, SemanticScreen}
 import graft.sources.Tables
 import graft.streaming.{ScoringStream, Sessionize}
-import graft.textstats.{Boilerplate, Bpe, ClassTfIdf, Collocations, Drift, Dsir, Keywords, LmScore, Markup, Pii, Repetition, Scripts, TextStats, Urls, VocabCoverage}
+import graft.textstats.{Boilerplate, Bpe, C4Clean, ClassTfIdf, Collocations, Drift, Dsir, GopherRules, Keywords, LmScore, Markup, Pii, Repetition, Scripts, TextStats, Urls, VocabCoverage}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator ↔ query map. */
 object SparkEntry {
@@ -2848,6 +2848,67 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // §2 row 195: Gopher-style quality rule bundle — per-doc integer
+    // metrics + per-rule verdicts over a decorated corpus (symbol mash
+    // planted on %5 ids, stopword prefix on %3 ids) so every rule fires
+    // both ways. Pure per-row codegen, zero shuffles. EXACT oracle.
+    "q193_gopher_rules" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" ##$%@ 12345 &*()! #### 999 ((("))
+        ).when(col("doc_id") % 3 === 0,
+          concat(lit("the of it is "), col("text"))
+        ).otherwise(col("text")).as("text"))
+      GopherRules.audit(docs, "doc_id", "text")
+    }),
+
+    // §2 row 196: C4-style line cleaning — documents decorated into
+    // deterministic multi-line pages (lorem-ipsum filler on %3,
+    // javascript chrome on %4, an always-too-short line, a second
+    // sentence on %2, a terminal-punctuation-free tail); lines die by
+    // FORM in-row, docs below the kept-lines floor drop. EXACT oracle.
+    "q194_c4_clean" -> ((s, dir) => {
+      val page = concat_ws("\n",
+        concat(col("text"), lit(".")),
+        when(col("doc_id") % 3 === 0, lit("lorem ipsum dolor sit amet.")),
+        when(col("doc_id") % 4 === 0,
+          lit("please enable javascript to view this page.")),
+        lit("too short."),
+        when(col("doc_id") % 2 === 0,
+          lit("the pipeline produced a clean table today.")),
+        col("text"))
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        page.as("text"))
+      C4Clean.cleanLines(docs, "doc_id", "text")
+    }),
+
+    // §2 row 197: event-type transition matrix — per-user adjacent pairs
+    // in (ts, id) order, (from, to) counts + outgoing share in bp; the
+    // lead window partitions by user (state = one user's events). EXACT
+    // oracle.
+    "q195_transitions" -> ((s, dir) =>
+      graft.operators.Transitions.matrix(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type")),
+
+    // §2 row 198: last-touch conversion attribution — purchases credited
+    // to the latest preceding click within 1 h via the AsOfJoin union-tag
+    // machinery + a window post-filter; unattributed rows survive with
+    // NULL touch ids. EXACT oracle.
+    "q196_attribution" -> ((s, dir) =>
+      graft.operators.Attribution.lastTouch(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type",
+        convType = "purchase", touchType = "click",
+        windowUs = 3600000000L)),
+
+    // §2 row 199: recency-decayed activity score — per user, Σ cents ·
+    // (10⁶ >> age-in-days), the bucketed half-life decay that needs no
+    // float exp; "now" = corpus max ts (broadcast single-row attach).
+    // EXACT oracle.
+    "q197_decay_score" -> ((s, dir) =>
+      graft.operators.Decay.decayedScore(Tables.events(s, dir),
+        "user_id", "ts", "value")),
+
     // §2 row 193: cohort retention — users cohorted by first-seen epoch
     // week, (cohort, offset) activity matrix; distinct (user, week)
     // collapse first, co-partitioned join back, ≤ weeks² output rows.
@@ -5365,6 +5426,114 @@ object SparkEntry {
         "k AS (SELECT doc_id, lower(nfc_normalize(text)) AS ck FROM corpus) " +
         "SELECT doc_id FROM k " +
         "QUALIFY row_number() OVER (PARTITION BY ck ORDER BY doc_id) = 1"),
+
+    // Same decoration, same integer metric arithmetic (deci-chars / basis
+    // points / counts with one `//` each), same rule thresholds; flags as
+    // BIGINT 0/1 on both engines.
+    "q193_gopher_rules" -> {
+      val toks = "regexp_split_to_array(trim(text), '\\s+')"
+      val lowToks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+      "WITH src AS (SELECT doc_id, " +
+        "CASE WHEN doc_id % 5 = 0 THEN text || ' ##$%@ 12345 &*()! #### 999 (((' " +
+        "WHEN doc_id % 3 = 0 THEN 'the of it is ' || text " +
+        "ELSE text END AS text FROM documents), " +
+        s"m AS (SELECT doc_id, len($toks) AS n_words, " +
+        "length(regexp_replace(trim(text), '\\s+', '', 'g')) AS wchars, " +
+        "length(text) AS nchars, " +
+        s"length(text) - length(regexp_replace(text, '$P', '', 'g')) AS symbols, " +
+        s"len(list_filter($toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS alpha, " +
+        s"len(list_filter($lowToks, t -> list_contains($stopListSql, t))) AS stop_hits " +
+        "FROM src), " +
+        "d AS (SELECT doc_id, n_words, (10 * wchars) // n_words AS mwl_deci, " +
+        "CASE WHEN nchars = 0 THEN 0 ELSE (10000 * symbols) // nchars END AS symbol_bp, " +
+        "(10000 * alpha) // n_words AS alpha_bp, stop_hits FROM m) " +
+        "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, " +
+        "CAST(mwl_deci AS BIGINT) AS mwl_deci, " +
+        "CAST(symbol_bp AS BIGINT) AS symbol_bp, " +
+        "CAST(alpha_bp AS BIGINT) AS alpha_bp, " +
+        "CAST(stop_hits AS BIGINT) AS stop_hits, " +
+        "CAST(CASE WHEN n_words BETWEEN 40 AND 5000 THEN 1 ELSE 0 END AS BIGINT) AS r_words, " +
+        "CAST(CASE WHEN mwl_deci BETWEEN 30 AND 80 THEN 1 ELSE 0 END AS BIGINT) AS r_mwl, " +
+        "CAST(CASE WHEN symbol_bp <= 1000 THEN 1 ELSE 0 END AS BIGINT) AS r_symbol, " +
+        "CAST(CASE WHEN alpha_bp >= 8000 THEN 1 ELSE 0 END AS BIGINT) AS r_alpha, " +
+        "CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop, " +
+        "CAST(CASE WHEN n_words BETWEEN 40 AND 5000 AND mwl_deci BETWEEN 30 AND 80 " +
+        "AND symbol_bp <= 1000 AND alpha_bp >= 8000 AND stop_hits >= 2 " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS keep FROM d"
+    },
+
+    // Same page construction (concat_ws skips NULL branches on both
+    // engines), same per-line form predicates, same ordered rebuild.
+    "q194_c4_clean" ->
+      ("WITH pg AS (SELECT doc_id, concat_ws(chr(10), " +
+        "text || '.', " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'lorem ipsum dolor sit amet.' END, " +
+        "CASE WHEN doc_id % 4 = 0 THEN 'please enable javascript to view this page.' END, " +
+        "'too short.', " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'the pipeline produced a clean table today.' END, " +
+        "text) AS text FROM documents), " +
+        "k AS (SELECT doc_id, string_split(text, chr(10)) AS lines, " +
+        "list_filter(string_split(text, chr(10)), l -> " +
+        "regexp_matches(trim(l), '[.!?]\"?$') " +
+        "AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5 " +
+        "AND NOT contains(lower(l), 'lorem ipsum') " +
+        "AND NOT contains(lower(l), 'javascript') " +
+        "AND NOT contains(lower(l), '{')) AS kept FROM pg) " +
+        "SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, " +
+        "CAST(len(kept) AS BIGINT) AS n_kept, " +
+        "array_to_string(kept, chr(10)) AS cleaned " +
+        "FROM k WHERE len(kept) >= 2"),
+
+    // Same per-user (ts, id) total order for the successor, same integer
+    // share division.
+    "q195_transitions" ->
+      ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id " +
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL " +
+        "AND event_type IS NOT NULL), " +
+        "s AS (SELECT event_type AS from_type, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) " +
+        "AS to_type FROM e), " +
+        "c AS (SELECT from_type, to_type, count(*) AS n FROM s " +
+        "WHERE to_type IS NOT NULL GROUP BY 1, 2), " +
+        "f AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1) " +
+        "SELECT from_type, to_type, CAST(n AS BIGINT) AS n, " +
+        "CAST((10000 * n) // tot AS BIGINT) AS out_bp " +
+        "FROM c JOIN f USING (from_type)"),
+
+    // Latest preceding same-user click (max-id per µs tie rule, inclusive
+    // at the conversion's µs), the same 1 h lookback NULL-out.
+    "q196_attribution" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t " +
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+        "c0 AS (SELECT user_id, t AS ct, max(event_id) AS touch_id FROM e " +
+        "WHERE event_type = 'click' GROUP BY 1, 2), " +
+        "p AS (SELECT event_id, user_id, t FROM e " +
+        "WHERE event_type = 'purchase'), " +
+        "j AS (SELECT p.event_id, p.user_id, p.t, c0.touch_id, c0.ct, " +
+        "row_number() OVER (PARTITION BY p.event_id ORDER BY c0.ct DESC) " +
+        "AS rk FROM p LEFT JOIN c0 " +
+        "ON p.user_id = c0.user_id AND c0.ct <= p.t) " +
+        "SELECT event_id AS conversion_id, user_id, t AS t_us, " +
+        "CASE WHEN ct IS NOT NULL AND t - ct <= 3600000000 " +
+        "THEN touch_id END AS touch_id, " +
+        "CASE WHEN ct IS NOT NULL AND t - ct <= 3600000000 " +
+        "THEN t - ct END AS age_us, " +
+        "CAST(CASE WHEN ct IS NOT NULL AND t - ct <= 3600000000 " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS attributed " +
+        "FROM j WHERE rk = 1"),
+
+    // Same HALF_UP cents, same integer day buckets and weight shifts.
+    "q197_decay_score" ->
+      ("WITH e AS (SELECT user_id AS key, epoch_us(ts) AS t, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events " +
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL " +
+        "AND value IS NOT NULL), " +
+        "nw AS (SELECT max(t) AS now FROM e), " +
+        "w AS (SELECT key, cents, " +
+        "least((now - t) // 86400000000, 62) AS b FROM e, nw) " +
+        "SELECT key, CAST(count(*) AS BIGINT) AS n_events, " +
+        "CAST(sum(cents * (1000000 >> CAST(b AS INT))) AS BIGINT) " +
+        "AS decayed_uc FROM w GROUP BY key"),
 
     // Same epoch-week integer buckets, same distinct-first collapse.
     "q191_cohort_retention" ->

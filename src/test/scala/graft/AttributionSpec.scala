@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Attribution
+
+class AttributionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600000000L // 1 h in µs
+
+  private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+
+  private def run(rows: Seq[(Long, Long, String, Long)],
+                  windowUs: Long = H) =
+    Attribution.lastTouch(
+      rows.map { case (id, u, ty, t) => (id, u, ty, ts(t)) }
+        .toDF("event_id", "user_id", "event_type", "ts"),
+      "user_id", "ts", "event_id", "event_type",
+      "purchase", "click", windowUs)
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        r.getLong(5))).toMap
+
+  test("latest in-window click wins; out-of-window and missing stay null") {
+    val got = run(Seq(
+      (1L, 1L, "click", 1000000L),
+      (2L, 1L, "click", 5000000L),          // latest preceding
+      (3L, 1L, "purchase", 6000000L),       // attributed to 2
+      (4L, 2L, "click", 0L),
+      (5L, 2L, "purchase", 2L * H),         // click too old: unattributed
+      (6L, 3L, "purchase", 1000000L)))      // no click at all
+    assert(got(3L) == (Some(2L), Some(1000000L), 1L), got.toString)
+    assert(got(5L) == (None, None, 0L))
+    assert(got(6L) == (None, None, 0L))
+  }
+
+  test("a click at the purchase's exact microsecond matches (inclusive)") {
+    val got = run(Seq(
+      (1L, 1L, "click", 5000000L),
+      (2L, 1L, "purchase", 5000000L)))
+    assert(got(2L) == (Some(1L), Some(0L), 1L), got.toString)
+  }
+
+  test("same-µs clicks dedup to the max event id (deterministic pick)") {
+    val got = run(Seq(
+      (1L, 1L, "click", 5000000L),
+      (7L, 1L, "click", 5000000L),
+      (9L, 1L, "purchase", 6000000L)))
+    assert(got(9L)._1 == Some(7L), got.toString)
+  }
+
+  test("clicks of another user never attribute") {
+    val got = run(Seq(
+      (1L, 2L, "click", 5000000L),
+      (2L, 1L, "purchase", 6000000L)))
+    assert(got(2L) == (None, None, 0L), got.toString)
+  }
+
+  test("plan: union-tag as-of machinery, no per-user theta join") {
+    val df = Attribution.lastTouch(
+      Seq((1L, 1L, "click", ts(0L)), (2L, 1L, "purchase", ts(1000L)))
+        .toDF("event_id", "user_id", "event_type", "ts"),
+      "user_id", "ts", "event_id", "event_type", "purchase", "click", H)
+    assertNoCartesian(df)
+  }
+}

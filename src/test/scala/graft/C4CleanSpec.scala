@@ -1,0 +1,57 @@
+package graft
+
+import graft.textstats.C4Clean
+
+class C4CleanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clean(docs: Seq[(Long, String)], minWords: Int = 5,
+                    minKept: Int = 2) =
+    C4Clean.cleanLines(docs.toDF("doc_id", "text"), "doc_id", "text",
+      minWords, minKept)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+
+  test("line predicates: terminal punctuation, min words, blocklist") {
+    val page = Seq(
+      "this fine sentence has enough words here.", // kept
+      "no terminal punctuation on this long line", // dropped: no [.!?]
+      "too short.",                                // dropped: < 5 words
+      "lorem ipsum dolor sit amet today.",         // dropped: blocklist
+      "please enable JavaScript to view this.",    // dropped: case-folded block
+      "code leaks like { this } into crawls.",     // dropped: brace
+      "does this question line survive the gate?", // kept: '?' terminal
+      "she said \"it ends with a quote.\""         // kept: quote after period
+    ).mkString("\n")
+    val got = clean(Seq((1L, page)))
+    assert(got(1L)._1 == 8L)
+    assert(got(1L)._2 == 3L)
+    assert(got(1L)._3 ==
+      Seq("this fine sentence has enough words here.",
+        "does this question line survive the gate?",
+        "she said \"it ends with a quote.\"").mkString("\n"))
+  }
+
+  test("document gate: fewer than minKeptLines surviving lines drops the doc") {
+    val got = clean(Seq(
+      (1L, "only one good sentence survives in here.\njunk line"),
+      (2L, "first good sentence right here for you.\nsecond good sentence also counts fine.")))
+    assert(!got.contains(1L))
+    assert(got(2L)._2 == 2L)
+  }
+
+  test("order of kept lines is the original document order") {
+    val page = Seq(
+      "zebra comes first in this document order.",
+      "apple comes second in this document order.").mkString("\n")
+    val got = clean(Seq((1L, page)))
+    assert(got(1L)._3.startsWith("zebra"))
+  }
+
+  test("zero shuffles: split/filter/join run in-row") {
+    val df = C4Clean.cleanLines(
+      Seq((1L, "a.\nb.")).toDF("doc_id", "text"), "doc_id", "text", 1, 1)
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      df.queryExecution.executedPlan.toString)
+  }
+}

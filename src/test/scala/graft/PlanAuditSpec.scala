@@ -129,6 +129,10 @@ class PlanAuditSpec extends SparkSpec {
       "q185_skew_report",   // two single-row broadcast attaches (median,
                             // total — the q112 precedent) onto the ≤ topK
                             // heavy-key frame from the capped aggregator
+      "q197_decay_score",   // single-row broadcast "now" (corpus max ts)
+                            // attach (the q112 stats-attach precedent);
+                            // the scoring itself is one map-side-combined
+                            // groupBy on the key
       "q180_margin_pairs"   // both mining directions ARE q20's exempt
                             // brute-force baseline (queries broadcast,
                             // corpus scanned once); the margin attach

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Transitions
+
+class TransitionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+
+  private def run(rows: Seq[(Long, Long, String, Long)]) =
+    Transitions.matrix(
+      rows.map { case (id, u, ty, t) => (id, u, ty, ts(t)) }
+        .toDF("event_id", "user_id", "event_type", "ts"),
+      "user_id", "ts", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+
+  test("hand-built journeys: counts and outgoing shares") {
+    // user 1: a -> b -> a -> c   user 2: a -> b
+    val got = run(Seq(
+      (1L, 1L, "a", 1000000L), (2L, 1L, "b", 2000000L),
+      (3L, 1L, "a", 3000000L), (4L, 1L, "c", 4000000L),
+      (5L, 2L, "a", 1000000L), (6L, 2L, "b", 2000000L)))
+    // from a: a->b twice, a->c once; from b: b->a once
+    assert(got == Map(
+      ("a", "b") -> (2L, 6666L),
+      ("a", "c") -> (1L, 3333L),
+      ("b", "a") -> (1L, 10000L)), got.toString)
+  }
+
+  test("timestamp ties break on event_id; users never cross") {
+    val got = run(Seq(
+      (1L, 1L, "a", 1000000L), (2L, 1L, "b", 1000000L), // tie: id order
+      (9L, 2L, "c", 500000L))) // lone event of another user: no pair
+    assert(got == Map(("a", "b") -> (1L, 10000L)), got.toString)
+  }
+
+  test("null user/type/ts rows are excluded") {
+    val df = Seq(
+      (1L, Some(1L), Some("a"), Some(ts(1000000L))),
+      (2L, Some(1L), Some("b"), Some(ts(2000000L))),
+      (3L, None: Option[Long], Some("c"), Some(ts(3000000L))),
+      (4L, Some(1L), None: Option[String], Some(ts(4000000L))),
+      (5L, Some(1L), Some("d"), None: Option[java.sql.Timestamp]))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = Transitions.matrix(df, "user_id", "ts", "event_id",
+      "event_type").collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "b")), got.mkString(","))
+  }
+
+  test("the window partitions by user (no global sort of the stream)") {
+    val df = Transitions.matrix(
+      Seq((1L, 1L, "a", ts(0L))).toDF("event_id", "user_id", "event_type", "ts"),
+      "user_id", "ts", "event_id", "event_type")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(__u"), p)
+    assertNoCartesian(df)
+  }
+}
