@@ -2883,6 +2883,29 @@ object SparkEntry {
       C4Clean.cleanLines(docs, "doc_id", "text")
     }),
 
+    // §2 row 200: gram-novelty attribution — per doc, the share of its
+    // distinct 8-gram hashes first introduced by it (min-id convention);
+    // the q84 diamond with min(id) instead of doc frequency. EXACT
+    // oracle in gram-string space.
+    "q198_novelty" -> ((s, dir) =>
+      Decontaminate.noveltyAttribution(
+        Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
+    // §2 row 201: intra-class embedding dispersion — the centroid-trick
+    // mean pairwise dot per label ((‖S‖²−T)/(n(n−1)) in µ² units, decimal
+    // for ‖S‖²) against the mean self dot; the representation-collapse
+    // detector. EXACT oracle.
+    "q199_dispersion" -> ((s, dir) =>
+      Centroids.dispersion(Tables.embeddings(s, dir), "label", "embedding")),
+
+    // §2 row 202: per-user value trend — exact least-squares slope over
+    // hourly buckets from one sufficient-statistics aggregate, decimal
+    // products, integral div with sign-split oracle. EXACT oracle.
+    "q200_trend" -> ((s, dir) =>
+      graft.operators.Trend.groupTrend(Tables.events(s, dir),
+        "user_id", "ts", "value")),
+
     // §2 row 197: event-type transition matrix — per-user adjacent pairs
     // in (ts, id) order, (from, to) counts + outgoing share in bp; the
     // lead window partitions by user (state = one user's events). EXACT
@@ -5483,6 +5506,66 @@ object SparkEntry {
         "CAST(len(kept) AS BIGINT) AS n_kept, " +
         "array_to_string(kept, chr(10)) AS cleaned " +
         "FROM k WHERE len(kept) >= 2"),
+
+    // The q84 gram-string CTEs with min(doc_id) as the first-introducer
+    // rule instead of doc frequency.
+    "q198_novelty" -> {
+      val g8 = (1 to 8).map(j => s"toks[i+${j - 1}]").mkString(" || ' ' || ")
+      s"WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents), " +
+        "g0 AS (SELECT doc_id, CASE WHEN len(toks) >= 8 " +
+        s"THEN list_transform(generate_series(1, len(toks) - 7), i -> $g8) " +
+        "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), " +
+        "cg AS (SELECT DISTINCT doc_id, gram FROM " +
+        "(SELECT doc_id, unnest(grams) AS gram FROM g0)), " +
+        "f AS (SELECT gram, min(doc_id) AS fid FROM cg GROUP BY gram) " +
+        "SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_grams, " +
+        "CAST(sum(CASE WHEN fid = cg.doc_id THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_novel, " +
+        "CAST((sum(CASE WHEN fid = cg.doc_id THEN 1 ELSE 0 END) * 10000) " +
+        "// count(*) AS BIGINT) AS novelty_bp " +
+        "FROM cg JOIN f USING (gram) GROUP BY cg.doc_id"
+    },
+
+    // Same row-level micro floors; ‖S‖² − T can be negative, so the
+    // truncating `div` is mirrored with a sign split over `//`.
+    "q199_dispersion" ->
+      ("WITH x AS (SELECT label, list_transform(embedding, " +
+        "e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS xu " +
+        "FROM embeddings), " +
+        "r AS (SELECT label, list_sum(list_transform(xu, v -> v * v)) " +
+        "AS self FROM x), " +
+        "t AS (SELECT label, count(*) AS n, sum(self) AS t FROM r " +
+        "GROUP BY label), " +
+        "s AS (SELECT label, pos, sum(x_uu) AS sd FROM " +
+        "(SELECT label, unnest(generate_series(0, len(embedding) - 1)) AS pos, " +
+        "unnest(list_transform(embedding, " +
+        "e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT))) AS x_uu " +
+        "FROM embeddings) GROUP BY 1, 2), " +
+        "s2 AS (SELECT label, sum(sd * sd) AS s2 FROM s GROUP BY label) " +
+        "SELECT t.label, CAST(n AS BIGINT) AS n, " +
+        "CAST(t // n AS BIGINT) AS mean_self_uu2, " +
+        "CAST(CASE WHEN n >= 2 THEN " +
+        "CASE WHEN s2 - t < 0 THEN -((t - s2) // (n * (n - 1))) " +
+        "ELSE (s2 - t) // (n * (n - 1)) END END AS BIGINT) AS mean_pair_uu2 " +
+        "FROM t JOIN s2 USING (label)"),
+
+    // Same sufficient statistics, HUGEINT products, sign-split trunc div;
+    // the denominator is ≥ 0 by Cauchy-Schwarz so only the numerator
+    // sign splits.
+    "q200_trend" ->
+      ("WITH e AS (SELECT user_id AS key, " +
+        "epoch_us(ts) // 3600000000 AS x, " +
+        "CAST(round(value * 100) AS BIGINT) AS y FROM events " +
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL " +
+        "AND value IS NOT NULL), " +
+        "g AS (SELECT key, count(*) AS n, sum(x) AS sx, sum(y) AS sy, " +
+        "sum(x * y) AS sxy, sum(x * x) AS sxx FROM e GROUP BY key), " +
+        "d AS (SELECT key, n, 1000000 * (n * sxy - sx * sy) AS num, " +
+        "n * sxx - sx * sx AS den FROM g) " +
+        "SELECT key, CAST(n AS BIGINT) AS n_events, " +
+        "CAST(CASE WHEN den <> 0 THEN " +
+        "CASE WHEN num < 0 THEN -((-num) // den) ELSE num // den END " +
+        "END AS BIGINT) AS slope_uc FROM d"),
 
     // Same per-user (ts, id) total order for the successor, same integer
     // share division.

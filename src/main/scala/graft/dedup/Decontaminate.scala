@@ -152,4 +152,37 @@ object Decontaminate {
         sum(when(col("__dfd") >= 2, 1L).otherwise(0L)).as("n_dup"))
       .withColumn("dup_bp", expr("n_dup * 10000L div n_grams"))
   }
+
+  /** Gram-novelty attribution — the per-document CONTRIBUTION measure the
+    * span report above inverts: for each doc, the share of its distinct
+    * n-gram hashes first INTRODUCED by it corpus-wide (first = min doc id
+    * over the gram — the arrival-order convention of every keep-first
+    * dedup in this library). The corpus-freshness read behind "is this
+    * source still adding anything" mixture decisions and crawl-frontier
+    * prioritization: a slice whose new documents carry near-zero novel
+    * grams is re-crawling what the corpus already holds.
+    *
+    * Every doc with ≥ 1 gram appears; an exact copy of an earlier doc
+    * scores 0 bp, the earliest doc of any duplicate family 10000 bp on
+    * the shared grams it introduced.
+    *
+    * Scale shape: the q84 diamond verbatim — one (gram-hash, id) explode
+    * persisted, a map-side-combined min(id) per gram bounded by distinct
+    * grams, and a co-partitioned join back; text never shuffles, only
+    * (long, long) pairs. Same hash≈gram identification caveat as q16/q84,
+    * same oracle answer: the referee replays gram STRINGS. */
+  def noveltyAttribution(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 8): DataFrame = {
+    // cache contract: as duplicateSpans above.
+    val grams = MinHashDedup.shingleSets(docs, idCol, textCol, n)
+      .select(col("id"), explode(col("sh")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firsts = grams.groupBy("g").agg(min(col("id")).as("__first"))
+    grams.join(firsts, "g")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_bp", expr("n_novel * 10000L div n_grams"))
+  }
 }

@@ -114,4 +114,46 @@ object Centroids {
         sum("x_u").as("sum_u"))
       .withColumn("dead",
         when(col("min_u") === col("max_u"), 1L).otherwise(0L))
+
+  /** Intra-class embedding dispersion via the CENTROID TRICK — the
+    * collapse detector for encoder output: mean pairwise dot product
+    * among a class's vectors without ever forming a pair, from
+    * Σ_pairs v_i·v_j = (‖Σv‖² − Σ‖v‖²)/2, i.e.
+    * mean_pair = (‖S‖² − T) / (n(n−1)) with S the component-sum vector
+    * and T the summed self-dots. A class whose mean pairwise dot
+    * approaches its mean self dot has collapsed to (near-)identical
+    * embeddings — representation collapse that silently breaks every
+    * cosine op downstream; a healthy class sits far below.
+    *
+    * Exactness: components floor to micro-units at the row (the
+    * [[labelSums]] rule), so T is an exact int64 sum of per-row int64
+    * self-dots and S_d are exact int64; ‖S‖² is computed in
+    * decimal(38,0) because S_d² can exceed int64 at ~10³ vectors/class.
+    * The one division is an integral `div` (truncation toward zero —
+    * the oracle mirrors it with a sign-split, since ‖S‖² − T can be
+    * negative for anti-correlated classes). Units: µ² (10⁻¹²).
+    *
+    * Scale shape: one per-row self-dot aggregate + the [[labelSums]]
+    * (label, pos) partial aggregate + a label-bounded join — shuffles
+    * carry labels×dim longs, never vectors. n = 1 classes report NULL
+    * mean_pair (no pairs exist). */
+  def dispersion(emb: DataFrame, labelCol: String, vecCol: String)
+      : DataFrame = {
+    val xu = transform(col(vecCol),
+      x => floor(x.cast("double") * 1000000d).cast("long"))
+    val perRow = emb.select(col(labelCol).as("label"),
+      aggregate(xu, lit(0L), (acc, v) => acc + v * v).as("__self"))
+    val selfT = perRow.groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("__self").as("__t"))
+    val s2 = labelSums(emb, labelCol, vecCol)
+      .groupBy("label")
+      .agg(sum(col("sum_uu").cast("decimal(38,0)") *
+        col("sum_uu").cast("decimal(38,0)")).as("__s2"))
+    selfT.join(s2, "label")
+      .withColumn("mean_self_uu2", expr("__t div n"))
+      .withColumn("mean_pair_uu2",
+        when(col("n") >= 2,
+          expr("(__s2 - __t) div (n * (n - 1))")).cast("long"))
+      .select("label", "n", "mean_self_uu2", "mean_pair_uu2")
+  }
 }

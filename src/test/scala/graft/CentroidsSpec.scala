@@ -108,4 +108,48 @@ class CentroidsSpec extends SparkSpec {
     assert(got(2L) == ((3L, 3L, 0L, 0L, 0L, 1L)))
     assert(collect(emb.repartition(5)) == got)
   }
+
+  test("dispersion: collapsed class has mean_pair == mean_self; " +
+    "orthogonal class has mean_pair 0") {
+    val emb = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(1.0f, 0.0f)), (0, Seq(1.0f, 0.0f)),
+      (1, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f)))
+      .toDF("label", "embedding")
+    val got = Centroids.dispersion(emb, "label", "embedding")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toMap
+    // class 0: all identical unit vectors -> self = pair = 1e12
+    assert(got(0) == ((3L, 1000000000000L, Some(1000000000000L))),
+      got.toString)
+    // class 1: orthogonal -> pair dot 0
+    assert(got(1) == ((2L, 1000000000000L, Some(0L))))
+  }
+
+  test("dispersion: anti-correlated class goes negative; " +
+    "singleton class reports NULL mean_pair") {
+    val emb = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(-1.0f, 0.0f)),
+      (1, Seq(0.5f, 0.5f)))
+      .toDF("label", "embedding")
+    val got = Centroids.dispersion(emb, "label", "embedding")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toMap
+    // (+1e6, -1e6): S = 0, T = 2e12 -> pair = -2e12 / 2 = -1e12
+    assert(got(0) == ((2L, 1000000000000L, Some(-1000000000000L))),
+      got.toString)
+    assert(got(1)._3.isEmpty)
+  }
+
+  test("dispersion is partitioning-invariant (exact integer math)") {
+    val emb = (1 to 40).map(i =>
+      (i % 3, Seq(i * 0.01f, 1.0f - i * 0.02f, (i % 7) * 0.1f)))
+      .toDF("label", "embedding")
+    def run(p: Int) = Centroids.dispersion(emb.repartition(p),
+      "label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)))).toSet
+    assert(run(1) == run(7))
+  }
 }

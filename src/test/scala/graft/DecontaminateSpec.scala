@@ -123,4 +123,41 @@ class DecontaminateSpec extends SparkSpec {
       "doc_id", "text").as[(Long, Long, Long, Long)].collect().toSet
     assert(run(1) == run(13))
   }
+
+  test("noveltyAttribution: first introducer scores its shared grams, " +
+    "an exact later copy scores zero") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"), // 2 grams
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"), // copy
+      (3L, "p q r s t u v w x"))                                  // unique
+      .toDF("doc_id", "text")
+    val got = Decontaminate.noveltyAttribution(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 2L, 10000L)), got.toString)
+    assert(got(2L) == ((2L, 0L, 0L)))
+    assert(got(3L) == ((2L, 2L, 10000L)))
+  }
+
+  test("noveltyAttribution: partial overlap counts only the novel grams") {
+    val shared = "a b c d e f g h" // one 8-gram introduced by doc 1
+    val docs = Seq(
+      (1L, s"$shared one two three"), // 4 grams, all novel (min id)
+      (2L, s"zero $shared"))          // 2 grams: one shared (doc 1's), one new
+      .toDF("doc_id", "text")
+    val got = Decontaminate.noveltyAttribution(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((4L, 4L, 10000L)), got.toString)
+    assert(got(2L) == ((2L, 1L, 5000L)))
+  }
+
+  test("noveltyAttribution is partitioning-invariant") {
+    val docs = (1 to 60).map(i =>
+      (i.toLong, s"common prefix words here for all docs tail${i % 7} " +
+        s"extra pad${i % 3} filler")).toDF("doc_id", "text")
+    def run(p: Int) = Decontaminate.noveltyAttribution(docs.repartition(p),
+      "doc_id", "text").as[(Long, Long, Long, Long)].collect().toSet
+    assert(run(1) == run(13))
+  }
 }
