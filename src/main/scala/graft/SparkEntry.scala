@@ -2883,6 +2883,36 @@ object SparkEntry {
       C4Clean.cleanLines(docs, "doc_id", "text")
     }),
 
+    // §2 row 203: semi-structured JSON parsing with an EXPLICIT schema —
+    // from_json over the events props column (no inference scan, NULL on
+    // malformed), then a per-key rollup proving the parsed field drives
+    // ordinary relational work. EXACT oracle (DuckDB json extraction).
+    "q201_json_props" -> ((s, dir) => {
+      val parsed = graft.operators.Semistructured.extractJson(
+        Tables.events(s, dir), "props", "k INT")
+      parsed.filter(col("k").isNotNull)
+        .groupBy(col("k").cast("long").as("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(value * 100) as bigint)")).as("cents"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // §2 row 204: CUBE grouping sets — detail + both subtotals + grand
+    // total in one Expand + hash aggregate, grouping_id disambiguating
+    // subtotal rows from genuine NULLs. EXACT oracle.
+    "q202_cube_report" -> ((s, dir) =>
+      Relational.cubeStats(Tables.documents(s, dir),
+        "lang", "source", "n_chars")),
+
+    // §2 row 205: mean-shift changepoint over per-type hourly rates —
+    // the CUSUM-type split score |n·S_b − b·S_n| maximized per group
+    // over the gap-filled series; windows partition per type over the
+    // timespan-bounded frame. EXACT oracle.
+    "q203_changepoint" -> ((s, dir) =>
+      graft.operators.Changepoint.meanShift(Tables.events(s, dir),
+        "event_type", "ts")
+        .withColumnRenamed("grp", "event_type")),
+
     // §2 row 200: gram-novelty attribution — per doc, the share of its
     // distinct 8-gram hashes first introduced by it (min-id convention);
     // the q84 diamond with min(id) instead of doc frequency. EXACT
@@ -5506,6 +5536,51 @@ object SparkEntry {
         "CAST(len(kept) AS BIGINT) AS n_kept, " +
         "array_to_string(kept, chr(10)) AS cleaned " +
         "FROM k WHERE len(kept) >= 2"),
+
+    // DuckDB's independent JSON parser as the referee; NULL-key rows
+    // excluded on both sides, count(DISTINCT) skips null users on both.
+    "q201_json_props" ->
+      ("SELECT CAST(props->>'k' AS BIGINT) AS k, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM events WHERE props->>'k' IS NOT NULL GROUP BY 1"),
+
+    // Same grouping-set lattice; GROUPING(lang, source) carries the same
+    // bit convention as Spark's grouping_id (first argument = high bit).
+    "q202_cube_report" ->
+      ("SELECT lang, source, " +
+        "CAST(GROUPING(lang, source) AS BIGINT) AS gid, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(n_chars) AS BIGINT) AS v_sum " +
+        "FROM documents GROUP BY CUBE(lang, source)"),
+
+    // Same gap-filled series, same prefix-sum split score and
+    // (score DESC, h ASC) winner; all divisions over non-negative counts.
+    "q203_changepoint" ->
+      ("WITH c AS (SELECT event_type AS grp, " +
+        "epoch_us(ts) // 3600000000 AS h, count(*) AS cnt FROM events " +
+        "WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2), " +
+        "sp AS (SELECT grp, min(h) AS h0, max(h) AS h1 FROM c GROUP BY grp), " +
+        "hrs AS (SELECT grp, unnest(generate_series(h0, h1)) AS h FROM sp), " +
+        "se AS (SELECT hrs.grp, hrs.h, coalesce(cnt, 0) AS cnt FROM hrs " +
+        "LEFT JOIN c ON hrs.grp = c.grp AND hrs.h = c.h), " +
+        "pre AS (SELECT grp, h, " +
+        "sum(cnt) OVER (PARTITION BY grp ORDER BY h " +
+        "ROWS UNBOUNDED PRECEDING) AS sb, " +
+        "count(*) OVER (PARTITION BY grp ORDER BY h " +
+        "ROWS UNBOUNDED PRECEDING) AS b, " +
+        "sum(cnt) OVER (PARTITION BY grp) AS sn, " +
+        "count(*) OVER (PARTITION BY grp) AS n FROM se), " +
+        "sc AS (SELECT grp, h, n, b, sb, sn, " +
+        "abs(n * sb - b * sn) AS score FROM pre WHERE b < n), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY grp " +
+        "ORDER BY score DESC, h ASC) AS rk FROM sc) " +
+        "SELECT grp AS event_type, CAST(n AS BIGINT) AS n_buckets, " +
+        "CAST(h AS BIGINT) AS cp_hour, CAST(score AS BIGINT) AS score, " +
+        "CAST((1000 * sb) // b AS BIGINT) AS mean_before_m, " +
+        "CAST((1000 * (sn - sb)) // (n - b) AS BIGINT) AS mean_after_m " +
+        "FROM r WHERE rk = 1"),
 
     // The q84 gram-string CTEs with min(doc_id) as the first-introducer
     // rule instead of doc frequency.

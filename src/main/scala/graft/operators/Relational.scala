@@ -101,6 +101,20 @@ object Relational {
       count(lit(1)).as("n"),
       sum(col(valueCol).cast("long")).as("v_sum"))
 
+  /** CUBE grouping sets — the slice-and-dice completion of [[rollupStats]]'s
+    * hierarchy: detail + BOTH single-axis subtotals + grand total in one
+    * Expand + hash aggregate (each grouping set partially aggregates
+    * map-side, same as ROLLUP). `gid` is `grouping_id()` — bit 1 = g1
+    * aggregated, bit 0 = g2 — so subtotal rows are distinguishable from
+    * genuine NULL group values, the ambiguity that makes bare NULL-keyed
+    * cube output unsafe to consume. */
+  def cubeStats(df: DataFrame, g1: String, g2: String,
+                valueCol: String): DataFrame =
+    df.cube(g1, g2).agg(
+      grouping_id().cast("long").as("gid"),
+      count(lit(1)).as("n"),
+      sum(col(valueCol).cast("long")).as("v_sum"))
+
   /** Pivot with an EXPLICIT value list: `groupBy(key).pivot(p, values)
     * .count()`, missing cells zero-filled. Passing `values` matters twice
     * at scale: it skips the eager distinct-collect job Spark otherwise runs

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Semi-structured JSON column parsing with an EXPLICIT schema — the
+  * ingest step for event properties, API payloads, and crawler metadata
+  * that arrive as JSON strings inside an otherwise-columnar table.
+  *
+  * Explicit-schema `from_json` on purpose (the row-64 JSONL argument, at
+  * column granularity): schema INFERENCE over a 100 TB column is a full
+  * extra scan and a schema that drifts with the data; a declared schema
+  * is one codegen'd parse per row, a frozen output shape, and NULL — not
+  * an abort, not a dropped row — for malformed or mistyped cells, so a
+  * poisoned record cannot kill the batch (the PERMISSIVE contract; pair
+  * with an `isNull` screen when absence is the defect).
+  *
+  * Scale shape: pure per-row projection, zero shuffles; the parsed
+  * struct's fields prune like ordinary columns downstream.
+  */
+object Semistructured {
+
+  /** Parsed struct column from a JSON-string column under a DDL schema
+    * (e.g. `"k INT, tag STRING"`). */
+  def jsonStruct(jsonCol: Column, ddl: String): Column =
+    from_json(jsonCol, org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
+  /** `df` with each declared field of the parsed JSON surfaced as a
+    * top-level column (NULL where the cell is malformed or the key is
+    * absent). */
+  def extractJson(df: DataFrame, jsonCol: String, ddl: String): DataFrame = {
+    val parsed = jsonStruct(col(jsonCol), ddl)
+    org.apache.spark.sql.types.StructType.fromDDL(ddl).fields
+      .foldLeft(df)((acc, f) =>
+        acc.withColumn(f.name, parsed.getField(f.name)))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Changepoint
+
+class ChangepointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Hour = 3600000000L
+
+  private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+
+  private def run(rows: Seq[(String, Long)]) =
+    Changepoint.meanShift(
+      rows.map { case (g, t) => (g, ts(t)) }.toDF("event_type", "ts"),
+      "event_type", "ts")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+
+  test("a clean level shift is located exactly at its boundary") {
+    // 1/hour for hours 0-3, then 5/hour for hours 4-5:
+    // best split after hour 3: score = |6*4 - 4*14| = 32 = 4*2*|1-5|
+    val rows =
+      (0 to 3).map(h => ("a", h * Hour)) ++
+        (4 to 5).flatMap(h => (1 to 5).map(i => ("a", h * Hour + i * 1000L)))
+    val got = run(rows)
+    assert(got("a") == ((6L, 3L, 32L, 1000L, 5000L)), got.toString)
+  }
+
+  test("a feed that stops shifts at the stop (gap hours are zero buckets)") {
+    // 2/hour for hours 0-2, nothing for hours 3-5, one event at hour 6
+    // keeps the span open; series = 2,2,2,0,0,0,1
+    val rows = (0 to 2).flatMap(h =>
+      Seq(("a", h * Hour), ("a", h * Hour + 1000L))) :+ ("a", 6 * Hour)
+    val got = run(rows)
+    // S = [2,4,6,6,6,6,7], n=7, sn=7; score(b)=|7*sb - b*7|
+    // b=3: |42-21|=21 is max (b=4: |42-28|=14)
+    assert(got("a")._1 == 7L)
+    assert(got("a")._2 == 2L)    // boundary after hour 2
+    assert(got("a")._3 == 21L)
+    assert(got("a")._4 == 2000L) // mean before: 2.000/hour
+    assert(got("a")._5 == 250L)  // mean after: 1/4 hour = 0.250
+  }
+
+  test("flat series: all splits tie at score 0, earliest hour wins") {
+    val rows = (0 to 3).map(h => ("a", h * Hour))
+    val got = run(rows)
+    assert(got("a") == ((4L, 0L, 0L, 1000L, 1000L)), got.toString)
+  }
+
+  test("groups are independent; single-bucket groups don't appear") {
+    val rows = Seq(("a", 0L), ("a", Hour), ("b", 0L))
+    val got = run(rows)
+    assert(got.contains("a") && !got.contains("b"), got.toString)
+  }
+
+  test("plan: windows partition by group (no global sort of the stream)") {
+    val df = Changepoint.meanShift(
+      Seq(("a", ts(0L)), ("a", ts(Hour))).toDF("event_type", "ts"),
+      "event_type", "ts")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(grp"), p)
+    assertNoCartesian(df)
+  }
+}

@@ -96,4 +96,29 @@ class RelationalSpec extends SparkSpec {
     // a distinct-discovery pivot would need an eager collect here
     assert(out.queryExecution.analyzed != null)
   }
+
+  test("cubeStats emits all four grouping sets with grouping_id " +
+    "disambiguating subtotals from genuine NULLs") {
+    val df = Seq(
+      ("en", "web", 10L), ("en", "web", 20L), ("en", "book", 5L),
+      (null.asInstanceOf[String], "web", 1L))
+      .toDF("lang", "src", "v")
+    val got = Relational.cubeStats(df, "lang", "src", "v")
+      .collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    // detail rows (gid 0): the genuine-NULL lang row keeps gid 0
+    assert(got((Some("en"), Some("web"), 0L)) == ((2L, 30L)))
+    assert(got((None, Some("web"), 0L)) == ((1L, 1L)))
+    // lang subtotal (gid 1: src aggregated)
+    assert(got((Some("en"), None, 1L)) == ((3L, 35L)))
+    // src subtotal (gid 2: lang aggregated) — distinct from the genuine
+    // NULL-lang detail row above
+    assert(got((None, Some("web"), 2L)) == ((3L, 31L)))
+    // grand total (gid 3)
+    assert(got((None, None, 3L)) == ((4L, 36L)))
+    val plan = Relational.cubeStats(df, "lang", "src", "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+  }
 }
