@@ -2944,6 +2944,28 @@ object SparkEntry {
       graft.operators.Transitions.matrix(Tables.events(s, dir),
         "user_id", "ts", "event_id", "event_type")),
 
+    // §2 row 206: STREAMING transitions — the same adjacency chain on a
+    // live feed, one last-event record of GroupState per user carrying
+    // it across triggers (the q88 flatMapGroupsWithState idiom and its
+    // in-order arrival contract); the drained pairs rolled up read-side
+    // == the batch matrix, so q195's oracle applies VERBATIM.
+    "q204_transitions_stream" -> ((s, dir) => {
+      val src = artifactPath("evstream", dir, codeHash(SparkEntry.getClass))
+      stageParquet(src) { tmp =>
+        Tables.events(s, dir)
+          .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+            col("event_type").isNotNull)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"), col("event_id"))
+          .write.mode("overwrite").parquet(tmp)
+      }
+      val stream = s.readStream
+        .schema(s.read.parquet(src).schema).parquet(src)
+      graft.operators.Transitions.rollup(
+        ScoringStream.runToMemory(s,
+          graft.operators.Transitions.pairsStream(s, stream), "append"))
+    }),
+
     // §2 row 198: last-touch conversion attribution — purchases credited
     // to the latest preceding click within 1 h via the AsOfJoin union-tag
     // machinery + a window post-filter; unattributed rows survive with
@@ -3559,6 +3581,22 @@ object SparkEntry {
        |       row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, doc_id ASC) AS rank
        |     FROM sc)
        |  WHERE rank <= $k)""".stripMargin
+
+  /** Adjacency-chain oracle shared by the batch (q195) and streaming
+    * (q204) transition declarations — one definition, no drift. */
+  private def transitionsSql: String =
+    "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id " +
+      "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL " +
+      "AND event_type IS NOT NULL), " +
+      "s AS (SELECT event_type AS from_type, " +
+      "lead(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) " +
+      "AS to_type FROM e), " +
+      "c AS (SELECT from_type, to_type, count(*) AS n FROM s " +
+      "WHERE to_type IS NOT NULL GROUP BY 1, 2), " +
+      "f AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1) " +
+      "SELECT from_type, to_type, CAST(n AS BIGINT) AS n, " +
+      "CAST((10000 * n) // tot AS BIGINT) AS out_bp " +
+      "FROM c JOIN f USING (from_type)"
 
   /** Kept-chain oracle shared by the batch (q80) and streaming (q88)
     * declarations — the two engines must produce identical rows. */
@@ -5643,20 +5681,10 @@ object SparkEntry {
         "END AS BIGINT) AS slope_uc FROM d"),
 
     // Same per-user (ts, id) total order for the successor, same integer
-    // share division.
-    "q195_transitions" ->
-      ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id " +
-        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL " +
-        "AND event_type IS NOT NULL), " +
-        "s AS (SELECT event_type AS from_type, " +
-        "lead(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) " +
-        "AS to_type FROM e), " +
-        "c AS (SELECT from_type, to_type, count(*) AS n FROM s " +
-        "WHERE to_type IS NOT NULL GROUP BY 1, 2), " +
-        "f AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1) " +
-        "SELECT from_type, to_type, CAST(n AS BIGINT) AS n, " +
-        "CAST((10000 * n) // tot AS BIGINT) AS out_bp " +
-        "FROM c JOIN f USING (from_type)"),
+    // share division; the streaming chain drains to the identical pair
+    // multiset under in-order arrival, so the oracle is shared verbatim.
+    "q195_transitions" -> transitionsSql,
+    "q204_transitions_stream" -> transitionsSql,
 
     // Latest preceding same-user click (max-id per µs tie rule, inclusive
     // at the conversion's µs), the same 1 h lookback NULL-out.

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-type transition matrix — the first-order Markov census of user
   * journeys (click→purchase, error→abandon): for every adjacent pair of a
@@ -22,8 +23,27 @@ import org.apache.spark.sql.functions._
   * aggregates are map-side combined and bounded by |types|².
   * Null user/ts/type rows are excluded (no identity / no order / no
   * state — the EpochShuffle null contract).
+  *
+  * [[pairsStream]] is the live twin in the [[Debounce.debounceStream]]
+  * idiom: one last-event record of GroupState per user continues the
+  * adjacency chain across triggers, so the drained pair multiset equals
+  * the batch pairs whenever each user's events arrive in event-time
+  * order across triggers (within a trigger the key's batch is sorted; the
+  * order-sensitivity across triggers is the same honest contract q88
+  * states). [[rollup]] over the drained pairs then IS the batch matrix.
   */
 object Transitions {
+
+  /** (from_type, to_type) pair frame → (from_type, to_type, n, out_bp).
+    * The outgoing total is a window over the COUNTS frame (≤ |types|²
+    * rows), not a self-join — one aggregate, no relation dedup hazards. */
+  def rollup(pairs: DataFrame): DataFrame =
+    pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__tot",
+        sum("n").over(Window.partitionBy("from_type")))
+      .withColumn("out_bp", expr("(10000 * n) div __tot"))
+      .drop("__tot")
 
   /** (from_type, to_type, n, out_bp) over an event frame. */
   def matrix(events: DataFrame, userCol: String, tsCol: String,
@@ -37,11 +57,42 @@ object Transitions {
         col(idCol).as("__id"), col(typeCol).as("from_type"))
       .withColumn("to_type", lead(col("from_type"), 1).over(w))
       .filter(col("to_type").isNotNull)
-    val counts = pairs.groupBy("from_type", "to_type")
-      .agg(count(lit(1)).as("n"))
-    val outTotals = counts.groupBy("from_type").agg(sum("n").as("__tot"))
-    counts.join(outTotals, "from_type")
-      .withColumn("out_bp", expr("(10000 * n) div __tot"))
-      .drop("__tot")
+    rollup(pairs)
+  }
+
+  /** One event as seen by the streaming path (µs epoch, pre-projected). */
+  case class TEv(user_id: Long, event_type: String, ts_us: Long,
+                 event_id: Long)
+
+  /** Last seen event of a user (the chain head carried across triggers). */
+  case class TLast(ts_us: Long, event_id: Long, event_type: String)
+
+  /** An adjacency pair emitted by the stream. */
+  case class TPair(from_type: String, to_type: String)
+
+  /** Streaming adjacency pairs: per user, each arriving event pairs with
+    * the previous one (from GroupState across triggers, from the sorted
+    * batch within one). State is one (ts, id, type) record per live user,
+    * NoTimeout here — production hangs a ProcessingTimeTimeout on it to
+    * shed dead users. Same per-trigger heap bound as debounceStream:
+    * one key's trigger batch is sorted in memory. */
+  def pairsStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    def update(key: Long, rows: Iterator[TEv],
+               state: GroupState[TLast]): Iterator[TPair] = {
+      var prev = state.getOption
+      val out = Seq.newBuilder[TPair]
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        prev.foreach(p => out += TPair(p.event_type, e.event_type))
+        prev = Some(TLast(e.ts_us, e.event_id, e.event_type))
+      }
+      prev.foreach(state.update)
+      out.result().iterator
+    }
+    events.as[TEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+      .toDF()
   }
 }

@@ -50,6 +50,44 @@ class TransitionsSpec extends SparkSpec {
       Set(("a", "b")), got.mkString(","))
   }
 
+  test("streaming chain == batch matrix across triggers on real events " +
+    "(state carries the boundary pair)") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_trans_src").toString
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .persist()
+    // split by event-time median so per-user arrival order across the
+    // two trigger files matches event-time order (the q88 contract);
+    // pairs STRADDLING the split exist iff state carries across triggers
+    val mid = ev.stat.approxQuantile("ts_us", Array(0.5), 0.0).head.toLong
+    ev.filter(col("ts_us") <= mid).coalesce(1).write.parquet(s"$tmp/f1")
+    ev.filter(col("ts_us") > mid).coalesce(1).write.parquet(s"$tmp/f2")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/f1").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/*")
+    val drained = graft.streaming.ScoringStream.runToMemory(spark,
+      Transitions.pairsStream(spark, stream), "append")
+    val got = Transitions.rollup(drained).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val want = Transitions.matrix(
+      ev.withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(col("ts_us"))),
+      "user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == want,
+      s"stream=${got.size} batch=${want.size} " +
+        s"diff=${(want.toSet -- got.toSet).take(3)}")
+    ev.unpersist()
+  }
+
   test("the window partitions by user (no global sort of the stream)") {
     val df = Transitions.matrix(
       Seq((1L, 1L, "a", ts(0L))).toDF("event_id", "user_id", "event_type", "ts"),
