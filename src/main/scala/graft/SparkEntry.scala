@@ -2883,6 +2883,79 @@ object SparkEntry {
       C4Clean.cleanLines(docs, "doc_id", "text")
     }),
 
+    // §2 row 207: STREAMING last-touch attribution — conversions
+    // credited in-flight from one latest-touch record of GroupState per
+    // user (the q88/q204 idiom); batch tie rules reproduced by the
+    // (ts, touch-first, id) trigger sort, so q196's oracle applies
+    // VERBATIM.
+    "q205_attribution_stream" -> ((s, dir) => {
+      val src = artifactPath("evstream", dir, codeHash(SparkEntry.getClass))
+      stageParquet(src) { tmp =>
+        Tables.events(s, dir)
+          .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+            col("event_type").isNotNull)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"), col("event_id"))
+          .write.mode("overwrite").parquet(tmp)
+      }
+      val stream = s.readStream
+        .schema(s.read.parquet(src).schema).parquet(src)
+      ScoringStream.runToMemory(s,
+        graft.operators.Attribution.lastTouchStream(s, stream,
+          "purchase", "click", 3600000000L), "append")
+    }),
+
+    // §2 row 208: incremental novelty vs a persisted gram frontier —
+    // today's batch scored against all history through the staged (g)
+    // index (history never re-shingles; increment grams broadcast onto
+    // the index scan). History = doc_id < 250, increment = the rest.
+    // EXACT oracle in gram-string space.
+    "q206_incremental_novelty" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val idxPath = artifactPath("gramidx", dir,
+        codeHash(Decontaminate.getClass))
+      stageParquet(idxPath) { tmp =>
+        Decontaminate.gramIndex(docs.filter(col("doc_id") < 250),
+          "doc_id", "text")
+          .write.mode("overwrite").parquet(tmp)
+      }
+      Decontaminate.noveltyAgainstIndex(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text",
+        s.read.parquet(idxPath))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // §2 row 209: per-source data card — the release-documentation
+    // rollup (Datasheets-for-Datasets shape): volume, exact mean
+    // quality, language diversity, duplicate-copy share (q142's
+    // non-keeper convention over the q25 fingerprint), tokenizer
+    // fertility — one per-row metric scan + one fingerprint groupBy +
+    // one source rollup. EXACT oracle.
+    "q207_data_card" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          TextStats.qualityScore(col("text")).as("q"),
+          TextStats.wsTokenCount(col("text")).cast("long").as("ws"),
+          TextStats.bpeTokenCount(col("text")).cast("long").as("bpe"),
+          TextStats.fingerprint(col("text")).as("fp"))
+      val keepers = d.groupBy("fp").agg(min("doc_id").as("__keep"))
+      d.join(keepers, "fp")
+        .withColumn("__dup",
+          when(col("doc_id") =!= col("__keep"), 1L).otherwise(0L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars"),
+          sum("q").as("__qs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum("__dup").as("n_dup"),
+          sum("ws").as("__ws"), sum("bpe").as("__bpe"))
+        .withColumn("mean_quality_m", expr("(1000 * __qs) div n_docs"))
+        .withColumn("dup_bp", expr("(10000 * n_dup) div n_docs"))
+        .withColumn("fertility_bp", expr("(10000 * __bpe) div __ws"))
+        .select("source", "n_docs", "chars", "mean_quality_m", "n_langs",
+          "n_dup", "dup_bp", "fertility_bp")
+    }),
+
     // §2 row 203: semi-structured JSON parsing with an EXPLICIT schema —
     // from_json over the events props column (no inference scan, NULL on
     // malformed), then a per-key rollup proving the parsed field drives
@@ -3581,6 +3654,28 @@ object SparkEntry {
        |       row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, doc_id ASC) AS rank
        |     FROM sc)
        |  WHERE rank <= $k)""".stripMargin
+
+  /** Last-touch oracle shared by the batch (q196) and streaming (q205)
+    * attribution declarations — one definition, no drift. */
+  private def attributionSql: String =
+    "WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t " +
+      "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+      "c0 AS (SELECT user_id, t AS ct, max(event_id) AS touch_id FROM e " +
+      "WHERE event_type = 'click' GROUP BY 1, 2), " +
+      "p AS (SELECT event_id, user_id, t FROM e " +
+      "WHERE event_type = 'purchase'), " +
+      "j AS (SELECT p.event_id, p.user_id, p.t, c0.touch_id, c0.ct, " +
+      "row_number() OVER (PARTITION BY p.event_id ORDER BY c0.ct DESC) " +
+      "AS rk FROM p LEFT JOIN c0 " +
+      "ON p.user_id = c0.user_id AND c0.ct <= p.t) " +
+      "SELECT event_id AS conversion_id, user_id, t AS t_us, " +
+      "CASE WHEN ct IS NOT NULL AND t - ct <= 3600000000 " +
+      "THEN touch_id END AS touch_id, " +
+      "CASE WHEN ct IS NOT NULL AND t - ct <= 3600000000 " +
+      "THEN t - ct END AS age_us, " +
+      "CAST(CASE WHEN ct IS NOT NULL AND t - ct <= 3600000000 " +
+      "THEN 1 ELSE 0 END AS BIGINT) AS attributed " +
+      "FROM j WHERE rk = 1"
 
   /** Adjacency-chain oracle shared by the batch (q195) and streaming
     * (q204) transition declarations — one definition, no drift. */
@@ -5575,6 +5670,57 @@ object SparkEntry {
         "array_to_string(kept, chr(10)) AS cleaned " +
         "FROM k WHERE len(kept) >= 2"),
 
+    // The q198 gram-string CTEs split at the same id boundary: novel =
+    // min-id owner within the increment AND absent from history's grams.
+    "q206_incremental_novelty" -> {
+      val g8 = (1 to 8).map(j => s"toks[i+${j - 1}]").mkString(" || ' ' || ")
+      s"WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents), " +
+        "g0 AS (SELECT doc_id, CASE WHEN len(toks) >= 8 " +
+        s"THEN list_transform(generate_series(1, len(toks) - 7), i -> $g8) " +
+        "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), " +
+        "cg AS (SELECT DISTINCT doc_id, gram FROM " +
+        "(SELECT doc_id, unnest(grams) AS gram FROM g0)), " +
+        "hist AS (SELECT DISTINCT gram FROM cg WHERE doc_id < 250), " +
+        "inc AS (SELECT doc_id, gram FROM cg WHERE doc_id >= 250), " +
+        "f AS (SELECT gram, min(doc_id) AS fid FROM inc GROUP BY gram) " +
+        "SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_grams, " +
+        "CAST(sum(CASE WHEN f.fid = i.doc_id AND h.gram IS NULL " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+        "CAST((sum(CASE WHEN f.fid = i.doc_id AND h.gram IS NULL " +
+        "THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS novelty_bp " +
+        "FROM inc i JOIN f USING (gram) LEFT JOIN hist h USING (gram) " +
+        "GROUP BY i.doc_id"
+    },
+
+    // The q142 fingerprint/keeper convention + the shared quality
+    // expression + the q24 token counters, rolled per source.
+    "q207_data_card" -> {
+      val fp = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(regexp_split_to_array(text, ''), " +
+        "c -> CAST(coalesce(ascii(c), 0) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 1000000007)"
+      s"WITH d AS (SELECT doc_id, source, lang, n_chars, " +
+        s"$qualityScoreSql AS q, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws, " +
+        s"CAST(len(regexp_extract_all(text, '${TextStats.bpeishPattern}')) " +
+        "AS BIGINT) AS bpe, " +
+        s"$fp AS fp FROM documents), " +
+        "kp AS (SELECT fp, min(doc_id) AS keep_id FROM d GROUP BY fp), " +
+        "f AS (SELECT d.*, CASE WHEN d.doc_id <> kp.keep_id THEN 1 ELSE 0 " +
+        "END AS is_dup FROM d JOIN kp ON d.fp = kp.fp), " +
+        "a AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS chars, " +
+        "sum(q) AS qs, count(DISTINCT lang) AS n_langs, " +
+        "sum(is_dup) AS n_dup, sum(ws) AS wss, sum(bpe) AS bpes " +
+        "FROM f GROUP BY source) " +
+        "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, " +
+        "CAST(chars AS BIGINT) AS chars, " +
+        "CAST((1000 * qs) // n_docs AS BIGINT) AS mean_quality_m, " +
+        "CAST(n_langs AS BIGINT) AS n_langs, " +
+        "CAST(n_dup AS BIGINT) AS n_dup, " +
+        "CAST((10000 * n_dup) // n_docs AS BIGINT) AS dup_bp, " +
+        "CAST((10000 * bpes) // wss AS BIGINT) AS fertility_bp FROM a"
+    },
+
     // DuckDB's independent JSON parser as the referee; NULL-key rows
     // excluded on both sides, count(DISTINCT) skips null users on both.
     "q201_json_props" ->
@@ -5687,26 +5833,11 @@ object SparkEntry {
     "q204_transitions_stream" -> transitionsSql,
 
     // Latest preceding same-user click (max-id per µs tie rule, inclusive
-    // at the conversion's µs), the same 1 h lookback NULL-out.
-    "q196_attribution" ->
-      ("WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t " +
-        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
-        "c0 AS (SELECT user_id, t AS ct, max(event_id) AS touch_id FROM e " +
-        "WHERE event_type = 'click' GROUP BY 1, 2), " +
-        "p AS (SELECT event_id, user_id, t FROM e " +
-        "WHERE event_type = 'purchase'), " +
-        "j AS (SELECT p.event_id, p.user_id, p.t, c0.touch_id, c0.ct, " +
-        "row_number() OVER (PARTITION BY p.event_id ORDER BY c0.ct DESC) " +
-        "AS rk FROM p LEFT JOIN c0 " +
-        "ON p.user_id = c0.user_id AND c0.ct <= p.t) " +
-        "SELECT event_id AS conversion_id, user_id, t AS t_us, " +
-        "CASE WHEN ct IS NOT NULL AND t - ct <= 3600000000 " +
-        "THEN touch_id END AS touch_id, " +
-        "CASE WHEN ct IS NOT NULL AND t - ct <= 3600000000 " +
-        "THEN t - ct END AS age_us, " +
-        "CAST(CASE WHEN ct IS NOT NULL AND t - ct <= 3600000000 " +
-        "THEN 1 ELSE 0 END AS BIGINT) AS attributed " +
-        "FROM j WHERE rk = 1"),
+    // at the conversion's µs), the same 1 h lookback NULL-out; the
+    // streaming chain drains to identical rows under in-order arrival,
+    // so the oracle is shared verbatim.
+    "q196_attribution" -> attributionSql,
+    "q205_attribution_stream" -> attributionSql,
 
     // Same HALF_UP cents, same integer day buckets and weight shifts.
     "q197_decay_score" ->

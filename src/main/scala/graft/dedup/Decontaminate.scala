@@ -185,4 +185,45 @@ object Decontaminate {
           .as("n_novel"))
       .withColumn("novelty_bp", expr("n_novel * 10000L div n_grams"))
   }
+
+  /** Distinct gram-hash frontier of a corpus — the persisted index
+    * [[noveltyAgainstIndex]] probes: one `(g)` row per distinct n-gram
+    * hash, built once per history and appended per ingest batch (union +
+    * distinct, or just append and let the probe's join semantics absorb
+    * duplicates — membership is idempotent). */
+  def gramIndex(docs: DataFrame, idCol: String, textCol: String,
+                n: Int = 8): DataFrame =
+    MinHashDedup.shingleSets(docs, idCol, textCol, n)
+      .select(explode(col("sh")).as("g")).distinct()
+
+  /** Incremental novelty vs a persisted gram frontier — the ingest-time
+    * form of [[noveltyAttribution]] (the rows-79/100/118 shape for the
+    * novelty measure): today's batch is scored against ALL history
+    * through the staged `(g)` index without history ever re-shingling.
+    * A gram is novel iff it is absent from the index AND this doc is its
+    * min-id owner WITHIN the batch (two arrivals of the same new phrase
+    * credit one doc, the batch-internal arrival rule).
+    *
+    * Plan shape: the increment's gram frame BROADCASTS onto the index
+    * scan for the membership probe (the index, the 100 TB side, is
+    * scanned once and never shuffled); the hit set — bounded by the
+    * increment's grams — broadcasts back for the anti step. Nothing
+    * index-sized moves. */
+  def noveltyAgainstIndex(increment: DataFrame, idCol: String,
+                          textCol: String, index: DataFrame,
+                          n: Int = 8): DataFrame = {
+    val grams = MinHashDedup.shingleSets(increment, idCol, textCol, n)
+      .select(col("id"), explode(col("sh")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probe = grams.select("g").distinct()
+    val hits = index.join(broadcast(probe), "g").distinct()
+    val firsts = grams.groupBy("g").agg(min(col("id")).as("__first"))
+      .join(broadcast(hits.withColumn("__hit", lit(1L))), Seq("g"), "left")
+    grams.join(firsts, "g")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("id") && col("__hit").isNull, 1L)
+          .otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_bp", expr("n_novel * 10000L div n_grams"))
+  }
 }

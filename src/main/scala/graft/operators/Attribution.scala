@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Last-touch conversion attribution — every conversion event is credited
   * to the user's LATEST preceding touch event within a lookback window
@@ -50,5 +51,62 @@ object Attribution {
       when(inWindow, col("touch")).as("touch_id"),
       when(inWindow, col("t_us") - col("tt_us")).as("age_us"),
       when(inWindow, lit(1L)).otherwise(lit(0L)).as("attributed"))
+  }
+
+  /** One event as seen by the streaming path (µs epoch, pre-projected). */
+  case class AEv(user_id: Long, event_type: String, ts_us: Long,
+                 event_id: Long)
+
+  /** Latest touch of a user (carried across triggers). */
+  case class ATouch(ts_us: Long, event_id: Long)
+
+  /** An attribution verdict emitted by the stream (same columns as the
+    * batch [[lastTouch]]). */
+  case class AOut(conversion_id: Long, user_id: Long, t_us: Long,
+                  touch_id: Option[Long], age_us: Option[Long],
+                  attributed: Long)
+
+  /** Streaming last-touch attribution — conversions credited IN-FLIGHT:
+    * one latest-touch (ts, id) record of GroupState per user; within a
+    * trigger the key's batch sorts by (ts, touch-before-conversion, id),
+    * which reproduces the batch tie rules exactly — a touch AT the
+    * conversion's µs matches (inclusive), and among same-µs touches the
+    * max id wins because later ids overwrite. Drain == batch whenever
+    * each user's events arrive in event-time order across triggers (the
+    * q88/q204 contract; an equal-µs touch arriving a trigger AFTER its
+    * conversion is the documented tie edge). Rows of other event types
+    * are filtered before the state operator — they neither touch state
+    * nor emit. */
+  def lastTouchStream(spark: SparkSession, events: DataFrame,
+                      convType: String, touchType: String,
+                      windowUs: Long): DataFrame = {
+    import spark.implicits._
+    def update(u: Long, rows: Iterator[AEv],
+               state: GroupState[ATouch]): Iterator[AOut] = {
+      var last = state.getOption
+      val out = Seq.newBuilder[AOut]
+      rows.toSeq
+        .sortBy(e => (e.ts_us, if (e.event_type == touchType) 0 else 1,
+          e.event_id))
+        .foreach { e =>
+          if (e.event_type == touchType)
+            last = Some(ATouch(e.ts_us, e.event_id))
+          else {
+            val inw = last.exists(l => e.ts_us - l.ts_us <= windowUs)
+            out += AOut(e.event_id, u, e.ts_us,
+              if (inw) last.map(_.event_id) else None,
+              if (inw) last.map(e.ts_us - _.ts_us) else None,
+              if (inw) 1L else 0L)
+          }
+        }
+      last.foreach(state.update)
+      out.result().iterator
+    }
+    events.as[AEv]
+      .filter(e => e.event_type == convType || e.event_type == touchType)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+      .toDF()
   }
 }

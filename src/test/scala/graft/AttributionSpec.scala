@@ -56,6 +56,40 @@ class AttributionSpec extends SparkSpec {
     assert(got(2L) == (None, None, 0L), got.toString)
   }
 
+  test("streaming attribution == batch across triggers on real events " +
+    "(state carries the last touch over the boundary)") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_attr_src").toString
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .persist()
+    val mid = ev.stat.approxQuantile("ts_us", Array(0.5), 0.0).head.toLong
+    ev.filter(col("ts_us") <= mid).coalesce(1).write.parquet(s"$tmp/f1")
+    ev.filter(col("ts_us") > mid).coalesce(1).write.parquet(s"$tmp/f2")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/f1").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/*")
+    val drained = graft.streaming.ScoringStream.runToMemory(spark,
+      Attribution.lastTouchStream(spark, stream,
+        "purchase", "click", H), "append")
+    val batch = Attribution.lastTouch(
+      ev.withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(col("ts_us"))),
+      "user_id", "ts", "event_id", "event_type", "purchase", "click", H)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("conversion_id", "touch_id", "attributed").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSet
+    val (o, b) = (key(drained), key(batch))
+    assert(o == b, s"stream=${o.size} batch=${b.size} " +
+      s"missing=${(b -- o).take(3)} extra=${(o -- b).take(3)}")
+    ev.unpersist()
+  }
+
   test("plan: union-tag as-of machinery, no per-user theta join") {
     val df = Attribution.lastTouch(
       Seq((1L, 1L, "click", ts(0L)), (2L, 1L, "purchase", ts(1000L)))

@@ -152,6 +152,42 @@ class DecontaminateSpec extends SparkSpec {
     assert(got(2L) == ((2L, 1L, 5000L)))
   }
 
+  test("noveltyAgainstIndex: history grams are never novel, batch-internal " +
+    "dups credit the min id, truly new docs score full — through a real " +
+    "parquet round-trip of the index") {
+    val hist = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_gramidx").toString
+    Decontaminate.gramIndex(hist, "doc_id", "text")
+      .write.mode("overwrite").parquet(tmp)
+    val idx = spark.read.parquet(tmp)
+    val inc = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota"), // re-upload
+      (11L, "brand new words appear here for the first time"),     // novel
+      (12L, "brand new words appear here for the first time"))     // batch dup
+      .toDF("doc_id", "text")
+    val got = Decontaminate.noveltyAgainstIndex(inc, "doc_id", "text", idx)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L) == ((2L, 0L, 0L)), got.toString)   // all in history
+    assert(got(11L)._3 == 10000L)                      // first in batch
+    assert(got(12L) == ((got(11L)._1, 0L, 0L)))        // loses to min id
+  }
+
+  test("noveltyAgainstIndex plan: increment grams broadcast onto the " +
+    "index scan; the index is never shuffled") {
+    val hist = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val idx = Decontaminate.gramIndex(hist, "doc_id", "text")
+    val df = Decontaminate.noveltyAgainstIndex(
+      Seq((2L, "a b c d e f g h j")).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assertNoCartesian(df)
+  }
+
   test("noveltyAttribution is partitioning-invariant") {
     val docs = (1 to 60).map(i =>
       (i.toLong, s"common prefix words here for all docs tail${i % 7} " +
