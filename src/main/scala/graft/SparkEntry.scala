@@ -2883,6 +2883,55 @@ object SparkEntry {
       C4Clean.cleanLines(docs, "doc_id", "text")
     }),
 
+    // §2 row 210: nearest-class-centroid pseudo-labeling (Rocchio) —
+    // every embedding takes the label of the mean class vector it dots
+    // highest with; centroids broadcast as L×dim exact integer sums,
+    // one scaled decimal division, (score desc, label asc) winner.
+    // EXACT oracle.
+    "q208_centroid_label" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Centroids.centroidAssign(spread(s, emb), "vec_id", "embedding",
+        emb, "label", "embedding")
+    }),
+
+    // §2 row 211: log-template mining — digit runs masked to '#', the
+    // surviving templates counted and top-k'd on the (n desc, template)
+    // total order; deterministic log lines synthesized from the corpus
+    // columns. EXACT oracle.
+    "q209_log_templates" -> ((s, dir) =>
+      graft.textstats.Templates.topTemplates(
+        Tables.documents(s, dir).select(
+          concat(lit("user "), col("doc_id"),
+            when(col("doc_id") % 7 === 0, lit(" deleted "))
+              .when(col("doc_id") % 3 === 0, lit(" pushed "))
+              .otherwise(lit(" fetched ")),
+            col("n_chars"), lit(" bytes from "), col("source")).as("line")),
+        "line", 10)),
+
+    // §2 row 212: inter-arrival gap profile — per-user log₂-bucketed
+    // gaps (length(bin(gap))−1, an integer identity on both engines),
+    // dominant-bucket share and the automation flag. EXACT oracle.
+    "q210_gap_profile" -> ((s, dir) =>
+      graft.operators.GapProfile.profile(Tables.events(s, dir),
+        "user_id", "ts", "event_id")),
+
+    // §2 row 213: language-ID confusion matrix — the q22 heuristic held
+    // against the corpus's lang column as one exact group-count with
+    // per-true-lang shares; the eval primitive behind any classifier
+    // swap. EXACT oracle.
+    "q211_lang_confusion" -> ((s, dir) => {
+      val pred = Tables.documents(s, dir).select(col("lang"),
+        TextStats.langId(col("text")).as("lang_pred"))
+      val counts = pred.groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("__tot", sum("n").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+        .withColumn("share_bp", expr("(10000 * n) div __tot"))
+        .withColumn("hit", (col("lang") === col("lang_pred")).cast("long"))
+        .drop("__tot")
+    }),
+
     // §2 row 207: STREAMING last-touch attribution — conversions
     // credited in-flight from one latest-touch record of GroupState per
     // user (the q88/q204 idiom); batch tie rules reproduced by the
@@ -5669,6 +5718,92 @@ object SparkEntry {
         "CAST(len(kept) AS BIGINT) AS n_kept, " +
         "array_to_string(kept, chr(10)) AS cleaned " +
         "FROM k WHERE len(kept) >= 2"),
+
+    // The q56 centroid-sum CTE + the same row-level query floors, exact
+    // int64 dots, sign-split scaled division, (score desc, label asc)
+    // winner.
+    "q208_centroid_label" ->
+      ("WITH s AS (SELECT label, CAST(pos AS INT) AS pos, count(*) AS n, " +
+        "CAST(sum(x_uu) AS BIGINT) AS sum_uu FROM " +
+        "(SELECT label, unnest(generate_series(0, len(embedding) - 1)) AS pos, " +
+        "unnest(list_transform(embedding, " +
+        "e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT))) AS x_uu " +
+        "FROM embeddings) GROUP BY 1, 2), " +
+        "q AS (SELECT vec_id AS qid, " +
+        "unnest(generate_series(0, len(embedding) - 1)) AS pos, " +
+        "unnest(list_transform(embedding, " +
+        "e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000000) AS BIGINT))) AS qu " +
+        "FROM embeddings), " +
+        "d AS (SELECT qid, label, max(n) AS n, sum(qu * sum_uu) AS dot " +
+        "FROM q JOIN s USING (pos) GROUP BY 1, 2), " +
+        "sc AS (SELECT qid, label, CASE WHEN dot < 0 " +
+        "THEN -((-(1000000 * dot)) // n) ELSE (1000000 * dot) // n END " +
+        "AS score_u FROM d), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY score_u DESC, label ASC) AS rk FROM sc) " +
+        "SELECT qid, label AS pred_label, CAST(score_u AS BIGINT) " +
+        "AS score_u FROM r WHERE rk = 1"),
+
+    // Same synthesized lines, same global-replace mask and squeeze, same
+    // (n desc, template asc) total order.
+    "q209_log_templates" ->
+      ("WITH l AS (SELECT 'user ' || doc_id || " +
+        "CASE WHEN doc_id % 7 = 0 THEN ' deleted ' " +
+        "WHEN doc_id % 3 = 0 THEN ' pushed ' ELSE ' fetched ' END " +
+        "|| n_chars || ' bytes from ' || source AS line FROM documents), " +
+        "t AS (SELECT trim(regexp_replace(regexp_replace(line, '[0-9]+', " +
+        "'#', 'g'), '\\s+', ' ', 'g')) AS template FROM l), " +
+        "c AS (SELECT template, count(*) AS n FROM t GROUP BY 1), " +
+        "r AS (SELECT template, CAST(n AS BIGINT) AS n, " +
+        "row_number() OVER (ORDER BY n DESC, template ASC) AS rank FROM c) " +
+        "SELECT template, n FROM r WHERE rank <= 10"),
+
+    // Same per-key (ts, id) lag, same length(bin(gap))−1 integer bucket,
+    // same dominant-bucket winner and share.
+    "q210_gap_profile" ->
+      ("WITH e AS (SELECT user_id AS key, epoch_us(ts) AS t, event_id AS id " +
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+        "g AS (SELECT key, t - lag(t) OVER (PARTITION BY key " +
+        "ORDER BY t, id) AS gap FROM e), " +
+        "b AS (SELECT key, length(bin(gap)) - 1 AS bucket FROM g " +
+        "WHERE gap IS NOT NULL), " +
+        "pb AS (SELECT key, bucket, count(*) AS bn FROM b GROUP BY 1, 2), " +
+        "x AS (SELECT key, bucket, bn, " +
+        "sum(bn) OVER (PARTITION BY key) AS tot, " +
+        "count(*) OVER (PARTITION BY key) AS nb, " +
+        "row_number() OVER (PARTITION BY key ORDER BY bn DESC, bucket ASC) " +
+        "AS rk FROM pb) " +
+        "SELECT key, CAST(tot AS BIGINT) AS n_gaps, " +
+        "CAST(nb AS BIGINT) AS n_buckets, " +
+        "CAST(bucket AS BIGINT) AS top_bucket, " +
+        "CAST((10000 * bn) // tot AS BIGINT) AS top_share_bp, " +
+        "CAST(CASE WHEN (10000 * bn) // tot >= 8000 THEN 1 ELSE 0 END " +
+        "AS BIGINT) AS concentrated FROM x WHERE rk = 1"),
+
+    // The q22 langid chain held against the lang column: same marker
+    // scoring, same preference order, exact counts and shares.
+    "q211_lang_confusion" -> {
+      val toks = tokensSql("text")
+      def hits(ms: Seq[String]) = ms.map(m =>
+        s"CASE WHEN list_contains(toks, '$m') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val scores = TextStats.langMarkers
+        .map { case (l, ms) => s"(${hits(ms)}) AS $l" }.mkString(", ")
+      val langs = TextStats.langMarkers.map(_._1)
+      val best = s"greatest(${langs.mkString(", ")})"
+      val cases = langs.map(l => s"WHEN $l = $best THEN '$l'").mkString(" ")
+      s"WITH t AS (SELECT doc_id, lang, $toks AS toks FROM documents), " +
+        s"sc AS (SELECT doc_id, lang, $scores FROM t), " +
+        s"p AS (SELECT lang, CASE WHEN $best = 0 THEN 'und' $cases " +
+        "ELSE 'und' END AS lang_pred FROM sc), " +
+        "c AS (SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2), " +
+        "x AS (SELECT lang, lang_pred, n, sum(n) OVER (PARTITION BY lang) " +
+        "AS tot FROM c) " +
+        "SELECT lang, lang_pred, CAST(n AS BIGINT) AS n, " +
+        "CAST((10000 * n) // tot AS BIGINT) AS share_bp, " +
+        "CAST(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS hit FROM x"
+    },
 
     // The q198 gram-string CTEs split at the same id boundary: novel =
     // min-id owner within the increment AND absent from history's grams.

@@ -137,6 +137,43 @@ object Centroids {
     * (label, pos) partial aggregate + a label-bounded join — shuffles
     * carry labels×dim longs, never vectors. n = 1 classes report NULL
     * mean_pair (no pairs exist). */
+  /** Nearest-class-centroid pseudo-labeling — the Rocchio classifier over
+    * embeddings, the O(L) cheap sibling of [[KnnLabel]]'s O(corpus) exact
+    * kNN: each query vector takes the label whose MEAN class vector it
+    * dots highest with. score(q, l) = (10⁶ · q_u·S_l) div n_l compares
+    * mean-centroid dots without materializing a float mean; q components
+    * floor to µ at the row, centroid sums are [[labelSums]]' exact int64,
+    * so the dot is exact int64 (headroom: 64 dims · 10⁶ · 10⁶·V ≤ 2⁶³
+    * until ~10⁵ vectors/class) and the one scaled division runs in
+    * decimal with truncation — the oracle sign-splits it since dots of
+    * anti-aligned vectors are negative. Winner = (score desc, label asc),
+    * a total order.
+    *
+    * Scale shape: the labeled corpus reduces ONCE to L×dim centroid sums
+    * (map-side-combined, the labelSums shape) and BROADCASTS; each query
+    * row costs L·dim multiplies in one hash-join + partial-agg pass; the
+    * winner window partitions per query over an L-row frame. The labeled
+    * corpus itself never joins row-to-row against queries. */
+  def centroidAssign(queries: DataFrame, idCol: String, vecCol: String,
+                     labeled: DataFrame, labelCol: String,
+                     lVecCol: String): DataFrame = {
+    val cents = labelSums(labeled, labelCol, lVecCol)
+    val q = queries.select(col(idCol).as("qid"),
+      posexplode(transform(col(vecCol),
+        x => floor(x.cast("double") * 1000000d).cast("long")))
+        .as(Seq("pos", "qu")))
+    val dots = q.join(broadcast(cents), "pos")
+      .groupBy("qid", "label")
+      .agg(max("n").as("__n"), sum(expr("qu * sum_uu")).as("__dot"))
+      .withColumn("score_u",
+        expr("(1000000 * cast(__dot as decimal(38,0))) div __n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("score_u").desc, col("label").asc)
+    dots.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("score_u"))
+  }
+
   def dispersion(emb: DataFrame, labelCol: String, vecCol: String)
       : DataFrame = {
     val xu = transform(col(vecCol),

@@ -142,6 +142,39 @@ class CentroidsSpec extends SparkSpec {
     assert(got(1)._3.isEmpty)
   }
 
+  test("centroidAssign: queries take the nearest mean class vector with " +
+    "deterministic (score, label) tie-break") {
+    val labeled = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(0.8f, 0.2f)),   // class 0 ~ x-axis
+      (1, Seq(0.0f, 1.0f)), (1, Seq(0.2f, 0.8f)))   // class 1 ~ y-axis
+      .toDF("label", "embedding")
+    val queries = Seq(
+      (10L, Seq(0.9f, 0.1f)),  // -> 0
+      (11L, Seq(0.1f, 0.9f)),  // -> 1
+      (12L, Seq(0.5f, 0.5f)))  // symmetric: equal scores -> label 0
+      .toDF("vec_id", "embedding")
+    val got = Centroids.centroidAssign(queries, "vec_id", "embedding",
+      labeled, "label", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(10L -> 0, 11L -> 1, 12L -> 0), got.toString)
+  }
+
+  test("centroidAssign: anti-aligned queries score negative and still " +
+    "pick the least-bad class; centroids broadcast") {
+    val labeled = Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.5f, 0.5f)))
+      .toDF("label", "embedding")
+    val queries = Seq((10L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Centroids.centroidAssign(queries, "vec_id", "embedding",
+      labeled, "label", "embedding")
+    val r = out.collect().head
+    // dots: class 0 = -1e12 (score -1e12·1e6/1), class 1 = -5e11
+    assert(r.getInt(1) == 1, r.toString)
+    assert(r.getLong(2) < 0L)
+    assert(out.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      out.queryExecution.executedPlan.toString)
+  }
+
   test("dispersion is partitioning-invariant (exact integer math)") {
     val emb = (1 to 40).map(i =>
       (i % 3, Seq(i * 0.01f, 1.0f - i * 0.02f, (i % 7) * 0.1f)))
