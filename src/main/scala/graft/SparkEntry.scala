@@ -2883,6 +2883,51 @@ object SparkEntry {
       C4Clean.cleanLines(docs, "doc_id", "text")
     }),
 
+    // §2 row 214: STREAMING gap monitor — per-event gap buckets emitted
+    // from one last-ts Long of GroupState per user (the q88/q204 idiom);
+    // bucket rows are additive, so the read-side profile over the drain
+    // equals the batch screen and q210's oracle applies VERBATIM.
+    "q212_gap_stream" -> ((s, dir) => {
+      val src = artifactPath("evstream", dir, codeHash(SparkEntry.getClass))
+      stageParquet(src) { tmp =>
+        Tables.events(s, dir)
+          .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+            col("event_type").isNotNull)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"), col("event_id"))
+          .write.mode("overwrite").parquet(tmp)
+      }
+      val stream = s.readStream
+        .schema(s.read.parquet(src).schema).parquet(src)
+        .select("user_id", "ts_us", "event_id")
+      graft.operators.GapProfile.profileFromBuckets(
+        ScoringStream.runToMemory(s,
+          graft.operators.GapProfile.bucketsStream(s, stream), "append"))
+    }),
+
+    // §2 row 215: source-vocabulary overlap matrix — distinct (source,
+    // token) frame, vocabulary-bounded token self-join, inclusion-
+    // exclusion union, Jaccard in bp per unordered sharing pair. EXACT
+    // oracle.
+    "q213_vocab_overlap" -> ((s, dir) =>
+      graft.textstats.VocabOverlap.overlapMatrix(
+        Tables.documents(s, dir), "source", "text")),
+
+    // §2 row 216: Heaps-law vocabulary growth — types reduced to their
+    // min doc id, bucketed into ten equal id ranges, cumulative over the
+    // ≤10-row checkpoint frame. EXACT oracle.
+    "q214_vocab_growth" -> ((s, dir) =>
+      graft.textstats.VocabOverlap.growthCurve(
+        Tables.documents(s, dir), "doc_id", "text")),
+
+    // §2 row 217: churn-label construction — observed span split at its
+    // midpoint day (broadcast single-row attach), first-half activity
+    // features + the went-silent label, second-half-only users excluded.
+    // EXACT oracle.
+    "q215_churn_labels" -> ((s, dir) =>
+      graft.operators.Churn.labels(Tables.events(s, dir),
+        "user_id", "ts")),
+
     // §2 row 210: nearest-class-centroid pseudo-labeling (Rocchio) —
     // every embedding takes the label of the mean class vector it dots
     // highest with; centroids broadcast as L×dim exact integer sums,
@@ -3703,6 +3748,28 @@ object SparkEntry {
        |       row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, doc_id ASC) AS rank
        |     FROM sc)
        |  WHERE rank <= $k)""".stripMargin
+
+  /** Gap-profile oracle shared by the batch (q210) and streaming (q212)
+    * declarations — one definition, no drift. */
+  private def gapProfileSql: String =
+    "WITH e AS (SELECT user_id AS key, epoch_us(ts) AS t, event_id AS id " +
+      "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+      "g AS (SELECT key, t - lag(t) OVER (PARTITION BY key " +
+      "ORDER BY t, id) AS gap FROM e), " +
+      "b AS (SELECT key, length(bin(gap)) - 1 AS bucket FROM g " +
+      "WHERE gap IS NOT NULL), " +
+      "pb AS (SELECT key, bucket, count(*) AS bn FROM b GROUP BY 1, 2), " +
+      "x AS (SELECT key, bucket, bn, " +
+      "sum(bn) OVER (PARTITION BY key) AS tot, " +
+      "count(*) OVER (PARTITION BY key) AS nb, " +
+      "row_number() OVER (PARTITION BY key ORDER BY bn DESC, bucket ASC) " +
+      "AS rk FROM pb) " +
+      "SELECT key, CAST(tot AS BIGINT) AS n_gaps, " +
+      "CAST(nb AS BIGINT) AS n_buckets, " +
+      "CAST(bucket AS BIGINT) AS top_bucket, " +
+      "CAST((10000 * bn) // tot AS BIGINT) AS top_share_bp, " +
+      "CAST(CASE WHEN (10000 * bn) // tot >= 8000 THEN 1 ELSE 0 END " +
+      "AS BIGINT) AS concentrated FROM x WHERE rk = 1"
 
   /** Last-touch oracle shared by the batch (q196) and streaming (q205)
     * attribution declarations — one definition, no drift. */
@@ -5759,26 +5826,72 @@ object SparkEntry {
         "SELECT template, n FROM r WHERE rank <= 10"),
 
     // Same per-key (ts, id) lag, same length(bin(gap))−1 integer bucket,
-    // same dominant-bucket winner and share.
-    "q210_gap_profile" ->
-      ("WITH e AS (SELECT user_id AS key, epoch_us(ts) AS t, event_id AS id " +
-        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
-        "g AS (SELECT key, t - lag(t) OVER (PARTITION BY key " +
-        "ORDER BY t, id) AS gap FROM e), " +
-        "b AS (SELECT key, length(bin(gap)) - 1 AS bucket FROM g " +
-        "WHERE gap IS NOT NULL), " +
-        "pb AS (SELECT key, bucket, count(*) AS bn FROM b GROUP BY 1, 2), " +
-        "x AS (SELECT key, bucket, bn, " +
-        "sum(bn) OVER (PARTITION BY key) AS tot, " +
-        "count(*) OVER (PARTITION BY key) AS nb, " +
-        "row_number() OVER (PARTITION BY key ORDER BY bn DESC, bucket ASC) " +
-        "AS rk FROM pb) " +
-        "SELECT key, CAST(tot AS BIGINT) AS n_gaps, " +
-        "CAST(nb AS BIGINT) AS n_buckets, " +
-        "CAST(bucket AS BIGINT) AS top_bucket, " +
-        "CAST((10000 * bn) // tot AS BIGINT) AS top_share_bp, " +
-        "CAST(CASE WHEN (10000 * bn) // tot >= 8000 THEN 1 ELSE 0 END " +
-        "AS BIGINT) AS concentrated FROM x WHERE rk = 1"),
+    // same dominant-bucket winner and share; the streaming monitor's
+    // additive bucket rows drain to the identical profile, so the oracle
+    // is shared verbatim.
+    "q210_gap_profile" -> gapProfileSql,
+    "q212_gap_stream" -> gapProfileSql,
+
+    // Distinct (source, token) frame, token self-join, inclusion-
+    // exclusion union, same integer Jaccard.
+    "q213_vocab_overlap" -> {
+      val toks = tokensSql("text")
+      s"WITH vt AS (SELECT DISTINCT source AS src, token FROM " +
+        s"(SELECT source, unnest($toks) AS token FROM documents) " +
+        "WHERE token <> ''), " +
+        "sz AS (SELECT src, count(*) AS v FROM vt GROUP BY src), " +
+        "i AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS inter " +
+        "FROM vt a JOIN vt b USING (token) WHERE a.src < b.src " +
+        "GROUP BY 1, 2) " +
+        "SELECT src_a, src_b, CAST(sa.v AS BIGINT) AS v_a, " +
+        "CAST(sb.v AS BIGINT) AS v_b, CAST(inter AS BIGINT) AS inter, " +
+        "CAST(sa.v + sb.v - inter AS BIGINT) AS u, " +
+        "CAST((10000 * inter) // (sa.v + sb.v - inter) AS BIGINT) " +
+        "AS jaccard_bp " +
+        "FROM i JOIN sz sa ON sa.src = i.src_a " +
+        "JOIN sz sb ON sb.src = i.src_b"
+    },
+
+    // Types reduced to min doc id, same ten equal id-range buckets, same
+    // cumulative over the checkpoint frame.
+    "q214_vocab_growth" -> {
+      val toks = tokensSql("text")
+      s"WITH tk AS (SELECT doc_id, unnest($toks) AS token FROM documents), " +
+        "f AS (SELECT token, min(doc_id) AS frst FROM tk " +
+        "WHERE token <> '' GROUP BY token), " +
+        "mx AS (SELECT max(doc_id) AS m FROM documents), " +
+        "b AS (SELECT (frst * 10) // (m + 1) AS checkpoint, " +
+        "count(*) AS new_types FROM f, mx GROUP BY 1), " +
+        "grid AS (SELECT unnest(generate_series(0, 9)) AS checkpoint), " +
+        "gb AS (SELECT grid.checkpoint, coalesce(b.new_types, 0) " +
+        "AS new_types FROM grid LEFT JOIN b USING (checkpoint)) " +
+        "SELECT CAST(checkpoint AS BIGINT) AS checkpoint, " +
+        "CAST(new_types AS BIGINT) AS new_types, " +
+        "CAST(sum(new_types) OVER (ORDER BY checkpoint " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types FROM gb"
+    },
+
+    // Same epoch-day split at (d0 + d1 + 1) div 2, same per-half event
+    // and distinct-day features, same first-half-presence gate.
+    "q215_churn_labels" ->
+      ("WITH e AS (SELECT user_id AS key, " +
+        "epoch_us(ts) // 86400000000 AS d FROM events " +
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+        "sp AS (SELECT min(d) AS d0, max(d) AS d1 FROM e), " +
+        "t AS (SELECT key, d, CASE WHEN d >= (d0 + d1 + 1) // 2 " +
+        "THEN 1 ELSE 0 END AS w2 FROM e, sp), " +
+        "a AS (SELECT key, " +
+        "sum(CASE WHEN w2 = 0 THEN 1 ELSE 0 END) AS events_w1, " +
+        "count(DISTINCT CASE WHEN w2 = 0 THEN d END) AS days_w1, " +
+        "sum(w2) AS events_w2, " +
+        "count(DISTINCT CASE WHEN w2 = 1 THEN d END) AS days_w2 " +
+        "FROM t GROUP BY key) " +
+        "SELECT key, CAST(events_w1 AS BIGINT) AS events_w1, " +
+        "CAST(days_w1 AS BIGINT) AS days_w1, " +
+        "CAST(events_w2 AS BIGINT) AS events_w2, " +
+        "CAST(days_w2 AS BIGINT) AS days_w2, " +
+        "CAST(CASE WHEN events_w2 = 0 THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS churned FROM a WHERE events_w1 > 0"),
 
     // The q22 langid chain held against the lang column: same marker
     // scoring, same preference order, exact counts and shares.

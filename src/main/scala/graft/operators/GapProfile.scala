@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Inter-arrival gap profile — the bot/automation screen over an event
   * log: a human's gaps between consecutive actions spread across many
@@ -35,7 +36,16 @@ object GapProfile {
       .filter(col("__prev").isNotNull)
       .withColumn("__bucket",
         (length(bin(col("__t") - col("__prev"))) - 1).cast("long"))
-    val perBucket = gaps.groupBy("key", "__bucket")
+    profileFromBuckets(gaps.select(col("key"), col("__bucket")), dominantBp)
+  }
+
+  /** The report half over a (key, __bucket) gap frame — shared by the
+    * batch path and the streaming monitor's read side (gap-bucket rows
+    * are ADDITIVE across microbatches, so the rollup over the drained
+    * rows equals the batch profile exactly under in-order arrival). */
+  def profileFromBuckets(gapBuckets: DataFrame,
+                         dominantBp: Int = 8000): DataFrame = {
+    val perBucket = gapBuckets.groupBy("key", "__bucket")
       .agg(count(lit(1)).as("__bn"))
     val wKey = Window.partitionBy("key")
     val wTop = Window.partitionBy("key")
@@ -51,5 +61,45 @@ object GapProfile {
         expr("(10000 * __bn) div __tot").as("top_share_bp"))
       .withColumn("concentrated",
         (col("top_share_bp") >= dominantBp).cast("long"))
+  }
+
+  /** One event as seen by the streaming path. */
+  case class GEv(user_id: Long, ts_us: Long, event_id: Long)
+
+  /** A gap bucket emitted by the stream. */
+  case class GBucket(key: Long, __bucket: Long)
+
+  /** Streaming gap buckets: per key, each arriving event emits the log₂
+    * bucket of its gap to the previous one — last timestamp carried as
+    * one Long of GroupState across triggers (the q88/q204 idiom and its
+    * in-order contract; equal-ts order within a trigger cannot change any
+    * bucket, every same-ts gap is 0). Feed [[profileFromBuckets]] with
+    * the drained rows for the exact batch profile. */
+  def bucketsStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    def update(key: Long, rows: Iterator[GEv],
+               state: GroupState[Long]): Iterator[GBucket] = {
+      var last = state.getOption.getOrElse(Long.MinValue)
+      val out = Seq.newBuilder[GBucket]
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        if (last != Long.MinValue) {
+          val gap = e.ts_us - last
+          // floor(log2 gap) for gap >= 1; gap 0 -> bucket 0 — the exact
+          // length(bin(gap)) - 1 identity of the batch path
+          val bucket =
+            if (gap <= 0L) 0L
+            else (63 - java.lang.Long.numberOfLeadingZeros(gap)).toLong
+          out += GBucket(key, bucket)
+        }
+        last = e.ts_us
+      }
+      state.update(last)
+      out.result().iterator
+    }
+    events.as[GEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+      .toDF()
   }
 }

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Churn
+
+class ChurnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Day = 86400000000L
+
+  private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+
+  private def run(rows: Seq[(Long, Long)]) =
+    Churn.labels(
+      rows.map { case (u, t) => (u, ts(t)) }.toDF("user_id", "ts"),
+      "user_id", "ts")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+
+  test("hand-built cohort: churned vs retained vs excluded") {
+    // span days 0..9 -> split at day 5
+    val rows = Seq(
+      (1L, 0L), (1L, Day), (1L, Day),          // u1: w1 only -> churned
+      (2L, 0L), (2L, 6L * Day), (2L, 7L * Day), // u2: both -> retained
+      (3L, 8L * Day),                           // u3: w2 only -> excluded
+      (4L, 9L * Day))                           // pins d1 = 9
+    val got = run(rows)
+    assert(got(1L) == ((3L, 2L, 0L, 0L, 1L)), got.toString)
+    assert(got(2L) == ((1L, 1L, 2L, 2L, 0L)), got.toString)
+    assert(!got.contains(3L))
+  }
+
+  test("distinct active days collapse repeats within a day") {
+    val rows = Seq(
+      (1L, 0L), (1L, 1000000L), (1L, 2000000L), // same day 0, 3 events
+      (2L, 9L * Day))
+    val got = run(rows)
+    assert(got(1L) == ((3L, 1L, 0L, 0L, 1L)), got.toString)
+  }
+
+  test("the split day boundary is (d0 + d1 + 1) div 2, second half " +
+    "inclusive") {
+    // span 0..9: split = 5; an event exactly at day 5 is w2
+    val rows = Seq((1L, 0L), (1L, 5L * Day), (2L, 9L * Day))
+    val got = run(rows)
+    assert(got(1L) == ((1L, 1L, 1L, 1L, 0L)), got.toString)
+  }
+}

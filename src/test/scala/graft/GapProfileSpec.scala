@@ -39,6 +39,39 @@ class GapProfileSpec extends SparkSpec {
     assert(!got.contains(2L))
   }
 
+  test("streaming gap buckets == batch profile across triggers " +
+    "(state carries the boundary gap)") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_gap_src").toString
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+      .persist()
+    val mid = ev.stat.approxQuantile("ts_us", Array(0.5), 0.0).head.toLong
+    ev.filter(col("ts_us") <= mid).coalesce(1).write.parquet(s"$tmp/f1")
+    ev.filter(col("ts_us") > mid).coalesce(1).write.parquet(s"$tmp/f2")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/f1").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/*")
+    val drained = graft.streaming.ScoringStream.runToMemory(spark,
+      GapProfile.bucketsStream(spark, stream), "append")
+    val got = GapProfile.profileFromBuckets(drained).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val want = GapProfile.profile(
+      ev.withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(col("ts_us"))),
+      "user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want,
+      s"stream=${got.size} batch=${want.size} diff=${(want -- got).take(3)}")
+    ev.unpersist()
+  }
+
   test("bucket tie-break: equal counts pick the smaller bucket") {
     // gaps 1000 (b9), 2000 (b10) -> both count 1, winner b9 at 5000 bp
     val got = run(Seq((1L, 0L, 1L), (1L, 1000L, 2L), (1L, 3000L, 3L)))

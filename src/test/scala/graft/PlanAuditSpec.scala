@@ -129,6 +129,13 @@ class PlanAuditSpec extends SparkSpec {
       "q185_skew_report",   // two single-row broadcast attaches (median,
                             // total — the q112 precedent) onto the ≤ topK
                             // heavy-key frame from the capped aggregator
+      "q214_vocab_growth",  // single-row broadcast id-span attach onto the
+                            // vocabulary-bounded firsts frame (q112
+                            // precedent); buckets/cumulative run over the
+                            // ≤10-row checkpoint frame
+      "q215_churn_labels",  // single-row broadcast day-span attach (the
+                            // q197 "now" precedent); the label aggregate
+                            // is one map-side-combined groupBy
       "q197_decay_score",   // single-row broadcast "now" (corpus max ts)
                             // attach (the q112 stats-attach precedent);
                             // the scoring itself is one map-side-combined
