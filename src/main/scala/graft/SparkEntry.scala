@@ -2883,6 +2883,59 @@ object SparkEntry {
       C4Clean.cleanLines(docs, "doc_id", "text")
     }),
 
+    // §2 row 218: column-profile drift report — two single-aggregation
+    // profiles full-outer joined per column: added/removed/common
+    // status, null-RATE shift in bp, distinct delta, min/max-changed
+    // flag; v2 is the deterministic in-query release (drops, planted
+    // nulls, a dropped and an added column). EXACT oracle.
+    "q216_profile_drift" -> ((s, dir) => {
+      val v1 = Tables.documents(s, dir)
+        .select("doc_id", "lang", "source", "n_chars")
+      val v2 = Tables.documents(s, dir)
+        .filter(col("doc_id") % 13 =!= 5)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("lang")).as("lang"),
+          col("n_chars"),
+          (col("doc_id") % 3).cast("long").as("rev"))
+      Profile.profileDiff(v1, Seq("doc_id", "lang", "source", "n_chars"),
+        v2, Seq("doc_id", "lang", "n_chars", "rev"))
+    }),
+
+    // §2 row 219: STREAMING changepoint — the q157 additive hourly
+    // partials collapsed read-side into the identical series, then the
+    // shared split-score read half; q203's oracle applies VERBATIM.
+    "q217_changepoint_stream" -> ((s, dir) => {
+      val src = artifactPath("ratemonsrc", dir, codeHash(SparkEntry.getClass))
+      stageParquet(src) { tmp =>
+        Tables.events(s, dir).select("event_id", "event_type", "ts")
+          .repartition(4).write.mode("overwrite").parquet(tmp)
+      }
+      val base = artifactPath("cpmon", dir, codeHash(SparkEntry.getClass,
+        ScoringStream.getClass, graft.operators.Changepoint.getClass))
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      ScoringStream.monitorRateStream(stream, "event_type", "ts",
+        s"$base/mon", s"$base/ckpt")
+      val series = s.read.parquet(s"$base/mon")
+        .groupBy("batch_id", "event_type", "hour")
+        .agg(max("c").as("__c"))
+        .groupBy("event_type", "hour").agg(sum("__c").as("c"))
+        .select(col("event_type").as("grp"),
+          expr("unix_micros(hour) div 3600000000L").as("h"), col("c"))
+      graft.operators.Changepoint.meanShiftFromCounts(series)
+        .withColumnRenamed("grp", "event_type")
+    }),
+
+    // §2 row 220: burstiness / Fano factor — dispersion of the shared
+    // gap-filled hourly series per type: Poisson ≈ 1000 m-units,
+    // machine bursts far above, rate-limited feeds far below. EXACT
+    // oracle.
+    "q218_burstiness" -> ((s, dir) =>
+      graft.operators.Changepoint.burstiness(Tables.events(s, dir),
+        "event_type", "ts")
+        .withColumnRenamed("grp", "event_type")),
+
     // §2 row 214: STREAMING gap monitor — per-event gap buckets emitted
     // from one last-ts Long of GroupState per user (the q88/q204 idiom);
     // bucket rows are additive, so the read-side profile over the drain
@@ -3748,6 +3801,38 @@ object SparkEntry {
        |       row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, doc_id ASC) AS rank
        |     FROM sc)
        |  WHERE rank <= $k)""".stripMargin
+
+  /** Gap-filled hourly series CTEs (c → sp → hrs → se) shared by the
+    * changepoint and burstiness oracles — one series definition. */
+  private def rateSeriesCtes: String =
+    "c AS (SELECT event_type AS grp, " +
+      "epoch_us(ts) // 3600000000 AS h, count(*) AS cnt FROM events " +
+      "WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2), " +
+      "sp AS (SELECT grp, min(h) AS h0, max(h) AS h1 FROM c GROUP BY grp), " +
+      "hrs AS (SELECT grp, unnest(generate_series(h0, h1)) AS h FROM sp), " +
+      "se AS (SELECT hrs.grp, hrs.h, coalesce(cnt, 0) AS cnt FROM hrs " +
+      "LEFT JOIN c ON hrs.grp = c.grp AND hrs.h = c.h)"
+
+  /** Split-score oracle shared by the batch (q203) and streaming (q217)
+    * changepoint declarations — one definition, no drift. */
+  private def changepointSql: String =
+    s"WITH $rateSeriesCtes, " +
+      "pre AS (SELECT grp, h, " +
+      "sum(cnt) OVER (PARTITION BY grp ORDER BY h " +
+      "ROWS UNBOUNDED PRECEDING) AS sb, " +
+      "count(*) OVER (PARTITION BY grp ORDER BY h " +
+      "ROWS UNBOUNDED PRECEDING) AS b, " +
+      "sum(cnt) OVER (PARTITION BY grp) AS sn, " +
+      "count(*) OVER (PARTITION BY grp) AS n FROM se), " +
+      "sc AS (SELECT grp, h, n, b, sb, sn, " +
+      "abs(n * sb - b * sn) AS score FROM pre WHERE b < n), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY grp " +
+      "ORDER BY score DESC, h ASC) AS rk FROM sc) " +
+      "SELECT grp AS event_type, CAST(n AS BIGINT) AS n_buckets, " +
+      "CAST(h AS BIGINT) AS cp_hour, CAST(score AS BIGINT) AS score, " +
+      "CAST((1000 * sb) // b AS BIGINT) AS mean_before_m, " +
+      "CAST((1000 * (sn - sb)) // (n - b) AS BIGINT) AS mean_after_m " +
+      "FROM r WHERE rk = 1"
 
   /** Gap-profile oracle shared by the batch (q210) and streaming (q212)
     * declarations — one definition, no drift. */
@@ -5988,31 +6073,57 @@ object SparkEntry {
         "FROM documents GROUP BY CUBE(lang, source)"),
 
     // Same gap-filled series, same prefix-sum split score and
-    // (score DESC, h ASC) winner; all divisions over non-negative counts.
-    "q203_changepoint" ->
-      ("WITH c AS (SELECT event_type AS grp, " +
-        "epoch_us(ts) // 3600000000 AS h, count(*) AS cnt FROM events " +
-        "WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2), " +
-        "sp AS (SELECT grp, min(h) AS h0, max(h) AS h1 FROM c GROUP BY grp), " +
-        "hrs AS (SELECT grp, unnest(generate_series(h0, h1)) AS h FROM sp), " +
-        "se AS (SELECT hrs.grp, hrs.h, coalesce(cnt, 0) AS cnt FROM hrs " +
-        "LEFT JOIN c ON hrs.grp = c.grp AND hrs.h = c.h), " +
-        "pre AS (SELECT grp, h, " +
-        "sum(cnt) OVER (PARTITION BY grp ORDER BY h " +
-        "ROWS UNBOUNDED PRECEDING) AS sb, " +
-        "count(*) OVER (PARTITION BY grp ORDER BY h " +
-        "ROWS UNBOUNDED PRECEDING) AS b, " +
-        "sum(cnt) OVER (PARTITION BY grp) AS sn, " +
-        "count(*) OVER (PARTITION BY grp) AS n FROM se), " +
-        "sc AS (SELECT grp, h, n, b, sb, sn, " +
-        "abs(n * sb - b * sn) AS score FROM pre WHERE b < n), " +
-        "r AS (SELECT *, row_number() OVER (PARTITION BY grp " +
-        "ORDER BY score DESC, h ASC) AS rk FROM sc) " +
+    // (score DESC, h ASC) winner; all divisions over non-negative
+    // counts. The streaming monitor's additive hourly partials collapse
+    // to the identical series, so the oracle is shared verbatim.
+    "q203_changepoint" -> changepointSql,
+    "q217_changepoint_stream" -> changepointSql,
+
+    // Per-column single-pass profiles on both sides of the same
+    // deterministic release, full-outer merged; bp deltas are
+    // subtractions of non-negative truncations, min/max compared
+    // null-safely (IS DISTINCT FROM).
+    "q216_profile_drift" -> {
+      def branch(rel: String, c: String) =
+        s"SELECT '$c' AS col, CAST(count(*) AS BIGINT) AS rows_, " +
+          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS nulls_, " +
+          s"CAST(count(DISTINCT $c) AS BIGINT) AS dist_, " +
+          s"CAST(min($c) AS VARCHAR) AS min_, " +
+          s"CAST(max($c) AS VARCHAR) AS max_ FROM $rel"
+      val p1 = Seq("doc_id", "lang", "source", "n_chars")
+        .map(branch("documents", _)).mkString(" UNION ALL ")
+      val p2 = Seq("doc_id", "lang", "n_chars", "rev")
+        .map(branch("v2", _)).mkString(" UNION ALL ")
+      "WITH v2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL " +
+        "ELSE lang END AS lang, n_chars, doc_id % 3 AS rev " +
+        "FROM documents WHERE doc_id % 13 <> 5), " +
+        s"p1 AS ($p1), p2 AS ($p2) " +
+        "SELECT coalesce(p1.col, p2.col) AS \"column\", " +
+        "CASE WHEN p1.col IS NULL THEN 'added' " +
+        "WHEN p2.col IS NULL THEN 'removed' ELSE 'common' END AS status, " +
+        "p1.rows_ AS rows_v1, p2.rows_ AS rows_v2, " +
+        "CAST((10000 * p2.nulls_) // p2.rows_ - " +
+        "(10000 * p1.nulls_) // p1.rows_ AS BIGINT) AS null_bp_delta, " +
+        "p1.dist_ AS dist_v1, p2.dist_ AS dist_v2, " +
+        "CAST(p2.dist_ - p1.dist_ AS BIGINT) AS dist_delta, " +
+        "CAST(CASE WHEN p1.col IS NULL OR p2.col IS NULL THEN NULL " +
+        "WHEN p1.min_ IS DISTINCT FROM p2.min_ " +
+        "OR p1.max_ IS DISTINCT FROM p2.max_ THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS minmax_changed " +
+        "FROM p1 FULL OUTER JOIN p2 ON p1.col = p2.col"
+    },
+
+    // The shared gap-filled series reduced to Fano dispersion — all
+    // non-negative integer arithmetic.
+    "q218_burstiness" ->
+      (s"WITH $rateSeriesCtes, " +
+        "a AS (SELECT grp, count(*) AS n, sum(cnt) AS s, " +
+        "sum(cnt * cnt) AS s2 FROM se GROUP BY grp) " +
         "SELECT grp AS event_type, CAST(n AS BIGINT) AS n_buckets, " +
-        "CAST(h AS BIGINT) AS cp_hour, CAST(score AS BIGINT) AS score, " +
-        "CAST((1000 * sb) // b AS BIGINT) AS mean_before_m, " +
-        "CAST((1000 * (sn - sb)) // (n - b) AS BIGINT) AS mean_after_m " +
-        "FROM r WHERE rk = 1"),
+        "CAST((1000 * s) // n AS BIGINT) AS mean_m, " +
+        "CAST((1000 * (n * s2 - s * s)) // (n * s) AS BIGINT) AS fano_m " +
+        "FROM a"),
 
     // The q84 gram-string CTEs with min(doc_id) as the first-introducer
     // rule instead of doc frequency.

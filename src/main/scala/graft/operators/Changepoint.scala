@@ -32,22 +32,40 @@ import org.apache.spark.sql.functions._
   */
 object Changepoint {
 
-  /** (group, n_buckets, cp_hour, score, mean_before_m, mean_after_m):
-    * the best split per group — boundary AFTER epoch-hour `cp_hour`,
-    * means in milli-events/bucket. */
-  def meanShift(events: DataFrame, groupCol: String, tsCol: String,
-                bucketUs: Long = 3600000000L): DataFrame = {
-    val counts = events
+  /** Per-group (grp, h, c) bucket counts from an event frame — the raw
+    * series every rate analysis here starts from. */
+  def bucketCounts(events: DataFrame, groupCol: String, tsCol: String,
+                   bucketUs: Long = 3600000000L): DataFrame =
+    events
       .filter(col(groupCol).isNotNull && col(tsCol).isNotNull)
       .select(col(groupCol).as("grp"),
         expr(s"unix_micros($tsCol) div ${bucketUs}L").as("h"))
       .groupBy("grp", "h").agg(count(lit(1)).as("c"))
+
+  /** Gap-fill a (grp, h, c) count frame over each group's min..max hour
+    * (missing buckets become explicit zeros). */
+  def gapFilledSeries(counts: DataFrame): DataFrame = {
     val span = counts.groupBy("grp")
       .agg(min("h").as("__h0"), max("h").as("__h1"))
-    val series = span
+    span
       .select(col("grp"), explode(sequence(col("__h0"), col("__h1"))).as("h"))
       .join(counts, Seq("grp", "h"), "left")
       .withColumn("c", coalesce(col("c"), lit(0L)))
+  }
+
+  /** (group, n_buckets, cp_hour, score, mean_before_m, mean_after_m):
+    * the best split per group — boundary AFTER epoch-hour `cp_hour`,
+    * means in milli-events/bucket. */
+  def meanShift(events: DataFrame, groupCol: String, tsCol: String,
+                bucketUs: Long = 3600000000L): DataFrame =
+    meanShiftFromCounts(bucketCounts(events, groupCol, tsCol, bucketUs))
+
+  /** [[meanShift]] from a pre-aggregated (grp, h, c) count frame — the
+    * shared read half: bucket counts are ADDITIVE across microbatches,
+    * so feeding the collapsed monitor table here yields exactly the
+    * batch answer (the q122/q157 monitor argument). */
+  def meanShiftFromCounts(counts: DataFrame): DataFrame = {
+    val series = gapFilledSeries(counts)
     val wCum = Window.partitionBy("grp").orderBy("h")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("grp")
@@ -69,4 +87,25 @@ object Changepoint {
         expr("(1000 * __sb) div __b").as("mean_before_m"),
         expr("(1000 * (__sn - __sb)) div (__n - __b)").as("mean_after_m"))
   }
+
+  /** Burstiness / Fano factor per group over the gap-filled series —
+    * the dispersion diagnosis next to [[meanShift]]'s level shifts and
+    * [[Robust.rateSpikes]]'s outliers: a Poisson-ish feed sits near
+    * fano_m = 1000 (variance ≈ mean), machine bursts push it far above,
+    * a rate-limited constant feed far below. fano = population variance
+    * over mean = (n·Σc² − S²) / (n·S), carried as one integer division
+    * in milli-units; every intermediate is non-negative int64 (Σc² ≤
+    * bucket-count · max-rate², documented headroom), so no sign split.
+    * Groups with S = 0 can't occur (a group exists only via ≥ 1 event).
+    */
+  def burstiness(events: DataFrame, groupCol: String, tsCol: String,
+                 bucketUs: Long = 3600000000L): DataFrame =
+    gapFilledSeries(bucketCounts(events, groupCol, tsCol, bucketUs))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum("c").as("__s"), sum(expr("c * c")).as("__s2"))
+      .withColumn("mean_m", expr("(1000 * __s) div n_buckets"))
+      .withColumn("fano_m", expr(
+        "(1000 * (n_buckets * __s2 - __s * __s)) div (n_buckets * __s)"))
+      .select("grp", "n_buckets", "mean_m", "fano_m")
 }

@@ -131,4 +131,46 @@ object Profile {
           col("__j") + 1).as("detail"),
         col("n_rows"), col("n_distinct"), col("holds"))
   }
+
+  /** Column-profile drift report between two dataset versions — the
+    * stats half of the schema-evolution story (row 179 reads evolved
+    * schemas; this says what CHANGED): per column, presence status
+    * (added / removed / common), the null-RATE shift in basis points
+    * (rates, not counts — versions legitimately differ in row count),
+    * the distinct-count delta, and a min/max-changed flag (null-safe
+    * compare). The upstream-extraction-bug canary run between every two
+    * releases: a column suddenly 40% null or with a collapsed distinct
+    * count fails here, not three stages later.
+    *
+    * Cost: one [[profile]] pass per side (each a single aggregation) +
+    * one full-outer join on the ≤ |columns| profile rows. Deltas are
+    * plain integer subtractions of non-negative truncations — no sign
+    * split needed anywhere. */
+  def profileDiff(v1: DataFrame, cols1: Seq[String],
+                  v2: DataFrame, cols2: Seq[String]): DataFrame = {
+    def side(df: DataFrame, cols: Seq[String], tag: String) =
+      profile(df, cols).select(
+        col("column"),
+        col("n_rows").as(s"rows_$tag"),
+        col("n_null").as(s"null_$tag"),
+        col("n_distinct").as(s"dist_$tag"),
+        col("min_s").as(s"min_$tag"),
+        col("max_s").as(s"max_$tag"))
+    side(v1, cols1, "v1")
+      .join(side(v2, cols2, "v2"), Seq("column"), "full_outer")
+      .withColumn("status",
+        when(col("rows_v1").isNull, lit("added"))
+          .when(col("rows_v2").isNull, lit("removed"))
+          .otherwise(lit("common")))
+      .withColumn("null_bp_delta",
+        expr("(10000 * null_v2) div rows_v2") -
+          expr("(10000 * null_v1) div rows_v1"))
+      .withColumn("dist_delta", col("dist_v2") - col("dist_v1"))
+      .withColumn("minmax_changed",
+        when(col("status") === "common",
+          (!(col("min_v1") <=> col("min_v2")) ||
+            !(col("max_v1") <=> col("max_v2"))).cast("long")))
+      .select("column", "status", "rows_v1", "rows_v2", "null_bp_delta",
+        "dist_v1", "dist_v2", "dist_delta", "minmax_changed")
+  }
 }

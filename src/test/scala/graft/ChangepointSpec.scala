@@ -54,6 +54,48 @@ class ChangepointSpec extends SparkSpec {
     assert(got.contains("a") && !got.contains("b"), got.toString)
   }
 
+  test("meanShiftFromCounts over split partials == meanShift over events " +
+    "(bucket counts are additive)") {
+    val rows =
+      (0 to 3).map(h => ("a", h * Hour)) ++
+        (4 to 5).flatMap(h => (1 to 5).map(i => ("a", h * Hour + i * 1000L)))
+    val ev = rows.map { case (g, t) => (g, ts(t)) }.toDF("event_type", "ts")
+    val want = Changepoint.meanShift(ev, "event_type", "ts").collect()
+      .map(_.toSeq).toSet
+    // simulate two microbatches' partial counts sharing hour cells
+    import org.apache.spark.sql.functions.{col, expr}
+    val counts = ev
+      .select(col("event_type").as("grp"),
+        expr("unix_micros(ts) div 3600000000L").as("h"),
+        (expr("unix_micros(ts)") % 2).as("half"))
+      .groupBy("grp", "h", "half").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("__pc"))
+      .groupBy("grp", "h").agg(
+        org.apache.spark.sql.functions.sum("__pc").as("c"))
+    val got = Changepoint.meanShiftFromCounts(counts).collect()
+      .map(_.toSeq).toSet
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("burstiness: constant feed ~0, bursty feed far above 1000, " +
+    "gap zeros count") {
+    // 'flat': 1/hour for 4 hours -> var 0 -> fano 0
+    // 'burst': 8 events in hour 0, none hours 1-3 (span held open by one
+    //  event at hour 3... keep exact: hours 0..3 with counts 8,0,0,1)
+    val rows =
+      (0 to 3).map(h => ("flat", h * Hour)) ++
+        (1 to 8).map(i => ("burst", i * 1000L)) :+ ("burst", 3 * Hour)
+    val got = Changepoint.burstiness(
+      rows.map { case (g, t) => (g, ts(t)) }.toDF("event_type", "ts"),
+      "event_type", "ts")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("flat") == ((4L, 1000L, 0L)), got.toString)
+    // burst: n=4, s=9, s2=65; fano = 1000*(4*65-81)/(36) = 1000*179/36
+    assert(got("burst") == ((4L, 2250L, 179000L / 36L)), got.toString)
+  }
+
   test("plan: windows partition by group (no global sort of the stream)") {
     val df = Changepoint.meanShift(
       Seq(("a", ts(0L)), ("a", ts(Hour))).toDF("event_type", "ts"),

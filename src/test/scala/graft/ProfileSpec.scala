@@ -82,4 +82,31 @@ class ProfileSpec extends SparkSpec {
     assert(got(("fd", "lang", "src"))._2 == 0L)
     assert(got.size == 9)
   }
+
+  test("profileDiff: added/removed/common status, null-rate shift, " +
+    "distinct delta, null-safe min/max flag") {
+    import spark.implicits._
+    val v1 = Seq(
+      (1L, Some("en"), "web"), (2L, Some("fr"), "web"),
+      (3L, Some("en"), "book"), (4L, Some("de"), "web"))
+      .toDF("id", "lang", "src")
+    val v2 = Seq(
+      (1L, None: Option[String], 7L), (2L, Some("fr"), 8L),
+      (3L, Some("en"), 9L))
+      .toDF("id", "lang", "rev")
+    val got = graft.operators.Profile.profileDiff(
+      v1, Seq("id", "lang", "src"), v2, Seq("id", "lang", "rev"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), Option(r.get(4)), Option(r.get(7)),
+          Option(r.get(8)))).toMap
+    assert(got("src")._1 == "removed" && got("rev")._1 == "added")
+    // lang: nulls 0/4 -> 1/3: delta = 3333 - 0; distinct 3 -> 2
+    assert(got("lang") == (("common", Some(3333L), Some(-1L), Some(1L))),
+      got.toString)
+    // id: max 4 -> 3, so minmax flips; no null shift
+    assert(got("id") == (("common", Some(0L), Some(-1L), Some(1L))),
+      got.toString)
+    // added/removed rows carry NULL deltas
+    assert(got("src")._2.isEmpty && got("rev")._2.isEmpty)
+  }
 }
