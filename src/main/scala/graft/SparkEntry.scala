@@ -2883,6 +2883,52 @@ object SparkEntry {
       C4Clean.cleanLines(docs, "doc_id", "text")
     }),
 
+    // §2 row 221: dedup-threshold sweep — one verified-pair pass at the
+    // lowest candidate threshold, banded by floor(10·jaccard) with
+    // per-band pairs / affected docs / cumulative-≥ counts; a threshold
+    // choice becomes a row read, not a re-run. EXACT oracle.
+    "q219_threshold_sweep" -> ((s, dir) => {
+      // planted partial-overlap variants (+40000 ids, fixed 20-word
+      // suffix): shorter docs dilute more, so the pair mass spreads
+      // across bands 5-9 instead of collapsing to the exact-dup band
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = docs.unionAll(docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat(col("text"), lit(" alpha beta gamma delta epsilon zeta " +
+            "eta theta iota kappa lambda mu nu xi omicron pi rho sigma " +
+            "tau upsilon")).as("text")))
+      NGramJaccard.thresholdSweep(spread(s, corpus),
+        "doc_id", "text", n = 3, minThreshold = 0.5)
+    }),
+
+    // §2 row 222: k-anonymity spectrum — group sizes over the declared
+    // quasi-identifiers (type, hour-of-day, value band), sizes-of-sizes
+    // reduction with the at-risk flag. EXACT oracle.
+    "q220_k_anonymity" -> ((s, dir) =>
+      graft.operators.Privacy.kAnonymitySpectrum(
+        Tables.events(s, dir).select(col("event_type"),
+          expr("(unix_micros(ts) div 3600000000L) % 24").as("hour_of_day"),
+          expr("cast(round(value * 100) as bigint) div 10000")
+            .as("value_band")),
+        Seq("event_type", "hour_of_day", "value_band"), k = 5)),
+
+    // §2 row 223: deterministic pseudonymization with referential
+    // integrity — the portable polynomial pseudonym (salt-separated)
+    // replacing user ids, per-pseudonym rollup proving joins/aggregates
+    // survive the scrub. EXACT oracle.
+    "q221_pseudonymize" -> ((s, dir) => {
+      val p = graft.operators.Privacy.pseudonymize(
+        Tables.events(s, dir)
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_type"),
+            expr("cast(round(value * 100) as bigint)").as("cents")),
+        "user_id", "prod")
+      p.groupBy("pseudo")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          sum("cents").as("cents"))
+    }),
+
     // §2 row 218: column-profile drift report — two single-aggregation
     // profiles full-outer joined per column: added/removed/common
     // status, null-RATE shift in bp, distinct delta, min/max-changed
@@ -6078,6 +6124,69 @@ object SparkEntry {
     // to the identical series, so the oracle is shared verbatim.
     "q203_changepoint" -> changepointSql,
     "q217_changepoint_stream" -> changepointSql,
+
+    // q18's gram/pair CTEs at the sweep's 0.5 floor, the same one-division
+    // Jaccard double, band floor, endpoint explode and ≥-band cumulative.
+    "q219_threshold_sweep" ->
+      ("WITH corpus AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 40000, text || ' alpha beta gamma " +
+        "delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron " +
+        "pi rho sigma tau upsilon' FROM documents WHERE doc_id % 9 = 0), " +
+        s"t AS (SELECT doc_id AS id, ${tokensSql("text")} AS toks " +
+        "FROM corpus), " +
+        "g0 AS (SELECT id, CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(generate_series(1, len(toks) - 2), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END AS grams FROM t), " +
+        "gd AS (SELECT DISTINCT id, gram FROM " +
+        "(SELECT id, unnest(grams) AS gram FROM g0)), " +
+        "sz AS (SELECT id, count(*) AS n FROM gd GROUP BY id), " +
+        "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i " +
+        "FROM gd a JOIN gd b ON a.gram = b.gram AND a.id < b.id " +
+        "GROUP BY 1, 2), " +
+        "p AS (SELECT id_a, id_b, " +
+        "CAST(FLOOR(10 * CAST(i AS DOUBLE) / " +
+        "CAST(sa.n + sb.n - i AS DOUBLE)) AS BIGINT) AS band " +
+        "FROM inter JOIN sz sa ON sa.id = id_a " +
+        "JOIN sz sb ON sb.id = id_b " +
+        "WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5), " +
+        "pb AS (SELECT band, count(*) AS n_pairs FROM p GROUP BY band), " +
+        "db AS (SELECT band, count(*) AS n_docs FROM " +
+        "(SELECT DISTINCT band, id FROM " +
+        "(SELECT band, unnest([id_a, id_b]) AS id FROM p)) GROUP BY band) " +
+        "SELECT pb.band, CAST(n_pairs AS BIGINT) AS n_pairs, " +
+        "CAST(n_docs AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_pairs) OVER (ORDER BY pb.band DESC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pairs " +
+        "FROM pb JOIN db USING (band)"),
+
+    // Same QI construction, same sizes-of-sizes reduction.
+    "q220_k_anonymity" ->
+      ("WITH q AS (SELECT event_type, " +
+        "(epoch_us(ts) // 3600000000) % 24 AS hod, " +
+        "CAST(round(value * 100) AS BIGINT) // 10000 AS vb FROM events), " +
+        "g AS (SELECT event_type, hod, vb, count(*) AS gs FROM q " +
+        "GROUP BY 1, 2, 3) " +
+        "SELECT CAST(gs AS BIGINT) AS group_size, " +
+        "CAST(count(*) AS BIGINT) AS n_groups, " +
+        "CAST(gs * count(*) AS BIGINT) AS n_rows, " +
+        "CAST(CASE WHEN gs < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk " +
+        "FROM g GROUP BY gs"),
+
+    // The q25 polynomial over the salted key string — the mapping is
+    // verifiable without a key service, per the documented
+    // pseudonymization (not anonymization) contract.
+    "q221_pseudonymize" ->
+      ("WITH e AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(regexp_split_to_array('prod|' || " +
+        "CAST(user_id AS VARCHAR), ''), " +
+        "c -> CAST(coalesce(ascii(c), 0) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 1000000007) AS pseudo, " +
+        "event_type, CAST(round(value * 100) AS BIGINT) AS cents " +
+        "FROM events WHERE user_id IS NOT NULL) " +
+        "SELECT pseudo, CAST(count(*) AS BIGINT) AS n_events, " +
+        "CAST(count(DISTINCT event_type) AS BIGINT) AS n_types, " +
+        "CAST(sum(cents) AS BIGINT) AS cents FROM e GROUP BY pseudo"),
 
     // Per-column single-pass profiles on both sides of the same
     // deterministic release, full-outer merged; bp deltas are

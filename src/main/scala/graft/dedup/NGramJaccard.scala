@@ -60,4 +60,32 @@ object NGramJaccard {
       .distinct()
     MinHashDedup.verifyJaccard(pairs, sets, threshold)
   }
+
+  /** Dedup-threshold sweep — the config-tuning evidence read BEFORE
+    * committing a near-dup threshold: one [[similarPairs]] pass at the
+    * lowest threshold under consideration, its verified pairs banded by
+    * floor(10·jaccard), and per band the pair count, distinct affected
+    * docs, and the cumulative pairs a ≥-band threshold would act on. A
+    * threshold choice is then a row read, not a re-run per candidate
+    * value. The Jaccard double is ONE correctly-rounded division of
+    * exact ints (identical on both engines), so the band floor never
+    * straddles; band 10 = exact duplicates. Band aggregates and the
+    * cumulative window run over ≤ 11 band rows. */
+  def thresholdSweep(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, minThreshold: Double = 0.5): DataFrame = {
+    val pairs = similarPairs(docs, idCol, textCol, n, minThreshold)
+      .withColumn("band", floor(col("jaccard") * 10).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perBand = pairs.groupBy("band").agg(count(lit(1)).as("n_pairs"))
+    val docsPerBand = pairs
+      .select(col("band"), explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+      .groupBy("band").agg(count(lit(1)).as("n_docs"))
+    perBand.join(docsPerBand, "band")
+      .withColumn("cum_pairs", sum("n_pairs").over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("band").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+  }
 }

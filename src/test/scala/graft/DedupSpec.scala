@@ -140,6 +140,20 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("thresholdSweep: pairs land in their jaccard bands with exact " +
+    "counts, affected docs, and cumulative-≥ totals") {
+    // corpus fixture: (1,2) exact dup (band 10), (1,3)/(2,3) at 10/11
+    // (band 9); all other pairs below the 0.5 floor
+    val out = NGramJaccard.thresholdSweep(corpus, "id", "text",
+      n = 3, minThreshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      10L -> ((1L, 2L, 1L)),   // pair (1,2); docs {1,2}; cum 1
+      9L -> ((2L, 3L, 3L))),   // pairs (1,3),(2,3); docs {1,2,3}; cum 3
+      out.toString)
+  }
+
   test("incremental dedup finds cross-batch and within-batch dups from the index") {
     // corpus = docs 1-5; increment replays doc 1's text (id 11), a near-dup
     // of doc 3 (id 13), a within-increment dup pair (21, 22), and a fresh doc

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Privacy
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kAnonymitySpectrum: hand-built groups, sizes-of-sizes, at-risk " +
+    "flag; NULL QI values form their own group") {
+    val df = Seq(
+      ("a", Some(1)), ("a", Some(1)), ("a", Some(1)), // group of 3
+      ("b", Some(1)), ("b", Some(1)),                 // group of 2
+      ("c", Some(2)),                                 // singleton
+      ("c", None), ("c", None))                       // NULL group of 2
+      .toDF("t", "h")
+    val got = Privacy.kAnonymitySpectrum(df, Seq("t", "h"), k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      3L -> ((1L, 3L, 0L)),
+      2L -> ((2L, 4L, 1L)),
+      1L -> ((1L, 1L, 1L))), got.toString)
+  }
+
+  test("pseudonymize: deterministic, referentially consistent, " +
+    "injective on this key space, salt-separated, original dropped") {
+    val df = (1 to 200).map(i => (i.toLong, i % 7)).toDF("user_id", "x")
+    val p = Privacy.pseudonymize(df, "user_id", "prod")
+    assert(!p.columns.contains("user_id"))
+    // referential integrity: same key -> same pseudonym across frames
+    val p2 = Privacy.pseudonymize(df, "user_id", "prod")
+    assert(p.select("pseudo").except(p2.select("pseudo")).count() == 0)
+    // injective here: 200 keys -> 200 pseudonyms
+    assert(p.select("pseudo").distinct().count() == 200)
+    // a different salt decorrelates the mapping
+    val q = Privacy.pseudonymize(df, "user_id", "test")
+    assert(p.select("pseudo").intersect(q.select("pseudo")).count() == 0)
+  }
+
+  test("pseudonym matches a local replay of the polynomial recurrence") {
+    val got = Seq(Tuple1(42L)).toDF("k")
+      .select(Privacy.pseudonym(col("k"), "s").as("p"))
+      .collect().head.getLong(0)
+    val want = "s|42".foldLeft(0L)((acc, ch) =>
+      (acc * 31 + ch.toLong) % 1000000007L)
+    assert(got == want)
+  }
+}
