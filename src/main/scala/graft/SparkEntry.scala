@@ -2883,6 +2883,49 @@ object SparkEntry {
       C4Clean.cleanLines(docs, "doc_id", "text")
     }),
 
+    // §2 row 224: bucket-by-sequence-length batching — power-of-two
+    // length classes, capacity seqLen div class whole docs per bin,
+    // per-class ranks via the Curriculum bucket-offset machinery (no
+    // corpus rank window); no document ever splits. EXACT oracle.
+    "q222_bucketed_batching" -> ((s, dir) =>
+      graft.operators.BucketedBatching.plan(
+        Tables.documents(s, dir).select(col("doc_id"),
+          TextStats.wsTokenCount(col("text")).cast("long").as("n_tok")),
+        "doc_id", "n_tok", seqLen = 128)
+        .withColumnRenamed("id", "doc_id")),
+
+    // §2 row 225: TPC-H Q5 local-supplier-volume shape — five-table
+    // join (region→nation broadcast chain, customer⋈orders⋈lineitem⋈
+    // supplier with the same-nation predicate), date filter pushed,
+    // cents-exact revenue per nation. EXACT oracle.
+    "q223_local_supplier_volume" -> ((s, dir) => {
+      val asia = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(asia), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          expr("cast(round(l_extendedprice * (1.0 - l_discount) * 100) " +
+            "as bigint)").as("rev_c"))
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(asia.withColumnRenamed("n_nationkey", "__nk")),
+          col("s_nationkey") === col("__nk"))
+        .groupBy("n_name")
+        .agg(sum("rev_c").as("revenue_c"))
+    }),
+
     // §2 row 221: dedup-threshold sweep — one verified-pair pass at the
     // lowest candidate threshold, banded by floor(10·jaccard) with
     // per-band pairs / affected docs / cumulative-≥ counts; a threshold
@@ -6124,6 +6167,36 @@ object SparkEntry {
     // to the identical series, so the oracle is shared verbatim.
     "q203_changepoint" -> changepointSql,
     "q217_changepoint_stream" -> changepointSql,
+
+    // Same pow2 class identity (1 << bitlen(n−1)), same per-class
+    // id-order ranks, same closed-form bin/slot arithmetic.
+    "q222_bucketed_batching" ->
+      ("WITH d AS (SELECT doc_id, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) " +
+        "AS n_tok FROM documents), " +
+        "f AS (SELECT * FROM d WHERE n_tok >= 1 AND n_tok <= 128), " +
+        "c AS (SELECT doc_id, n_tok, CASE WHEN n_tok <= 1 THEN 1 " +
+        "ELSE 1 << length(bin(n_tok - 1)) END AS cls FROM f), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY cls " +
+        "ORDER BY doc_id) - 1 AS rnk FROM c) " +
+        "SELECT doc_id, n_tok, CAST(cls AS BIGINT) AS class_size, " +
+        "CAST(rnk // (128 // cls) AS BIGINT) AS bin, " +
+        "CAST(rnk % (128 // cls) AS BIGINT) AS slot FROM r"),
+
+    // The standard Q5 formulation: same-nation customer/supplier, same
+    // date window, per-line HALF_UP cents then exact sums.
+    "q223_local_supplier_volume" ->
+      ("SELECT n_name, CAST(sum(CAST(round(l_extendedprice * " +
+        "(1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c " +
+        "FROM region JOIN nation ON n_regionkey = r_regionkey " +
+        "JOIN customer ON c_nationkey = n_nationkey " +
+        "JOIN orders ON o_custkey = c_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON s_suppkey = l_suppkey " +
+        "AND s_nationkey = c_nationkey " +
+        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY n_name"),
 
     // q18's gram/pair CTEs at the sweep's 0.5 floor, the same one-division
     // Jaccard double, band floor, endpoint explode and ≥-band cumulative.

@@ -129,6 +129,10 @@ class PlanAuditSpec extends SparkSpec {
       "q185_skew_report",   // two single-row broadcast attaches (median,
                             // total — the q112 precedent) onto the ≤ topK
                             // heavy-key frame from the capped aggregator
+      "q222_bucketed_batching", // single-row broadcast id-span attach (the
+                            // q197/q215 precedent); ranks come from the
+                            // broadcast offsets hash join + cell-local
+                            // windows, never a corpus sort
       "q214_vocab_growth",  // single-row broadcast id-span attach onto the
                             // vocabulary-bounded firsts frame (q112
                             // precedent); buckets/cumulative run over the
