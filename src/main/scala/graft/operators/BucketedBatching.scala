@@ -34,6 +34,12 @@ object BucketedBatching {
   def plan(df: DataFrame, idCol: String, tokCol: String,
            seqLen: Int = 128, nBuckets: Int = 256): DataFrame = {
     require(seqLen > 0 && nBuckets > 0, "seqLen and nBuckets must be > 0")
+    // a non-pow2 seqLen would give the top quantized class (> seqLen/2,
+    // rounded up past seqLen) a ZERO capacity and divide the plan by it —
+    // fail loud at the API instead
+    require((seqLen & (seqLen - 1)) == 0,
+      s"seqLen must be a power of two (got $seqLen): classes are pow2 " +
+        "and the top class's capacity seqLen div class would be 0")
     val base = df
       .filter(col(idCol).isNotNull && col(tokCol).isNotNull &&
         col(tokCol) >= 1 && col(tokCol) <= seqLen)

@@ -27,11 +27,14 @@ object Semistructured {
 
   /** `df` with each declared field of the parsed JSON surfaced as a
     * top-level column (NULL where the cell is malformed or the key is
-    * absent). */
+    * absent). The struct materializes in ONE intermediate projection so
+    * the parse runs once per row, not once per declared field. */
   def extractJson(df: DataFrame, jsonCol: String, ddl: String): DataFrame = {
-    val parsed = jsonStruct(col(jsonCol), ddl)
-    org.apache.spark.sql.types.StructType.fromDDL(ddl).fields
-      .foldLeft(df)((acc, f) =>
-        acc.withColumn(f.name, parsed.getField(f.name)))
+    val tmp = "__graft_json"
+    val fields = org.apache.spark.sql.types.StructType.fromDDL(ddl).fields
+    fields.foldLeft(
+        df.withColumn(tmp, jsonStruct(col(jsonCol), ddl)))(
+        (acc, f) => acc.withColumn(f.name, col(tmp).getField(f.name)))
+      .drop(tmp)
   }
 }

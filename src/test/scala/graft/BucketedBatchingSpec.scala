@@ -31,6 +31,15 @@ class BucketedBatchingSpec extends SparkSpec {
     assert(got(3L) == ((16L, 16L, 0L, 0L)))
   }
 
+  test("non-power-of-two seqLen is rejected loudly (the zero-capacity " +
+    "top class)") {
+    val df = Seq((1L, 3L)).toDF("id", "n")
+    val e = intercept[IllegalArgumentException] {
+      BucketedBatching.plan(df, "id", "n", seqLen = 100)
+    }
+    assert(e.getMessage.contains("power of two"))
+  }
+
   test("docs longer than seqLen and empty docs are excluded by contract") {
     val got = run(Seq((1L, 17L), (2L, 0L), (3L, 4L)))
     assert(got.keySet == Set(3L), got.toString)
