@@ -2883,6 +2883,63 @@ object SparkEntry {
       C4Clean.cleanLines(docs, "doc_id", "text")
     }),
 
+    // §2 row 226: per-day trending items — top-5 props keys per epoch
+    // day via the map-side-capped string top-k aggregator (no per-day
+    // sort window); composes the q201 JSON parse. EXACT oracle.
+    "q224_trending_items" -> ((s, dir) => {
+      val parsed = graft.operators.Semistructured.extractJson(
+        Tables.events(s, dir), "props", "k INT")
+      graft.operators.Trending.topItemsPerPeriod(
+        parsed.filter(col("ts").isNotNull && col("k").isNotNull)
+          .select(expr("unix_micros(ts) div 86400000000L").as("day"),
+            col("k")),
+        "day", "k", k = 5)
+        .withColumnRenamed("period", "day")
+    }),
+
+    // §2 row 227: source Pareto coverage — per-source token mass ranked
+    // with cumulative share; every window runs over the ≤ |sources|
+    // frame. EXACT oracle.
+    "q225_source_pareto" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, dir).groupBy("source")
+        .agg(sum(TextStats.wsTokenCount(col("text")).cast("long"))
+          .as("tokens"))
+      val ord = W.orderBy(col("tokens").desc, col("source").asc)
+      t.withColumn("rank", row_number().over(ord).cast("int"))
+        .withColumn("__cum", sum("tokens").over(
+          ord.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("__tot", sum("tokens").over(
+          ord.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+        .withColumn("share_bp", expr("(10000 * tokens) div __tot"))
+        .withColumn("cum_share_bp", expr("(10000 * __cum) div __tot"))
+        .select("source", "tokens", "rank", "share_bp", "cum_share_bp")
+    }),
+
+    // §2 row 228: STREAMING k-anonymity monitor — additive per-batch QI
+    // partials with the idempotent (batch_id, QI) collapse; the drained
+    // spectrum equals the batch audit over the same QI pair (EXACT
+    // batch-SQL oracle).
+    "q226_k_anonymity_stream" -> ((s, dir) => {
+      val src = artifactPath("ratemonsrc", dir, codeHash(SparkEntry.getClass))
+      stageParquet(src) { tmp =>
+        Tables.events(s, dir).select("event_id", "event_type", "ts")
+          .repartition(4).write.mode("overwrite").parquet(tmp)
+      }
+      val base = artifactPath("qimon", dir, codeHash(SparkEntry.getClass,
+        ScoringStream.getClass, graft.operators.Privacy.getClass))
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      // the q220 QI shape minus the value band (the staged monitor feed
+      // carries no value column; type × hour-of-day is the QI pair)
+      val qi = stream.select(col("event_type"),
+        expr("(unix_micros(ts) div 3600000000L) % 24").as("hour_of_day"))
+      ScoringStream.monitorQiStream(qi, Seq("event_type", "hour_of_day"),
+        s"$base/mon", s"$base/ckpt")
+      ScoringStream.readQiMonitor(s, s"$base/mon",
+        Seq("event_type", "hour_of_day"), k = 5)
+    }),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -6167,6 +6224,46 @@ object SparkEntry {
     // to the identical series, so the oracle is shared verbatim.
     "q203_changepoint" -> changepointSql,
     "q217_changepoint_stream" -> changepointSql,
+
+    // DuckDB's JSON parser + the same per-day counts and (n desc, item)
+    // total order the capped aggregator maintains.
+    "q224_trending_items" ->
+      ("WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+        "CAST(props->>'k' AS VARCHAR) AS item FROM events " +
+        "WHERE ts IS NOT NULL AND (props->>'k') IS NOT NULL), " +
+        "c AS (SELECT day, item, count(*) AS n FROM e GROUP BY 1, 2), " +
+        "r AS (SELECT day, item, n, row_number() OVER (PARTITION BY day " +
+        "ORDER BY n DESC, item ASC) AS rank FROM c) " +
+        "SELECT CAST(day AS BIGINT) AS day, item, CAST(n AS BIGINT) AS n, " +
+        "CAST(rank AS INT) AS rank FROM r WHERE rank <= 5"),
+
+    // Same token totals, same (tokens desc, source) total order and
+    // integer shares.
+    "q225_source_pareto" ->
+      ("WITH t AS (SELECT source, " +
+        "CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) " +
+        "AS tokens FROM documents GROUP BY source), " +
+        "r AS (SELECT source, tokens, " +
+        "row_number() OVER (ORDER BY tokens DESC, source ASC) AS rank, " +
+        "sum(tokens) OVER (ORDER BY tokens DESC, source ASC " +
+        "ROWS UNBOUNDED PRECEDING) AS cum, " +
+        "sum(tokens) OVER () AS tot FROM t) " +
+        "SELECT source, tokens, CAST(rank AS INT) AS rank, " +
+        "CAST((10000 * tokens) // tot AS BIGINT) AS share_bp, " +
+        "CAST((10000 * cum) // tot AS BIGINT) AS cum_share_bp FROM r"),
+
+    // The batch sizes-of-sizes audit over the same (type, hour-of-day)
+    // QI pair — additive partials make the drain equal it exactly.
+    "q226_k_anonymity_stream" ->
+      ("WITH q AS (SELECT event_type, " +
+        "(epoch_us(ts) // 3600000000) % 24 AS hod FROM events), " +
+        "g AS (SELECT event_type, hod, count(*) AS gs FROM q " +
+        "GROUP BY 1, 2) " +
+        "SELECT CAST(gs AS BIGINT) AS group_size, " +
+        "CAST(count(*) AS BIGINT) AS n_groups, " +
+        "CAST(gs * count(*) AS BIGINT) AS n_rows, " +
+        "CAST(CASE WHEN gs < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk " +
+        "FROM g GROUP BY gs"),
 
     // Same pow2 class identity (1 << bitlen(n−1)), same per-class
     // id-order ranks, same closed-form bin/slot arithmetic.

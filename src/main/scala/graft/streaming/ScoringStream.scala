@@ -367,6 +367,49 @@ object ScoringStream {
         .agg(sum("__c").as("c")),
       "event_type", "c", k)
 
+  /** Streaming quasi-identifier monitor — the live half of the
+    * k-anonymity audit (row 222): per microbatch, PARTIAL QI-group
+    * counts append with batch_id; group sizes are SUMS of per-row
+    * indicators, hence additive across any batch split, so the read-side
+    * rollup equals the batch spectrum EXACTLY (the q122/q155/q157
+    * additivity argument, here for a privacy gate — the table is
+    * re-screenable after every ingest batch without re-reading
+    * history). At-least-once foreachBatch handled by the idempotent
+    * (batch_id, QI) collapse on read. */
+  def monitorQiStream(rows: DataFrame, qiCols: Seq[String],
+                      path: String, checkpoint: String): Unit = {
+    require(qiCols.nonEmpty, "monitorQiStream needs QI columns")
+    val q = rows.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.groupBy(qiCols.map(col): _*)
+          .agg(count(lit(1)).as("c"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(path)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Idempotent rollup for [[monitorQiStream]]: collapse retry
+    * duplicates, sum across batches, then the row-222 sizes-of-sizes
+    * spectrum — the batch audit exactly. */
+  def readQiMonitor(spark: SparkSession, path: String,
+                    qiCols: Seq[String], k: Int = 5): DataFrame = {
+    val sizes = spark.read.parquet(path)
+      .groupBy((qiCols :+ "batch_id").map(col): _*)
+      .agg(max("c").as("__c"))
+      .groupBy(qiCols.map(col): _*)
+      .agg(sum("__c").as("__gs"))
+    sizes
+      .groupBy(col("__gs").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .withColumn("n_rows", col("group_size") * col("n_groups"))
+      .withColumn("at_risk", (col("group_size") < k).cast("long"))
+  }
+
   /** Streaming MERGE / CDC ingestion — a live change feed (id, op,
     * payload) folded into an evolving snapshot: each microbatch applies
     * [[graft.operators.Merge.applyChanges]] against the CURRENT

@@ -39,6 +39,29 @@ class PrivacySpec extends SparkSpec {
     assert(p.select("pseudo").intersect(q.select("pseudo")).count() == 0)
   }
 
+  test("QI monitor rollup: retry duplicates collapse, cross-batch " +
+    "partials sum to the batch spectrum") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_qimon").toString
+    // batch 0 and batch 1 both touch QI ("a", 1); batch 1's partial is
+    // written TWICE (a simulated foreachBatch retry)
+    val b0 = Seq(("a", 1, 2L, 0L), ("b", 2, 1L, 0L))
+      .toDF("t", "h", "c", "batch_id")
+    val b1 = Seq(("a", 1, 3L, 1L))
+      .toDF("t", "h", "c", "batch_id")
+    b0.write.mode("append").parquet(tmp)
+    b1.write.mode("append").parquet(tmp)
+    b1.write.mode("append").parquet(tmp) // retry duplicate
+    val got = graft.streaming.ScoringStream.readQiMonitor(
+      spark, tmp, Seq("t", "h"), k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // ("a",1): 2+3 = 5 rows; ("b",2): 1 row — sizes {5:1 group, 1:1}
+    assert(got == Map(
+      5L -> ((1L, 5L, 0L)),
+      1L -> ((1L, 1L, 1L))), got.toString)
+  }
+
   test("pseudonym matches a local replay of the polynomial recurrence") {
     val got = Seq(Tuple1(42L)).toDF("k")
       .select(Privacy.pseudonym(col("k"), "s").as("p"))
