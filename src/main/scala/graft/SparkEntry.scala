@@ -2940,6 +2940,28 @@ object SparkEntry {
         Seq("event_type", "hour_of_day"), k = 5)
     }),
 
+    // §2 row 229: training-sample index — the GPT dataloader contract:
+    // docs concatenate in id order, sample s covers tokens [s·L, (s+1)·L),
+    // the index maps each sample to its (doc, offset, length) segments.
+    // Offsets via the bucket-offset machinery (sums, not counts); the
+    // segment explode runs at the scan. EXACT oracle.
+    "q227_sample_index" -> ((s, dir) =>
+      graft.operators.SampleIndex.plan(
+        Tables.documents(s, dir).select(col("doc_id"),
+          TextStats.wsTokenCount(col("text")).cast("long").as("n_tok")),
+        "doc_id", "n_tok", seqLen = 128)
+        .withColumnRenamed("id", "doc_id")),
+
+    // §2 row 230: truncation-loss audit — per (source, candidate seq len):
+    // docs that would truncate and tokens lost off the end; the lengths
+    // explode per row (no join), one map-side-combined aggregate. EXACT
+    // oracle.
+    "q228_truncation_loss" -> ((s, dir) =>
+      graft.operators.SampleIndex.truncationLoss(
+        Tables.documents(s, dir).select(col("source"),
+          TextStats.wsTokenCount(col("text")).cast("long").as("n_tok")),
+        "source", "n_tok", Seq(64, 256, 1024))),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -6264,6 +6286,40 @@ object SparkEntry {
         "CAST(gs * count(*) AS BIGINT) AS n_rows, " +
         "CAST(CASE WHEN gs < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk " +
         "FROM g GROUP BY gs"),
+
+    // Same id-order cumulative offsets, same closed-form sample-overlap
+    // arithmetic (generate_series == sequence on the same long bounds).
+    "q227_sample_index" ->
+      ("WITH d AS (SELECT doc_id, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) " +
+        "AS n_tok FROM documents), " +
+        "f AS (SELECT * FROM d WHERE n_tok >= 1), " +
+        "o AS (SELECT doc_id, n_tok, CAST(sum(n_tok) OVER (ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS off FROM f), " +
+        "e AS (SELECT doc_id, n_tok, off, " +
+        "unnest(generate_series(off // 128, (off + n_tok - 1) // 128)) " +
+        "AS s FROM o) " +
+        "SELECT CAST(s AS BIGINT) AS sample_id, doc_id, " +
+        "CAST(greatest(0, s * 128 - off) AS BIGINT) AS doc_off, " +
+        "CAST(least(off + n_tok, (s + 1) * 128) - " +
+        "greatest(off, s * 128) AS BIGINT) AS seg_len FROM e"),
+
+    // Same per-(source, length) indicator sums and integer bp division.
+    "q228_truncation_loss" ->
+      ("WITH d AS (SELECT source, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) " +
+        "AS n_tok FROM documents), " +
+        "f AS (SELECT * FROM d WHERE n_tok >= 1), " +
+        "x AS (SELECT source, n_tok, " +
+        "CAST(unnest([64, 256, 1024]) AS BIGINT) AS seq_len FROM f) " +
+        "SELECT source, seq_len, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN n_tok > seq_len THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS docs_trunc, " +
+        "CAST(sum(n_tok) AS BIGINT) AS tokens_total, " +
+        "CAST(sum(greatest(n_tok - seq_len, 0)) AS BIGINT) AS tokens_lost, " +
+        "CAST((10000 * sum(greatest(n_tok - seq_len, 0))) // sum(n_tok) " +
+        "AS BIGINT) AS lost_bp " +
+        "FROM x GROUP BY source, seq_len"),
 
     // Same pow2 class identity (1 << bitlen(n−1)), same per-class
     // id-order ranks, same closed-form bin/slot arithmetic.

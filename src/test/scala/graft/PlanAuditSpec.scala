@@ -144,6 +144,10 @@ class PlanAuditSpec extends SparkSpec {
                             // attach (the q112 stats-attach precedent);
                             // the scoring itself is one map-side-combined
                             // groupBy on the key
+      "q227_sample_index",  // single-row broadcast id-span attach (the
+                            // q222 precedent); offsets come from the
+                            // broadcast bucket-offsets hash join + bucket-
+                            // local running sums, never a corpus window
       "q180_margin_pairs"   // both mining directions ARE q20's exempt
                             // brute-force baseline (queries broadcast,
                             // corpus scanned once); the margin attach
