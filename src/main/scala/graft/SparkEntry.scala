@@ -2962,6 +2962,49 @@ object SparkEntry {
           TextStats.wsTokenCount(col("text")).cast("long").as("n_tok")),
         "source", "n_tok", Seq(64, 256, 1024))),
 
+    // §2 row 231: SCD Type-2 dimension build — the events change log
+    // collapsed to effective-dated attribute versions: no-op updates
+    // dropped by a null-safe per-key lag compare, eff_end = next change's
+    // ts (open NULL for current), per-key version numbers. EXACT oracle.
+    "q229_scd2_build" -> ((s, dir) =>
+      graft.operators.Scd.buildScd2(
+        Tables.events(s, dir)
+          .filter(col("ts").isNotNull)
+          .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+            col("event_id"),
+            expr("cast(round(value * 100) as bigint) div 2000").as("band")),
+        "user_id", "ts_us", "event_id", Seq("band"))),
+
+    // §2 row 232: right-to-be-forgotten deletion audit — the erasure
+    // pre-flight over three frames: raw events, a user-day rollup, and
+    // the PSEUDONYMIZED rollup reached by mapping the subject list
+    // through the same salted pseudonym (the cascade the row-223
+    // contract promises). Subjects broadcast; one indicator aggregate
+    // per frame. EXACT oracle.
+    "q230_deletion_cascade" -> ((s, dir) => {
+      val P = graft.operators.Privacy
+      val ev = Tables.events(s, dir)
+      val subjects = ev
+        .filter(col("user_id").isNotNull && col("user_id") % 97 === 0)
+        .select("user_id").distinct()
+      val userDay = ev
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"),
+          expr("unix_micros(ts) div 86400000000L").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val pseudoRoll = P.pseudonymize(
+          ev.filter(col("user_id").isNotNull).select("user_id"),
+          "user_id", "prod")
+        .groupBy("pseudo").agg(count(lit(1)).as("n"))
+      P.deletionAudit(Seq(
+          ("events", ev, "user_id"),
+          ("user_day_rollup", userDay, "user_id")), subjects, "user_id")
+        .unionAll(P.deletionAudit(Seq(
+          ("pseudo_rollup", pseudoRoll, "pseudo")),
+          subjects.select(P.pseudonym(col("user_id"), "prod").as("pseudo")),
+          "pseudo"))
+    }),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -6320,6 +6363,61 @@ object SparkEntry {
         "CAST((10000 * sum(greatest(n_tok - seq_len, 0))) // sum(n_tok) " +
         "AS BIGINT) AS lost_bp " +
         "FROM x GROUP BY source, seq_len"),
+
+    // Same (ts, event_id) total order, same null-safe change detection
+    // (rn = 1 OR IS DISTINCT FROM == the lag-null/struct-<=> filter),
+    // same lead/row_number versioning over the surviving change rows.
+    "q229_scd2_build" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, " +
+        "CAST(round(value * 100) AS BIGINT) // 2000 AS band FROM events " +
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+        "m AS (SELECT user_id, tsu, event_id, band, " +
+        "lag(band) OVER (PARTITION BY user_id ORDER BY tsu, event_id) " +
+        "AS prev, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY tsu, event_id) " +
+        "AS rn FROM e), " +
+        "c AS (SELECT user_id, tsu, event_id, band FROM m " +
+        "WHERE rn = 1 OR band IS DISTINCT FROM prev) " +
+        "SELECT user_id, band, tsu AS eff_start_us, " +
+        "CAST(lead(tsu) OVER (PARTITION BY user_id " +
+        "ORDER BY tsu, event_id) AS BIGINT) AS eff_end_us, " +
+        "CAST(row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY tsu, event_id) AS INT) AS version FROM c"),
+
+    // Same subject list, same left-join indicator sums per frame; the
+    // pseudo frame replays the q221 polynomial on both the rollup key
+    // and the mapped subject list.
+    "q230_deletion_cascade" -> {
+      def pseudo(k: String) =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(regexp_split_to_array('prod|' || " +
+          s"CAST($k AS VARCHAR), ''), " +
+          "c -> CAST(coalesce(ascii(c), 0) AS BIGINT))), " +
+          "(a, b) -> (a * 31 + b) % 1000000007)"
+      def audit(name: String, rel: String, key: String, subj: String,
+                skey: String) =
+        s"SELECT '$name' AS table_name, " +
+          "CAST(count(*) AS BIGINT) AS rows_total, " +
+          s"CAST(sum(CASE WHEN t.$skey IS NOT NULL THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS rows_removed, " +
+          s"CAST(count(*) - sum(CASE WHEN t.$skey IS NOT NULL THEN 1 " +
+          "ELSE 0 END) AS BIGINT) AS rows_kept, " +
+          s"CAST(count(DISTINCT t.$skey) AS BIGINT) AS subjects_present " +
+          s"FROM $rel f LEFT JOIN $subj t ON f.$key = t.$skey"
+      "WITH s AS (SELECT DISTINCT user_id FROM events " +
+        "WHERE user_id IS NOT NULL AND user_id % 97 = 0), " +
+        "ud AS (SELECT user_id FROM events " +
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL " +
+        "GROUP BY user_id, epoch_us(ts) // 86400000000), " +
+        s"pr AS (SELECT ${pseudo("user_id")} AS pseudo FROM events " +
+        "WHERE user_id IS NOT NULL GROUP BY 1), " +
+        s"sp AS (SELECT DISTINCT ${pseudo("user_id")} AS pseudo FROM s) " +
+        audit("events", "events", "user_id", "s", "user_id") +
+        " UNION ALL " +
+        audit("user_day_rollup", "ud", "user_id", "s", "user_id") +
+        " UNION ALL " +
+        audit("pseudo_rollup", "pr", "pseudo", "sp", "pseudo")
+    },
 
     // Same pow2 class identity (1 << bitlen(n−1)), same per-class
     // id-order ranks, same closed-form bin/slot arithmetic.

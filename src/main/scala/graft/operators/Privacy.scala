@@ -54,4 +54,40 @@ object Privacy {
                    salt: String): DataFrame =
     df.withColumn("pseudo", pseudonym(col(keyCol), salt))
       .drop(keyCol)
+
+  /** Right-to-be-forgotten deletion audit — the GDPR/CCPA erasure
+    * pre-flight: given a subject (deletion-request) list, report per
+    * table how many rows a cascade would remove, how many survive, and
+    * how many requested subjects actually appear there. Run BEFORE the
+    * destructive pass (the numbers a DPO signs off on) and again after
+    * (everything must read zero removed). Frames keyed by a PSEUDONYM
+    * cascade too — map the subject list through [[pseudonym]] with the
+    * frame's salt and audit on the pseudo key; that the mapping supports
+    * this is exactly the documented pseudonymization (not anonymization)
+    * contract.
+    *
+    * Scale shape: the subject list broadcasts (deletion requests are
+    * tiny next to the corpus) onto each frame's scan; per frame ONE
+    * map-side-combined indicator aggregate — no row ever shuffles.
+    * NULL-key rows cannot match a subject and count as kept. */
+  def deletionAudit(frames: Seq[(String, DataFrame, String)],
+                    subjects: DataFrame, subjectCol: String): DataFrame = {
+    require(frames.nonEmpty, "deletionAudit needs at least one frame")
+    val subj = broadcast(
+      subjects.select(col(subjectCol).as("__subj"))
+        .filter(col("__subj").isNotNull).distinct())
+    frames.map { case (name, df, keyCol) =>
+      df.select(col(keyCol).as("__k"))
+        .join(subj, col("__k") === col("__subj"), "left")
+        .agg(
+          count(lit(1)).as("rows_total"),
+          sum(when(col("__subj").isNotNull, 1L).otherwise(0L))
+            .as("rows_removed"),
+          countDistinct(col("__subj")).as("subjects_present"))
+        .select(lit(name).as("table_name"), col("rows_total"),
+          col("rows_removed"),
+          (col("rows_total") - col("rows_removed")).as("rows_kept"),
+          col("subjects_present"))
+    }.reduce(_ unionAll _)
+  }
 }

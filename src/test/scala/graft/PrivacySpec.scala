@@ -70,4 +70,35 @@ class PrivacySpec extends SparkSpec {
       (acc * 31 + ch.toLong) % 1000000007L)
     assert(got == want)
   }
+
+  test("deletionAudit: hand counts per frame, null keys kept, subjects " +
+    "absent from a frame don't count as present") {
+    val frame = Seq(Some(1L), Some(1L), Some(2L), Some(3L), None)
+      .toDF("uid")
+    val other = Seq(2L, 9L).toDF("uid")
+    val subjects = Seq(1L, 2L, 7L).toDF("uid")
+    val got = Privacy.deletionAudit(
+      Seq(("a", frame, "uid"), ("b", other, "uid")), subjects, "uid")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // a: 5 rows, uid 1 twice + uid 2 removed, null + uid 3 kept;
+    //    subjects present = {1, 2} (7 appears nowhere)
+    assert(got("a") == ((5L, 3L, 2L, 2L)), got.toString)
+    assert(got("b") == ((2L, 1L, 1L, 1L)))
+  }
+
+  test("deletionAudit cascades through the pseudonym mapping: auditing " +
+    "the pseudonymized frame with mapped subjects finds the same rows") {
+    val raw = Seq(10L, 11L, 12L, 10L).toDF("uid")
+    val pseudoFrame = Privacy.pseudonymize(raw, "uid", "s")
+    val subjects = Seq(10L, 99L).toDF("uid")
+    val mapped = subjects
+      .select(Privacy.pseudonym(col("uid"), "s").as("pseudo"))
+    val got = Privacy.deletionAudit(
+      Seq(("p", pseudoFrame, "pseudo")), mapped, "pseudo")
+      .collect().head
+    // uid 10 appears twice in the raw frame; 99 appears nowhere
+    assert((got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) == ((4L, 2L, 2L, 1L)))
+  }
 }
