@@ -3005,6 +3005,26 @@ object SparkEntry {
           "pseudo"))
     }),
 
+    // §2 row 233: ORC sink + source round-trip — the q158 precedent on
+    // the second native columnar format; lossless, so the oracle is the
+    // plain source projection. EXACT oracle.
+    "q231_orc_roundtrip" -> ((s, dir) => {
+      val src = Tables.documents(s, dir).select("doc_id", "lang", "source")
+      val path = stagingDir("graft_orc_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + ProcessHandle.current().pid())
+      Tables.writeOrc(src, path)
+      Tables.readOrc(s, path)
+    }),
+
+    // §2 row 234: code-likeness detection — symbol-char delete-and-diff
+    // plus keyword replace-and-diff counts fused into an integer bp
+    // score; the prose/code routing signal run before mixture weighting.
+    // EXACT oracle.
+    "q232_code_score" -> ((s, dir) =>
+      graft.textstats.CodeDetect.codeScore(
+        Tables.documents(s, dir), "doc_id", "text")),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -6417,6 +6437,32 @@ object SparkEntry {
         audit("user_day_rollup", "ud", "user_id", "s", "user_id") +
         " UNION ALL " +
         audit("pseudo_rollup", "pr", "pseudo", "sp", "pseudo")
+    },
+
+    // Lossless round-trip: the read-back equals the source projection.
+    "q231_orc_roundtrip" ->
+      "SELECT doc_id, lang, source FROM documents",
+
+    // Same delete-and-diff symbol count, same replace-and-diff keyword
+    // counts (the fragment list is shared with the engine), same fused
+    // integer score. DuckDB // == Spark div on these non-negatives.
+    "q232_code_score" -> {
+      val kw = graft.textstats.CodeDetect.keywords
+        .map(k => s"((length(tt) - length(replace(tt, '$k', ''))) " +
+          s"// ${k.length})")
+        .mkString(" + ")
+      "WITH t AS (SELECT doc_id, coalesce(text, '') AS tt " +
+        "FROM documents), " +
+        "m AS (SELECT doc_id, CAST(length(tt) AS BIGINT) AS chars, " +
+        "CAST(length(regexp_replace(tt, '[^{}()\\[\\];=<>]', '', 'g')) " +
+        "AS BIGINT) AS sym_chars, " +
+        s"CAST($kw AS BIGINT) AS kw_hits FROM t), " +
+        "sc AS (SELECT *, CAST(least(10000, (10000 * (sym_chars + " +
+        "10 * kw_hits)) // greatest(chars, 1)) AS BIGINT) " +
+        "AS code_score_bp FROM m) " +
+        "SELECT doc_id, chars, sym_chars, kw_hits, code_score_bp, " +
+        "CAST(CASE WHEN code_score_bp >= 300 THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS is_code FROM sc"
     },
 
     // Same pow2 class identity (1 << bitlen(n−1)), same per-class

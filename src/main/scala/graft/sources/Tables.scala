@@ -69,6 +69,18 @@ object Tables {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** ORC columnar sink, overwrite mode — the second columnar format Spark
+    * ships natively (Hive-ecosystem consumers read ORC where the
+    * lakehouse reads parquet). Same planner contract as parquet: filter
+    * pushdown and column pruning reach the ORC reader, so switching a
+    * table's layout is a write-path swap, not a query rewrite. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** ORC source (native vectorized reader). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JSONL (newline-delimited JSON) source. The schema is REQUIRED, not
     * inferred: Spark's JSON schema inference is a full extra pass over the
     * data — a second 100 TB scan — and silently widens types on dirty rows.

@@ -41,6 +41,28 @@ class SourcesSpec extends SparkSpec {
       (2L, Some("line\nbreak"), 20), (3L, None, 30)))
   }
 
+  test("ORC sink/source round-trip; filters and pruning reach the ORC " +
+    "scan like parquet") {
+    val df = Seq((1L, "alpha", 10L), (2L, "beta", 20L), (3L, null, 30L))
+      .toDF("id", "name", "n")
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc")
+      .toString + "/t"
+    Tables.writeOrc(df, dir)
+    val back = Tables.readOrc(spark, dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+      .toSeq == Seq((1L, Some("alpha"), 10L), (2L, Some("beta"), 20L),
+        (3L, None, 30L)))
+    // the drop-in-layout claim: pushdown + pruning work on the ORC scan
+    val p = back.filter(back("n") > 15L).select("id")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(n), GreaterThan(n"), p)
+    assert(!p.split("ReadSchema")(1).takeWhile(_ != '\n').contains("name"),
+      s"name column not pruned from ORC scan:\n$p")
+  }
+
   test("parquet sink overwrites and reads back identically") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString + "/t"
