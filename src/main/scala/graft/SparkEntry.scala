@@ -3025,6 +3025,26 @@ object SparkEntry {
       graft.textstats.CodeDetect.codeScore(
         Tables.documents(s, dir), "doc_id", "text")),
 
+    // §2 row 235: STREAMING sessionization — per-microbatch PARTIAL
+    // sub-sessions appended with batch_id (no state, no unflushed-open-
+    // session hole), gap-merged read-side into true sessions; the merge
+    // equals the batch answer for ANY batch split (running-max argument
+    // on Sessionize.mergeSubSessions). EXACT oracle: q28's SQL verbatim.
+    "q233_sessionize_stream" -> ((s, dir) => {
+      val src = artifactPath("sessmonsrc", dir, codeHash(SparkEntry.getClass))
+      stageParquet(src) { tmp =>
+        Tables.events(s, dir).select("user_id", "ts", "value")
+          .repartition(4).write.mode("overwrite").parquet(tmp)
+      }
+      val base = artifactPath("sessmon", dir, codeHash(SparkEntry.getClass,
+        ScoringStream.getClass, Sessionize.getClass))
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      ScoringStream.sessionPartialsStream(stream, 60,
+        s"$base/mon", s"$base/ckpt")
+      ScoringStream.readSessionMonitor(s, s"$base/mon", 60)
+    }),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -4044,6 +4064,20 @@ object SparkEntry {
       "se AS (SELECT hrs.grp, hrs.h, coalesce(cnt, 0) AS cnt FROM hrs " +
       "LEFT JOIN c ON hrs.grp = c.grp AND hrs.h = c.h)"
 
+  /** Gap-session oracle shared by the batch (q28) and streaming (q233)
+    * sessionization declarations — one definition, no drift. */
+  private def sessionizeSql: String =
+    "WITH e AS (SELECT user_id, ts, " +
+      "CAST(round(value * 100) AS BIGINT) AS vc, " +
+      "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) " +
+      "< INTERVAL '1 hour' THEN 0 ELSE 1 END AS new_s FROM events), " +
+      "s AS (SELECT user_id, ts, vc, " +
+      "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts " +
+      "ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +
+      "SELECT user_id, epoch_us(min(ts)) AS session_start_us, " +
+      "count(*) AS n_events, CAST(sum(vc) AS BIGINT) AS value_c " +
+      "FROM s GROUP BY user_id, sid"
+
   /** Split-score oracle shared by the batch (q203) and streaming (q217)
     * changepoint declarations — one definition, no drift. */
   private def changepointSql: String =
@@ -4575,17 +4609,10 @@ object SparkEntry {
         "GROUP BY 1, 2"),
 
     // lag/cumsum formulation of gap sessions; gap matches session_window's
-    // strict `diff < gap` continuation rule
-    "q28_sessionize" ->
-      ("WITH e AS (SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS vc, " +
-        "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) " +
-        "< INTERVAL '1 hour' THEN 0 ELSE 1 END AS new_s FROM events), " +
-        "s AS (SELECT user_id, ts, vc, " +
-        "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts " +
-        "ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +
-        "SELECT user_id, epoch_us(min(ts)) AS session_start_us, " +
-        "count(*) AS n_events, CAST(sum(vc) AS BIGINT) AS value_c " +
-        "FROM s GROUP BY user_id, sid"),
+    // strict `diff < gap` continuation rule. Shared verbatim with the
+    // streaming twin q233 (same definition, no drift).
+    "q28_sessionize" -> sessionizeSql,
+    "q233_sessionize_stream" -> sessionizeSql,
 
     // Same deterministic PII spike by doc_id, then the same four patterns —
     // written in the ASCII subset valid in both Java regex and RE2 — with

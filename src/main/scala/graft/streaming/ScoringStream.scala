@@ -410,6 +410,43 @@ object ScoringStream {
       .withColumn("at_risk", (col("group_size") < k).cast("long"))
   }
 
+  /** Streaming sessionization, monitor-pattern — each microbatch writes
+    * its own PARTIAL sub-sessions ([[Sessionize.subSessions]]) appended
+    * with batch_id; no cross-batch state, so there is no watermark race
+    * and no unflushed-open-session hole at end of stream (the reason the
+    * flatMapGroupsWithState path can't be held to an exact drain oracle).
+    * [[readSessionMonitor]] recovers the batch answer EXACTLY for any
+    * batch split — the merge-correctness argument lives on
+    * [[Sessionize.mergeSubSessions]]. */
+  def sessionPartialsStream(events: DataFrame, gapMinutes: Int,
+                            path: String, checkpoint: String): Unit = {
+    val q = events.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Sessionize.subSessions(batch, gapMinutes)
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(path)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Idempotent read half for [[sessionPartialsStream]]: retry
+    * duplicates collapse on (batch_id, user_id, start_us) — a batch's
+    * sub-session starts are unique per key, and a replayed batch rewrites
+    * identical rows — then the gap merge reassembles true sessions. */
+  def readSessionMonitor(spark: SparkSession, path: String,
+                         gapMinutes: Int): DataFrame = {
+    val subs = spark.read.parquet(path)
+      .groupBy("batch_id", "user_id", "start_us")
+      .agg(max("last_us").as("last_us"),
+        max("n_events").as("n_events"),
+        max("value_c").as("value_c"))
+    Sessionize.mergeSubSessions(subs, gapMinutes)
+  }
+
   /** Streaming MERGE / CDC ingestion — a live change feed (id, op,
     * payload) folded into an evolving snapshot: each microbatch applies
     * [[graft.operators.Merge.applyChanges]] against the CURRENT

@@ -105,4 +105,59 @@ object Sessionize {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** Per-batch PARTIAL sub-sessions — [[sessionWindows]] plus the last
+    * event's timestamp (session_window.end is last + gap, so last_us is
+    * an exact integer subtraction). The monitor-pattern half of streaming
+    * sessionization: each microbatch sub-sessionizes only ITS OWN rows
+    * (no state, no watermark race, no unflushed-open-session hole at end
+    * of stream), and [[mergeSubSessions]] recovers the batch answer
+    * exactly at read time. */
+  def subSessions(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_c"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        (unix_micros(col("session_window.end")) - gapUs).as("last_us"),
+        col("n_events"), col("value_c"))
+  }
+
+  /** Gap-merge of sub-session intervals back into true sessions — equals
+    * [[sessionWindows]] over the union of the underlying events for ANY
+    * partition of those events into batches. Correctness argument: a
+    * sub-session is a chain of globally-adjacent-within-gap events, so
+    * true sessions are connected components over sub-sessions; walking a
+    * key's sub-sessions in start order, a component break happens exactly
+    * when start − max(previous lasts) ≥ gap — the RUNNING max, not
+    * lag(last): an earlier-started sub-session may span past its
+    * successors (the long-session-enveloping-a-short-batch case), and
+    * its last is the one the next component tests against. Anything
+    * between that max-last event and the next start would itself be an
+    * earlier-started sub-session with a later last — contradiction — so
+    * the two are globally consecutive and the gap test is the batch rule.
+    * The window partitions per key over SUB-SESSION rows (bounded well
+    * below events); aggregates are one map-side-combined groupBy. */
+  def mergeSubSessions(subs: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("start_us"), col("last_us"))
+    subs
+      .withColumn("__pm", max("last_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pm").isNull ||
+          col("start_us") - col("__pm") >= gapUs, 1L).otherwise(0L))
+      .withColumn("__sid", sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "__sid")
+      .agg(min("start_us").as("session_start_us"),
+        sum("n_events").as("n_events"),
+        sum("value_c").as("value_c"))
+      .select("user_id", "session_start_us", "n_events", "value_c")
+  }
 }

@@ -391,6 +391,61 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(x.keySet -- o.keySet).take(3)} extra=${(o.keySet -- x.keySet).take(3)}")
   }
 
+  test("partial sub-sessions gap-merge to the batch sessions for an " +
+    "adversarial split (envelope case) and under retry duplicates") {
+    import spark.implicits._
+    def ev(rows: Seq[(Long, Long, Double)]) =
+      rows.toDF("user_id", "us", "value")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+          col("value"))
+    val m = 60L * 1000000L // one minute in µs
+    // batch A chains 0..150 min; batch B sits INSIDE A's span; batch C's
+    // event at 200 min is within gap of A's last (150) but NOT of B's
+    // last (20) — a lag(last) merge would wrongly split, the running-max
+    // merge must not
+    val a = ev(Seq((1L, 0L, 1.0), (1L, 50 * m, 1.0), (1L, 100 * m, 1.0),
+      (1L, 150 * m, 1.0)))
+    val b = ev(Seq((1L, 10 * m, 1.0), (1L, 20 * m, 1.0)))
+    val c = ev(Seq((1L, 200 * m, 1.0)))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_sessmon").toString
+    Seq((a, 0L), (b, 1L), (c, 2L), (b, 1L)).foreach { case (df, id) =>
+      // the second (b, 1L) append simulates a foreachBatch retry
+      Sessionize.subSessions(df, 60).withColumn("batch_id", lit(id))
+        .write.mode("append").parquet(tmp)
+    }
+    val got = ScoringStream.readSessionMonitor(spark, tmp, 60)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // one session: start 0, 7 events, 700 cents
+    assert(got == Set((1L, 0L, 7L, 700L)), got.toString)
+  }
+
+  test("partial sub-sessions merge equals sessionWindows on the real " +
+    "events table for an arbitrary 3-way split") {
+    // split by a hash of the EVENT (not the user): a user's session is
+    // smeared across all three batches — the hard case for the merge
+    val events = Tables.events(spark, sfDir).select("user_id", "ts", "value")
+      .withColumn("__p", pmod(hash(col("ts"), col("value")), lit(3)))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_sessmon3").toString
+    (0 until 3).foreach { i =>
+      Sessionize.subSessions(
+          events.filter(col("__p") === i).drop("__p"), 60)
+        .withColumn("batch_id", lit(i.toLong))
+        .write.mode("append").parquet(tmp)
+    }
+    val got = ScoringStream.readSessionMonitor(spark, tmp, 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val want = Sessionize.sessionWindows(
+        Tables.events(spark, sfDir).select("user_id", "ts", "value"),
+        "1 hour")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, s"merged=${got.size} batch=${want.size}")
+  }
+
   test("mergeStream: generations fold to the batch apply; a restart with " +
     "the same checkpoint is a no-op") {
     import org.apache.spark.sql.functions._
