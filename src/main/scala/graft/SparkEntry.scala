@@ -3045,6 +3045,36 @@ object SparkEntry {
       ScoringStream.readSessionMonitor(s, s"$base/mon", 60)
     }),
 
+    // §2 row 236: robots-style longest-prefix rule resolution — the
+    // path-level crawl-compliance complement to q70's domain blocklist:
+    // candidate segment prefixes explode per URL, rules broadcast onto
+    // the equi-join, longest match wins (allow beats deny at a malformed
+    // tie), no match defaults allow. EXACT oracle.
+    "q234_robots_rules" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id").cast("string")
+      val pathCol = when(col("doc_id") % 4 === 0,
+          concat(lit("/p/"), (col("doc_id") % 5).cast("string"),
+            lit("/d/"), id))
+        .when(col("doc_id") % 4 === 1, concat(lit("/admin/t/"), id))
+        .when(col("doc_id") % 4 === 2, concat(lit("/pub/"), id))
+        .otherwise(lit("/"))
+      val urls = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("https://site"), (col("doc_id") % 50).cast("string"),
+          lit(".example.com"), pathCol).as("url"))
+      val rules = Seq(("/admin", 0L), ("/p", 0L), ("/p/2", 1L), ("/", 1L))
+        .toDF("prefix", "allow")
+      Urls.resolveRules(urls, "doc_id", "url", rules)
+    }),
+
+    // §2 row 237: lag-24 autocorrelation of the hourly event series —
+    // the diurnal-periodicity read beside q203's level shifts and q218's
+    // dispersion; exact n²-scaled centered products in milli-units.
+    // EXACT oracle.
+    "q235_autocorrelation" -> ((s, dir) =>
+      graft.operators.Changepoint.autocorrelation(
+        Tables.events(s, dir), "event_type", "ts", k = 24)),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -6465,6 +6495,48 @@ object SparkEntry {
         " UNION ALL " +
         audit("pseudo_rollup", "pr", "pseudo", "sp", "pseudo")
     },
+
+    // Same synthesized paths and ruleset; segment-boundary matching via
+    // equality-or-LIKE-with-slash; same (length desc, allow desc) winner
+    // and allow default.
+    "q234_robots_rules" ->
+      ("WITH u AS (SELECT doc_id, CASE doc_id % 4 " +
+        "WHEN 0 THEN '/p/' || CAST(doc_id % 5 AS VARCHAR) || '/d/' || " +
+        "CAST(doc_id AS VARCHAR) " +
+        "WHEN 1 THEN '/admin/t/' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 2 THEN '/pub/' || CAST(doc_id AS VARCHAR) " +
+        "ELSE '/' END AS p FROM documents), " +
+        "r AS (SELECT * FROM (VALUES ('/admin', 0), ('/p', 0), " +
+        "('/p/2', 1), ('/', 1)) t(prefix, allow)), " +
+        "m AS (SELECT u.doc_id, r.prefix, r.allow, " +
+        "row_number() OVER (PARTITION BY u.doc_id " +
+        "ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix) AS rn " +
+        "FROM u JOIN r ON r.prefix = '/' OR u.p = r.prefix " +
+        "OR u.p LIKE r.prefix || '/%'), " +
+        "b AS (SELECT doc_id, prefix, allow FROM m WHERE rn = 1) " +
+        "SELECT u.doc_id, b.prefix AS matched_prefix, " +
+        "CAST(coalesce(b.allow, 1) AS BIGINT) AS allowed " +
+        "FROM u LEFT JOIN b USING (doc_id)"),
+
+    // The shared gap-filled series CTEs reduced to the same n²-scaled
+    // centered products; HUGEINT sums, trunc-div sign split on the
+    // legitimately-negative numerator (den ≥ 0).
+    "q235_autocorrelation" ->
+      (s"WITH $rateSeriesCtes, " +
+        "st AS (SELECT grp, count(*) AS n, sum(cnt) AS s FROM se " +
+        "GROUP BY grp), " +
+        "d AS (SELECT se.grp, st.n, " +
+        "CAST(st.n * se.cnt - st.s AS HUGEINT) AS dd, " +
+        "CAST(st.n * lag(se.cnt, 24) OVER (PARTITION BY se.grp " +
+        "ORDER BY se.h) - st.s AS HUGEINT) AS dl " +
+        "FROM se JOIN st USING (grp)), " +
+        "a AS (SELECT grp, max(n) AS n_buckets, " +
+        "sum(CASE WHEN dl IS NOT NULL THEN dd * dl END) AS num, " +
+        "sum(dd * dd) AS den FROM d GROUP BY grp) " +
+        "SELECT grp, CAST(n_buckets AS BIGINT) AS n_buckets, " +
+        "CAST(CASE WHEN den = 0 OR num IS NULL THEN NULL " +
+        "WHEN num >= 0 THEN (1000 * num) // den " +
+        "ELSE -((1000 * (-num)) // den) END AS BIGINT) AS acf_m FROM a"),
 
     // Lossless round-trip: the read-back equals the source projection.
     "q231_orc_roundtrip" ->

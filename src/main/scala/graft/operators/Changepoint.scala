@@ -98,6 +98,42 @@ object Changepoint {
     * bucket-count · max-rate², documented headroom), so no sign split.
     * Groups with S = 0 can't occur (a group exists only via ≥ 1 event).
     */
+  /** Lag-k autocorrelation of each group's gap-filled hourly count
+    * series — the periodicity read beside [[meanShift]] (level shifts)
+    * and [[burstiness]] (dispersion): k=24 on hourly buckets asks "is
+    * this feed diurnal", a strong machine-traffic signature when high
+    * and a flat-crawler signature when absent. Exact integer milli-units:
+    * with S = Σc and n buckets, the centered products scale by n² —
+    * acf = Σ'(n·c_t−S)(n·c_{t−k}−S) / Σ(n·c_t−S)² over integer terms
+    * (products in decimal(38,0)), emitted as (1000·num) div den with the
+    * truncating-div sign split mirrored in the oracle (num is
+    * legitimately negative for anti-correlated feeds; den ≥ 0). NULL
+    * when the series is constant (den 0) or shorter than k (no pairs).
+    * The lag window and the two aggregates run over the groups × timespan
+    * series frame — the [[meanShiftFromCounts]] bound, never raw events. */
+  def autocorrelation(events: DataFrame, groupCol: String, tsCol: String,
+                      k: Int, bucketUs: Long = 3600000000L): DataFrame = {
+    require(k >= 1, "autocorrelation lag must be >= 1")
+    val series = gapFilledSeries(bucketCounts(events, groupCol, tsCol,
+      bucketUs))
+    val stats = series.groupBy("grp")
+      .agg(count(lit(1)).as("__n"), sum("c").as("__s"))
+    val w = Window.partitionBy("grp").orderBy("h")
+    series
+      .withColumn("__cl", lag(col("c"), k).over(w))
+      .join(stats, Seq("grp"))
+      .withColumn("__d", expr("cast(__n * c - __s as decimal(38,0))"))
+      .withColumn("__dl", expr("cast(__n * __cl - __s as decimal(38,0))"))
+      .groupBy("grp")
+      .agg(max("__n").as("n_buckets"),
+        sum(when(col("__dl").isNotNull, expr("__d * __dl"))).as("__num"),
+        sum(expr("__d * __d")).as("__den"))
+      .withColumn("acf_m",
+        when(col("__den") =!= 0 && col("__num").isNotNull,
+          expr("(1000 * __num) div __den")).cast("long"))
+      .select("grp", "n_buckets", "acf_m")
+  }
+
   def burstiness(events: DataFrame, groupCol: String, tsCol: String,
                  bucketUs: Long = 3600000000L): DataFrame =
     gapFilledSeries(bucketCounts(events, groupCol, tsCol, bucketUs))

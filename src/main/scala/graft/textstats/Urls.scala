@@ -88,4 +88,55 @@ object Urls {
       canon.substr(lit(1), length(canon) - 1)).otherwise(canon)
     when(prefixRaw === "", lit(null).cast("string")).otherwise(deslashed)
   }
+
+  /** Robots-style longest-prefix rule resolution — the crawl-compliance
+    * precedence read (RFC 9309 / Google's robots semantics): among the
+    * rules whose path prefix matches a URL, the LONGEST prefix decides;
+    * at equal length allow beats disallow; no match defaults to allow.
+    * The row-97 blocklist kills whole domains — this is the path-level
+    * complement (opt-out subtrees, allow-listed exceptions inside a
+    * disallowed directory).
+    *
+    * Declared restriction that buys the distributed shape: rule prefixes
+    * are SEGMENT-form — `/`, or `/seg[/seg...]` with no trailing slash —
+    * and match at directory boundaries (`/p` matches `/p` and `/p/...`,
+    * never `/pq`). A URL's candidate keys are then its ≤ depth+1 segment
+    * prefixes, so matching is an EXPLODE + broadcast equi-join on the
+    * prefix — never a `startswith` theta-join over the rule table. All
+    * matching candidates have distinct lengths by construction (depth i's
+    * prefix is strictly longer than depth i−1's), so the max pick is
+    * unambiguous for a duplicate-free ruleset; the (length, allow) struct
+    * order still breaks a malformed duplicate-prefix tie toward allow,
+    * the RFC's rule.
+    *
+    * Scale: rules broadcast (robots rulesets are tiny next to a crawl);
+    * one groupBy on the URL id over matched candidates (≤ depth+1 rows
+    * per URL) and one keyed join back — nothing corpus-sized shuffles
+    * beyond the id. */
+  def resolveRules(urls: DataFrame, idCol: String, urlCol: String,
+                   rules: DataFrame): DataFrame = {
+    val rawPath = regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val segs = "filter(split(__path, '/'), x -> x != '')"
+    val cands = urls
+      .withColumn("__path",
+        when(rawPath === "" || rawPath.isNull, lit("/")).otherwise(rawPath))
+      .withColumn("__cand", explode(concat(array(lit("/")),
+        expr(s"CASE WHEN size($segs) = 0 THEN array() " +
+          s"ELSE transform(sequence(1, size($segs)), " +
+          s"i -> concat('/', array_join(slice($segs, 1, i), '/'))) END"))))
+    val matched = cands
+      .join(broadcast(rules.select(col("prefix"),
+        col("allow").cast("long").as("__allow"))),
+        col("__cand") === col("prefix"))
+      .groupBy(col(idCol))
+      .agg(max(struct(length(col("prefix")).as("l"),
+        col("__allow").as("a"), col("prefix").as("p"))).as("__best"))
+      .select(col(idCol), col("__best.p").as("matched_prefix"),
+        col("__best.a").as("allowed"))
+    urls.select(col(idCol))
+      .join(matched, Seq(idCol), "left")
+      .select(col(idCol), col("matched_prefix"),
+        coalesce(col("allowed"), lit(1L)).as("allowed"))
+  }
 }

@@ -104,4 +104,32 @@ class ChangepointSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(grp"), p)
     assertNoCartesian(df)
   }
+
+  private def acfRun(counts: Seq[Long], k: Int) = {
+    val rows = counts.zipWithIndex.flatMap { case (c, h) =>
+      (1L to c).map(i => ("a", ts(h * Hour + i * 1000L)))
+    }
+    Changepoint.autocorrelation(rows.toDF("event_type", "ts"),
+      "event_type", "ts", k)
+      .collect()
+      .map(r => (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .head
+  }
+
+  test("autocorrelation: a period-2 series is positive at lag 2 and " +
+    "negative at lag 1, hand-exact in milli-units") {
+    // counts 1,3 alternating over 8 hours: n=8, S=16, deviations ±8
+    // den = 8·64 = 512; lag-2 num = 6·64 = 384 → 750; lag-1 num = −448
+    // → Spark trunc-div −875
+    assert(acfRun(Seq(1L, 3L, 1L, 3L, 1L, 3L, 1L, 3L), 2) ==
+      ((8L, Some(750L))))
+    assert(acfRun(Seq(1L, 3L, 1L, 3L, 1L, 3L, 1L, 3L), 1) ==
+      ((8L, Some(-875L))))
+  }
+
+  test("autocorrelation: constant series (zero variance) and series " +
+    "shorter than the lag report NULL") {
+    assert(acfRun(Seq(2L, 2L, 2L, 2L), 1) == ((4L, None)))
+    assert(acfRun(Seq(1L, 2L), 3) == ((2L, None)))
+  }
 }

@@ -83,4 +83,41 @@ class UrlsSpec extends SparkSpec {
       .select(Urls.canonicalizeUrl(col("url"))).distinct().collect()
     assert(got.length == 1 && got.head.getString(0) == "http://example.com/page")
   }
+
+  test("resolveRules: longest segment prefix wins, allow exceptions " +
+    "inside deny subtrees, segment boundaries respected") {
+    val urls = Seq(
+      (1L, "https://h.com/p/2/d/9"),   // /p/2 allow beats /p deny
+      (2L, "https://h.com/p/3/d/9"),   // /p deny
+      (3L, "https://h.com/admin/t/1"), // /admin deny
+      (4L, "https://h.com/pub/7"),     // only root matches
+      (5L, "https://h.com"),           // bare host: path defaults to /
+      (6L, "https://h.com/pq/1")       // '/p' must NOT match '/pq'
+    ).toDF("id", "url")
+    val rules = Seq(("/admin", 0L), ("/p", 0L), ("/p/2", 1L), ("/", 1L))
+      .toDF("prefix", "allow")
+    val got = Urls.resolveRules(urls, "id", "url", rules).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getLong(2))))
+      .toMap
+    assert(got(1L) == ((Some("/p/2"), 1L)), got.toString)
+    assert(got(2L) == ((Some("/p"), 0L)))
+    assert(got(3L) == ((Some("/admin"), 0L)))
+    assert(got(4L) == ((Some("/"), 1L)))
+    assert(got(5L) == ((Some("/"), 1L)))
+    assert(got(6L) == ((Some("/"), 1L)))
+  }
+
+  test("resolveRules: no matching rule defaults to allow with a NULL " +
+    "prefix; rules broadcast (no cartesian)") {
+    val urls = Seq((1L, "https://h.com/x")).toDF("id", "url")
+    val rules = Seq(("/admin", 0L)).toDF("prefix", "allow")
+    val out = Urls.resolveRules(urls, "id", "url", rules)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getLong(2))))
+      .toMap
+    assert(got(1L) == ((None, 1L)), got.toString)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
