@@ -3075,6 +3075,43 @@ object SparkEntry {
       graft.operators.Changepoint.autocorrelation(
         Tables.events(s, dir), "event_type", "ts", k = 24)),
 
+    // §2 row 238: incremental SCD2 apply — the history splits at the
+    // midpoint day (the q215 span arithmetic); the first half builds the
+    // persisted dimension, the second half folds in via applyIncrement;
+    // EXACT oracle: q229's full-rebuild SQL verbatim.
+    "q236_incremental_scd2" -> ((s, dir) => {
+      val Scd = graft.operators.Scd
+      val log = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+          col("event_id"),
+          expr("cast(round(value * 100) as bigint) div 2000").as("band"))
+      val span = log.agg(
+        expr("min(ts_us div 86400000000L)").as("__d0"),
+        expr("max(ts_us div 86400000000L)").as("__d1"))
+      val withD = log.join(broadcast(span))
+        .withColumn("__cut",
+          expr("((__d0 + __d1 + 1) div 2) * 86400000000L"))
+      val hist = withD.filter(col("ts_us") < col("__cut"))
+        .select("user_id", "ts_us", "event_id", "band")
+      val inc = withD.filter(col("ts_us") >= col("__cut"))
+        .select("user_id", "ts_us", "event_id", "band")
+      val dim = Scd.buildScd2(hist, "user_id", "ts_us", "event_id",
+        Seq("band"))
+      Scd.applyIncrement(dim, inc, "user_id", "ts_us", "event_id",
+        Seq("band"))
+    }),
+
+    // §2 row 239: position-based (U-shaped) multi-touch attribution —
+    // every in-window touch credited 40/20/40 in exact integer bp
+    // summing to 10000 per conversion; the credit ledger beside q196's
+    // last-touch rate report. EXACT oracle.
+    "q237_position_attribution" -> ((s, dir) =>
+      graft.operators.Attribution.positionCredit(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type",
+        convType = "purchase", touchType = "click",
+        windowUs = 86400000000L)),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -4093,6 +4130,25 @@ object SparkEntry {
       "hrs AS (SELECT grp, unnest(generate_series(h0, h1)) AS h FROM sp), " +
       "se AS (SELECT hrs.grp, hrs.h, coalesce(cnt, 0) AS cnt FROM hrs " +
       "LEFT JOIN c ON hrs.grp = c.grp AND hrs.h = c.h)"
+
+  /** SCD2 oracle shared by the full build (q229) and the incremental
+    * apply (q236) — one definition: incremental == full rebuild. */
+  private def scd2Sql: String =
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, " +
+      "CAST(round(value * 100) AS BIGINT) // 2000 AS band FROM events " +
+      "WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+      "m AS (SELECT user_id, tsu, event_id, band, " +
+      "lag(band) OVER (PARTITION BY user_id ORDER BY tsu, event_id) " +
+      "AS prev, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY tsu, event_id) " +
+      "AS rn FROM e), " +
+      "c AS (SELECT user_id, tsu, event_id, band FROM m " +
+      "WHERE rn = 1 OR band IS DISTINCT FROM prev) " +
+      "SELECT user_id, band, tsu AS eff_start_us, " +
+      "CAST(lead(tsu) OVER (PARTITION BY user_id " +
+      "ORDER BY tsu, event_id) AS BIGINT) AS eff_end_us, " +
+      "CAST(row_number() OVER (PARTITION BY user_id " +
+      "ORDER BY tsu, event_id) AS INT) AS version FROM c"
 
   /** Gap-session oracle shared by the batch (q28) and streaming (q233)
     * sessionization declarations — one definition, no drift. */
@@ -6444,22 +6500,9 @@ object SparkEntry {
     // Same (ts, event_id) total order, same null-safe change detection
     // (rn = 1 OR IS DISTINCT FROM == the lag-null/struct-<=> filter),
     // same lead/row_number versioning over the surviving change rows.
-    "q229_scd2_build" ->
-      ("WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, " +
-        "CAST(round(value * 100) AS BIGINT) // 2000 AS band FROM events " +
-        "WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
-        "m AS (SELECT user_id, tsu, event_id, band, " +
-        "lag(band) OVER (PARTITION BY user_id ORDER BY tsu, event_id) " +
-        "AS prev, " +
-        "row_number() OVER (PARTITION BY user_id ORDER BY tsu, event_id) " +
-        "AS rn FROM e), " +
-        "c AS (SELECT user_id, tsu, event_id, band FROM m " +
-        "WHERE rn = 1 OR band IS DISTINCT FROM prev) " +
-        "SELECT user_id, band, tsu AS eff_start_us, " +
-        "CAST(lead(tsu) OVER (PARTITION BY user_id " +
-        "ORDER BY tsu, event_id) AS BIGINT) AS eff_end_us, " +
-        "CAST(row_number() OVER (PARTITION BY user_id " +
-        "ORDER BY tsu, event_id) AS INT) AS version FROM c"),
+    // Shared verbatim with q236: incremental apply == full rebuild.
+    "q229_scd2_build" -> scd2Sql,
+    "q236_incremental_scd2" -> scd2Sql,
 
     // Same subject list, same left-join indicator sums per frame; the
     // pseudo frame replays the q221 polynomial on both the rollup key
@@ -6537,6 +6580,30 @@ object SparkEntry {
         "CAST(CASE WHEN den = 0 OR num IS NULL THEN NULL " +
         "WHEN num >= 0 THEN (1000 * num) // den " +
         "ELSE -((1000 * (-num)) // den) END AS BIGINT) AS acf_m FROM a"),
+
+    // Same touch dedup, same in-window join, same per-conversion
+    // position order and integer 40/20/40 allocation with the remainder
+    // on the first touch.
+    "q237_position_attribution" ->
+      ("WITH e AS (SELECT event_id AS eid, user_id AS u, " +
+        "event_type AS ty, epoch_us(ts) AS t_us FROM events " +
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+        "t AS (SELECT u, t_us AS tt_us, max(eid) AS touch FROM e " +
+        "WHERE ty = 'click' GROUP BY 1, 2), " +
+        "c AS (SELECT eid AS conversion_id, u, t_us FROM e " +
+        "WHERE ty = 'purchase'), " +
+        "j AS (SELECT conversion_id, c.u, c.t_us, tt_us, touch " +
+        "FROM c JOIN t ON c.u = t.u AND tt_us <= c.t_us " +
+        "AND c.t_us - tt_us <= 86400000000), " +
+        "r AS (SELECT *, count(*) OVER (PARTITION BY conversion_id) AS n, " +
+        "row_number() OVER (PARTITION BY conversion_id " +
+        "ORDER BY tt_us, touch) AS rn FROM j) " +
+        "SELECT conversion_id, u AS user_id, touch AS touch_id, " +
+        "CAST(rn AS INT) AS position, CAST(n AS BIGINT) AS n_touches, " +
+        "CAST(CASE WHEN n = 1 THEN 10000 WHEN n = 2 THEN 5000 " +
+        "WHEN rn = 1 THEN 4000 + 2000 % (n - 2) " +
+        "WHEN rn = n THEN 4000 " +
+        "ELSE 2000 // (n - 2) END AS BIGINT) AS credit_bp FROM r"),
 
     // Lossless round-trip: the read-back equals the source projection.
     "q231_orc_roundtrip" ->

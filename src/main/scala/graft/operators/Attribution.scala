@@ -53,6 +53,56 @@ object Attribution {
       when(inWindow, lit(1L)).otherwise(lit(0L)).as("attributed"))
   }
 
+  /** Position-based (U-shaped) multi-touch attribution — the standard
+    * 40/20/40 complement to [[lastTouch]]: EVERY in-window touch of a
+    * conversion gets credit, 40% to the first, 40% to the last, the
+    * middle 20% split across interior touches. Credits are exact integer
+    * basis points summing to 10000 per attributed conversion: n=1 →
+    * 10000, n=2 → 5000/5000, n≥3 → last 4000, interiors 2000 div (n−2)
+    * each, first 4000 + the division remainder (2000 % (n−2)) — the
+    * deterministic remainder rule, documented not hidden.
+    *
+    * Shape: touches dedupe to max-id per (user, µs) — the q33 contract —
+    * then ONE hash equi-join on user with the window predicate as the
+    * join filter; per-conversion count/row_number windows partition by
+    * conversion id, frames bounded by that conversion's in-window touch
+    * count (lookback-bounded by construction). Unattributed conversions
+    * (no in-window touch) are absent here — [[lastTouch]] is the
+    * rate-honest report; this is the credit ledger. */
+  def positionCredit(events: DataFrame, userCol: String, tsCol: String,
+                     idCol: String, typeCol: String,
+                     convType: String, touchType: String,
+                     windowUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(idCol).as("eid"), col(userCol).as("u"),
+        col(typeCol).as("ty"), expr(s"unix_micros($tsCol)").as("t_us"))
+    val touches = e.filter(col("ty") === touchType)
+      .groupBy(col("u"), col("t_us").as("tt_us"))
+      .agg(max("eid").as("touch"))
+    val convs = e.filter(col("ty") === convType)
+      .select(col("eid").as("conversion_id"), col("u"), col("t_us"))
+    val joined = convs.join(touches, Seq("u"))
+      .filter(col("tt_us") <= col("t_us") &&
+        col("t_us") - col("tt_us") <= windowUs)
+    val w = Window.partitionBy("conversion_id")
+    val wo = w.orderBy(col("tt_us"), col("touch"))
+    joined
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .withColumn("position", row_number().over(wo))
+      .withColumn("credit_bp",
+        when(col("n_touches") === 1, lit(10000L))
+          .when(col("n_touches") === 2, lit(5000L))
+          .when(col("position") === 1,
+            lit(4000L) + expr("2000 % (n_touches - 2)"))
+          .when(col("position") === col("n_touches"), lit(4000L))
+          .otherwise(expr("2000 div (n_touches - 2)")))
+      .select(col("conversion_id"), col("u").as("user_id"),
+        col("touch").as("touch_id"), col("position"),
+        col("n_touches"), col("credit_bp"))
+  }
+
   /** One event as seen by the streaming path (µs epoch, pre-projected). */
   case class AEv(user_id: Long, event_type: String, ts_us: Long,
                  event_id: Long)

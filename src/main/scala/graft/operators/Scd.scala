@@ -48,4 +48,44 @@ object Scd {
       .select((keyCol +: attrCols).map(col) ++
         Seq(col("eff_start_us"), col("eff_end_us"), col("version")): _*)
   }
+
+  /** Incremental SCD2 apply — the incremental-ingest cell for the
+    * dimension build: fold a new changelog batch into a PERSISTED
+    * [[buildScd2]] dimension without reprocessing history. Keys absent
+    * from the increment pass through untouched (their full-log build
+    * equals their history build); touched keys rebuild from their
+    * VERSION rows replayed as a changelog (version rows are exactly the
+    * changed rows, and dropping no-op rows never alters the distinct
+    * state sequence — so replay ∪ increment rebuilds to the same
+    * versions as the full log) unioned with the new events. The closed
+    * version chain re-opens naturally: the last old version's eff_end
+    * recomputes against the new changes, and a new event whose attributes
+    * equal the last old state is correctly dropped as a no-op (the trap a
+    * naive append-as-new-version ingest falls into; spec-pinned).
+    *
+    * CONTRACT: the increment is strictly newer than the persisted
+    * history (ts greater than every eff_start of its key — the daily
+    * ingest shape); replay ties within a key at one ts order by the
+    * original version number, preserving the historical order.
+    *
+    * Scale: one semi/anti split of the dimension on the increment's
+    * keys (keyed hash joins), then [[buildScd2]] over replay ∪ increment
+    * only — per-key windows bounded by the TOUCHED keys' histories, the
+    * untouched corpus never re-sorts. */
+  def applyIncrement(dim: DataFrame, changes: DataFrame, keyCol: String,
+                     tsUsCol: String, tieCol: String,
+                     attrCols: Seq[String]): DataFrame = {
+    val incKeys = changes
+      .filter(col(keyCol).isNotNull)
+      .select(col(keyCol)).distinct()
+    val untouched = dim.join(incKeys, Seq(keyCol), "left_anti")
+    val replay = dim.join(incKeys, Seq(keyCol), "left_semi")
+      .select(col(keyCol) +: attrCols.map(col) :+
+        col("eff_start_us").as(tsUsCol) :+
+        col("version").cast(changes.schema(tieCol).dataType).as(tieCol): _*)
+    val merged = replay.unionByName(
+      changes.select((keyCol +: attrCols :+ tsUsCol :+ tieCol).map(col): _*))
+    untouched.unionByName(
+      buildScd2(merged, keyCol, tsUsCol, tieCol, attrCols))
+  }
 }

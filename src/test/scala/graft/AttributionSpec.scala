@@ -97,4 +97,44 @@ class AttributionSpec extends SparkSpec {
       "user_id", "ts", "event_id", "event_type", "purchase", "click", H)
     assertNoCartesian(df)
   }
+
+  private def runPos(rows: Seq[(Long, Long, String, Long)],
+                     windowUs: Long = H) =
+    Attribution.positionCredit(
+      rows.map { case (id, u, ty, t) => (id, u, ty, ts(t)) }
+        .toDF("event_id", "user_id", "event_type", "ts"),
+      "user_id", "ts", "event_id", "event_type",
+      "purchase", "click", windowUs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        ((r.getInt(3), r.getLong(4), r.getLong(5)))).toMap
+
+  test("positionCredit: 40/20/40 with the remainder on the first touch; " +
+    "credits sum to 10000") {
+    // five clicks then a purchase: n=5, interiors get 2000 div 3 = 666,
+    // first 4000 + 2000 % 3 = 4002, last 4000 → 4002+666+666+666+4000
+    val clicks = (1L to 5L).map(i => (i, 1L, "click", i * 1000L))
+    val got = runPos(clicks :+ ((9L, 1L, "purchase", 6000L)))
+    assert(got((9L, 1L)) == ((1, 5L, 4002L)), got.toString)
+    assert(got((9L, 2L)) == ((2, 5L, 666L)))
+    assert(got((9L, 4L)) == ((4, 5L, 666L)))
+    assert(got((9L, 5L)) == ((5, 5L, 4000L)))
+    assert(got.filter(_._1._1 == 9L).values.map(_._3).sum == 10000L)
+  }
+
+  test("positionCredit: n=1 takes all, n=2 splits evenly, out-of-window " +
+    "touches are excluded from n") {
+    val got = runPos(Seq(
+      (1L, 1L, "click", 1000L), (9L, 1L, "purchase", 2000L),
+      (2L, 2L, "click", 1000L), (3L, 2L, "click", 2000L),
+      (8L, 2L, "purchase", 3000L),
+      (4L, 3L, "click", 0L),                    // out of window for 7
+      (5L, 3L, "click", 2 * H),
+      (7L, 3L, "purchase", 2 * H + H)))
+    assert(got((9L, 1L)) == ((1, 1L, 10000L)), got.toString)
+    assert(got((8L, 2L)) == ((1, 2L, 5000L)))
+    assert(got((8L, 3L)) == ((2, 2L, 5000L)))
+    assert(got((7L, 5L)) == ((1, 1L, 10000L)))
+    assert(!got.contains((7L, 4L)))
+  }
 }

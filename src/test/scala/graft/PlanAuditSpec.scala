@@ -148,6 +148,10 @@ class PlanAuditSpec extends SparkSpec {
                             // q222 precedent); offsets come from the
                             // broadcast bucket-offsets hash join + bucket-
                             // local running sums, never a corpus window
+      "q236_incremental_scd2", // single-row broadcast day-span attach
+                            // (the q215 precedent) to place the history/
+                            // increment cut; the apply itself is keyed
+                            // semi/anti hash joins + per-key windows
       "q180_margin_pairs"   // both mining directions ARE q20's exempt
                             // brute-force baseline (queries broadcast,
                             // corpus scanned once); the margin attach

@@ -63,6 +63,48 @@ class ScdSpec extends SparkSpec {
     assert(open == 6, s"expected 6 open versions, got $open")
   }
 
+  test("applyIncrement == full rebuild: touched keys re-version, " +
+    "untouched pass through, the open chain re-closes, and a no-op " +
+    "increment row is dropped") {
+    import graft.operators.Scd
+    // history: key 1 states 5→7; key 2 state 3 (untouched by increment)
+    val hist = Seq((L(1), 10L, 1L, L(5)), (L(1), 20L, 2L, L(7)),
+      (L(2), 10L, 3L, L(3)))
+    // increment: key 1 gets a NO-OP (7 again — must drop) then 9;
+    // key 3 is brand new
+    val inc = Seq((L(1), 30L, 4L, L(7)), (L(1), 40L, 5L, L(9)),
+      (L(3), 35L, 6L, L(1)))
+    val dim = Scd.buildScd2(hist.toDF("k", "ts", "tie", "a"),
+      "k", "ts", "tie", Seq("a"))
+    val got = Scd.applyIncrement(dim, inc.toDF("k", "ts", "tie", "a"),
+      "k", "ts", "tie", Seq("a"))
+      .collect().map(_.toSeq).toSet
+    val want = Scd.buildScd2((hist ++ inc).toDF("k", "ts", "tie", "a"),
+      "k", "ts", "tie", Seq("a"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"got=$got\nwant=$want")
+    // the no-op dropped: key 1 has versions 5, 7, 9 — three, not four
+    assert(got.count(r => r.head == 1L) == 3)
+    // untouched key 2 still open
+    assert(got.exists(r => r.head == 2L && r(3) == null))
+  }
+
+  test("applyIncrement == full rebuild on a generated many-key log " +
+    "split at its midpoint") {
+    import graft.operators.Scd
+    val all = (1 to 400).map { i =>
+      (L(i % 7), i.toLong * 10, i.toLong, L((i / 13) % 4))
+    }
+    val (hist, inc) = all.partition(_._2 < 2000L)
+    val dim = Scd.buildScd2(hist.toDF("k", "ts", "tie", "a"),
+      "k", "ts", "tie", Seq("a"))
+    val got = Scd.applyIncrement(dim, inc.toDF("k", "ts", "tie", "a"),
+      "k", "ts", "tie", Seq("a")).collect().map(_.toSeq).toSet
+    val want = Scd.buildScd2(all.toDF("k", "ts", "tie", "a"),
+      "k", "ts", "tie", Seq("a")).collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("multi-attribute state: a change in ANY attribute versions") {
     val df = Seq((1L, 10L, 1L, 5L, "x"), (1L, 20L, 2L, 5L, "y"),
       (1L, 30L, 3L, 5L, "y")).toDF("k", "ts", "tie", "a", "b")
