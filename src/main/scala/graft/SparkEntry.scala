@@ -3112,6 +3112,34 @@ object SparkEntry {
         convType = "purchase", touchType = "click",
         windowUs = 86400000000L)),
 
+    // §2 row 240: market-basket co-occurrence — support / confidence /
+    // lift / Jaccard for item pairs over (user, day) baskets; distinct
+    // incidence first, per-basket equi self-join under the basket cap,
+    // N as a broadcast single-row attach. EXACT oracle.
+    "q238_cooccurrence" -> ((s, dir) => {
+      val parsed = graft.operators.Semistructured.extractJson(
+        Tables.events(s, dir), "props", "k INT")
+      graft.operators.Cooccurrence.itemPairs(
+        parsed.filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("k").isNotNull)
+          .select(concat(col("user_id").cast("string"), lit("|"),
+            expr("unix_micros(ts) div 86400000000L").cast("string"))
+            .as("basket"),
+            col("k").as("item")),
+        "basket", "item", maxBasketItems = 64)
+    }),
+
+    // §2 row 241: per-group min-max feature scaling — exact integer bp
+    // normalization before any distance-based consumer; constant groups
+    // scale to NULL by contract. EXACT oracle.
+    "q239_minmax_scale" -> ((s, dir) =>
+      graft.operators.Robust.scaleMinMax(
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull && col("event_type").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            expr("cast(round(value * 100) as bigint)").as("cents")),
+        "event_type", "cents")),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -6604,6 +6632,44 @@ object SparkEntry {
         "WHEN rn = 1 THEN 4000 + 2000 % (n - 2) " +
         "WHEN rn = n THEN 4000 " +
         "ELSE 2000 // (n - 2) END AS BIGINT) AS credit_bp FROM r"),
+
+    // Same basket construction, distinct incidence, cap filter, ordered
+    // pair join and integer ratio arithmetic.
+    "q238_cooccurrence" ->
+      ("WITH e AS (SELECT CAST(user_id AS VARCHAR) || '|' || " +
+        "CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS b, " +
+        "CAST(props->>'k' AS INT) AS i FROM events " +
+        "WHERE ts IS NOT NULL AND user_id IS NOT NULL " +
+        "AND (props->>'k') IS NOT NULL), " +
+        "inc AS (SELECT DISTINCT b, i FROM e), " +
+        "kb AS (SELECT b FROM inc GROUP BY b HAVING count(*) <= 64), " +
+        "k AS (SELECT inc.b, inc.i FROM inc JOIN kb USING (b)), " +
+        "n AS (SELECT count(DISTINCT b) AS nb FROM k), " +
+        "ic AS (SELECT i, count(*) AS ni FROM k GROUP BY i), " +
+        "p AS (SELECT x.i AS item_a, y.i AS item_b, count(*) AS n_ab " +
+        "FROM k x JOIN k y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2) " +
+        "SELECT item_a, item_b, CAST(a.ni AS BIGINT) AS n_a, " +
+        "CAST(bb.ni AS BIGINT) AS n_b, CAST(n_ab AS BIGINT) AS n_ab, " +
+        "CAST((10000 * n_ab) // nb AS BIGINT) AS support_bp, " +
+        "CAST((10000 * n_ab) // a.ni AS BIGINT) AS conf_ab_bp, " +
+        "CAST((10000 * n_ab) // bb.ni AS BIGINT) AS conf_ba_bp, " +
+        "CAST((10000 * n_ab) // (a.ni + bb.ni - n_ab) AS BIGINT) " +
+        "AS jaccard_bp, " +
+        "CAST((1000 * nb * n_ab) // (a.ni * bb.ni) AS BIGINT) AS lift_m " +
+        "FROM p JOIN ic a ON a.i = item_a JOIN ic bb ON bb.i = item_b " +
+        "CROSS JOIN n"),
+
+    // Same per-group (min, max) and integer bp scaling; constant groups
+    // NULL.
+    "q239_minmax_scale" ->
+      ("WITH e AS (SELECT event_id, event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events " +
+        "WHERE value IS NOT NULL AND event_type IS NOT NULL), " +
+        "s AS (SELECT event_type, min(cents) AS lo, max(cents) AS hi " +
+        "FROM e GROUP BY event_type) " +
+        "SELECT event_id, e.event_type, cents, " +
+        "CAST(CASE WHEN hi <> lo THEN ((cents - lo) * 10000) // (hi - lo) " +
+        "END AS BIGINT) AS scaled_bp FROM e JOIN s USING (event_type)"),
 
     // Lossless round-trip: the read-back equals the source projection.
     "q231_orc_roundtrip" ->

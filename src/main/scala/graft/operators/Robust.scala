@@ -122,4 +122,24 @@ object Robust {
       .select(col(groupCol), col("median"), col("mad"), col("n"),
         col("n_outliers"))
   }
+
+  /** Per-group min-max feature scaling — the normalization pass run
+    * before any distance-based consumer (kNN labeling, ANN probes,
+    * mixture scoring) so one wide-range feature can't dominate: every
+    * row comes back with scaled_bp = ((v − min)·10000) div (max − min)
+    * in [0, 10000], exact integer arithmetic on the caller's integer
+    * units. Constant groups (max = min) scale to NULL — there is no
+    * spread to normalize, and emitting an arbitrary midpoint would be a
+    * silent lie. One map-side-combined (min, max) aggregate per group
+    * broadcast back onto the scan; no window, no sort. */
+  def scaleMinMax(df: DataFrame, groupCol: String, valCol: String)
+      : DataFrame = {
+    val stats = df.groupBy(groupCol)
+      .agg(min(col(valCol)).as("__lo"), max(col(valCol)).as("__hi"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("scaled_bp",
+        when(col("__hi") =!= col("__lo"),
+          expr(s"(($valCol - __lo) * 10000) div (__hi - __lo)")))
+      .drop("__lo", "__hi")
+  }
 }

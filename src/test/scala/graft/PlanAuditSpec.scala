@@ -152,6 +152,10 @@ class PlanAuditSpec extends SparkSpec {
                             // (the q215 precedent) to place the history/
                             // increment cut; the apply itself is keyed
                             // semi/anti hash joins + per-key windows
+      "q238_cooccurrence",  // single-row broadcast basket-total attach
+                            // (the q112 stats-attach precedent); pair
+                            // generation is the per-basket equi self-join
+                            // under the cap, item counts hash-join back
       "q180_margin_pairs"   // both mining directions ARE q20's exempt
                             // brute-force baseline (queries broadcast,
                             // corpus scanned once); the margin attach

@@ -100,4 +100,20 @@ class RobustSpec extends SparkSpec {
     assert(wi > 0 && p.indexOf("HashAggregate", wi) > 0,
       s"window not over the count frame:\n$p")
   }
+
+  test("scaleMinMax: exact bp endpoints, interior truncation, constant " +
+    "group NULL") {
+    import graft.operators.Robust
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 40L), ("a", 3L, 20L),
+      ("c", 4L, 7L), ("c", 5L, 7L)).toDF("g", "id", "v")
+    val got = Robust.scaleMinMax(df, "g", "v")
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        Option(r.get(r.fieldIndex("scaled_bp")))
+          .map(_.asInstanceOf[Long]))
+      .toMap
+    // (20-10)*10000 div 30 = 3333
+    assert(got == Map(1L -> Some(0L), 2L -> Some(10000L),
+      3L -> Some(3333L), 4L -> None, 5L -> None), got.toString)
+  }
 }
