@@ -3140,6 +3140,41 @@ object SparkEntry {
             expr("cast(round(value * 100) as bigint)").as("cents")),
         "event_type", "cents")),
 
+    // §2 row 242: top session paths — each gap-session's first 8 event
+    // types joined into an ordered path, counted, top-25; in-session
+    // ranks cap the per-session collect BEFORE aggregation; TakeOrdered
+    // on the (n desc, path asc) total order. EXACT oracle.
+    "q240_session_paths" -> ((s, dir) =>
+      graft.operators.Paths.topSessionPaths(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type",
+        gapMinutes = 60, maxSteps = 8, k = 25)),
+
+    // §2 row 243: HITS hubs/authorities — unnormalized fixed-iteration
+    // integer variant over the q138 host graph: exact alternating-walk
+    // counts, rank-equivalent to normalized HITS. EXACT oracle.
+    "q241_hits" -> ((s, dir) => {
+      import graft.operators.LinkGraph
+      val docs = spread(s, Tables.documents(s, dir))
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><body><a href=\"https://h"),
+        ((id * 3 + 1) % 20).cast("string"),
+        lit(".example.com/p"), id.cast("string"), lit("\">a</a>"),
+        when(id % 2 === 0, concat(
+          lit("<a href=\"https://h"), ((id * 7 + 2) % 20).cast("string"),
+          lit(".example.com/q"), id.cast("string"), lit("\">b</a>")))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      val links = Markup.extract(docs.withColumn("html", html),
+        "doc_id", "html")
+        .select(col("doc_id"), explode(col("links")).as("link"))
+      val edges = links.select(
+        concat(lit("h"), (col("doc_id") % 20).cast("string"),
+          lit(".example.com")).as("src"),
+        Urls.domainOf(col("link")).as("dst"))
+      LinkGraph.hits(edges, iters = 2)
+    }),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -4056,7 +4091,9 @@ object SparkEntry {
   /** Shared PageRank CTE chain for q138/q142 (one definition, no drift):
     * the arithmetic host edges, then one CTE per fixed integer-micro-unit
     * iteration — ranks land in `p3 (node, pr)`. */
-  private def pagerankCtes: String = {
+  /** The synthesized host-graph edge + node CTEs shared by the PageRank
+    * (q138) and HITS (q241) oracles — one edge definition, no drift. */
+  private def hostEdgesSql: String = {
     val host = "'.example.com'"
     val e1 = "SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || " + host +
       " AS src, 'h' || CAST((3 * doc_id + 1) % 20 AS VARCHAR) || " + host +
@@ -4064,6 +4101,11 @@ object SparkEntry {
     val e2 = "SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || " + host +
       " AS src, 'h' || CAST((7 * doc_id + 2) % 20 AS VARCHAR) || " + host +
       " AS dst FROM documents WHERE doc_id % 2 = 0"
+    s"e AS (SELECT DISTINCT src, dst FROM ($e1 UNION ALL $e2)), " +
+      "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)"
+  }
+
+  private def pagerankCtes: String = {
     val iters = (1 to 3).map { i =>
       s"p$i AS (SELECT n.node, " +
         "CAST(150000 + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS pr " +
@@ -4073,12 +4115,28 @@ object SparkEntry {
         "JOIN deg d ON d.src = e.src GROUP BY e.dst) s " +
         "ON s.node = n.node)"
     }.mkString(", ")
-    s"e AS (SELECT DISTINCT src, dst FROM ($e1 UNION ALL $e2)), " +
-      "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+    s"$hostEdgesSql, " +
       "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg " +
       "FROM e GROUP BY src), " +
       "p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes), " +
       iters
+  }
+
+  /** Unnormalized integer HITS oracle: the shared host edges, h₀ = 1,
+    * then a_i = Σ h_{i−1} over inlinks and h_i = Σ a_i over outlinks. */
+  private def hitsCtes(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"a$i AS (SELECT n.node, coalesce(s.m, 0) AS v FROM nodes n " +
+        "LEFT JOIN (SELECT e.dst AS node, sum(h.v) AS m FROM e " +
+        s"JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst) s " +
+        "ON s.node = n.node), " +
+        s"h$i AS (SELECT n.node, coalesce(s.m, 0) AS v FROM nodes n " +
+        "LEFT JOIN (SELECT e.src AS node, sum(a.v) AS m FROM e " +
+        s"JOIN a$i a ON a.node = e.dst GROUP BY e.src) s " +
+        "ON s.node = n.node)"
+    }.mkString(", ")
+    s"$hostEdgesSql, " +
+      "h0 AS (SELECT node, CAST(1 AS BIGINT) AS v FROM nodes), " + steps
   }
 
   /** Shared `WITH RECURSIVE … cc` prefix for the connected-components
@@ -6670,6 +6728,35 @@ object SparkEntry {
         "SELECT event_id, e.event_type, cents, " +
         "CAST(CASE WHEN hi <> lo THEN ((cents - lo) * 10000) // (hi - lo) " +
         "END AS BIGINT) AS scaled_bp FROM e JOIN s USING (event_type)"),
+
+    // Same session rule with the (ts, event_id) tie, same capped
+    // ordered string_agg and (n desc, path asc) cut.
+    "q240_session_paths" ->
+      ("WITH e AS (SELECT user_id AS u, epoch_us(ts) AS tsu, " +
+        "event_id AS eid, event_type AS ty FROM events " +
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL " +
+        "AND event_type IS NOT NULL), " +
+        "m AS (SELECT *, CASE WHEN tsu - lag(tsu) OVER " +
+        "(PARTITION BY u ORDER BY tsu, eid) < 3600000000 " +
+        "THEN 0 ELSE 1 END AS ns FROM e), " +
+        "s AS (SELECT *, sum(ns) OVER (PARTITION BY u " +
+        "ORDER BY tsu, eid ROWS UNBOUNDED PRECEDING) AS sid FROM m), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY u, sid " +
+        "ORDER BY tsu, eid) AS rn FROM s), " +
+        "p AS (SELECT u, sid, string_agg(ty, '>' ORDER BY rn) AS path " +
+        "FROM r WHERE rn <= 8 GROUP BY u, sid), " +
+        "c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions " +
+        "FROM p GROUP BY path) " +
+        "SELECT path, n_sessions FROM c " +
+        "ORDER BY n_sessions DESC, path LIMIT 25"),
+
+    // The shared host-edge CTEs, h0 = 1, two exact alternating-walk
+    // iterations.
+    "q241_hits" ->
+      (s"WITH ${hitsCtes(2)} " +
+        "SELECT n.node, CAST(a2.v AS BIGINT) AS auth, " +
+        "CAST(h2.v AS BIGINT) AS hub FROM nodes n " +
+        "JOIN a2 ON a2.node = n.node JOIN h2 ON h2.node = n.node"),
 
     // Lossless round-trip: the read-back equals the source projection.
     "q231_orc_roundtrip" ->

@@ -72,6 +72,46 @@ object LinkGraph {
     pr
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) — the directory-vs-content
+    * split PageRank can't see: a hub links to many good authorities, an
+    * authority is linked by many good hubs; crawl pipelines read hubs as
+    * seed-list candidates and authorities as content-quality priors.
+    * This is the UNNORMALIZED fixed-iteration integer variant: h₀ = 1
+    * everywhere, then iteration i computes a_i(u) = Σ_{v→u} h_{i−1}(v)
+    * followed by h_i(u) = Σ_{u→v} a_i(v). Without the cosmetic norm step
+    * the scores after k iterations are exact alternating-walk COUNTS —
+    * integers, engine-reproducible, and RANK-equivalent to normalized
+    * HITS (each norm is one positive scalar per iteration). `iters` is
+    * capped at 3 by contract: counts grow like d^(2k) and the cap keeps
+    * int64 headroom at web-scale degrees — beyond it, normalize, and
+    * that's a different (float) operator. Shape matches [[pageRank]]:
+    * the deduped edge frame persists once; each half-iteration is one
+    * equi-join plus one map-side-combined sum; zero-score nodes stay
+    * present via the left join onto the node frame. */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 3,
+      s"iters must be in [1, 3] (int64 walk-count headroom), got $iters")
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    var hub = nodes.withColumn("v", lit(1L))
+    var auth: DataFrame = nodes.withColumn("v", lit(0L))
+    for (_ <- 1 to iters) {
+      auth = nodes.join(
+          e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+            .groupBy(col("dst").as("node")).agg(sum("v").as("__s")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("__s"), lit(0L)).as("v"))
+      hub = nodes.join(
+          e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+            .groupBy(col("src").as("node")).agg(sum("v").as("__s")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("__s"), lit(0L)).as("v"))
+    }
+    auth.withColumnRenamed("v", "auth")
+      .join(hub.withColumnRenamed("v", "hub"), Seq("node"))
+  }
+
   /** TrustRank — personalized PageRank (Gyöngyi et al. 2004): the
     * restart mass is NOT uniform but a caller-supplied per-node teleport
     * table (here typically derived from content quality), so trust

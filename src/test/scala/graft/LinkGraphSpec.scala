@@ -140,4 +140,22 @@ class LinkGraphSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(a == b)
   }
+
+  test("hits: exact alternating-walk counts on a hand graph, zero-score " +
+    "nodes present, iters cap enforced") {
+    import spark.implicits._
+    val edges = Seq(("a", "c"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    def run(iters: Int) = graft.operators.LinkGraph.hits(edges, iters)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // iter 1: a = indeg (c=2, d=1); h = sum of a over outlinks
+    assert(run(1) == Map("a" -> ((0L, 2L)), "b" -> ((0L, 2L)),
+      "c" -> ((2L, 1L)), "d" -> ((1L, 0L))))
+    // iter 2: c = h(a)+h(b) = 4, d = h(c) = 1; hubs a=b=4, c=1
+    assert(run(2) == Map("a" -> ((0L, 4L)), "b" -> ((0L, 4L)),
+      "c" -> ((4L, 1L)), "d" -> ((1L, 0L))))
+    intercept[IllegalArgumentException] {
+      graft.operators.LinkGraph.hits(edges, 4)
+    }
+  }
 }
