@@ -3175,6 +3175,22 @@ object SparkEntry {
       LinkGraph.hits(edges, iters = 2)
     }),
 
+    // §2 row 244: Flesch readability in exact integer milli-units —
+    // regex word/sentence/vowel-group counts fused by truncating
+    // divisions; the curation knob beside q23's quality heuristics.
+    // EXACT oracle.
+    "q242_readability" -> ((s, dir) =>
+      graft.textstats.Readability.flesch(
+        Tables.documents(s, dir), "doc_id", "text")),
+
+    // §2 row 245: temporal follow matrix — per ordered type pair, the
+    // share of A events with a B strictly after them within 30 minutes;
+    // indicator per A (multiple Bs count once). EXACT oracle.
+    "q243_follow_matrix" -> ((s, dir) =>
+      graft.operators.Follow.followMatrix(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type",
+        windowUs = 1800000000L)),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -6757,6 +6773,40 @@ object SparkEntry {
         "SELECT n.node, CAST(a2.v AS BIGINT) AS auth, " +
         "CAST(h2.v AS BIGINT) AS hub FROM nodes n " +
         "JOIN a2 ON a2.node = n.node JOIN h2 ON h2.node = n.node"),
+
+    // Same regex counts (token split, [.!?]+ runs floored at 1, vowel
+    // groups) and truncating-div fusion.
+    "q242_readability" ->
+      ("WITH t AS (SELECT doc_id, coalesce(text, '') AS tt " +
+        "FROM documents), " +
+        "m AS (SELECT doc_id, " +
+        "CAST(len(regexp_split_to_array(trim(tt), '\\s+')) AS BIGINT) " +
+        "AS words, " +
+        "greatest(CAST(len(regexp_extract_all(tt, '[.!?]+')) AS BIGINT), " +
+        "1) AS sentences, " +
+        "CAST(len(regexp_extract_all(tt, '[aeiouyAEIOUY]+')) AS BIGINT) " +
+        "AS syllables FROM t) " +
+        "SELECT doc_id, words, sentences, syllables, " +
+        "CAST(CASE WHEN words >= 1 THEN 206835 - " +
+        "(1015 * words) // sentences - (84600 * syllables) // words " +
+        "END AS BIGINT) AS flesch_m FROM m"),
+
+    // Same strict-after windowed self-join on user, per-A indicator via
+    // DISTINCT a-event count, same integer rate.
+    "q243_follow_matrix" ->
+      ("WITH e AS (SELECT event_id AS eid, user_id AS u, " +
+        "event_type AS ty, epoch_us(ts) AS t_us FROM events " +
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL " +
+        "AND event_type IS NOT NULL), " +
+        "f AS (SELECT a.ty AS type_a, b.ty AS type_b, " +
+        "count(DISTINCT a.eid) AS n_followed FROM e a JOIN e b " +
+        "ON a.u = b.u AND b.t_us > a.t_us " +
+        "AND b.t_us - a.t_us <= 1800000000 GROUP BY 1, 2), " +
+        "tot AS (SELECT ty AS type_a, count(*) AS n_a FROM e GROUP BY 1) " +
+        "SELECT type_a, type_b, CAST(n_a AS BIGINT) AS n_a, " +
+        "CAST(n_followed AS BIGINT) AS n_followed, " +
+        "CAST((10000 * n_followed) // n_a AS BIGINT) AS follow_bp " +
+        "FROM f JOIN tot USING (type_a)"),
 
     // Lossless round-trip: the read-back equals the source projection.
     "q231_orc_roundtrip" ->
