@@ -3191,6 +3191,35 @@ object SparkEntry {
         "user_id", "ts", "event_id", "event_type",
         windowUs = 1800000000L)),
 
+    // §2 row 246: column-level change attribution — over keys in BOTH
+    // versions of a deterministic release, per column null-safe change
+    // counts fused in one aggregate and stack-melted; the WHY behind
+    // q121's changed rows. EXACT oracle.
+    "q244_column_changes" -> ((s, dir) => {
+      val v1 = Tables.documents(s, dir)
+        .select("doc_id", "lang", "source", "n_chars")
+      val v2 = v1.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, lit("xx")).otherwise(col("lang"))
+            .as("lang"),
+          when(col("doc_id") % 17 === 0, lit(null).cast("string"))
+            .otherwise(col("source")).as("source"),
+          when(col("doc_id") % 11 === 0, col("n_chars") + 1)
+            .otherwise(col("n_chars")).as("n_chars"))
+      graft.operators.SnapshotDiff.columnChanges(v1, v2, "doc_id",
+        Seq("lang", "source", "n_chars"))
+    }),
+
+    // §2 row 247: Gini concentration of per-source token mass — the
+    // single-number inequality read beside q225's Pareto curve; one
+    // truncating division, rank window over the sources frame. EXACT
+    // oracle.
+    "q245_gini" -> ((s, dir) =>
+      graft.operators.Profile.giniConcentration(
+        Tables.documents(s, dir).select(col("source"),
+          TextStats.wsTokenCount(col("text")).cast("long").as("tokens")),
+        "source", "tokens")),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -6807,6 +6836,48 @@ object SparkEntry {
         "CAST(n_followed AS BIGINT) AS n_followed, " +
         "CAST((10000 * n_followed) // n_a AS BIGINT) AS follow_bp " +
         "FROM f JOIN tot USING (type_a)"),
+
+    // Same deterministic v2 release, same null-safe per-column
+    // indicator sums over the inner-joined common keys.
+    "q244_column_changes" ->
+      ("WITH v2 AS (SELECT doc_id, " +
+        "CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang, " +
+        "CASE WHEN doc_id % 17 = 0 THEN NULL ELSE source END AS source, " +
+        "CASE WHEN doc_id % 11 = 0 THEN n_chars + 1 ELSE n_chars END " +
+        "AS n_chars FROM documents WHERE doc_id % 13 <> 0), " +
+        "j AS (SELECT a.lang AS la, b.lang AS lb, a.source AS sa, " +
+        "b.source AS sb, a.n_chars AS ca, b.n_chars AS cb " +
+        "FROM documents a JOIN v2 b USING (doc_id)), " +
+        "g AS (SELECT count(*) AS n_common, " +
+        "sum(CASE WHEN la IS DISTINCT FROM lb THEN 1 ELSE 0 END) " +
+        "AS c_lang, " +
+        "sum(CASE WHEN sa IS DISTINCT FROM sb THEN 1 ELSE 0 END) " +
+        "AS c_source, " +
+        "sum(CASE WHEN ca IS DISTINCT FROM cb THEN 1 ELSE 0 END) " +
+        "AS c_nchars FROM j), " +
+        "u AS (SELECT 'lang' AS column_name, c_lang AS n_changed, " +
+        "n_common FROM g UNION ALL " +
+        "SELECT 'source', c_source, n_common FROM g UNION ALL " +
+        "SELECT 'n_chars', c_nchars, n_common FROM g) " +
+        "SELECT column_name, CAST(n_changed AS BIGINT) AS n_changed, " +
+        "CAST(n_common AS BIGINT) AS n_common, " +
+        "CAST((10000 * n_changed) // greatest(n_common, 1) AS BIGINT) " +
+        "AS changed_bp FROM u"),
+
+    // Same token masses, ascending rank with the source tiebreak, same
+    // closed-form numerator and one milli division.
+    "q245_gini" ->
+      ("WITH t AS (SELECT source, " +
+        "CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) " +
+        "AS BIGINT) AS w FROM documents GROUP BY source), " +
+        "r AS (SELECT *, row_number() OVER (ORDER BY w ASC, source ASC) " +
+        "AS i FROM t), " +
+        "a AS (SELECT count(*) AS n, sum(w) AS s, sum(i * w) AS ia " +
+        "FROM r) " +
+        "SELECT CAST(n AS BIGINT) AS n_groups, CAST(s AS BIGINT) " +
+        "AS total_w, " +
+        "CAST(CASE WHEN s > 0 THEN (1000 * (2 * ia - (n + 1) * s)) // " +
+        "(n * s) END AS BIGINT) AS gini_m FROM a"),
 
     // Lossless round-trip: the read-back equals the source projection.
     "q231_orc_roundtrip" ->

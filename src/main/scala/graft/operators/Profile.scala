@@ -173,4 +173,32 @@ object Profile {
       .select("column", "status", "rows_v1", "rows_v2", "null_bp_delta",
         "dist_v1", "dist_v2", "dist_delta", "minmax_changed")
   }
+
+  /** Gini concentration of a non-negative weight across groups — the
+    * single-number inequality read beside the row-227 Pareto curve: 0 =
+    * perfectly even mixture, →1000 (milli) = one group carries
+    * everything; the mixture-health canary a rebalancing decision hangs
+    * on. Exact integers end to end: with groups ranked ascending by
+    * weight (ties by group name for a total order), Gini =
+    * Σ(2i−n−1)·wᵢ / (n·Σw) = (2·Σi·wᵢ − (n+1)·Σw) / (n·Σw), emitted as
+    * ONE truncating division in milli-units; the numerator is ≥ 0 by
+    * the rearrangement inequality under ascending order, so floor and
+    * trunc agree on both engines. NULL when total weight is 0. The rank
+    * window and both aggregates run over the ≤ |groups| frame — the
+    * Packing bounded-window precedent, never the corpus. */
+  def giniConcentration(df: DataFrame, groupCol: String,
+                        weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = df.groupBy(groupCol)
+      .agg(sum(col(weightCol)).as("__w"))
+    val ranked = t.withColumn("__i", row_number().over(
+      Window.orderBy(col("__w").asc, col(groupCol).asc)).cast("long"))
+    ranked.agg(count(lit(1)).as("n_groups"),
+        sum("__w").as("total_w"),
+        sum(expr("__i * __w")).as("__ia"))
+      .select(col("n_groups"), col("total_w"),
+        when(col("total_w") > 0, expr(
+          "(1000 * (2 * __ia - (n_groups + 1) * total_w)) div " +
+            "(n_groups * total_w)")).as("gini_m"))
+  }
 }

@@ -42,4 +42,37 @@ object SnapshotDiff {
         status.as("status"))
       .filter(col("status").isNotNull)
   }
+
+  /** Column-level change attribution — the WHY behind [[diff]]'s
+    * `changed` rows: over keys present in BOTH versions, per column, how
+    * many rows changed in THAT column (null-safe: NULL→value and
+    * value→NULL count, NULL→NULL doesn't). The release-triage read that
+    * separates "the re-crawl touched every text" from "one enrichment
+    * column got recomputed". Unlike [[diff]] this compares the columns
+    * themselves (no fingerprint): one inner hash join on the key
+    * carrying only the compared columns, ONE aggregate fusing all
+    * per-column indicator sums in a single pass, melted to
+    * (column, n_changed, n_common, changed_bp) rows — the row-115
+    * single-scan-then-stack shape, never a per-column pass. */
+  def columnChanges(v1: DataFrame, v2: DataFrame, keyCol: String,
+                    cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnChanges needs compare columns")
+    val a = v1.select((col(keyCol).as("__k") +:
+      cols.map(c => col(c).as(s"__a_$c"))): _*)
+    val b = v2.select((col(keyCol).as("__k") +:
+      cols.map(c => col(c).as(s"__b_$c"))): _*)
+    val joined = a.join(b, Seq("__k"))
+    val agg = joined.agg(
+      count(lit(1)).as("n_common"),
+      cols.map(c => sum(when(not(col(s"__a_$c") <=> col(s"__b_$c")), 1L)
+        .otherwise(0L)).as(s"__chg_$c")): _*)
+    val stackArgs = cols
+      .map(c => s"'${c.replace("'", "''")}', __chg_$c").mkString(", ")
+    agg.select(expr(
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n_changed)"),
+        col("n_common"))
+      .withColumn("changed_bp",
+        expr("(10000 * n_changed) div greatest(n_common, 1)"))
+      .select("column_name", "n_changed", "n_common", "changed_bp")
+  }
 }

@@ -109,4 +109,20 @@ class ProfileSpec extends SparkSpec {
     // added/removed rows carry NULL deltas
     assert(got("src")._2.isEmpty && got("rev")._2.isEmpty)
   }
+
+  test("giniConcentration: even weights 0, two-group max 500, zero " +
+    "total NULL, weights aggregate within groups first") {
+    import spark.implicits._
+    def gini(rows: Seq[(String, Long)]) =
+      graft.operators.Profile.giniConcentration(
+        rows.toDF("g", "w"), "g", "w")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).head
+    assert(gini(Seq(("a", 5L), ("b", 5L))) == ((2L, 10L, Some(0L))))
+    assert(gini(Seq(("a", 0L), ("b", 10L))) == ((2L, 10L, Some(500L))))
+    assert(gini(Seq(("a", 0L), ("b", 0L))) == ((2L, 0L, None)))
+    // per-group aggregation before ranking: ("a",3)+("a",2) == ("a",5)
+    assert(gini(Seq(("a", 3L), ("a", 2L), ("b", 5L))) ==
+      ((2L, 10L, Some(0L))))
+  }
 }

@@ -39,4 +39,21 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("columnChanges: per-column null-safe counts over common keys " +
+    "only; added/removed keys never contribute") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "s", "n")
+    val v2 = Seq((1L, "a", 11L), (2L, null, 20L), (4L, "d", 40L))
+      .toDF("k", "s", "n")
+    val got = graft.operators.SnapshotDiff
+      .columnChanges(v1, v2, "k", Seq("s", "n"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // common keys {1, 2}: s changes on 2 (b→NULL), n changes on 1
+    assert(got == Map("s" -> ((1L, 2L, 5000L)), "n" -> ((1L, 2L, 5000L))),
+      got.toString)
+  }
 }
