@@ -3220,6 +3220,35 @@ object SparkEntry {
           TextStats.wsTokenCount(col("text")).cast("long").as("tokens")),
         "source", "tokens")),
 
+    // §2 row 248: next-token suggestion table — per leading token the
+    // top-3 followers with exact conditional probability in bp; the
+    // dominant-continuation complement to q112's surprising pairs.
+    // EXACT oracle.
+    "q246_next_token" -> ((s, dir) =>
+      graft.textstats.Collocations.nextTokenTable(
+        Tables.documents(s, dir), "text", k = 3, minCount = 5L)),
+
+    // §2 row 249: conversion-latency quantiles — exact p50/p90 of the
+    // attributed click→purchase age per hour-of-day, composed from the
+    // q196 as-of machinery and the q87 lower-nearest-rank quantiles.
+    // EXACT oracle.
+    "q247_conversion_latency" -> ((s, dir) => {
+      val R = graft.operators.Robust
+      val att = graft.operators.Attribution.lastTouch(
+          Tables.events(s, dir), "user_id", "ts", "event_id", "event_type",
+          convType = "purchase", touchType = "click",
+          windowUs = 86400000000L)
+        .filter(col("attributed") === 1)
+        .select(expr("(t_us div 3600000000L) % 24").as("hod"),
+          col("age_us"))
+      val n = att.groupBy("hod").agg(count(lit(1)).as("n_conversions"))
+      val p50 = R.groupQuantile(att, "hod", "age_us", 5000)
+        .withColumnRenamed("q_value", "p50_age_us")
+      val p90 = R.groupQuantile(att, "hod", "age_us", 9000)
+        .withColumnRenamed("q_value", "p90_age_us")
+      n.join(p50, Seq("hod")).join(p90, Seq("hod"))
+    }),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -6878,6 +6907,57 @@ object SparkEntry {
         "AS total_w, " +
         "CAST(CASE WHEN s > 0 THEN (1000 * (2 * ia - (n + 1) * s)) // " +
         "(n * s) END AS BIGINT) AS gini_m FROM a"),
+
+    // The q112 bigram CTEs with per-leader totals, the same (c12 desc,
+    // w2) rank order, the same minCount output prune.
+    "q246_next_token" -> {
+      val toks = tokensSql("text")
+      s"WITH t AS (SELECT $toks AS toks FROM documents), " +
+        "pr AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM " +
+        "(SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i " +
+        "FROM t) WHERE toks[i] <> '' AND toks[i+1] <> ''), " +
+        "c12 AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY w1, w2), " +
+        "lead AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 " +
+        "GROUP BY w1), " +
+        "r AS (SELECT w1, w2, c12, row_number() OVER (PARTITION BY w1 " +
+        "ORDER BY c12 DESC, w2 ASC) AS rank FROM c12) " +
+        "SELECT r.w1, r.w2, CAST(r.c12 AS BIGINT) AS c12, c1, " +
+        "CAST(rank AS INT) AS rank, " +
+        "CAST((10000 * r.c12) // c1 AS BIGINT) AS prob_bp " +
+        "FROM r JOIN lead ON lead.w1 = r.w1 " +
+        "WHERE rank <= 3 AND r.c12 >= 5"
+    },
+
+    // The q196 as-of CTEs at the 24 h window, then the shared
+    // lower-nearest-rank quantile rule per hour-of-day.
+    "q247_conversion_latency" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) " +
+        "AS t FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+        "c0 AS (SELECT user_id, t AS ct, max(event_id) AS touch_id " +
+        "FROM e WHERE event_type = 'click' GROUP BY 1, 2), " +
+        "p AS (SELECT event_id, user_id, t FROM e " +
+        "WHERE event_type = 'purchase'), " +
+        "j AS (SELECT p.event_id, p.t, c0.ct, " +
+        "row_number() OVER (PARTITION BY p.event_id ORDER BY c0.ct DESC) " +
+        "AS rk FROM p LEFT JOIN c0 " +
+        "ON p.user_id = c0.user_id AND c0.ct <= p.t), " +
+        "a AS (SELECT (t // 3600000000) % 24 AS hod, t - ct AS age " +
+        "FROM j WHERE rk = 1 AND ct IS NOT NULL " +
+        "AND t - ct <= 86400000000), " +
+        "cnt AS (SELECT hod, age, count(*) AS c FROM a GROUP BY 1, 2), " +
+        "w AS (SELECT hod, age, sum(c) OVER (PARTITION BY hod " +
+        "ORDER BY age ROWS UNBOUNDED PRECEDING) AS cum, " +
+        "sum(c) OVER (PARTITION BY hod) AS tot FROM cnt), " +
+        "p50 AS (SELECT hod, min(age) AS p50_age_us FROM w " +
+        "WHERE cum * 10000 >= 5000 * tot GROUP BY hod), " +
+        "p90 AS (SELECT hod, min(age) AS p90_age_us FROM w " +
+        "WHERE cum * 10000 >= 9000 * tot GROUP BY hod), " +
+        "n AS (SELECT hod, CAST(count(*) AS BIGINT) AS n_conversions " +
+        "FROM a GROUP BY hod) " +
+        "SELECT CAST(n.hod AS BIGINT) AS hod, n_conversions, " +
+        "CAST(p50_age_us AS BIGINT) AS p50_age_us, " +
+        "CAST(p90_age_us AS BIGINT) AS p90_age_us " +
+        "FROM n JOIN p50 USING (hod) JOIN p90 USING (hod)"),
 
     // Lossless round-trip: the read-back equals the source projection.
     "q231_orc_roundtrip" ->

@@ -58,4 +58,40 @@ object Collocations {
         .cast("long"))
       .select("w1", "w2", "c12", "pmi_u")
   }
+
+  /** Next-token suggestion table — the bigram-LM read: per leading
+    * token, its top-k followers by count with the exact conditional
+    * probability in bp (c12 div leading-position total). The
+    * boilerplate-chain / autocomplete complement to [[pmiBigrams]]:
+    * PMI surfaces SURPRISING pairs, this surfaces the DOMINANT
+    * continuations (near-10000 bp rows are template chains worth
+    * collapsing before training). `rank` is the follower's true rank
+    * among ALL followers of its leading token ((c12 desc, w2 asc) total
+    * order); `minCount` only prunes low-evidence output rows, so rank
+    * gaps are honest. Same in-row bigram zip as [[pmiBigrams]]; the
+    * rank window partitions per leading token over its follower frame —
+    * vocabulary-bounded, never the corpus. */
+  def nextTokenTable(docs: DataFrame, textCol: String, k: Int = 3,
+                     minCount: Long = 5L): DataFrame = {
+    require(k >= 1 && minCount >= 1,
+      s"k and minCount must be >= 1, got $k/$minCount")
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextFunctions.tokens(col(textCol))
+    val tail1 = greatest(size(toks) - 1, lit(0))
+    val pairs = docs.select(explode(zip_with(
+        slice(toks, lit(1), tail1),
+        slice(toks, lit(2), tail1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val lead = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val w = Window.partitionBy("w1")
+      .orderBy(col("c12").desc, col("w2").asc)
+    c12.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k && col("c12") >= minCount)
+      .join(lead, Seq("w1"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("rank"),
+        expr("(10000 * c12) div c1").as("prob_bp"))
+  }
 }

@@ -49,4 +49,23 @@ class CollocationsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(out == Set(("pair", "of"), ("of", "tokens")), s"got $out")
   }
+
+  test("nextTokenTable: exact conditional probabilities, rank order, " +
+    "and the minCount output prune keeping true ranks") {
+    import spark.implicits._
+    val docs = Seq("x y", "x y", "x z").map(Tuple1(_)).toDF("text")
+    val got = graft.textstats.Collocations
+      .nextTokenTable(docs, "text", k = 2, minCount = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      ("x", "y") -> ((2L, 3L, 1, 6666L)),
+      ("x", "z") -> ((1L, 3L, 2, 3333L))), got.toString)
+    // minCount prunes the low-evidence follower but its rank survives
+    val pruned = graft.textstats.Collocations
+      .nextTokenTable(docs, "text", k = 2, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(4)))
+    assert(pruned.toSeq == Seq(("x", "y", 1)), pruned.mkString(","))
+  }
 }
