@@ -3249,6 +3249,47 @@ object SparkEntry {
       n.join(p50, Seq("hod")).join(p90, Seq("hod"))
     }),
 
+    // §2 row 250: referential-integrity audit — per declared FK pair,
+    // orphan and null-FK counts with the orphan rate in bp; the
+    // cross-table half of q147's row-local rules. The events.user pair
+    // deliberately audits a feed with no FK guarantee. EXACT oracle.
+    "q248_fk_audit" -> ((s, dir) =>
+      graft.operators.Integrity.fkAudit(Seq(
+        ("orders.custkey", Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey"),
+        ("lineitem.orderkey", Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey"),
+        ("lineitem.suppkey", Tables.lineitem(s, dir), "l_suppkey",
+          Tables.supplier(s, dir), "s_suppkey"),
+        ("events.user", Tables.events(s, dir), "user_id",
+          Tables.customer(s, dir), "c_custkey")))),
+
+    // §2 row 251: week-over-week growth — per type, each gap-filled
+    // weekly bucket vs its predecessor in exact bp; zero-predecessor
+    // and first periods NULL. EXACT oracle.
+    "q249_period_growth" -> ((s, dir) =>
+      graft.operators.Changepoint.periodGrowth(
+        Tables.events(s, dir), "event_type", "ts")),
+
+    // §2 row 252: trailing 7-day moving average in exact milli-units
+    // over the gap-filled daily series; leading edge averages its
+    // partial frame. EXACT oracle.
+    "q250_moving_average" -> ((s, dir) =>
+      graft.operators.Changepoint.movingAverage(
+        Tables.events(s, dir), "event_type", "ts")),
+
+    // §2 row 253: per-group covariance of hour-of-day and spend cents
+    // in exact milli-units — the co-movement screen before modeling.
+    // EXACT oracle.
+    "q251_covariance" -> ((s, dir) =>
+      graft.operators.Trend.groupCovariance(
+        Tables.events(s, dir)
+          .filter(col("ts").isNotNull)
+          .select(col("event_type"),
+            expr("(unix_micros(ts) div 3600000000L) % 24").as("hod"),
+            expr("cast(round(value * 100) as bigint)").as("cents")),
+        "event_type", "hod", "cents")),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -6958,6 +6999,89 @@ object SparkEntry {
         "CAST(p50_age_us AS BIGINT) AS p50_age_us, " +
         "CAST(p90_age_us AS BIGINT) AS p90_age_us " +
         "FROM n JOIN p50 USING (hod) JOIN p90 USING (hod)"),
+
+    // Same distinct-parent left joins and indicator sums per pair.
+    "q248_fk_audit" -> {
+      def branch(name: String, rel: String, fk: String, prel: String,
+                 pk: String) =
+        s"SELECT '$name' AS fk_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+          s"CAST(sum(CASE WHEN f.$fk IS NOT NULL AND p.$pk IS NULL " +
+          "THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans, " +
+          s"CAST(sum(CASE WHEN f.$fk IS NULL THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS n_null_fk, " +
+          s"CAST((10000 * sum(CASE WHEN f.$fk IS NOT NULL AND " +
+          s"p.$pk IS NULL THEN 1 ELSE 0 END)) // " +
+          "greatest(count(*), 1) AS BIGINT) AS orphan_bp " +
+          s"FROM $rel f LEFT JOIN " +
+          s"(SELECT DISTINCT $pk FROM $prel) p ON f.$fk = p.$pk"
+      branch("orders.custkey", "orders", "o_custkey",
+        "customer", "c_custkey") +
+        " UNION ALL " +
+        branch("lineitem.orderkey", "lineitem", "l_orderkey",
+          "orders", "o_orderkey") +
+        " UNION ALL " +
+        branch("lineitem.suppkey", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey") +
+        " UNION ALL " +
+        branch("events.user", "events", "user_id",
+          "customer", "c_custkey")
+    },
+
+    // The weekly gap-filled series, same lag and sign-split bp rate.
+    "q249_period_growth" ->
+      ("WITH c AS (SELECT event_type AS grp, " +
+        "epoch_us(ts) // 604800000000 AS h, count(*) AS cnt FROM events " +
+        "WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2), " +
+        "sp AS (SELECT grp, min(h) AS h0, max(h) AS h1 FROM c " +
+        "GROUP BY grp), " +
+        "hrs AS (SELECT grp, unnest(generate_series(h0, h1)) AS h " +
+        "FROM sp), " +
+        "se AS (SELECT hrs.grp, hrs.h, coalesce(cnt, 0) AS cnt FROM hrs " +
+        "LEFT JOIN c ON hrs.grp = c.grp AND hrs.h = c.h), " +
+        "g AS (SELECT grp, h, cnt, lag(cnt) OVER (PARTITION BY grp " +
+        "ORDER BY h) AS prev FROM se) " +
+        "SELECT grp, h AS period, CAST(cnt AS BIGINT) AS c, " +
+        "CAST(prev AS BIGINT) AS prev, " +
+        "CAST(CASE WHEN prev > 0 THEN " +
+        "CASE WHEN cnt >= prev THEN ((cnt - prev) * 10000) // prev " +
+        "ELSE -(((prev - cnt) * 10000) // prev) END END AS BIGINT) " +
+        "AS growth_bp FROM g"),
+
+    // The daily gap-filled series, same trailing frame and milli mean.
+    "q250_moving_average" ->
+      ("WITH c AS (SELECT event_type AS grp, " +
+        "epoch_us(ts) // 86400000000 AS h, count(*) AS cnt FROM events " +
+        "WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2), " +
+        "sp AS (SELECT grp, min(h) AS h0, max(h) AS h1 FROM c " +
+        "GROUP BY grp), " +
+        "hrs AS (SELECT grp, unnest(generate_series(h0, h1)) AS h " +
+        "FROM sp), " +
+        "se AS (SELECT hrs.grp, hrs.h, coalesce(cnt, 0) AS cnt FROM hrs " +
+        "LEFT JOIN c ON hrs.grp = c.grp AND hrs.h = c.h), " +
+        "m AS (SELECT grp, h, cnt, " +
+        "sum(cnt) OVER (PARTITION BY grp ORDER BY h " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s, " +
+        "count(*) OVER (PARTITION BY grp ORDER BY h " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n FROM se) " +
+        "SELECT grp, h AS period, CAST(cnt AS BIGINT) AS c, " +
+        "CAST((1000 * s) // n AS BIGINT) AS ma_m FROM m"),
+
+    // Same sufficient statistics, HUGEINT products, sign-split div.
+    "q251_covariance" ->
+      ("WITH e AS (SELECT event_type AS key, " +
+        "(epoch_us(ts) // 3600000000) % 24 AS x, " +
+        "CAST(round(value * 100) AS BIGINT) AS y FROM events " +
+        "WHERE event_type IS NOT NULL AND ts IS NOT NULL " +
+        "AND value IS NOT NULL), " +
+        "a AS (SELECT key, count(*) AS n, sum(x) AS sx, sum(y) AS sy, " +
+        "sum(x * y) AS sxy FROM e GROUP BY key), " +
+        "b AS (SELECT key, n, CAST(n AS HUGEINT) * sxy - " +
+        "CAST(sx AS HUGEINT) * sy AS num FROM a) " +
+        "SELECT key, CAST(n AS BIGINT) AS n, " +
+        "CAST(CASE WHEN num >= 0 THEN (1000 * num) // " +
+        "(CAST(n AS HUGEINT) * n) " +
+        "ELSE -((1000 * (-num)) // (CAST(n AS HUGEINT) * n)) END " +
+        "AS BIGINT) AS cov_m FROM b"),
 
     // Lossless round-trip: the read-back equals the source projection.
     "q231_orc_roundtrip" ->

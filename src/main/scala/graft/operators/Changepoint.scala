@@ -134,6 +134,51 @@ object Changepoint {
       .select("grp", "n_buckets", "acf_m")
   }
 
+  /** Period-over-period growth — per group, each gap-filled period's
+    * count against its predecessor as an exact bp rate (weekly buckets
+    * by default: the WoW dashboard read). Gap periods are explicit
+    * zeros, so a feed that stops shows −10000 bp then NULL (zero
+    * predecessor has no defined rate) rather than silently skipping to
+    * its next active week; the first period is NULL (no predecessor).
+    * growth_bp = ((c − prev)·10000) div prev — the numerator's sign
+    * split is mirrored in the oracle. Lag window over the shared
+    * groups × timespan series frame. */
+  def periodGrowth(events: DataFrame, groupCol: String, tsCol: String,
+                   bucketUs: Long = 7L * 86400000000L): DataFrame = {
+    val series = gapFilledSeries(bucketCounts(events, groupCol, tsCol,
+      bucketUs))
+    series
+      .withColumn("prev",
+        lag(col("c"), 1).over(Window.partitionBy("grp").orderBy("h")))
+      .withColumn("growth_bp",
+        when(col("prev") > 0,
+          expr("((c - prev) * 10000) div prev")))
+      .select(col("grp"), col("h").as("period"), col("c"), col("prev"),
+        col("growth_bp"))
+  }
+
+  /** Trailing moving average of the gap-filled series in exact
+    * milli-units — the smoothing read under every rate dashboard:
+    * ma_m = (1000·Σ window counts) div window-rows, over the trailing
+    * k buckets INCLUDING the current one; the leading edge averages the
+    * partial frame it actually has (documented — padding with phantom
+    * zeros would understate early rates). Rolling window per group over
+    * the shared bounded series frame. */
+  def movingAverage(events: DataFrame, groupCol: String, tsCol: String,
+                    k: Int = 7,
+                    bucketUs: Long = 86400000000L): DataFrame = {
+    require(k >= 1, s"window must be >= 1, got $k")
+    val series = gapFilledSeries(bucketCounts(events, groupCol, tsCol,
+      bucketUs))
+    val w = Window.partitionBy("grp").orderBy("h")
+      .rowsBetween(-(k - 1).toLong, Window.currentRow)
+    series
+      .withColumn("__s", sum("c").over(w))
+      .withColumn("__n", count(lit(1)).over(w))
+      .select(col("grp"), col("h").as("period"), col("c"),
+        expr("(1000 * __s) div __n").as("ma_m"))
+  }
+
   def burstiness(events: DataFrame, groupCol: String, tsCol: String,
                  bucketUs: Long = 3600000000L): DataFrame =
     gapFilledSeries(bucketCounts(events, groupCol, tsCol, bucketUs))

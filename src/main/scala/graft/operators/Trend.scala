@@ -53,4 +53,36 @@ object Trend {
           expr("(1000000 * __num) div __den")).cast("long"))
       .select("key", "n_events", "slope_uc")
   }
+
+  /** Per-group covariance of two INTEGER columns in exact milli-units —
+    * the co-movement read ("does spend move with hour", "does length
+    * move with quality") run before any modeling: cov_m =
+    * (1000·(n·Σxy − Σx·Σy)) div n², products in decimal(38,0) with the
+    * [[groupTrend]] headroom statement, ONE truncating division whose
+    * legitimately-negative numerator gets the oracle sign split.
+    * Pearson's normalization needs a square root and leaves the integer
+    * discipline — callers wanting a bounded statistic use the rank
+    * ensemble (row 147) instead; covariance keeps the sign and the
+    * exactness. Single-row groups report 0 covariance (not NULL — the
+    * statistic is defined and zero). One map-side-combined aggregate of
+    * five longs per group. */
+  def groupCovariance(df: DataFrame, keyCol: String, xCol: String,
+                      yCol: String): DataFrame = {
+    val e = df
+      .filter(col(keyCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(keyCol).as("key"), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+    e.groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(expr("__x * __y")).as("__sxy"))
+      .withColumn("__num", expr(
+        "cast(n as decimal(38,0)) * __sxy - " +
+          "cast(__sx as decimal(38,0)) * __sy"))
+      .withColumn("cov_m",
+        expr("(1000 * __num) div (cast(n as decimal(38,0)) * n)")
+          .cast("long"))
+      .select("key", "n", "cov_m")
+  }
 }

@@ -132,4 +132,36 @@ class ChangepointSpec extends SparkSpec {
     assert(acfRun(Seq(2L, 2L, 2L, 2L), 1) == ((4L, None)))
     assert(acfRun(Seq(1L, 2L), 3) == ((2L, None)))
   }
+
+  private def hourlyRows(counts: Seq[Long]) =
+    counts.zipWithIndex.flatMap { case (c, h) =>
+      (1L to c).map(i => ("a", ts(h * Hour + i * 1000L)))
+    }
+
+  test("periodGrowth: exact bp rates with sign split, gap zeros " +
+    "explicit, first and zero-predecessor periods NULL") {
+    // counts 2, 3, 0(gap), 1 per hour
+    val rows = hourlyRows(Seq(2L, 3L, 0L, 0L)) ++
+      Seq(("a", ts(3 * Hour + 1000L)))
+    val got = Changepoint.periodGrowth(rows.toDF("event_type", "ts"),
+      "event_type", "ts", bucketUs = Hour)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(got(0L) == ((2L, None, None)), got.toString)
+    assert(got(1L) == ((3L, Some(2L), Some(5000L))))
+    assert(got(2L) == ((0L, Some(3L), Some(-10000L))))
+    assert(got(3L) == ((1L, Some(0L), None)))
+  }
+
+  test("movingAverage: trailing frame with a partial leading edge, " +
+    "exact milli means") {
+    val rows = hourlyRows(Seq(2L, 3L, 0L, 0L)) ++
+      Seq(("a", ts(3 * Hour + 1000L)))
+    val got = Changepoint.movingAverage(rows.toDF("event_type", "ts"),
+      "event_type", "ts", k = 2, bucketUs = Hour)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got == Map(0L -> 2000L, 1L -> 2500L, 2L -> 1500L,
+      3L -> 500L), got.toString)
+  }
 }

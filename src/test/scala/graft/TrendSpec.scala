@@ -67,4 +67,21 @@ class TrendSpec extends SparkSpec {
     assert(firstAgg >= 0 && p.indexOf("HashAggregate", firstAgg + 1) > 0,
       s"sufficient-statistics aggregate not split partial/final:\n$p")
   }
+
+  test("groupCovariance: exact milli covariance with truncation toward " +
+    "zero on both signs; single points are zero") {
+    import spark.implicits._
+    def cov(rows: Seq[(String, Long, Long)]) =
+      graft.operators.Trend.groupCovariance(
+        rows.toDF("k", "x", "y"), "k", "x", "y")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+    // rising: num = 3·50 − 3·30 = 60 → 60000 div 9 = 6666
+    assert(cov(Seq(("a", 0L, 0L), ("a", 1L, 10L), ("a", 2L, 20L))) ==
+      Map("a" -> ((3L, 6666L))))
+    // falling: the same magnitude, negative, trunc toward zero
+    assert(cov(Seq(("a", 0L, 20L), ("a", 1L, 10L), ("a", 2L, 0L))) ==
+      Map("a" -> ((3L, -6666L))))
+    assert(cov(Seq(("a", 5L, 7L))) == Map("a" -> ((1L, 0L))))
+  }
 }
