@@ -3290,6 +3290,61 @@ object SparkEntry {
             expr("cast(round(value * 100) as bigint)").as("cents")),
         "event_type", "hod", "cents")),
 
+    // §2 row 254: STREAMING moving-average monitor — the q157 additive
+    // hourly partials collapse read-side to the identical gap-filled
+    // series, then the shared movingAverageFromCounts read half smooths
+    // it at a trailing 24 h; EXACT oracle (hourly-MA SQL over the same
+    // feed).
+    "q252_ma_monitor_stream" -> ((s, dir) => {
+      val src = artifactPath("ratemonsrc", dir, codeHash(SparkEntry.getClass))
+      stageParquet(src) { tmp =>
+        Tables.events(s, dir).select("event_id", "event_type", "ts")
+          .repartition(4).write.mode("overwrite").parquet(tmp)
+      }
+      val base = artifactPath("mamon", dir, codeHash(SparkEntry.getClass,
+        ScoringStream.getClass, graft.operators.Changepoint.getClass))
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+      ScoringStream.monitorRateStream(stream, "event_type", "ts",
+        s"$base/mon", s"$base/ckpt")
+      val counts = s.read.parquet(s"$base/mon")
+        .groupBy("batch_id", "event_type", "hour")
+        .agg(max("c").as("__c"))
+        .groupBy("event_type", "hour")
+        .agg(sum("__c").as("c"))
+        .select(col("event_type").as("grp"),
+          expr("unix_micros(hour) div 3600000000L").as("h"), col("c"))
+      graft.operators.Changepoint.movingAverageFromCounts(counts, k = 24)
+    }),
+
+    // §2 row 255: TPC-H Q10-shaped returned-item revenue — quarter date
+    // window pushed to the orders scan, R-flag filter pushed to
+    // lineitem, cents-exact revenue per customer enriched from the
+    // customer dim, top-20 TakeOrdered. EXACT oracle.
+    "q253_returned_revenue" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-04-01"))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          expr("cast(round(l_extendedprice * (1.0 - l_discount) * 100) " +
+            "as bigint)").as("rev_c"))
+      ord.join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum("rev_c").as("revenue_c"))
+        .join(Tables.customer(s, dir)
+          .select("c_custkey", "c_acctbal", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          expr("cast(round(c_acctbal * 100) as bigint)").as("acctbal_c"),
+          col("revenue_c"))
+        .orderBy(desc("revenue_c"), asc("c_custkey"))
+        .limit(20)
+    }),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -7082,6 +7137,33 @@ object SparkEntry {
         "(CAST(n AS HUGEINT) * n) " +
         "ELSE -((1000 * (-num)) // (CAST(n AS HUGEINT) * n)) END " +
         "AS BIGINT) AS cov_m FROM b"),
+
+    // The shared hourly series CTEs smoothed by the same trailing-24
+    // frame — additive partials make the drained MA equal it exactly.
+    "q252_ma_monitor_stream" ->
+      (s"WITH $rateSeriesCtes, " +
+        "m AS (SELECT grp, h, cnt, " +
+        "sum(cnt) OVER (PARTITION BY grp ORDER BY h " +
+        "ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS s, " +
+        "count(*) OVER (PARTITION BY grp ORDER BY h " +
+        "ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS n FROM se) " +
+        "SELECT grp, h AS period, CAST(cnt AS BIGINT) AS c, " +
+        "CAST((1000 * s) // n AS BIGINT) AS ma_m FROM m"),
+
+    // The standard Q10 formulation with identical cents rounding and
+    // the (revenue desc, custkey) top-20 cut.
+    "q253_returned_revenue" ->
+      ("WITH r AS (SELECT o_custkey, " +
+        "CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) " +
+        "AS BIGINT)) AS BIGINT) AS revenue_c " +
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1996-04-01' " +
+        "AND l_returnflag = 'R' GROUP BY o_custkey) " +
+        "SELECT c_custkey, c_mktsegment, " +
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c, revenue_c " +
+        "FROM r JOIN customer ON c_custkey = o_custkey " +
+        "ORDER BY revenue_c DESC, c_custkey LIMIT 20"),
 
     // Lossless round-trip: the read-back equals the source projection.
     "q231_orc_roundtrip" ->

@@ -166,10 +166,18 @@ object Changepoint {
     * the shared bounded series frame. */
   def movingAverage(events: DataFrame, groupCol: String, tsCol: String,
                     k: Int = 7,
-                    bucketUs: Long = 86400000000L): DataFrame = {
+                    bucketUs: Long = 86400000000L): DataFrame =
+    movingAverageFromCounts(bucketCounts(events, groupCol, tsCol,
+      bucketUs), k)
+
+  /** The read half of [[movingAverage]] over a pre-reduced (grp, h, c)
+    * count frame — shared by the batch wrapper and the streaming
+    * monitor (additive hourly partials collapse to the identical
+    * series, so the drained MA equals the batch MA exactly — the
+    * meanShiftFromCounts split, applied to smoothing). */
+  def movingAverageFromCounts(counts: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"window must be >= 1, got $k")
-    val series = gapFilledSeries(bucketCounts(events, groupCol, tsCol,
-      bucketUs))
+    val series = gapFilledSeries(counts)
     val w = Window.partitionBy("grp").orderBy("h")
       .rowsBetween(-(k - 1).toLong, Window.currentRow)
     series

@@ -164,4 +164,22 @@ class ChangepointSpec extends SparkSpec {
     assert(got == Map(0L -> 2000L, 1L -> 2500L, 2L -> 1500L,
       3L -> 500L), got.toString)
   }
+
+  test("movingAverageFromCounts over summed split partials == " +
+    "movingAverage over the events (the monitor additivity)") {
+    import org.apache.spark.sql.functions._
+    val rows = hourlyRows(Seq(2L, 3L, 1L, 4L, 2L))
+    val df = rows.toDF("event_type", "ts")
+    val direct = Changepoint.movingAverage(df, "event_type", "ts",
+      k = 3, bucketUs = Hour).collect().map(_.toSeq).toSet
+    // split the events arbitrarily, count each half, sum the partials
+    val h1 = df.filter(hash(col("ts")) % 2 === 0)
+    val h2 = df.filter(hash(col("ts")) % 2 =!= 0)
+    val partials = Changepoint.bucketCounts(h1, "event_type", "ts", Hour)
+      .unionAll(Changepoint.bucketCounts(h2, "event_type", "ts", Hour))
+      .groupBy("grp", "h").agg(sum("c").as("c"))
+    val merged = Changepoint.movingAverageFromCounts(partials, k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(merged == direct)
+  }
 }
