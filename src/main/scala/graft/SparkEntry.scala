@@ -3345,6 +3345,42 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // §2 row 256: one-pass multi-quantile table — per-source doc-length
+    // deciles off a single distinct-value cumulative frame (nine
+    // quantile calls would re-scan nine times). EXACT oracle.
+    "q254_quantile_grid" -> ((s, dir) =>
+      graft.operators.Robust.groupQuantiles(
+        Tables.documents(s, dir).select("source", "n_chars"),
+        "source", "n_chars", (1 to 9).map(_ * 1000))),
+
+    // §2 row 257: exact cume-dist enrichment — every doc with its
+    // source-relative length percentile in bp, computed on the
+    // distinct-value frame and joined back (no corpus sort). EXACT
+    // oracle.
+    "q255_percentile_rank" -> ((s, dir) =>
+      graft.operators.Robust.cumeDistBp(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        "source", "n_chars")),
+
+    // §2 row 258: STREAMING FK monitor — per-batch additive orphan
+    // indicators against the broadcast frozen parent snapshot, read-side
+    // sums equal the batch audit; the q248 events.user pair live. EXACT
+    // oracle (that branch's SQL).
+    "q256_fk_monitor_stream" -> ((s, dir) => {
+      val fsrc = artifactPath("fkmonsrc", dir, codeHash(SparkEntry.getClass))
+      stageParquet(fsrc) { tmp =>
+        Tables.events(s, dir).select("event_id", "user_id")
+          .repartition(4).write.mode("overwrite").parquet(tmp)
+      }
+      val base = artifactPath("fkmon", dir, codeHash(SparkEntry.getClass,
+        ScoringStream.getClass))
+      val stream = s.readStream.schema(s.read.parquet(fsrc).schema)
+        .option("maxFilesPerTrigger", "1").parquet(fsrc)
+      ScoringStream.monitorFkStream(stream, "user_id",
+        Tables.customer(s, dir), "c_custkey", s"$base/mon", s"$base/ckpt")
+      ScoringStream.readFkMonitor(s, s"$base/mon", "events.user")
+    }),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -7164,6 +7200,49 @@ object SparkEntry {
         "CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c, revenue_c " +
         "FROM r JOIN customer ON c_custkey = o_custkey " +
         "ORDER BY revenue_c DESC, c_custkey LIMIT 20"),
+
+    // Same distinct-value cumulative frame, unnested quantile grid,
+    // minimal satisfying value per point.
+    "q254_quantile_grid" ->
+      ("WITH c AS (SELECT source, n_chars AS v, count(*) AS cnt " +
+        "FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2), " +
+        "w AS (SELECT source, v, " +
+        "sum(cnt) OVER (PARTITION BY source ORDER BY v " +
+        "ROWS UNBOUNDED PRECEDING) AS cum, " +
+        "sum(cnt) OVER (PARTITION BY source) AS tot FROM c), " +
+        "x AS (SELECT source, v, cum, tot, " +
+        "CAST(unnest([1000, 2000, 3000, 4000, 5000, 6000, 7000, 8000, " +
+        "9000]) AS BIGINT) AS q_bp FROM w) " +
+        "SELECT source, q_bp, min(v) AS q_value FROM x " +
+        "WHERE cum * 10000 >= q_bp * tot GROUP BY source, q_bp"),
+
+    // Same cumulative frame joined back on (source, value).
+    "q255_percentile_rank" ->
+      ("WITH c AS (SELECT source, n_chars AS v, count(*) AS cnt " +
+        "FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2), " +
+        "w AS (SELECT source, v, " +
+        "CAST((10000 * sum(cnt) OVER (PARTITION BY source ORDER BY v " +
+        "ROWS UNBOUNDED PRECEDING)) // " +
+        "sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS pct_bp " +
+        "FROM c) " +
+        "SELECT d.doc_id, d.source, d.n_chars, w.pct_bp FROM documents d " +
+        "LEFT JOIN w ON w.source = d.source AND w.v = d.n_chars"),
+
+    // The q248 events.user branch — additive indicator partials make
+    // the drained audit equal it exactly.
+    "q256_fk_monitor_stream" ->
+      ("SELECT 'events.user' AS fk_name, " +
+        "CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(CASE WHEN f.user_id IS NOT NULL AND p.c_custkey " +
+        "IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans, " +
+        "CAST(sum(CASE WHEN f.user_id IS NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_null_fk, " +
+        "CAST((10000 * sum(CASE WHEN f.user_id IS NOT NULL AND " +
+        "p.c_custkey IS NULL THEN 1 ELSE 0 END)) // " +
+        "greatest(count(*), 1) AS BIGINT) AS orphan_bp " +
+        "FROM events f LEFT JOIN " +
+        "(SELECT DISTINCT c_custkey FROM customer) p " +
+        "ON f.user_id = p.c_custkey"),
 
     // Lossless round-trip: the read-back equals the source projection.
     "q231_orc_roundtrip" ->

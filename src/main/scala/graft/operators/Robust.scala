@@ -123,6 +123,61 @@ object Robust {
         col("n_outliers"))
   }
 
+  /** Multi-quantile table in ONE pass — [[groupQuantile]] generalized:
+    * all requested quantiles come off a single distinct-value cumulative
+    * frame (the per-quantile-call formulation re-scans the counts once
+    * per point; a decile grid would pay nine passes). The quantile list
+    * explodes against the counts frame BEFORE the threshold filter —
+    * multiplying only the distinct-value frame, never rows — and each
+    * (group, q) takes the minimal satisfying value: the same
+    * lower-nearest-rank rule, point by point. */
+  def groupQuantiles(df: DataFrame, groupCol: String, valCol: String,
+                     qBps: Seq[Int]): DataFrame = {
+    require(qBps.nonEmpty && qBps.forall(q => q >= 1 && q <= 10000),
+      s"quantiles must be in [1, 10000], got $qBps")
+    val counts = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(valCol).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val byGroup = Window.partitionBy(groupCol)
+    val cum = sum(col("__cnt"))
+      .over(byGroup.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, 0))
+    counts
+      .withColumn("__cum", cum)
+      .withColumn("__tot", sum(col("__cnt")).over(byGroup))
+      .withColumn("q_bp", explode(array(qBps.map(q => lit(q.toLong)): _*)))
+      .filter(col("__cum") * 10000L >= col("q_bp") * col("__tot"))
+      .groupBy(col(groupCol), col("q_bp"))
+      .agg(min(col("__v")).as("q_value"))
+  }
+
+  /** Exact cumulative-distribution enrichment — every row comes back
+    * with pct_bp = (10000 · #rows in its group with value ≤ its value)
+    * div group size: the "relative standing" read ([[Sampling]]'s ntile
+    * buckets; this is the continuous rank a reranker or calibration
+    * table wants). Computed on the distinct-value cumulative frame and
+    * hash-joined back on (group, value) — the corpus never sorts; NULL
+    * values keep their row with a NULL pct. */
+  def cumeDistBp(df: DataFrame, groupCol: String, valCol: String)
+      : DataFrame = {
+    val counts = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(valCol).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val byGroup = Window.partitionBy(groupCol)
+    val ranks = counts
+      .withColumn("__cum", sum(col("__cnt"))
+        .over(byGroup.orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__tot", sum(col("__cnt")).over(byGroup))
+      // renamed keys: the rank frame derives from df, and a self-join on
+      // same-named columns would resolve ambiguously
+      .select(col(groupCol).as("__rg"), col("__v"),
+        expr("(10000 * __cum) div __tot").as("pct_bp"))
+    df.join(ranks,
+        df(groupCol) === col("__rg") && df(valCol) === col("__v"), "left")
+      .drop("__rg", "__v")
+  }
+
   /** Per-group min-max feature scaling — the normalization pass run
     * before any distance-based consumer (kNN labeling, ANN probes,
     * mixture scoring) so one wide-range feature can't dominate: every

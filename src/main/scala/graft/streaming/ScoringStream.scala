@@ -410,6 +410,55 @@ object ScoringStream {
       .withColumn("at_risk", (col("group_size") < k).cast("long"))
   }
 
+  /** Streaming referential-integrity monitor — the live half of the FK
+    * audit: each microbatch left-joins the BROADCAST distinct parent-key
+    * frame (stream-static, the q152 idiom) and writes ONE partial
+    * indicator row (n_rows, n_orphans, n_null_fk) with its batch_id.
+    * Indicator counts are additive across any batch split, so the
+    * read-side sum equals the batch audit EXACTLY; at-least-once
+    * replays absorbed by the per-batch_id max collapse. The contract is
+    * a FROZEN parent snapshot for the run — a parent table mutating
+    * mid-stream is a different (CDC) problem, row 190's. */
+  def monitorFkStream(child: DataFrame, fkCol: String,
+                      parentKeys: DataFrame, pkCol: String,
+                      path: String, checkpoint: String): Unit = {
+    val p = broadcast(parentKeys.select(col(pkCol).as("__pk")).distinct())
+    val q = child.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.select(col(fkCol).as("__fk"))
+          .join(p, col("__fk") === col("__pk"), "left")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("__fk").isNotNull && col("__pk").isNull, 1L)
+              .otherwise(0L)).as("n_orphans"),
+            sum(when(col("__fk").isNull, 1L).otherwise(0L))
+              .as("n_null_fk"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(path)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Idempotent read half for [[monitorFkStream]]: collapse replayed
+    * batches, sum the additive partials, emit the q248-shaped audit
+    * row. */
+  def readFkMonitor(spark: SparkSession, path: String,
+                    name: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("batch_id")
+      .agg(max("n_rows").as("__r"), max("n_orphans").as("__o"),
+        max("n_null_fk").as("__n"))
+      .agg(sum("__r").as("n_rows"), sum("__o").as("n_orphans"),
+        sum("__n").as("n_null_fk"))
+      .select(lit(name).as("fk_name"), col("n_rows"), col("n_orphans"),
+        col("n_null_fk"),
+        expr("(10000 * n_orphans) div greatest(n_rows, 1)")
+          .as("orphan_bp"))
+
   /** Streaming sessionization, monitor-pattern — each microbatch writes
     * its own PARTIAL sub-sessions ([[Sessionize.subSessions]]) appended
     * with batch_id; no cross-batch state, so there is no watermark race

@@ -116,4 +116,36 @@ class RobustSpec extends SparkSpec {
     assert(got == Map(1L -> Some(0L), 2L -> Some(10000L),
       3L -> Some(3333L), 4L -> None, 5L -> None), got.toString)
   }
+
+  test("groupQuantiles one-pass grid equals per-point groupQuantile") {
+    import graft.operators.Robust
+    val df = (1 to 10).map(v => ("a", v.toLong)) ++
+      (1 to 5).map(v => ("b", (v * 7).toLong))
+    val frame = df.toDF("g", "v")
+    val grid = (1 to 9).map(_ * 1000)
+    val multi = Robust.groupQuantiles(frame, "g", "v", grid)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    grid.foreach { q =>
+      val single = Robust.groupQuantile(frame, "g", "v", q)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      single.foreach { case (g, v) =>
+        assert(multi((g, q.toLong)) == v, s"$g at $q")
+      }
+    }
+    assert(multi.size == 18)
+  }
+
+  test("cumeDistBp: exact tie handling, NULL rows kept with NULL pct") {
+    import graft.operators.Robust
+    val df = Seq(("a", Some(10L)), ("a", Some(20L)), ("a", Some(20L)),
+      ("a", Some(30L)), ("a", None)).toDF("g", "v")
+    val got = Robust.cumeDistBp(df, "g", "v")
+      .collect()
+      .map(r => (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(got == Set((Some(10L), Some(2500L)), (Some(20L), Some(7500L)),
+      (Some(30L), Some(10000L)), (None, None)), got.toString)
+  }
 }

@@ -477,4 +477,22 @@ class StreamingSpec extends SparkSpec {
       .filter(_.getName.startsWith("gen_"))
     assert(gens.length >= 2, s"expected several generations: ${gens.length}")
   }
+
+  test("FK monitor: additive partials sum to the batch audit and " +
+    "replayed batches collapse") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_fkmon").toString
+    val b0 = Seq((3L, 1L, 1L, 0L))
+      .toDF("n_rows", "n_orphans", "n_null_fk", "batch_id")
+    val b1 = Seq((2L, 0L, 0L, 1L))
+      .toDF("n_rows", "n_orphans", "n_null_fk", "batch_id")
+    b0.write.mode("append").parquet(tmp)
+    b1.write.mode("append").parquet(tmp)
+    b1.write.mode("append").parquet(tmp) // simulated foreachBatch retry
+    val got = ScoringStream.readFkMonitor(spark, tmp, "t").collect().head
+    assert((got.getString(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4)) == (("t", 5L, 1L, 1L, 2000L)),
+      got.toString)
+  }
 }
