@@ -3381,6 +3381,14 @@ object SparkEntry {
       ScoringStream.readFkMonitor(s, s"$base/mon", "events.user")
     }),
 
+    // §2 row 259: RFM segmentation — per-user recency/frequency/spend
+    // scored into exact cume-based quintiles, fused as 100R+10F+M; "now"
+    // is the corpus max day (broadcast attach), monetary banded to
+    // dollars before ranking. EXACT oracle.
+    "q257_rfm" -> ((s, dir) =>
+      graft.operators.Rfm.segment(Tables.events(s, dir),
+        "user_id", "ts", "value")),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -7243,6 +7251,38 @@ object SparkEntry {
         "FROM events f LEFT JOIN " +
         "(SELECT DISTINCT c_custkey FROM customer) p " +
         "ON f.user_id = p.c_custkey"),
+
+    // Same per-user rollup, corpus-max "now", dollar banding and
+    // cume-quintile arithmetic on all three metrics.
+    "q257_rfm" -> {
+      def cume(src: String, vexpr: String) =
+        s"(SELECT v, (10000 * sum(c) OVER (ORDER BY v " +
+          "ROWS UNBOUNDED PRECEDING)) // sum(c) OVER () AS pct FROM " +
+          s"(SELECT $vexpr AS v, count(*) AS c FROM $src GROUP BY 1))"
+      "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, " +
+        "coalesce(CAST(round(value * 100) AS BIGINT), 0) AS cents " +
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+        "per AS (SELECT user_id, max(day) AS last_day, " +
+        "count(*) AS freq, sum(cents) AS monetary FROM e " +
+        "GROUP BY user_id), " +
+        "b AS (SELECT user_id, " +
+        "(SELECT max(last_day) FROM per) - last_day AS recency_days, " +
+        "freq, monetary, monetary // 100 AS mband FROM per), " +
+        s"wr AS ${cume("b", "recency_days")}, " +
+        s"wf AS ${cume("b", "freq")}, " +
+        s"wm AS ${cume("b", "mband")} " +
+        "SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, " +
+        "CAST(freq AS BIGINT) AS freq, " +
+        "CAST(monetary AS BIGINT) AS monetary_c, " +
+        "CAST(6 - (((wr.pct - 1) // 2000) + 1) AS BIGINT) AS r_score, " +
+        "CAST(((wf.pct - 1) // 2000) + 1 AS BIGINT) AS f_score, " +
+        "CAST(((wm.pct - 1) // 2000) + 1 AS BIGINT) AS m_score, " +
+        "CAST(100 * (6 - (((wr.pct - 1) // 2000) + 1)) + " +
+        "10 * (((wf.pct - 1) // 2000) + 1) + " +
+        "(((wm.pct - 1) // 2000) + 1) AS BIGINT) AS rfm " +
+        "FROM b JOIN wr ON wr.v = b.recency_days " +
+        "JOIN wf ON wf.v = b.freq JOIN wm ON wm.v = b.mband"
+    },
 
     // Lossless round-trip: the read-back equals the source projection.
     "q231_orc_roundtrip" ->

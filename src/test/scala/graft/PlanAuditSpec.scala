@@ -156,6 +156,10 @@ class PlanAuditSpec extends SparkSpec {
                             // (the q112 stats-attach precedent); pair
                             // generation is the per-basket equi self-join
                             // under the cap, item counts hash-join back
+      "q257_rfm",           // single-row broadcast corpus-max-day
+                            // attach (the q197 "now" precedent); the
+                            // quintile joins are hash joins on banded
+                            // value frames
       "q180_margin_pairs"   // both mining directions ARE q20's exempt
                             // brute-force baseline (queries broadcast,
                             // corpus scanned once); the margin attach
