@@ -3389,6 +3389,15 @@ object SparkEntry {
       graft.operators.Rfm.segment(Tables.events(s, dir),
         "user_id", "ts", "value")),
 
+    // §2 row 260: Kolmogorov–Smirnov distance — each source's doc-length
+    // distribution vs the pooled corpus, the exact max CDF gap in bp
+    // over the distinct-value grid; the numeric-column shift read beside
+    // q134's token PSI. EXACT oracle.
+    "q258_ks_distance" -> ((s, dir) =>
+      graft.operators.Robust.ksDistance(
+        Tables.documents(s, dir).select("source", "n_chars"),
+        "source", "n_chars")),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -7283,6 +7292,29 @@ object SparkEntry {
         "FROM b JOIN wr ON wr.v = b.recency_days " +
         "JOIN wf ON wf.v = b.freq JOIN wm ON wm.v = b.mband"
     },
+
+    // Same union grid, per-group cumulative steps, HUGEINT cross
+    // products and max bp gap.
+    "q258_ks_distance" ->
+      ("WITH b AS (SELECT source AS grp, n_chars AS v FROM documents " +
+        "WHERE source IS NOT NULL AND n_chars IS NOT NULL), " +
+        "ac AS (SELECT v, count(*) AS ca FROM b GROUP BY v), " +
+        "aw AS (SELECT v, sum(ca) OVER (ORDER BY v " +
+        "ROWS UNBOUNDED PRECEDING) AS cumA, sum(ca) OVER () AS nA " +
+        "FROM ac), " +
+        "gc AS (SELECT grp, v, count(*) AS cg FROM b GROUP BY 1, 2), " +
+        "gs AS (SELECT grp, count(*) AS n_group FROM b GROUP BY grp), " +
+        "grid AS (SELECT gs.grp, gs.n_group, aw.v, aw.cumA, aw.nA " +
+        "FROM gs CROSS JOIN aw), " +
+        "w AS (SELECT grid.grp, grid.n_group, grid.v, grid.cumA, " +
+        "grid.nA, sum(coalesce(cg, 0)) OVER (PARTITION BY grid.grp " +
+        "ORDER BY grid.v ROWS UNBOUNDED PRECEDING) AS cumG FROM grid " +
+        "LEFT JOIN gc ON gc.grp = grid.grp AND gc.v = grid.v) " +
+        "SELECT grp, CAST(n_group AS BIGINT) AS n_group, " +
+        "CAST(max((10000 * abs(CAST(cumG AS HUGEINT) * nA - " +
+        "CAST(cumA AS HUGEINT) * n_group)) // " +
+        "(CAST(n_group AS HUGEINT) * nA)) AS BIGINT) AS ks_bp " +
+        "FROM w GROUP BY grp, n_group"),
 
     // Lossless round-trip: the read-back equals the source projection.
     "q231_orc_roundtrip" ->

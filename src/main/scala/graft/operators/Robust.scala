@@ -178,6 +178,49 @@ object Robust {
       .drop("__rg", "__v")
   }
 
+  /** Kolmogorov–Smirnov distance of every group's value distribution
+    * from the pooled corpus — the distribution-shift read for NUMERIC
+    * columns beside row 150's token-level PSI: ks_bp = max over the
+    * value grid of |cdf_group − cdf_pooled| in bp, computed EXACTLY —
+    * the max of |cum_g·n_all − cum_all·n_g| / (n_g·n_all) over distinct
+    * values, every term an integer (products in decimal(38,0) with the
+    * row-202 headroom statement). The step functions are compared at
+    * every DISTINCT corpus value via a groups × distinct-values grid
+    * (the declared frame bound — distribution comparison needs the
+    * union grid, and both factors are vocabulary-, not corpus-, sized);
+    * per-group cumulative windows run over that grid. */
+  def ksDistance(df: DataFrame, groupCol: String, valCol: String)
+      : DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(valCol).as("__v"))
+    val allCum = base.groupBy("__v").agg(count(lit(1)).as("__ca"))
+      .withColumn("__cumA", sum("__ca").over(
+        Window.orderBy("__v")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__nA", sum("__ca").over(
+        Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .select("__v", "__cumA", "__nA")
+    val gCounts = base.groupBy("grp", "__v").agg(count(lit(1)).as("__cg"))
+    val groups = base.groupBy("grp").agg(count(lit(1)).as("n_group"))
+    val wg = Window.partitionBy("grp").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    groups.crossJoin(allCum)
+      .join(gCounts, Seq("grp", "__v"), "left")
+      .withColumn("__cumG",
+        sum(coalesce(col("__cg"), lit(0L))).over(wg))
+      .withColumn("__d", expr(
+        "abs(cast(__cumG as decimal(38,0)) * __nA - " +
+          "cast(__cumA as decimal(38,0)) * n_group)"))
+      .withColumn("__bp", expr(
+        "cast((10000 * __d) div " +
+          "(cast(n_group as decimal(38,0)) * __nA) as bigint)"))
+      .groupBy("grp", "n_group")
+      .agg(max("__bp").as("ks_bp"))
+  }
+
   /** Per-group min-max feature scaling — the normalization pass run
     * before any distance-based consumer (kNN labeling, ANN probes,
     * mixture scoring) so one wide-range feature can't dominate: every

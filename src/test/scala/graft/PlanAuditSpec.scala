@@ -160,6 +160,10 @@ class PlanAuditSpec extends SparkSpec {
                             // attach (the q197 "now" precedent); the
                             // quintile joins are hash joins on banded
                             // value frames
+      "q258_ks_distance",   // the groups x distinct-values grid IS the
+                            // declared crossJoin of two vocabulary-sized
+                            // frames (distribution comparison needs the
+                            // union grid); nothing corpus-sized crosses
       "q180_margin_pairs"   // both mining directions ARE q20's exempt
                             // brute-force baseline (queries broadcast,
                             // corpus scanned once); the margin attach

@@ -148,4 +148,23 @@ class RobustSpec extends SparkSpec {
     assert(got == Set((Some(10L), Some(2500L)), (Some(20L), Some(7500L)),
       (Some(30L), Some(10000L)), (None, None)), got.toString)
   }
+
+  test("ksDistance: hand max CDF gaps vs the pooled corpus; identical " +
+    "distributions read 0") {
+    import graft.operators.Robust
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L))
+      .toDF("g", "v")
+    val got = Robust.ksDistance(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // pooled {1:2, 2:2, 3:1}, n=5; a: max at v=1 → 2666; b: v=1 → 4000
+    assert(got == Map("a" -> ((3L, 2666L)), "b" -> ((2L, 4000L))),
+      got.toString)
+    // a group that IS the corpus distribution reads 0
+    val same = Seq(("x", 1L), ("x", 2L), ("y", 1L), ("y", 2L))
+      .toDF("g", "v")
+    val z = Robust.ksDistance(same, "g", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(z == Map("x" -> 0L, "y" -> 0L), z.toString)
+  }
 }
