@@ -3398,6 +3398,32 @@ object SparkEntry {
         Tables.documents(s, dir).select("source", "n_chars"),
         "source", "n_chars")),
 
+    // §2 row 261: Gini–Simpson diversity index — per-source language
+    // mix in exact bp, the integer alternative to Shannon entropy.
+    // EXACT oracle.
+    "q259_diversity" -> ((s, dir) =>
+      graft.operators.Profile.diversityIndex(
+        Tables.documents(s, dir), "source", "lang")),
+
+    // §2 row 262: TPC-H Q18-shaped large-order report — the HAVING-
+    // subquery optimizer shape: per-order quantity sums filtered at the
+    // threshold BEFORE the enrichment joins, customer attached, top-10
+    // TakeOrdered. EXACT oracle.
+    "q260_large_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum(expr("cast(round(l_quantity) as bigint)")).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      big.join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("o_orderkey"), col("total_qty"))
+        .orderBy(desc("total_qty"), asc("o_orderkey"))
+        .limit(10)
+    }),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -7315,6 +7341,29 @@ object SparkEntry {
         "CAST(cumA AS HUGEINT) * n_group)) // " +
         "(CAST(n_group AS HUGEINT) * nA)) AS BIGINT) AS ks_bp " +
         "FROM w GROUP BY grp, n_group"),
+
+    // Same category counts and integer Simpson fold.
+    "q259_diversity" ->
+      ("WITH c AS (SELECT source AS grp, lang, count(*) AS n " +
+        "FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL " +
+        "GROUP BY 1, 2) " +
+        "SELECT grp, CAST(sum(n) AS BIGINT) AS n, " +
+        "CAST(count(*) AS BIGINT) AS n_cats, " +
+        "CAST(10000 - (10000 * sum(CAST(n AS HUGEINT) * n)) // " +
+        "(CAST(sum(n) AS HUGEINT) * sum(n)) AS BIGINT) AS simpson_bp " +
+        "FROM c GROUP BY grp"),
+
+    // The standard Q18 formulation: same rounding, threshold-before-
+    // join, (qty desc, orderkey) top-10 cut.
+    "q260_large_orders" ->
+      ("WITH big AS (SELECT l_orderkey, " +
+        "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) " +
+        "AS total_qty FROM lineitem GROUP BY l_orderkey " +
+        "HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250) " +
+        "SELECT c_custkey, c_mktsegment, o_orderkey, total_qty " +
+        "FROM big JOIN orders ON o_orderkey = l_orderkey " +
+        "JOIN customer ON c_custkey = o_custkey " +
+        "ORDER BY total_qty DESC, o_orderkey LIMIT 10"),
 
     // Lossless round-trip: the read-back equals the source projection.
     "q231_orc_roundtrip" ->

@@ -201,4 +201,25 @@ object Profile {
           "(1000 * (2 * __ia - (n_groups + 1) * total_w)) div " +
             "(n_groups * total_w)")).as("gini_m"))
   }
+
+  /** Gini–Simpson diversity index — the single-number "how mixed is
+    * this group across categories" read (per-source language diversity,
+    * per-user behavioral diversity): 10000·(1 − Σc²/n²) in bp — 0 = one
+    * category, →10000 = perfectly spread; the exact integer alternative
+    * to Shannon entropy (whose log leaves the integer discipline).
+    * simpson_bp = 10000 − (10000·Σc²) div n², products in decimal(38,0);
+    * one category-bounded count aggregate then one per-group fold. */
+  def diversityIndex(df: DataFrame, groupCol: String,
+                     catCol: String): DataFrame =
+    df.filter(col(groupCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(catCol).as("__c"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy("grp")
+      .agg(sum("__n").as("n"),
+        count(lit(1)).as("n_cats"),
+        sum(expr("cast(__n as decimal(38,0)) * __n")).as("__s2"))
+      .withColumn("simpson_bp", expr(
+        "cast(10000 - (10000 * __s2) div " +
+          "(cast(n as decimal(38,0)) * n) as bigint)"))
+      .select("grp", "n", "n_cats", "simpson_bp")
 }

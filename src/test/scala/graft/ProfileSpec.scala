@@ -125,4 +125,22 @@ class ProfileSpec extends SparkSpec {
     assert(gini(Seq(("a", 3L), ("a", 2L), ("b", 5L))) ==
       ((2L, 10L, Some(0L))))
   }
+
+  test("diversityIndex: single-category zero, even split hand value, " +
+    "nulls excluded") {
+    import spark.implicits._
+    def run(rows: Seq[(String, String)]) =
+      graft.operators.Profile.diversityIndex(
+        rows.toDF("g", "c"), "g", "c")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // a: 4 even over 2 cats → 10000 − 10000·8/16 = 5000; b: one cat → 0
+    val got = run(Seq(("a", "x"), ("a", "x"), ("a", "y"), ("a", "y"),
+      ("b", "x"), ("b", "x")))
+    assert(got == Map("a" -> ((4L, 2L, 5000L)), "b" -> ((2L, 1L, 0L))),
+      got.toString)
+    // 3 cats of 1 each: 10000 − 10000·3/9 = 6667
+    val t = run(Seq(("t", "x"), ("t", "y"), ("t", "z")))
+    assert(t("t") == ((3L, 3L, 6667L)), t.toString)
+  }
 }
