@@ -2900,20 +2900,32 @@ object SparkEntry {
     // §2 row 227: source Pareto coverage — per-source token mass ranked
     // with cumulative share; every window runs over the ≤ |sources|
     // frame. EXACT oracle.
-    "q225_source_pareto" -> ((s, dir) => {
-      val W = org.apache.spark.sql.expressions.Window
-      val t = Tables.documents(s, dir).groupBy("source")
-        .agg(sum(TextStats.wsTokenCount(col("text")).cast("long"))
-          .as("tokens"))
-      val ord = W.orderBy(col("tokens").desc, col("source").asc)
-      t.withColumn("rank", row_number().over(ord).cast("int"))
-        .withColumn("__cum", sum("tokens").over(
-          ord.rowsBetween(W.unboundedPreceding, W.currentRow)))
-        .withColumn("__tot", sum("tokens").over(
-          ord.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
-        .withColumn("share_bp", expr("(10000 * tokens) div __tot"))
-        .withColumn("cum_share_bp", expr("(10000 * __cum) div __tot"))
-        .select("source", "tokens", "rank", "share_bp", "cum_share_bp")
+    "q225_source_pareto" -> ((s, dir) =>
+      graft.operators.Profile.paretoCoverage(
+        Tables.documents(s, dir).groupBy("source")
+          .agg(sum(TextStats.wsTokenCount(col("text")).cast("long"))
+            .as("tokens")))),
+
+    // §2 row 263: STREAMING Pareto mixture monitor — per-batch additive
+    // per-source token partials, read-side collapse then the SHARED
+    // paretoCoverage read half; the drained mixture read equals the
+    // batch q225 EXACTLY (token sums are batch-split-invariant). EXACT
+    // oracle: q225's SQL verbatim.
+    "q261_pareto_monitor_stream" -> ((s, dir) => {
+      val src = artifactPath("docstream", dir, codeHash(SparkEntry.getClass))
+      stageParquet(src) { tmp =>
+        Tables.documents(s, dir).select("doc_id", "source", "text")
+          .repartition(4).write.mode("overwrite").parquet(tmp)
+      }
+      val base = artifactPath("paretomon", dir,
+        codeHash(SparkEntry.getClass, ScoringStream.getClass,
+          graft.operators.Profile.getClass))
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      ScoringStream.monitorTokenStream(stream, "source", "text",
+        s"$base/mon", s"$base/ckpt")
+      graft.operators.Profile.paretoCoverage(
+        ScoringStream.readTokenMonitor(s, s"$base/mon"))
     }),
 
     // §2 row 228: STREAMING k-anonymity monitor — additive per-batch QI
@@ -3423,6 +3435,13 @@ object SparkEntry {
         .orderBy(desc("total_qty"), asc("o_orderkey"))
         .limit(10)
     }),
+
+    // §2 row 264: user first-seen growth curve — daily new users and
+    // cumulative uniques over the gap-filled day grid; the audience
+    // Heaps curve beside q214's vocabulary one. EXACT oracle.
+    "q262_user_growth" -> ((s, dir) =>
+      graft.operators.Retention.firstSeenCurve(
+        Tables.events(s, dir), "user_id", "ts")),
 
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
@@ -4465,6 +4484,21 @@ object SparkEntry {
       "hrs AS (SELECT grp, unnest(generate_series(h0, h1)) AS h FROM sp), " +
       "se AS (SELECT hrs.grp, hrs.h, coalesce(cnt, 0) AS cnt FROM hrs " +
       "LEFT JOIN c ON hrs.grp = c.grp AND hrs.h = c.h)"
+
+  /** Pareto-coverage oracle shared by the batch rollup (q225) and the
+    * streaming token monitor (q261) — one definition, no drift. */
+  private def paretoSql: String =
+    "WITH t AS (SELECT source, " +
+      "CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) " +
+      "AS BIGINT) AS tokens FROM documents GROUP BY source), " +
+      "r AS (SELECT source, tokens, " +
+      "row_number() OVER (ORDER BY tokens DESC, source ASC) AS rank, " +
+      "sum(tokens) OVER (ORDER BY tokens DESC, source ASC " +
+      "ROWS UNBOUNDED PRECEDING) AS cum, " +
+      "sum(tokens) OVER () AS tot FROM t) " +
+      "SELECT source, tokens, CAST(rank AS INT) AS rank, " +
+      "CAST((10000 * tokens) // tot AS BIGINT) AS share_bp, " +
+      "CAST((10000 * cum) // tot AS BIGINT) AS cum_share_bp FROM r"
 
   /** SCD2 oracle shared by the full build (q229) and the incremental
     * apply (q236) — one definition: incremental == full rebuild. */
@@ -6771,19 +6805,10 @@ object SparkEntry {
         "CAST(rank AS INT) AS rank FROM r WHERE rank <= 5"),
 
     // Same token totals, same (tokens desc, source) total order and
-    // integer shares.
-    "q225_source_pareto" ->
-      ("WITH t AS (SELECT source, " +
-        "CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) " +
-        "AS tokens FROM documents GROUP BY source), " +
-        "r AS (SELECT source, tokens, " +
-        "row_number() OVER (ORDER BY tokens DESC, source ASC) AS rank, " +
-        "sum(tokens) OVER (ORDER BY tokens DESC, source ASC " +
-        "ROWS UNBOUNDED PRECEDING) AS cum, " +
-        "sum(tokens) OVER () AS tot FROM t) " +
-        "SELECT source, tokens, CAST(rank AS INT) AS rank, " +
-        "CAST((10000 * tokens) // tot AS BIGINT) AS share_bp, " +
-        "CAST((10000 * cum) // tot AS BIGINT) AS cum_share_bp FROM r"),
+    // integer shares. Shared verbatim with the streaming twin q261
+    // (additive token partials — same definition, no drift).
+    "q225_source_pareto" -> paretoSql,
+    "q261_pareto_monitor_stream" -> paretoSql,
 
     // The batch sizes-of-sizes audit over the same (type, hour-of-day)
     // QI pair — additive partials make the drain equal it exactly.
@@ -7364,6 +7389,22 @@ object SparkEntry {
         "FROM big JOIN orders ON o_orderkey = l_orderkey " +
         "JOIN customer ON c_custkey = o_custkey " +
         "ORDER BY total_qty DESC, o_orderkey LIMIT 10"),
+
+    // Same min-day reduction, gap-filled day grid and cumulative.
+    "q262_user_growth" ->
+      ("WITH f AS (SELECT user_id, " +
+        "min(epoch_us(ts) // 86400000000) AS d FROM events " +
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL " +
+        "GROUP BY user_id), " +
+        "pd AS (SELECT d AS day, count(*) AS nu FROM f GROUP BY d), " +
+        "sp AS (SELECT min(day) AS d0, max(day) AS d1 FROM pd), " +
+        "g AS (SELECT unnest(generate_series(d0, d1)) AS day FROM sp), " +
+        "j AS (SELECT g.day, coalesce(nu, 0) AS new_users FROM g " +
+        "LEFT JOIN pd ON pd.day = g.day) " +
+        "SELECT CAST(day AS BIGINT) AS day, " +
+        "CAST(new_users AS BIGINT) AS new_users, " +
+        "CAST(sum(new_users) OVER (ORDER BY day " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users FROM j"),
 
     // Lossless round-trip: the read-back equals the source projection.
     "q231_orc_roundtrip" ->

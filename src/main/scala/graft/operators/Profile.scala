@@ -222,4 +222,23 @@ object Profile {
         "cast(10000 - (10000 * __s2) div " +
           "(cast(n as decimal(38,0)) * n) as bigint)"))
       .select("grp", "n", "n_cats", "simpson_bp")
+
+  /** Pareto coverage of a (source, tokens) mass frame — ranked shares
+    * with cumulative share in bp (the row-227 read, factored so the
+    * batch rollup and the streaming token monitor share one
+    * definition); every window runs over the ≤ |sources| frame. */
+  def paretoCoverage(masses: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(col("tokens").desc, col("source").asc)
+    masses
+      .withColumn("rank", row_number().over(ord).cast("int"))
+      .withColumn("__cum", sum("tokens").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum("tokens").over(
+        ord.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("share_bp", expr("(10000 * tokens) div __tot"))
+      .withColumn("cum_share_bp", expr("(10000 * __cum) div __tot"))
+      .select("source", "tokens", "rank", "share_bp", "cum_share_bp")
+  }
 }

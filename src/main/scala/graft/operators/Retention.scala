@@ -39,4 +39,31 @@ object Retention {
       .groupBy("cohort_week", "week_offset")
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** First-seen growth curve — daily new principals and the cumulative
+    * unique count: the user-base Heaps curve (row 216 draws it for
+    * vocabulary; this is the audience/entity version every growth
+    * dashboard opens with). Every principal reduces to its min day —
+    * one user-bounded aggregate — the day grid GAP-FILLS from the span
+    * (quiet days are explicit zeros, a flat week is visible, not
+    * skipped), and the cumulative runs over the timespan-bounded day
+    * frame, never the event stream. */
+  def firstSeenCurve(events: DataFrame, userCol: String,
+                     tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firsts = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(min(expr(s"unix_micros($tsCol) div 86400000000L")).as("__d"))
+    val perDay = firsts.groupBy(col("__d").as("day"))
+      .agg(count(lit(1)).as("__nu"))
+    val grid = perDay.agg(min("day").as("__d0"), max("day").as("__d1"))
+      .select(explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    grid.join(perDay, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("__nu"), lit(0L)))
+      .withColumn("cum_users", sum("new_users").over(
+        Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("day", "new_users", "cum_users")
+  }
 }

@@ -410,6 +410,39 @@ object ScoringStream {
       .withColumn("at_risk", (col("group_size") < k).cast("long"))
   }
 
+  /** Streaming mixture monitor — per microbatch, ADDITIVE per-source
+    * token partial sums append with batch_id; the q122/q157 additivity
+    * argument on token mass, so the read-side collapse feeds the shared
+    * Pareto/Gini mixture reads with the exact batch numbers after every
+    * ingest batch. */
+  def monitorTokenStream(docs: DataFrame, srcCol: String, textCol: String,
+                         path: String, checkpoint: String): Unit = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch
+          .filter(col(srcCol).isNotNull)
+          .groupBy(col(srcCol).as("source"))
+          .agg(sum(graft.textstats.TextStats.wsTokenCount(col(textCol))
+            .cast("long")).as("tokens"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(path)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Idempotent read half for [[monitorTokenStream]]: collapse replays
+    * on (batch_id, source), sum across batches → (source, tokens). */
+  def readTokenMonitor(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("batch_id", "source")
+      .agg(max("tokens").as("__t"))
+      .groupBy("source")
+      .agg(sum("__t").as("tokens"))
+
   /** Streaming referential-integrity monitor — the live half of the FK
     * audit: each microbatch left-joins the BROADCAST distinct parent-key
     * frame (stream-static, the q152 idiom) and writes ONE partial

@@ -45,4 +45,20 @@ class ChurnSpec extends SparkSpec {
     val got = run(rows)
     assert(got(1L) == ((1L, 1L, 1L, 1L, 0L)), got.toString)
   }
+
+  test("firstSeenCurve: min-day firsts, gap-filled zeros, cumulative") {
+    import spark.implicits._
+    val Day = 86400000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // u1 first day 0 (re-seen day 2 must not recount), u2 day 0,
+    // u3 day 3 — day 1 and 2 are zero-new days
+    val rows = Seq((1L, 0L), (1L, 2 * Day), (2L, 0L), (3L, 3 * Day))
+      .map { case (u, t) => (u, ts(t + 1000L)) }
+    val got = graft.operators.Retention.firstSeenCurve(
+      rows.toDF("user_id", "ts"), "user_id", "ts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(0L -> ((2L, 2L)), 1L -> ((0L, 2L)),
+      2L -> ((0L, 2L)), 3L -> ((1L, 3L))), got.toString)
+  }
 }

@@ -495,4 +495,20 @@ class StreamingSpec extends SparkSpec {
       got.getLong(3), got.getLong(4)) == (("t", 5L, 1L, 1L, 2000L)),
       got.toString)
   }
+
+  test("token monitor: additive per-source partials collapse and sum " +
+    "to the batch token masses") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_tokmon").toString
+    val b0 = Seq(("s1", 10L, 0L), ("s2", 5L, 0L))
+      .toDF("source", "tokens", "batch_id")
+    val b1 = Seq(("s1", 7L, 1L)).toDF("source", "tokens", "batch_id")
+    b0.write.mode("append").parquet(tmp)
+    b1.write.mode("append").parquet(tmp)
+    b1.write.mode("append").parquet(tmp) // retry duplicate
+    val got = ScoringStream.readTokenMonitor(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("s1" -> 17L, "s2" -> 5L), got.toString)
+  }
 }
