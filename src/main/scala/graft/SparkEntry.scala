@@ -3443,6 +3443,54 @@ object SparkEntry {
       graft.operators.Retention.firstSeenCurve(
         Tables.events(s, dir), "user_id", "ts")),
 
+    // §2 row 265: release delta decomposition — corpus-size change
+    // between the q244 deterministic versions split by added / removed /
+    // changed / unchanged with doc counts and exact weight deltas.
+    // EXACT oracle.
+    "q263_release_delta" -> ((s, dir) => {
+      val v1 = Tables.documents(s, dir).select("doc_id", "n_chars")
+      val v2 = v1.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, col("n_chars") + 1)
+            .otherwise(col("n_chars")).as("n_chars"))
+      graft.operators.SnapshotDiff.releaseDelta(v1, v2, "doc_id",
+        "n_chars")
+    }),
+
+    // §2 row 266: JSON key inventory — every observed top-level props
+    // key with occurrence count and fill rate in bp; the
+    // schema-discovery read before extractJson's declared schema and
+    // the producer-drift audit after. EXACT oracle.
+    "q264_json_keys" -> ((s, dir) =>
+      graft.operators.Semistructured.keyInventory(
+        Tables.events(s, dir), "props")),
+
+    // §2 row 267: STREAMING diversity monitor — per-batch additive
+    // (source, lang) category counts via the QI monitor machinery,
+    // folded read-side by the shared diversityFromCounts; EXACT
+    // oracle: q259's SQL verbatim.
+    "q265_diversity_monitor_stream" -> ((s, dir) => {
+      val dsrc = artifactPath("divmonsrc", dir, codeHash(SparkEntry.getClass))
+      stageParquet(dsrc) { tmp =>
+        Tables.documents(s, dir).select("doc_id", "source", "lang")
+          .repartition(4).write.mode("overwrite").parquet(tmp)
+      }
+      val base = artifactPath("divmon", dir,
+        codeHash(SparkEntry.getClass, ScoringStream.getClass,
+          graft.operators.Profile.getClass))
+      val stream = s.readStream.schema(s.read.parquet(dsrc).schema)
+        .option("maxFilesPerTrigger", "1").parquet(dsrc)
+        .filter(col("source").isNotNull && col("lang").isNotNull)
+      ScoringStream.monitorQiStream(stream.select("source", "lang"),
+        Seq("source", "lang"), s"$base/mon", s"$base/ckpt")
+      val counts = s.read.parquet(s"$base/mon")
+        .groupBy("batch_id", "source", "lang")
+        .agg(max("c").as("__cc"))
+        .groupBy(col("source").as("grp"), col("lang").as("__c"))
+        .agg(sum("__cc").as("__n"))
+      graft.operators.Profile.diversityFromCounts(counts)
+    }),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -4484,6 +4532,18 @@ object SparkEntry {
       "hrs AS (SELECT grp, unnest(generate_series(h0, h1)) AS h FROM sp), " +
       "se AS (SELECT hrs.grp, hrs.h, coalesce(cnt, 0) AS cnt FROM hrs " +
       "LEFT JOIN c ON hrs.grp = c.grp AND hrs.h = c.h)"
+
+  /** Simpson-diversity oracle shared by the batch (q259) and streaming
+    * (q265) declarations — one definition, no drift. */
+  private def diversitySql: String =
+    "WITH c AS (SELECT source AS grp, lang, count(*) AS n " +
+      "FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL " +
+      "GROUP BY 1, 2) " +
+      "SELECT grp, CAST(sum(n) AS BIGINT) AS n, " +
+      "CAST(count(*) AS BIGINT) AS n_cats, " +
+      "CAST(10000 - (10000 * sum(CAST(n AS HUGEINT) * n)) // " +
+      "(CAST(sum(n) AS HUGEINT) * sum(n)) AS BIGINT) AS simpson_bp " +
+      "FROM c GROUP BY grp"
 
   /** Pareto-coverage oracle shared by the batch rollup (q225) and the
     * streaming token monitor (q261) — one definition, no drift. */
@@ -7367,16 +7427,38 @@ object SparkEntry {
         "(CAST(n_group AS HUGEINT) * nA)) AS BIGINT) AS ks_bp " +
         "FROM w GROUP BY grp, n_group"),
 
-    // Same category counts and integer Simpson fold.
-    "q259_diversity" ->
-      ("WITH c AS (SELECT source AS grp, lang, count(*) AS n " +
-        "FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL " +
-        "GROUP BY 1, 2) " +
-        "SELECT grp, CAST(sum(n) AS BIGINT) AS n, " +
-        "CAST(count(*) AS BIGINT) AS n_cats, " +
-        "CAST(10000 - (10000 * sum(CAST(n AS HUGEINT) * n)) // " +
-        "(CAST(sum(n) AS HUGEINT) * sum(n)) AS BIGINT) AS simpson_bp " +
-        "FROM c GROUP BY grp"),
+    // Same category counts and integer Simpson fold. Shared verbatim
+    // with the streaming twin q265 (additive counts, no drift).
+    "q259_diversity" -> diversitySql,
+    "q265_diversity_monitor_stream" -> diversitySql,
+
+    // Same full-outer status classification and weight sums.
+    "q263_release_delta" ->
+      ("WITH v2 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 " +
+        "THEN n_chars + 1 ELSE n_chars END AS n_chars FROM documents " +
+        "WHERE doc_id % 13 <> 0), " +
+        "j AS (SELECT CASE WHEN a.doc_id IS NULL THEN 'added' " +
+        "WHEN b.doc_id IS NULL THEN 'removed' " +
+        "WHEN a.n_chars <> b.n_chars THEN 'changed' " +
+        "ELSE 'unchanged' END AS status, " +
+        "coalesce(a.n_chars, 0) AS w1, coalesce(b.n_chars, 0) AS w2 " +
+        "FROM documents a FULL OUTER JOIN v2 b " +
+        "ON a.doc_id = b.doc_id) " +
+        "SELECT status, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(w1) AS BIGINT) AS weight_v1, " +
+        "CAST(sum(w2) AS BIGINT) AS weight_v2, " +
+        "CAST(sum(w2 - w1) AS BIGINT) AS weight_delta " +
+        "FROM j GROUP BY status"),
+
+    // DuckDB's json_keys over the same column, same fill-rate division
+    // against ALL rows.
+    "q264_json_keys" ->
+      ("WITH t AS (SELECT count(*) AS tot FROM events), " +
+        "k AS (SELECT unnest(json_keys(props)) AS key FROM events " +
+        "WHERE props IS NOT NULL) " +
+        "SELECT key, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST((10000 * count(*)) // tot AS BIGINT) AS fill_bp " +
+        "FROM k, t GROUP BY key, tot"),
 
     // The standard Q18 formulation: same rounding, threshold-before-
     // join, (qty desc, orderkey) top-10 cut.

@@ -211,9 +211,17 @@ object Profile {
     * one category-bounded count aggregate then one per-group fold. */
   def diversityIndex(df: DataFrame, groupCol: String,
                      catCol: String): DataFrame =
-    df.filter(col(groupCol).isNotNull && col(catCol).isNotNull)
-      .groupBy(col(groupCol).as("grp"), col(catCol).as("__c"))
-      .agg(count(lit(1)).as("__n"))
+    diversityFromCounts(
+      df.filter(col(groupCol).isNotNull && col(catCol).isNotNull)
+        .groupBy(col(groupCol).as("grp"), col(catCol).as("__c"))
+        .agg(count(lit(1)).as("__n")))
+
+  /** The fold half of [[diversityIndex]] over a pre-reduced
+    * (grp, category, __n) count frame — shared with the streaming
+    * category monitor (category counts are additive, so the drained
+    * index equals the batch index exactly). */
+  def diversityFromCounts(counts: DataFrame): DataFrame =
+    counts
       .groupBy("grp")
       .agg(sum("__n").as("n"),
         count(lit(1)).as("n_cats"),

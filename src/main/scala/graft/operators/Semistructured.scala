@@ -25,6 +25,25 @@ object Semistructured {
   def jsonStruct(jsonCol: Column, ddl: String): Column =
     from_json(jsonCol, org.apache.spark.sql.types.StructType.fromDDL(ddl))
 
+  /** JSON key inventory — the schema-discovery read run BEFORE anyone
+    * declares the [[extractJson]] schema, and the drift audit run after:
+    * every top-level key observed in the column with its occurrence
+    * count and fill rate in bp against ALL rows (absent-or-malformed
+    * rows dilute the rate — that's the point; a key falling from 9800 bp
+    * to 200 bp is an upstream producer change caught here). One per-row
+    * `json_object_keys` explode (keys only — values never materialize),
+    * a key-bounded count aggregate, and the row total as a broadcast
+    * single-row attach. */
+  def keyInventory(df: DataFrame, jsonCol: String): DataFrame = {
+    val total = df.agg(count(lit(1)).as("__tot"))
+    df.select(explode(expr(s"json_object_keys($jsonCol)")).as("key"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(total))
+      .select(col("key"), col("n"),
+        expr("(10000 * n) div __tot").as("fill_bp"))
+  }
+
   /** `df` with each declared field of the parsed JSON surfaced as a
     * top-level column (NULL where the cell is malformed or the key is
     * absent). The struct materializes in ONE intermediate projection so

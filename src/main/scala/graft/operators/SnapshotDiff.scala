@@ -43,6 +43,34 @@ object SnapshotDiff {
       .filter(col("status").isNotNull)
   }
 
+  /** Release delta decomposition — the "where did the tokens go"
+    * companion to [[diff]]: the corpus-size change between two versions
+    * decomposed by row status (added / removed / changed / unchanged),
+    * each with its doc count and exact weight delta, so a release note
+    * can say "−2% tokens: −5% removals, +3% new docs" instead of one
+    * opaque total. One full-outer hash join on the key carrying only
+    * (key, weight) longs; ONE status-keyed aggregate. */
+  def releaseDelta(v1: DataFrame, v2: DataFrame, keyCol: String,
+                   weightCol: String): DataFrame = {
+    val a = v1.select(col(keyCol).as("__ka"),
+      col(weightCol).cast("long").as("__wa"))
+    val b = v2.select(col(keyCol).as("__kb"),
+      col(weightCol).cast("long").as("__wb"))
+    val status = when(col("__ka").isNull, "added")
+      .when(col("__kb").isNull, "removed")
+      .when(col("__wa") =!= col("__wb"), "changed")
+      .otherwise("unchanged")
+    a.join(b, col("__ka") === col("__kb"), "full_outer")
+      .select(status.as("status"),
+        coalesce(col("__wa"), lit(0L)).as("__w1"),
+        coalesce(col("__wb"), lit(0L)).as("__w2"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__w1").as("weight_v1"),
+        sum("__w2").as("weight_v2"),
+        sum(expr("__w2 - __w1")).as("weight_delta"))
+  }
+
   /** Column-level change attribution — the WHY behind [[diff]]'s
     * `changed` rows: over keys present in BOTH versions, per column, how
     * many rows changed in THAT column (null-safe: NULL→value and

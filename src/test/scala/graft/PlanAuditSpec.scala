@@ -164,6 +164,9 @@ class PlanAuditSpec extends SparkSpec {
                             // declared crossJoin of two vocabulary-sized
                             // frames (distribution comparison needs the
                             // union grid); nothing corpus-sized crosses
+      "q264_json_keys",     // single-row broadcast row-total attach
+                            // (the q112 stats-attach precedent) onto the
+                            // key-bounded count frame
       "q180_margin_pairs"   // both mining directions ARE q20's exempt
                             // brute-force baseline (queries broadcast,
                             // corpus scanned once); the margin attach

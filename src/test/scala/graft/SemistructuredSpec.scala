@@ -38,4 +38,19 @@ class SemistructuredSpec extends SparkSpec {
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
       df.queryExecution.executedPlan.toString)
   }
+
+  test("keyInventory: observed keys with multiplicity-free per-row " +
+    "counts, fill rates against ALL rows incl. null payloads") {
+    import spark.implicits._
+    val df = Seq(
+      Some("""{"a": 1, "b": 2}"""),
+      Some("""{"a": 3}"""),
+      None,
+      Some("""{"c": null}""")).toDF("props")
+    val got = graft.operators.Semistructured.keyInventory(df, "props")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("a" -> ((2L, 5000L)), "b" -> ((1L, 2500L)),
+      "c" -> ((1L, 2500L))), got.toString)
+  }
 }

@@ -56,4 +56,22 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(got == Map("s" -> ((1L, 2L, 5000L)), "n" -> ((1L, 2L, 5000L))),
       got.toString)
   }
+
+  test("releaseDelta: status decomposition with exact weight deltas; " +
+    "the per-status deltas sum to the total change") {
+    import spark.implicits._
+    val v1 = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("k", "w")
+    val v2 = Seq((1L, 10L), (2L, 25L), (5L, 50L)).toDF("k", "w")
+    val got = graft.operators.SnapshotDiff.releaseDelta(v1, v2, "k", "w")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "unchanged" -> ((1L, 10L, 10L, 0L)),
+      "changed" -> ((1L, 20L, 25L, 5L)),
+      "removed" -> ((2L, 70L, 0L, -70L)),
+      "added" -> ((1L, 0L, 50L, 50L))), got.toString)
+    assert(got.values.map(_._4).sum == 85L - 100L)
+  }
 }
