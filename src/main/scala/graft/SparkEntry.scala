@@ -3491,6 +3491,21 @@ object SparkEntry {
       graft.operators.Profile.diversityFromCounts(counts)
     }),
 
+    // §2 row 268: DAU/WAU stickiness — daily actives over exact
+    // trailing-7-day distinct actives via the membership explode on the
+    // deduped activity frame; no windowed distinct anywhere. EXACT
+    // oracle.
+    "q266_stickiness" -> ((s, dir) =>
+      graft.operators.Retention.stickiness(
+        Tables.events(s, dir), "user_id", "ts", k = 7)),
+
+    // §2 row 269: pairwise rate covariance matrix — every type pair's
+    // hourly series co-movement over their common observed hours in
+    // exact milli-units. EXACT oracle.
+    "q267_rate_covariance" -> ((s, dir) =>
+      graft.operators.Changepoint.rateCovarianceMatrix(
+        Tables.events(s, dir), "event_type", "ts")),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -7487,6 +7502,39 @@ object SparkEntry {
         "CAST(new_users AS BIGINT) AS new_users, " +
         "CAST(sum(new_users) OVER (ORDER BY day " +
         "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users FROM j"),
+
+    // Same deduped activity, membership explode, distinct counts and
+    // integer ratio.
+    "q266_stickiness" ->
+      ("WITH act AS (SELECT DISTINCT user_id AS u, " +
+        "epoch_us(ts) // 86400000000 AS d FROM events " +
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+        "dau AS (SELECT d AS day, count(*) AS dau FROM act GROUP BY d), " +
+        "sp AS (SELECT max(d) AS dmax FROM act), " +
+        "w AS (SELECT DISTINCT u, unnest(generate_series(d, d + 6)) " +
+        "AS day FROM act), " +
+        "wau AS (SELECT day, count(*) AS wau FROM w, sp " +
+        "WHERE day <= dmax GROUP BY day) " +
+        "SELECT CAST(dau.day AS BIGINT) AS day, " +
+        "CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau, " +
+        "CAST((10000 * dau) // wau AS BIGINT) AS stickiness_bp " +
+        "FROM dau JOIN wau ON wau.day = dau.day"),
+
+    // The shared hourly series self-joined on common hours, the same
+    // sufficient-statistics fold with the sign-split div.
+    "q267_rate_covariance" ->
+      (s"WITH $rateSeriesCtes, " +
+        "p AS (SELECT a.grp AS grp_a, b.grp AS grp_b, count(*) AS n, " +
+        "sum(a.cnt) AS sx, sum(b.cnt) AS sy, " +
+        "sum(a.cnt * b.cnt) AS sxy FROM se a JOIN se b " +
+        "ON a.h = b.h AND a.grp < b.grp GROUP BY 1, 2), " +
+        "f AS (SELECT grp_a, grp_b, n, CAST(n AS HUGEINT) * sxy - " +
+        "CAST(sx AS HUGEINT) * sy AS num FROM p) " +
+        "SELECT grp_a, grp_b, CAST(n AS BIGINT) AS n, " +
+        "CAST(CASE WHEN num >= 0 THEN (1000 * num) // " +
+        "(CAST(n AS HUGEINT) * n) " +
+        "ELSE -((1000 * (-num)) // (CAST(n AS HUGEINT) * n)) END " +
+        "AS BIGINT) AS cov_m FROM f"),
 
     // Lossless round-trip: the read-back equals the source projection.
     "q231_orc_roundtrip" ->

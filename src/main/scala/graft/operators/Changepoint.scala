@@ -88,16 +88,6 @@ object Changepoint {
         expr("(1000 * (__sn - __sb)) div (__n - __b)").as("mean_after_m"))
   }
 
-  /** Burstiness / Fano factor per group over the gap-filled series —
-    * the dispersion diagnosis next to [[meanShift]]'s level shifts and
-    * [[Robust.rateSpikes]]'s outliers: a Poisson-ish feed sits near
-    * fano_m = 1000 (variance ≈ mean), machine bursts push it far above,
-    * a rate-limited constant feed far below. fano = population variance
-    * over mean = (n·Σc² − S²) / (n·S), carried as one integer division
-    * in milli-units; every intermediate is non-negative int64 (Σc² ≤
-    * bucket-count · max-rate², documented headroom), so no sign split.
-    * Groups with S = 0 can't occur (a group exists only via ≥ 1 event).
-    */
   /** Lag-k autocorrelation of each group's gap-filled hourly count
     * series — the periodicity read beside [[meanShift]] (level shifts)
     * and [[burstiness]] (dispersion): k=24 on hourly buckets asks "is
@@ -187,6 +177,46 @@ object Changepoint {
         expr("(1000 * __s) div __n").as("ma_m"))
   }
 
+  /** Pairwise rate covariance matrix — [[graft.operators.Trend.groupCovariance]]'s
+    * fold applied to every unordered GROUP PAIR's hourly series over
+    * their COMMON observed hours (the equi-join on the hour intersects
+    * the two gap-filled spans — covariance over disjoint spans is
+    * undefined and silently zero-padding would fabricate correlation,
+    * documented): cov_m = (1000·(n·Σxy − Σx·Σy)) div n², the co-moving
+    * vs independent feed read at matrix granularity. The self-join keys
+    * on the hour over the groups × timespan series frame; aggregates
+    * are one map-side-combined pass per pair (≤ |groups|² rows out). */
+  def rateCovarianceMatrix(events: DataFrame, groupCol: String,
+                           tsCol: String,
+                           bucketUs: Long = 3600000000L): DataFrame = {
+    val se = gapFilledSeries(bucketCounts(events, groupCol, tsCol,
+      bucketUs))
+    se.as("a")
+      .join(se.as("b"), col("a.h") === col("b.h") &&
+        col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a.c")).as("__sx"), sum(col("b.c")).as("__sy"),
+        sum(col("a.c") * col("b.c")).as("__sxy"))
+      .withColumn("__num", expr(
+        "cast(n as decimal(38,0)) * __sxy - " +
+          "cast(__sx as decimal(38,0)) * __sy"))
+      .withColumn("cov_m",
+        expr("(1000 * __num) div (cast(n as decimal(38,0)) * n)")
+          .cast("long"))
+      .select("grp_a", "grp_b", "n", "cov_m")
+  }
+
+  /** Burstiness / Fano factor per group over the gap-filled series —
+    * the dispersion diagnosis next to [[meanShift]]'s level shifts and
+    * [[Robust.rateSpikes]]'s outliers: a Poisson-ish feed sits near
+    * fano_m = 1000 (variance ≈ mean), machine bursts push it far above,
+    * a rate-limited constant feed far below. fano = population variance
+    * over mean = (n·Σc² − S²) / (n·S), carried as one integer division
+    * in milli-units; every intermediate is non-negative int64 (Σc² ≤
+    * bucket-count · max-rate², documented headroom), so no sign split.
+    * Groups with S = 0 can't occur (a group exists only via ≥ 1 event).
+    */
   def burstiness(events: DataFrame, groupCol: String, tsCol: String,
                  bucketUs: Long = 3600000000L): DataFrame =
     gapFilledSeries(bucketCounts(events, groupCol, tsCol, bucketUs))

@@ -66,4 +66,37 @@ object Retention {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select("day", "new_users", "cum_users")
   }
+
+  /** DAU / WAU stickiness — the product-analytics engagement ratio
+    * (daily actives over trailing-window actives, ~10000 bp = everyone
+    * daily): WAU is an EXACT trailing-k distinct count computed without
+    * windowed distinct (not additive, not windowable): each (user,
+    * active-day) membership explodes into the k window days it serves —
+    * work ×k on the DEDUPED activity frame, never the event stream —
+    * then one distinct count per window day. Days inside the span with
+    * zero actives carry no row (inner join by construction, documented).
+    * stickiness_bp = (10000·dau) div wau. */
+  def stickiness(events: DataFrame, userCol: String, tsCol: String,
+                 k: Int = 7): DataFrame = {
+    require(k >= 1, s"window must be >= 1, got $k")
+    val act = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        expr(s"unix_micros($tsCol) div 86400000000L").as("__d"))
+      .distinct()
+    val dau = act.groupBy(col("__d").as("day"))
+      .agg(count(lit(1)).as("dau"))
+    val span = act.agg(max("__d").as("__dmax"))
+    val wau = act
+      .select(col("__u"),
+        explode(sequence(col("__d"), col("__d") + (k - 1))).as("day"))
+      .distinct()
+      .join(broadcast(span))
+      .filter(col("day") <= col("__dmax")) // no phantom post-span days
+      .groupBy("day")
+      .agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .withColumn("stickiness_bp", expr("(10000 * dau) div wau"))
+      .select("day", "dau", "wau", "stickiness_bp")
+  }
 }

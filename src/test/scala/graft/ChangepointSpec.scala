@@ -182,4 +182,18 @@ class ChangepointSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(merged == direct)
   }
+
+  test("rateCovarianceMatrix: anti-correlated pair hand value over the " +
+    "common hours, one row per unordered pair") {
+    val rows = hourlyRows(Seq(1L, 2L, 3L)) ++
+      Seq(3L, 2L, 1L).zipWithIndex.flatMap { case (c, h) =>
+        (1L to c).map(i => ("b", ts(h * Hour + i * 1000L)))
+      }
+    val got = Changepoint.rateCovarianceMatrix(
+      rows.toDF("event_type", "ts"), "event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // n=3, sx=6, sy=6, sxy=10 → num=−6 → 1000·(−6) div 9 = −666
+    assert(got == Map(("a", "b") -> ((3L, -666L))), got.toString)
+  }
 }

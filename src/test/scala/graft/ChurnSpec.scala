@@ -61,4 +61,21 @@ class ChurnSpec extends SparkSpec {
     assert(got == Map(0L -> ((2L, 2L)), 1L -> ((0L, 2L)),
       2L -> ((0L, 2L)), 3L -> ((1L, 3L))), got.toString)
   }
+
+  test("stickiness: exact trailing-window distinct actives; no phantom " +
+    "post-span days") {
+    import spark.implicits._
+    val Day = 86400000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // u1 active d0, d1; u2 active d0 (twice — dedup)
+    val rows = Seq((1L, 0L), (1L, Day), (2L, 0L), (2L, 1000000L))
+      .map { case (u, t) => (u, ts(t + 1000L)) }
+    val got = graft.operators.Retention.stickiness(
+      rows.toDF("user_id", "ts"), "user_id", "ts", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // d0: dau 2, wau 2 -> 10000; d1: dau 1, wau 2 (u2 serves d1) -> 5000
+    assert(got == Map(0L -> ((2L, 2L, 10000L)), 1L -> ((1L, 2L, 5000L))),
+      got.toString)
+  }
 }

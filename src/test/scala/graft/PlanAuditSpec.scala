@@ -167,6 +167,8 @@ class PlanAuditSpec extends SparkSpec {
       "q264_json_keys",     // single-row broadcast row-total attach
                             // (the q112 stats-attach precedent) onto the
                             // key-bounded count frame
+      "q266_stickiness",    // single-row broadcast span-max attach (the
+                            // q197 precedent) bounding the window days
       "q180_margin_pairs"   // both mining directions ARE q20's exempt
                             // brute-force baseline (queries broadcast,
                             // corpus scanned once); the margin attach
