@@ -3506,6 +3506,34 @@ object SparkEntry {
       graft.operators.Changepoint.rateCovarianceMatrix(
         Tables.events(s, dir), "event_type", "ts")),
 
+    // §2 row 270: weekly seasonality profile — per type the
+    // (day-of-week × hour-of-day) load matrix in exact bp shares; dow
+    // via the integer epoch identity, no locale function. EXACT oracle.
+    "q268_seasonality" -> ((s, dir) =>
+      graft.operators.Changepoint.seasonalityProfile(
+        Tables.events(s, dir), "event_type", "ts")),
+
+    // §2 row 271: sorted-neighborhood linkage candidates — exact SNM
+    // over the q137 dirty records at w=3: every within-w rank pair
+    // under the (key, id) total order, ranks from the prefix-bucket
+    // offset machinery, pairs from the block+next-block replication.
+    // EXACT oracle.
+    "q269_sorted_neighborhood" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), expr("substring(text, 1, 24)").as("rec"))
+      val dirty = docs.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, expr("substring(rec, 1, 23)"))
+          .when(col("doc_id") % 4 === 1,
+            concat(expr("substring(rec, 1, 1)"), lit("#"),
+              expr("substring(rec, 3)")))
+          .when(col("doc_id") % 4 === 2,
+            concat(expr("substring(rec, 1, 6)"), lit("q"),
+              expr("substring(rec, 7)")))
+          .otherwise(col("rec")).as("rec"))
+      graft.operators.RecordLinkage.sortedNeighborhood(
+        dirty, "doc_id", "rec", w = 3)
+    }),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -7535,6 +7563,36 @@ object SparkEntry {
         "(CAST(n AS HUGEINT) * n) " +
         "ELSE -((1000 * (-num)) // (CAST(n AS HUGEINT) * n)) END " +
         "AS BIGINT) AS cov_m FROM f"),
+
+    // Same epoch dow/hod identities, cell counts and share division.
+    "q268_seasonality" ->
+      ("WITH e AS (SELECT event_type AS grp, " +
+        "((epoch_us(ts) // 86400000000) + 4) % 7 AS dow, " +
+        "(epoch_us(ts) // 3600000000) % 24 AS hod FROM events " +
+        "WHERE event_type IS NOT NULL AND ts IS NOT NULL), " +
+        "c AS (SELECT grp, dow, hod, count(*) AS n FROM e " +
+        "GROUP BY 1, 2, 3) " +
+        "SELECT grp, CAST(dow AS BIGINT) AS dow, " +
+        "CAST(hod AS BIGINT) AS hod, CAST(n AS BIGINT) AS n, " +
+        "CAST((10000 * n) // sum(n) OVER (PARTITION BY grp) AS BIGINT) " +
+        "AS share_bp FROM c"),
+
+    // The q137 dirty records globally ranked by (rec, id); candidates =
+    // every rank pair with 0 < gap <= 3.
+    "q269_sorted_neighborhood" ->
+      ("WITH rec AS (SELECT doc_id, substr(text, 1, 24) AS rec " +
+        "FROM documents), " +
+        "dirty AS (SELECT doc_id, CASE doc_id % 4 " +
+        "WHEN 0 THEN substr(rec, 1, 23) " +
+        "WHEN 1 THEN substr(rec, 1, 1) || '#' || substr(rec, 3) " +
+        "WHEN 2 THEN substr(rec, 1, 6) || 'q' || substr(rec, 7) " +
+        "ELSE rec END AS rec FROM rec), " +
+        "r AS (SELECT doc_id AS id, " +
+        "row_number() OVER (ORDER BY rec, doc_id) - 1 AS rk " +
+        "FROM dirty) " +
+        "SELECT a.id AS id_a, b.id AS id_b, " +
+        "CAST(b.rk - a.rk AS BIGINT) AS gap FROM r a JOIN r b " +
+        "ON b.rk > a.rk AND b.rk - a.rk <= 3"),
 
     // Lossless round-trip: the read-back equals the source projection.
     "q231_orc_roundtrip" ->

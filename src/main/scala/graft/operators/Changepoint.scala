@@ -207,6 +207,29 @@ object Changepoint {
       .select("grp_a", "grp_b", "n", "cov_m")
   }
 
+  /** Weekly seasonality profile — per group, the (day-of-week ×
+    * hour-of-day) load matrix with each cell's share of the group's
+    * total in bp: the traffic heatmap behind capacity planning and the
+    * "does this feed keep office hours" bot read beside
+    * [[autocorrelation]]'s lag-24 number. Day-of-week is the pure
+    * integer identity (epoch_day + 4) % 7 (1970-01-01 was a Thursday;
+    * 0 = Sunday) — no engine or locale dow function to disagree. One
+    * map-side-combined count over ≤ |groups|·168 cells, the per-group
+    * total as a window over that cell frame. */
+  def seasonalityProfile(events: DataFrame, groupCol: String,
+                         tsCol: String): DataFrame =
+    events
+      .filter(col(groupCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        expr(s"((unix_micros($tsCol) div 86400000000L) + 4) % 7")
+          .as("dow"),
+        expr(s"(unix_micros($tsCol) div 3600000000L) % 24").as("hod"))
+      .groupBy("grp", "dow", "hod")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__tot", sum("n").over(Window.partitionBy("grp")))
+      .withColumn("share_bp", expr("(10000 * n) div __tot"))
+      .select("grp", "dow", "hod", "n", "share_bp")
+
   /** Burstiness / Fano factor per group over the gap-filled series —
     * the dispersion diagnosis next to [[meanShift]]'s level shifts and
     * [[Robust.rateSpikes]]'s outliers: a Poisson-ish feed sits near

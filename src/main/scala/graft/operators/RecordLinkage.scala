@@ -83,4 +83,52 @@ object RecordLinkage {
       .unionByName(selfLinkBlocked(batch, maxDist)
         .select(col("id_r").as("new_id"), col("id_l").as("match_id"),
           col("dist")))
+
+  /** Sorted-neighborhood candidate generation (Hernández–Stolfo 1995) —
+    * the blocking alternative to [[linkBlocked]]'s prefix blocks: records
+    * sort on the key and every pair within `w` positions becomes a
+    * candidate, so near-duplicates whose PREFIX diverges (the q137
+    * documented recall trade) still pair as long as they sort nearby.
+    * Exact SNM semantics — the candidate set is every rank pair with
+    * 0 < gap ≤ w under the (key, id) total order.
+    *
+    * The global rank never runs a corpus sort task: 2-char-prefix
+    * buckets roll per-bucket counts into a ≤ |prefixes| offsets frame
+    * (the Curriculum rank rule over a lexicographic bucket order),
+    * bucket-local row_numbers attach the offsets back. Pair generation
+    * replicates each row to its rank block and the NEXT block (w <
+    * blockSize by contract, so any within-w partner lives in one of the
+    * two) — one equi-join on the block id, never a rank theta-join;
+    * output is ≤ n·w pairs by construction. */
+  def sortedNeighborhood(df: DataFrame, idCol: String, keyCol: String,
+                         w: Int, blockSize: Int = 256): DataFrame = {
+    require(w >= 1 && blockSize >= w,
+      s"need 1 <= w <= blockSize, got w=$w blockSize=$blockSize")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(idCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(idCol).as("id"), col(keyCol).as("__k"))
+      .withColumn("__b", expr("substring(__k, 1, 2)"))
+    val offsets = base.groupBy("__b").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        coalesce(sum("__cnt").over(
+          Window.orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) -
+          col("__cnt"), lit(0L)))
+      .select("__b", "__off")
+    val ranked = base.join(broadcast(offsets), Seq("__b"))
+      .withColumn("__r", col("__off") +
+        row_number().over(
+          Window.partitionBy("__b").orderBy(col("__k"), col("id"))) - 1L)
+      .withColumn("__blk", expr(s"__r div $blockSize"))
+    val probe = ranked.select(col("id").as("id_a"), col("__r").as("r_a"),
+      explode(array(col("__blk"), col("__blk") + 1L)).as("__jblk"))
+    probe.join(
+        ranked.select(col("id").as("id_b"), col("__r").as("r_b"),
+          col("__blk").as("__jblk")),
+        Seq("__jblk"))
+      .filter(col("r_b") > col("r_a") && col("r_b") - col("r_a") <= w)
+      .select(col("id_a"), col("id_b"),
+        (col("r_b") - col("r_a")).as("gap"))
+  }
 }

@@ -196,4 +196,18 @@ class ChangepointSpec extends SparkSpec {
     // n=3, sx=6, sy=6, sxy=10 → num=−6 → 1000·(−6) div 9 = −666
     assert(got == Map(("a", "b") -> ((3L, -666L))), got.toString)
   }
+
+  test("seasonalityProfile: epoch dow identity (day 0 is Thursday=4), " +
+    "exact cell shares") {
+    val Day = 24 * Hour
+    val rows = Seq(
+      ("a", ts(5 * Hour)), ("a", ts(5 * Hour + 1000L)),  // Thu 05
+      ("a", ts(3 * Day + 23 * Hour)))                    // Sun 23
+    val got = Changepoint.seasonalityProfile(
+      rows.toDF("event_type", "ts"), "event_type", "ts")
+      .collect().map(r => (r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map((4L, 5L) -> ((2L, 6666L)),
+      (0L, 23L) -> ((1L, 3333L))), got.toString)
+  }
 }

@@ -83,4 +83,28 @@ class RecordLinkageSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 2L, 1L))) // +2 chars is past both guards
   }
+
+  test("sortedNeighborhood: exact within-w rank pairs incl. cross-" +
+    "prefix-bucket and cross-block partners; equals the naive rank " +
+    "formulation") {
+    import spark.implicits._
+    import graft.operators.RecordLinkage
+    val rows = Seq((1L, "aa1"), (2L, "aa2"), (3L, "ab1"), (4L, "ab2"),
+      (5L, "ba1"), (6L, "bb1"), (7L, "bb2"))
+    val df = rows.toDF("id", "k").repartition(3)
+    // tiny blockSize forces partners into adjacent blocks
+    val got = RecordLinkage.sortedNeighborhood(df, "id", "k",
+      w = 2, blockSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val ranked = rows.sortBy(r => (r._2, r._1)).map(_._1).zipWithIndex
+    val want = (for {
+      (a, ra) <- ranked; (b, rb) <- ranked
+      if rb > ra && rb - ra <= 2
+    } yield (a, b, (rb - ra).toLong)).toSet
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    // the near-sorted neighbors a prefix block would MISS still pair:
+    // aa2 (rank 1) with ab1 (rank 2) cross the aa/ab prefix boundary
+    assert(got.contains((2L, 3L, 1L)))
+  }
 }
