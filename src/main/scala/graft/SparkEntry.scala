@@ -3534,6 +3534,26 @@ object SparkEntry {
         dirty, "doc_id", "rec", w = 3)
     }),
 
+    // §2 row 272: de-hyphenation of line-wrapped words — the OCR/PDF
+    // cleanup rejoining "informa-\nple"-style wraps (lowercase
+    // continuation only, the conservative rule) with join counts and
+    // the rewritten text; planted wraps on every third doc. EXACT
+    // oracle.
+    "q270_dehyphenate" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 3 === 0,
+          lit(" exam-\nple of hyphen-\nation")).otherwise(lit("")))
+          .as("text"))
+      graft.textstats.C4Clean.dehyphenate(planted, "doc_id", "text")
+    }),
+
+    // §2 row 273: shard-balance audit — rows hashed to 32 shards via
+    // the portable polynomial, per-shard counts with signed deviation
+    // from the ideal share in bp; empty shards explicit. EXACT oracle.
+    "q271_shard_balance" -> ((s, dir) =>
+      graft.operators.Profile.shardBalance(
+        Tables.documents(s, dir), "doc_id", nShards = 32)),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -7593,6 +7613,36 @@ object SparkEntry {
         "SELECT a.id AS id_a, b.id AS id_b, " +
         "CAST(b.rk - a.rk AS BIGINT) AS gap FROM r a JOIN r b " +
         "ON b.rk > a.rk AND b.rk - a.rk <= 3"),
+
+    // Same planted wraps, same pattern count and backref rewrite
+    // (non-overlapping left-to-right on both engines).
+    "q270_dehyphenate" ->
+      ("WITH sp AS (SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 " +
+        "THEN ' exam-' || chr(10) || 'ple of hyphen-' || chr(10) || " +
+        "'ation' ELSE '' END AS t FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(t, '([A-Za-z])-\\n([a-z])')) " +
+        "AS BIGINT) AS n_joins, " +
+        "regexp_replace(t, '([A-Za-z])-\\n([a-z])', '\\1\\2', 'g') " +
+        "AS cleaned FROM sp"),
+
+    // The q25 polynomial mod 32, gap-filled shard grid, same signed
+    // deviation arithmetic.
+    "q271_shard_balance" ->
+      ("WITH h AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(regexp_split_to_array(" +
+        "CAST(doc_id AS VARCHAR), ''), " +
+        "c -> CAST(coalesce(ascii(c), 0) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 1000000007) % 32 AS shard " +
+        "FROM documents WHERE doc_id IS NOT NULL), " +
+        "c AS (SELECT shard, count(*) AS n FROM h GROUP BY shard), " +
+        "t AS (SELECT sum(n) AS tot FROM c), " +
+        "g AS (SELECT unnest(generate_series(0, 31)) AS shard), " +
+        "j AS (SELECT g.shard, coalesce(c.n, 0) AS n FROM g " +
+        "LEFT JOIN c ON c.shard = g.shard) " +
+        "SELECT CAST(j.shard AS BIGINT) AS shard, CAST(n AS BIGINT) " +
+        "AS n, CAST((10000 * n * 32) // tot - 10000 AS BIGINT) " +
+        "AS dev_bp FROM j, t"),
 
     // Lossless round-trip: the read-back equals the source projection.
     "q231_orc_roundtrip" ->

@@ -249,4 +249,30 @@ object Profile {
       .withColumn("cum_share_bp", expr("(10000 * __cum) div __tot"))
       .select("source", "tokens", "rank", "share_bp", "cum_share_bp")
   }
+
+  /** Shard-balance audit — the partitioning-key pre-flight: rows hash
+    * to `nShards` buckets via the portable q25 polynomial (engine- and
+    * oracle-replayable, unlike Murmur3) and each shard reports its row
+    * count with the signed deviation from the ideal share in bp
+    * (dev_bp = (10000·n·shards) div total − 10000; an empty shard reads
+    * −10000, a hot one far positive — the "is my key skewed before I
+    * bucket 100 TB by it" read beside row 155's join-skew report).
+    * Empty shards are explicit rows (the grid fills from the shard
+    * range, not from observed data). */
+  def shardBalance(df: DataFrame, keyCol: String,
+                   nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val counts = df.filter(col(keyCol).isNotNull)
+      .select((graft.textstats.TextStats.fingerprintBase(
+        col(keyCol).cast("string"), 31) % nShards).as("shard"))
+      .groupBy("shard").agg(count(lit(1)).as("n"))
+    val grid = counts.agg(sum("n").as("__tot"))
+      .select(col("__tot"),
+        explode(sequence(lit(0L), lit(nShards - 1L))).as("shard"))
+    grid.join(counts, Seq("shard"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("dev_bp",
+        expr(s"(10000 * n * $nShards) div __tot - 10000"))
+      .select("shard", "n", "dev_bp")
+  }
 }

@@ -56,4 +56,23 @@ object C4Clean {
       array_join(kept, "\n").as("cleaned"))
       .filter(col("n_kept") >= minKeptLines)
   }
+
+  /** De-hyphenation of line-wrapped words — the OCR/PDF cleanup pass
+    * (print-era corpora wrap "information" as "informa-\ntion"; left in
+    * place, the tokenizer mints two junk types per wrap and n-gram
+    * dedup/quality stats all degrade): a letter, a hyphen, the line
+    * break, a LOWERCASE continuation rejoin into one word; an uppercase
+    * continuation stays — that's a real hyphenated compound across
+    * lines ("state-\nOf-the-art" is not one word), the conservative
+    * rule, documented. Per row: the join count and the rewritten text;
+    * zero shuffles, one codegen regex count + one replace. */
+  def dehyphenate(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val pat = "([A-Za-z])-\n([a-z])"
+    val t = coalesce(col(textCol), lit(""))
+    docs.select(col(idCol),
+      size(regexp_extract_all(t, lit(pat), lit(0))).cast("long")
+        .as("n_joins"),
+      regexp_replace(t, pat, "$1$2").as("cleaned"))
+  }
 }

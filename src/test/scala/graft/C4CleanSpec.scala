@@ -54,4 +54,19 @@ class C4CleanSpec extends SparkSpec {
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
       df.queryExecution.executedPlan.toString)
   }
+
+  test("dehyphenate: lowercase continuations rejoin, uppercase " +
+    "continuations (real compounds) stay, counts exact") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "informa-\ntion and hyphen-\nation"),
+      (2L, "state-\nOf-the-art stays"),
+      (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = graft.textstats.C4Clean.dehyphenate(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2)))).toMap
+    assert(got(1L) == ((2L, "information and hyphenation")), got.toString)
+    assert(got(2L) == ((0L, "state-\nOf-the-art stays")))
+    assert(got(3L) == ((0L, "")))
+  }
 }

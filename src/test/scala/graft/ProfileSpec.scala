@@ -143,4 +143,23 @@ class ProfileSpec extends SparkSpec {
     val t = run(Seq(("t", "x"), ("t", "y"), ("t", "z")))
     assert(t("t") == ((3L, 3L, 6667L)), t.toString)
   }
+
+  test("shardBalance: deterministic polynomial shards, empty shards " +
+    "explicit at -10000 bp, deviations exact") {
+    import spark.implicits._
+    val df = (1L to 40L).map(Tuple1(_)).toDF("k")
+    val got = graft.operators.Profile.shardBalance(df, "k", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 4)
+    assert(got.map(_._2).sum == 40L)
+    // dev math: (10000 * n * 4) div 40 - 10000 == 1000*n - 10000
+    got.foreach { case (_, n, dev) => assert(dev == 1000 * n - 10000) }
+    // a constant key concentrates everything in one shard
+    val hot = Seq.fill(10)(Tuple1("x")).toDF("k")
+    val h = graft.operators.Profile.shardBalance(hot, "k", 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2))
+    assert(h.count(_._1 == 0L) == 3)
+    assert(h.contains((10L, 30000L)))
+    assert(h.filter(_._1 == 0L).forall(_._2 == -10000L))
+  }
 }
