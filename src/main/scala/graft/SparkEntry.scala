@@ -3554,6 +3554,22 @@ object SparkEntry {
       graft.operators.Profile.shardBalance(
         Tables.documents(s, dir), "doc_id", nShards = 32)),
 
+    // §2 row 274: retrieval agreement — |top-20 lexical ∩ top-20 dense|
+    // per query in exact bp over the q105 lists; low overlap is WHY RRF
+    // fusion helps, drift is an index-staleness symptom. EXACT oracle.
+    "q272_retrieval_agreement" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = spread(s, Tables.embeddings(s, dir))
+      val lex = Bm25.searchIndex(s.read.parquet(stagedBm25Index(s, dir)),
+        docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", k = 20)
+        .select("query_id", "doc_id", "rank")
+      val dense = Ann.bruteForceTopK(emb,
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 20)
+        .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
+      Rrf.overlapAtK(lex, dense, k = 20)
+    }),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -7643,6 +7659,35 @@ object SparkEntry {
         "SELECT CAST(j.shard AS BIGINT) AS shard, CAST(n AS BIGINT) " +
         "AS n, CAST((10000 * n * 32) // tot - 10000 AS BIGINT) " +
         "AS dev_bp FROM j, t"),
+
+    // The q105 lex + dense list CTEs intersected per query; queries
+    // from either list appear with zero overlap kept.
+    "q272_retrieval_agreement" ->
+      (s"""WITH ${bm25LexCtes(20)},
+         |n AS (SELECT vec_id, embedding,
+         |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a+b)) AS nrm
+         |  FROM embeddings),
+         |v AS (SELECT vec_id, CASE WHEN nrm = 0 THEN list_transform(embedding, x -> 0.0)
+         |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)/nrm) END AS nv FROM n),
+         |qv AS (SELECT vec_id AS query_id, nv AS qvec FROM v WHERE vec_id % 100 = 0),
+         |ds AS (SELECT query_id, v.vec_id AS doc_id,
+         |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qvec)),
+         |      i -> qvec[i]*nv[i])), (a,b) -> a+b) AS cos
+         |  FROM v, qv WHERE v.vec_id <> query_id),
+         |den AS (SELECT query_id, doc_id, rank FROM
+         |    (SELECT query_id, doc_id,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
+         |     FROM ds)
+         |  WHERE rank <= 20),
+         |i AS (SELECT l.query_id, count(*) AS n_common FROM lex l
+         |  JOIN den d ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+         |  GROUP BY 1),
+         |qs AS (SELECT DISTINCT query_id FROM
+         |  (SELECT query_id FROM lex UNION ALL SELECT query_id FROM den))
+         |SELECT qs.query_id, CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+         |  CAST((10000 * coalesce(n_common, 0)) // 20 AS BIGINT) AS overlap_bp
+         |FROM qs LEFT JOIN i ON i.query_id = qs.query_id""".stripMargin),
 
     // Lossless round-trip: the read-back equals the source projection.
     "q231_orc_roundtrip" ->

@@ -46,4 +46,25 @@ object Rrf {
       .filter(col("rank") <= k)
       .select("query_id", "doc_id", "rrf_u", "n_lists", "rank")
   }
+
+  /** Ranked-list agreement at k — |top-k ∩ top-k| per query in exact
+    * bp: the retrieval-evaluation read behind "do the lexical and dense
+    * systems even see the same documents" (low overlap is WHY [[fuse]]
+    * helps; overlap drifting over corpus versions is an index-staleness
+    * symptom beside row 151's idf delta). Queries present in either
+    * list appear — a query one system returns nothing for reads 0, not
+    * absent. One equi-join on (query, doc) over rank-capped lists, one
+    * count per query. */
+  def overlapAtK(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val aa = a.filter(col("rank") <= k).select("query_id", "doc_id")
+    val bb = b.filter(col("rank") <= k).select("query_id", "doc_id")
+    val inter = aa.join(bb, Seq("query_id", "doc_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+    val qs = aa.select("query_id").unionByName(bb.select("query_id"))
+      .distinct()
+    qs.join(inter, Seq("query_id"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("overlap_bp", expr(s"(10000 * n_common) div $k"))
+  }
 }

@@ -169,6 +169,10 @@ class PlanAuditSpec extends SparkSpec {
                             // key-bounded count frame
       "q266_stickiness",    // single-row broadcast span-max attach (the
                             // q197 precedent) bounding the window days
+      "q272_retrieval_agreement", // the dense list IS q20's exempt
+                            // brute-force baseline (the q105 argument);
+                            // the overlap itself is a hash join on
+                            // (query, doc)
       "q180_margin_pairs"   // both mining directions ARE q20's exempt
                             // brute-force baseline (queries broadcast,
                             // corpus scanned once); the margin attach

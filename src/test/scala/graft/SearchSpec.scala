@@ -219,4 +219,21 @@ class SearchSpec extends SparkSpec {
     assert(Bm25.idfDelta(c, docsDf(1L -> "aa bb cc", 2L -> "aa dd"),
       "doc_id", "text", minDeltaMicro = 1L).count() == 0L)
   }
+
+  test("overlapAtK: exact intersections per query, zero-overlap " +
+    "queries kept, rank cap respected") {
+    import spark.implicits._
+    import graft.search.Rrf
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (3L, 30L, 1)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 99L, 2), (1L, 12L, 5),
+      (2L, 21L, 1)).toDF("query_id", "doc_id", "rank")
+    val got = Rrf.overlapAtK(a, b, k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // k=2 caps: a1={10,11}, b1={11,99} → common {11}; q2 disjoint; q3
+    // only in a → 0
+    assert(got == Map(1L -> ((1L, 5000L)), 2L -> ((0L, 0L)),
+      3L -> ((0L, 0L))), got.toString)
+  }
 }
