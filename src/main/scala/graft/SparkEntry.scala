@@ -7068,9 +7068,9 @@ object SparkEntry {
         "st AS (SELECT grp, count(*) AS n, sum(cnt) AS s FROM se " +
         "GROUP BY grp), " +
         "d AS (SELECT se.grp, st.n, " +
-        "CAST(st.n * se.cnt - st.s AS HUGEINT) AS dd, " +
-        "CAST(st.n * lag(se.cnt, 24) OVER (PARTITION BY se.grp " +
-        "ORDER BY se.h) - st.s AS HUGEINT) AS dl " +
+        "CAST(st.n AS HUGEINT) * se.cnt - st.s AS dd, " +
+        "CAST(st.n AS HUGEINT) * lag(se.cnt, 24) OVER " +
+        "(PARTITION BY se.grp ORDER BY se.h) - st.s AS dl " +
         "FROM se JOIN st USING (grp)), " +
         "a AS (SELECT grp, max(n) AS n_buckets, " +
         "sum(CASE WHEN dl IS NOT NULL THEN dd * dl END) AS num, " +

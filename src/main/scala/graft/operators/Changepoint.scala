@@ -112,8 +112,10 @@ object Changepoint {
     series
       .withColumn("__cl", lag(col("c"), k).over(w))
       .join(stats, Seq("grp"))
-      .withColumn("__d", expr("cast(__n * c - __s as decimal(38,0))"))
-      .withColumn("__dl", expr("cast(__n * __cl - __s as decimal(38,0))"))
+      .withColumn("__d",
+        expr("cast(__n as decimal(38,0)) * c - __s"))
+      .withColumn("__dl",
+        expr("cast(__n as decimal(38,0)) * __cl - __s"))
       .groupBy("grp")
       .agg(max("__n").as("n_buckets"),
         sum(when(col("__dl").isNotNull, expr("__d * __dl"))).as("__num"),

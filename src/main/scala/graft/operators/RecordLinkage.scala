@@ -99,7 +99,10 @@ object RecordLinkage {
     * replicates each row to its rank block and the NEXT block (w <
     * blockSize by contract, so any within-w partner lives in one of the
     * two) — one equi-join on the block id, never a rank theta-join;
-    * output is ≤ n·w pairs by construction. */
+    * output is ≤ n·w pairs by construction. Known skew mode, documented:
+    * a hot 2-char prefix concentrates its bucket's row_number on one
+    * partition — widen the prefix (or pre-salt the hot bucket) when the
+    * key distribution is pathological. */
   def sortedNeighborhood(df: DataFrame, idCol: String, keyCol: String,
                          w: Int, blockSize: Int = 256): DataFrame = {
     require(w >= 1 && blockSize >= w,

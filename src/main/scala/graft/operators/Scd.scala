@@ -66,7 +66,10 @@ object Scd {
     * CONTRACT: the increment is strictly newer than the persisted
     * history (ts greater than every eff_start of its key — the daily
     * ingest shape); replay ties within a key at one ts order by the
-    * original version number, preserving the historical order.
+    * original version number CAST to the tie column's type, preserving
+    * the historical order for numeric tie columns (a STRING tie column
+    * would order versions 1..9 correctly but "10" before "2" — use a
+    * numeric tie, the event-id shape every caller here has).
     *
     * Scale: one semi/anti split of the dimension on the increment's
     * keys (keyed hash joins), then [[buildScd2]] over replay ∪ increment

@@ -49,7 +49,9 @@ object SnapshotDiff {
     * each with its doc count and exact weight delta, so a release note
     * can say "−2% tokens: −5% removals, +3% new docs" instead of one
     * opaque total. One full-outer hash join on the key carrying only
-    * (key, weight) longs; ONE status-keyed aggregate. */
+    * (key, weight) longs; ONE status-keyed aggregate. Preconditions are
+    * [[diff]]'s: `keyCol` unique and non-null per side (a NULL key never
+    * joins and would double-report as added AND removed). */
   def releaseDelta(v1: DataFrame, v2: DataFrame, keyCol: String,
                    weightCol: String): DataFrame = {
     val a = v1.select(col(keyCol).as("__ka"),

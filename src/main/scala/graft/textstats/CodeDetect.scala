@@ -34,6 +34,8 @@ object CodeDetect {
     * null/empty text scores 0 and is never flagged. */
   def codeScore(df: DataFrame, idCol: String, textCol: String,
                 thresholdBp: Int = 300): DataFrame = {
+    require(keywords.forall(k => !k.contains("'") && !k.contains("\\")),
+      "keyword fragments are interpolated into SQL literals")
     // integer div throughout (the replace-and-diff count is an exact
     // multiple of the fragment length, but the repo's discipline is to
     // never route an exact count through a double)
