@@ -3570,6 +3570,62 @@ object SparkEntry {
       Rrf.overlapAtK(lex, dense, k = 20)
     }),
 
+    // §2 row 275: STREAMING KS monitor — per-batch additive
+    // (source, n_chars) value-count partials via the QI monitor,
+    // folded read-side by the shared ksDistanceFromCounts (the pooled
+    // side derives from the same counts); EXACT oracle: q258's SQL
+    // verbatim.
+    "q273_ks_monitor_stream" -> ((s, dir) => {
+      val ksrc = artifactPath("ksmonsrc", dir, codeHash(SparkEntry.getClass))
+      stageParquet(ksrc) { tmp =>
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+          .repartition(4).write.mode("overwrite").parquet(tmp)
+      }
+      val base = artifactPath("ksmon", dir,
+        codeHash(SparkEntry.getClass, ScoringStream.getClass,
+          graft.operators.Robust.getClass))
+      val stream = s.readStream.schema(s.read.parquet(ksrc).schema)
+        .option("maxFilesPerTrigger", "1").parquet(ksrc)
+        .filter(col("source").isNotNull && col("n_chars").isNotNull)
+      ScoringStream.monitorQiStream(stream.select("source", "n_chars"),
+        Seq("source", "n_chars"), s"$base/mon", s"$base/ckpt")
+      val counts = s.read.parquet(s"$base/mon")
+        .groupBy("batch_id", "source", "n_chars")
+        .agg(max("c").as("__cc"))
+        .groupBy(col("source").as("grp"), col("n_chars").as("__v"))
+        .agg(sum("__cc").as("__cg"))
+      graft.operators.Robust.ksDistanceFromCounts(counts)
+    }),
+
+    // §2 row 276: STREAMING seasonality monitor — per-batch additive
+    // (type, dow, hod) cell partials via the QI monitor, folded
+    // read-side by the shared seasonalityFromCounts; EXACT oracle:
+    // q268's SQL verbatim.
+    "q274_seasonality_monitor_stream" -> ((s, dir) => {
+      val src = artifactPath("ratemonsrc", dir, codeHash(SparkEntry.getClass))
+      stageParquet(src) { tmp =>
+        Tables.events(s, dir).select("event_id", "event_type", "ts")
+          .repartition(4).write.mode("overwrite").parquet(tmp)
+      }
+      val base = artifactPath("seasmon", dir,
+        codeHash(SparkEntry.getClass, ScoringStream.getClass,
+          graft.operators.Changepoint.getClass))
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .select(col("event_type").as("grp"),
+          expr("((unix_micros(ts) div 86400000000L) + 4) % 7").as("dow"),
+          expr("(unix_micros(ts) div 3600000000L) % 24").as("hod"))
+      ScoringStream.monitorQiStream(stream, Seq("grp", "dow", "hod"),
+        s"$base/mon", s"$base/ckpt")
+      val counts = s.read.parquet(s"$base/mon")
+        .groupBy("batch_id", "grp", "dow", "hod")
+        .agg(max("c").as("__cc"))
+        .groupBy("grp", "dow", "hod")
+        .agg(sum("__cc").as("n"))
+      graft.operators.Changepoint.seasonalityFromCounts(counts)
+    }),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -4611,6 +4667,43 @@ object SparkEntry {
       "hrs AS (SELECT grp, unnest(generate_series(h0, h1)) AS h FROM sp), " +
       "se AS (SELECT hrs.grp, hrs.h, coalesce(cnt, 0) AS cnt FROM hrs " +
       "LEFT JOIN c ON hrs.grp = c.grp AND hrs.h = c.h)"
+
+  /** KS-distance oracle shared by the batch (q258) and streaming
+    * (q273) declarations — one definition, no drift. */
+  private def ksSql: String =
+    "WITH b AS (SELECT source AS grp, n_chars AS v FROM documents " +
+      "WHERE source IS NOT NULL AND n_chars IS NOT NULL), " +
+      "ac AS (SELECT v, count(*) AS ca FROM b GROUP BY v), " +
+      "aw AS (SELECT v, sum(ca) OVER (ORDER BY v " +
+      "ROWS UNBOUNDED PRECEDING) AS cumA, sum(ca) OVER () AS nA " +
+      "FROM ac), " +
+      "gc AS (SELECT grp, v, count(*) AS cg FROM b GROUP BY 1, 2), " +
+      "gs AS (SELECT grp, count(*) AS n_group FROM b GROUP BY grp), " +
+      "grid AS (SELECT gs.grp, gs.n_group, aw.v, aw.cumA, aw.nA " +
+      "FROM gs CROSS JOIN aw), " +
+      "w AS (SELECT grid.grp, grid.n_group, grid.v, grid.cumA, " +
+      "grid.nA, sum(coalesce(cg, 0)) OVER (PARTITION BY grid.grp " +
+      "ORDER BY grid.v ROWS UNBOUNDED PRECEDING) AS cumG FROM grid " +
+      "LEFT JOIN gc ON gc.grp = grid.grp AND gc.v = grid.v) " +
+      "SELECT grp, CAST(n_group AS BIGINT) AS n_group, " +
+      "CAST(max((10000 * abs(CAST(cumG AS HUGEINT) * nA - " +
+      "CAST(cumA AS HUGEINT) * n_group)) // " +
+      "(CAST(n_group AS HUGEINT) * nA)) AS BIGINT) AS ks_bp " +
+      "FROM w GROUP BY grp, n_group"
+
+  /** Seasonality oracle shared by the batch (q268) and streaming
+    * (q274) declarations — one definition, no drift. */
+  private def seasonalitySql: String =
+    "WITH e AS (SELECT event_type AS grp, " +
+      "((epoch_us(ts) // 86400000000) + 4) % 7 AS dow, " +
+      "(epoch_us(ts) // 3600000000) % 24 AS hod FROM events " +
+      "WHERE event_type IS NOT NULL AND ts IS NOT NULL), " +
+      "c AS (SELECT grp, dow, hod, count(*) AS n FROM e " +
+      "GROUP BY 1, 2, 3) " +
+      "SELECT grp, CAST(dow AS BIGINT) AS dow, " +
+      "CAST(hod AS BIGINT) AS hod, CAST(n AS BIGINT) AS n, " +
+      "CAST((10000 * n) // sum(n) OVER (PARTITION BY grp) AS BIGINT) " +
+      "AS share_bp FROM c"
 
   /** Simpson-diversity oracle shared by the batch (q259) and streaming
     * (q265) declarations — one definition, no drift. */
@@ -7484,27 +7577,10 @@ object SparkEntry {
     },
 
     // Same union grid, per-group cumulative steps, HUGEINT cross
-    // products and max bp gap.
-    "q258_ks_distance" ->
-      ("WITH b AS (SELECT source AS grp, n_chars AS v FROM documents " +
-        "WHERE source IS NOT NULL AND n_chars IS NOT NULL), " +
-        "ac AS (SELECT v, count(*) AS ca FROM b GROUP BY v), " +
-        "aw AS (SELECT v, sum(ca) OVER (ORDER BY v " +
-        "ROWS UNBOUNDED PRECEDING) AS cumA, sum(ca) OVER () AS nA " +
-        "FROM ac), " +
-        "gc AS (SELECT grp, v, count(*) AS cg FROM b GROUP BY 1, 2), " +
-        "gs AS (SELECT grp, count(*) AS n_group FROM b GROUP BY grp), " +
-        "grid AS (SELECT gs.grp, gs.n_group, aw.v, aw.cumA, aw.nA " +
-        "FROM gs CROSS JOIN aw), " +
-        "w AS (SELECT grid.grp, grid.n_group, grid.v, grid.cumA, " +
-        "grid.nA, sum(coalesce(cg, 0)) OVER (PARTITION BY grid.grp " +
-        "ORDER BY grid.v ROWS UNBOUNDED PRECEDING) AS cumG FROM grid " +
-        "LEFT JOIN gc ON gc.grp = grid.grp AND gc.v = grid.v) " +
-        "SELECT grp, CAST(n_group AS BIGINT) AS n_group, " +
-        "CAST(max((10000 * abs(CAST(cumG AS HUGEINT) * nA - " +
-        "CAST(cumA AS HUGEINT) * n_group)) // " +
-        "(CAST(n_group AS HUGEINT) * nA)) AS BIGINT) AS ks_bp " +
-        "FROM w GROUP BY grp, n_group"),
+    // products and max bp gap. Shared verbatim with the streaming twin
+    // q273 (additive value counts, no drift).
+    "q258_ks_distance" -> ksSql,
+    "q273_ks_monitor_stream" -> ksSql,
 
     // Same category counts and integer Simpson fold. Shared verbatim
     // with the streaming twin q265 (additive counts, no drift).
@@ -7601,17 +7677,10 @@ object SparkEntry {
         "AS BIGINT) AS cov_m FROM f"),
 
     // Same epoch dow/hod identities, cell counts and share division.
-    "q268_seasonality" ->
-      ("WITH e AS (SELECT event_type AS grp, " +
-        "((epoch_us(ts) // 86400000000) + 4) % 7 AS dow, " +
-        "(epoch_us(ts) // 3600000000) % 24 AS hod FROM events " +
-        "WHERE event_type IS NOT NULL AND ts IS NOT NULL), " +
-        "c AS (SELECT grp, dow, hod, count(*) AS n FROM e " +
-        "GROUP BY 1, 2, 3) " +
-        "SELECT grp, CAST(dow AS BIGINT) AS dow, " +
-        "CAST(hod AS BIGINT) AS hod, CAST(n AS BIGINT) AS n, " +
-        "CAST((10000 * n) // sum(n) OVER (PARTITION BY grp) AS BIGINT) " +
-        "AS share_bp FROM c"),
+    // Shared verbatim with the streaming twin q274 (additive cell
+    // counts, no drift).
+    "q268_seasonality" -> seasonalitySql,
+    "q274_seasonality_monitor_stream" -> seasonalitySql,
 
     // The q137 dirty records globally ranked by (rec, id); candidates =
     // every rank pair with 0 < gap <= 3.

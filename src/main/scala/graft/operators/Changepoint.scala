@@ -220,14 +220,21 @@ object Changepoint {
     * total as a window over that cell frame. */
   def seasonalityProfile(events: DataFrame, groupCol: String,
                          tsCol: String): DataFrame =
-    events
+    seasonalityFromCounts(events
       .filter(col(groupCol).isNotNull && col(tsCol).isNotNull)
       .select(col(groupCol).as("grp"),
         expr(s"((unix_micros($tsCol) div 86400000000L) + 4) % 7")
           .as("dow"),
         expr(s"(unix_micros($tsCol) div 3600000000L) % 24").as("hod"))
       .groupBy("grp", "dow", "hod")
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** [[seasonalityProfile]] from a pre-reduced (grp, dow, hod, n) count
+    * frame — the shared read half: cell counts are additive across
+    * microbatches, so the collapsed monitor table yields the batch
+    * heatmap exactly. */
+  def seasonalityFromCounts(counts: DataFrame): DataFrame =
+    counts
       .withColumn("__tot", sum("n").over(Window.partitionBy("grp")))
       .withColumn("share_bp", expr("(10000 * n) div __tot"))
       .select("grp", "dow", "hod", "n", "share_bp")

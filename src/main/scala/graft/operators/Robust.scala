@@ -190,11 +190,19 @@ object Robust {
     * union grid, and both factors are vocabulary-, not corpus-, sized);
     * per-group cumulative windows run over that grid. */
   def ksDistance(df: DataFrame, groupCol: String, valCol: String)
-      : DataFrame = {
-    val base = df
+      : DataFrame =
+    ksDistanceFromCounts(df
       .filter(col(groupCol).isNotNull && col(valCol).isNotNull)
-      .select(col(groupCol).as("grp"), col(valCol).as("__v"))
-    val allCum = base.groupBy("__v").agg(count(lit(1)).as("__ca"))
+      .groupBy(col(groupCol).as("grp"), col(valCol).as("__v"))
+      .agg(count(lit(1)).as("__cg")))
+
+  /** [[ksDistance]] from a pre-reduced (grp, __v, __cg) count frame —
+    * the shared read half: value counts are additive across
+    * microbatches, so the collapsed monitor table yields exactly the
+    * batch statistic (the pooled side derives from the SAME counts by
+    * summing over groups). */
+  def ksDistanceFromCounts(gCounts: DataFrame): DataFrame = {
+    val allCum = gCounts.groupBy("__v").agg(sum("__cg").as("__ca"))
       .withColumn("__cumA", sum("__ca").over(
         Window.orderBy("__v")
           .rowsBetween(Window.unboundedPreceding, 0)))
@@ -203,8 +211,7 @@ object Robust {
           .rowsBetween(Window.unboundedPreceding,
             Window.unboundedFollowing)))
       .select("__v", "__cumA", "__nA")
-    val gCounts = base.groupBy("grp", "__v").agg(count(lit(1)).as("__cg"))
-    val groups = base.groupBy("grp").agg(count(lit(1)).as("n_group"))
+    val groups = gCounts.groupBy("grp").agg(sum("__cg").as("n_group"))
     val wg = Window.partitionBy("grp").orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, 0)
     groups.crossJoin(allCum)

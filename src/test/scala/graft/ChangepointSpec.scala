@@ -210,4 +210,25 @@ class ChangepointSpec extends SparkSpec {
     assert(got == Map((4L, 5L) -> ((2L, 6666L)),
       (0L, 23L) -> ((1L, 3333L))), got.toString)
   }
+
+  test("seasonalityFromCounts over summed split partials == " +
+    "seasonalityProfile over events (the monitor additivity)") {
+    import org.apache.spark.sql.functions._
+    val rows = hourlyRows(Seq(2L, 3L, 1L, 4L))
+    val df = rows.toDF("event_type", "ts")
+    val direct = Changepoint.seasonalityProfile(df, "event_type", "ts")
+      .collect().map(_.toSeq).toSet
+    def cells(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("event_type").as("grp"),
+        expr("((unix_micros(ts) div 86400000000L) + 4) % 7").as("dow"),
+        expr("(unix_micros(ts) div 3600000000L) % 24").as("hod"))
+      .groupBy("grp", "dow", "hod").agg(count(lit(1)).as("n"))
+    val h1 = df.filter(hash(col("ts")) % 2 === 0)
+    val h2 = df.filter(hash(col("ts")) % 2 =!= 0)
+    val partials = cells(h1).unionAll(cells(h2))
+      .groupBy("grp", "dow", "hod").agg(sum("n").as("n"))
+    val merged = Changepoint.seasonalityFromCounts(partials)
+      .collect().map(_.toSeq).toSet
+    assert(merged == direct)
+  }
 }

@@ -173,6 +173,8 @@ class PlanAuditSpec extends SparkSpec {
                             // brute-force baseline (the q105 argument);
                             // the overlap itself is a hash join on
                             // (query, doc)
+      "q273_ks_monitor_stream", // inherits q258's declared groups x
+                            // distinct-values comparison grid
       "q180_margin_pairs"   // both mining directions ARE q20's exempt
                             // brute-force baseline (queries broadcast,
                             // corpus scanned once); the margin attach

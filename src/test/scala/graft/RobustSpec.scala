@@ -167,4 +167,24 @@ class RobustSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(z == Map("x" -> 0L, "y" -> 0L), z.toString)
   }
+
+  test("ksDistanceFromCounts over summed split partials == ksDistance " +
+    "over rows (the monitor additivity)") {
+    import graft.operators.Robust
+    import org.apache.spark.sql.functions._
+    val rows = (1 to 60).map(i => (s"s${i % 3}", (i * 7 % 11).toLong))
+    val df = rows.toDF("g", "v")
+    val direct = Robust.ksDistance(df, "g", "v")
+      .collect().map(_.toSeq).toSet
+    val h1 = df.filter(hash(col("v")) % 2 === 0)
+    val h2 = df.filter(hash(col("v")) % 2 =!= 0)
+    def cnt(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy(col("g").as("grp"), col("v").as("__v"))
+        .agg(count(lit(1)).as("__cg"))
+    val partials = cnt(h1).unionAll(cnt(h2))
+      .groupBy("grp", "__v").agg(sum("__cg").as("__cg"))
+    val merged = Robust.ksDistanceFromCounts(partials)
+      .collect().map(_.toSeq).toSet
+    assert(merged == direct)
+  }
 }
