@@ -3626,6 +3626,29 @@ object SparkEntry {
       graft.operators.Changepoint.seasonalityFromCounts(counts)
     }),
 
+    // §2 row 277: exact per-group mode — dominant language per source
+    // with the deterministic (count desc, value asc) tie; SQL MODE()
+    // leaves ties undefined. EXACT oracle.
+    "q275_group_mode" -> ((s, dir) =>
+      graft.operators.Profile.groupMode(
+        Tables.documents(s, dir), "source", "lang")),
+
+    // §2 row 278: content-addressed novelty — v2 rows whose CONTENT no
+    // v1 row had, whatever the keys: a re-keyed deterministic release
+    // (ids shifted, every 9th text genuinely new) that key-diff q121
+    // would misread as all-added. EXACT oracle.
+    "q276_content_novelty" -> ((s, dir) => {
+      val v1 = Tables.documents(s, dir).select("doc_id", "source", "text")
+      val v2 = v1.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("source"),
+        when(col("doc_id") % 9 === 0,
+          concat(lit("fresh page "), col("doc_id").cast("string"),
+            lit(" :: "), col("text")))
+          .otherwise(col("text")).as("text"))
+      graft.operators.SnapshotDiff.contentNovelty(v1, v2, "source",
+        Seq("text"))
+    }),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -7757,6 +7780,42 @@ object SparkEntry {
          |SELECT qs.query_id, CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
          |  CAST((10000 * coalesce(n_common, 0)) // 20 AS BIGINT) AS overlap_bp
          |FROM qs LEFT JOIN i ON i.query_id = qs.query_id""".stripMargin),
+
+    // Same counts and deterministic tie order.
+    "q275_group_mode" ->
+      ("WITH c AS (SELECT source AS grp, lang AS mode_value, " +
+        "count(*) AS n FROM documents WHERE source IS NOT NULL " +
+        "AND lang IS NOT NULL GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY grp " +
+        "ORDER BY n DESC, mode_value ASC) AS rk FROM c) " +
+        "SELECT grp, mode_value, CAST(n AS BIGINT) AS n_mode FROM r " +
+        "WHERE rk = 1"),
+
+    // The q25 two-channel polynomial on text, distinct v1 fingerprints
+    // anti-joined, per-source novelty share.
+    "q276_content_novelty" -> {
+      def h(base: Int) =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(regexp_split_to_array(text, ''), " +
+          "c -> CAST(coalesce(ascii(c), 0) AS BIGINT))), " +
+          s"(a, b) -> (a * $base + b) % 1000000007)"
+      s"WITH v1h AS (SELECT DISTINCT ${h(31)} AS h31, ${h(37)} AS h37 " +
+        "FROM documents), " +
+        "v2 AS (SELECT source, CASE WHEN doc_id % 9 = 0 " +
+        "THEN 'fresh page ' || CAST(doc_id AS VARCHAR) || ' :: ' || " +
+        "text ELSE text END AS text FROM documents), " +
+        s"v2h AS (SELECT source AS grp, ${h(31)} AS h31, ${h(37)} AS h37 " +
+        "FROM v2), " +
+        "nv AS (SELECT grp, count(*) AS n_novel FROM v2h " +
+        "WHERE NOT EXISTS (SELECT 1 FROM v1h WHERE v1h.h31 = v2h.h31 " +
+        "AND v1h.h37 = v2h.h37) GROUP BY grp), " +
+        "tot AS (SELECT grp, count(*) AS n_rows FROM v2h GROUP BY grp) " +
+        "SELECT tot.grp, CAST(n_rows AS BIGINT) AS n_rows, " +
+        "CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel, " +
+        "CAST((10000 * coalesce(n_novel, 0)) // greatest(n_rows, 1) " +
+        "AS BIGINT) AS novel_bp " +
+        "FROM tot LEFT JOIN nv ON nv.grp = tot.grp"
+    },
 
     // Lossless round-trip: the read-back equals the source projection.
     "q231_orc_roundtrip" ->

@@ -275,4 +275,24 @@ object Profile {
         expr(s"(10000 * n * $nShards) div __tot - 10000"))
       .select("shard", "n", "dev_bp")
   }
+
+  /** Exact per-group mode — the most frequent value with a
+    * deterministic tie (higher count wins, then the SMALLER value — a
+    * total order both engines share): the categorical imputation /
+    * "dominant value" read SQL's MODE() leaves tie-undefined. Computed
+    * on the (group, value) count frame with a rank window over each
+    * group's DISTINCT values — bounded by value cardinality, never
+    * rows. NULL values are excluded (absence is not a mode). */
+  def groupMode(df: DataFrame, groupCol: String,
+                valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.filter(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(valCol).as("mode_value"))
+      .agg(count(lit(1)).as("n_mode"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("grp")
+          .orderBy(col("n_mode").desc, col("mode_value").asc)))
+      .filter(col("__rk") === 1)
+      .select("grp", "mode_value", "n_mode")
+  }
 }

@@ -105,4 +105,32 @@ object SnapshotDiff {
         expr("(10000 * n_changed) div greatest(n_common, 1)"))
       .select("column_name", "n_changed", "n_common", "changed_bp")
   }
+
+  /** Content-addressed novelty — which v2 rows carry content NO v1 row
+    * had, whatever their keys: the re-crawl read [[diff]] cannot give
+    * (a re-keyed identical page reads `added` by key but is not new
+    * CONTENT; this screen anti-joins on the two-channel content
+    * fingerprint instead, so only genuinely novel payloads count).
+    * Per group: v2 rows, novel rows, novelty share in bp. Fingerprints
+    * compute at the scan; the anti-join carries two longs per side. */
+  def contentNovelty(v1: DataFrame, v2: DataFrame, groupCol: String,
+                     encodeCols: Seq[String]): DataFrame = {
+    require(encodeCols.nonEmpty, "contentNovelty needs encode columns")
+    def enc(df: DataFrame) = {
+      val e = concat_ws("|", encodeCols.map(c => col(c).cast("string")): _*)
+      df.withColumn("__h31", TextStats.fingerprintBase(e, 31))
+        .withColumn("__h37", TextStats.fingerprintBase(e, 37))
+    }
+    val old = enc(v1).select("__h31", "__h37").distinct()
+    val cur = enc(v2).select(col(groupCol).as("grp"),
+      col("__h31"), col("__h37"))
+    val novel = cur.join(old, Seq("__h31", "__h37"), "left_anti")
+      .groupBy("grp").agg(count(lit(1)).as("n_novel"))
+    cur.groupBy("grp").agg(count(lit(1)).as("n_rows"))
+      .join(novel, Seq("grp"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("novel_bp",
+        expr("(10000 * n_novel) div greatest(n_rows, 1)"))
+      .select("grp", "n_rows", "n_novel", "novel_bp")
+  }
 }

@@ -162,4 +162,16 @@ class ProfileSpec extends SparkSpec {
     assert(h.contains((10L, 30000L)))
     assert(h.filter(_._1 == 0L).forall(_._2 == -10000L))
   }
+
+  test("groupMode: higher count wins, ties break to the smaller value, " +
+    "nulls excluded") {
+    import spark.implicits._
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "z"), ("b", "y"), ("c", null)).toDF("g", "v")
+    val got = graft.operators.Profile.groupMode(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map("a" -> (("x", 2L)), "b" -> (("y", 1L))),
+      got.toString)
+  }
 }

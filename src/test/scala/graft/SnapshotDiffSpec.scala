@@ -74,4 +74,19 @@ class SnapshotDiffSpec extends SparkSpec {
       "added" -> ((1L, 0L, 50L, 50L))), got.toString)
     assert(got.values.map(_._4).sum == 85L - 100L)
   }
+
+  test("contentNovelty: re-keyed identical content is NOT novel; " +
+    "changed content is; zero-novel groups kept") {
+    import spark.implicits._
+    val v1 = Seq((1L, "s1", "alpha"), (2L, "s1", "beta"),
+      (3L, "s2", "gamma")).toDF("id", "src", "text")
+    val v2 = Seq((11L, "s1", "alpha"), (12L, "s1", "NEW beta"),
+      (13L, "s2", "gamma")).toDF("id", "src", "text")
+    val got = graft.operators.SnapshotDiff
+      .contentNovelty(v1, v2, "src", Seq("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map("s1" -> ((2L, 1L, 5000L)),
+      "s2" -> ((1L, 0L, 0L))), got.toString)
+  }
 }
