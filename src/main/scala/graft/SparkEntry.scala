@@ -3649,6 +3649,32 @@ object SparkEntry {
         Seq("text"))
     }),
 
+    // §2 row 279: STREAMING stickiness monitor — per-batch PARTIAL
+    // (user, day) incidences via the QI monitor; incidence is an
+    // EXISTENCE fact, so the read-side dedup (not sum) reassembles the
+    // identical activity frame under any batch split and the drained
+    // DAU/WAU equals batch exactly. EXACT oracle: q266's SQL verbatim.
+    "q277_stickiness_monitor_stream" -> ((s, dir) => {
+      val src = artifactPath("stickmonsrc", dir, codeHash(SparkEntry.getClass))
+      stageParquet(src) { tmp =>
+        Tables.events(s, dir).select("event_id", "user_id", "ts")
+          .repartition(4).write.mode("overwrite").parquet(tmp)
+      }
+      val base = artifactPath("stickmon", dir,
+        codeHash(SparkEntry.getClass, ScoringStream.getClass,
+          graft.operators.Retention.getClass))
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id").as("__u"),
+          expr("unix_micros(ts) div 86400000000L").as("__d"))
+      ScoringStream.monitorQiStream(stream, Seq("__u", "__d"),
+        s"$base/mon", s"$base/ckpt")
+      val activity = s.read.parquet(s"$base/mon")
+        .select("__u", "__d").distinct()
+      graft.operators.Retention.stickinessFromActivity(activity, k = 7)
+    }),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -4690,6 +4716,23 @@ object SparkEntry {
       "hrs AS (SELECT grp, unnest(generate_series(h0, h1)) AS h FROM sp), " +
       "se AS (SELECT hrs.grp, hrs.h, coalesce(cnt, 0) AS cnt FROM hrs " +
       "LEFT JOIN c ON hrs.grp = c.grp AND hrs.h = c.h)"
+
+  /** Stickiness oracle shared by the batch (q266) and streaming
+    * (q277) declarations — one definition, no drift. */
+  private def stickinessSql: String =
+    "WITH act AS (SELECT DISTINCT user_id AS u, " +
+      "epoch_us(ts) // 86400000000 AS d FROM events " +
+      "WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+      "dau AS (SELECT d AS day, count(*) AS dau FROM act GROUP BY d), " +
+      "sp AS (SELECT max(d) AS dmax FROM act), " +
+      "w AS (SELECT DISTINCT u, unnest(generate_series(d, d + 6)) " +
+      "AS day FROM act), " +
+      "wau AS (SELECT day, count(*) AS wau FROM w, sp " +
+      "WHERE day <= dmax GROUP BY day) " +
+      "SELECT CAST(dau.day AS BIGINT) AS day, " +
+      "CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau, " +
+      "CAST((10000 * dau) // wau AS BIGINT) AS stickiness_bp " +
+      "FROM dau JOIN wau ON wau.day = dau.day"
 
   /** KS-distance oracle shared by the batch (q258) and streaming
     * (q273) declarations — one definition, no drift. */
@@ -7667,21 +7710,10 @@ object SparkEntry {
         "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users FROM j"),
 
     // Same deduped activity, membership explode, distinct counts and
-    // integer ratio.
-    "q266_stickiness" ->
-      ("WITH act AS (SELECT DISTINCT user_id AS u, " +
-        "epoch_us(ts) // 86400000000 AS d FROM events " +
-        "WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
-        "dau AS (SELECT d AS day, count(*) AS dau FROM act GROUP BY d), " +
-        "sp AS (SELECT max(d) AS dmax FROM act), " +
-        "w AS (SELECT DISTINCT u, unnest(generate_series(d, d + 6)) " +
-        "AS day FROM act), " +
-        "wau AS (SELECT day, count(*) AS wau FROM w, sp " +
-        "WHERE day <= dmax GROUP BY day) " +
-        "SELECT CAST(dau.day AS BIGINT) AS day, " +
-        "CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau, " +
-        "CAST((10000 * dau) // wau AS BIGINT) AS stickiness_bp " +
-        "FROM dau JOIN wau ON wau.day = dau.day"),
+    // integer ratio. Shared verbatim with the streaming twin q277
+    // (existence-collapse incidences, no drift).
+    "q266_stickiness" -> stickinessSql,
+    "q277_stickiness_monitor_stream" -> stickinessSql,
 
     // The shared hourly series self-joined on common hours, the same
     // sufficient-statistics fold with the sign-split div.

@@ -77,13 +77,22 @@ object Retention {
     * zero actives carry no row (inner join by construction, documented).
     * stickiness_bp = (10000·dau) div wau. */
   def stickiness(events: DataFrame, userCol: String, tsCol: String,
-                 k: Int = 7): DataFrame = {
-    require(k >= 1, s"window must be >= 1, got $k")
-    val act = events
+                 k: Int = 7): DataFrame =
+    stickinessFromActivity(events
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).as("__u"),
         expr(s"unix_micros($tsCol) div 86400000000L").as("__d"))
-      .distinct()
+      .distinct(), k)
+
+  /** [[stickiness]] from a deduped (__u, __d) activity frame — the
+    * shared read half: (user, day) incidence is an EXISTENCE fact, so
+    * a monitor that appends per-batch partial incidences collapses to
+    * the identical frame under any batch split (the cardinality
+    * variant of the additive-counts monitor argument — dedup, don't
+    * sum) and the drained ratio equals the batch ratio exactly. */
+  def stickinessFromActivity(activity: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"window must be >= 1, got $k")
+    val act = activity.select("__u", "__d").distinct()
     val dau = act.groupBy(col("__d").as("day"))
       .agg(count(lit(1)).as("dau"))
     val span = act.agg(max("__d").as("__dmax"))

@@ -78,4 +78,27 @@ class ChurnSpec extends SparkSpec {
     assert(got == Map(0L -> ((2L, 2L, 10000L)), 1L -> ((1L, 2L, 5000L))),
       got.toString)
   }
+
+  test("stickinessFromActivity over unioned split incidences == " +
+    "stickiness over events (existence collapse, not sums)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val Day = 86400000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val rows = (1 to 60).map(i =>
+      ((i % 7).toLong, ts((i % 5) * Day + i * 1000L)))
+    val df = rows.toDF("user_id", "ts")
+    val direct = graft.operators.Retention.stickiness(
+      df, "user_id", "ts", k = 3).collect().map(_.toSeq).toSet
+    def inc(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("user_id").as("__u"),
+        expr("unix_micros(ts) div 86400000000L").as("__d")).distinct()
+    // a user's same-day events split across both halves — the dedup
+    // (not a sum) must absorb the double-reported incidence
+    val h1 = df.filter(hash(col("ts")) % 2 === 0)
+    val h2 = df.filter(hash(col("ts")) % 2 =!= 0)
+    val merged = graft.operators.Retention.stickinessFromActivity(
+      inc(h1).unionAll(inc(h2)), k = 3).collect().map(_.toSeq).toSet
+    assert(merged == direct)
+  }
 }

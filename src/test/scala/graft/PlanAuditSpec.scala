@@ -169,6 +169,8 @@ class PlanAuditSpec extends SparkSpec {
                             // key-bounded count frame
       "q266_stickiness",    // single-row broadcast span-max attach (the
                             // q197 precedent) bounding the window days
+      "q277_stickiness_monitor_stream", // same span attach via the
+                            // shared stickinessFromActivity read half
       "q272_retrieval_agreement", // the dense list IS q20's exempt
                             // brute-force baseline (the q105 argument);
                             // the overlap itself is a hash join on
