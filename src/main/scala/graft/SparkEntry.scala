@@ -3675,6 +3675,31 @@ object SparkEntry {
       graft.operators.Retention.stickinessFromActivity(activity, k = 7)
     }),
 
+    // §2 row 280: STREAMING content-novelty monitor — the q276 re-keyed
+    // release fed as a stream, fingerprinted per batch against the
+    // broadcast frozen v1 set; stateless predicate + additive counts →
+    // the drained shares equal the batch audit. EXACT oracle: q276's
+    // SQL verbatim.
+    "q278_novelty_monitor_stream" -> ((s, dir) => {
+      val v1 = Tables.documents(s, dir).select("doc_id", "source", "text")
+      val nsrc = artifactPath("novmonsrc", dir, codeHash(SparkEntry.getClass))
+      stageParquet(nsrc) { tmp =>
+        v1.select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          when(col("doc_id") % 9 === 0,
+            concat(lit("fresh page "), col("doc_id").cast("string"),
+              lit(" :: "), col("text")))
+            .otherwise(col("text")).as("text"))
+          .repartition(4).write.mode("overwrite").parquet(tmp)
+      }
+      val base = artifactPath("novmon", dir,
+        codeHash(SparkEntry.getClass, ScoringStream.getClass))
+      val stream = s.readStream.schema(s.read.parquet(nsrc).schema)
+        .option("maxFilesPerTrigger", "1").parquet(nsrc)
+      ScoringStream.monitorNoveltyStream(stream, "source", Seq("text"),
+        v1, s"$base/mon", s"$base/ckpt")
+      ScoringStream.readNoveltyMonitor(s, s"$base/mon")
+    }),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -4716,6 +4741,32 @@ object SparkEntry {
       "hrs AS (SELECT grp, unnest(generate_series(h0, h1)) AS h FROM sp), " +
       "se AS (SELECT hrs.grp, hrs.h, coalesce(cnt, 0) AS cnt FROM hrs " +
       "LEFT JOIN c ON hrs.grp = c.grp AND hrs.h = c.h)"
+
+  /** Content-novelty oracle shared by the batch (q276) and streaming
+    * (q278) declarations — one definition, no drift. */
+  private def noveltySql: String = {
+    def h(base: Int) =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(regexp_split_to_array(text, ''), " +
+        "c -> CAST(coalesce(ascii(c), 0) AS BIGINT))), " +
+        s"(a, b) -> (a * $base + b) % 1000000007)"
+    s"WITH v1h AS (SELECT DISTINCT ${h(31)} AS h31, ${h(37)} AS h37 " +
+      "FROM documents), " +
+      "v2 AS (SELECT source, CASE WHEN doc_id % 9 = 0 " +
+      "THEN 'fresh page ' || CAST(doc_id AS VARCHAR) || ' :: ' || " +
+      "text ELSE text END AS text FROM documents), " +
+      s"v2h AS (SELECT source AS grp, ${h(31)} AS h31, ${h(37)} AS h37 " +
+      "FROM v2), " +
+      "nv AS (SELECT grp, count(*) AS n_novel FROM v2h " +
+      "WHERE NOT EXISTS (SELECT 1 FROM v1h WHERE v1h.h31 = v2h.h31 " +
+      "AND v1h.h37 = v2h.h37) GROUP BY grp), " +
+      "tot AS (SELECT grp, count(*) AS n_rows FROM v2h GROUP BY grp) " +
+      "SELECT tot.grp, CAST(n_rows AS BIGINT) AS n_rows, " +
+      "CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel, " +
+      "CAST((10000 * coalesce(n_novel, 0)) // greatest(n_rows, 1) " +
+      "AS BIGINT) AS novel_bp " +
+      "FROM tot LEFT JOIN nv ON nv.grp = tot.grp"
+  }
 
   /** Stickiness oracle shared by the batch (q266) and streaming
     * (q277) declarations — one definition, no drift. */
@@ -7824,31 +7875,10 @@ object SparkEntry {
         "WHERE rk = 1"),
 
     // The q25 two-channel polynomial on text, distinct v1 fingerprints
-    // anti-joined, per-source novelty share.
-    "q276_content_novelty" -> {
-      def h(base: Int) =
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-          "list_transform(regexp_split_to_array(text, ''), " +
-          "c -> CAST(coalesce(ascii(c), 0) AS BIGINT))), " +
-          s"(a, b) -> (a * $base + b) % 1000000007)"
-      s"WITH v1h AS (SELECT DISTINCT ${h(31)} AS h31, ${h(37)} AS h37 " +
-        "FROM documents), " +
-        "v2 AS (SELECT source, CASE WHEN doc_id % 9 = 0 " +
-        "THEN 'fresh page ' || CAST(doc_id AS VARCHAR) || ' :: ' || " +
-        "text ELSE text END AS text FROM documents), " +
-        s"v2h AS (SELECT source AS grp, ${h(31)} AS h31, ${h(37)} AS h37 " +
-        "FROM v2), " +
-        "nv AS (SELECT grp, count(*) AS n_novel FROM v2h " +
-        "WHERE NOT EXISTS (SELECT 1 FROM v1h WHERE v1h.h31 = v2h.h31 " +
-        "AND v1h.h37 = v2h.h37) GROUP BY grp), " +
-        "tot AS (SELECT grp, count(*) AS n_rows FROM v2h GROUP BY grp) " +
-        "SELECT tot.grp, CAST(n_rows AS BIGINT) AS n_rows, " +
-        "CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel, " +
-        "CAST((10000 * coalesce(n_novel, 0)) // greatest(n_rows, 1) " +
-        "AS BIGINT) AS novel_bp " +
-        "FROM tot LEFT JOIN nv ON nv.grp = tot.grp"
-    },
-
+    // anti-joined, per-source novelty share. Shared verbatim with the
+    // streaming twin q278 (stateless predicate + additive counts).
+    "q278_novelty_monitor_stream" -> noveltySql,
+    "q276_content_novelty" -> noveltySql,
     // Lossless round-trip: the read-back equals the source projection.
     "q231_orc_roundtrip" ->
       "SELECT doc_id, lang, source FROM documents",

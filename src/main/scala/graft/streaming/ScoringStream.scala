@@ -443,6 +443,61 @@ object ScoringStream {
       .groupBy("source")
       .agg(sum("__t").as("tokens"))
 
+  /** Streaming content-novelty monitor — the live half of the
+    * content-addressed novelty read: each microbatch fingerprints its
+    * rows at the scan, left-anti-checks them against the BROADCAST
+    * frozen v1 fingerprint set (stream-static, the FK-monitor idiom),
+    * and appends ONE additive (grp, n_rows, n_novel) partial per group
+    * with its batch_id. The novelty predicate is a stateless row fact
+    * against the frozen snapshot, so indicator counts are additive
+    * across any batch split and the drained shares equal the batch
+    * audit EXACTLY; replays collapse on (batch_id, grp). */
+  def monitorNoveltyStream(feed: DataFrame, groupCol: String,
+                           encodeCols: Seq[String], v1: DataFrame,
+                           path: String, checkpoint: String): Unit = {
+    require(encodeCols.nonEmpty, "monitorNoveltyStream needs encode cols")
+    def enc(df: DataFrame) = {
+      val e = concat_ws("|", encodeCols.map(c => col(c).cast("string")): _*)
+      df.withColumn("__h31",
+          graft.textstats.TextStats.fingerprintBase(e, 31))
+        .withColumn("__h37",
+          graft.textstats.TextStats.fingerprintBase(e, 37))
+    }
+    val old = broadcast(enc(v1).select("__h31", "__h37").distinct())
+    val q = feed.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        enc(batch)
+          .join(old.withColumnRenamed("__h31", "__o31")
+            .withColumnRenamed("__h37", "__o37"),
+            col("__h31") === col("__o31") && col("__h37") === col("__o37"),
+            "left")
+          .groupBy(col(groupCol).as("grp"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("__o31").isNull, 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(path)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Idempotent read half for [[monitorNoveltyStream]]: collapse
+    * replayed batches, sum the additive partials, emit the
+    * q276-shaped per-group shares. */
+  def readNoveltyMonitor(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("batch_id", "grp")
+      .agg(max("n_rows").as("__r"), max("n_novel").as("__n"))
+      .groupBy("grp")
+      .agg(sum("__r").as("n_rows"), sum("__n").as("n_novel"))
+      .withColumn("novel_bp",
+        expr("(10000 * n_novel) div greatest(n_rows, 1)"))
+      .select("grp", "n_rows", "n_novel", "novel_bp")
+
   /** Streaming referential-integrity monitor — the live half of the FK
     * audit: each microbatch left-joins the BROADCAST distinct parent-key
     * frame (stream-static, the q152 idiom) and writes ONE partial

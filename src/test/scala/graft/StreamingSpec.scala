@@ -511,4 +511,23 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("s1" -> 17L, "s2" -> 5L), got.toString)
   }
+
+  test("novelty monitor: additive per-source partials collapse and sum " +
+    "to the batch shares") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_novmon").toString
+    val b0 = Seq(("s1", 3L, 1L, 0L), ("s2", 2L, 0L, 0L))
+      .toDF("grp", "n_rows", "n_novel", "batch_id")
+    val b1 = Seq(("s1", 2L, 2L, 1L)).toDF("grp", "n_rows", "n_novel",
+      "batch_id")
+    b0.write.mode("append").parquet(tmp)
+    b1.write.mode("append").parquet(tmp)
+    b1.write.mode("append").parquet(tmp) // retry duplicate
+    val got = ScoringStream.readNoveltyMonitor(spark, tmp)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map("s1" -> ((5L, 3L, 6000L)), "s2" -> ((2L, 0L, 0L))),
+      got.toString)
+  }
 }
