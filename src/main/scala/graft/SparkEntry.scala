@@ -3614,8 +3614,8 @@ object SparkEntry {
         .option("maxFilesPerTrigger", "1").parquet(src)
         .filter(col("event_type").isNotNull && col("ts").isNotNull)
         .select(col("event_type").as("grp"),
-          expr("((unix_micros(ts) div 86400000000L) + 4) % 7").as("dow"),
-          expr("(unix_micros(ts) div 3600000000L) % 24").as("hod"))
+          graft.operators.Changepoint.dowExpr("ts").as("dow"),
+          graft.operators.Changepoint.hodExpr("ts").as("hod"))
       ScoringStream.monitorQiStream(stream, Seq("grp", "dow", "hod"),
         s"$base/mon", s"$base/ckpt")
       val counts = s.read.parquet(s"$base/mon")
@@ -4809,11 +4809,17 @@ object SparkEntry {
       "FROM w GROUP BY grp, n_group"
 
   /** Seasonality oracle shared by the batch (q268) and streaming
-    * (q274) declarations — one definition, no drift. */
+    * (q274) declarations — one definition, no drift. The dow/hod
+    * arithmetic replays the engine's sign-safe pmod/floor-div identity
+    * (Changepoint.dowExpr): DuckDB `//` and `%` truncate toward zero
+    * like Spark's `div`/`%`, so the floor is rebuilt with the
+    * ((x % m) + m) % m non-negative-mod trick on both engines. */
   private def seasonalitySql: String =
     "WITH e AS (SELECT event_type AS grp, " +
-      "((epoch_us(ts) // 86400000000) + 4) % 7 AS dow, " +
-      "(epoch_us(ts) // 3600000000) % 24 AS hod FROM events " +
+      "((((epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) " +
+      "% 86400000000) // 86400000000) + 4) % 7 + 7) % 7 AS dow, " +
+      "((((epoch_us(ts) - ((epoch_us(ts) % 3600000000) + 3600000000) " +
+      "% 3600000000) // 3600000000) % 24) + 24) % 24 AS hod FROM events " +
       "WHERE event_type IS NOT NULL AND ts IS NOT NULL), " +
       "c AS (SELECT grp, dow, hod, count(*) AS n FROM e " +
       "GROUP BY 1, 2, 3) " +
@@ -7336,7 +7342,8 @@ object SparkEntry {
         "CAST((10000 * n_ab) // bb.ni AS BIGINT) AS conf_ba_bp, " +
         "CAST((10000 * n_ab) // (a.ni + bb.ni - n_ab) AS BIGINT) " +
         "AS jaccard_bp, " +
-        "CAST((1000 * nb * n_ab) // (a.ni * bb.ni) AS BIGINT) AS lift_m " +
+        "CAST((1000 * CAST(nb AS HUGEINT) * n_ab) // " +
+        "(CAST(a.ni AS HUGEINT) * bb.ni) AS BIGINT) AS lift_m " +
         "FROM p JOIN ic a ON a.i = item_a JOIN ic bb ON bb.i = item_b " +
         "CROSS JOIN n"),
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -214,20 +214,36 @@ object Changepoint {
     * total in bp: the traffic heatmap behind capacity planning and the
     * "does this feed keep office hours" bot read beside
     * [[autocorrelation]]'s lag-24 number. Day-of-week is the pure
-    * integer identity (epoch_day + 4) % 7 (1970-01-01 was a Thursday;
-    * 0 = Sunday) — no engine or locale dow function to disagree. One
-    * map-side-combined count over ≤ |groups|·168 cells, the per-group
-    * total as a window over that cell frame. */
+    * integer identity pmod(epoch_day + 4, 7) (1970-01-01 was a
+    * Thursday; 0 = Sunday) — no engine or locale dow function to
+    * disagree, and epoch_day is a true FLOOR division
+    * ((us − pmod(us, day)) div day): `div`/`%` truncate toward zero, so
+    * the naive form mis-bins pre-1970 timestamps by a day and emits
+    * negative dow cells; the pmod formulation is sign-safe for any
+    * epoch. One map-side-combined count over ≤ |groups|·168 cells, the
+    * per-group total as a window over that cell frame. */
   def seasonalityProfile(events: DataFrame, groupCol: String,
                          tsCol: String): DataFrame =
     seasonalityFromCounts(events
       .filter(col(groupCol).isNotNull && col(tsCol).isNotNull)
       .select(col(groupCol).as("grp"),
-        expr(s"((unix_micros($tsCol) div 86400000000L) + 4) % 7")
-          .as("dow"),
-        expr(s"(unix_micros($tsCol) div 3600000000L) % 24").as("hod"))
+        dowExpr(tsCol).as("dow"), hodExpr(tsCol).as("hod"))
       .groupBy("grp", "dow", "hod")
       .agg(count(lit(1)).as("n")))
+
+  /** Sign-safe day-of-week (0 = Sunday) of a timestamp column: floor
+    * epoch-day via the pmod identity, then pmod(+4, 7). Shared with the
+    * streaming seasonality monitor so both halves bin identically. */
+  def dowExpr(tsCol: String): Column = {
+    val us = s"unix_micros($tsCol)"
+    expr(s"pmod((($us - pmod($us, 86400000000L)) div 86400000000L) + 4, 7)")
+  }
+
+  /** Sign-safe hour-of-day: floor epoch-hour, then pmod 24. */
+  def hodExpr(tsCol: String): Column = {
+    val us = s"unix_micros($tsCol)"
+    expr(s"pmod(($us - pmod($us, 3600000000L)) div 3600000000L, 24)")
+  }
 
   /** [[seasonalityProfile]] from a pre-reduced (grp, dow, hod, n) count
     * frame — the shared read half: cell counts are additive across

@@ -63,6 +63,10 @@ object Cooccurrence {
         expr("(10000 * n_ab) div n_a").as("conf_ab_bp"),
         expr("(10000 * n_ab) div n_b").as("conf_ba_bp"),
         expr("(10000 * n_ab) div (n_a + n_b - n_ab)").as("jaccard_bp"),
-        expr("(1000 * __n * n_ab) div (n_a * n_b)").as("lift_m"))
+        // decimal(38,0) headroom (the row-202 convention): N·n_ab and
+        // n_a·n_b are products of corpus-scale counts — plain int64
+        // would wrap silently at web scale
+        expr("(1000 * cast(__n as decimal(38,0)) * n_ab) div " +
+          "(cast(n_a as decimal(38,0)) * n_b)").cast("long").as("lift_m"))
   }
 }

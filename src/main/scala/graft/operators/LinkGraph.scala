@@ -43,6 +43,17 @@ import org.apache.spark.sql.functions._
   */
 object LinkGraph {
 
+  /** Materialize the per-node result (eager `localCheckpoint` — a few
+    * longs per node, the cheapest durable form) and RELEASE the
+    * iteration caches. Without this every invocation pins its edge/node
+    * frames for the session's lifetime — the bench driver runs hundreds
+    * of queries in one JVM, so cache lifetime is part of the contract. */
+  private def finish(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint()
+    cached.foreach(_.unpersist())
+    out
+  }
+
   /** (node, pr) after `iters` fixed integer-PageRank iterations over
     * `edges` (columns `src`, `dst`; parallel edges collapse; node set =
     * distinct src ∪ dst). pr is micro-units, initial 1,000,000 per node. */
@@ -69,7 +80,7 @@ object LinkGraph {
       // at convergence-style iteration counts
       if (i % 8 == 0 && i < iters) pr = pr.localCheckpoint()
     }
-    pr
+    finish(pr, withDeg, nodes)
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) — the directory-vs-content
@@ -108,8 +119,8 @@ object LinkGraph {
           Seq("node"), "left")
         .select(col("node"), coalesce(col("__s"), lit(0L)).as("v"))
     }
-    auth.withColumnRenamed("v", "auth")
-      .join(hub.withColumnRenamed("v", "hub"), Seq("node"))
+    finish(auth.withColumnRenamed("v", "auth")
+      .join(hub.withColumnRenamed("v", "hub"), Seq("node")), e, nodes)
   }
 
   /** TrustRank — personalized PageRank (Gyöngyi et al. 2004): the
@@ -150,7 +161,7 @@ object LinkGraph {
       // the pageRank lineage rule: bounded plan depth at any iters
       if (i % 8 == 0 && i < iters) pr = pr.localCheckpoint()
     }
-    pr
+    finish(pr, withDeg, tele)
   }
 
   /** Link-exchange (reciprocal-link) profile — the classic link-farm
@@ -172,10 +183,10 @@ object LinkGraph {
     val rev = e.select(col("dst").as("src"), col("src").as("dst"))
     val recip = e.join(rev, Seq("src", "dst"), "left_semi")
       .groupBy("src").agg(count(lit(1)).as("recip"))
-    e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    finish(e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .join(recip, Seq("src"), "left")
       .na.fill(0L, Seq("recip"))
       .select(col("src").as("host"), col("outdeg"), col("recip"),
-        expr("(10000 * recip) div outdeg").as("recip_bp"))
+        expr("(10000 * recip) div outdeg").as("recip_bp")), e)
   }
 }

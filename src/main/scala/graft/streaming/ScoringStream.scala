@@ -414,13 +414,15 @@ object ScoringStream {
     * token partial sums append with batch_id; the q122/q157 additivity
     * argument on token mass, so the read-side collapse feeds the shared
     * Pareto/Gini mixture reads with the exact batch numbers after every
-    * ingest batch. */
+    * ingest batch. NULL sources are a group like any other — the batch
+    * twin (q225 paretoCoverage) groups NULL-source docs too, so the
+    * drained read stays exactly equal to the batch rollup even when the
+    * corpus carries unattributed rows. */
   def monitorTokenStream(docs: DataFrame, srcCol: String, textCol: String,
                          path: String, checkpoint: String): Unit = {
     val q = docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         batch
-          .filter(col(srcCol).isNotNull)
           .groupBy(col(srcCol).as("source"))
           .agg(sum(graft.textstats.TextStats.wsTokenCount(col(textCol))
             .cast("long")).as("tokens"))

@@ -20,8 +20,12 @@ import org.apache.spark.sql.functions._
   * words — each division truncates non-negative integers, so the score
   * is bit-identical on any engine; real texts land ~0–100000, garbage
   * goes deeply negative (long unpunctuated runs), and that asymmetry is
-  * the filter signal. Empty/wordless docs report NULL (no score is
-  * defined). Zero shuffles — three codegen regex counts per row.
+  * the filter signal. Word counting follows the row-38 whitespace-split
+  * convention where split("") = [""] — empty/null text therefore counts
+  * as ONE word (and one floored sentence, zero syllables), scoring the
+  * constant 206835 − 1015 − 0 = 205820; flesch_m is total (never NULL),
+  * and ReadabilitySpec pins the empty-doc constant. Zero shuffles —
+  * three codegen regex counts per row.
   */
 object Readability {
 
@@ -35,9 +39,10 @@ object Readability {
           .cast("long"), lit(1L)).as("sentences"),
         size(regexp_extract_all(t, lit("[aeiouyAEIOUY]+"), lit(0)))
           .cast("long").as("syllables"))
-      .withColumn("flesch_m",
-        when(col("words") >= 1, expr(
-          "206835 - (1015 * words) div sentences - " +
-            "(84600 * syllables) div words")))
+      .withColumn("flesch_m", expr(
+        // words >= 1 always (split("") = [""], class doc) — the
+        // divisions are well-defined with no NULL branch
+        "206835 - (1015 * words) div sentences - " +
+          "(84600 * syllables) div words"))
   }
 }

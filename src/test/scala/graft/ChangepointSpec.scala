@@ -211,6 +211,20 @@ class ChangepointSpec extends SparkSpec {
       (0L, 23L) -> ((1L, 3333L))), got.toString)
   }
 
+  test("seasonalityProfile: pre-1970 timestamps floor-bin (sign-safe " +
+    "dow/hod — no negative cells, no off-by-one day)") {
+    // −1 s = 1969-12-31 23:59:59, a WEDNESDAY: floor epoch_day = −1 →
+    // dow = pmod(3, 7) = 3, hod = pmod(−1, 24) = 23. Truncating div
+    // would bin it as day 0 / hour 0 (Thursday midnight).
+    val rows = Seq(("a", ts(-1000000L)), ("a", ts(5 * Hour)))
+    val got = Changepoint.seasonalityProfile(
+      rows.toDF("event_type", "ts"), "event_type", "ts")
+      .collect().map(r => (r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map((3L, 23L) -> ((1L, 5000L)),
+      (4L, 5L) -> ((1L, 5000L))), got.toString)
+  }
+
   test("seasonalityFromCounts over summed split partials == " +
     "seasonalityProfile over events (the monitor additivity)") {
     import org.apache.spark.sql.functions._
@@ -220,8 +234,8 @@ class ChangepointSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     def cells(d: org.apache.spark.sql.DataFrame) = d
       .select(col("event_type").as("grp"),
-        expr("((unix_micros(ts) div 86400000000L) + 4) % 7").as("dow"),
-        expr("(unix_micros(ts) div 3600000000L) % 24").as("hod"))
+        Changepoint.dowExpr("ts").as("dow"),
+        Changepoint.hodExpr("ts").as("hod"))
       .groupBy("grp", "dow", "hod").agg(count(lit(1)).as("n"))
     val h1 = df.filter(hash(col("ts")) % 2 === 0)
     val h2 = df.filter(hash(col("ts")) % 2 =!= 0)
