@@ -3700,6 +3700,32 @@ object SparkEntry {
       ScoringStream.readNoveltyMonitor(s, s"$base/mon")
     }),
 
+    // §2 row 281: lexicon-based sentiment scoring — the reference's
+    // VADER pass (Scalable_EDA_Final.py:379-386, a Python-UDF library
+    // call) as a broadcast (term, valence_m) join with in-row
+    // prev-token negation and the integer-exact compound
+    // normalization. EXACT oracle (lexicon is data; sqrt/divide are
+    // correctly-rounded IEEE ops, same operation order both engines).
+    "q279_lexicon_sentiment" -> ((s, dir) =>
+      graft.textstats.SentimentLexicon.score(
+        Tables.documents(s, dir), "doc_id", "text",
+        graft.textstats.SentimentLexicon.defaultLexicon(s))
+        .withColumnRenamed("id", "doc_id")),
+
+    // §2 row 282: sentiment distribution — the reference's histogram
+    // read (Scalable_EDA_Final.py:388: sns.histplot of the compound
+    // column) per source: fixed-width compound buckets × counts.
+    // EXACT oracle.
+    "q280_sentiment_dist" -> ((s, dir) => {
+      val scored = graft.textstats.SentimentLexicon.score(
+        Tables.documents(s, dir), "doc_id", "text",
+        graft.textstats.SentimentLexicon.defaultLexicon(s))
+      graft.textstats.SentimentLexicon.distribution(
+        scored.join(Tables.documents(s, dir)
+          .select(col("doc_id").as("id"), col("source")), Seq("id")),
+        "source")
+    }),
+
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
     // length classes, capacity seqLen div class whole docs per bin,
     // per-class ranks via the Curriculum bucket-offset machinery (no
@@ -4807,6 +4833,32 @@ object SparkEntry {
       "CAST(cumA AS HUGEINT) * n_group)) // " +
       "(CAST(n_group AS HUGEINT) * nA)) AS BIGINT) AS ks_bp " +
       "FROM w GROUP BY grp, n_group"
+
+  /** Shared scored-documents CTE prefix for the lexicon-sentiment
+    * oracles (q279 per-doc, q280 histogram): lexicon as a VALUES
+    * literal generated from SentimentLexicon.defaultEntries, (tok,
+    * prev) pairs via a 1-indexed lateral generate_series, negation
+    * flip in truncating integer milli-units (DuckDB `//` == Spark
+    * `div` toward zero). Ends after `g` — append a final SELECT (or
+    * further CTEs with a leading comma). */
+  private def sentimentScoredSql: String = {
+    import graft.textstats.SentimentLexicon
+    s"WITH lex(term, valence_m) AS (VALUES " +
+      s"${SentimentLexicon.lexiconSqlValues}), " +
+      s"d AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents), " +
+      "p AS (SELECT doc_id, len(toks) AS n_tokens, toks, " +
+      "unnest(generate_series(1, len(toks))) AS i FROM d), " +
+      "t AS (SELECT doc_id, n_tokens, toks[i] AS tok, " +
+      "CASE WHEN i > 1 THEN toks[i-1] END AS prev FROM p), " +
+      "j AS (SELECT t.doc_id, t.n_tokens, l.valence_m, t.prev " +
+      "FROM t LEFT JOIN lex l ON t.tok = l.term), " +
+      "g AS (SELECT doc_id, max(n_tokens) AS n_tokens, " +
+      "count(valence_m) AS n_hits, " +
+      "coalesce(sum(CASE WHEN prev IN " +
+      s"(${SentimentLexicon.negatorsSqlList}) " +
+      "THEN -((740 * valence_m) // 1000) ELSE valence_m END), 0) " +
+      "AS valence_m FROM j GROUP BY doc_id) "
+  }
 
   /** Seasonality oracle shared by the batch (q268) and streaming
     * (q274) declarations — one definition, no drift. The dow/hod
@@ -7886,6 +7938,31 @@ object SparkEntry {
     // streaming twin q278 (stateless predicate + additive counts).
     "q278_novelty_monitor_stream" -> noveltySql,
     "q276_content_novelty" -> noveltySql,
+
+    // Lexicon replayed as a VALUES literal (one source of truth with
+    // SentimentLexicon.defaultEntries); same tokenization, same
+    // prev-token negation flip in truncating integer milli-units, same
+    // IEEE-exact compound formula with identical operation order.
+    "q279_lexicon_sentiment" ->
+      (sentimentScoredSql +
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(n_hits AS BIGINT) AS n_hits, " +
+        "CAST(valence_m AS BIGINT) AS valence_m, " +
+        "CAST(floor((10000.0 * valence_m) / " +
+        "sqrt(CAST(valence_m AS DOUBLE) * valence_m + 15000000.0)) " +
+        "AS BIGINT) AS compound_m FROM g"),
+
+    // The same scored CTE rolled to the reference's histogram: per
+    // source, width-2000 compound buckets ((c + 10^4) // 2000 ∈ [0,9]).
+    "q280_sentiment_dist" ->
+      (sentimentScoredSql +
+        ", c AS (SELECT doc_id, CAST(floor((10000.0 * valence_m) / " +
+        "sqrt(CAST(valence_m AS DOUBLE) * valence_m + 15000000.0)) " +
+        "AS BIGINT) AS compound_m FROM g) " +
+        "SELECT d2.source AS grp, " +
+        "CAST((c.compound_m + 10000) // 2000 AS BIGINT) AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS n " +
+        "FROM c JOIN documents d2 USING (doc_id) GROUP BY 1, 2"),
     // Lossless round-trip: the read-back equals the source projection.
     "q231_orc_roundtrip" ->
       "SELECT doc_id, lang, source FROM documents",
