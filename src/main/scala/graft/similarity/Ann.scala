@@ -624,6 +624,15 @@ object Ann {
     * vector table for exact-cosine confirmation, and within-increment
     * pairs come from the ordinary self-join on the increment alone.
     *
+    * The pair broadcast is GUARDED (the q18 DF-cap philosophy applied
+    * to joins): candidates are persisted and counted first — one scan
+    * of a cached two-long frame the confirm join needs anyway — and
+    * only a set of ≤ `maxBroadcastPairs` is broadcast-hinted; a
+    * pathological threshold/bucket config that explodes collisions past
+    * the cap falls back to an AQE-decided shuffle join instead of
+    * blowing the driver's broadcast ceiling. Rows are identical on both
+    * paths (the hint is strategy, not semantics; AnnSpec pins this).
+    *
     * Output: (new_id, dup_id, cos) — `dup_id` an indexed corpus id or an
     * earlier (lower-id) id of the same increment. Contract: globally
     * unique ids, and the index was built with the same
@@ -631,7 +640,8 @@ object Ann {
   def incrementalCosineDups(newDocs: DataFrame, idCol: String, vecCol: String,
                             corpusIndex: DataFrame, corpusVecs: DataFrame,
                             threshold: Double, dim: Int, nTables: Int,
-                            bitsPerTable: Int, seed: Long = 42L): DataFrame = {
+                            bitsPerTable: Int, seed: Long = 42L,
+                            maxBroadcastPairs: Long = 4000000L): DataFrame = {
     val newV = normalized(newDocs, idCol, vecCol, "id", "v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBuckets = newV.select(col("id").as("new_id"),
@@ -648,7 +658,11 @@ object Ann {
           col("l.new_id") < col("r.new_id"))
       .select(col("l.new_id").as("id_a"), col("r.new_id").as("id_b"))
       .distinct()
-    val pairs = broadcast(cross.union(within).distinct())
+    val candidates = cross.union(within).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs =
+      if (candidates.count() <= maxBroadcastPairs) broadcast(candidates)
+      else candidates
     val vecs = corpusVecs.select("id", "v").union(newV.select("id", "v"))
     pairs
       .join(vecs.select(col("id").as("id_a"), col("v").as("__va")), "id_a")

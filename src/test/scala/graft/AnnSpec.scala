@@ -339,6 +339,27 @@ class AnnSpec extends SparkSpec {
     assertNoCartesian(out)
   }
 
+  test("incrementalCosineDups: past the pair-broadcast cap the confirm " +
+    "join falls back to a shuffle join with identical rows") {
+    val base = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 40)
+      .select("vec_id", "embedding")
+    val idx = Ann.srpIndex(base, "vec_id", "embedding", dim = 64,
+      nTables = 6, bitsPerTable = 6)
+    val vecs = Ann.normalizedVectors(base, "vec_id", "embedding")
+    val inc = base.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    def run(cap: Long) = Ann.incrementalCosineDups(
+      inc, "vec_id", "embedding", idx, vecs, 0.95,
+      dim = 64, nTables = 6, bitsPerTable = 6, maxBroadcastPairs = cap)
+    val viaBroadcast = run(Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaShuffle = run(0L)  // cap 0: every candidate set overflows
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaShuffle == viaBroadcast && viaShuffle.nonEmpty,
+      s"fallback rows drifted: $viaShuffle vs $viaBroadcast")
+    assertNoCartesian(run(0L))
+  }
+
   test("semanticNearDup: planted near-dups recovered within cells, verified") {
     // same planting as the banded SRP test: scaled+shifted copies sit at
     // cosine ≈ 0.99+ of their original — close enough that a density-
