@@ -778,6 +778,14 @@ object SparkEntry {
       Sentiment.compareModels(Sentiment.prepare(Tables.documents(s, dir)),
         vocabSize = 1024)),
 
+    // §2 row 283: k-fold CV regParam sweep — the tuning loop the
+    // reference imports but never runs. Rows-only (cross-validated
+    // model metrics, the q50/q167 justification); MlSpec pins shape,
+    // determinism, and the best-flag invariant.
+    "q281_cv_sweep" -> ((s, dir) =>
+      Sentiment.cvSweep(Sentiment.prepare(Tables.documents(s, dir)),
+        vocabSize = 1024)),
+
     // §2 row 35, decode made real: P6 (PPM) payloads are born on executors
     // (one per doc_id, pixels a positional-hash function of (id, i)), then
     // genuinely DECODED per-partition — Netpbm header parsed, RGB plane

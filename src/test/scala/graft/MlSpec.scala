@@ -49,6 +49,28 @@ class MlSpec extends SparkSpec {
       assert(out(algo) > floor, s"$algo F1=${out(algo)} below floor $floor")
   }
 
+  test("cvSweep: one row per grid point, metrics bounded, best-flag on " +
+    "the max, deterministic under the fixed seed") {
+    def run() = Sentiment.cvSweep(docs, algo = "lr",
+      regParams = Seq(0.01, 0.3), numFolds = 2, vocabSize = 256)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    val got = run()
+    assert(got.map(_._2) == Set(10L, 300L), got.toString)  // milli regParams
+    assert(got.forall(r => r._1 == "lr" && r._3 >= 0L && r._3 <= 1000000L),
+      got.toString)
+    val best = got.map(_._3).max
+    assert(got.forall(r => r._4 == (r._3 == best)), got.toString)
+    // the fold assignment and every fit are seed-pinned: exact re-run match
+    assert(run() == got, "cvSweep is not deterministic under a fixed seed")
+  }
+
+  test("cvSweep rejects heads without a regParam grid") {
+    intercept[IllegalArgumentException] {
+      Sentiment.cvSweep(docs, algo = "nb", numFolds = 2, vocabSize = 64)
+    }
+  }
+
   test("hashing featurizer trains to comparable quality without a vocab fit") {
     val (model, f1, _) = Sentiment.trainEval(docs, "svm", seed = 100L,
       vocabSize = 1 << 12, hashing = true)
