@@ -3716,7 +3716,7 @@ object SparkEntry {
     // correctly-rounded IEEE ops, same operation order both engines).
     "q279_lexicon_sentiment" -> ((s, dir) =>
       graft.textstats.SentimentLexicon.score(
-        Tables.documents(s, dir), "doc_id", "text",
+        spread(s, Tables.documents(s, dir)), "doc_id", "text",
         graft.textstats.SentimentLexicon.defaultLexicon(s))
         .withColumnRenamed("id", "doc_id")),
 
@@ -3726,7 +3726,7 @@ object SparkEntry {
     // EXACT oracle.
     "q280_sentiment_dist" -> ((s, dir) => {
       val scored = graft.textstats.SentimentLexicon.score(
-        Tables.documents(s, dir), "doc_id", "text",
+        spread(s, Tables.documents(s, dir)), "doc_id", "text",
         graft.textstats.SentimentLexicon.defaultLexicon(s))
       graft.textstats.SentimentLexicon.distribution(
         scored.join(Tables.documents(s, dir)
