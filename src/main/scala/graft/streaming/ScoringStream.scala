@@ -252,22 +252,28 @@ object ScoringStream {
   def monitorOovStream(docs: DataFrame, textCol: String, sourceCol: String,
                        vocab: DataFrame, path: String,
                        checkpoint: String): Unit = {
-    val q = docs.writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        graft.textstats.VocabCoverage.tokenStream(batch, textCol, sourceCol)
-          .join(broadcast(vocab.withColumn("__in", lit(1))),
-            Seq("token"), "left")
-          .groupBy("source")
-          .agg(count(lit(1)).as("tokens"),
-            count(when(col("__in").isNull, 1)).as("oov_tokens"))
-          .withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(path)
-        ()
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // the monitorNoveltyStream rule: materialize the frozen static side
+    // once, or every microbatch re-derives it from scratch
+    val v = vocab.withColumn("__in", lit(1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    v.count()
+    try {
+      val q = docs.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.textstats.VocabCoverage.tokenStream(batch, textCol, sourceCol)
+            .join(broadcast(v), Seq("token"), "left")
+            .groupBy("source")
+            .agg(count(lit(1)).as("tokens"),
+              count(when(col("__in").isNull, 1)).as("oov_tokens"))
+            .withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(path)
+          ()
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally v.unpersist()
   }
 
   /** Idempotent rollup of [[monitorOovStream]]'s monitor table: collapse
@@ -465,26 +471,35 @@ object ScoringStream {
         .withColumn("__h37",
           graft.textstats.TextStats.fingerprintBase(e, 37))
     }
-    val old = broadcast(enc(v1).select("__h31", "__h37").distinct())
-    val q = feed.writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        enc(batch)
-          .join(old.withColumnRenamed("__h31", "__o31")
-            .withColumnRenamed("__h37", "__o37"),
-            col("__h31") === col("__o31") && col("__h37") === col("__o37"),
-            "left")
-          .groupBy(col(groupCol).as("grp"))
-          .agg(count(lit(1)).as("n_rows"),
-            sum(when(col("__o31").isNull, 1L).otherwise(0L))
-              .as("n_novel"))
-          .withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(path)
-        ()
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // persist + materialize the frozen fingerprint set ONCE: a lazy
+    // static side is re-evaluated (full v1 scan + fingerprint +
+    // distinct) by EVERY microbatch's job — the sf1 scaling run showed
+    // exactly that as a 40x blowup; cached, each batch only rebuilds
+    // the broadcast from executor memory
+    val old = enc(v1).select("__h31", "__h37").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    old.count()
+    try {
+      val q = feed.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          enc(batch)
+            .join(broadcast(old.withColumnRenamed("__h31", "__o31")
+              .withColumnRenamed("__h37", "__o37")),
+              col("__h31") === col("__o31") && col("__h37") === col("__o37"),
+              "left")
+            .groupBy(col(groupCol).as("grp"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(when(col("__o31").isNull, 1L).otherwise(0L))
+                .as("n_novel"))
+            .withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(path)
+          ()
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally old.unpersist()
   }
 
   /** Idempotent read half for [[monitorNoveltyStream]]: collapse
@@ -512,25 +527,31 @@ object ScoringStream {
   def monitorFkStream(child: DataFrame, fkCol: String,
                       parentKeys: DataFrame, pkCol: String,
                       path: String, checkpoint: String): Unit = {
-    val p = broadcast(parentKeys.select(col(pkCol).as("__pk")).distinct())
-    val q = child.writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        batch.select(col(fkCol).as("__fk"))
-          .join(p, col("__fk") === col("__pk"), "left")
-          .agg(
-            count(lit(1)).as("n_rows"),
-            sum(when(col("__fk").isNotNull && col("__pk").isNull, 1L)
-              .otherwise(0L)).as("n_orphans"),
-            sum(when(col("__fk").isNull, 1L).otherwise(0L))
-              .as("n_null_fk"))
-          .withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(path)
-        ()
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // the monitorNoveltyStream rule: materialize the frozen parent-key
+    // set once, not per microbatch
+    val p = parentKeys.select(col(pkCol).as("__pk")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    try {
+      val q = child.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.select(col(fkCol).as("__fk"))
+            .join(broadcast(p), col("__fk") === col("__pk"), "left")
+            .agg(
+              count(lit(1)).as("n_rows"),
+              sum(when(col("__fk").isNotNull && col("__pk").isNull, 1L)
+                .otherwise(0L)).as("n_orphans"),
+              sum(when(col("__fk").isNull, 1L).otherwise(0L))
+                .as("n_null_fk"))
+            .withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(path)
+          ()
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally p.unpersist()
   }
 
   /** Idempotent read half for [[monitorFkStream]]: collapse replayed
