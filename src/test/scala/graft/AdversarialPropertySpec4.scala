@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+import scala.util.Random
+
+/** Fourth adversarial batch — full LOCAL REPLAYS of the hash-addressed
+  * rows-only operators: the MinHash near-dup pipeline (shingle chain →
+  * signature → band slices → Jaccard verify) replayed bit-exactly with
+  * the same XXH64 primitives, the incremental-vs-batch metamorphic
+  * equality, the DEFLATE length against a local zlib handle, and the
+  * count-min sketch counter-for-counter. These pin exactly the outputs
+  * the DuckDB oracle cannot reach (no xxhash64 there). */
+class AdversarialPropertySpec4 extends SparkSpec {
+  import spark.implicits._
+
+  // --- local replay of the engine's hashing pipeline ---
+  private def tokHash(t: String): Long = {
+    val s = UTF8String.fromString(t)
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+  }
+  private def shingles(toks: Seq[String], k: Int): Seq[Long] = {
+    val th = toks.map(tokHash)
+    def chain(seg: Seq[Long]): Long =
+      seg.foldLeft(42L)((h, x) => XXH64.hashLong(x, h))
+    if (th.size >= k) (0 to th.size - k).map(w => chain(th.slice(w, w + k)))
+    else Seq(chain(th))
+  }
+  private def signature(sh: Set[Long], numHashes: Int): Seq[Long] =
+    (0 until numHashes).map(j => sh.iterator
+      .map(s => XXH64.hashLong(s, j.toLong)).min)
+
+  private def word(rnd: Random): String =
+    Seq.fill(3)(('a' + rnd.nextInt(26)).toChar).mkString
+
+  private def nearDupCorpus(rnd: Random): Seq[(Long, Seq[String])] = {
+    val vocab = Seq.fill(30)(word(rnd)).distinct
+    val base = scala.collection.mutable.ArrayBuffer.tabulate(120) { i =>
+      (i.toLong, Seq.fill(6 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))))
+    }
+    var planted = 0 // planted near-dups: copy a long doc, mutate ≤1 token
+    while (planted < 15) {
+      val i = rnd.nextInt(base.size)
+      val j = rnd.nextInt(base.size)
+      if (i != j && base(i)._2.size >= 15) {
+        var t = base(i)._2
+        if (rnd.nextBoolean())
+          t = t.updated(rnd.nextInt(t.size), vocab(rnd.nextInt(vocab.size)))
+        base(j) = (base(j)._1, t) // j's id, i's (mutated) content
+        planted += 1
+      }
+    }
+    base.toSeq
+  }
+
+  test("MinHash nearDuplicates == full local XXH64 replay (shingle " +
+    "chain, signature, band slices, Jaccard verify)") {
+    val (k, nh, bands, t) = (3, 16, 4, 0.5)
+    val rnd = new Random(91)
+    val corpus = nearDupCorpus(rnd)
+    val sets = corpus.map { case (id, toks) =>
+      id -> shingles(toks, k).toSet }.toMap
+    val sigs = sets.map { case (id, sh) => id -> signature(sh, nh) }
+    val r = nh / bands
+    def slicesEqual(a: Long, b: Long): Boolean =
+      (0 until bands).exists(bd =>
+        sigs(a).slice(bd * r, bd * r + r) == sigs(b).slice(bd * r, bd * r + r))
+    val ids = corpus.map(_._1)
+    val expect = (for {
+      a <- ids; b <- ids; if a < b && slicesEqual(a, b)
+      j = sets(a).intersect(sets(b)).size.toDouble /
+        sets(a).union(sets(b)).size
+      if j >= t
+    } yield (a, b, j)).toSet
+    assert(expect.size >= 10, s"planting failed: ${expect.size} pairs")
+    val got = graft.dedup.MinHashDedup.nearDuplicates(
+      corpus.map { case (id, toks) => (id, toks.mkString(" ")) }
+        .toDF("id", "text"), "id", "text", t, k, nh, bands)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(got == expect, s"minhash drift: ${got.diff(expect).take(3)} / " +
+      s"${expect.diff(got).take(3)}")
+  }
+
+  test("incrementalNearDups == batch nearDuplicates on the union, " +
+    "restricted to increment pairs (metamorphic)") {
+    val (k, nh, bands, t) = (3, 16, 4, 0.5)
+    val rnd = new Random(37)
+    val corpus = nearDupCorpus(rnd)
+    val vocabPool = corpus.flatMap(_._2).distinct
+    val inc = (0 until 20).map { i =>
+      val id = 1000L + i
+      if (i < 10) (id, corpus(rnd.nextInt(corpus.size))._2) // corpus dups
+      else if (i < 12) (id, corpus.head._2)                 // internal dup pair
+      else (id, Seq.fill(8 + rnd.nextInt(10))(
+        vocabPool(rnd.nextInt(vocabPool.size))))
+    }
+    def df(rows: Seq[(Long, Seq[String])]) =
+      rows.map { case (id, toks) => (id, toks.mkString(" ")) }
+        .toDF("id", "text")
+    val corpusSets = graft.dedup.MinHashDedup.shingleSets(
+      df(corpus), "id", "text", k)
+    val corpusBands = graft.dedup.MinHashDedup.bandIndex(corpusSets, nh, bands)
+    val incr = graft.dedup.MinHashDedup.incrementalNearDups(
+      df(inc), "id", "text", corpusBands, corpusSets, t, k, nh, bands)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    val batch = graft.dedup.MinHashDedup.nearDuplicates(
+      df(corpus ++ inc), "id", "text", t, k, nh, bands)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+      .filter(_._2 >= 1000L)            // pairs whose HIGHER id is new
+      .map { case (a, b, j) => (b, a, j) }.toSet
+    assert(incr.nonEmpty && incr == batch,
+      s"incremental != batch: ${incr.diff(batch).take(3)} / " +
+        s"${batch.diff(incr).take(3)}")
+  }
+
+  test("deflate_len == a local zlib Deflater(6, nowrap) byte count") {
+    val rnd = new Random(12)
+    val texts = Seq("", "a", "aaaaaaaaaaaaaaaaaaaaaaa", "héllo wörld ☃",
+      ("abc" * 400) + "tail") ++
+      (0 until 200).map(_ => Seq.fill(rnd.nextInt(300))(word(rnd))
+        .mkString(" "))
+    def local(s: String): Int = {
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n
+    }
+    val got = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+      .select(col("id"),
+        graft.functions.DeflateLen(spark, col("text")).as("dl"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    texts.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i.toLong) == local(s),
+        s"deflate drift on #$i: ${got(i.toLong)} vs ${local(s)}")
+    }
+  }
+
+  test("CountMinAggregator == local counter replay; estimates bound " +
+    "true counts from above") {
+    val (d, w) = (4, 64)
+    val rnd = new Random(29)
+    // zipf-ish stream: a few heavy keys, a long tail
+    val keys = (0 until 5000).map { _ =>
+      val z = rnd.nextInt(10)
+      if (z < 5) s"heavy${rnd.nextInt(3)}" else s"tail${rnd.nextInt(500)}"
+    }
+    val hashes = keys.map(graft.functions.CountMinSketch.hashString)
+    val local = new Array[Long](d * w)
+    hashes.foreach { h =>
+      (0 until d).foreach(r =>
+        local(r * w + graft.functions.CountMinSketch.cell(h, r, w)) += 1L)
+    }
+    val agg = new graft.functions.CountMinAggregator(d, w).toColumn
+    val sketch = hashes.toDS().select(agg).head()
+    assert(sketch.toSeq == local.toSeq, "sketch counters drift from replay")
+    val truth = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    truth.foreach { case (key, n) =>
+      val est = graft.functions.CountMinSketch.estimate(
+        sketch, graft.functions.CountMinSketch.hashString(key), d, w)
+      assert(est >= n, s"$key: estimate $est under truth $n")
+      assert(est <= n + keys.size / 8, s"$key: estimate $est way over $n")
+    }
+  }
+}
