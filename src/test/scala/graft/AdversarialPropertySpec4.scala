@@ -114,6 +114,70 @@ class AdversarialPropertySpec4 extends SparkSpec {
         s"${batch.diff(incr).take(3)}")
   }
 
+  // simhash replay: bit-majority over the token-hash MULTISET (votes
+  // count per occurrence; xxhash64(token) is the same seed-42 UTF-8
+  // hash as tokHash)
+  private def simhash(toks: Seq[String]): Long = {
+    val hs = toks.map(tokHash)
+    val ones = new Array[Int](64)
+    hs.foreach { h =>
+      (0 until 64).foreach(b => ones(b) += ((h >>> b) & 1L).toInt)
+    }
+    (0 until 64).foldLeft(0L)((fp, b) =>
+      if (ones(b) * 2 > hs.size) fp | (1L << b) else fp)
+  }
+  private def chunk(s: Long, c: Int): Long = (s >>> (c * 16)) & 0xFFFFL
+
+  test("SimHash nearDuplicates (radius 3) and multi-probe (radius 7) == " +
+    "local bit-majority replay with chunk pigeonhole") {
+    val rnd = new Random(53)
+    val vocab = Seq.fill(50)(word(rnd)).distinct
+    val base = scala.collection.mutable.ArrayBuffer.tabulate(100) { i =>
+      (i.toLong, Seq.fill(40 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))))
+    }
+    var planted = 0 // copy a doc, change exactly one token: tiny hamming
+    while (planted < 20) {
+      val i = rnd.nextInt(base.size); val j = rnd.nextInt(base.size)
+      if (i != j) {
+        val t = base(i)._2
+        base(j) = (base(j)._1,
+          t.updated(rnd.nextInt(t.size), vocab(rnd.nextInt(vocab.size))))
+        planted += 1
+      }
+    }
+    val sigs = base.toSeq.map { case (id, t) => id -> simhash(t) }.toMap
+    val ids = base.toSeq.map(_._1)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val docsDf = base.toSeq
+      .map { case (id, t) => (id, t.mkString(" ")) }.toDF("id", "text")
+    // radius-3: candidates share an EQUAL 16-bit chunk
+    val expect3 = (for {
+      a <- ids; b <- ids
+      if a < b && (0 until 4).exists(c => chunk(sigs(a), c) == chunk(sigs(b), c))
+      h = ham(sigs(a), sigs(b)); if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got3 = graft.dedup.SimHash.nearDuplicates(docsDf, "id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue)).toSet
+    assert(expect3.size >= 5, s"radius-3 planting failed: ${expect3.size}")
+    assert(got3 == expect3, s"simhash drift: ${got3.diff(expect3).take(3)} " +
+      s"/ ${expect3.diff(got3).take(3)}")
+    // radius-7 multi-probe: candidates have a chunk differing in ≤ 1 bit
+    val expect7 = (for {
+      a <- ids; b <- ids
+      if a < b && (0 until 4).exists(c =>
+        java.lang.Long.bitCount(chunk(sigs(a), c) ^ chunk(sigs(b), c)) <= 1)
+      h = ham(sigs(a), sigs(b)); if h <= 7
+    } yield (a, b, h.toLong)).toSet
+    val got7 = graft.dedup.SimHash.nearDuplicatesMultiProbe(
+      docsDf, "id", "text", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue)).toSet
+    assert(expect7.size > expect3.size, "multi-probe plants missing")
+    assert(got7 == expect7, s"multiprobe drift: " +
+      s"${got7.diff(expect7).take(3)} / ${expect7.diff(got7).take(3)}")
+  }
+
   test("deflate_len == a local zlib Deflater(6, nowrap) byte count") {
     val rnd = new Random(12)
     val texts = Seq("", "a", "aaaaaaaaaaaaaaaaaaaaaaa", "héllo wörld ☃",
