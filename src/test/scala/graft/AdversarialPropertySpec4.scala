@@ -203,6 +203,67 @@ class AdversarialPropertySpec4 extends SparkSpec {
     }
   }
 
+  test("bpe_encode == an independent local merge-loop replay, trained " +
+    "merges, unicode/emoji/empty edge texts") {
+    val rnd = new Random(71)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta")
+    val docs = (0 until 80).map(i => (i.toLong,
+      Seq.fill(5 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")))
+    val merges = graft.textstats.Bpe.trainMerges(
+      docs.toDF("id", "text").select(col("text").as("t")), "t",
+      numMerges = 40)
+    assert(merges.size >= 20, s"training produced ${merges.size} merges")
+    val ranks = merges.zipWithIndex.map { case (m, i) =>
+      val p = m.split(graft.functions.BpeEncode.Sep)
+      ((p(0), p(1)), i) }.toMap
+    val byRank = ranks.map(_.swap)
+    def cps(w: String): Vector[String] = {
+      var out = Vector.empty[String]; var ci = 0
+      while (ci < w.length) {
+        val cp = w.codePointAt(ci)
+        out :+= new String(Character.toChars(cp))
+        ci += Character.charCount(cp)
+      }
+      out
+    }
+    def encodeWord(w: String): Seq[String] = {
+      var syms = cps(w)
+      var done = syms.size <= 1
+      while (!done) {
+        val cands = (0 until syms.size - 1)
+          .flatMap(i => ranks.get((syms(i), syms(i + 1))))
+        if (cands.isEmpty) done = true
+        else {
+          val (a, b) = byRank(cands.min)
+          val nb = Vector.newBuilder[String]; var j = 0
+          while (j < syms.size) {
+            if (j < syms.size - 1 && syms(j) == a && syms(j + 1) == b) {
+              nb += (a + b); j += 2
+            } else { nb += syms(j); j += 1 }
+          }
+          syms = nb.result(); done = syms.size <= 1
+        }
+      }
+      syms
+    }
+    def local(t: String): Seq[String] =
+      t.split("\\s+").filter(_.nonEmpty).toSeq.flatMap(encodeWord)
+    val texts = docs.map(_._2) ++ Seq("", "   ", "aaa aaa  aaa",
+      "héllo ☃ 👍👍", "alphabetagamma zetaeta")
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"),
+        graft.functions.BpeEncode(spark, col("text"), merges).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == local(t),
+        s"bpe drift on #$i '${t.take(30)}': ${got(i.toLong).take(8)} vs " +
+          s"${local(t).take(8)}")
+    }
+  }
+
   test("CountMinAggregator == local counter replay; estimates bound " +
     "true counts from above") {
     val (d, w) = (4, 64)
