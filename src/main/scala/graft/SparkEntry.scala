@@ -781,10 +781,12 @@ object SparkEntry {
     // §2 row 283: k-fold CV regParam sweep — the tuning loop the
     // reference imports but never runs. Rows-only (cross-validated
     // model metrics, the q50/q167 justification); MlSpec pins shape,
-    // determinism, and the best-flag invariant.
+    // determinism, and the best-flag invariant. Bench-bounded per the
+    // §6 ML convention (folds×grid = 6 fits at vocab 1024 measures the
+    // sweep machinery, not model capacity).
     "q281_cv_sweep" -> ((s, dir) =>
       Sentiment.cvSweep(Sentiment.prepare(Tables.documents(s, dir)),
-        vocabSize = 1024)),
+        numFolds = 2, vocabSize = 1024)),
 
     // §2 row 35, decode made real: P6 (PPM) payloads are born on executors
     // (one per doc_id, pixels a positional-hash function of (id, i)), then
@@ -3732,6 +3734,35 @@ object SparkEntry {
         scored.join(Tables.documents(s, dir)
           .select(col("doc_id").as("id"), col("source")), Seq("id")),
         "source")
+    }),
+
+    // §2 row 284: STREAMING sentiment monitor — the reference's
+    // Prediction_Pipe_Line surface with the VADER-analog scorer: each
+    // micro-batch buckets its docs IN-ROW (lexicon as a plan literal,
+    // no aggregation on the stream side beyond the additive QI count),
+    // partials collapse read-side on (batch_id, grp, bucket). EXACT
+    // oracle: q280's SQL verbatim — bucket counts are additive across
+    // any batch split.
+    "q282_sentiment_monitor_stream" -> ((s, dir) => {
+      val src = artifactPath("sentmonsrc", dir, codeHash(SparkEntry.getClass))
+      stageParquet(src) { tmp =>
+        Tables.documents(s, dir).select("doc_id", "source", "text")
+          .repartition(4).write.mode("overwrite").parquet(tmp)
+      }
+      val base = artifactPath("sentmon", dir,
+        codeHash(SparkEntry.getClass, ScoringStream.getClass,
+          graft.textstats.SentimentLexicon.getClass))
+      val stream = graft.textstats.SentimentLexicon.rowBuckets(
+        s.readStream.schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        "source", "text")
+      ScoringStream.monitorQiStream(stream, Seq("grp", "bucket"),
+        s"$base/mon", s"$base/ckpt")
+      s.read.parquet(s"$base/mon")
+        .groupBy("batch_id", "grp", "bucket")
+        .agg(max("c").as("__c"))
+        .groupBy("grp", "bucket")
+        .agg(sum("__c").as("n"))
     }),
 
     // §2 row 224: bucket-by-sequence-length batching — power-of-two
@@ -7963,6 +7994,18 @@ object SparkEntry {
     // The same scored CTE rolled to the reference's histogram: per
     // source, width-2000 compound buckets ((c + 10^4) // 2000 ∈ [0,9]).
     "q280_sentiment_dist" ->
+      (sentimentScoredSql +
+        ", c AS (SELECT doc_id, CAST(floor((10000.0 * valence_m) / " +
+        "sqrt(CAST(valence_m AS DOUBLE) * valence_m + 15000000.0)) " +
+        "AS BIGINT) AS compound_m FROM g) " +
+        "SELECT d2.source AS grp, " +
+        "CAST((c.compound_m + 10000) // 2000 AS BIGINT) AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS n " +
+        "FROM c JOIN documents d2 USING (doc_id) GROUP BY 1, 2"),
+
+    // The streaming twin drains to the identical per-source histogram:
+    // bucket counts are additive, so q280's SQL is the oracle verbatim.
+    "q282_sentiment_monitor_stream" ->
       (sentimentScoredSql +
         ", c AS (SELECT doc_id, CAST(floor((10000.0 * valence_m) / " +
         "sqrt(CAST(valence_m AS DOUBLE) * valence_m + 15000000.0)) " +

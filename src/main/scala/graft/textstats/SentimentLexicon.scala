@@ -130,6 +130,45 @@ object SentimentLexicon {
           "as bigint)"))
   }
 
+  /** Fully IN-ROW (grp, bucket) per document — the STREAMING-side
+    * formulation: the lexicon rides as a map LITERAL in the plan
+    * (dictionary-sized by definition), per-position contributions fold
+    * with the SAME truncating-integer negation flip and IEEE compound
+    * as [[score]], and there is no explode and no aggregation — every
+    * row of a micro-batch stream buckets statelessly, so per-(grp,
+    * bucket) counts are ADDITIVE across any batch split and a drained
+    * monitor equals the batch [[distribution]] exactly. Null-text docs
+    * drop, matching the batch path's explode-of-null. Equality with
+    * score→distribution is spec-pinned. */
+  def rowBuckets(docs: DataFrame, groupCol: String, textCol: String,
+                 entries: Seq[(String, Int)] = defaultEntries): DataFrame = {
+    val negList = negators.map(n => s"'$n'").mkString(", ")
+    val lexMap = map_from_arrays(
+      lit(entries.map(_._1).toArray),
+      lit(entries.map(_._2.toLong).toArray))
+    docs
+      .select(col(groupCol).as("grp"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(col("toks").isNotNull)
+      .withColumn("negpos", expr("filter(sequence(0, size(toks) - 1), " +
+        s"i -> element_at(toks, i + 1) IN ($negList))"))
+      .withColumn("__lex", lexMap)
+      .withColumn("valence_m", expr(
+        """aggregate(
+          |  filter(transform(sequence(0, size(toks) - 1),
+          |    i -> named_struct('i', i,
+          |      'v', element_at(__lex, element_at(toks, i + 1)))),
+          |    s -> s.v IS NOT NULL),
+          |  0L,
+          |  (acc, x) -> acc + CASE WHEN array_contains(negpos, x.i - 1)
+          |    THEN -((740 * x.v) div 1000) ELSE x.v END)""".stripMargin))
+      .withColumn("bucket", expr(
+        "(cast(floor((10000.0 * valence_m) / " +
+          "sqrt(cast(valence_m as double) * valence_m + 15000000.0)) " +
+          "as bigint) + 10000) div 2000"))
+      .select("grp", "bucket")
+  }
+
   /** The reference's histogram read (Scalable_EDA_Final.py:388): per
     * group, fixed-width compound buckets (width 2000 milli over
     * [−10⁴, 10⁴] → bucket = (compound_m + 10⁴) div 2000 ∈ [0, 9]) with

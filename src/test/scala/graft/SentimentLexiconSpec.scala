@@ -78,6 +78,30 @@ class SentimentLexiconSpec extends SparkSpec {
       (None, 5L) -> 1L), got.toString)
   }
 
+  test("rowBuckets (the stateless streaming formulation) counts to the " +
+    "batch distribution exactly, adversarial corpus included") {
+    val docs = Seq(
+      (1L, "not good", "a"), (2L, "great and awful service", "a"),
+      (3L, "", "b"), (4L, "Don't like!", "b"), (5L, "not awful", null),
+      (6L, "the quick brown fox", "a"), (7L, "worst worst worst", "b"),
+      (8L, "no fun without love", "a"))
+      .toDF("id", "text", "src")
+    val batch = SentimentLexicon.distribution(
+      SentimentLexicon.score(docs, "id", "text", lex)
+        .join(docs.select(col("id"), col("src")), Seq("id")), "src")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        r.getLong(2)).toMap
+    val rows = SentimentLexicon.rowBuckets(docs, "src", "text")
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        r.getLong(2)).toMap
+    assert(rows == batch, s"row/batch drift: $rows vs $batch")
+    // stateless: no aggregate below the per-row projection
+    val plan = SentimentLexicon.rowBuckets(docs, "src", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"rowBuckets shuffles:\n$plan")
+  }
+
   test("plan: lexicon broadcasts, no window, no per-token exchange " +
     "before the doc-level sum") {
     val df = SentimentLexicon.score(
