@@ -138,8 +138,13 @@ object Sentiment {
       .setNumFolds(numFolds)
       .setSeed(seed)
       .setParallelism(2)
+    // cache for the folds×grid re-reads, release before returning (the
+    // LinkGraph cache-lifetime rule: a bench session runs hundreds of
+    // queries in one JVM)
     labeled.cache()
-    val model = cv.fit(labeled)
+    val model =
+      try cv.fit(labeled)
+      finally labeled.unpersist()
     val rows = grid.zip(model.avgMetrics).toSeq.map { case (pm, m) =>
       val rp = pm.toSeq
         .collectFirst { case p if p.param.name == "regParam" =>

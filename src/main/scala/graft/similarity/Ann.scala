@@ -664,12 +664,20 @@ object Ann {
       if (candidates.count() <= maxBroadcastPairs) broadcast(candidates)
       else candidates
     val vecs = corpusVecs.select("id", "v").union(newV.select("id", "v"))
-    pairs
+    // materialize the (small, threshold-filtered) result eagerly, then
+    // RELEASE the iteration caches — the LinkGraph cache-lifetime rule:
+    // without this every invocation pins its normalized-increment and
+    // candidate frames for the session's lifetime
+    val out = pairs
       .join(vecs.select(col("id").as("id_a"), col("v").as("__va")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("__vb")), "id_b")
       .withColumn("cos", DotProduct(newDocs.sparkSession, col("__va"), col("__vb")))
       .filter(col("cos") >= threshold)
       .select(col("id_b").as("new_id"), col("id_a").as("dup_id"), col("cos"))
+      .localCheckpoint()
+    candidates.unpersist()
+    newV.unpersist()
+    out
   }
 
   /** SemDeDup-style semantic near-dup (Abbas et al. 2023, arXiv:2303.09540):
