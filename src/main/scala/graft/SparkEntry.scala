@@ -928,9 +928,13 @@ object SparkEntry {
     // §2 row 92: SemDeDup-style semantic near-dup — k-means cells (data-
     // adaptive buckets) instead of random hyperplanes, within-cell pairs
     // cosine-verified by id-join. Planted exact duplicates (q19's negative
-    // -id trick) give non-empty ground truth. Rows-only: the k-means fit
-    // is float-iterative, not SQL-expressible; AnnSpec pins planted-pair
-    // recall and the no-cartesian plan.
+    // -id trick) give non-empty ground truth. The operator self-shards
+    // past maxCells total cells (SRP-prefix pre-partition, one bounded
+    // executor-local quantizer per shard) so no single fit or cell join
+    // ever grows with N — at this sf the sharded regime is what runs.
+    // Rows-only: the k-means fit is float-iterative, not SQL-expressible;
+    // AnnSpec pins planted-pair recall, sharded/unsharded pair-set parity
+    // on exact dups, and the no-cartesian plan.
     "q66_semantic_dedup" -> ((s, dir) => {
       val emb = spread(s, Tables.embeddings(s, dir))
       val planted = emb.filter(col("vec_id") % 16 === 0)

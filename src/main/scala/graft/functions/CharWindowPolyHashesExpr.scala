@@ -101,3 +101,67 @@ object CharWindowPolyHashes {
       text, org.apache.spark.sql.functions.lit(k))
   }
 }
+
+/** Native Catalyst expression: the whole-string q25 polynomial hash —
+  * `poly_hash(text[, base]) = fold(a, cp → (a·base + cp) mod 1e9+7)` over
+  * the string's codepoints (base 31 default; base 37 is the second
+  * fingerprint channel), the scalar little sibling of
+  * [[CharWindowPolyHashes]] (same recurrence, no windows). Exists because
+  * the `aggregate(split(text, ''), …)` SQL formulation consumers used to
+  * inline is an interpreted higher-order fold paying one single-character
+  * UTF8String allocation per input character — this is one primitive
+  * O(len) codegen loop. Values are IDENTICAL to the SQL fold on BMP text
+  * (and to the DuckDB `list_reduce` oracles replaying it — beyond the BMP
+  * the codepoint loop matches the oracle where the split fold would
+  * diverge on surrogate halves): ExpressionSpec pins codegen ==
+  * interpreted == the SQL aggregate at both bases. Empty string hashes
+  * to 0 (the fold seed); null in, null out. */
+case class PolyHash(child: Expression, base: Int) extends UnaryExpression {
+
+  require(base >= 2 && base <= 1024, "poly_hash base must be in [2, 1024]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"poly_hash requires string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    PolyHash.compute(input.asInstanceOf[UTF8String], base)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PolyHash.compute($c, $base);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PolyHash {
+
+  private val M = 1000000007L
+
+  /** Static codegen entry point (also the interpreted eval body). */
+  def compute(s0: UTF8String, base: Int): Long = {
+    val s = s0.toString
+    var h = 0L
+    var idx = 0
+    while (idx < s.length) {
+      val cp = s.codePointAt(idx)
+      idx += Character.charCount(cp)
+      h = (h * base + cp) % M
+    }
+    h
+  }
+
+  /** Column-API entry point (register-and-call). */
+  def apply(spark: org.apache.spark.sql.SparkSession,
+            text: org.apache.spark.sql.Column,
+            base: Int = 31): org.apache.spark.sql.Column = {
+    GraftExtensions.register(spark)
+    org.apache.spark.sql.functions.call_function("poly_hash", text,
+      org.apache.spark.sql.functions.lit(base))
+  }
+}

@@ -117,6 +117,11 @@ object GraftExtensions {
         "char_window_polyhashes(string, k: int literal)")
     }
 
+  private def polyHashBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(text) => PolyHash(text)
+    case _ => throw new IllegalArgumentException("poly_hash(string)")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("minhash_sig"),
@@ -138,6 +143,9 @@ object GraftExtensions {
         new ExpressionInfo(classOf[CharWindowPolyHashes].getName,
           "char_window_polyhashes"),
         charWindowPolyHashesBuilder _),
+      (FunctionIdentifier("poly_hash"),
+        new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+        polyHashBuilder _),
       (FunctionIdentifier("bloom_contains"),
         new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
         bloomContainsBuilder _),

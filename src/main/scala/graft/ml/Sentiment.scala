@@ -108,11 +108,33 @@ object Sentiment {
     * CV estimator, so each fold refits its own vocabulary — no
     * train/validation leakage through a shared CountVectorizer fit.
     * Output: one row per grid point, (algo, reg_param_m, avg_f1_uu,
-    * is_best) with the repo's floored micro-unit convention (q167).
+    * std_f1_uu, is_best) with the repo's floored micro-unit convention
+    * (q167) — avg from the engine's `avgMetrics`, dispersion the
+    * POPULATION std across true per-fold F1s, the number a real tuning
+    * decision reads next to the mean.
+    *
+    * Per-fold metrics: Spark 4.1's CrossValidatorModel exposes only
+    * `avgMetrics`, so the sweep collects sub-models and re-evaluates
+    * each on ITS OWN validation fold, reconstructed by replaying the
+    * exact split CrossValidator.fit performs —
+    * `MLUtils.kFold(dataset.toDF.rdd, numFolds, seed)` on the same
+    * cached frame (per-partition seeded sampling: same plan, same
+    * partitioning, same folds). The replay is self-verifying: the
+    * per-fold mean must reproduce the engine's avgMetric to 1e-6 or
+    * the sweep fails loudly rather than report a std computed on the
+    * wrong folds.
+    *
+    * A NaN fold metric (a degenerate fold missing a label class, e.g.
+    * numFolds=2 on tiny data) fails fast with a targeted message — the
+    * old floor-to-0 silently mislabeled `is_best`. Ties on the best
+    * avg metric mark EVERY tied row `is_best` (a deliberate
+    * report-all-winners semantics, not first-wins).
     *
     * Scale: fits = numFolds × |grid| full pipelines, dispatched
     * `parallelism` at a time — each fit is the distributed row-21/22
-    * path; the sweep adds breadth, not a new shuffle shape. */
+    * path; the sweep adds breadth, not a new shuffle shape. The
+    * per-fold re-evaluation adds numFolds × |grid| transform+evaluate
+    * passes (no extra fits). */
   def cvSweep(labeled: DataFrame, algo: String = "lr",
               regParams: Seq[Double] = Seq(0.01, 0.1, 0.3),
               numFolds: Int = 3, seed: Long = 100L,
@@ -129,32 +151,64 @@ object Sentiment {
       case other => throw new IllegalArgumentException(
         s"cvSweep needs a linear head with regParam, got $other")
     }
+    val eval = new MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+      .setMetricName("f1")
     val cv = new CrossValidator()
       .setEstimator(est)
-      .setEvaluator(new MulticlassClassificationEvaluator()
-        .setLabelCol("label").setPredictionCol("prediction")
-        .setMetricName("f1"))
+      .setEvaluator(eval)
       .setEstimatorParamMaps(grid)
       .setNumFolds(numFolds)
       .setSeed(seed)
       .setParallelism(2)
-    // cache for the folds×grid re-reads, release before returning (the
-    // LinkGraph cache-lifetime rule: a bench session runs hundreds of
-    // queries in one JVM)
+      .setCollectSubModels(true)
+    // cache for the folds×grid re-reads AND the fold replay below,
+    // release before returning (the LinkGraph cache-lifetime rule: a
+    // bench session runs hundreds of queries in one JVM)
     labeled.cache()
-    val model =
-      try cv.fit(labeled)
-      finally labeled.unpersist()
-    val rows = grid.zip(model.avgMetrics).toSeq.map { case (pm, m) =>
+    val (avgMetrics, perFold) =
+      try {
+        val model = cv.fit(labeled)
+        // replay CrossValidator.fit's own split on the same cached frame
+        // → identical folds; evaluate each collected sub-model on its
+        // validation fold for the true per-fold metric
+        val schema = labeled.schema
+        val validations = org.apache.spark.mllib.util.MLUtils
+          .kFold(labeled.toDF().rdd, numFolds, seed)
+          .map { case (_, validation) =>
+            spark.createDataFrame(validation, schema) }
+        val pf = validations.zipWithIndex.map { case (vd, f) =>
+          val cached = vd.cache()
+          val ms = grid.indices.map(g =>
+            eval.evaluate(model.subModels(f)(g).transform(cached)))
+          cached.unpersist()
+          ms
+        }
+        (model.avgMetrics, pf)
+      } finally labeled.unpersist()
+    val rows = grid.toSeq.zipWithIndex.map { case (pm, g) =>
       val rp = pm.toSeq
         .collectFirst { case p if p.param.name == "regParam" =>
           p.value.asInstanceOf[Double] }
         .getOrElse(throw new IllegalStateException("regParam not in grid"))
-      (algo, math.round(rp * 1000), math.floor(m * 1e6).toLong)
+      val folds = perFold.map(_(g))
+      folds.zipWithIndex.foreach { case (m, f) =>
+        require(!m.isNaN, s"fold $f of grid point regParam=$rp evaluated " +
+          "to NaN — a degenerate fold (likely a missing label class); " +
+          "use fewer folds or more data") }
+      val mean = folds.sum / numFolds
+      val m = avgMetrics(g)
+      require(!m.isNaN && math.abs(mean - m) < 1e-6,
+        s"fold replay drifted from CrossValidator's own folds " +
+          s"(per-fold mean $mean vs avgMetric $m) — refusing to report " +
+          "a dispersion computed on the wrong folds")
+      val std = math.sqrt(folds.map(x => (x - mean) * (x - mean)).sum / numFolds)
+      (algo, math.round(rp * 1000), math.floor(m * 1e6).toLong,
+        math.floor(std * 1e6).toLong)
     }
     val best = rows.map(_._3).max
-    rows.map { case (a, rp, f) => (a, rp, f, f == best) }
-      .toDF("algo", "reg_param_m", "avg_f1_uu", "is_best")
+    rows.map { case (a, rp, f, s) => (a, rp, f, s, f == best) }
+      .toDF("algo", "reg_param_m", "avg_f1_uu", "std_f1_uu", "is_best")
   }
 
   /** F1 via MulticlassClassificationEvaluator

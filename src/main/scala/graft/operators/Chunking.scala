@@ -69,18 +69,24 @@ object Chunking {
     *
     * Scale shape: pure per-row codegen + in-row HOFs — zero shuffles;
     * chunk rows inherit the scan's partitioning (the [[chunkDocs]]
-    * contract). */
+    * contract). Chunk hashes are computed IN-ROW (the whole (start, end,
+    * hash) struct array is built before the explode) so the document
+    * text never rides the Generate — the earlier formulation carried
+    * `__t` through `posexplode` and hashed after, which copied the FULL
+    * document into every chunk row (O(len²/chunkLen) bytes per doc) and
+    * paid the interpreted `aggregate(split(…))` per-character-allocation
+    * fold per chunk; the hash is now the native scalar
+    * [[graft.functions.PolyHash]] (same q25 recurrence, one primitive
+    * O(len) loop per chunk, value-identical to the oracle's
+    * list_reduce). */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
                 w: Int = 16, maskBits: Int = 6): DataFrame = {
     require(w >= 2 && w <= 1024, s"window width w must be in [2, 1024], got $w")
     require(maskBits >= 1 && maskBits <= 20,
       s"maskBits must be in [1, 20], got $maskBits")
     val spark = docs.sparkSession
+    graft.functions.GraftExtensions.register(spark)
     val mask = 1L << maskBits
-    // the q25 fold, the exact Spark twin of the oracle's list_reduce
-    def poly(x: String) =
-      s"aggregate(split($x, ''), CAST(0 AS BIGINT), " +
-        "(a, c) -> (a * 31 + CAST(coalesce(ascii(c), 0) AS BIGINT)) % 1000000007)"
     docs
       .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
         length(col(textCol)).as("__len"),
@@ -96,15 +102,20 @@ object Chunking {
       .withColumn("__ends", expr(
         "CASE WHEN size(__ends0) > 0 AND element_at(__ends0, -1) = __len " +
           "THEN __ends0 ELSE concat(__ends0, array(CAST(__len AS INT))) END"))
-      .select(col("doc_id"), col("__t"), posexplode(expr(
+      .select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, size(__ends) - 1), k -> struct(" +
-          "CASE WHEN k = 0 THEN 1 ELSE element_at(__ends, k) + 1 END AS s, " +
-          "element_at(__ends, k + 1) AS e))")))
+          "CAST(CASE WHEN k = 0 THEN 1 ELSE element_at(__ends, k) + 1 END " +
+          "AS INT) AS s, " +
+          "CAST(element_at(__ends, k + 1) AS INT) AS e, " +
+          "poly_hash(substring(__t, " +
+          "CASE WHEN k = 0 THEN 1 ELSE element_at(__ends, k) + 1 END, " +
+          "element_at(__ends, k + 1) - " +
+          "CASE WHEN k = 0 THEN 1 ELSE element_at(__ends, k) + 1 END + 1)) " +
+          "AS h))")))
       .select(col("doc_id"),
         (col("pos") + 1).cast("int").as("chunk_idx"),
-        col("col.s").cast("int").as("start"),
+        col("col.s").as("start"),
         (col("col.e") - col("col.s") + 1).cast("int").as("chunk_len"),
-        expr(poly("substring(__t, col.s, col.e - col.s + 1)"))
-          .as("chunk_hash"))
+        col("col.h").as("chunk_hash"))
   }
 }

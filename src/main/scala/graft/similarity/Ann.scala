@@ -257,14 +257,40 @@ object Ann {
       else vecs.sample(withReplacement = false, cap.toDouble / n, seed)
     val pts = sampled.select(vecCol).collect()
       .map(_.getSeq[Double](0).toArray)
+    localKMeans(pts, nCentroids, seed, maxIter)
+  }
+
+  /** Squared L2 distance of two equal-length local vectors — the hot-loop
+    * primitive [[localKMeans]] and [[nearestLocal]] share. */
+  private def sqL(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0; val n = a.length
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Index of the nearest centroid (first wins on ties — the same
+    * (distance, cell) ordering as the codegen [[nearestCell]]). */
+  private[similarity] def nearestLocal(v: Array[Double],
+                                       ctrs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < ctrs.length) {
+      val d = sqL(v, ctrs(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The pure k-means++ / Lloyd math over in-memory points — shared by the
+    * driver-side [[trainCentroids]] (sampled collect) and the per-shard
+    * EXECUTOR-side fit inside [[semanticNearDup]]'s sharded regime.
+    * Deterministic given point order and seed. */
+  private[similarity] def localKMeans(pts: Array[Array[Double]],
+                                      nCentroids: Int, seed: Long,
+                                      maxIter: Int = 10): Array[Array[Double]] = {
     val k = math.min(nCentroids, pts.length)
     val dim = pts(0).length
     val rnd = new scala.util.Random(seed)
-    def sq(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
     // k-means++ seeding: next center drawn ∝ distance² to nearest chosen
     val centers = new Array[Array[Double]](k)
     centers(0) = pts(rnd.nextInt(pts.length)).clone()
@@ -273,7 +299,7 @@ object Ann {
     while (c < k) {
       var i = 0
       while (i < pts.length) {
-        d2(i) = math.min(d2(i), sq(pts(i), centers(c - 1))); i += 1
+        d2(i) = math.min(d2(i), sqL(pts(i), centers(c - 1))); i += 1
       }
       val total = d2.sum
       centers(c) =
@@ -293,12 +319,7 @@ object Ann {
       val cnt = new Array[Long](k)
       var i = 0
       while (i < pts.length) {
-        var best = 0; var bestD = Double.MaxValue; var cc = 0
-        while (cc < k) {
-          val d = sq(pts(i), centers(cc))
-          if (d < bestD) { bestD = d; best = cc }
-          cc += 1
-        }
+        val best = nearestLocal(pts(i), centers)
         var j = 0
         while (j < dim) { sums(best)(j) += pts(i)(j); j += 1 }
         cnt(best) += 1
@@ -311,7 +332,7 @@ object Ann {
           val nc = new Array[Double](dim)
           var j = 0
           while (j < dim) { nc(j) = sums(cc)(j) / cnt(cc); j += 1 }
-          if (sq(nc, centers(cc)) > 1e-12) moved = true
+          if (sqL(nc, centers(cc)) > 1e-12) moved = true
           centers(cc) = nc
         }
         cc += 1
@@ -322,12 +343,15 @@ object Ann {
   }
 
   /** Nearest-centroid cell id of a vector column — the distributed half of
-    * the quantizer: pure codegen argmin over the centroid literals (the
-    * same (d, cell) struct array the query probe sorts). */
+    * the quantizer: pure codegen argmin over the centroid literals.
+    * `array_min` over (d, cell) structs is the O(k) min-reduction (struct
+    * ordering breaks distance ties toward the lower cell id, matching
+    * [[nearestLocal]]); the previous `array_sort` formulation paid an
+    * O(k log k) full sort plus the sorted-copy allocation per row. */
   private def nearestCell(v: Column, centroids: Array[Array[Double]]): Column =
-    element_at(array_sort(array(centroids.zipWithIndex.map { case (ctr, i) =>
+    array_min(array(centroids.zipWithIndex.map { case (ctr, i) =>
       struct(sqDist(v, array(ctr.map(lit): _*)).as("d"), lit(i).as("cell"))
-    }: _*)), 1)("cell")
+    }: _*))("cell")
 
   /** IVF (inverted-file) top-k: a sample-trained k-means coarse quantizer
     * (see [[trainCentroids]]) partitions the corpus into `nCentroids`
@@ -681,9 +705,8 @@ object Ann {
   }
 
   /** SemDeDup-style semantic near-dup (Abbas et al. 2023, arXiv:2303.09540):
-    * a sample-trained k-means coarse quantizer (the [[trainCentroids]] IVF
-    * machinery) clusters the corpus; candidate pairs are generated WITHIN
-    * cells only, then cosine-verified by id-join — the same
+    * k-means coarse cells cluster the corpus; candidate pairs are generated
+    * WITHIN cells only, then cosine-verified by id-join — the same
     * bucket-join-never-all-pairs shape as [[nearDupByCosineBanded]], with
     * data-adaptive buckets instead of random hyperplanes.
     *
@@ -696,25 +719,74 @@ object Ann {
     * cluster structure is the point (it also yields the cluster ids a
     * curation pass reuses for diversity sampling).
     *
-    * Scale: cells are sized to ~targetCellRows by construction
-    * (k = N / targetCellRows, like [[srpBitsFor]]), so the per-cell
-    * self-join stays linear in N. Cell assignment is one codegen argmin
-    * over the centroid literals; `maxCells` caps the expression size — past
-    * ~10³ cells, shard the corpus and run per shard (the paper's own
-    * regime), keeping each quantizer bounded. */
+    * Scale — the operator shards ITSELF; no caller orchestration: cell
+    * count kTotal = N / targetCellRows tracks the corpus (the property
+    * that keeps per-cell occupancy — and the within-cell self-join —
+    * bounded at any N), while `maxCells` bounds any SINGLE quantizer.
+    * Past kTotal ≤ maxCells the corpus pre-partitions into
+    * 2^⌈log₂(kTotal/maxCells)⌉ shards by an SRP bit-prefix (the paper's
+    * own per-shard clustering regime, keyed by locality-preserving
+    * hyperplane signs rather than an arbitrary split), and each shard
+    * fits its own ≤ maxCells quantizer INSIDE ONE EXECUTOR TASK
+    * (`flatMapGroups`): a shard is ~maxCells·targetCellRows rows by
+    * construction (default 16K rows ≈ 8 MB at 64 dims), so the fit is
+    * local math — no driver collect, no per-shard Spark jobs, no
+    * centroid-literal expression growth. Total work is
+    * O(N · maxCells · dim) at ANY corpus size; no stage is ever
+    * quadratic in N.
+    *
+    * Sharded-regime honesty: (a) a near-dup pair straddling an SRP
+    * prefix boundary is missed with probability 1 − pᵇ per pair,
+    * p = 1 − acos(cos)/π — ≈ 0 for exact/near-exact duplicates (a pair
+    * at cosine 1 NEVER splits: identical vectors project identically),
+    * the same accepted-miss class as the cell boundary itself; (b) shard
+    * population is a binomial around N/2^b only if the corpus is not
+    * directionally degenerate — a corpus collapsed into one half-space
+    * cone concentrates shards, but such a corpus defeats any density
+    * clustering equally. Below the cap the single-quantizer path is the
+    * exact pre-sharding operator (AnnSpec pins sharded/unsharded
+    * pair-set parity on planted duplicates and sharded-path recall).
+    *
+    * Output: (id_a, id_b, cell, cos) — `cell` is the GLOBAL cell id
+    * (shard · maxCells + local cell, a long), the diversity-sampling
+    * hook. Cell ids are deterministic under a fixed seed (per-shard rows
+    * sort before the seeded fit). */
   def semanticNearDup(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, targetCellRows: Int = 256,
-                      maxCells: Int = 512, seed: Long = 42L): DataFrame = {
-    require(targetCellRows >= 1 && maxCells >= 1)
+                      maxCells: Int = 64, seed: Long = 42L): DataFrame = {
+    require(targetCellRows >= 1 && maxCells >= 4)
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
     val v = normalized(df, idCol, vecCol, "id", "v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = v.count()
-    val k = math.min(maxCells.toLong,
-      math.max(4L, (n + targetCellRows - 1) / targetCellRows)).toInt
-    val centroids = trainCentroids(v, "v", k, seed)
+    val kTotal = math.max(4L, (n + targetCellRows - 1) / targetCellRows)
+    val nShards = ((kTotal + maxCells - 1) / maxCells).toInt
     // the cell shuffle carries (id, cell) only — vectors rejoin BY ID
-    val cells = v.withColumn("cell", nearestCell(col("v"), centroids))
-      .select("id", "cell")
+    val cells: DataFrame =
+      if (nShards <= 1) {
+        // below the cap: one bounded driver-sampled quantizer, one codegen
+        // argmin pass — the original single-quantizer operator
+        val centroids = trainCentroids(v, "v", kTotal.toInt, seed)
+        v.withColumn("cell",
+            nearestCell(col("v"), centroids).cast("long"))
+          .select("id", "cell")
+      } else {
+        val shardBits = 32 - Integer.numberOfLeadingZeros(nShards - 1)
+        val dim = v.select(size(col("v"))).head().getInt(0)
+        val outSchema = StructType(Seq(v.schema("id"),
+          StructField("cell", LongType, nullable = false)))
+        // offset the shard seed so shard planes never coincide with a
+        // caller's other SRP structures built from the same base seed
+        val sharded = v.withColumn("shard",
+          srpBucket(spark, col("v"), shardBits, dim, seed + 7919))
+        val idIdx = sharded.schema.fieldIndex("id")
+        val vIdx = sharded.schema.fieldIndex("v")
+        val shardIdx = sharded.schema.fieldIndex("shard")
+        val (tcr, mc, sd) = (targetCellRows, maxCells, seed)
+        cells0(sharded, idIdx, vIdx, shardIdx, tcr, mc, sd, outSchema)
+      }
     val pairs = cells.as("l").join(cells.as("r"),
         col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
@@ -725,5 +797,42 @@ object Ann {
       .withColumn("cos", DotProduct(df.sparkSession, col("__va"), col("__vb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cell", "cos")
+  }
+
+  /** The sharded-regime (id, global cell) assignment of [[semanticNearDup]]:
+    * one shuffle keyed by SRP shard; per shard, an executor-local
+    * k-means++/Lloyd fit ([[localKMeans]], trained on a ≤ k·256 stride
+    * sample of the shard's id-sorted rows for determinism) assigns every
+    * row its cell. Null vectors drop here — under the codegen path their
+    * null cell never equi-joins, the same net exclusion. */
+  private def cells0(sharded: DataFrame, idIdx: Int, vIdx: Int,
+                     shardIdx: Int, targetCellRows: Int, maxCells: Int,
+                     seed: Long,
+                     outSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    sharded.groupByKey(_.getInt(shardIdx))(Encoders.scalaInt)
+      .flatMapGroups { (shard: Int, it: Iterator[Row]) =>
+        val rows = it.flatMap { r =>
+          val vec = if (r.isNullAt(vIdx)) null else r.getSeq[Double](vIdx)
+          if (vec == null) None else Some((r.get(idIdx), vec.toArray))
+        }.toArray.sortBy(_._1.toString)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val k = math.min(maxCells.toLong, math.max(4L,
+            (rows.length.toLong + targetCellRows - 1) / targetCellRows)).toInt
+          val cap = k * 256
+          val trainPts =
+            if (rows.length <= cap) rows.map(_._2)
+            else {
+              val stride = rows.length.toDouble / cap
+              Array.tabulate(cap)(i => rows((i * stride).toInt)._2)
+            }
+          val ctrs = localKMeans(trainPts, k, seed + shard)
+          val base = shard.toLong * maxCells
+          rows.iterator.map { case (id, vec) =>
+            Row(id, base + nearestLocal(vec, ctrs)) }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
   }
 }

@@ -95,8 +95,19 @@ object SentimentLexicon {
     defaultEntries.toDF("term", "valence_m")
   }
 
+  /** SQL-literal quoting for lexicon/negator terms: doubles embedded
+    * single quotes, so a term like `ain't` builds a valid literal in
+    * the in-row IN-lists and the oracle VALUES/IN clauses alike. */
+  private def sqlQuote(s: String): String = s.replace("'", "''")
+
   /** Per-document sentiment: (id, n_tokens, n_hits, valence_m,
-    * compound_m). `lexicon` must carry (term, valence_m).
+    * compound_m). `lexicon` must carry (term, valence_m) with DISTINCT
+    * terms — a duplicated term would contribute once per row through
+    * this join but only once through [[rowBuckets]]'s map literal,
+    * silently breaking the spec-pinned score==rowBuckets equality
+    * (rowBuckets enforces the same contract eagerly; here the lexicon
+    * is a DataFrame, so the contract is documented rather than paid
+    * for with an extra count job per call).
     *
     * Negation rides as a PER-ROW POSITION ARRAY, not a (tok, prev)
     * struct stream: `negpos` = the (few) positions holding a negator,
@@ -107,7 +118,7 @@ object SentimentLexicon {
     * exploded row carries only (small-int array, long, pos, token). */
   def score(docs: DataFrame, idCol: String, textCol: String,
             lexicon: DataFrame): DataFrame = {
-    val negList = negators.map(n => s"'$n'").mkString(", ")
+    val negList = negators.map(n => s"'${sqlQuote(n)}'").mkString(", ")
     val toks = docs
       .select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
@@ -142,7 +153,10 @@ object SentimentLexicon {
     * score→distribution is spec-pinned. */
   def rowBuckets(docs: DataFrame, groupCol: String, textCol: String,
                  entries: Seq[(String, Int)] = defaultEntries): DataFrame = {
-    val negList = negators.map(n => s"'$n'").mkString(", ")
+    require(entries.map(_._1).distinct.size == entries.size,
+      "lexicon terms must be distinct (a duplicate would double-count in " +
+        "score's join but keep one value in this map literal)")
+    val negList = negators.map(n => s"'${sqlQuote(n)}'").mkString(", ")
     val lexMap = map_from_arrays(
       lit(entries.map(_._1).toArray),
       lit(entries.map(_._2.toLong).toArray))
@@ -184,8 +198,9 @@ object SentimentLexicon {
   /** The lexicon VALUES literal for the SQL oracle — one source of
     * truth with [[defaultEntries]]. */
   def lexiconSqlValues: String =
-    defaultEntries.map { case (t, v) => s"('$t', $v)" }.mkString(", ")
+    defaultEntries.map { case (t, v) => s"('${sqlQuote(t)}', $v)" }.mkString(", ")
 
   /** The negator IN-list literal for the SQL oracle. */
-  def negatorsSqlList: String = negators.map(n => s"'$n'").mkString(", ")
+  def negatorsSqlList: String =
+    negators.map(n => s"'${sqlQuote(n)}'").mkString(", ")
 }

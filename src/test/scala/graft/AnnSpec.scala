@@ -398,6 +398,65 @@ class AnnSpec extends SparkSpec {
     assertNoCartesian(out)
     // pairs within one cell carry that cell id (the diversity-sampling hook)
     val byCell = out.collect()
-    byCell.foreach(r => assert(r.getInt(2) >= 0))
+    byCell.foreach(r => assert(r.getLong(2) >= 0L))
+  }
+
+  test("semanticNearDup: sharded and unsharded regimes agree pair-for-pair " +
+    "on planted exact duplicates") {
+    // exact copies sit at cosine 1.0: they share every SRP sign bit (same
+    // shard, deterministically) and every quantizer puts identical vectors
+    // in one cell — so at a threshold only exact copies clear, BOTH
+    // regimes must emit exactly the planted pair set
+    val base = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 96)
+      .select("vec_id", "embedding")
+    val corpus = base.unionByName(
+      base.select((col("vec_id") + 1000L).as("vec_id"), col("embedding")))
+    val expect = (0L until 96L).map(i => (i, i + 1000L)).toSet
+    def run(maxCells: Int) =
+      Ann.semanticNearDup(corpus, "vec_id", "embedding", threshold = 0.9999,
+        targetCellRows = 8, maxCells = maxCells)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 192 rows / 8 per cell = 24 total cells: maxCells=24 → one quantizer;
+    // maxCells=8 → 3→4 shards, the flatMapGroups executor-side regime
+    val unsharded = run(24)
+    val sharded = run(8)
+    assert(unsharded == expect, s"unsharded drifted: $unsharded")
+    assert(sharded == expect, s"sharded drifted: $sharded")
+  }
+
+  test("semanticNearDup sharded regime: planted near-dup recall, exact " +
+    "precision, global cell ids, deterministic re-run") {
+    val base = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 80)
+      .select("vec_id", "embedding")
+    val planted = base.select((col("vec_id") + 1000L).as("vec_id"),
+      transform(col("embedding"),
+        x => (x * lit(1.05) + lit(0.01)).cast("float")).as("embedding"))
+    val corpus = base.unionByName(planted)
+    val threshold = 0.95
+    val local = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val expect = (for {
+      (ia, va) <- local.toSeq; (ib, vb) <- local.toSeq
+      if ia < ib && localCosine(va, vb) >= threshold
+    } yield (ia, ib)).toSet
+    assert(expect.size >= 80, s"planting failed: only ${expect.size} true pairs")
+    // 160 rows / 8 = 20 cells over maxCells=4 → 5→8 shards, forced sharding
+    val out = Ann.semanticNearDup(corpus, "vec_id", "embedding", threshold,
+      targetCellRows = 8, maxCells = 4)
+    val rows = out.collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-dup (not exact) pairs may straddle an SRP shard or a cell — the
+    // documented accepted-miss class; density+locality must still catch most
+    val recall = (expect & got).size.toDouble / expect.size
+    assert(recall >= 0.6, s"sharded recall $recall below floor")
+    assert((got -- expect).isEmpty, s"unverified pairs leaked: ${got -- expect}")
+    // global cell id = shard·maxCells + local cell, non-negative long
+    rows.foreach(r => assert(r.getLong(2) >= 0L))
+    assertNoCartesian(out)
+    val again = Ann.semanticNearDup(corpus, "vec_id", "embedding", threshold,
+      targetCellRows = 8, maxCells = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+      "sharded path is not deterministic under a fixed seed")
   }
 }

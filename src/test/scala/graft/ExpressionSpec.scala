@@ -226,6 +226,44 @@ class ExpressionSpec extends SparkSpec {
       MinWindowHash(Literal(s), 8).eval(null).asInstanceOf[Long])
   }
 
+  test("poly_hash: codegen == interpreted == the SQL aggregate fold it " +
+    "replaces; empty→0, null→null") {
+    import graft.functions.PolyHash
+    val M = 1000000007L
+    def reference(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % M)
+    val samples = Seq(
+      "the quick brown fox", "", "a", "café au lait", "y" * 500,
+      "mixed 123 Punct!?")
+    val df = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    // codegen path, the interpreted SQL fold, and the local reference
+    // must agree value-for-value (the fold is what the DuckDB oracles
+    // replay via list_reduce)
+    val got = df.select(col("id"), PolyHash(spark, col("text")).as("h"),
+        expr("aggregate(split(text, ''), CAST(0 AS BIGINT), " +
+          "(a, c) -> (a * 31 + CAST(coalesce(ascii(c), 0) AS BIGINT)) " +
+          "% 1000000007)").as("f"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i.toLong)._1 == reference(s), s"codegen drift on '$s'")
+      assert(got(i.toLong)._2 == reference(s), s"SQL-fold drift on '$s'")
+    }
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    samples.foreach { s =>
+      assert(PolyHash(Literal(s)).eval(null) == reference(s),
+        s"interpreted drift on '$s'")
+    }
+    // null in, null out — and the whole-string collapse of the window
+    // sibling equals this scalar (k ≥ len contract)
+    assert(Seq(Tuple1(null: String)).toDF("text")
+      .select(PolyHash(spark, col("text"))).head().isNullAt(0))
+    val s = "short str"
+    assert(graft.functions.CharWindowPolyHashes(Literal(s), 1024)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray.toSeq == Seq(reference(s)))
+  }
+
   test("min_window_hash is registered as a SQL function") {
     GraftExtensions.register(spark)
     Seq("rolling hash windows here").toDF("text")

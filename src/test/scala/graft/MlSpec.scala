@@ -50,17 +50,24 @@ class MlSpec extends SparkSpec {
   }
 
   test("cvSweep: one row per grid point, metrics bounded, best-flag on " +
-    "the max, deterministic under the fixed seed") {
+    "the max, per-fold dispersion bounded, deterministic under the " +
+    "fixed seed") {
     def run() = Sentiment.cvSweep(docs, algo = "lr",
       regParams = Seq(0.01, 0.3), numFolds = 2, vocabSize = 256)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getBoolean(3))).toSet
+        r.getLong(3), r.getBoolean(4))).toSet
     val got = run()
     assert(got.map(_._2) == Set(10L, 300L), got.toString)  // milli regParams
     assert(got.forall(r => r._1 == "lr" && r._3 >= 0L && r._3 <= 1000000L),
       got.toString)
+    // std is a population std over per-fold F1s replayed from the
+    // engine's own folds (cvSweep self-verifies the replay against
+    // avgMetrics): non-negative, and ≤ the widest possible spread of
+    // 2 fold values whose mean is avg (std ≤ min(avg, 1−avg) on [0,1])
+    assert(got.forall(r => r._4 >= 0L &&
+      r._4 <= math.min(r._3, 1000000L - r._3)), got.toString)
     val best = got.map(_._3).max
-    assert(got.forall(r => r._4 == (r._3 == best)), got.toString)
+    assert(got.forall(r => r._5 == (r._3 == best)), got.toString)
     // the fold assignment and every fit are seed-pinned: exact re-run match
     assert(run() == got, "cvSweep is not deterministic under a fixed seed")
   }

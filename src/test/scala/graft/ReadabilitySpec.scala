@@ -32,6 +32,8 @@ class ReadabilitySpec extends SparkSpec {
     val got = run(Seq((1L, null), (2L, "")))
     assert(got(1L) == got(2L), got.toString)
     assert(got(1L)._1 == 1L && got(1L)._3 == 0L)
+    // the class-doc empty-doc constant: 206835 − 1015·1 − 0
+    assert(got(1L)._4 == 205820L, got.toString)
   }
 
   test("long unpunctuated vowel-dense junk scores far below clean prose") {
