@@ -118,8 +118,10 @@ object GraftExtensions {
     }
 
   private def polyHashBuilder(args: Seq[Expression]): Expression = args match {
-    case Seq(text) => PolyHash(text)
-    case _ => throw new IllegalArgumentException("poly_hash(string)")
+    case Seq(text) => PolyHash(text, 31)
+    case Seq(text, Literal(base: Int, _)) => PolyHash(text, base)
+    case _ => throw new IllegalArgumentException(
+      "poly_hash(string[, base: int literal])")
   }
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =

@@ -80,18 +80,23 @@ object TextStats {
   }
 
   /** Polynomial rolling hash of the whole document (mod 1e9+7, base 31) —
-    * a content fingerprint computed per row via `aggregate` over the
-    * character array. */
+    * a content fingerprint computed per row. */
   def fingerprint(text: Column): Column = fingerprintBase(text, 31)
 
   /** [[fingerprint]] with a chosen polynomial base: independent bases give
     * independent hash channels (used by the dataset checksum, where a
     * single xor-folded channel could cancel; two bases make a joint
-    * collision require simultaneous cancellation in both). */
+    * collision require simultaneous cancellation in both). Computed by
+    * the native scalar [[graft.functions.PolyHash]] — one primitive
+    * O(len) codegen loop; the previous `aggregate(split(text, ''), …)`
+    * HOF paid a single-character UTF8String allocation per input
+    * character on every fingerprint consumer (exact dedup, profiles,
+    * snapshot diffs, host reputation). Values are identical
+    * (ExpressionSpec pins native == SQL fold at both bases), so every
+    * DuckDB oracle replaying the fold stays exact. */
   def fingerprintBase(text: Column, base: Int): Column =
-    aggregate(split(text, ""), lit(0L),
-      (acc, ch) => pmod(acc * base + coalesce(ascii(ch), lit(0)),
-        lit(1000000007L)))
+    graft.functions.PolyHash(
+      org.apache.spark.sql.SparkSession.active, text, base)
 
   /** Winnowing-style fingerprint: minimum polynomial hash over k-char
     * windows — robust to local edits, used as a cheap near-dup prefilter.

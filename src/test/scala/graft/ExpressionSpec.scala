@@ -235,23 +235,28 @@ class ExpressionSpec extends SparkSpec {
     val samples = Seq(
       "the quick brown fox", "", "a", "café au lait", "y" * 500,
       "mixed 123 Punct!?")
+    def reference37(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 37 + c) % M)
     val df = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
       .toDF("id", "text")
     // codegen path, the interpreted SQL fold, and the local reference
-    // must agree value-for-value (the fold is what the DuckDB oracles
-    // replay via list_reduce)
+    // must agree value-for-value at both fingerprint bases (the fold is
+    // what the DuckDB oracles replay via list_reduce)
     val got = df.select(col("id"), PolyHash(spark, col("text")).as("h"),
+        PolyHash(spark, col("text"), 37).as("h37"),
         expr("aggregate(split(text, ''), CAST(0 AS BIGINT), " +
           "(a, c) -> (a * 31 + CAST(coalesce(ascii(c), 0) AS BIGINT)) " +
           "% 1000000007)").as("f"))
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     samples.zipWithIndex.foreach { case (s, i) =>
       assert(got(i.toLong)._1 == reference(s), s"codegen drift on '$s'")
-      assert(got(i.toLong)._2 == reference(s), s"SQL-fold drift on '$s'")
+      assert(got(i.toLong)._2 == reference37(s), s"base-37 drift on '$s'")
+      assert(got(i.toLong)._3 == reference(s), s"SQL-fold drift on '$s'")
     }
     import org.apache.spark.sql.catalyst.expressions.Literal
     samples.foreach { s =>
-      assert(PolyHash(Literal(s)).eval(null) == reference(s),
+      assert(PolyHash(Literal(s), 31).eval(null) == reference(s),
         s"interpreted drift on '$s'")
     }
     // null in, null out — and the whole-string collapse of the window
