@@ -462,10 +462,17 @@ object Ann {
     // joins — persist the diamond's shared input once
     val v = normalized(df, idCol, vecCol, "id", "v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist the (id, table, bucket) rows too: the candidate self-join
+    // consumes them on BOTH sides, and whether the planner broadcasts one
+    // side or sorts-merges, each side otherwise re-derives every
+    // signature — N·L·b hyperplane dot products run twice (sf1 profiling
+    // showed exactly that under a broadcast build). 24 bytes/row, the
+    // cheapest frame in the query; same cache-lifetime contract as `v`
     val buckets = v.select(col("id"),
       posexplode(array((0 until nTables).map(t =>
         srpBucket(df.sparkSession, col("v"), bitsPerTable, dim, seed + t)): _*)))
       .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = buckets.as("l").join(buckets.as("r"),
         col("l.table") === col("r.table") &&
           col("l.bucket") === col("r.bucket") &&
