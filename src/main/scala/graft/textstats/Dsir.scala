@@ -36,11 +36,13 @@ import graft.functions.TextFunctions
   */
 object Dsir {
 
-  /** q25 polynomial hash of one token, mod `buckets`. */
+  /** q25 polynomial hash of one token, mod `buckets` — the native
+    * [[graft.functions.PolyHash]] scalar (identical values to the SQL
+    * fold the oracles replay; this runs once per TOKEN INSTANCE, the
+    * hottest per-row site of the fold in the repo). */
   private def bucketOf(token: Column, buckets: Int): Column =
-    pmod(aggregate(split(token, ""), lit(0L),
-      (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch), lit(0)),
-        lit(1000000007L))), lit(buckets.toLong))
+    pmod(graft.functions.PolyHash(
+      org.apache.spark.sql.SparkSession.active, token), lit(buckets.toLong))
 
   /** (id, is_t, bucket) token-instance stream. */
   private def tokenBuckets(docs: DataFrame, idCol: String, textCol: String,
