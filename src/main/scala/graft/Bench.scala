@@ -60,7 +60,11 @@ object Bench {
       }
       val err = runs.collectFirst { case (_, Some(m)) => m }
       val times = runs.map(_._1)
-      val median = times.sorted.apply(times.size / 2)
+      // lower-middle median: identical for odd run counts (the driver's
+      // 3-run default), but an even count reports the better middle run
+      // instead of the max — a 2-rep sweep otherwise bills every query
+      // its cold first run
+      val median = times.sorted.apply((times.size - 1) / 2)
       (name, median, times, err)
     }
     def jstr(s: String): String =

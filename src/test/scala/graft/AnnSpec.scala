@@ -424,6 +424,24 @@ class AnnSpec extends SparkSpec {
     assert(sharded == expect, s"sharded drifted: $sharded")
   }
 
+  test("semanticNearDup sharded regime survives total directional skew " +
+    "(every vector identical → one shard, one cell, all pairs found)") {
+    // the documented worst case for SRP pre-partitioning: a corpus
+    // collapsed to a single direction concentrates EVERY row into one
+    // shard — the per-shard fit must still run (bounded here by the
+    // train-sample cap) and emit the complete pair set
+    val n = 200
+    val one = Seq.tabulate(64)(i => (0.1f * ((i % 7) + 1)))
+    val corpus = (0L until n.toLong).map(i => (i, one)).toDF("vec_id", "embedding")
+    val out = Ann.semanticNearDup(corpus, "vec_id", "embedding",
+      threshold = 0.999, targetCellRows = 8, maxCells = 4)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (for (a <- 0L until n.toLong; b <- (a + 1) until n.toLong)
+      yield (a, b)).toSet
+    assert(got == expect, s"skewed corpus lost pairs: got ${got.size} of " +
+      s"${expect.size}")
+  }
+
   test("semanticNearDup sharded regime: planted near-dup recall, exact " +
     "precision, global cell ids, deterministic re-run") {
     val base = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 80)

@@ -52,11 +52,15 @@ class MlSpec extends SparkSpec {
   test("cvSweep: one row per grid point, metrics bounded, best-flag on " +
     "the max, per-fold dispersion bounded, deterministic under the " +
     "fixed seed") {
-    def run() = Sentiment.cvSweep(docs, algo = "lr",
+    def sweep() = Sentiment.cvSweep(docs, algo = "lr",
       regParams = Seq(0.01, 0.3), numFolds = 2, vocabSize = 256)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getBoolean(4))).toSet
-    val got = run()
+    val first = sweep()
+    assert(first.columns.toSeq ==
+      Seq("algo", "reg_param_m", "avg_f1_uu", "std_f1_uu", "is_best"))
+    val got = rows(first)
     assert(got.map(_._2) == Set(10L, 300L), got.toString)  // milli regParams
     assert(got.forall(r => r._1 == "lr" && r._3 >= 0L && r._3 <= 1000000L),
       got.toString)
@@ -69,7 +73,8 @@ class MlSpec extends SparkSpec {
     val best = got.map(_._3).max
     assert(got.forall(r => r._5 == (r._3 == best)), got.toString)
     // the fold assignment and every fit are seed-pinned: exact re-run match
-    assert(run() == got, "cvSweep is not deterministic under a fixed seed")
+    assert(rows(sweep()) == got,
+      "cvSweep is not deterministic under a fixed seed")
   }
 
   test("cvSweep rejects heads without a regParam grid") {
