@@ -134,7 +134,10 @@ object Sentiment {
     * `parallelism` at a time — each fit is the distributed row-21/22
     * path; the sweep adds breadth, not a new shuffle shape. The
     * per-fold re-evaluation adds numFolds × |grid| transform+evaluate
-    * passes (no extra fits). */
+    * passes (no extra fits), dispatched on the same-width thread pool:
+    * each pass is a small job whose scheduler latency, not compute,
+    * dominates — serializing them would leave the cluster idle between
+    * jobs. */
   def cvSweep(labeled: DataFrame, algo: String = "lr",
               regParams: Seq[Double] = Seq(0.01, 0.1, 0.3),
               numFolds: Int = 3, seed: Long = 100L,
@@ -160,7 +163,7 @@ object Sentiment {
       .setEstimatorParamMaps(grid)
       .setNumFolds(numFolds)
       .setSeed(seed)
-      .setParallelism(2)
+      .setParallelism(math.min(8, numFolds * grid.length))
       .setCollectSubModels(true)
     // cache for the folds×grid re-reads AND the fold replay below,
     // release before returning (the LinkGraph cache-lifetime rule: a
@@ -177,13 +180,30 @@ object Sentiment {
           .kFold(labeled.toDF().rdd, numFolds, seed)
           .map { case (_, validation) =>
             spark.createDataFrame(validation, schema) }
-        val pf = validations.zipWithIndex.map { case (vd, f) =>
-          val cached = vd.cache()
-          val ms = grid.indices.map(g =>
-            eval.evaluate(model.subModels(f)(g).transform(cached)))
-          cached.unpersist()
-          ms
-        }
+        val cachedFolds = validations.map(_.cache())
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, numFolds * grid.length))
+        val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val pf =
+          try {
+            val futures = cachedFolds.toSeq.zipWithIndex.map { case (vd, f) =>
+              grid.indices.map { g =>
+                scala.concurrent.Future {
+                  // evaluator params are read-only here but the instance
+                  // is not documented thread-safe — one per task
+                  new MulticlassClassificationEvaluator()
+                    .setLabelCol("label").setPredictionCol("prediction")
+                    .setMetricName("f1")
+                    .evaluate(model.subModels(f)(g).transform(vd))
+                }(ec)
+              }
+            }
+            futures.map(_.map(fut => scala.concurrent.Await.result(
+              fut, scala.concurrent.duration.Duration.Inf)))
+          } finally {
+            pool.shutdown()
+            cachedFolds.foreach(_.unpersist())
+          }
         (model.avgMetrics, pf)
       } finally labeled.unpersist()
     val rows = grid.toSeq.zipWithIndex.map { case (pm, g) =>
