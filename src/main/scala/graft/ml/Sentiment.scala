@@ -107,6 +107,9 @@ object Sentiment {
     * spark.ml tuning loop. The WHOLE pipeline (featurize + head) is the
     * CV estimator, so each fold refits its own vocabulary — no
     * train/validation leakage through a shared CountVectorizer fit.
+    * All three heads sweep: the linear heads (svm/lr) grid their
+    * `regParam`; nb grids its Laplace `smoothing` α — the same
+    * one-regularizer-per-head shape, reported in the same column.
     * Output: one row per grid point, (algo, reg_param_m, avg_f1_uu,
     * std_f1_uu, is_best) with the repo's floored micro-unit convention
     * (q167) — avg from the engine's `avgMetrics`, dispersion the
@@ -151,8 +154,10 @@ object Sentiment {
         new ParamGridBuilder().addGrid(h.regParam, regParams).build()
       case h: LogisticRegression =>
         new ParamGridBuilder().addGrid(h.regParam, regParams).build()
+      case h: NaiveBayes =>
+        new ParamGridBuilder().addGrid(h.smoothing, regParams).build()
       case other => throw new IllegalArgumentException(
-        s"cvSweep needs a linear head with regParam, got $other")
+        s"cvSweep has no regularizer grid for head $other")
     }
     val eval = new MulticlassClassificationEvaluator()
       .setLabelCol("label").setPredictionCol("prediction")
@@ -208,9 +213,10 @@ object Sentiment {
       } finally labeled.unpersist()
     val rows = grid.toSeq.zipWithIndex.map { case (pm, g) =>
       val rp = pm.toSeq
-        .collectFirst { case p if p.param.name == "regParam" =>
+        .collectFirst { case p
+            if p.param.name == "regParam" || p.param.name == "smoothing" =>
           p.value.asInstanceOf[Double] }
-        .getOrElse(throw new IllegalStateException("regParam not in grid"))
+        .getOrElse(throw new IllegalStateException("no regularizer in grid"))
       val folds = perFold.map(_(g))
       folds.zipWithIndex.foreach { case (m, f) =>
         require(!m.isNaN, s"fold $f of grid point regParam=$rp evaluated " +

@@ -77,10 +77,19 @@ class MlSpec extends SparkSpec {
       "cvSweep is not deterministic under a fixed seed")
   }
 
-  test("cvSweep rejects heads without a regParam grid") {
-    intercept[IllegalArgumentException] {
-      Sentiment.cvSweep(docs, algo = "nb", numFolds = 2, vocabSize = 64)
-    }
+  test("cvSweep sweeps the NB smoothing grid through the same machinery") {
+    val got = Sentiment.cvSweep(docs, algo = "nb",
+      regParams = Seq(0.1, 1.0), numFolds = 2, vocabSize = 256)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    // smoothing α rides the same milli-unit regularizer column
+    assert(got.map(_._2) == Set(100L, 1000L), got.toString)
+    assert(got.forall(r => r._1 == "nb" && r._3 >= 0L && r._3 <= 1000000L),
+      got.toString)
+    assert(got.forall(r => r._4 >= 0L &&
+      r._4 <= math.min(r._3, 1000000L - r._3)), got.toString)
+    val best = got.map(_._3).max
+    assert(got.forall(r => r._5 == (r._3 == best)), got.toString)
   }
 
   test("hashing featurizer trains to comparable quality without a vocab fit") {
