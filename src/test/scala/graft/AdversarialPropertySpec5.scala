@@ -17,7 +17,9 @@ import graft.sources.Tables
   * rewrite, not a mirror of the production while-loops), and replicate
   * the HALF_UP int8 quantization — so any drift in plane generation,
   * normalization, tie-breaking, probe ordering, or rescore arithmetic
-  * fails the equality, not just a recall threshold. */
+  * fails the equality, not just a recall threshold. A fourth replay
+  * value-pins q164: randomSplit membership against a from-scratch
+  * XORShiftRandom/Bernoulli-cell sampler replica. */
 class AdversarialPropertySpec5 extends SparkSpec {
   import spark.implicits._
 
@@ -226,5 +228,69 @@ class AdversarialPropertySpec5 extends SparkSpec {
     assert(expect.nonEmpty && got == expect,
       s"quantized top-k drifted from the local replay: got ${got.size} " +
         s"rows, expected ${expect.size}; diff=${(got diff expect).take(3)}")
+  }
+
+  /** The xorshift generator Spark seeds its per-partition samplers with —
+    * reimplemented from the published algorithm (hash the seed through two
+    * chained MurmurHash3 byte hashes, then the 21/35/4 xorshift; nextDouble
+    * is java.util.Random's 26+27-bit composition over that next()). Not an
+    * import of Spark's private class: any drift between this replica and
+    * the engine fails the equality below. */
+  private final class LocalXorShift(init: Long) {
+    private var s: Long = {
+      val bytes = java.nio.ByteBuffer.allocate(8).putLong(init).array()
+      val low = scala.util.hashing.MurmurHash3.bytesHash(bytes)
+      val high = scala.util.hashing.MurmurHash3.bytesHash(bytes, low)
+      (high.toLong << 32) | (low.toLong & 0xFFFFFFFFL)
+    }
+    private def next(bits: Int): Int = {
+      var n = s ^ (s << 21); n ^= (n >>> 35); n ^= (n << 4); s = n
+      (n & ((1L << bits) - 1)).toInt
+    }
+    def nextDouble(): Double =
+      ((next(26).toLong << 27) + next(27)) * (1.0 / (1L << 53))
+  }
+
+  test("randomSplit == a local XORShiftRandom/BernoulliCellSampler replay " +
+    "of Spark's per-partition sampling (q164 membership value-pinned)") {
+    // Split membership is a pure function of (partition index,
+    // within-partition sorted row order, the seeded draw sequence) — all
+    // published Dataset.randomSplit semantics: a partition-local sort on
+    // every orderable output column for determinism, then one Bernoulli
+    // cell per row with acceptance x ∈ [cumWeight_i, cumWeight_i+1) from
+    // an XORShiftRandom seeded seed + partitionIndex, each split drawing
+    // the SAME sequence. The replay recomputes membership row-for-row on
+    // the driver; set equality (not a count) must hold, so any drift in
+    // the sort convention, the seeding, the hash-seed chain, or the
+    // draw arithmetic fails here.
+    val seed = 100L
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").filter(col("doc_id") < 400)
+    val Array(tr, te) = docs.randomSplit(Array(0.8, 0.2), seed)
+    val trIds = tr.select("doc_id").collect().map(_.getLong(0)).toSet
+    val teIds = te.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((trIds & teIds).isEmpty && (trIds ++ teIds).size >= 300)
+
+    // doc_id leads the sort-key tuple and is unique, so the partition-local
+    // order is total; collect() preserves (partition, intra-partition) order
+    val parts = docs
+      .sortWithinPartitions(docs.columns.map(col).toIndexedSeq: _*)
+      .rdd.mapPartitionsWithIndex((pid, it) =>
+        it.map(r => (pid, r.getLong(0))))
+      .collect()
+    val replayTr = Set.newBuilder[Long]
+    val replayTe = Set.newBuilder[Long]
+    var rng: LocalXorShift = null
+    var cur = -1
+    parts.foreach { case (pid, id) =>
+      if (pid != cur) { rng = new LocalXorShift(seed + pid); cur = pid }
+      // normalized cumulative weights of Array(0.8, 0.2) are exactly
+      // [0.0, 0.8, 1.0] in doubles; nextDouble() < 1.0 always
+      if (rng.nextDouble() < 0.8) replayTr += id else replayTe += id
+    }
+    assert(replayTr.result() == trIds,
+      "train membership drifted from the local sampler replay")
+    assert(replayTe.result() == teIds,
+      "test membership drifted from the local sampler replay")
   }
 }
