@@ -60,11 +60,14 @@ object Bench {
       }
       val err = runs.collectFirst { case (_, Some(m)) => m }
       val times = runs.map(_._1)
-      // lower-middle median: identical for odd run counts (the driver's
-      // 3-run default), but an even count reports the better middle run
-      // instead of the max — a 2-rep sweep otherwise bills every query
-      // its cold first run
-      val median = times.sorted.apply((times.size - 1) / 2)
+      // strict median: odd counts take the middle run (the driver's 3-run
+      // default is unchanged); even counts average the two middle runs —
+      // the lower-middle alternative degenerates to the MINIMUM at 2 reps,
+      // an optimistic bias still labeled "median"
+      val sorted = times.sorted
+      val median =
+        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
       (name, median, times, err)
     }
     def jstr(s: String): String =

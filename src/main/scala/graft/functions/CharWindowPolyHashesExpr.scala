@@ -164,4 +164,19 @@ object PolyHash {
     org.apache.spark.sql.functions.call_function("poly_hash", text,
       org.apache.spark.sql.functions.lit(base))
   }
+
+  /** Session-FREE Column entry point: builds the Catalyst expression
+    * directly, with no function-registry registration — for pure-Column
+    * helpers ([[graft.textstats.TextStats.fingerprintBase]],
+    * Dsir.bucketOf) that have no owning DataFrame in scope. The
+    * register-and-call [[apply]] variant resolves through the thread's
+    * session registry; in a multi-session JVM a column built under one
+    * session but analyzed under another would fail to resolve
+    * `poly_hash` — this constructor embeds the expression itself, so the
+    * column is valid under any session. */
+  def columnOf(text: org.apache.spark.sql.Column, base: Int = 31)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(PolyHash(GraftColumnBridge.expression(text), base))
+  }
 }

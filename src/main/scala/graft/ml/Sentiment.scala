@@ -123,9 +123,13 @@ object Sentiment {
     * `MLUtils.kFold(dataset.toDF.rdd, numFolds, seed)` on the same
     * cached frame (per-partition seeded sampling: same plan, same
     * partitioning, same folds). The replay is self-verifying: the
-    * per-fold mean must reproduce the engine's avgMetric to 1e-6 or
-    * the sweep fails loudly rather than report a std computed on the
-    * wrong folds.
+    * per-fold mean must reproduce the engine's avgMetric to 1e-6;
+    * on drift (an engine-version change to kFold, nondeterministic
+    * re-partitioning) the sweep DEGRADES to avg-only rows — std_f1_uu
+    * NULL, loud warning — rather than either failing the caller or
+    * reporting a dispersion computed on the wrong folds. The kFold
+    * replay contract itself is pinned by a dedicated SentimentSpec
+    * test so an upstream change surfaces in CI first.
     *
     * A NaN fold metric (a degenerate fold missing a label class, e.g.
     * numFolds=2 on tiny data) fails fast with a targeted message — the
@@ -224,13 +228,27 @@ object Sentiment {
           "use fewer folds or more data") }
       val mean = folds.sum / numFolds
       val m = avgMetrics(g)
-      require(!m.isNaN && math.abs(mean - m) < 1e-6,
-        s"fold replay drifted from CrossValidator's own folds " +
-          s"(per-fold mean $mean vs avgMetric $m) — refusing to report " +
-          "a dispersion computed on the wrong folds")
-      val std = math.sqrt(folds.map(x => (x - mean) * (x - mean)).sum / numFolds)
-      (algo, math.round(rp * 1000), math.floor(m * 1e6).toLong,
-        math.floor(std * 1e6).toLong)
+      // Self-verification of the fold replay: the per-fold mean must
+      // reproduce the engine's avgMetric. On drift — an engine-version
+      // change to MLUtils.kFold's sampling, or nondeterministic
+      // re-partitioning of the cached frame — DEGRADE to avg-only output
+      // (std NULL) with a loud warning instead of failing the whole
+      // sweep: avgMetrics is authoritative regardless (it comes from the
+      // engine's own folds), only the dispersion depends on the replay.
+      val replayOk = !m.isNaN && math.abs(mean - m) < 1e-6
+      val std: Option[Long] =
+        if (replayOk)
+          Some(math.floor(math.sqrt(
+            folds.map(x => (x - mean) * (x - mean)).sum / numFolds) * 1e6).toLong)
+        else {
+          System.err.println(
+            s"WARN cvSweep: fold replay drifted from CrossValidator's own " +
+              s"folds (per-fold mean $mean vs avgMetric $m, grid point " +
+              s"$rp) — reporting avg_f1_uu with NULL std_f1_uu; the " +
+              "MLUtils.kFold replay contract is pinned in SentimentSpec")
+          None
+        }
+      (algo, math.round(rp * 1000), math.floor(m * 1e6).toLong, std)
     }
     val best = rows.map(_._3).max
     rows.map { case (a, rp, f, s) => (a, rp, f, s, f == best) }

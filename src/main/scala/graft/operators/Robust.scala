@@ -188,20 +188,41 @@ object Robust {
     * every DISTINCT corpus value via a groups × distinct-values grid
     * (the declared frame bound — distribution comparison needs the
     * union grid, and both factors are vocabulary-, not corpus-, sized);
-    * per-group cumulative windows run over that grid. */
-  def ksDistance(df: DataFrame, groupCol: String, valCol: String)
-      : DataFrame =
+    * per-group cumulative windows run over that grid.
+    *
+    * `maxGridValues` is the q18 hot-gram philosophy applied to the grid:
+    * the operator serves BANDED/quantized columns, and on a continuous
+    * 100 TB column the "vocabulary-sized" grid silently becomes
+    * corpus-sized — the guard counts distinct values first (one
+    * map-side-combined pass over the count frame the query needs
+    * anyway) and fails fast with a banding pointer instead of launching
+    * the outage. Pre-band wide columns via [[Sampling.scoreNtile]] or
+    * width-bucketing; the KS statistic on the banded column is the KS
+    * of the banded distributions, which is what a drift monitor wants. */
+  def ksDistance(df: DataFrame, groupCol: String, valCol: String,
+                 maxGridValues: Long = 1000000L): DataFrame =
     ksDistanceFromCounts(df
       .filter(col(groupCol).isNotNull && col(valCol).isNotNull)
       .groupBy(col(groupCol).as("grp"), col(valCol).as("__v"))
-      .agg(count(lit(1)).as("__cg")))
+      .agg(count(lit(1)).as("__cg")), maxGridValues)
 
   /** [[ksDistance]] from a pre-reduced (grp, __v, __cg) count frame —
     * the shared read half: value counts are additive across
     * microbatches, so the collapsed monitor table yields exactly the
     * batch statistic (the pooled side derives from the SAME counts by
-    * summing over groups). */
-  def ksDistanceFromCounts(gCounts: DataFrame): DataFrame = {
+    * summing over groups). Carries [[ksDistance]]'s distinct-value
+    * guard (both declared entry points must refuse the same outage). */
+  def ksDistanceFromCounts(gCounts: DataFrame,
+                           maxGridValues: Long = 1000000L): DataFrame = {
+    require(maxGridValues >= 1, s"maxGridValues must be >= 1, got $maxGridValues")
+    val nDistinct = gCounts.select("__v").distinct().count()
+    require(nDistinct <= maxGridValues,
+      s"ksDistance grid would span $nDistinct distinct values " +
+        s"(> maxGridValues = $maxGridValues): the groups × values grid " +
+        "would be corpus-sized. Band the column first (Sampling.scoreNtile " +
+        "or width-bucket it) — KS on the banded column is the banded " +
+        "distributions' KS, the drift read this operator serves — or " +
+        "raise maxGridValues deliberately.")
     val allCum = gCounts.groupBy("__v").agg(sum("__cg").as("__ca"))
       .withColumn("__cumA", sum("__ca").over(
         Window.orderBy("__v")

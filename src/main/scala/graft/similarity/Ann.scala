@@ -748,11 +748,17 @@ object Ann {
     * at cosine 1 NEVER splits: identical vectors project identically),
     * the same accepted-miss class as the cell boundary itself; (b) shard
     * population is a binomial around N/2^b only if the corpus is not
-    * directionally degenerate — a corpus collapsed into one half-space
-    * cone concentrates shards, but such a corpus defeats any density
-    * clustering equally. Below the cap the single-quantizer path is the
-    * exact pre-sharding operator (AnnSpec pins sharded/unsharded
-    * pair-set parity on planted duplicates and sharded-path recall).
+    * directionally degenerate — a corpus collapsed into one narrow cone
+    * concentrates rows into one SRP shard. That regime is guarded: a
+    * count pass prices every shard, and any shard past 8× its design
+    * population is salted by NORMALIZED-VECTOR hash into bounded
+    * sub-shards (bit-equal duplicates share a hash, so exact-duplicate
+    * pairs still never split; near-equal pairs may, joining the
+    * boundary-miss class) — memory stays bounded at any skew instead of
+    * one task buffering the corpus. Below the cap the single-quantizer
+    * path is the exact pre-sharding operator (AnnSpec pins
+    * sharded/unsharded pair-set parity on planted duplicates,
+    * sharded-path recall, and the salted-regime guard).
     *
     * Output: (id_a, id_b, cell, cos) — `cell` is the GLOBAL cell id
     * (shard · maxCells + local cell, a long), the diversity-sampling
@@ -786,13 +792,47 @@ object Ann {
           StructField("cell", LongType, nullable = false)))
         // offset the shard seed so shard planes never coincide with a
         // caller's other SRP structures built from the same base seed
-        val sharded = v.withColumn("shard",
+        val bySrp = v.withColumn("shard",
           srpBucket(spark, col("v"), shardBits, dim, seed + 7919))
+        // Shard-size guard: one map-side-combined count pass (over the
+        // already-persisted normalized frame) prices every shard before
+        // anything buffers. A directionally DEGENERATE corpus — all
+        // vectors in one narrow cone — concentrates every row into one
+        // SRP shard, and the per-shard flatMapGroups below would buffer
+        // the whole corpus in a single task. Oversized shards (> 8× the
+        // ~targetCellRows·maxCells design population) are salted by a
+        // hash of the NORMALIZED VECTOR into ⌈rows/cap⌉ sub-shards, each
+        // fitting its own quantizer: memory stays bounded at any skew.
+        // Vector-hash (not id-hash) salting keeps bit-identical
+        // duplicates in one sub-shard — cos-1 pairs of EQUAL vectors
+        // still never split; near-identical-but-not-equal pairs split
+        // with ≈ (nSalt−1)/nSalt probability in this regime, joining the
+        // documented boundary-miss class (degrade recall, never OOM).
+        val shardCap = 8L * targetCellRows * maxCells
+        val nSaltByShard = bySrp.groupBy("shard")
+          .agg(count(lit(1)).as("__rows"))
+          .select(col("shard"),
+            ceil(col("__rows").cast("double") / shardCap)
+              .cast("long").as("__nsalt"))
+        val maxSalt = math.max(1L,
+          nSaltByShard.agg(max("__nsalt")).head().getLong(0))
+        require(nShards.toLong * maxSalt <= Long.MaxValue / maxCells,
+          s"cell-id space overflow: $nShards shards × $maxSalt salts × $maxCells cells")
+        // gkey == shard when no shard is oversized (maxSalt = 1, salt 0):
+        // the unsalted regime is bit-for-bit the pre-guard operator —
+        // same group keys, same per-group seeds, same cell ids
+        val sharded =
+          if (maxSalt == 1L)
+            bySrp.withColumn("gkey", col("shard").cast("long"))
+          else
+            bySrp.join(nSaltByShard, "shard")
+              .withColumn("gkey", col("shard").cast("long") * maxSalt +
+                pmod(xxhash64(col("v")), col("__nsalt")))
         val idIdx = sharded.schema.fieldIndex("id")
         val vIdx = sharded.schema.fieldIndex("v")
-        val shardIdx = sharded.schema.fieldIndex("shard")
+        val gkeyIdx = sharded.schema.fieldIndex("gkey")
         val (tcr, mc, sd) = (targetCellRows, maxCells, seed)
-        cells0(sharded, idIdx, vIdx, shardIdx, tcr, mc, sd, outSchema)
+        cells0(sharded, idIdx, vIdx, gkeyIdx, tcr, mc, sd, outSchema)
       }
     val pairs = cells.as("l").join(cells.as("r"),
         col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
@@ -807,18 +847,19 @@ object Ann {
   }
 
   /** The sharded-regime (id, global cell) assignment of [[semanticNearDup]]:
-    * one shuffle keyed by SRP shard; per shard, an executor-local
+    * one shuffle keyed by `gkey` (SRP shard, salted past the size cap —
+    * gkey == shard in the unsalted regime); per group, an executor-local
     * k-means++/Lloyd fit ([[localKMeans]], trained on a ≤ k·256 stride
     * sample of the shard's id-sorted rows for determinism) assigns every
     * row its cell. Null vectors drop here — under the codegen path their
     * null cell never equi-joins, the same net exclusion. */
   private def cells0(sharded: DataFrame, idIdx: Int, vIdx: Int,
-                     shardIdx: Int, targetCellRows: Int, maxCells: Int,
+                     gkeyIdx: Int, targetCellRows: Int, maxCells: Int,
                      seed: Long,
                      outSchema: org.apache.spark.sql.types.StructType): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
-    sharded.groupByKey(_.getInt(shardIdx))(Encoders.scalaInt)
-      .flatMapGroups { (shard: Int, it: Iterator[Row]) =>
+    sharded.groupByKey(_.getLong(gkeyIdx))(Encoders.scalaLong)
+      .flatMapGroups { (gkey: Long, it: Iterator[Row]) =>
         val rows = it.flatMap { r =>
           val vec = if (r.isNullAt(vIdx)) null else r.getSeq[Double](vIdx)
           if (vec == null) None else Some((r.get(idIdx), vec.toArray))
@@ -834,8 +875,8 @@ object Ann {
               val stride = rows.length.toDouble / cap
               Array.tabulate(cap)(i => rows((i * stride).toInt)._2)
             }
-          val ctrs = localKMeans(trainPts, k, seed + shard)
-          val base = shard.toLong * maxCells
+          val ctrs = localKMeans(trainPts, k, seed + gkey)
+          val base = gkey * maxCells
           rows.iterator.map { case (id, vec) =>
             Row(id, base + nearestLocal(vec, ctrs)) }
         }

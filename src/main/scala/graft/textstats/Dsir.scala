@@ -41,8 +41,7 @@ object Dsir {
     * fold the oracles replay; this runs once per TOKEN INSTANCE, the
     * hottest per-row site of the fold in the repo). */
   private def bucketOf(token: Column, buckets: Int): Column =
-    pmod(graft.functions.PolyHash(
-      org.apache.spark.sql.SparkSession.active, token), lit(buckets.toLong))
+    pmod(graft.functions.PolyHash.columnOf(token), lit(buckets.toLong))
 
   /** (id, is_t, bucket) token-instance stream. */
   private def tokenBuckets(docs: DataFrame, idCol: String, textCol: String,

@@ -95,8 +95,7 @@ object TextStats {
     * (ExpressionSpec pins native == SQL fold at both bases), so every
     * DuckDB oracle replaying the fold stays exact. */
   def fingerprintBase(text: Column, base: Int): Column =
-    graft.functions.PolyHash(
-      org.apache.spark.sql.SparkSession.active, text, base)
+    graft.functions.PolyHash.columnOf(text, base)
 
   /** Winnowing-style fingerprint: minimum polynomial hash over k-char
     * windows — robust to local edits, used as a cheap near-dup prefilter.

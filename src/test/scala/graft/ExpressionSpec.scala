@@ -269,6 +269,38 @@ class ExpressionSpec extends SparkSpec {
       .toLongArray.toSeq == Seq(reference(s)))
   }
 
+  test("poly_hash beyond the BMP: codepoint iteration, pinned value — " +
+    "the deliberate divergence from the old surrogate-half SQL fold") {
+    import graft.functions.PolyHash
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val M = 1000000007L
+    // "a🙂b" = codepoints [97, 0x1F642 = 128578, 98]; the old
+    // `aggregate(split(text,''), …)` fold saw FOUR elements (the emoji as
+    // two UTF-16 surrogate halves 0xD83D/0xDE42), so its value differed.
+    // Codepoint semantics are the intended contract (they match DuckDB's
+    // per-character ascii() on true characters); any fingerprint persisted
+    // from a pre-codepoint build must be recomputed for non-BMP text.
+    val s = "a🙂b"
+    val want = Seq(97L, 128578L, 98L).foldLeft(0L)((a, c) => (a * 31 + c) % M)
+    // frozen ((97·31 + 128578)·31 + 98) mod (10⁹+7): a build that shifts
+    // this breaks any persisted fingerprint of non-BMP text
+    assert(want == 4079233L)
+    assert(PolyHash(Literal(s), 31).eval(null) == want)
+    val surrogateFold = Seq(97L, 0xD83DL, 0xDE42L, 98L)
+      .foldLeft(0L)((a, c) => (a * 31 + c) % M)
+    assert(surrogateFold != want) // the divergence is real, not vacuous
+    // session-free columnOf (the fingerprintBase path) and the registered
+    // function agree on the same non-BMP value
+    val got = Seq(Tuple1(s)).toDF("text")
+      .select(PolyHash.columnOf(col("text")).as("a"),
+        PolyHash(spark, col("text")).as("b")).head()
+    assert(got.getLong(0) == want && got.getLong(1) == want)
+    // and the window sibling's whole-string collapse matches (shared loop)
+    assert(graft.functions.CharWindowPolyHashes(Literal(s), 1024)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray.toSeq == Seq(want))
+  }
+
   test("min_window_hash is registered as a SQL function") {
     GraftExtensions.register(spark)
     Seq("rolling hash windows here").toDF("text")

@@ -92,6 +92,35 @@ class MlSpec extends SparkSpec {
     assert(got.forall(r => r._5 == (r._3 == best)), got.toString)
   }
 
+  test("MLUtils.kFold replay contract: deterministic under a fixed seed " +
+    "and a partition of the frame — pinned here so an engine change " +
+    "surfaces as a CI failure, not as silent NULL stds in cvSweep") {
+    // the exact replay cvSweep performs: kFold on the cached frame's rdd
+    val labeled = docs.select("doc_id", "label").cache()
+    try {
+      labeled.count()
+      def validations() = org.apache.spark.mllib.util.MLUtils
+        .kFold(labeled.rdd, 3, 100L)
+        .map { case (_, va) =>
+          va.map(r => (r.getLong(0), r.getDouble(1))).collect().toSet }
+      val a = validations()
+      val b = validations()
+      assert(a.toSeq == b.toSeq,
+        "kFold is no longer deterministic on a cached frame — cvSweep's " +
+          "fold replay (and its std column) now degrades every call")
+      val all = labeled.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(a.map(_.size).sum == all.size, "folds overlap or drop rows")
+      assert(a.reduce(_ ++ _) == all, "fold union is not the frame")
+      // and the healthy-regime contract downstream: cvSweep's self-verified
+      // replay holds, so std_f1_uu is NON-NULL (the degrade path is for
+      // engine drift only — MlSpec's sweep tests read it as a plain long)
+      assert(Sentiment.cvSweep(docs, algo = "lr", regParams = Seq(0.1),
+        numFolds = 2, vocabSize = 128)
+        .filter(col("std_f1_uu").isNull).count() == 0L)
+    } finally labeled.unpersist()
+  }
+
   test("hashing featurizer trains to comparable quality without a vocab fit") {
     val (model, f1, _) = Sentiment.trainEval(docs, "svm", seed = 100L,
       vocabSize = 1 << 12, hashing = true)

@@ -187,4 +187,26 @@ class RobustSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(merged == direct)
   }
+
+  test("ksDistance grid guard: a continuous column past the distinct-value " +
+    "ceiling fails fast; the banded path passes and equals direct KS on " +
+    "the banded column") {
+    import graft.operators.Robust
+    import org.apache.spark.sql.functions._
+    // 500 distinct "continuous" values against a ceiling of 100 → refuse
+    val wide = (1 to 500).map(i => (s"s${i % 2}", i.toLong)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Robust.ksDistance(wide, "g", "v", maxGridValues = 100L)
+    }
+    assert(e.getMessage.contains("maxGridValues") &&
+      e.getMessage.toLowerCase.contains("band"), e.getMessage)
+    // banding collapses the grid under the same ceiling: 10 buckets of 50
+    val banded = wide.withColumn("v", col("v") - pmod(col("v"), lit(50L)))
+    val guarded = Robust.ksDistance(banded, "g", "v", maxGridValues = 100L)
+      .collect().map(_.toSeq).toSet
+    // and the guarded result IS the plain KS of the banded distribution
+    val unguarded = Robust.ksDistance(banded, "g", "v")
+      .collect().map(_.toSeq).toSet
+    assert(guarded == unguarded && guarded.nonEmpty)
+  }
 }
