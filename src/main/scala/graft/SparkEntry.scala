@@ -1608,13 +1608,18 @@ object SparkEntry {
     // ranking engine-exact (the one float op is the idf ln, floored at 10⁻⁶
     // like q77). The plan is the inverted-index probe: query terms
     // broadcast onto the postings scan, nothing corpus-sized shuffles on
-    // token.
+    // token. Whole-document queries prune to their 8 rarest terms
+    // (Bm25.pruneQueryTerms — deterministic df-asc/token-asc selection,
+    // mirrored verbatim in the oracle's qt CTE, so the declared result
+    // stays hash-exact): the hit volume Σ_q Σ_{t∈q} df(t) drops ~3x, the
+    // long-query shape a 100 TB contamination audit needs.
     "q104_bm25" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       // spread: the single-row-group parquet would otherwise pin the
       // corpus tokenize+explode (the heavy stage) to one core
       Bm25.topK(spread(s, docs), "doc_id", "text",
-        docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", k = 10)
+        docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", k = 10,
+        maxTermsPerQuery = 8)
     }),
 
     // §2 row 121: hybrid lexical+dense retrieval fused by reciprocal-rank
@@ -1628,7 +1633,8 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val emb = spread(s, Tables.embeddings(s, dir))
       val lex = Bm25.searchIndex(s.read.parquet(stagedBm25Index(s, dir)),
-        docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", k = 20)
+        docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", k = 20,
+        maxTermsPerQuery = 8)
         .select("query_id", "doc_id", "rank")
       val dense = Ann.bruteForceTopK(emb,
         emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 20)
@@ -1704,7 +1710,7 @@ object SparkEntry {
     "q109_bm25_index" -> ((s, dir) =>
       Bm25.searchIndex(s.read.parquet(stagedBm25Index(s, dir)),
         Tables.documents(s, dir).filter(col("doc_id") % 100 === 0),
-        "doc_id", "text", k = 10)),
+        "doc_id", "text", k = 10, maxTermsPerQuery = 8)),
 
     // §2 row 126: incremental video dedup vs a persisted signature index —
     // the video twin of q99/q107, completing the incremental-ingest shape
@@ -3575,7 +3581,8 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val emb = spread(s, Tables.embeddings(s, dir))
       val lex = Bm25.searchIndex(s.read.parquet(stagedBm25Index(s, dir)),
-        docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", k = 20)
+        docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", k = 20,
+        maxTermsPerQuery = 8)
         .select("query_id", "doc_id", "rank")
       val dense = Ann.bruteForceTopK(emb,
         emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
@@ -4774,7 +4781,10 @@ object SparkEntry {
     * non-negative int64 so Spark's `div` and DuckDB's `//` agree. The one
     * float op is the idf ln, floored at micro-precision (the q77 ulp
     * caveat applies). Emits `lex(query_id, doc_id, score_u, rank)` with
-    * rank ≤ `k`; queries are documents with doc_id % 100 = 0. */
+    * rank ≤ `k`; queries are documents with doc_id % 100 = 0, pruned to
+    * their 8 rarest terms (df asc, token asc — the deterministic
+    * Bm25.pruneQueryTerms selection, replayed here verbatim so the
+    * engine's long-query pruning stays hash-exact). */
   private def bm25LexCtes(k: Int): String =
     s"""tf AS (SELECT doc_id, token, count(*) AS tf FROM
        |    (SELECT doc_id, unnest(${tokensSql("text")}) AS token FROM documents)
@@ -4782,9 +4792,15 @@ object SparkEntry {
        |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum(dl) * 1000 // count(*) AS BIGINT) AS avgdl_m FROM dlen),
+       |dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
        |idf AS (SELECT token, CAST(floor(ln(1 + (n_docs - df + 0.5)/(df + 0.5)) * 1000000) AS BIGINT) AS idf_u
-       |  FROM (SELECT token, count(*) AS df FROM tf GROUP BY token), st),
-       |qt AS (SELECT doc_id AS query_id, token FROM tf WHERE doc_id % 100 = 0),
+       |  FROM dfc, st),
+       |qt AS (SELECT query_id, token FROM (
+       |    SELECT tf.doc_id AS query_id, tf.token,
+       |      row_number() OVER (PARTITION BY tf.doc_id
+       |        ORDER BY dfc.df ASC, tf.token ASC) AS trk
+       |    FROM tf JOIN dfc USING (token) WHERE tf.doc_id % 100 = 0)
+       |  WHERE trk <= 8),
        |hits AS (SELECT qt.query_id, tf.doc_id, tf.tf, idf.idf_u
        |  FROM tf JOIN qt USING (token) JOIN idf USING (token)
        |  WHERE tf.doc_id <> qt.query_id),

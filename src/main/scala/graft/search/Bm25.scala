@@ -142,6 +142,37 @@ object Bm25 {
         explode(TextFunctions.tokens(col(qTextCol))).as("token"))
       .filter(col("token") =!= "").distinct()
 
+  /** Long-query pruning: keep each query's `maxTermsPerQuery` RAREST
+    * terms — rank by (document frequency asc, token asc) and cut. The
+    * WAND-style argument: a term's score contribution is bounded by
+    * idf_u · (k1+1)·10³ — monotone in idf, i.e. anti-monotone in df — so
+    * the dropped terms are exactly those with the LOWEST per-term score
+    * ceilings AND the longest posting lists: the probe sheds its heaviest
+    * postings at the smallest possible score distortion. Whole-document
+    * queries (contamination audits, hard-negative mining) otherwise read
+    * Σ_q Σ_{t∈q} df(t) hit rows — at 100 TB the difference between a
+    * probe and a corpus join.
+    *
+    * Determinism: df ties break on the token string, so the kept set is a
+    * pure function of (corpus, query) — a SQL oracle replays it
+    * row-for-row, and [[topK]]'s corpus-side df ranking equals
+    * [[searchIndex]]'s index-side ranking (the impact index carries one
+    * row per (token, doc): its per-token count IS df). Short queries
+    * (≤ maxTermsPerQuery distinct terms) are untouched — scores and
+    * ranks identical to the unpruned operator (SearchSpec pins this).
+    * Recall bound, stated honestly: a pruned query's scores omit its
+    * commonest terms' contributions, so a document matching ONLY dropped
+    * terms can leave the top-k — acceptable for long queries, where the
+    * rare terms carry essentially all the ranking signal. */
+  private def pruneQueryTerms(qterms: DataFrame, dfCol: String,
+                              maxTermsPerQuery: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(asc(dfCol), asc("token"))
+    qterms.withColumn("__trk", row_number().over(w))
+      .filter(col("__trk") <= maxTermsPerQuery)
+      .drop("__trk")
+  }
+
   /** (query_id, doc_id, score_u) — integer-micro BM25 of every corpus doc
     * that shares ≥1 token with the query (self-pairs excluded when ids
     * collide). `queries` must be small enough to broadcast. Unlike the
@@ -149,12 +180,20 @@ object Bm25 {
     * weights are only computed for postings the queries can touch. */
   def scoreAll(corpus: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qIdCol: String, qTextCol: String,
-               k1Milli: Int = 1200, bMilli: Int = 750): DataFrame = {
+               k1Milli: Int = 1200, bMilli: Int = 750,
+               maxTermsPerQuery: Int = Int.MaxValue): DataFrame = {
     require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
       s"BM25 constants out of range: k1_m=$k1Milli b_m=$bMilli")
+    require(maxTermsPerQuery >= 1,
+      s"maxTermsPerQuery must be >= 1, got $maxTermsPerQuery")
     val (tf, dl, stats, idf) = corpusFrames(corpus, idCol, textCol)
-    val qidf = idf.join(broadcast(
+    val qidf0 = idf.join(broadcast(
       queryTerms(queries, qIdCol, qTextCol)), "token")
+    // the prune window runs over the query-vocabulary frame — bounded by
+    // the (broadcastable-by-contract) query side, never the corpus
+    val qidf =
+      if (maxTermsPerQuery == Int.MaxValue) qidf0
+      else pruneQueryTerms(qidf0, "df_docs", maxTermsPerQuery)
     val hits = tf.join(broadcast(qidf), "token")
       .filter(col("doc_id") =!= col("query_id"))
     hits.join(dl, "doc_id")
@@ -165,13 +204,15 @@ object Bm25 {
   }
 
   /** Top-`k` per query by integer BM25, rank total-ordered (score desc,
-    * doc_id asc) so an oracle replays it row-for-row. */
+    * doc_id asc) so an oracle replays it row-for-row. `maxTermsPerQuery`
+    * engages [[pruneQueryTerms]] for long queries. */
   def topK(corpus: DataFrame, idCol: String, textCol: String,
            queries: DataFrame, qIdCol: String, qTextCol: String,
-           k: Int, k1Milli: Int = 1200, bMilli: Int = 750): DataFrame = {
+           k: Int, k1Milli: Int = 1200, bMilli: Int = 750,
+           maxTermsPerQuery: Int = Int.MaxValue): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     rankTopK(scoreAll(corpus, idCol, textCol, queries, qIdCol, qTextCol,
-      k1Milli, bMilli), k)
+      k1Milli, bMilli, maxTermsPerQuery), k)
   }
 
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
@@ -219,12 +260,33 @@ object Bm25 {
     * everything but the query terms' postings — the difference between
     * scanning 100 TB of postings and scanning the few row groups a query
     * workload touches. Sets larger than `maxPushdownTerms` skip the
-    * collect and fall back to the plain broadcast join. */
+    * collect and fall back to the plain broadcast join.
+    *
+    * `maxTermsPerQuery` engages [[pruneQueryTerms]] for long queries,
+    * ranking by the index's own per-token posting count (== df by the
+    * one-row-per-(token, doc) construction, so the kept sets — and the
+    * scores — are bit-identical to [[topK]] at the same setting). The df
+    * pass is one map-side-combined count over the index's token column;
+    * a long-lived query service should persist that small vocabulary
+    * frame alongside the index rather than re-derive it per workload. */
   def searchIndex(index: DataFrame, queries: DataFrame, qIdCol: String,
                   qTextCol: String, k: Int,
-                  maxPushdownTerms: Int = 10000): DataFrame = {
+                  maxPushdownTerms: Int = 10000,
+                  maxTermsPerQuery: Int = Int.MaxValue): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val qterms = queryTerms(queries, qIdCol, qTextCol)
+    require(maxTermsPerQuery >= 1,
+      s"maxTermsPerQuery must be >= 1, got $maxTermsPerQuery")
+    val qterms0 = queryTerms(queries, qIdCol, qTextCol)
+    val qterms =
+      if (maxTermsPerQuery == Int.MaxValue) qterms0
+      else {
+        val dfs = index.groupBy("token").agg(count(lit(1)).as("__df"))
+        // materialize the (query-bounded) pruned frame once: both the
+        // pushdown collect below and the probe's broadcast consume it,
+        // and each would otherwise re-run the vocabulary scan
+        pruneQueryTerms(dfs.join(broadcast(qterms0), "token"),
+          "__df", maxTermsPerQuery).drop("__df").localCheckpoint()
+      }
     val terms = qterms.select("token").distinct()
       .limit(maxPushdownTerms + 1).collect().map(_.getString(0))
     val scan = if (terms.length <= maxPushdownTerms)

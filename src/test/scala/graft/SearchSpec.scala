@@ -106,6 +106,52 @@ class SearchSpec extends SparkSpec {
     assert(direct.count() > 0)
   }
 
+  test("long-query pruning: short queries are untouched; a long query " +
+    "keeps exactly its rarest terms — scores equal the hand-pruned " +
+    "query — and the index probe agrees with direct topK") {
+    // dfs by construction: each rareN in ONE doc, common/filler in many
+    val corpus = docsDf(
+      1L -> "rarea common filler words here",
+      2L -> "rareb common filler words here",
+      3L -> "rarec common filler words here",
+      4L -> "rared common filler words here",
+      5L -> "raree common filler words here",
+      6L -> "common filler words here extra",
+      7L -> "common filler words here extra",
+      8L -> "common filler words here extra")
+    // 9 distinct terms; the 5 rarest are exactly rarea..raree
+    val longQ = docsDf(
+      100L -> "rarea rareb rarec rared raree common filler words extra")
+    val pruned = Bm25.topK(corpus, "doc_id", "text",
+      longQ, "doc_id", "text", k = 8, maxTermsPerQuery = 5)
+    // the same ranking, spelled as an unpruned query over the kept set
+    val handPruned = Bm25.topK(corpus, "doc_id", "text",
+      docsDf(100L -> "rarea rareb rarec rared raree"), "doc_id", "text",
+      k = 8)
+    assert(pruned.exceptAll(handPruned).isEmpty &&
+      handPruned.exceptAll(pruned).isEmpty,
+      "pruned long query must score exactly its rarest-term subset")
+    // a query at/below the cap is bit-identical to the unpruned operator
+    val shortQ = docsDf(101L -> "rarea common filler")
+    val a = Bm25.topK(corpus, "doc_id", "text", shortQ, "doc_id", "text",
+      k = 8, maxTermsPerQuery = 5)
+    val b = Bm25.topK(corpus, "doc_id", "text", shortQ, "doc_id", "text",
+      k = 8)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "short queries must be untouched by the pruning cap")
+    // corpus-side df ranking == index-side posting-count ranking: the
+    // impact probe at the same cap is score-identical to direct topK
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_prune_spec").toString
+    Bm25.buildImpactIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(idxDir)
+    val probed = Bm25.searchIndex(spark.read.parquet(idxDir),
+      longQ, "doc_id", "text", k = 8, maxTermsPerQuery = 5)
+    assert(probed.exceptAll(pruned).isEmpty &&
+      pruned.exceptAll(probed).isEmpty,
+      "index probe must select the same pruned term sets as direct topK")
+  }
+
   test("index probe pushes the query-term IN filter to the parquet scan") {
     val corpus = docsDf((0L until 30L).map(i =>
       i -> s"doc $i mentions term$i plus shared filler words here"): _*)
