@@ -411,7 +411,13 @@ object SparkEntry {
     // per-bucket self-join — stays bounded at any N; candidates unioned
     // across tables, cosine-verified). Declared at threshold 0.8, the
     // regime the operator is designed for (L ≈ 11 tables, not the
-    // low-threshold 32-table cap — see Ann.srpTablesFor). The synthetic
+    // low-threshold 32-table cap — see Ann.srpTablesFor). Past the cap —
+    // the corpus size where holding recall 0.9 would need > 32 tables
+    // (≈ 262k rows at threshold 0.8) — the operator now DELEGATES to
+    // semanticNearDup's O(N·maxCells·dim) density cells with a loud
+    // stderr note (AnnSpec pins engagement + exact-dup recall parity);
+    // at every driver sf the below-cap banded path runs unchanged. The
+    // synthetic
     // embeddings have no pairs tighter than cos ≈ 0.5, so every 16th
     // vector re-enters under -(id+1): negative ids cannot collide with the
     // table's non-negative ids at ANY scale factor (a fixed +1e6 offset

@@ -612,15 +612,48 @@ object Ann {
   /** [[nearDupByCosineBanded]] with b sized from the actual corpus count and
     * L from the recall target — the configuration is a function of the data,
     * not a constant, which is what makes the plan survive a 100× scale-up.
-    * Costs one extra count() job (a metadata-only pass on parquet). */
+    * Costs one extra count() job (a metadata-only pass on parquet).
+    *
+    * The L-cap handoff: b grows with the corpus (to hold per-bucket
+    * occupancy), and as p^b collapses the table count L needed to hold
+    * `targetRecall` grows too — once the UNCAPPED L passes `maxTables`,
+    * the SRP configuration can no longer buy the recall target, and
+    * continuing to run it pays N·occupancy·L candidate volume for recall
+    * it silently fails to deliver. Past that boundary the operator
+    * DELEGATES (loud stderr note) to [[semanticNearDup]], the
+    * O(N·maxCells·dim) self-sharding density path whose cost does not
+    * ride the recall→tables curve; exact (bit-equal) duplicate pairs are
+    * still always found (identical vectors share a cell), near-misses
+    * move to the documented cell-boundary class. A corpus big enough to
+    * trip the cap should really stage [[srpIndex]] once and probe it
+    * incrementally ([[incrementalCosineDups]]) — the delegation keeps
+    * the one-shot call safe; `delegatePastCap = false` pins the old
+    * capped-SRP behavior (run at maxTables, accept the recall shortfall)
+    * for callers that want the SRP pair profile regardless.
+    * AnnSpec pins delegation engagement, exact-duplicate recall parity
+    * on the delegated path, and the non-delegated regime's invariance. */
   def nearDupByCosineAuto(df: DataFrame, idCol: String, vecCol: String,
                           threshold: Double, dim: Int,
                           targetRecall: Double = 0.9,
                           targetBucketRows: Int = 64,
-                          maxTables: Int = 32, seed: Long = 42L): DataFrame = {
+                          maxTables: Int = 32, seed: Long = 42L,
+                          delegatePastCap: Boolean = true): DataFrame = {
     val bits = srpBitsFor(df.count(), targetBucketRows)
-    val tables = srpTablesFor(threshold, bits, targetRecall, maxTables)
-    nearDupByCosineBanded(df, idCol, vecCol, threshold, dim, tables, bits, seed)
+    val uncapped = srpTablesFor(threshold, bits, targetRecall, Int.MaxValue)
+    if (delegatePastCap && uncapped > maxTables) {
+      System.err.println(
+        s"NOTE nearDupByCosineAuto: holding recall $targetRecall at " +
+          s"b=$bits would need L=$uncapped SRP tables (> maxTables=" +
+          s"$maxTables) — past the cap-sizing regime; delegating to " +
+          "semanticNearDup (self-sharding density cells). Stage srpIndex " +
+          "+ incrementalCosineDups for the persistent-corpus workflow.")
+      semanticNearDup(df, idCol, vecCol, threshold, seed = seed)
+        .select("id_a", "id_b", "cos")
+    } else {
+      val tables = math.min(uncapped, maxTables)
+      nearDupByCosineBanded(df, idCol, vecCol, threshold, dim, tables, bits,
+        seed)
+    }
   }
 
   /** Persisted SRP bucket index of an embedding corpus: (id, table, bucket)

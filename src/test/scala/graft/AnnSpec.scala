@@ -477,4 +477,72 @@ class AnnSpec extends SparkSpec {
     assert(again == rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
       "sharded path is not deterministic under a fixed seed")
   }
+
+  test("semanticNearDup shard-size guard: a near-degenerate corpus past " +
+    "the per-shard cap salts into bounded sub-shards; bit-equal planted " +
+    "duplicates still pair, deterministically") {
+    // 150 distinct near-identical directions (one dominant axis, per-row
+    // jitter) + one exact copy of each: every row lands in ONE SRP shard
+    // (same sign pattern), and 300 rows > the 8·4·4 = 128 cap → the
+    // vector-hash salting engages (⌈300/128⌉ = 3 sub-shards). Bit-equal
+    // copies share the hash, so every planted exact pair survives.
+    val rows = (0L until 150L).map { i =>
+      val v = Seq.tabulate(16)(d =>
+        (1.0f + (if (d == (i % 16).toInt) 0.001f * ((i % 7) + 1) else 0f)))
+      (i, v)
+    }
+    val base = rows.toDF("vec_id", "embedding")
+    val corpus = base.unionByName(base.select(
+      (col("vec_id") + 1000L).as("vec_id"), col("embedding")))
+    val out = Ann.semanticNearDup(corpus, "vec_id", "embedding",
+      threshold = 0.9999999, targetCellRows = 4, maxCells = 4)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 150L).map(i => (i, i + 1000L)).toSet
+    assert((planted -- got).isEmpty,
+      s"salted regime lost exact-duplicate pairs: ${(planted -- got).take(5)}")
+    val again = Ann.semanticNearDup(corpus, "vec_id", "embedding",
+      threshold = 0.9999999, targetCellRows = 4, maxCells = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == got, "salted regime is not deterministic")
+  }
+
+  test("nearDupByCosineAuto L-cap handoff: past the cap it delegates to " +
+    "semanticNearDup (exact-duplicate recall parity); below the cap and " +
+    "with delegation off, the banded SRP path is unchanged") {
+    val base = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 96)
+      .select("vec_id", "embedding")
+    val corpus = base.unionByName(
+      base.select((col("vec_id") + 1000L).as("vec_id"), col("embedding")))
+    val planted = (0L until 96L).map(i => (i, i + 1000L)).toSet
+    // threshold 0.8 at b=4 needs L≈5 for recall 0.9: maxTables=2 forces
+    // the past-cap regime → delegation engages
+    val delegated = Ann.nearDupByCosineAuto(corpus, "vec_id", "embedding",
+      threshold = 0.8, dim = 64, maxTables = 2)
+    assert(delegated.columns.toSeq == Seq("id_a", "id_b", "cos"))
+    val dg = delegated.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((planted -- dg).isEmpty,
+      s"delegated path lost exact duplicates: ${(planted -- dg).take(5)}")
+    // the delegated result IS semanticNearDup's pair set (same seed)
+    val sem = Ann.semanticNearDup(corpus, "vec_id", "embedding",
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dg == sem, "delegation drifted from semanticNearDup")
+    // delegation OFF at the same cap: the capped banded operator, whose
+    // pair set must still contain every exact duplicate
+    val capped = Ann.nearDupByCosineAuto(corpus, "vec_id", "embedding",
+      threshold = 0.8, dim = 64, maxTables = 2, delegatePastCap = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((planted -- capped).isEmpty)
+    // below the cap (default maxTables=32) nothing delegates: the result
+    // equals the explicit banded call at the auto-sized (b, L)
+    val auto = Ann.nearDupByCosineAuto(corpus, "vec_id", "embedding",
+      threshold = 0.8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bits = Ann.srpBitsFor(192L)
+    val tables = Ann.srpTablesFor(0.8, bits)
+    val banded = Ann.nearDupByCosineBanded(corpus, "vec_id", "embedding",
+        threshold = 0.8, dim = 64, nTables = tables, bitsPerTable = bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == banded, "below-cap auto path drifted from banded SRP")
+  }
 }
