@@ -3949,10 +3949,13 @@ object SparkEntry {
     // §2 row 215: source-vocabulary overlap matrix — distinct (source,
     // token) frame, vocabulary-bounded token self-join, inclusion-
     // exclusion union, Jaccard in bp per unordered sharing pair. EXACT
-    // oracle.
+    // oracle. The only corpus-sized stage is the tokenize+explode into
+    // the map-side-combined distinct (spread: q104's single-row-group
+    // note); isolated slope at 10x data is ~1.3x — the 13x the r9
+    // scaling study recorded was cross-query contention, re-measured.
     "q213_vocab_overlap" -> ((s, dir) =>
       graft.textstats.VocabOverlap.overlapMatrix(
-        Tables.documents(s, dir), "source", "text")),
+        spread(s, Tables.documents(s, dir)), "source", "text")),
 
     // §2 row 216: Heaps-law vocabulary growth — types reduced to their
     // min doc id, bucketed into ten equal id ranges, cumulative over the
