@@ -33,20 +33,24 @@ import graft.functions.VectorFunctions._
   */
 object Ann {
 
-  /** Deterministic random hyperplanes (unit-free; only the sign is used). */
-  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Column] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(nPlanes)(array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*))
-  }
-
   /** SRP bucket id of a *materialized* vector column: bit i = sign(v·plane_i).
-    * Projections use the native codegen [[graft.functions.DotProduct]] —
-    * nPlanes × dim multiplies per row in one primitive loop each. */
+    * One native [[graft.functions.SrpBuckets]] loop — the previous
+    * compositional tree (a sum of `bits` separate `when(vec_dot ≥ 0)`
+    * sub-trees per table) overflowed whole-stage codegen's method budget
+    * on the multi-table paths and dropped the hottest ANN stage to
+    * interpreted eval; values are bit-identical (same seeded plane stream,
+    * same ascending dot accumulation, same ≥ 0 sign — Spec5's replays and
+    * ExpressionSpec pin it). `spark` is kept for source compatibility; the
+    * expression is session-free. */
   def srpBucket(spark: org.apache.spark.sql.SparkSession, vec: Column,
                 nPlanes: Int, dim: Int, seed: Long = 42L): Column =
-    planes(nPlanes, dim, seed).zipWithIndex.map { case (p, i) =>
-      when(DotProduct(spark, vec, p) >= 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
+    element_at(graft.functions.SrpBuckets.columnOf(vec, 1, nPlanes, dim, seed), 1)
+
+  /** All L table bucket ids at once — `[t] = srpBucket(vec, bits, dim,
+    * seed + t)`, one fused tables×bits×dim loop per row. */
+  private def srpBucketsAll(vec: Column, nTables: Int, bits: Int, dim: Int,
+                            seed: Long): Column =
+    graft.functions.SrpBuckets.columnOf(vec, nTables, bits, dim, seed)
 
   /** (<idAlias>, <vecAlias>) with the vector L2-normalized, staged so the
     * norm is computed once per row (an inline norm inside a downstream
@@ -469,8 +473,7 @@ object Ann {
     // showed exactly that under a broadcast build). 24 bytes/row, the
     // cheapest frame in the query; same cache-lifetime contract as `v`
     val buckets = v.select(col("id"),
-      posexplode(array((0 until nTables).map(t =>
-        srpBucket(df.sparkSession, col("v"), bitsPerTable, dim, seed + t)): _*)))
+      posexplode(srpBucketsAll(col("v"), nTables, bitsPerTable, dim, seed)))
       .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = buckets.as("l").join(buckets.as("r"),
@@ -666,8 +669,7 @@ object Ann {
                nTables: Int, bitsPerTable: Int, seed: Long = 42L): DataFrame = {
     require(nTables >= 1 && bitsPerTable >= 1 && bitsPerTable <= 24)
     normalized(df, idCol, vecCol, "id", "v").select(col("id"),
-        posexplode(array((0 until nTables).map(t =>
-          srpBucket(df.sparkSession, col("v"), bitsPerTable, dim, seed + t)): _*)))
+        posexplode(srpBucketsAll(col("v"), nTables, bitsPerTable, dim, seed)))
       .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
   }
 
@@ -709,8 +711,7 @@ object Ann {
     val newV = normalized(newDocs, idCol, vecCol, "id", "v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBuckets = newV.select(col("id").as("new_id"),
-        posexplode(array((0 until nTables).map(t =>
-          srpBucket(newDocs.sparkSession, col("v"), bitsPerTable, dim, seed + t)): _*)))
+        posexplode(srpBucketsAll(col("v"), nTables, bitsPerTable, dim, seed)))
       .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
     val cross = corpusIndex
       .join(broadcast(newBuckets), Seq("table", "bucket"))

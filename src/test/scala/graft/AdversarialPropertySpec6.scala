@@ -146,6 +146,40 @@ class AdversarialPropertySpec6 extends SparkSpec {
     }
   }
 
+  test("q167/q50 F1 == local weighted-F1 replay from confusion counts " +
+    "(bit-exact: the engine's per-class division/association order)") {
+    // the evaluator's \"f1\" is MulticlassMetrics.weightedFMeasure —
+    // per class c: p = tp/(tp+fp), r = tp/(tp+fn),
+    // f1_c = (1+β²)·p·r / (β²·p + r) at β=1, then Σ (f1_c·n_c)/N.
+    // All counts are exact small integers in double, divisions replayed
+    // in the engine's order; binary labels make the 2-term sum
+    // order-insensitive (IEEE addition is commutative) — so the scalar
+    // behind q167 (and q50's per-algo column) is a deterministic
+    // function of the prediction rows Spec6 already value-pins.
+    val (_, engineF1, preds) = Sentiment.trainEval(docs, "svm",
+      seed = 100L, vocabSize = 1024)
+    val rows = preds.select("label", "prediction").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val labels = rows.map(_._1).distinct.sorted
+    val total = rows.length.toDouble
+    val replay = labels.map { c =>
+      val tp = rows.count { case (l, p) => l == c && p == c }.toDouble
+      val fp = rows.count { case (l, p) => l != c && p == c }.toDouble
+      val fn = rows.count { case (l, p) => l == c && p != c }.toDouble
+      val nC = rows.count(_._1 == c).toDouble
+      val p = if (tp + fp == 0) 0.0 else tp / (tp + fp)
+      val r = if (tp + fn == 0) 0.0 else tp / (tp + fn)
+      val f1c = if (p + r == 0) 0.0 else (1 + 1.0) * p * r / (1.0 * p + r)
+      f1c * nC / total
+    }.sum
+    assert(java.lang.Double.doubleToLongBits(replay) ==
+      java.lang.Double.doubleToLongBits(engineF1),
+      s"weighted F1 drifted: engine $engineF1 vs replay $replay")
+    // and the declared q167 value is its floor in micro-units
+    assert(math.floor(engineF1 * 1e6).toLong ==
+      math.floor(replay * 1e6).toLong)
+  }
+
   test("q111 quality classifier: p_good_uu and pred_good == local " +
     "sigmoid-margin replay over the engine's feature vectors") {
     val raw = Tables.documents(spark, sfDir)

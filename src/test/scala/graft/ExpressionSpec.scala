@@ -301,6 +301,66 @@ class ExpressionSpec extends SparkSpec {
       .toLongArray.toSeq == Seq(want))
   }
 
+  test("srp_buckets == the per-plane when-tree it fused: local seeded " +
+    "plane replay, degenerate inputs to all-zero buckets, codegen == " +
+    "interpreted") {
+    import graft.functions.SrpBuckets
+    val (nTables, bits, dim, seed) = (3, 5, 8, 42L)
+    def localBuckets(v: Seq[Float]): Seq[Int] =
+      (0 until nTables).map { t =>
+        val rnd = new scala.util.Random(seed + t)
+        val planes = Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+        planes.zipWithIndex.map { case (p, i) =>
+          // the old tree: s += v(d)·plane(d) ascending, bit on s ≥ 0
+          var s = 0.0; var d = 0
+          while (d < dim) { s += v(d).toDouble * p(d); d += 1 }
+          if (s >= 0) 1 << i else 0
+        }.sum
+      }
+    val rnd = new scala.util.Random(7L)
+    val vecs = Seq.fill(12)(Seq.fill(dim)(rnd.nextFloat() * 2f - 1f)) :+
+      Seq.fill(dim)(0f)
+    val got = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+      .select(col("id"),
+        SrpBuckets.columnOf(col("v"), nTables, bits, dim, seed).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      assert(got(i.toLong) == localBuckets(v), s"vector $i drifted")
+    }
+    // degenerate inputs: null vector and wrong length — all-zero buckets
+    // (the old when-tree's null→otherwise(0) path), never null
+    val degenerate = Seq((0L, null: Seq[Float]), (1L, Seq(1f, 2f)))
+      .toDF("id", "v")
+      .select(SrpBuckets.columnOf(col("v"), nTables, bits, dim, seed).as("b"))
+      .collect().map(_.getSeq[Int](0))
+    assert(degenerate.forall(_ == Seq(0, 0, 0)), degenerate.toSeq.toString)
+    // interpreted eval agrees with the codegen path above
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val e = SrpBuckets(Literal.create(vecs.head,
+      ArrayType(FloatType, containsNull = true)), nTables, bits, dim, seed)
+    assert(e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray.toSeq == localBuckets(vecs.head))
+    // and the public single-table srpBucket rides the same expression
+    val single = vecs.take(3).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+      .select(col("id"),
+        graft.similarity.Ann.srpBucket(spark, col("v"), bits, dim, seed + 1).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vecs.take(3).zipWithIndex.foreach { case (v, i) =>
+      val rnd2 = new scala.util.Random(seed + 1)
+      val planes = Seq.fill(bits)(Array.fill(dim)(rnd2.nextGaussian()))
+      val want = planes.zipWithIndex.map { case (p, j) =>
+        var s = 0.0; var d = 0
+        while (d < dim) { s += v(d).toDouble * p(d); d += 1 }
+        if (s >= 0) 1 << j else 0
+      }.sum
+      assert(single(i.toLong) == want, s"single-table vector $i drifted")
+    }
+  }
+
   test("min_window_hash is registered as a SQL function") {
     GraftExtensions.register(spark)
     Seq("rolling hash windows here").toDF("text")
