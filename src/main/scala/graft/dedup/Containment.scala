@@ -88,8 +88,11 @@ object Containment {
     pairs
       .join(sets.select(col("id").as("id_in"), col("sh").as("sh_in")), "id_in")
       .join(sets.select(col("id").as("id_of"), col("sh").as("sh_of")), "id_of")
+      // both sides array_sorted above — native merge walk, no per-pair
+      // set build (same int numerator, bit-identical containment double)
       .withColumn("containment",
-        size(array_intersect(col("sh_in"), col("sh_of"))).cast("double") /
+        graft.functions.SortedIntersectCount
+          .columnOf(col("sh_in"), col("sh_of")).cast("double") /
           size(col("sh_in")).cast("double"))
       .filter(col("containment") >= threshold)
       .select("id_in", "id_of", "containment")
@@ -156,7 +159,8 @@ object Containment {
       .join(newSets.select(col("id").as("id_in"), col("sh").as("sh_in")),
         "id_in")
       .withColumn("containment",
-        size(array_intersect(col("sh_in"), col("sh_of"))).cast("double") /
+        graft.functions.SortedIntersectCount
+          .columnOf(col("sh_in"), col("sh_of")).cast("double") /
           size(col("sh_in")).cast("double"))
       .filter(col("containment") >= threshold)
       .select(col("id_in").as("new_id"), col("id_of").as("container_id"),

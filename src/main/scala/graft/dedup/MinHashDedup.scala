@@ -128,17 +128,38 @@ object MinHashDedup {
   /** Shared verification tail for candidate-pair generators: join the
     * (id, sh) sets back onto (id_a, id_b) pairs and keep exact Jaccard ≥
     * threshold (exact modulo 64-bit hash collisions). One definition so the
-    * MinHash and n-gram paths can't drift apart. */
-  private[dedup] def verifyJaccard(pairs: DataFrame, sets: DataFrame,
-                                   threshold: Double): DataFrame =
+    * MinHash and n-gram paths can't drift apart.
+    *
+    * `sorted = true` (caller-asserted: every `sh` is sorted ascending,
+    * distinct — the `array_sort(array_distinct(...))` staging the n-gram /
+    * containment paths already do) swaps the per-pair
+    * `array_intersect`/`array_union` set builds for one
+    * [[graft.functions.SortedIntersectCount]] merge walk, with the union
+    * size by inclusion–exclusion. The Jaccard double is the SAME
+    * correctly-rounded int/int division either way (identical numerator
+    * and denominator on distinct arrays), so results are bit-identical —
+    * only the per-pair allocation disappears. The MinHash paths keep the
+    * generic form: their sets frames are first-occurrence-ordered, and the
+    * persisted corpus-set index contract ([[incrementalNearDups]])
+    * predates this expression. */
+  private[graft] def verifyJaccard(pairs: DataFrame, sets: DataFrame,
+                                   threshold: Double,
+                                   sorted: Boolean = false): DataFrame = {
+    val inter =
+      if (sorted)
+        graft.functions.SortedIntersectCount
+          .columnOf(col("sh_a"), col("sh_b"))
+      else size(array_intersect(col("sh_a"), col("sh_b")))
+    val union =
+      if (sorted) size(col("sh_a")) + size(col("sh_b")) - inter
+      else size(array_union(col("sh_a"), col("sh_b")))
     pairs
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", inter.cast("double") / union.cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
 
   /** Near-duplicate pairs with exact-Jaccard verification ≥ threshold. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,

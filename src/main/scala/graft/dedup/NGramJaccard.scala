@@ -58,7 +58,9 @@ object NGramJaccard {
         col("l.g") === col("r.g") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-    MinHashDedup.verifyJaccard(pairs, sets, threshold)
+    // sets were array_sorted above — verification runs the native merge
+    // walk instead of per-pair array_intersect/array_union set builds
+    MinHashDedup.verifyJaccard(pairs, sets, threshold, sorted = true)
   }
 
   /** Dedup-threshold sweep — the config-tuning evidence read BEFORE

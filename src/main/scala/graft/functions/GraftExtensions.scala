@@ -117,6 +117,14 @@ object GraftExtensions {
         "char_window_polyhashes(string, k: int literal)")
     }
 
+  private def sortedIntersectCountBuilder(args: Seq[Expression]): Expression =
+    args match {
+      case Seq(a, b) => SortedIntersectCount(a, b)
+      case _ => throw new IllegalArgumentException(
+        "sorted_intersect_count(array<bigint>, array<bigint>) — both sorted" +
+          " ascending, distinct")
+    }
+
   private def polyHashBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(text) => PolyHash(text, 31)
     case Seq(text, Literal(base: Int, _)) => PolyHash(text, base)
@@ -148,6 +156,10 @@ object GraftExtensions {
       (FunctionIdentifier("poly_hash"),
         new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
         polyHashBuilder _),
+      (FunctionIdentifier("sorted_intersect_count"),
+        new ExpressionInfo(classOf[SortedIntersectCount].getName,
+          "sorted_intersect_count"),
+        sortedIntersectCountBuilder _),
       (FunctionIdentifier("bloom_contains"),
         new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
         bloomContainsBuilder _),

@@ -461,4 +461,93 @@ class ExpressionSpec extends SparkSpec {
     assert(graft.dedup.ExactDedup.keepFirst(normed, Seq("text"), "id")
       .count() == 1)
   }
+
+  test("sorted_intersect_count == size(array_intersect) on sorted distinct " +
+    "arrays (codegen + interpreted + SQL)") {
+    import graft.functions.SortedIntersectCount
+    val rnd = new scala.util.Random(421)
+    // adversarial sizes: empty, singleton, disjoint, identical, long
+    val cases: Seq[(Long, Seq[Long], Seq[Long])] =
+      Seq(
+        (1L, Seq.empty[Long], Seq.empty[Long]),
+        (2L, Seq(5L), Seq(5L)),
+        (3L, Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+        (4L, Seq(Long.MinValue, -7L, 0L, Long.MaxValue),
+          Seq(Long.MinValue, -7L, 0L, Long.MaxValue))) ++
+        (5L to 40L).map { id =>
+          def arr() = Seq.fill(rnd.nextInt(60))(rnd.nextInt(40).toLong)
+            .distinct.sorted
+          (id, arr(), arr())
+        }
+    val df = cases.toDF("id", "a", "b")
+      .select(col("id"),
+        SortedIntersectCount.columnOf(col("a"), col("b")).as("walk"),
+        size(array_intersect(col("a"), col("b"))).as("generic"),
+        (size(col("a")) + size(col("b")) -
+          SortedIntersectCount.columnOf(col("a"), col("b"))).as("union_ie"),
+        size(array_union(col("a"), col("b"))).as("union_generic"))
+    df.collect().foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"intersect mismatch: $r")
+      assert(r.getInt(3) == r.getInt(4), s"union mismatch: $r")
+    }
+    // interpreted eval (the non-codegen path) on the same cases
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    cases.foreach { case (id, a, b) =>
+      val e = SortedIntersectCount(
+        Literal.create(a, ArrayType(LongType, containsNull = false)),
+        Literal.create(b, ArrayType(LongType, containsNull = false)))
+      assert(e.eval(null) == a.toSet.intersect(b.toSet).size, s"id=$id")
+    }
+    // SQL registration
+    GraftExtensions.register(spark)
+    cases.take(4).toDF("id", "a", "b").createOrReplaceTempView("sic_t")
+    val viaSql = spark.sql(
+      "SELECT id, sorted_intersect_count(a, b) AS c FROM sic_t")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    cases.take(4).foreach { case (id, a, b) =>
+      assert(viaSql(id) == a.toSet.intersect(b.toSet).size)
+    }
+  }
+
+  test("sorted_intersect_count null semantics: null input or null element " +
+    "-> null") {
+    import graft.functions.SortedIntersectCount
+    val rows = Seq(
+      (1L, Some(Seq(Some(1L), Some(2L))), Some(Seq(Some(1L), Some(3L)))),
+      (2L, None, Some(Seq(Some(1L)))),
+      (3L, Some(Seq(Some(1L), None)), Some(Seq(Some(1L), Some(2L)))))
+      .toDF("id", "a", "b")
+      .select(col("id"),
+        SortedIntersectCount.columnOf(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(rows(1L) == Some(1))
+    assert(rows(2L) == None)
+    assert(rows(3L) == None)
+  }
+
+  test("verifyJaccard sorted path is bit-identical to the generic path") {
+    // the q18/q140 contract: same ints -> the SAME correctly-rounded
+    // division -> identical doubles, so oracle hashes can't move
+    val docs = (1L to 60L).map { i =>
+      val base = s"the quick brown fox ${i % 7} jumps over the lazy dog " +
+        s"${i % 5} again and again token${i % 11}"
+      (i, if (i % 3 == 0) base else base + s" tail$i")
+    }.toDF("id", "text")
+    val generic = graft.dedup.NGramJaccard
+      .shingleSets(docs, "id", "text", 3)
+      .select(col("id"), array_sort(col("sh")).as("sh"))
+    val pairs = generic.as("l").join(generic.as("r"),
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    def collectMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+    val viaSorted = collectMap(graft.dedup.MinHashDedup
+      .verifyJaccard(pairs, generic, 0.0, sorted = true))
+    val viaGeneric = collectMap(graft.dedup.MinHashDedup
+      .verifyJaccard(pairs, generic, 0.0))
+    assert(viaSorted.nonEmpty && viaSorted == viaGeneric)
+  }
 }
