@@ -38,6 +38,12 @@ object SparkEntry {
   /** Punct/digit class escaped for a single-quoted SQL literal. */
   private val P = TextFunctions.punctDigitsClassSql
 
+  /** Long-query prune cap for the retrieval family: the SAME constant
+    * feeds every engine call site (q104/q106/q109/q105-via-hybrid) AND
+    * the oracle CTE's `WHERE trk <= N` — one definition so the engine
+    * and its hash-exact DuckDB mirror cannot drift. */
+  private val retrievalPruneCap = 8
+
   /** DuckDB mirror of TextFunctions.cleanText(col). */
   private def cleanSql(c: String): String =
     s"trim(regexp_replace(regexp_replace($c, '$P', ' ', 'g'), '\\s+', ' ', 'g'))"
@@ -1625,7 +1631,7 @@ object SparkEntry {
       // corpus tokenize+explode (the heavy stage) to one core
       Bm25.topK(spread(s, docs), "doc_id", "text",
         docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", k = 10,
-        maxTermsPerQuery = 8)
+        maxTermsPerQuery = retrievalPruneCap)
     }),
 
     // §2 row 121: hybrid lexical+dense retrieval fused by reciprocal-rank
@@ -1640,7 +1646,7 @@ object SparkEntry {
       val emb = spread(s, Tables.embeddings(s, dir))
       val lex = Bm25.searchIndex(s.read.parquet(stagedBm25Index(s, dir)),
         docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", k = 20,
-        maxTermsPerQuery = 8)
+        maxTermsPerQuery = retrievalPruneCap)
         .select("query_id", "doc_id", "rank")
       val dense = Ann.bruteForceTopK(emb,
         emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 20)
@@ -1716,7 +1722,7 @@ object SparkEntry {
     "q109_bm25_index" -> ((s, dir) =>
       Bm25.searchIndex(s.read.parquet(stagedBm25Index(s, dir)),
         Tables.documents(s, dir).filter(col("doc_id") % 100 === 0),
-        "doc_id", "text", k = 10, maxTermsPerQuery = 8)),
+        "doc_id", "text", k = 10, maxTermsPerQuery = retrievalPruneCap)),
 
     // §2 row 126: incremental video dedup vs a persisted signature index —
     // the video twin of q99/q107, completing the incremental-ingest shape
@@ -3588,7 +3594,7 @@ object SparkEntry {
       val emb = spread(s, Tables.embeddings(s, dir))
       val lex = Bm25.searchIndex(s.read.parquet(stagedBm25Index(s, dir)),
         docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", k = 20,
-        maxTermsPerQuery = 8)
+        maxTermsPerQuery = retrievalPruneCap)
         .select("query_id", "doc_id", "rank")
       val dense = Ann.bruteForceTopK(emb,
         emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
@@ -4809,7 +4815,7 @@ object SparkEntry {
        |      row_number() OVER (PARTITION BY tf.doc_id
        |        ORDER BY dfc.df ASC, tf.token ASC) AS trk
        |    FROM tf JOIN dfc USING (token) WHERE tf.doc_id % 100 = 0)
-       |  WHERE trk <= 8),
+       |  WHERE trk <= $retrievalPruneCap),
        |hits AS (SELECT qt.query_id, tf.doc_id, tf.tf, idf.idf_u
        |  FROM tf JOIN qt USING (token) JOIN idf USING (token)
        |  WHERE tf.doc_id <> qt.query_id),

@@ -154,7 +154,12 @@ object Containment {
     val cand = postings.join(broadcast(probe), Seq("g"))
       .select(col("id").as("id_of"), col("id_in")).distinct()
     cand
-      .join(sets.select(col("id").as("id_of"), col("sh").as("sh_of")),
+      // `sets` is caller-supplied: the [[containerSets]] contract says
+      // sorted, but the merge-walk verification is silently WRONG on
+      // unsorted arrays — re-sort defensively (no-op cost on sorted
+      // input, and only candidate containers pay it, not the corpus)
+      .join(sets.select(col("id").as("id_of"),
+          array_sort(col("sh")).as("sh_of")),
         "id_of")
       .join(newSets.select(col("id").as("id_in"), col("sh").as("sh_in")),
         "id_in")

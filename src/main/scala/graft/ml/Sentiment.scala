@@ -228,6 +228,13 @@ object Sentiment {
           "use fewer folds or more data") }
       val mean = folds.sum / numFolds
       val m = avgMetrics(g)
+      // A NaN ENGINE metric must stay a loud failure, not degrade:
+      // the degrade branch below would emit floor(NaN*1e6).toLong == 0
+      // as an authoritative avg_f1_uu row. (The replayed folds are
+      // NaN-checked above; this covers the engine's own folds.)
+      require(!m.isNaN, s"CrossValidator avgMetric for grid point $rp " +
+        "is NaN — a degenerate engine fold (likely a missing label " +
+        "class); use fewer folds or more data")
       // Self-verification of the fold replay: the per-fold mean must
       // reproduce the engine's avgMetric. On drift — an engine-version
       // change to MLUtils.kFold's sampling, or nondeterministic
@@ -235,7 +242,7 @@ object Sentiment {
       // (std NULL) with a loud warning instead of failing the whole
       // sweep: avgMetrics is authoritative regardless (it comes from the
       // engine's own folds), only the dispersion depends on the replay.
-      val replayOk = !m.isNaN && math.abs(mean - m) < 1e-6
+      val replayOk = math.abs(mean - m) < 1e-6
       val std: Option[Long] =
         if (replayOk)
           Some(math.floor(math.sqrt(

@@ -212,10 +212,17 @@ object Robust {
     * batch statistic (the pooled side derives from the SAME counts by
     * summing over groups). Carries [[ksDistance]]'s distinct-value
     * guard (both declared entry points must refuse the same outage). */
-  def ksDistanceFromCounts(gCounts: DataFrame,
+  def ksDistanceFromCounts(gCountsIn: DataFrame,
                            maxGridValues: Long = 1000000L): DataFrame = {
     require(maxGridValues >= 1, s"maxGridValues must be >= 1, got $maxGridValues")
+    // the guard count is a separate action, and shuffle reuse does not
+    // span actions — persist the count frame once so the heaviest stage
+    // (the corpus filter+groupBy behind ksDistance) is not computed twice
+    // (the q18 diamond convention; Verify/Bench clear the cache per query)
+    val gCounts = gCountsIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDistinct = gCounts.select("__v").distinct().count()
+    if (nDistinct > maxGridValues) gCounts.unpersist()
     require(nDistinct <= maxGridValues,
       s"ksDistance grid would span $nDistinct distinct values " +
         s"(> maxGridValues = $maxGridValues): the groups × values grid " +

@@ -266,8 +266,10 @@ object Bm25 {
     * ranking by the index's own per-token posting count (== df by the
     * one-row-per-(token, doc) construction, so the kept sets — and the
     * scores — are bit-identical to [[topK]] at the same setting). The df
-    * pass is one map-side-combined count over the index's token column;
-    * a long-lived query service should persist that small vocabulary
+    * pass counts ONLY the query's tokens — the index is restricted first
+    * (pushed IN filter / broadcast semi-join, the same pruning as the
+    * probe itself), never aggregated across its full vocabulary; a
+    * long-lived query service should still persist the vocabulary df
     * frame alongside the index rather than re-derive it per workload. */
   def searchIndex(index: DataFrame, queries: DataFrame, qIdCol: String,
                   qTextCol: String, k: Int,
@@ -280,10 +282,23 @@ object Bm25 {
     val qterms =
       if (maxTermsPerQuery == Int.MaxValue) qterms0
       else {
-        val dfs = index.groupBy("token").agg(count(lit(1)).as("__df"))
+        // per-token posting counts are independent of other tokens, so
+        // restricting the index to the QUERY's tokens before the df
+        // aggregate is bit-identical — and turns a full-vocabulary
+        // scan+shuffle into a query-bounded one (pushed IN filter when
+        // the unpruned vocabulary fits the pushdown cap, broadcast
+        // semi-join restriction past it)
+        val qtokAll = qterms0.select("token").distinct()
+        val qtokArr = qtokAll.limit(maxPushdownTerms + 1)
+          .collect().map(_.getString(0))
+        val idxQ =
+          if (qtokArr.length <= maxPushdownTerms)
+            index.filter(col("token").isin(qtokArr.toSeq: _*))
+          else index.join(broadcast(qtokAll), Seq("token"), "left_semi")
+        val dfs = idxQ.groupBy("token").agg(count(lit(1)).as("__df"))
         // materialize the (query-bounded) pruned frame once: both the
         // pushdown collect below and the probe's broadcast consume it,
-        // and each would otherwise re-run the vocabulary scan
+        // and each would otherwise re-run the postings scan
         pruneQueryTerms(dfs.join(broadcast(qterms0), "token"),
           "__df", maxTermsPerQuery).drop("__df").localCheckpoint()
       }

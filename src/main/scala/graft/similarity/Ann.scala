@@ -842,6 +842,10 @@ object Ann {
         // still never split; near-identical-but-not-equal pairs split
         // with ≈ (nSalt−1)/nSalt probability in this regime, joining the
         // documented boundary-miss class (degrade recall, never OOM).
+        // Mass-duplicated VALUES concentrating in that one sub-shard are
+        // bounded separately: cells0 interns duplicate vectors, so the
+        // buffered footprint there is distinct-vectors-sized, and the
+        // distinct-vector population is what this salt math spreads.
         val shardCap = 8L * targetCellRows * maxCells
         val nSaltByShard = bySrp.groupBy("shard")
           .agg(count(lit(1)).as("__rows"))
@@ -894,9 +898,23 @@ object Ann {
     import org.apache.spark.sql.{Encoders, Row}
     sharded.groupByKey(_.getLong(gkeyIdx))(Encoders.scalaLong)
       .flatMapGroups { (gkey: Long, it: Iterator[Row]) =>
+        // Vector interning: vector-hash salting deliberately keeps
+        // bit-identical duplicates in ONE sub-shard (equal vectors must
+        // share a cell), so a mass-duplicated corpus — the most common
+        // real skew in a dedup workload — concentrates every copy here
+        // no matter the salt count. Duplicates share one array instance:
+        // the buffered footprint is O(ids + DISTINCT vectors × dim), not
+        // O(rows × dim), and the training sample / assignments see the
+        // same values row-for-row (bit-identical output, storage only).
+        val intern = new java.util.HashMap[Seq[Double], Array[Double]]()
         val rows = it.flatMap { r =>
           val vec = if (r.isNullAt(vIdx)) null else r.getSeq[Double](vIdx)
-          if (vec == null) None else Some((r.get(idIdx), vec.toArray))
+          if (vec == null) None
+          else {
+            var arr = intern.get(vec)
+            if (arr == null) { arr = vec.toArray; intern.put(vec, arr) }
+            Some((r.get(idIdx), arr))
+          }
         }.toArray.sortBy(_._1.toString)
         if (rows.isEmpty) Iterator.empty
         else {
