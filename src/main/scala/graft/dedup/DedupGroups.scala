@@ -221,8 +221,12 @@ object DedupGroups {
     // join BEFORE projecting the score: the quality expression is the
     // dominant per-row cost and must run over group members only, not
     // the corpus (a select-then-join would push the Project below the
-    // join and score every row)
-    val members = df.join(cc, col(idCol).cast("long") === cc("id"))
+    // join and score every row). No cast on the join key ([[canonicalize]]'s
+    // convention): numeric-width mismatches coerce implicitly, and ids are
+    // numeric by [[connectedComponents]]' contract (its convergence
+    // watermark casts labels to decimal — non-numeric ids fail THERE,
+    // loudly, under ANSI).
+    val members = df.join(cc, col(idCol) === cc("id"))
       .select(cc("id"), cc("comp"), score.as("__score"))
     val w = Window.partitionBy("comp")
       .orderBy(desc("__score"), asc("id"))
@@ -307,13 +311,21 @@ object DedupGroups {
     val tris = wedges
       .join(oriented.select(col("src").as("b"), col("dst").as("c")),
         Seq("b", "c"), "left_semi")
-    e.agg(count(lit(1)).as("n_edges"))
+    val out = e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(
         coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges")))
       .crossJoin(tris.agg(count(lit(1)).as("n_triangles")))
       .withColumn("clustering_bp",
         expr("CASE WHEN n_wedges = 0 THEN 0L " +
           "ELSE n_triangles * 3 * 10000 div n_wedges END"))
+      // one-row result: materialize it (lineage cut) so both persisted
+      // frames release HERE — the caller gets no handle to them, and a
+      // long-lived session auditing many graphs would otherwise pin two
+      // cache entries per call (the canonicalize localCheckpoint pattern)
+      .localCheckpoint()
+    e.unpersist()
+    oriented.unpersist()
+    out
   }
 
   /** Leakage-safe train/val/test split: the split is a pure function of

@@ -62,10 +62,8 @@ object Profile {
   def datasetFingerprint(df: DataFrame, groupCol: String,
                          encodeCols: Seq[String]): DataFrame = {
     require(encodeCols.nonEmpty, "datasetFingerprint needs encode columns")
-    val enc = concat_ws("|", encodeCols.map(c => col(c).cast("string")): _*)
-    df.select(col(groupCol),
-        graft.textstats.TextStats.fingerprintBase(enc, 31).as("__h31"),
-        graft.textstats.TextStats.fingerprintBase(enc, 37).as("__h37"))
+    val (h31, h37) = graft.textstats.TextStats.rowFingerprints(encodeCols)
+    df.select(col(groupCol), h31.as("__h31"), h37.as("__h37"))
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(__h31)").as("fp31"),

@@ -110,12 +110,21 @@ object Sampling {
       .select(col(groupCol),
         col(scoreCol).as("__thr"),
         (col("__k") - (col("__cum") - col("__c"))).as("__need"))
+    // null-SAFE threshold compare: NULL scores are a legitimate histogram
+    // bucket that desc ordering puts LAST (the scoreNtile convention) — a
+    // group whose k reaches into the NULL bucket has __thr = NULL, and a
+    // plain `score >= NULL` filter would return ZERO rows for the whole
+    // group instead of its top k. Non-null rows beat a NULL threshold
+    // outright; threshold-bucket rows (null-safely) equal it and ration
+    // by the tie window.
     val joined = df.join(broadcast(thr), Seq(groupCol))
-      .filter(col(scoreCol) >= col("__thr"))
+      .filter(col(scoreCol) <=> col("__thr") ||
+        col(scoreCol) > col("__thr") ||
+        (col("__thr").isNull && col(scoreCol).isNotNull))
     val tieW = Window.partitionBy(groupCol, scoreCol).orderBy(asc(tieCol))
     joined
       .withColumn("__r",
-        when(col(scoreCol) === col("__thr"), row_number().over(tieW))
+        when(col(scoreCol) <=> col("__thr"), row_number().over(tieW))
           .otherwise(lit(0)))
       .filter(col("__r") <= col("__need"))
       .select(df.columns.map(col).toIndexedSeq: _*)
@@ -148,8 +157,12 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     // negated priority: the aggregator keeps LARGEST scores, we want the
-    // smallest priorities; its id-ascending tie-break matches the oracle's
-    val rows = df.select(col(groupCol).cast("string").as("__g"),
+    // smallest priorities; its id-ascending tie-break matches the oracle's.
+    // NULL ids are excluded up front (the hashBp convention: no stable
+    // identity to sample on) — they would otherwise NPE the non-nullable
+    // Long in the typed encoder below
+    val rows = df.filter(col(idCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
         col(idCol).cast("long").as("__id"),
         -((col(idCol) % 1000003L) * 1103515249L + 12345L).cast("double"))
       .as[(String, Long, Double)]
@@ -376,12 +389,18 @@ object Sampling {
       df.select(col(strataCol).cast("string").as(strataCol),
         col(idCol).cast("long").as(idCol), lit(1).cast("int").as("rank"))
         .filter(lit(false))
-    else
+    else {
+      // null-SAFE allocation join: a NULL stratum (unattributed source) is
+      // a group like any other — quotaAllocate budgets it, and a plain
+      // equi-join here would silently drop its entire allocation,
+      // undershooting the exact-sum contract
+      val allocS = alloc.select(
+        col(strataCol).cast("string").as("__st"), col("alloc"))
       sampleKPerGroup(df, strataCol, idCol, kMax.toInt)
-        .join(broadcast(alloc.select(col(strataCol).cast("string")
-          .as(strataCol), col("alloc"))), strataCol)
+        .join(broadcast(allocS), col(strataCol) <=> col("__st"))
         .filter(col("rank") <= col("alloc"))
         .select(col(strataCol), col(idCol), col("rank"))
+    }
   }
 
   /** Weighted sample WITHOUT replacement, k rows with inclusion odds ∝
@@ -397,18 +416,26 @@ object Sampling {
     *
     * Scaling all weights by a constant rescales every clock by the same
     * factor — the selection is invariant, another ES property the spec
-    * pins. Precondition: weights > 0 (zero/negative weights have no
-    * exponential clock; callers filter first). Returns every input row
+    * pins. Weights must be > 0 to hold a clock — non-positive weights are
+    * ENFORCED out of candidacy here (a negative weight's ekey < 0 would
+    * deterministically beat every legitimate row; a zero weight's is
+    * +∞/NaN), their rows returned with keep = 0. Returns every input row
     * with its weight and a keep ∈ {0,1} flag marking the winners. */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int): DataFrame = {
     require(k >= 0, s"k must be ≥ 0, got $k")
     val hv = graft.textstats.TextStats.fingerprint(col(idCol).cast("string"))
     val u = (hv + lit(1L)) / lit(1000000008.0) // (0, 1], never ln(0)
+    // ekey only where the clock exists: under ANSI (the session default)
+    // an unconditional division would THROW on a zero weight; the `when`
+    // leaves non-positive-weight rows with a NULL ekey instead, excluded
+    // from candidacy below but still returned with keep = 0
+    val wd = col(weightCol).cast("double")
     val scored = df.select(col(idCol).as("id"),
       col(weightCol).cast("long").as("w"),
-      (-log(u) / col(weightCol).cast("double")).as("ekey"))
-    val top = scored.orderBy(col("ekey").asc, col("id")).limit(k)
+      when(wd > 0, -log(u) / wd).as("ekey"))
+    val top = scored.filter(col("ekey").isNotNull)
+      .orderBy(col("ekey").asc, col("id")).limit(k)
       .select(col("id"), lit(1L).as("keep"))
     scored.join(broadcast(top), Seq("id"), "left")
       .na.fill(0L, Seq("keep"))

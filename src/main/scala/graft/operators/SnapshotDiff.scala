@@ -27,10 +27,9 @@ object SnapshotDiff {
            encodeCols: Seq[String]): DataFrame = {
     require(encodeCols.nonEmpty, "diff needs encode columns")
     def enc(df: DataFrame, tag: String) = {
-      val e = concat_ws("|", encodeCols.map(c => col(c).cast("string")): _*)
+      val (h31, h37) = TextStats.rowFingerprints(encodeCols)
       df.select(col(keyCol).as(s"__k_$tag"),
-        TextStats.fingerprintBase(e, 31).as(s"__${tag}31"),
-        TextStats.fingerprintBase(e, 37).as(s"__${tag}37"))
+        h31.as(s"__${tag}31"), h37.as(s"__${tag}37"))
     }
     val status = when(col("__k_a").isNull, "added")
       .when(col("__k_b").isNull, "removed")
@@ -117,9 +116,8 @@ object SnapshotDiff {
                      encodeCols: Seq[String]): DataFrame = {
     require(encodeCols.nonEmpty, "contentNovelty needs encode columns")
     def enc(df: DataFrame) = {
-      val e = concat_ws("|", encodeCols.map(c => col(c).cast("string")): _*)
-      df.withColumn("__h31", TextStats.fingerprintBase(e, 31))
-        .withColumn("__h37", TextStats.fingerprintBase(e, 37))
+      val (h31, h37) = TextStats.rowFingerprints(encodeCols)
+      df.withColumn("__h31", h31).withColumn("__h37", h37)
     }
     val old = enc(v1).select("__h31", "__h37").distinct()
     val cur = enc(v2).select(col(groupCol).as("grp"),

@@ -36,9 +36,14 @@ object ScoringStream {
       if (f.isFile) {
         // deterministic staging dir keyed by (path, size, mtime): repeat
         // runs skip the copy, and checkpoints keyed by source path stay
-        // valid across invocations on the same input file
-        val key = Integer.toHexString(
-          (path, f.length, f.lastModified).hashCode())
+        // valid across invocations on the same input file. Full-width
+        // MD5 of the tuple, not a 32-bit hashCode — two distinct inputs
+        // with the same basename colliding in 32 bits would silently
+        // stream the FIRST file's rows (exists() skips the copy)
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$path|${f.length}|${f.lastModified}"
+            .getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
         val d = java.nio.file.Paths.get(
           sys.props("java.io.tmpdir"), s"graft_stream_src_$key")
         val target = d.resolve(f.getName)
@@ -253,8 +258,12 @@ object ScoringStream {
                        vocab: DataFrame, path: String,
                        checkpoint: String): Unit = {
     // the monitorNoveltyStream rule: materialize the frozen static side
-    // once, or every microbatch re-derives it from scratch
-    val v = vocab.withColumn("__in", lit(1))
+    // once, or every microbatch re-derives it from scratch. The vocab is
+    // caller-supplied, so distinct it defensively — a duplicated token
+    // (e.g. a union of vocab slices) would double-join every matched
+    // occurrence and silently deflate oov_bp vs the batch audit (whose
+    // topVocab is distinct by construction); the monitorFkStream rule.
+    val v = vocab.select("token").distinct().withColumn("__in", lit(1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     v.count()
     try {
@@ -305,6 +314,20 @@ object ScoringStream {
                          path: String, checkpoint: String): Unit = {
     require(!rules.exists(_.isInstanceOf[graft.operators.QualityRules.Unique]),
       "uniqueness is not additive across batches; run it batch-side")
+    // the audit emits the generic rule TYPE as the rule label, so two
+    // rules of one type on one column write partials under the SAME
+    // (batch_id, rule, column) key and the reader's retry-collapse
+    // max() would silently drop one rule's counts — refuse the config
+    // loudly instead (parameterizing the label would desync the batch
+    // audit's oracle-pinned output)
+    locally {
+      val keys = rules.map(r => (r.getClass.getSimpleName, r.column))
+      require(keys.distinct.size == keys.size,
+        "monitorRulesStream needs at most one rule per (type, column): " +
+          "duplicate keys " +
+          keys.diff(keys.distinct).distinct.mkString(", ") +
+          " would collide in the monitor table's retry-collapse")
+    }
     val q = docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.operators.QualityRules.audit(batch, rules,
@@ -465,11 +488,8 @@ object ScoringStream {
                            path: String, checkpoint: String): Unit = {
     require(encodeCols.nonEmpty, "monitorNoveltyStream needs encode cols")
     def enc(df: DataFrame) = {
-      val e = concat_ws("|", encodeCols.map(c => col(c).cast("string")): _*)
-      df.withColumn("__h31",
-          graft.textstats.TextStats.fingerprintBase(e, 31))
-        .withColumn("__h37",
-          graft.textstats.TextStats.fingerprintBase(e, 37))
+      val (h31, h37) = graft.textstats.TextStats.rowFingerprints(encodeCols)
+      df.withColumn("__h31", h31).withColumn("__h37", h37)
     }
     // persist + materialize the frozen fingerprint set ONCE: a lazy
     // static side is re-evaluated (full v1 scan + fingerprint +

@@ -97,6 +97,22 @@ object TextStats {
   def fingerprintBase(text: Column, base: Int): Column =
     graft.functions.PolyHash.columnOf(text, base)
 
+  /** THE two-channel row-content fingerprint: '|'-joined string casts of
+    * `encodeCols` hashed at bases 31 and 37 (collision odds multiply
+    * across independent channels). ONE definition shared by every
+    * content-identity consumer — snapshot diff, content novelty, dataset
+    * fingerprint, the streaming novelty monitor — because their
+    * stream==batch / release==release exactness claims depend on
+    * byte-identical encoding; a drifted copy would silently break parity.
+    * Caveat carried from the sites: `concat_ws` SKIPS null columns, so
+    * rows differing only by which column is null can collide — include
+    * only columns whose string form is canonical (the [[graft.operators.Profile.profile]] rule). */
+  def rowFingerprints(encodeCols: Seq[String]): (Column, Column) = {
+    require(encodeCols.nonEmpty, "rowFingerprints needs encode columns")
+    val e = concat_ws("|", encodeCols.map(c => col(c).cast("string")): _*)
+    (fingerprintBase(e, 31), fingerprintBase(e, 37))
+  }
+
   /** Winnowing-style fingerprint: minimum polynomial hash over k-char
     * windows — robust to local edits, used as a cheap near-dup prefilter.
     * Native O(len) rolling expression ([[graft.functions.MinWindowHash]]);

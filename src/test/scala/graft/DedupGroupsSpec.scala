@@ -192,4 +192,14 @@ class DedupGroupsSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().toSet
     assert(run(1) == run(16))
   }
+
+  test("canonicalizeBest member join coerces numeric widths (int corpus " +
+    "ids against the long pair graph, no hard cast)") {
+    val df = Seq((1, 10L), (2, 99L), (3, 5L)).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val kept = DedupGroups.canonicalizeBest(df, pairs, "doc_id",
+        "id_a", "id_b", col("quality"))
+      .select("doc_id").as[Int].collect().toSet
+    assert(kept == Set(2, 3), s"got $kept")
+  }
 }

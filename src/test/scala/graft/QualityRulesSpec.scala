@@ -86,6 +86,28 @@ class QualityRulesSpec extends SparkSpec {
     assert(err.getMessage.contains("additive"))
   }
 
+  test("streaming monitor refuses two rules of one type on one column " +
+    "(their partials would collide in the retry-collapse)") {
+    import graft.streaming.ScoringStream
+    val tmp = java.nio.file.Files.createTempDirectory("rulemon3").toString
+    df.write.mode("overwrite").parquet(s"$tmp/src")
+    val err = intercept[IllegalArgumentException] {
+      ScoringStream.monitorRulesStream(
+        spark.readStream.schema(df.schema).parquet(s"$tmp/src"),
+        Seq(Matches("text", "^a"), Matches("text", "b$")),
+        s"$tmp/mon", s"$tmp/ckpt")
+    }
+    assert(err.getMessage.contains("one rule per"))
+    // distinct (type, column) pairs — incl. two of one type on DIFFERENT
+    // columns — still pass the guard and stream normally
+    ScoringStream.monitorRulesStream(
+      spark.readStream.schema(df.schema).parquet(s"$tmp/src"),
+      Seq(Matches("text", "^a"), NotNull("text"), NotNull("id")),
+      s"$tmp/mon2", s"$tmp/ckpt2")
+    assert(ScoringStream.readRulesMonitor(spark, s"$tmp/mon2")
+      .count() == 3)
+  }
+
   test("declared order is preserved even when unique rules interleave " +
     "row rules, and quoted column names cannot break the melt") {
     val got = QualityRules.audit(df, Seq(

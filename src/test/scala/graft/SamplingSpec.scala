@@ -341,4 +341,52 @@ class SamplingSpec extends SparkSpec {
       .select("id", "keep").as[(Long, Long)].collect().toMap
     assert(a == b && a.size == 120)
   }
+
+  test("weightedSample: zero/negative weights never win (a negative clock " +
+    "would deterministically beat every legitimate row)") {
+    val rows = (1L to 20L).map(i => (i, 2L)) ++
+      Seq((100L, -1L), (101L, 0L), (102L, -999L))
+    val got = esRun(rows, 5)
+    // every row still comes back, the poisoned ones flagged keep=0
+    assert(got.size == 23)
+    assert(got(100L) == 0L && got(101L) == 0L && got(102L) == 0L)
+    assert(got.count(_._2 == 1L) == 5)
+    assert(got.filter(_._2 == 1L).keySet.forall(_ <= 20L))
+  }
+
+  test("topFracByScore: a threshold landing in the NULL-score bucket keeps " +
+    "the group's top k, not zero rows") {
+    // group g: scores [5, 4, null, null], frac 3/4 → k=3 → threshold row
+    // is the NULL bucket (desc puts nulls last); the group must emit the
+    // two scored rows plus ONE null row (tie-rationed by id), never 0
+    val df = Seq(
+      ("g", Some(5L), 1L), ("g", Some(4L), 2L),
+      ("g", None, 3L), ("g", None, 4L),
+      ("h", Some(9L), 5L), ("h", Some(8L), 6L),
+      ("h", Some(7L), 7L), ("h", Some(6L), 8L))
+      .toDF("grp", "score", "id")
+    val got = Sampling.topFracByScore(df, "grp", "score", "id", 3, 4)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    assert(got == Set(("g", 1L), ("g", 2L), ("g", 3L),
+      ("h", 5L), ("h", 6L), ("h", 7L)), s"got $got")
+  }
+
+  test("quotaSample: a NULL stratum keeps its allocation (null-safe join) " +
+    "and NULL ids are excluded without crashing") {
+    val df = (1L to 10L).map(i => (if (i <= 4) null else "s", i))
+      .toDF("src", "id")
+    val got = Sampling.quotaSample(df, "src", "id", budget = 100L)
+      .select("src", "id").as[(String, Long)].collect()
+    // budget covers everything: all 10 rows return, 4 under the NULL
+    // stratum — the equi-join regression dropped those entirely
+    assert(got.length == 10)
+    assert(got.count(_._1 == null) == 4)
+    // a NULL id row must not NPE the typed encoder; it is excluded (the
+    // hashBp convention), everything else intact
+    val dirty = df.unionByName(
+      Seq(("s", Option.empty[Long])).toDF("src", "id"))
+    val got2 = Sampling.quotaSample(dirty, "src", "id", budget = 100L)
+      .select("id").as[Long].collect().toSet
+    assert(got2 == (1L to 10L).toSet)
+  }
 }
