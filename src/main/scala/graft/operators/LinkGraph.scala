@@ -143,8 +143,14 @@ object LinkGraph {
     val e = edges.select(col("src"), col("dst")).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val withDeg = e.join(deg, Seq("src")).persist()
+    // node set includes TELEPORT seeds, not just edge endpoints: a
+    // vetted seed with no links yet must still appear with its restart
+    // mass — deriving nodes from edges alone would silently drop exactly
+    // the hand-vetted hosts the operator exists to protect
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node")))
+      .union(teleport.select(col("node")))
+      .distinct()
     val tele = nodes.join(teleport, Seq("node"), "left")
       .select(col("node"), coalesce(col("tele"), lit(0L)).as("tele"))
       .persist()

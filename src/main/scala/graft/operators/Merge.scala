@@ -38,15 +38,20 @@ object Merge {
     val ch = changes.select(
       (col(idCol).as("__cid") +: col(opCol).as("__op") +:
         payload.map(c => col(c).as(s"__c_$c"))): _*)
+    // the no-matching-change sentinel is CHANGE-SIDE PRESENCE (__cid),
+    // never __op: a change row carrying a NULL op must hit the
+    // raise_error branch (CASE NULL matches no WHEN), not silently
+    // no-op when matched — or worse, insert a ghost all-NULL-payload
+    // row when unmatched
     base.join(ch, col(idCol) === col("__cid"), "full_outer")
       .filter(expr(
-        "__op IS NULL OR CASE __op WHEN 'delete' THEN false " +
+        "__cid IS NULL OR CASE __op WHEN 'delete' THEN false " +
           "WHEN 'insert' THEN true WHEN 'update' THEN true " +
-          "ELSE CAST(raise_error(concat('unknown merge op: ', __op)) " +
-          "AS BOOLEAN) END"))
+          "ELSE CAST(raise_error(concat('unknown merge op: ', " +
+          "coalesce(__op, 'NULL'))) AS BOOLEAN) END"))
       .select(coalesce(col(idCol), col("__cid")).as(idCol) +:
         payload.map(c =>
-          when(col("__op").isNotNull, col(s"__c_$c"))
+          when(col("__cid").isNotNull, col(s"__c_$c"))
             .otherwise(col(c)).as(c)): _*)
   }
 }

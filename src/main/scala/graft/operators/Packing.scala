@@ -33,8 +33,12 @@ object Packing {
     // explicit ROWS frame: the default RANGE frame sums peer rows together,
     // so two rows with an equal id would both see the peer-inclusive total
     // (double-claimed offsets, orphaned tokens); ROWS matches the oracle's
-    // `ROWS UNBOUNDED PRECEDING` for any input
-    val w = Window.partitionBy("bucket").orderBy(col(idCol))
+    // `ROWS UNBOUNDED PRECEDING`. The token count joins the ORDER so
+    // equal-id rows take a deterministic order too — rows identical in
+    // BOTH columns are interchangeable (same (bin, offset) multiset), so
+    // the output is run- and partitioning-stable for any input
+    val w = Window.partitionBy("bucket")
+      .orderBy(col(idCol), col(tokenCountCol).cast("long"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val before = coalesce(
       sum(col(tokenCountCol).cast("long")).over(w) -

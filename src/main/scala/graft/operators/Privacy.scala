@@ -45,15 +45,31 @@ object Privacy {
     * possible at ~2¹⁵ keys (birthday bound on mod 1e9+7) and a
     * production deployment swaps in a keyed 128-bit PRF behind the same
     * column contract. Zero shuffles — a pure row expression. */
-  def pseudonym(key: Column, salt: String): Column =
+  def pseudonym(key: Column, salt: String): Column = {
+    // '|' is the domain/key delimiter: a salt containing it makes the
+    // encoding non-injective ACROSS domains (salt "prod|7" + key "x"
+    // collides with salt "prod" + key "7|x"), quietly defeating the
+    // must-not-correlate contract — refuse loudly
+    require(!salt.contains("|"),
+      s"pseudonym salt must not contain '|' (domain delimiter): '$salt'")
     graft.textstats.TextStats.fingerprintBase(
       concat(lit(salt), lit("|"), key.cast("string")), 31)
+  }
 
-  /** `df` with `keyCol` replaced by its pseudonym (original dropped). */
+  /** `df` with `keyCol` replaced by its pseudonym (original dropped,
+    * output column named `pseudo`). Computed through a temp column so a
+    * keyCol itself named "pseudo" survives the drop; any OTHER
+    * pre-existing `pseudo` column is refused rather than silently
+    * overwritten. */
   def pseudonymize(df: DataFrame, keyCol: String,
-                   salt: String): DataFrame =
-    df.withColumn("pseudo", pseudonym(col(keyCol), salt))
+                   salt: String): DataFrame = {
+    require(keyCol == "pseudo" || !df.columns.contains("pseudo"),
+      "pseudonymize emits a column named 'pseudo', which already exists " +
+        "in the input — rename it first")
+    df.withColumn("__pseudo_tmp", pseudonym(col(keyCol), salt))
       .drop(keyCol)
+      .withColumnRenamed("__pseudo_tmp", "pseudo")
+  }
 
   /** Right-to-be-forgotten deletion audit — the GDPR/CCPA erasure
     * pre-flight: given a subject (deletion-request) list, report per
@@ -81,8 +97,11 @@ object Privacy {
         .join(subj, col("__k") === col("__subj"), "left")
         .agg(
           count(lit(1)).as("rows_total"),
-          sum(when(col("__subj").isNotNull, 1L).otherwise(0L))
-            .as("rows_removed"),
+          // coalesce: sum over an EMPTY frame (post-deletion re-run, a
+          // not-yet-populated table) is NULL — the sign-off report must
+          // read 0 removed / 0 kept there, not NULL/NULL
+          coalesce(sum(when(col("__subj").isNotNull, 1L).otherwise(0L)),
+            lit(0L)).as("rows_removed"),
           countDistinct(col("__subj")).as("subjects_present"))
         .select(lit(name).as("table_name"), col("rows_total"),
           col("rows_removed"),

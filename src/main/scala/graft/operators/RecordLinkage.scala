@@ -119,11 +119,15 @@ object RecordLinkage {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)) -
           col("__cnt"), lit(0L)))
       .select("__b", "__off")
+    // ranked feeds BOTH sides of the block self-join below — persist the
+    // diamond once (the q18 convention; Verify/Bench clear per query) so
+    // the offsets join + two window passes don't run twice
     val ranked = base.join(broadcast(offsets), Seq("__b"))
       .withColumn("__r", col("__off") +
         row_number().over(
           Window.partitionBy("__b").orderBy(col("__k"), col("id"))) - 1L)
       .withColumn("__blk", expr(s"__r div $blockSize"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probe = ranked.select(col("id").as("id_a"), col("__r").as("r_a"),
       explode(array(col("__blk"), col("__blk") + 1L)).as("__jblk"))
     probe.join(

@@ -43,9 +43,15 @@ object SampleIndex {
         col(tokCol) >= 1)
       .select(col(idCol).as("id"), col(tokCol).cast("long").as("n_tok"))
     val span = base.agg(min("id").as("__i0"), max("id").as("__i1"))
+    // bucket math in decimal(38,0): the id-native form
+    // `(id - __i0) * $nBuckets` overflows on wide spans (an INT id span
+    // past 2³¹/nBuckets, a snowflake-style long span past 2⁶³/nBuckets) —
+    // under ANSI that's a job-killing error, and without it silently
+    // non-monotonic buckets that scramble every global offset
     val keyed = base.join(broadcast(span))
       .withColumn("__bucket",
-        expr(s"((id - __i0) * $nBuckets) div (__i1 - __i0 + 1)"))
+        expr(s"CAST(((CAST(id AS DECIMAL(38,0)) - __i0) * $nBuckets) div " +
+          s"(CAST(__i1 AS DECIMAL(38,0)) - __i0 + 1) AS BIGINT)"))
       .drop("__i0", "__i1")
     val perBucket = keyed.groupBy("__bucket")
       .agg(sum("n_tok").as("__toks"))

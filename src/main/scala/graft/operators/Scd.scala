@@ -40,11 +40,10 @@ object Scd {
       // or a null-safe attribute change
       .filter(col("__prev").isNull || not(state <=> col("__prev")))
       .drop("__prev")
-    val w2 = Window.partitionBy(keyCol).orderBy(col(tsUsCol), col(tieCol))
     changes
       .withColumn("eff_start_us", col(tsUsCol))
-      .withColumn("eff_end_us", lead(col(tsUsCol), 1).over(w2))
-      .withColumn("version", row_number().over(w2).cast("int"))
+      .withColumn("eff_end_us", lead(col(tsUsCol), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("int"))
       .select((keyCol +: attrCols).map(col) ++
         Seq(col("eff_start_us"), col("eff_end_us"), col("version")): _*)
   }

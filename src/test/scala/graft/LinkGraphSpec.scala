@@ -71,6 +71,18 @@ class LinkGraphSpec extends SparkSpec {
     assert(r2 == Map("S" -> 1000000L, "A" -> 850000L, "B" -> 722500L))
   }
 
+  test("trustRank keeps an EDGELESS teleport seed (its restart mass must " +
+    "appear, not vanish from the node set)") {
+    val edges = Seq(("A", "B")).toDF("src", "dst")
+    val tele = Seq(("A", 500000L), ("ISOLATED", 900000L))
+      .toDF("node", "tele")
+    val r = LinkGraph.trustRank(edges, tele, 2)
+      .as[(String, Long)].collect().toMap
+    // the isolated seed holds exactly its teleport mass every iteration
+    assert(r.get("ISOLATED") == Some(900000L), s"got $r")
+    assert(r.keySet == Set("A", "B", "ISOLATED"))
+  }
+
   test("trustRank with uniform teleport 150000 reduces toward pageRank's " +
     "restart structure on seeded nodes") {
     val edges = Seq(("A", "B"), ("B", "A")).toDF("src", "dst")

@@ -54,4 +54,20 @@ class MergeSpec extends SparkSpec {
     assertNoCartesian(Merge.applyChanges(base,
       Seq((1L, "update", "en", 5L)).toDF("id", "op", "lang", "n"), "id"))
   }
+
+  test("a NULL op on a present change row raises — matched it must not " +
+    "silently no-op, unmatched it must not insert a ghost row") {
+    def nullOp(id: Long) =
+      Seq((id, Option.empty[String], "xx", 7L)).toDF("id", "op", "lang", "n")
+    val matched = intercept[Exception] {
+      Merge.applyChanges(base, nullOp(1L), "id").collect()
+    }
+    assert(matched.getMessage.contains("unknown merge op"),
+      matched.getMessage.take(200))
+    val unmatched = intercept[Exception] {
+      Merge.applyChanges(base, nullOp(42L), "id").collect()
+    }
+    assert(unmatched.getMessage.contains("unknown merge op"),
+      unmatched.getMessage.take(200))
+  }
 }

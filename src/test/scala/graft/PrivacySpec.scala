@@ -101,4 +101,32 @@ class PrivacySpec extends SparkSpec {
     assert((got.getLong(1), got.getLong(2), got.getLong(3),
       got.getLong(4)) == ((4L, 2L, 2L, 1L)))
   }
+
+  test("deletionAudit on an EMPTY frame reads zeros, never NULLs (the " +
+    "post-deletion sign-off re-run)") {
+    val empty = Seq.empty[(Long, String)].toDF("uid", "t")
+    val subjects = Seq(10L).toDF("uid")
+    val got = Privacy.deletionAudit(
+      Seq(("emptied", empty, "uid")), subjects, "uid").collect().head
+    assert(!got.anyNull, s"NULLs in the sign-off row: $got")
+    assert((got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("pseudonymize survives keyCol named 'pseudo', refuses an unrelated " +
+    "pre-existing 'pseudo' column, and rejects '|' in salts") {
+    // keyCol == "pseudo": the output must be the PSEUDONYM, not dropped
+    val self = Seq((7L, "a")).toDF("pseudo", "t")
+    val out = Privacy.pseudonymize(self, "pseudo", "s")
+    assert(out.columns.toSet == Set("pseudo", "t"))
+    assert(out.select("pseudo").head().getLong(0) !=  7L)
+    // unrelated collision: loud, not a silent overwrite
+    intercept[IllegalArgumentException] {
+      Privacy.pseudonymize(Seq((1L, 2L)).toDF("uid", "pseudo"), "uid", "s")
+    }
+    // delimiter in the salt defeats cross-domain separation: loud
+    intercept[IllegalArgumentException] {
+      Privacy.pseudonym(col("uid"), "prod|7")
+    }
+  }
 }

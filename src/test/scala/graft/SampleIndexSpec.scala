@@ -12,6 +12,23 @@ class SampleIndexSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
 
+  test("plan survives a wide INT id span (the native bucket multiply " +
+    "would overflow past 2^31/nBuckets and scramble global offsets)") {
+    // ids spread over ~2.1e9: (id - i0) * 256 overflows Int — the
+    // decimal bucket math must keep offsets exact and coverage lossless
+    val rows = Seq((java.lang.Integer.MIN_VALUE + 10, 5L),
+      (0, 3L), (java.lang.Integer.MAX_VALUE - 10, 10L))
+    val got = SampleIndex.plan(rows.toDF("id", "n"), "id", "n", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (0L, Int.MinValue + 10, 0L, 4L), (1L, Int.MinValue + 10, 4L, 1L),
+      (1L, 0, 0L, 3L),
+      (2L, Int.MaxValue - 10, 0L, 4L), (3L, Int.MaxValue - 10, 4L, 4L),
+      (4L, Int.MaxValue - 10, 8L, 2L)), got.toString)
+  }
+
   test("hand layout: docs split across samples, offsets and lengths exact") {
     // L=4; offsets: d1@0 (5 toks), d2@5 (3), d3@8 (10); 18 tokens total
     val got = run(Seq((1L, 5L), (2L, 3L), (3L, 10L)), seqLen = 4)
