@@ -5697,19 +5697,26 @@ object SparkEntry {
           s"|| $id || '?x=1\">m</a>' ELSE '' END || " +
           "'&nbsp;&#39;fin&#39;</body></html>'"
       s"WITH h AS (SELECT doc_id, $html AS html FROM documents), " +
-        "nb AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
+        "nb AS (SELECT doc_id, regexp_replace(regexp_replace(" +
+        "regexp_replace(regexp_replace(regexp_replace(" +
         "html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'), " +
         "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), " +
-        "'(?s)<!--.*?-->', ' ', 'g') AS nb FROM h) " +
-        "SELECT doc_id, " +
+        "'(?s)<!--.*?-->', ' ', 'g'), " +
+        "'(?is)<script[^>]*>.*$', ' ', 'g'), " +
+        "'(?is)<style[^>]*>.*$', ' ', 'g') AS nb FROM h), " +
+        "lk AS (SELECT doc_id, list_transform(" +
+        "regexp_extract_all(nb, " +
+        "'(?i)href=(\"[^\"]*\"|''[^'']*''|[^\\s>\"'']+)', 1), " +
+        "x -> regexp_replace(x, '^[\"'']|[\"'']$', '', 'g')) AS links " +
+        "FROM nb) " +
+        "SELECT nb.doc_id, " +
         "trim(regexp_replace(replace(replace(replace(replace(replace(replace(" +
         "regexp_replace(nb, '(?s)<[^>]*>', ' ', 'g'), " +
         "'&nbsp;', ' '), '&quot;', '\"'), '&#39;', ''''), '&lt;', '<'), " +
         "'&gt;', '>'), '&amp;', '&'), '\\s+', ' ', 'g')) AS text, " +
-        "CAST(len(regexp_extract_all(nb, '(?i)href=\"([^\"]*)\"', 1)) AS BIGINT) " +
-        "AS n_links, " +
-        "array_to_string(regexp_extract_all(nb, '(?i)href=\"([^\"]*)\"', 1), '|') " +
-        "AS links_csv FROM nb"
+        "CAST(len(links) AS BIGINT) AS n_links, " +
+        "array_to_string(links, '|') AS links_csv " +
+        "FROM nb JOIN lk USING (doc_id)"
     },
 
     // The identical decoration, the identical delete-and-diff counts over
@@ -6510,7 +6517,7 @@ object SparkEntry {
         "l AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos, " +
         "unnest(list_transform(ls, x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g'))) AS line FROM d), " +
         "hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS dfd " +
-        "FROM l GROUP BY line) t WHERE dfd > 20), " +
+        "FROM l WHERE line <> '' GROUP BY line) t WHERE dfd > 20), " +
         "kept AS (SELECT doc_id, pos, line FROM l " +
         "WHERE line NOT IN (SELECT line FROM hot)) " +
         "SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text " +
@@ -6522,7 +6529,9 @@ object SparkEntry {
       ("WITH u AS (SELECT doc_id, 'https://' || source || '-' || " +
         "CAST(doc_id % 97 AS VARCHAR) || '.example.com/doc/' || " +
         "CAST(doc_id AS VARCHAR) AS url FROM documents), " +
-        s"d AS (SELECT doc_id, regexp_extract(url, '${Urls.domainRegex}', 1) " +
+        s"d AS (SELECT doc_id, NULLIF(lower(regexp_replace(regexp_replace(" +
+        s"regexp_extract(url, '${Urls.authorityRegex}', 1), " +
+        "'^[^/@]*@', ''), ':[0-9]*$', '')), '') " +
         "AS domain FROM u) " +
         "SELECT domain, count(*) AS n_docs FROM d WHERE domain NOT IN (" +
         blockedDomains.map(d => s"'$d'").mkString(", ") + ") GROUP BY domain"),
@@ -7055,8 +7064,9 @@ object SparkEntry {
         "text) AS text FROM documents), " +
         "k AS (SELECT doc_id, string_split(text, chr(10)) AS lines, " +
         "list_filter(string_split(text, chr(10)), l -> " +
-        "regexp_matches(trim(l), '[.!?]\"?$') " +
-        "AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5 " +
+        "regexp_matches(regexp_replace(l, '^\\s+|\\s+$', '', 'g'), '[.!?]\"?$') " +
+        "AND len(regexp_split_to_array(" +
+        "regexp_replace(l, '^\\s+|\\s+$', '', 'g'), '\\s+')) >= 5 " +
         "AND NOT contains(lower(l), 'lorem ipsum') " +
         "AND NOT contains(lower(l), 'javascript') " +
         "AND NOT contains(lower(l), '{')) AS kept FROM pg) " +

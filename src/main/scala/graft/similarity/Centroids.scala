@@ -178,8 +178,16 @@ object Centroids {
       : DataFrame = {
     val xu = transform(col(vecCol),
       x => floor(x.cast("double") * 1000000d).cast("long"))
+    // self-dot fold and its per-label sum in decimal(38,0), the same
+    // widening __s2 below already has: unit vectors give __self ≈ 10¹²,
+    // so the int64 sum crosses 2⁶³ at ~9·10⁶ rows per class (and a
+    // component near the documented 10³ bound overflows inside the fold
+    // itself) — ANSI kills the query exactly at the scale the class doc
+    // advertises; decimal keeps every value exact and `div` still
+    // returns the same BIGINT means
     val perRow = emb.select(col(labelCol).as("label"),
-      aggregate(xu, lit(0L), (acc, v) => acc + v * v).as("__self"))
+      aggregate(xu, lit(0).cast("decimal(38,0)"),
+        (acc, v) => acc + v.cast("decimal(38,0)") * v).as("__self"))
     val selfT = perRow.groupBy("label")
       .agg(count(lit(1)).as("n"), sum("__self").as("__t"))
     val s2 = labelSums(emb, labelCol, vecCol)

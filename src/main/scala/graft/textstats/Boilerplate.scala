@@ -44,7 +44,12 @@ object Boilerplate {
         regexp_replace(col("col"), "^\\s+|\\s+$", "").as("line"))
       .withColumn("lh", xxhash64(col("line")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot = lines.groupBy("lh")
+    // EMPTY normalized lines are exempt from hotness: '' is the most
+    // frequent "line" in any real corpus (every blank separator), so
+    // counting it would mark it hot and silently delete every paragraph
+    // break corpus-wide — the CCNet implementations exempt blanks for
+    // exactly this reason
+    val hot = lines.filter(col("line") =!= "").groupBy("lh")
       .agg(countDistinct(col(idCol)).as("__dfd"))
       .filter(col("__dfd") > maxDocs)
       .select("lh")

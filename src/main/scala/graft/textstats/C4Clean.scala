@@ -43,7 +43,11 @@ object C4Clean {
                  minKeptLines: Int = 2): DataFrame = {
     val lines = split(col(textCol), "\n")
     val kept = filter(lines, l => {
-      val tl = trim(l)
+      // regexp, not trim(): trim strips only ASCII spaces, so a
+      // tab-padded prose line wrongly fails the terminal-punctuation
+      // gate and leading \t inflates the word count (the Boilerplate
+      // normalization rule)
+      val tl = regexp_replace(l, "^\\s+|\\s+$", "")
       val words = size(split(tl, TextFunctions.wsRun))
       val blocked = blockPhrases.map(p => lower(l).contains(p))
         .reduce(_ || _)

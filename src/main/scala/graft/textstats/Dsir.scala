@@ -80,9 +80,17 @@ object Dsir {
       .join(tgt, Seq("bucket"), "left")
       .na.fill(0L, Seq("cr", "ct"))
       .crossJoin(broadcast(totals))
+      // smoothing products in decimal(38,0): at the advertised corpus
+      // scale (ct ~ 10⁶ per bucket over a ~10¹³-token pool) the bigint
+      // product (ct+1)·(r_tot+buckets) crosses 2⁶³ and ANSI kills the
+      // job; decimal keeps the product exact, and its double cast — the
+      // same one the old bigint division performed implicitly — keeps
+      // every non-overflowing value bit-identical
       .select(col("bucket"),
-        expr(s"CAST(floor(ln(((ct + 1) * (r_tot + $buckets)) / " +
-          s"((cr + 1) * (t_tot + $buckets))) * 1000000) AS BIGINT)")
+        expr(s"CAST(floor(ln(" +
+          s"CAST((ct + 1) * CAST(r_tot + $buckets AS DECIMAL(38,0)) AS DOUBLE) / " +
+          s"CAST((cr + 1) * CAST(t_tot + $buckets AS DECIMAL(38,0)) AS DOUBLE)" +
+          s") * 1000000) AS BIGINT)")
           .as("d_u"))
   }
 
@@ -97,7 +105,16 @@ object Dsir {
       delta)
 
   private def scoreFromToks(toks: DataFrame, delta: DataFrame): DataFrame =
-    toks.join(broadcast(delta), Seq("bucket"))
+    // left join + loud miss, not an inner join: the model emits its FULL
+    // bucket domain, so a missing delta row means the caller scored with
+    // a different bucket count than the model was trained with — an
+    // inner join would silently drop those token instances (biased w_u,
+    // undercounted n_tok) instead of failing
+    toks.join(broadcast(delta), Seq("bucket"), "left")
+      .withColumn("d_u", expr(
+        "CASE WHEN d_u IS NOT NULL THEN d_u ELSE CAST(raise_error(" +
+          "'DSIR bucket miss: score() called with a different bucket " +
+          "count than the model was trained with') AS BIGINT) END"))
       .groupBy("id").agg(count(lit(1)).as("n_tok"), sum("d_u").as("w_u"))
 
   /** (doc_id, n_tok, w_u, keep): per-document importance weight in

@@ -46,8 +46,21 @@ object Markup {
     * not match and stays in the text — loud, not silent. */
   val tagRe = "(?s)<[^>]*>"
 
-  /** `href="..."` capture (group 1), case-insensitive. */
-  val hrefRe = "(?i)href=\"([^\"]*)\""
+  /** `href=` value capture (group 1), case-insensitive — double-quoted,
+    * single-quoted, or unquoted (all three are routine in real HTML; a
+    * double-quote-only pattern silently loses every outlink from
+    * single-quoting sites). Quoted captures INCLUDE their quotes — one
+    * capturing group keeps `regexp_extract_all` usable — and
+    * [[extractLinks]] strips them after extraction. */
+  val hrefRe = "(?i)href=(\"[^\"]*\"|'[^']*'|[^\\s>\"']+)"
+
+  /** Unterminated `<script`/`<style` openers (a truncated crawl record):
+    * applied AFTER the paired-block and comment passes, so any opener
+    * still present has no close tag — its payload would otherwise leak
+    * into the text column as visible "prose". Swallowing to end-of-input
+    * is exactly browser error recovery, and RE2-safe. */
+  val openScriptTailRe = "(?is)<script[^>]*>.*$"
+  val openStyleTailRe = "(?is)<style[^>]*>.*$"
 
   /** Entity → character, applied in order; `&amp;` must stay last. */
   val entities: Seq[(String, String)] = Seq(
@@ -56,9 +69,14 @@ object Markup {
 
   /** Markup with script/style/comment payloads dropped (replaced by a
     * space so `a<script>..</script>b` cannot weld into `ab`). */
-  private def stripBlocks(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(c,
+  private def stripBlocks(c: Column): Column = {
+    val paired = regexp_replace(regexp_replace(regexp_replace(c,
       scriptBlockRe, " "), styleBlockRe, " "), commentRe, " ")
+    // unterminated-opener fallback LAST: paired blocks and comments are
+    // already gone (a commented-out opener must not swallow the document)
+    regexp_replace(regexp_replace(paired,
+      openScriptTailRe, " "), openStyleTailRe, " ")
+  }
 
   /** Visible text of a markup column: blocks → tags → entities →
     * whitespace squeeze → trim. */
@@ -74,7 +92,8 @@ object Markup {
     * excluded first — a URL inside a commented-out link is not an
     * outlink). */
   def extractLinks(c: Column): Column =
-    regexp_extract_all(stripBlocks(c), lit(hrefRe), lit(1))
+    transform(regexp_extract_all(stripBlocks(c), lit(hrefRe), lit(1)),
+      x => regexp_replace(x, "^[\"']|[\"']$", ""))
 
   /** (id, text, links, n_links) extraction frame over a markup column —
     * the whole-corpus ingest transform. */

@@ -11,25 +11,41 @@ import org.apache.spark.sql.functions._
   */
 object Urls {
 
-  /** Host part of a URL: the authority between `scheme://` and the first
-    * `/`, `:`, `?` or `#`. NULL when the value doesn't parse as a URL —
-    * callers decide whether unparseable means keep or drop; silently
-    * treating junk as a real domain would let it through every blocklist.
-    * The regexp is shared verbatim with the DuckDB oracle. */
-  val domainRegex = "^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+  /** Authority part of a URL (group 1): everything between `scheme://`
+    * and the first `/`, `?` or `#` — may still carry userinfo and a
+    * port, which [[domainOf]] strips. Shared verbatim with the DuckDB
+    * oracle. */
+  val authorityRegex = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
 
+  /** Host of a URL, BLOCKLIST-SAFE: scheme case-insensitive (RFC 3986),
+    * userinfo stripped (`http://foo@evil.com/` must extract `evil.com`,
+    * not `foo@evil.com` — the classic authority-confusion evasion),
+    * port stripped, and the host LOWERCASED (hosts are case-insensitive;
+    * `EVIL.com` must hit the `evil.com` blocklist row). NULL when the
+    * value doesn't parse as a URL — callers decide whether unparseable
+    * means keep or drop; silently treating junk as a real domain would
+    * let it through every blocklist. Every step is a plain
+    * regexp_replace the oracle replays verbatim. */
   def domainOf(url: Column): Column = {
-    val m = regexp_extract(url, domainRegex, 1)
-    when(m === "", lit(null).cast("string")).otherwise(m)
+    val auth = regexp_extract(url, authorityRegex, 1)
+    val host = lower(regexp_replace(
+      regexp_replace(auth, "^[^/@]*@", ""), ":[0-9]*$", ""))
+    when(auth === "" || host === "", lit(null).cast("string"))
+      .otherwise(host)
   }
 
   /** Drop rows whose extracted domain is on the blocklist. The blocklist
     * frame (one `domain` string column) broadcasts; LEFT ANTI join keeps
     * the corpus side streaming through the scan. NULL domains (unparseable
     * URLs) survive the anti-join by SQL semantics — pair with an
-    * `isNotNull` filter when junk URLs should also go. */
+    * `isNotNull` filter when junk URLs should also go. Emits the
+    * extracted `domain` column; an input already carrying one is refused
+    * (a silent duplicate would fail far downstream at analysis time). */
   def dropBlocklisted(df: DataFrame, urlCol: String,
                       blocklist: DataFrame): DataFrame = {
+    require(!df.columns.contains("domain"),
+      "dropBlocklisted emits a column named 'domain', which already " +
+        "exists in the input — rename it first")
     val b = broadcast(blocklist.select(col("domain").as("__blocked")))
     df.withColumn("__domain", domainOf(col(urlCol)))
       .join(b, col("__domain") === col("__blocked"), "left_anti")

@@ -60,4 +60,18 @@ class BoilerplateSpec extends SparkSpec {
     assert(out.count() == 200)
     assert(!out.collect().exists(_.getString(1).contains("COMMON HEADER")))
   }
+
+  test("blank lines never go hot: paragraph breaks survive even when " +
+    "every document has them") {
+    // 50 docs, all with a blank separator line — far past maxDocs; the
+    // paragraph structure must survive while the planted banner dies
+    val docs = (1L to 50L)
+      .map(i => (i, s"COOKIE BANNER\npara one of $i\n\npara two of $i"))
+      .toDF("id", "text")
+    val out = graft.textstats.Boilerplate
+      .removeHotLines(docs, "id", "text", maxDocs = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 50)
+    assert(out(7L) == "para one of 7\n\npara two of 7", out(7L))
+  }
 }

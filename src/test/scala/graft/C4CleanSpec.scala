@@ -69,4 +69,17 @@ class C4CleanSpec extends SparkSpec {
     assert(got(2L) == ((0L, "state-\nOf-the-art stays")))
     assert(got(3L) == ((0L, "")))
   }
+
+  test("tab-padded prose survives the terminal-punctuation gate and tabs " +
+    "don't inflate the word count") {
+    val docs = Seq((1L,
+      "this proper sentence ends with a period.\t\n" +      // trailing tab
+        "\tanother fine sentence sits right here.\n" +       // leading tab
+        "\tfour lonely words here\n" +                       // 4 words: dies
+        "a third good sentence closes the doc.")).toDF("id", "text")
+    val out = graft.textstats.C4Clean.cleanLines(docs, "id", "text",
+      minWordsPerLine = 5, minKeptLines = 2).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(2) == 3L, out.head.toString)
+  }
 }

@@ -60,4 +60,30 @@ class MarkupSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"markup extract must not shuffle:\n$plan")
   }
+
+  test("extractLinks catches single-quoted and unquoted hrefs; quoted " +
+    "values keep inner spaces") {
+    val html = "<a href=\"http://d.com/a b\">1</a>" +
+      "<a href='http://s.com/x'>2</a><a href=http://u.com/y>3</a>"
+    val got = Seq((1L, html)).toDF("id", "h")
+      .select(graft.textstats.Markup.extractLinks(col("h")))
+      .head().getSeq[String](0)
+    assert(got == Seq("http://d.com/a b", "http://s.com/x", "http://u.com/y"),
+      got.toString)
+  }
+
+  test("an unclosed <script> (truncated crawl record) cannot leak JS into " +
+    "the text column") {
+    val html = "<p>bye</p><script>var a=1; function f(){ if(a<2){a++;}"
+    val txt = Seq((1L, html)).toDF("id", "h")
+      .select(graft.textstats.Markup.extractText(col("h")))
+      .head().getString(0)
+    assert(txt == "bye", s"JS leaked: '$txt'")
+    // a commented-out opener must NOT swallow the document tail
+    val html2 = "<p>a</p><!-- <script> --><p>b</p>"
+    val txt2 = Seq((1L, html2)).toDF("id", "h")
+      .select(graft.textstats.Markup.extractText(col("h")))
+      .head().getString(0)
+    assert(txt2 == "a b", s"comment fallback broke: '$txt2'")
+  }
 }

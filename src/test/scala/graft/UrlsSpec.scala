@@ -38,6 +38,35 @@ class UrlsSpec extends SparkSpec {
     assert(out.columns.contains("domain"))
   }
 
+  test("domainOf is evasion-proof: case folds, userinfo and port strip") {
+    val rows = Seq(
+      ("http://EVIL.com/x", Some("evil.com")),          // host case
+      ("HTTP://evil.com/x", Some("evil.com")),          // scheme case
+      ("http://foo@evil.com/", Some("evil.com")),       // userinfo
+      ("http://a:b@evil.com/", Some("evil.com")),       // user:pass
+      ("http://EVIL.com:8080/x", Some("evil.com")),     // case + port
+      ("http://user@", None))                           // empty host
+    val got = rows.map(_._1).toDF("url")
+      .select(Urls.domainOf(col("url"))).collect()
+      .map(r => Option(r.getString(0))).toSeq
+    assert(got == rows.map(_._2), got.toString)
+    // and the blocklist actually catches the dressed-up forms
+    val docs = rows.map(_._1).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val out = Urls.dropBlocklisted(docs, "url",
+      Seq("evil.com").toDF("domain"))
+    assert(out.select("id").as[Long].collect().toSet == Set(5L),
+      "an evasion variant slipped the blocklist")
+  }
+
+  test("dropBlocklisted refuses an input already carrying 'domain'") {
+    intercept[IllegalArgumentException] {
+      Urls.dropBlocklisted(
+        Seq((1L, "https://a.com/x", "pre")).toDF("id", "url", "domain"),
+        "url", Seq("b.com").toDF("domain"))
+    }
+  }
+
   test("canonicalizeUrl normalizes each documented axis, one at a time") {
     val rows = Seq(
       // scheme+host case-folded, path case preserved
