@@ -371,6 +371,17 @@ class SamplingSpec extends SparkSpec {
       ("h", 5L), ("h", 6L), ("h", 7L)), s"got $got")
   }
 
+  test("quotaSample's null-safe allocation join stays a broadcast HASH " +
+    "join (EqualNullSafe is an equi-key, not a nested-loop condition)") {
+    val df = (1L to 100L).map(i => (s"s${i % 5}", i)).toDF("src", "id")
+    val out = Sampling.quotaSample(df, "src", "id", 50L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"allocation join demoted:\n${plan.take(2500)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"null-safe join fell to BNLJ:\n${plan.take(2500)}")
+  }
+
   test("quotaSample: a NULL stratum keeps its allocation (null-safe join) " +
     "and NULL ids are excluded without crashing") {
     val df = (1L to 10L).map(i => (if (i <= 4) null else "s", i))
