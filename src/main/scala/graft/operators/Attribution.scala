@@ -142,7 +142,12 @@ object Attribution {
           if (e.event_type == touchType)
             last = Some(ATouch(e.ts_us, e.event_id))
           else {
-            val inw = last.exists(l => e.ts_us - l.ts_us <= windowUs)
+            // l.ts_us <= e.ts_us: a state touch LATER than the conversion
+            // (out-of-order arrival across triggers) must not attribute
+            // backwards with a negative age — the batch as-of join can
+            // never credit a future touch
+            val inw = last.exists(l =>
+              l.ts_us <= e.ts_us && e.ts_us - l.ts_us <= windowUs)
             out += AOut(e.event_id, u, e.ts_us,
               if (inw) last.map(_.event_id) else None,
               if (inw) last.map(e.ts_us - _.ts_us) else None,

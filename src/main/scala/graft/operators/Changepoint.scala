@@ -33,7 +33,14 @@ import org.apache.spark.sql.functions._
 object Changepoint {
 
   /** Per-group (grp, h, c) bucket counts from an event frame — the raw
-    * series every rate analysis here starts from. */
+    * series every rate analysis here starts from.
+    *
+    * CONTRACT: timestamps at/after epoch. `div` truncates toward zero,
+    * so pre-1970 micros would share bucket 0 with the first post-epoch
+    * hour and sit one bucket late elsewhere (the [[dowExpr]] caveat);
+    * the DuckDB oracle's `//` binds the same way, so the two engines
+    * agree — but both mis-bin negative time. Shift archival pre-epoch
+    * data to a non-negative origin before bucketing. */
   def bucketCounts(events: DataFrame, groupCol: String, tsCol: String,
                    bucketUs: Long = 3600000000L): DataFrame =
     events
@@ -43,10 +50,24 @@ object Changepoint {
       .groupBy("grp", "h").agg(count(lit(1)).as("c"))
 
   /** Gap-fill a (grp, h, c) count frame over each group's min..max hour
-    * (missing buckets become explicit zeros). */
-  def gapFilledSeries(counts: DataFrame): DataFrame = {
+    * (missing buckets become explicit zeros). `maxBuckets` is the
+    * ksDistance-style outage guard, enforced IN-PLAN (zero extra
+    * actions): one corrupt year-9999 timestamp would otherwise explode
+    * ~70M buckets for its group, multiplied across every meanShift /
+    * autocorrelation / burstiness caller — fail fast with the offending
+    * span instead. */
+  def gapFilledSeries(counts: DataFrame,
+                      maxBuckets: Long = 10000000L): DataFrame = {
+    require(maxBuckets >= 1, s"maxBuckets must be >= 1, got $maxBuckets")
     val span = counts.groupBy("grp")
       .agg(min("h").as("__h0"), max("h").as("__h1"))
+      .withColumn("__h1", expr(
+        s"CASE WHEN __h1 - __h0 + 1 <= ${maxBuckets}L THEN __h1 " +
+          "ELSE CAST(raise_error(concat('gapFilledSeries: group span ', " +
+          "CAST(__h1 - __h0 + 1 AS STRING), " +
+          s" ' buckets exceeds maxBuckets $maxBuckets — corrupt " +
+          "timestamp? (bucket the column or raise the cap deliberately)'))" +
+          " AS BIGINT) END"))
     span
       .select(col("grp"), explode(sequence(col("__h0"), col("__h1"))).as("h"))
       .join(counts, Seq("grp", "h"), "left")

@@ -31,7 +31,11 @@ object Funnel {
              tsCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
-    val first = events.filter(col(typeCol) === steps.head)
+    // NULL users are excluded (the Transitions/Attribution/Retention
+    // identity rule): groupBy would otherwise collapse every null-user
+    // event into one phantom funnel entrant
+    val first = events.filter(col(typeCol) === steps.head &&
+        col(userCol).isNotNull)
       .groupBy(col(userCol))
       .agg(min(unix_micros(col(tsCol))).as("t1_us"))
     val n = steps.size

@@ -187,8 +187,12 @@ object Profile {
   def giniConcentration(df: DataFrame, groupCol: String,
                         weightCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // a group whose weights are ALL NULL carries no mass: keeping it
+    // would hand it rank 1 (NULLs order first asc) and inflate n_groups,
+    // skewing the Gini of the real mixture
     val t = df.groupBy(groupCol)
       .agg(sum(col(weightCol)).as("__w"))
+      .filter(col("__w").isNotNull)
     val ranked = t.withColumn("__i", row_number().over(
       Window.orderBy(col("__w").asc, col(groupCol).asc)).cast("long"))
     ranked.agg(count(lit(1)).as("n_groups"),

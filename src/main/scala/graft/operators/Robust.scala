@@ -70,10 +70,14 @@ object Robust {
   def rateSpikes(counts: DataFrame, groupCol: String, valCol: String,
                  k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // LEFT join: a group whose values are all NULL has no baseline row,
+    // and an inner join would silently drop its buckets from the monitor
+    // — the loudest possible anomaly vanishing without an error; with
+    // NULL stats the when() condition is NULL → spike 0, rows retained
     counts.join(
         broadcast(medianMad(counts, groupCol, valCol)
           .select(col(groupCol), col("median"), col("mad"))),
-        Seq(groupCol))
+        Seq(groupCol), "left")
       .withColumn("spike",
         when(abs(col(valCol) - col("median")) > lit(k.toLong) * col("mad"),
           1L).otherwise(0L))
@@ -95,12 +99,20 @@ object Robust {
       .withColumnRenamed("q_value", "q_lo")
     val hi = groupQuantile(df, groupCol, valCol, hiBp)
       .withColumnRenamed("q_value", "q_hi")
-    df.join(broadcast(lo.join(hi, groupCol)), groupCol)
+    // LEFT join (rows of a group with no quantile row pass through
+    // unclipped — least/greatest skip the NULL bounds), and an explicit
+    // NULL guard on the value: Spark's least/greatest SKIP null
+    // arguments, so a NULL measurement would otherwise come back as the
+    // group's q_hi with was_clipped = 0 — a fabricated high-band value
+    df.join(broadcast(lo.join(hi, groupCol)), Seq(groupCol), "left")
       .withColumn("clipped",
-        greatest(least(col(valCol), col("q_hi")), col("q_lo")))
+        when(col(valCol).isNull, lit(null))
+          .otherwise(greatest(least(col(valCol), col("q_hi")), col("q_lo"))))
       .withColumn("was_clipped",
-        when(col(valCol) < col("q_lo") || col(valCol) > col("q_hi"), 1L)
-          .otherwise(0L))
+        when(col(valCol).isNull, lit(null).cast("long"))
+          .otherwise(when(
+            col(valCol) < col("q_lo") || col(valCol) > col("q_hi"), 1L)
+            .otherwise(0L)))
   }
 
   /** Per-group outlier report: (groupCol, median, mad, n, n_outliers)
@@ -242,7 +254,7 @@ object Robust {
     val groups = gCounts.groupBy("grp").agg(sum("__cg").as("n_group"))
     val wg = Window.partitionBy("grp").orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, 0)
-    groups.crossJoin(allCum)
+    val out = groups.crossJoin(allCum)
       .join(gCounts, Seq("grp", "__v"), "left")
       .withColumn("__cumG",
         sum(coalesce(col("__cg"), lit(0L))).over(wg))
@@ -254,6 +266,13 @@ object Robust {
           "(cast(n_group as decimal(38,0)) * __nA) as bigint)"))
       .groupBy("grp", "n_group")
       .agg(max("__bp").as("ks_bp"))
+      // per-group report: materialize (lineage cut) so the guard's
+      // persist releases HERE — a long-lived drift monitor calling this
+      // per column per run must not leak one cache entry per call (the
+      // triangleCensus rule)
+      .localCheckpoint()
+    gCounts.unpersist()
+    out
   }
 
   /** Per-group min-max feature scaling — the normalization pass run
@@ -270,9 +289,14 @@ object Robust {
     val stats = df.groupBy(groupCol)
       .agg(min(col(valCol)).as("__lo"), max(col(valCol)).as("__hi"))
     df.join(broadcast(stats), groupCol)
+      // decimal(38,0) headroom (the ksDistance/diversity rule): a
+      // wide-range integer column — epoch micros spanning ~1.7e18 —
+      // overflows (v − lo)·10⁴ in raw int64; decimal keeps it exact and
+      // `div` still returns the same BIGINT basis points
       .withColumn("scaled_bp",
         when(col("__hi") =!= col("__lo"),
-          expr(s"(($valCol - __lo) * 10000) div (__hi - __lo)")))
+          expr(s"((CAST($valCol AS DECIMAL(38,0)) - __lo) * 10000) div " +
+            "(CAST(__hi AS DECIMAL(38,0)) - __lo)")))
       .drop("__lo", "__hi")
   }
 }

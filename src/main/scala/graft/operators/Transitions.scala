@@ -49,9 +49,13 @@ object Transitions {
   def matrix(events: DataFrame, userCol: String, tsCol: String,
              idCol: String, typeCol: String): DataFrame = {
     val w = Window.partitionBy("__u").orderBy(col("__t"), col("__id"))
+    // idCol joins the null screen: it is the (ts, id) tie-break, and a
+    // NULL id under a timestamp tie is NOT a cross-engine total order
+    // (Spark windows sort NULLs first asc, DuckDB last) — the bit-exact
+    // replay claim needs every order key non-null
     val pairs = events
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
-        col(typeCol).isNotNull)
+        col(typeCol).isNotNull && col(idCol).isNotNull)
       .select(col(userCol).as("__u"),
         expr(s"unix_micros($tsCol)").as("__t"),
         col(idCol).as("__id"), col(typeCol).as("from_type"))

@@ -245,4 +245,21 @@ class ChangepointSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(merged == direct)
   }
+
+  test("gapFilledSeries fails fast on a corrupt-timestamp span instead " +
+    "of exploding millions of buckets") {
+    import graft.operators.Changepoint
+    val counts = Seq(("g", 0L, 1L), ("g", 70000000L, 1L))
+      .toDF("grp", "h", "c")
+    val err = intercept[Exception] {
+      Changepoint.gapFilledSeries(counts, maxBuckets = 1000L).collect()
+    }
+    assert(err.getMessage.contains("exceeds maxBuckets"),
+      err.getMessage.take(200))
+    // sane spans still gap-fill
+    val ok = Changepoint.gapFilledSeries(
+      Seq(("g", 1L, 2L), ("g", 4L, 3L)).toDF("grp", "h", "c"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(ok == Map(1L -> 2L, 2L -> 0L, 3L -> 0L, 4L -> 3L))
+  }
 }

@@ -61,4 +61,16 @@ class FunnelSpec extends SparkSpec {
     assert(cum == cum.sorted.reverse, s"non-monotone funnel: $byDepth")
     assert(cum.head > 0, "no user entered the funnel")
   }
+
+  test("NULL users never enter the funnel as a phantom entrant") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = Seq(
+      (Some(1L), "view", ts),
+      (Option.empty[Long], "view", ts),
+      (Option.empty[Long], "view", ts)).toDF("user_id", "etype", "ts")
+    val out = graft.operators.Funnel.funnel(
+      events, "user_id", "etype", "ts", Seq("view", "buy"))
+    assert(out.count() == 1 && !out.head().isNullAt(0),
+      "a NULL-user phantom row entered the funnel")
+  }
 }

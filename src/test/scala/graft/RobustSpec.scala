@@ -209,4 +209,36 @@ class RobustSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(guarded == unguarded && guarded.nonEmpty)
   }
+
+  test("winsorize: a NULL measurement comes back NULL, never fabricated " +
+    "as the group's high band; stats-less groups pass through") {
+    import graft.operators.Robust
+    val df = Seq(("g", Some(1L)), ("g", Some(100L)), ("g", Some(200L)),
+      ("g", Some(300L)), ("g", None)).toDF("grp", "v")
+    val rows = Robust.winsorize(df, "grp", "v", 2500, 7500).collect()
+    def opt(r: org.apache.spark.sql.Row, c: String) = {
+      val i = r.fieldIndex(c)
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    }
+    val out = rows.map(r =>
+      (opt(r, "v"), opt(r, "clipped"), opt(r, "was_clipped")))
+    // every row returns; the NULL v row carries NULL clipped + NULL flag
+    assert(out.length == 5)
+    val nullRow = out.filter(_._1 == None)
+    assert(nullRow.length == 1 &&
+      nullRow.head._2 == None && nullRow.head._3 == None, out.mkString(","))
+  }
+
+  test("rateSpikes keeps every input bucket even for a group with no " +
+    "baseline (all-NULL values), spike 0 not a silent drop") {
+    import graft.operators.Robust
+    val counts = Seq(("a", Some(10L)), ("a", Some(12L)), ("a", Some(90L)),
+      ("dead", Option.empty[Long]), ("dead", Option.empty[Long]))
+      .toDF("grp", "c")
+    val out = Robust.rateSpikes(counts, "grp", "c", k = 3).collect()
+    assert(out.length == 5, s"rows dropped: ${out.length}")
+    assert(out.count(_.getString(0) == "dead") == 2)
+    assert(out.filter(_.getString(0) == "dead")
+      .forall(r => r.getLong(r.fieldIndex("spike")) == 0L))
+  }
 }
