@@ -6531,7 +6531,7 @@ object SparkEntry {
         "CAST(doc_id AS VARCHAR) AS url FROM documents), " +
         s"d AS (SELECT doc_id, NULLIF(lower(regexp_replace(regexp_replace(" +
         s"regexp_extract(url, '${Urls.authorityRegex}', 1), " +
-        "'^[^/@]*@', ''), ':[0-9]*$', '')), '') " +
+        "'^.*@', ''), ':[0-9]*$', '')), '') " +
         "AS domain FROM u) " +
         "SELECT domain, count(*) AS n_docs FROM d WHERE domain NOT IN (" +
         blockedDomains.map(d => s"'$d'").mkString(", ") + ") GROUP BY domain"),

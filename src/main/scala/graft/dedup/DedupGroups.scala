@@ -196,8 +196,12 @@ object DedupGroups {
     // localCheckpoint materializes the (small) non-canonical id set and
     // cuts its lineage, so the loop's persisted label frame can be released
     // here instead of leaking one cache entry per canonicalize call
+    // cast to the caller's id type (the [[canonicalizeBest]] rule): a
+    // numeric-STRING idCol against bigint pair ids would otherwise coerce
+    // through DOUBLE and corrupt equality above 2^53; a matching type
+    // makes the cast a no-op
     val dropIds = cc.filter(col("id") =!= col("comp"))
-      .select(col("id").as("__drop_id"))
+      .select(col("id").cast(df.schema(idCol).dataType).as("__drop_id"))
       .localCheckpoint()
     cc.unpersist()
     df.join(dropIds, col(idCol) === col("__drop_id"), "left_anti")
@@ -221,13 +225,16 @@ object DedupGroups {
     // join BEFORE projecting the score: the quality expression is the
     // dominant per-row cost and must run over group members only, not
     // the corpus (a select-then-join would push the Project below the
-    // join and score every row). No cast on the join key ([[canonicalize]]'s
-    // convention): numeric-width mismatches coerce implicitly, and ids are
-    // numeric by [[connectedComponents]]' contract (its convergence
-    // watermark casts labels to decimal — non-numeric ids fail THERE,
-    // loudly, under ANSI).
-    val members = df.join(cc, col(idCol) === cc("id"))
-      .select(cc("id"), cc("comp"), score.as("__score"))
+    // join and score every row). The pair-graph id is cast EXPLICITLY to
+    // the caller's id type: left to implicit coercion, a numeric-STRING
+    // idCol against bigint pair ids goes through PromoteStrings' DOUBLE
+    // widening, which silently corrupts id equality above 2^53 — the
+    // decimal convergence watermark in [[connectedComponents]] only
+    // screens non-numeric ids, not numeric strings.
+    val ccT = cc.select(cc("id").cast(df.schema(idCol).dataType).as("id"),
+      cc("comp"))
+    val members = df.join(ccT, col(idCol) === ccT("id"))
+      .select(ccT("id"), ccT("comp"), score.as("__score"))
     val w = Window.partitionBy("comp")
       .orderBy(desc("__score"), asc("id"))
     val dropIds = members

@@ -128,8 +128,8 @@ object Sentiment {
     * re-partitioning) the sweep DEGRADES to avg-only rows — std_f1_uu
     * NULL, loud warning — rather than either failing the caller or
     * reporting a dispersion computed on the wrong folds. The kFold
-    * replay contract itself is pinned by a dedicated SentimentSpec
-    * test so an upstream change surfaces in CI first.
+    * replay contract itself is pinned by MlSpec's "MLUtils.kFold replay
+    * contract" test so an upstream change surfaces in CI first.
     *
     * A NaN fold metric (a degenerate fold missing a label class, e.g.
     * numFolds=2 on tiny data) fails fast with a targeted message — the
@@ -252,7 +252,7 @@ object Sentiment {
             s"WARN cvSweep: fold replay drifted from CrossValidator's own " +
               s"folds (per-fold mean $mean vs avgMetric $m, grid point " +
               s"$rp) — reporting avg_f1_uu with NULL std_f1_uu; the " +
-              "MLUtils.kFold replay contract is pinned in SentimentSpec")
+              "MLUtils.kFold replay contract is pinned in MlSpec")
           None
         }
       (algo, math.round(rp * 1000), math.floor(m * 1e6).toLong, std)

@@ -120,8 +120,9 @@ object RecordLinkage {
           col("__cnt"), lit(0L)))
       .select("__b", "__off")
     // ranked feeds BOTH sides of the block self-join below — persist the
-    // diamond once (the q18 convention; Verify/Bench clear per query) so
-    // the offsets join + two window passes don't run twice
+    // diamond once so the offsets join + two window passes don't run
+    // twice; released via unpersist after the eager result materialization
+    // at the end of this method
     val ranked = base.join(broadcast(offsets), Seq("__b"))
       .withColumn("__r", col("__off") +
         row_number().over(
@@ -130,12 +131,19 @@ object RecordLinkage {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probe = ranked.select(col("id").as("id_a"), col("__r").as("r_a"),
       explode(array(col("__blk"), col("__blk") + 1L)).as("__jblk"))
-    probe.join(
+    // materialize the (≤ n·w pair) result eagerly and RELEASE the diamond
+    // cache before returning — the triangleStats cache-lifetime rule:
+    // a bare persist here would leak one cache entry per call in a
+    // long-lived session
+    val out = probe.join(
         ranked.select(col("id").as("id_b"), col("__r").as("r_b"),
           col("__blk").as("__jblk")),
         Seq("__jblk"))
       .filter(col("r_b") > col("r_a") && col("r_b") - col("r_a") <= w)
       .select(col("id_a"), col("id_b"),
         (col("r_b") - col("r_a")).as("gap"))
+      .localCheckpoint()
+    ranked.unpersist()
+    out
   }
 }

@@ -18,9 +18,14 @@ object Urls {
   val authorityRegex = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
 
   /** Host of a URL, BLOCKLIST-SAFE: scheme case-insensitive (RFC 3986),
-    * userinfo stripped (`http://foo@evil.com/` must extract `evil.com`,
-    * not `foo@evil.com` — the classic authority-confusion evasion),
-    * port stripped, and the host LOWERCASED (hosts are case-insensitive;
+    * userinfo stripped GREEDILY through the LAST `@` — WHATWG parsers and
+    * curl resolve the host after the final `@`, so
+    * `http://foo@evil.com/` and the double-`@` evasion
+    * `http://a@b@evil.com/` must both extract `evil.com` (a first-`@`
+    * strip would emit the junk domain `b@evil.com`, which misses every
+    * blocklist row). Greedy `.*@` cannot overrun the authority: the
+    * extract above already stopped at the first `/`, `?` or `#`. Port
+    * stripped, and the host LOWERCASED (hosts are case-insensitive;
     * `EVIL.com` must hit the `evil.com` blocklist row). NULL when the
     * value doesn't parse as a URL — callers decide whether unparseable
     * means keep or drop; silently treating junk as a real domain would
@@ -29,7 +34,7 @@ object Urls {
   def domainOf(url: Column): Column = {
     val auth = regexp_extract(url, authorityRegex, 1)
     val host = lower(regexp_replace(
-      regexp_replace(auth, "^[^/@]*@", ""), ":[0-9]*$", ""))
+      regexp_replace(auth, "^.*@", ""), ":[0-9]*$", ""))
     when(auth === "" || host === "", lit(null).cast("string"))
       .otherwise(host)
   }

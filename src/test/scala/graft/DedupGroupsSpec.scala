@@ -202,4 +202,28 @@ class DedupGroupsSpec extends SparkSpec {
       .select("doc_id").as[Int].collect().toSet
     assert(kept == Set(2, 3), s"got $kept")
   }
+
+  test("canonicalize/canonicalizeBest: numeric-STRING corpus ids above " +
+    "2^53 never coerce through double (exact id equality)") {
+    // 9007199254740992 and ...93 are equal as doubles: an implicit
+    // string=bigint comparison (PromoteStrings → double) would match BOTH
+    // corpus rows to the pair id ...92, silently dropping the innocent
+    // ...93 row. The explicit cast-to-caller-type keeps equality exact.
+    val big = 9007199254740992L // 2^53
+    val df = Seq((big.toString, 5L), ((big + 1).toString, 9L), ("100", 1L))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((100L, big)).toDF("id_a", "id_b")
+    val keptBest = DedupGroups.canonicalizeBest(df, pairs, "doc_id",
+        "id_a", "id_b", col("quality"))
+      .select("doc_id").as[String].collect().toSet
+    // group {100, 2^53}: 2^53 wins on quality; 2^53+1 is in NO pair and
+    // must survive untouched
+    assert(keptBest == Set(big.toString, (big + 1).toString), s"got $keptBest")
+    val keptMin = DedupGroups.canonicalize(df, pairs, "doc_id",
+        "id_a", "id_b")
+      .select("doc_id").as[String].collect().toSet
+    // min-id canonicalize keeps 100, drops exactly 2^53 — not its
+    // double-equal neighbor
+    assert(keptMin == Set("100", (big + 1).toString), s"got $keptMin")
+  }
 }

@@ -44,8 +44,13 @@ class UrlsSpec extends SparkSpec {
       ("HTTP://evil.com/x", Some("evil.com")),          // scheme case
       ("http://foo@evil.com/", Some("evil.com")),       // userinfo
       ("http://a:b@evil.com/", Some("evil.com")),       // user:pass
+      // double-@ authority confusion: WHATWG/curl resolve the host after
+      // the LAST @ — a first-@ strip would emit the junk "b@evil.com"
+      ("http://a@b@evil.com/", Some("evil.com")),
+      ("http://a@b:c@EVIL.com:443/x", Some("evil.com")),
       ("http://EVIL.com:8080/x", Some("evil.com")),     // case + port
-      ("http://user@", None))                           // empty host
+      ("http://user@", None),                           // empty host
+      ("http://a@b@", None))                            // empty after last @
     val got = rows.map(_._1).toDF("url")
       .select(Urls.domainOf(col("url"))).collect()
       .map(r => Option(r.getString(0))).toSeq
@@ -55,7 +60,7 @@ class UrlsSpec extends SparkSpec {
       .map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
     val out = Urls.dropBlocklisted(docs, "url",
       Seq("evil.com").toDF("domain"))
-    assert(out.select("id").as[Long].collect().toSet == Set(5L),
+    assert(out.select("id").as[Long].collect().toSet == Set(7L, 8L),
       "an evasion variant slipped the blocklist")
   }
 
