@@ -10,7 +10,14 @@ import org.apache.spark.sql.SparkSession
   * count() wraps the plan in an aggregate referencing no columns, and
   * column pruning then deletes the very expressions being measured (a
   * map-only query like fingerprinting would be timed as a bare scan). The
-  * noop sink materializes every output row with all columns. */
+  * noop sink materializes every output row with all columns.
+  *
+  * Every run self-certifies its noise: a control set of stable
+  * sub-second queries (SPARK_GRAFT_BENCH_CONTROLS) is re-timed at ~8
+  * points through the run and once at the end; the output JSON carries
+  * the control samples and `noise_floor` (worst max/min control
+  * dispersion), so a contention burst is visible in the artifact itself
+  * instead of needing re-run archaeology against other rounds. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,9 +46,39 @@ object Bench {
     // optional comma list of name prefixes — dev subset runs (the driver
     // sets neither env, so it always benches everything)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // control-query protocol: a fixed set of stable sub-second queries is
+    // re-timed at intervals THROUGH the run, so every artifact carries its
+    // own noise certificate — when the host takes an external contention
+    // burst mid-run, the burst shows up as control dispersion instead of
+    // masquerading as a regression in whichever alphabetical neighborhood
+    // it landed on. Override with SPARK_GRAFT_BENCH_CONTROLS (comma list;
+    // empty string disables).
+    val controlNames = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTROLS",
+        "q01_read_project,q21_multimodal_meta,q220_k_anonymity")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .filter(SparkEntry.queries.contains)
+    val controlTimes =
+      scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    def runControls(timed: Boolean): Unit = controlNames.foreach { cn =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(cn)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+      spark.catalog.clearCache()
+      if (timed) controlTimes(cn) =
+        controlTimes.getOrElse(cn, Vector.empty) :+
+          (System.nanoTime() - t0) / 1e9
+    }
+    // two untimed control passes first: the controls' own JIT/codegen
+    // warmup must not be billed to the first interleave points as
+    // "dispersion" (one pass measurably wasn't enough on a short run)
+    runControls(timed = false); runControls(timed = false)
+    val benchSet = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-      .map { case (name, fn) =>
+    // ~8 interleave points across the run (plus one final pass below)
+    val ctrlEvery = math.max(1, benchSet.size / 8)
+    val results = benchSet.zipWithIndex.map { case ((name, fn), qi) =>
+      if (controlNames.nonEmpty && qi % ctrlEvery == 0) runControls(timed = true)
       val runs = (1 to runsPer).map { _ =>
         val t0 = System.nanoTime()
         // a failed query must NOT be billed as an ordinary (short) timing —
@@ -70,6 +107,7 @@ object Bench {
         else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
       (name, median, times, err)
     }
+    if (controlNames.nonEmpty) runControls(timed = true) // closing point
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -86,7 +124,17 @@ object Bench {
       jstr(k) + ":" + jstr(m.take(300))
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"failed":${results.size - ok.size},"sf":"$sfDir"}""")
+    // the run's self-certified noise floor: worst max/min dispersion over
+    // the interleaved control samples. ~1.0-1.5 = quiet window; >2 = a
+    // contention burst hit the run and per-query diffs need isolated
+    // re-measures before they mean anything (the splice protocol's bar)
+    val controlsJson = controlTimes.map { case (k, ts) =>
+      jstr(k) + ":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val noiseFloor = controlTimes.values
+      .filter(_.size >= 2).map(ts => ts.max / ts.min)
+      .foldLeft(1.0)(math.max)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"failed":${results.size - ok.size},"controls":$controlsJson,"noise_floor":$noiseFloor,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -133,6 +133,17 @@ object Bm25 {
        |(${bMilli} * (dl * 1000000 div avgdl_m)) div 1000)) div 1000)
        |""".stripMargin.replace("\n", " ")
 
+  /** Cardinality probe for count-then-cap: true iff `df` has at most
+    * `cap` rows, established by counting a limit(cap+1) scan. Output is
+    * short-circuited at cap + 1 rows; the probe's cost is one pass over
+    * the QUERY side (queryTerms' distinct still shuffles it) and it
+    * never touches the corpus — the measured price on the declared
+    * workloads is one sub-second job (SURVEY §6). */
+  private def underCap(df: DataFrame, cap: Long): Boolean = {
+    val lim = math.min(cap, Int.MaxValue - 2L).toInt
+    df.limit(lim + 1).count() <= lim
+  }
+
   /** Distinct (query_id, token) — classic BM25 drops query-side tf at
     * k3=0, so the SET projection is exactly the grain the probe wants. */
   private def queryTerms(queries: DataFrame, qIdCol: String,
@@ -175,26 +186,41 @@ object Bm25 {
 
   /** (query_id, doc_id, score_u) — integer-micro BM25 of every corpus doc
     * that shares ≥1 token with the query (self-pairs excluded when ids
-    * collide). `queries` must be small enough to broadcast. Unlike the
-    * [[buildImpactIndex]] path, idf joins the query terms FIRST, so
-    * weights are only computed for postings the queries can touch. */
+    * collide). Query-side frames broadcast only while their tokenized
+    * term count stays under `maxBroadcastQueryTerms` (count-then-cap, the
+    * Ann.incrementalCosineDups rule); a corpus-sized query set degrades
+    * to AQE shuffle joins with identical rows instead of a driver
+    * broadcast OOM. Unlike the [[buildImpactIndex]] path, idf joins the
+    * query terms FIRST, so weights are only computed for postings the
+    * queries can touch. */
   def scoreAll(corpus: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qIdCol: String, qTextCol: String,
                k1Milli: Int = 1200, bMilli: Int = 750,
-               maxTermsPerQuery: Int = Int.MaxValue): DataFrame = {
+               maxTermsPerQuery: Int = Int.MaxValue,
+               maxBroadcastQueryTerms: Long = 4000000L): DataFrame = {
     require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
       s"BM25 constants out of range: k1_m=$k1Milli b_m=$bMilli")
     require(maxTermsPerQuery >= 1,
       s"maxTermsPerQuery must be >= 1, got $maxTermsPerQuery")
     val (tf, dl, stats, idf) = corpusFrames(corpus, idCol, textCol)
-    val qidf0 = idf.join(broadcast(
-      queryTerms(queries, qIdCol, qTextCol)), "token")
+    // count-then-cap (the Ann.incrementalCosineDups house rule): the
+    // query side is driver-small by contract, but a 100x caller with a
+    // corpus-sized query set must degrade to AQE shuffle joins, not hit
+    // the driver broadcast ceiling as an OOM. The cardinality probe is a
+    // lazy limit(cap+1) count — one pass over the query side, never the
+    // corpus — and the under-cap plan stays byte-identical to the
+    // unguarded one (no materialization step); rows are identical in
+    // both regimes (SearchSpec pins the equality).
+    val qt = queryTerms(queries, qIdCol, qTextCol)
+    val qSmall = underCap(qt, maxBroadcastQueryTerms)
+    def qHint(df: DataFrame): DataFrame = if (qSmall) broadcast(df) else df
+    val qidf0 = idf.join(qHint(qt), "token")
     // the prune window runs over the query-vocabulary frame — bounded by
     // the (broadcastable-by-contract) query side, never the corpus
     val qidf =
       if (maxTermsPerQuery == Int.MaxValue) qidf0
       else pruneQueryTerms(qidf0, "df_docs", maxTermsPerQuery)
-    val hits = tf.join(broadcast(qidf), "token")
+    val hits = tf.join(qHint(qidf), "token")
       .filter(col("doc_id") =!= col("query_id"))
     hits.join(dl, "doc_id")
       .crossJoin(broadcast(stats))
@@ -209,10 +235,11 @@ object Bm25 {
   def topK(corpus: DataFrame, idCol: String, textCol: String,
            queries: DataFrame, qIdCol: String, qTextCol: String,
            k: Int, k1Milli: Int = 1200, bMilli: Int = 750,
-           maxTermsPerQuery: Int = Int.MaxValue): DataFrame = {
+           maxTermsPerQuery: Int = Int.MaxValue,
+           maxBroadcastQueryTerms: Long = 4000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     rankTopK(scoreAll(corpus, idCol, textCol, queries, qIdCol, qTextCol,
-      k1Milli, bMilli, maxTermsPerQuery), k)
+      k1Milli, bMilli, maxTermsPerQuery, maxBroadcastQueryTerms), k)
   }
 
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
@@ -248,12 +275,14 @@ object Bm25 {
   /** Top-`k` retrieval against a prebuilt [[buildImpactIndex]] table —
     * scores are Σ w_u over the query's terms, bit-identical to [[topK]]
     * on the corpus the index was built from (SearchSpec pins the
-    * equality). Query terms broadcast onto the postings scan; self-pairs
+    * equality). Query terms broadcast onto the postings scan while the
+    * term count is under `maxBroadcastQueryTerms` (count-then-cap — past
+    * it the probe degrades to AQE shuffle joins, same rows); self-pairs
     * (query_id == doc_id) are excluded, mirroring [[scoreAll]].
     *
     * Scan pruning: the distinct query-term set is collected (a bounded
-    * driver read — `queries` must broadcast by contract, so its
-    * vocabulary is small) and pushed into the index scan as an IN
+    * driver read — limit'd to `maxPushdownTerms` + 1 regardless of the
+    * query set's size) and pushed into the index scan as an IN
     * filter. A broadcast join alone reads EVERY posting row; the pushed
     * filter reaches the parquet reader, and against a token-sorted index
     * layout (see the staged q109 write) min/max row-group stats skip
@@ -274,11 +303,20 @@ object Bm25 {
   def searchIndex(index: DataFrame, queries: DataFrame, qIdCol: String,
                   qTextCol: String, k: Int,
                   maxPushdownTerms: Int = 10000,
-                  maxTermsPerQuery: Int = Int.MaxValue): DataFrame = {
+                  maxTermsPerQuery: Int = Int.MaxValue,
+                  maxBroadcastQueryTerms: Long = 4000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxTermsPerQuery >= 1,
       s"maxTermsPerQuery must be >= 1, got $maxTermsPerQuery")
+    // count-then-cap, the [[scoreAll]] rule: query-side frames broadcast
+    // only under the cap (lazy limit-probe — one query-side pass, never
+    // the corpus); past it every query-side join degrades to an AQE
+    // shuffle join with identical rows (SearchSpec pins both). The
+    // probe-side pushdown collect stays bounded either way (limit'd to
+    // maxPushdownTerms + 1).
     val qterms0 = queryTerms(queries, qIdCol, qTextCol)
+    val qSmall = underCap(qterms0, maxBroadcastQueryTerms)
+    def qHint(df: DataFrame): DataFrame = if (qSmall) broadcast(df) else df
     val qterms =
       if (maxTermsPerQuery == Int.MaxValue) qterms0
       else {
@@ -294,19 +332,19 @@ object Bm25 {
         val idxQ =
           if (qtokArr.length <= maxPushdownTerms)
             index.filter(col("token").isin(qtokArr.toSeq: _*))
-          else index.join(broadcast(qtokAll), Seq("token"), "left_semi")
+          else index.join(qHint(qtokAll), Seq("token"), "left_semi")
         val dfs = idxQ.groupBy("token").agg(count(lit(1)).as("__df"))
         // materialize the (query-bounded) pruned frame once: both the
         // pushdown collect below and the probe's broadcast consume it,
         // and each would otherwise re-run the postings scan
-        pruneQueryTerms(dfs.join(broadcast(qterms0), "token"),
+        pruneQueryTerms(dfs.join(qHint(qterms0), "token"),
           "__df", maxTermsPerQuery).drop("__df").localCheckpoint()
       }
     val terms = qterms.select("token").distinct()
       .limit(maxPushdownTerms + 1).collect().map(_.getString(0))
     val scan = if (terms.length <= maxPushdownTerms)
       index.filter(col("token").isin(terms.toSeq: _*)) else index
-    rankTopK(scan.join(broadcast(qterms), "token")
+    rankTopK(scan.join(qHint(qterms), "token")
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy("query_id", "doc_id")
       .agg(sum("w_u").as("score_u")), k)

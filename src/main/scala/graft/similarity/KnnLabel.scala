@@ -27,9 +27,17 @@ object KnnLabel {
   /** Returns (query_id, pred_label, votes): majority label among the k
     * nearest labeled neighbors of each query row. `isQuery` splits `emb`
     * into the query set (scored) and the labeled set (voted); the two are
-    * disjoint by construction so self-matches cannot occur. */
+    * disjoint by construction so self-matches cannot occur.
+    *
+    * The |queries|·k shortlist is count-then-capped (the
+    * Ann.incrementalCosineDups house rule): broadcast back onto the
+    * labeled scan under `maxBroadcastShortlist` rows, an AQE shuffle
+    * join past it — identical rows either way (KnnLabelSpec pins the
+    * equality and both plan shapes), so an oversized query set degrades
+    * instead of OOMing the driver at the label-fetch join. */
   def knnLabel(emb: DataFrame, idCol: String, vecCol: String,
-               labelCol: String, isQuery: Column, k: Int): DataFrame = {
+               labelCol: String, isQuery: Column, k: Int,
+               maxBroadcastShortlist: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     require(Seq(ByteType, ShortType, IntegerType, LongType)
         .contains(emb.schema(labelCol).dataType),
@@ -40,9 +48,12 @@ object KnnLabel {
     val labeled = emb.filter(!isQuery)
     val top = Ann.bruteForceTopK(labeled, queries, idCol, vecCol, k)
       .select("query_id", "cand_id")
+      .localCheckpoint()
+    val topHinted =
+      if (top.count() <= maxBroadcastShortlist) broadcast(top) else top
     val votes = labeled
       .select(col(idCol).as("cand_id"), col(labelCol).as("nbr_label"))
-      .join(broadcast(top), "cand_id")
+      .join(topHinted, "cand_id")
       .groupBy("query_id", "nbr_label")
       .agg(count(lit(1)).as("votes"))
     votes.groupBy("query_id")

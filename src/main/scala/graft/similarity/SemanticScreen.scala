@@ -33,16 +33,33 @@ object SemanticScreen {
 
   /** (id, max_cos_uu, n_hits, contaminated): per corpus item, the max
     * micro-cosine against the reference set, how many references clear
-    * `tauMicro`, and the 0/1 screen verdict. `refs` must be small enough
-    * to broadcast. */
+    * `tauMicro`, and the 0/1 screen verdict.
+    *
+    * Count-then-cap (the Ann.incrementalCosineDups house rule): the
+    * reference set is cardinality-probed (a lazy limit(cap+1) count —
+    * the normalize map short-circuits at cap + 1 rows, so the probe is
+    * O(cap) even against a corpus-sized frame) and BROADCAST only
+    * while its row count stays under `maxBroadcastRefs`; past the
+    * cap the screen degrades to a partitioned CartesianProduct — each
+    * executor streams the corpus against a shuffled slice of the
+    * references — instead of hitting the driver broadcast ceiling as an
+    * OOM. Rows are identical in both regimes (the pair set and the int64
+    * reduction don't depend on the join strategy;
+    * SemanticScreenSpec pins the equality and both plan shapes). The
+    * all-pairs COST is inherent to the exact screen either way — a
+    * truly corpus-sized reference set wants the bucketed
+    * [[Ann.nearDupByCosineAuto]] with its declared miss rate, not this
+    * operator. */
   def screen(corpus: DataFrame, idCol: String, vecCol: String,
              refs: DataFrame, refIdCol: String, refVecCol: String,
-             tauMicro: Long): DataFrame = {
+             tauMicro: Long, maxBroadcastRefs: Long = 1000000L): DataFrame = {
     require(tauMicro >= -1000000L && tauMicro <= 1000000L,
       s"tauMicro is a micro-cosine in [-1e6, 1e6], got $tauMicro")
     val c = Ann.normalized(corpus, idCol, vecCol, "id", "cvx")
-    val r = Ann.normalized(refs, refIdCol, refVecCol, "ref_id", "rvx")
-    c.crossJoin(broadcast(r))
+    val r0 = Ann.normalized(refs, refIdCol, refVecCol, "ref_id", "rvx")
+    val lim = math.min(maxBroadcastRefs, Int.MaxValue - 2L).toInt
+    val r = if (r0.limit(lim + 1).count() <= lim) broadcast(r0) else r0
+    c.crossJoin(r)
       .withColumn("cos_uu",
         floor(DotProduct(corpus.sparkSession, col("cvx"), col("rvx")) * 1e6)
           .cast("long"))

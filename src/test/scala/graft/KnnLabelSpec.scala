@@ -83,4 +83,35 @@ class KnnLabelSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("SortMergeJoin"), s"corpus-shuffling join in:\n$plan")
   }
+
+  test("count-then-cap: an over-cap shortlist degrades the label-fetch " +
+    "join to a shuffle with identical rows") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 50L).map { i =>
+      (i, Seq.fill(6)(rnd.nextFloat() - 0.5f), (i % 3).toInt)
+    }
+    def preds(k: Long) = KnnLabel.knnLabel(df(rows), "vec_id", "embedding",
+      "label", col("vec_id") % 10 === 0, k = 4, maxBroadcastShortlist = k)
+    // threshold -1 isolates the hint (the tiny labeled side would
+    // otherwise auto-broadcast and mask the regime)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bc = preds(4000000L)
+      val sh = preds(0L)
+      assert(bc.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "under-cap shortlist must broadcast onto the labeled scan")
+      val shPlan = sh.queryExecution.executedPlan.toString
+      assert(!shPlan.contains("BroadcastHashJoin") &&
+        (shPlan.contains("SortMergeJoin") ||
+          shPlan.contains("ShuffledHashJoin")),
+        s"over-cap label fetch should be a shuffle join:\n$shPlan")
+      val a = bc.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val b = sh.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(a == b, "broadcast and shuffle regimes differ")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -282,4 +282,57 @@ class SearchSpec extends SparkSpec {
     assert(got == Map(1L -> ((1L, 5000L)), 2L -> ((0L, 0L)),
       3L -> ((0L, 0L))), got.toString)
   }
+
+  test("count-then-cap: an over-cap query set degrades every query-side " +
+    "join to a shuffle with identical rows (topK and searchIndex)") {
+    val corpus = docsDf(
+      1L -> "alpha beta gamma delta common",
+      2L -> "alpha alpha beta zeta common",
+      3L -> "gamma epsilon eta theta common",
+      4L -> "delta beta iota kappa lambda")
+    val queries = docsDf(
+      100L -> "alpha gamma kappa", 101L -> "beta delta common eta")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score_u"),
+        r.getAs[Int]("rank"))).toSet
+    // threshold -1 isolates the HINT: any remaining BroadcastHashJoin is
+    // one this operator asked for, and the over-cap regime must ask for
+    // none (AQE may still upgrade at runtime from actual sizes — that is
+    // executor-side and safe; the guard only removes the driver-forced
+    // broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bc = Bm25.topK(corpus, "doc_id", "text",
+        queries, "doc_id", "text", k = 4)
+      val sh = Bm25.topK(corpus, "doc_id", "text",
+        queries, "doc_id", "text", k = 4, maxBroadcastQueryTerms = 0L)
+      val bcPlan = bc.queryExecution.executedPlan.toString
+      val shPlan = sh.queryExecution.executedPlan.toString
+      assert(bcPlan.contains("BroadcastHashJoin"),
+        s"under-cap probe must broadcast the query terms:\n$bcPlan")
+      assert(!shPlan.contains("BroadcastHashJoin"),
+        s"over-cap regime must not driver-broadcast anything:\n$shPlan")
+      assert(shPlan.contains("SortMergeJoin") ||
+        shPlan.contains("ShuffledHashJoin"),
+        s"over-cap probe should be a shuffle join:\n$shPlan")
+      assert(rows(bc) == rows(sh), "broadcast and shuffle regimes differ")
+      // the impact-index probe, both with the long-query pruner engaged
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("bm25guard").toString
+      Bm25.buildImpactIndex(corpus, "doc_id", "text")
+        .write.mode("overwrite").parquet(idxDir)
+      val idx = spark.read.parquet(idxDir)
+      val ibc = Bm25.searchIndex(idx, queries, "doc_id", "text", k = 4,
+        maxTermsPerQuery = 2)
+      val ish = Bm25.searchIndex(idx, queries, "doc_id", "text", k = 4,
+        maxTermsPerQuery = 2, maxBroadcastQueryTerms = 0L)
+      val ishPlan = ish.queryExecution.executedPlan.toString
+      assert(!ishPlan.contains("BroadcastHashJoin"),
+        s"over-cap index probe must not driver-broadcast:\n$ishPlan")
+      assert(rows(ibc) == rows(ish),
+        "index-probe broadcast and shuffle regimes differ")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -71,4 +71,33 @@ class SemanticScreenSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length == 1, plan)
     assert(plan.contains("BuildRight"), s"refs must be the build side:\n$plan")
   }
+
+  test("count-then-cap: over-cap refs degrade to a partitioned cartesian " +
+    "with identical rows (no driver broadcast)") {
+    val refs = vecs(100L -> Seq(1f, 0f, 0f), 101L -> Seq(0f, 1f, 0f),
+      102L -> Seq(0.6f, 0.8f, 0f))
+    val corpus = vecs((1L to 30L).map(i =>
+      i -> Seq(i.toFloat, (i % 5).toFloat, 1f)): _*)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Long]("max_cos_uu"), r.getAs[Long]("n_hits"),
+        r.getAs[Int]("contaminated"))).toSet
+    // threshold -1 isolates the hint: an unhinted small crossJoin side
+    // would otherwise still auto-broadcast and mask the fallback
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bc = SemanticScreen.screen(corpus, "id", "vec",
+        refs, "id", "vec", tauMicro = 950000L)
+      val ct = SemanticScreen.screen(corpus, "id", "vec",
+        refs, "id", "vec", tauMicro = 950000L, maxBroadcastRefs = 0L)
+      assert(bc.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      val ctPlan = ct.queryExecution.executedPlan.toString
+      assert(ctPlan.contains("CartesianProduct") &&
+        !ctPlan.contains("Broadcast"),
+        s"over-cap screen must be a partitioned cartesian:\n$ctPlan")
+      assert(rows(bc) == rows(ct), "broadcast and cartesian regimes differ")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
