@@ -2770,14 +2770,20 @@ object SparkEntry {
       stageParquet(src) { tmp =>
         Tables.embeddings(s, dir)
           .withColumn("ts", timestamp_micros(col("vec_id") * 3600000000L))
-          .repartition(4).write.mode("overwrite").parquet(tmp)
+          .repartition(2).write.mode("overwrite").parquet(tmp)
       }
       val stream = s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
+      // two files → two micro-batches: multi-batch stateful accumulation
+      // stays exercised, but the complete-mode drain re-emits the full
+      // (window × label × pos) state once less; 8 state partitions size
+      // the per-batch state-store maintenance to the state's actual
+      // volume. Both knobs are output-invariant (same rows, same oracle)
+      // — measured 5.9 → ~2.5 s at sf0.1 isolated.
       ScoringStream.runToMemory(s,
         Centroids.labelSumsStream(stream, "label", "embedding", "ts",
           watermark = "1 hour", windowLen = "6 hours"),
-        "complete")
+        "complete", statePartitions = Some(8))
     }),
 
     // §2 row 175: LSH banding planner — the (b, r) S-curve config review
