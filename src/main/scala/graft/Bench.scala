@@ -131,7 +131,11 @@ object Bench {
     val controlsJson = controlTimes.map { case (k, ts) =>
       jstr(k) + ":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // each control's first timed sample is excluded from the floor (kept
+    // in the JSON): residual JIT warmup drifts the first point high on
+    // short runs, and the floor should certify CONTENTION, not warmup
     val noiseFloor = controlTimes.values
+      .map(ts => if (ts.size >= 3) ts.drop(1) else ts)
       .filter(_.size >= 2).map(ts => ts.max / ts.min)
       .foldLeft(1.0)(math.max)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"failed":${results.size - ok.size},"controls":$controlsJson,"noise_floor":$noiseFloor,"sf":"$sfDir"}""")

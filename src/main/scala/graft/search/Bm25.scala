@@ -315,7 +315,9 @@ object Bm25 {
     // probe-side pushdown collect stays bounded either way (limit'd to
     // maxPushdownTerms + 1).
     val qterms0 = queryTerms(queries, qIdCol, qTextCol)
-    val qSmall = underCap(qterms0, maxBroadcastQueryTerms)
+    // lazy: the common pruned path below never broadcasts an unbounded
+    // query-side frame, so it never pays the probe pass at all
+    lazy val qSmall = underCap(qterms0, maxBroadcastQueryTerms)
     def qHint(df: DataFrame): DataFrame = if (qSmall) broadcast(df) else df
     val qterms =
       if (maxTermsPerQuery == Int.MaxValue) qterms0
@@ -329,22 +331,38 @@ object Bm25 {
         val qtokAll = qterms0.select("token").distinct()
         val qtokArr = qtokAll.limit(maxPushdownTerms + 1)
           .collect().map(_.getString(0))
-        val idxQ =
-          if (qtokArr.length <= maxPushdownTerms)
-            index.filter(col("token").isin(qtokArr.toSeq: _*))
-          else index.join(qHint(qtokAll), Seq("token"), "left_semi")
-        val dfs = idxQ.groupBy("token").agg(count(lit(1)).as("__df"))
-        // materialize the (query-bounded) pruned frame once: both the
-        // pushdown collect below and the probe's broadcast consume it,
-        // and each would otherwise re-run the postings scan
-        pruneQueryTerms(dfs.join(qHint(qterms0), "token"),
-          "__df", maxTermsPerQuery).drop("__df").localCheckpoint()
+        val pruned =
+          if (qtokArr.length <= maxPushdownTerms) {
+            // vocabulary fits the pushdown cap: the df frame is ≤
+            // maxPushdownTerms rows BY CONSTRUCTION, so IT is the
+            // broadcast side — no cardinality probe needed, and the
+            // (possibly corpus-sized) query terms are never a build side
+            val dfs = index.filter(col("token").isin(qtokArr.toSeq: _*))
+              .groupBy("token").agg(count(lit(1)).as("__df"))
+            qterms0.join(broadcast(dfs), "token")
+          } else {
+            // query vocabulary past the pushdown cap: both the semi-join
+            // restriction and the df attach need the guarded orientation
+            val dfs = index.join(qHint(qtokAll), Seq("token"), "left_semi")
+              .groupBy("token").agg(count(lit(1)).as("__df"))
+            dfs.join(qHint(qterms0), "token")
+          }
+        // materialize the (query-bounded) pruned frame once: the pushdown
+        // collect, the final-join cardinality check and the probe join all
+        // consume it, and each would otherwise re-run the postings scan
+        pruneQueryTerms(pruned, "__df", maxTermsPerQuery)
+          .drop("__df").localCheckpoint()
       }
     val terms = qterms.select("token").distinct()
       .limit(maxPushdownTerms + 1).collect().map(_.getString(0))
     val scan = if (terms.length <= maxPushdownTerms)
       index.filter(col("token").isin(terms.toSeq: _*)) else index
-    rankTopK(scan.join(qHint(qterms), "token")
+    // pruned frames are checkpointed, so the exact count is one cheap
+    // cache-backed job; the unpruned path falls back to the lazy probe
+    val qtSmall =
+      if (maxTermsPerQuery == Int.MaxValue) qSmall
+      else qterms.count() <= maxBroadcastQueryTerms
+    rankTopK(scan.join(if (qtSmall) broadcast(qterms) else qterms, "token")
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy("query_id", "doc_id")
       .agg(sum("w_u").as("score_u")), k)

@@ -35,7 +35,12 @@ object Urls {
     val auth = regexp_extract(url, authorityRegex, 1)
     val host = lower(regexp_replace(
       regexp_replace(auth, "^.*@", ""), ":[0-9]*$", ""))
-    when(auth === "" || host === "", lit(null).cast("string"))
+    // host.contains("@") backstop: `.` matches no line terminator in
+    // either engine, so an embedded-newline authority ("a\nb@evil.com")
+    // escapes the greedy strip — such junk must surface as NULL, never
+    // as a domain string carrying '@' (the documented contract)
+    when(auth === "" || host === "" || host.contains("@"),
+        lit(null).cast("string"))
       .otherwise(host)
   }
 
