@@ -61,13 +61,17 @@ object Bench {
       scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     def runControls(timed: Boolean): Unit = controlNames.foreach { cn =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(cn)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
+      val failed =
+        try { SparkEntry.queries(cn)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save(); false }
+        catch { case _: Throwable => true }
+      // sample captured BEFORE clearCache (the main loop's rule), and a
+      // FAILED control is never recorded — a fast failure would explode
+      // max/min and falsely certify a contention burst
+      val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      if (timed) controlTimes(cn) =
-        controlTimes.getOrElse(cn, Vector.empty) :+
-          (System.nanoTime() - t0) / 1e9
+      if (timed && !failed) controlTimes(cn) =
+        controlTimes.getOrElse(cn, Vector.empty) :+ dt
     }
     // two untimed control passes first: the controls' own JIT/codegen
     // warmup must not be billed to the first interleave points as

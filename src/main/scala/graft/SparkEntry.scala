@@ -6535,12 +6535,14 @@ object SparkEntry {
       ("WITH u AS (SELECT doc_id, 'https://' || source || '-' || " +
         "CAST(doc_id % 97 AS VARCHAR) || '.example.com/doc/' || " +
         "CAST(doc_id AS VARCHAR) AS url FROM documents), " +
+        // WHATWG tab/newline pre-strip ('g' — DuckDB replaces first
+        // match only by default) + the '@'-backstop, both mirroring the
+        // engine's domainOf step for step
         s"d0 AS (SELECT doc_id, NULLIF(lower(regexp_replace(regexp_replace(" +
-        s"regexp_extract(url, '${Urls.authorityRegex}', 1), " +
+        s"regexp_extract(regexp_replace(url, '[\\t\\n\\r]', '', 'g'), " +
+        s"'${Urls.authorityRegex}', 1), " +
         "'^.*@', ''), ':[0-9]*$', '')), '') " +
         "AS dom FROM u), " +
-        // the engine's '@'-backstop mirrored: a stripped host still
-        // carrying '@' (embedded-newline authority) is NULL, not a domain
         "d AS (SELECT doc_id, CASE WHEN dom LIKE '%@%' THEN NULL " +
         "ELSE dom END AS domain FROM d0) " +
         "SELECT domain, count(*) AS n_docs FROM d WHERE domain NOT IN (" +

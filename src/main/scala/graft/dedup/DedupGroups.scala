@@ -231,12 +231,17 @@ object DedupGroups {
     // widening, which silently corrupts id equality above 2^53 — the
     // decimal convergence watermark in [[connectedComponents]] only
     // screens non-numeric ids, not numeric strings.
+    // the ORIGINAL pair-graph id rides along for the tie-break: ordering
+    // by the cast id would flip score ties to lexicographic order for
+    // string idCols ("10" < "9"), silently changing survivors — the
+    // contract is the pair graph's own (numeric) id order, same as
+    // [[canonicalize]]'s min-id rule
     val ccT = cc.select(cc("id").cast(df.schema(idCol).dataType).as("id"),
-      cc("comp"))
+      cc("id").as("__cc_id"), cc("comp"))
     val members = df.join(ccT, col(idCol) === ccT("id"))
-      .select(ccT("id"), ccT("comp"), score.as("__score"))
+      .select(ccT("id"), ccT("__cc_id"), ccT("comp"), score.as("__score"))
     val w = Window.partitionBy("comp")
-      .orderBy(desc("__score"), asc("id"))
+      .orderBy(desc("__score"), asc("__cc_id"))
     val dropIds = members
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") > 1)

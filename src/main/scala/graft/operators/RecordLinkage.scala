@@ -119,31 +119,28 @@ object RecordLinkage {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)) -
           col("__cnt"), lit(0L)))
       .select("__b", "__off")
-    // ranked feeds BOTH sides of the block self-join below — persist the
-    // diamond once so the offsets join + two window passes don't run
-    // twice; released via unpersist after the eager result materialization
-    // at the end of this method
+    // ranked feeds BOTH sides of the block self-join below.
+    // localCheckpoint, not persist: it materializes the diamond exactly
+    // once (the offsets join + window never run twice), holds no
+    // session-lifetime catalog entry — the RDD blocks are released when
+    // the frame is garbage-collected, so repeated calls cannot
+    // accumulate a cache leak — and keeps the (n·w pair) RESULT fully
+    // lazy, so a caller consuming a reduction streams the pairs without
+    // ever storing them
     val ranked = base.join(broadcast(offsets), Seq("__b"))
       .withColumn("__r", col("__off") +
         row_number().over(
           Window.partitionBy("__b").orderBy(col("__k"), col("id"))) - 1L)
       .withColumn("__blk", expr(s"__r div $blockSize"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val probe = ranked.select(col("id").as("id_a"), col("__r").as("r_a"),
       explode(array(col("__blk"), col("__blk") + 1L)).as("__jblk"))
-    // materialize the (≤ n·w pair) result eagerly and RELEASE the diamond
-    // cache before returning — the triangleStats cache-lifetime rule:
-    // a bare persist here would leak one cache entry per call in a
-    // long-lived session
-    val out = probe.join(
+    probe.join(
         ranked.select(col("id").as("id_b"), col("__r").as("r_b"),
           col("__blk").as("__jblk")),
         Seq("__jblk"))
       .filter(col("r_b") > col("r_a") && col("r_b") - col("r_a") <= w)
       .select(col("id_a"), col("id_b"),
         (col("r_b") - col("r_a")).as("gap"))
-      .localCheckpoint()
-    ranked.unpersist()
-    out
   }
 }

@@ -133,16 +133,11 @@ object Bm25 {
        |(${bMilli} * (dl * 1000000 div avgdl_m)) div 1000)) div 1000)
        |""".stripMargin.replace("\n", " ")
 
-  /** Cardinality probe for count-then-cap: true iff `df` has at most
-    * `cap` rows, established by counting a limit(cap+1) scan. Output is
-    * short-circuited at cap + 1 rows; the probe's cost is one pass over
-    * the QUERY side (queryTerms' distinct still shuffles it) and it
-    * never touches the corpus — the measured price on the declared
-    * workloads is one sub-second job (SURVEY §6). */
-  private def underCap(df: DataFrame, cap: Long): Boolean = {
-    val lim = math.min(cap, Int.MaxValue - 2L).toInt
-    df.limit(lim + 1).count() <= lim
-  }
+  // cardinality probe for count-then-cap — shared definition; the cost
+  // here is one pass over the QUERY side (queryTerms' distinct still
+  // shuffles it), never the corpus
+  private def underCap(df: DataFrame, cap: Long): Boolean =
+    graft.Guards.underCap(df, cap)
 
   /** Distinct (query_id, token) — classic BM25 drops query-side tf at
     * k3=0, so the SET projection is exactly the grain the probe wants. */

@@ -57,8 +57,8 @@ object SemanticScreen {
       s"tauMicro is a micro-cosine in [-1e6, 1e6], got $tauMicro")
     val c = Ann.normalized(corpus, idCol, vecCol, "id", "cvx")
     val r0 = Ann.normalized(refs, refIdCol, refVecCol, "ref_id", "rvx")
-    val lim = math.min(maxBroadcastRefs, Int.MaxValue - 2L).toInt
-    val r = if (r0.limit(lim + 1).count() <= lim) broadcast(r0) else r0
+    val r = if (graft.Guards.underCap(r0, maxBroadcastRefs)) broadcast(r0)
+      else r0
     c.crossJoin(r)
       .withColumn("cos_uu",
         floor(DotProduct(corpus.sparkSession, col("cvx"), col("rvx")) * 1e6)

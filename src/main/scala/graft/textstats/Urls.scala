@@ -32,13 +32,19 @@ object Urls {
     * let it through every blocklist. Every step is a plain
     * regexp_replace the oracle replays verbatim. */
   def domainOf(url: Column): Column = {
-    val auth = regexp_extract(url, authorityRegex, 1)
+    // WHATWG URL parsing removes every ASCII tab and newline from the
+    // input BEFORE parsing — so "http://a\tb\n@evil.com/" resolves host
+    // evil.com in any browser/crawler, and the screen must strip the
+    // same characters first or the newline splits the authority and the
+    // blocklisted domain walks through (review-pass finding)
+    val clean = regexp_replace(url, "[\\t\\n\\r]", "")
+    val auth = regexp_extract(clean, authorityRegex, 1)
     val host = lower(regexp_replace(
       regexp_replace(auth, "^.*@", ""), ":[0-9]*$", ""))
-    // host.contains("@") backstop: `.` matches no line terminator in
-    // either engine, so an embedded-newline authority ("a\nb@evil.com")
-    // escapes the greedy strip — such junk must surface as NULL, never
-    // as a domain string carrying '@' (the documented contract)
+    // contains-@ backstop: with tabs/newlines pre-stripped the greedy
+    // `.*@` reaches the last @ in every parseable authority, so this
+    // should never fire — it stays as the hard guarantee that no value
+    // carrying '@' is ever emitted as a domain (the NULL contract)
     when(auth === "" || host === "" || host.contains("@"),
         lit(null).cast("string"))
       .otherwise(host)

@@ -226,4 +226,16 @@ class DedupGroupsSpec extends SparkSpec {
     // double-equal neighbor
     assert(keptMin == Set("100", (big + 1).toString), s"got $keptMin")
   }
+
+  test("canonicalizeBest score ties break on the pair graph's NUMERIC id " +
+    "order, not the caller type's lexicographic order") {
+    // string ids "9" and "10", equal score: numeric order keeps 9
+    // (lexicographic would keep "10")
+    val df = Seq(("9", 5L), ("10", 5L)).toDF("doc_id", "quality")
+    val pairs = Seq((9L, 10L)).toDF("id_a", "id_b")
+    val kept = DedupGroups.canonicalizeBest(df, pairs, "doc_id",
+        "id_a", "id_b", col("quality"))
+      .select("doc_id").as[String].collect().toSet
+    assert(kept == Set("9"), s"got $kept")
+  }
 }

@@ -51,10 +51,11 @@ class UrlsSpec extends SparkSpec {
       ("http://EVIL.com:8080/x", Some("evil.com")),     // case + port
       ("http://user@", None),                           // empty host
       ("http://a@b@", None),                            // empty after last @
-      // embedded newline: `.` crosses no line terminator, so the greedy
-      // strip can't reach the last @ — the backstop must yield NULL, not
-      // a domain string still carrying '@'
-      ("http://a\nb@evil.com/", None))
+      // embedded tab/newline: WHATWG parsers strip ASCII tab and newline
+      // BEFORE parsing, so these resolve host evil.com in any
+      // browser/crawler — the screen must catch them, never NULL them
+      ("http://a\nb@evil.com/", Some("evil.com")),
+      ("htt\tp://EVIL.com\n/x", Some("evil.com")))
     val got = rows.map(_._1).toDF("url")
       .select(Urls.domainOf(col("url"))).collect()
       .map(r => Option(r.getString(0))).toSeq
@@ -64,7 +65,7 @@ class UrlsSpec extends SparkSpec {
       .map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
     val out = Urls.dropBlocklisted(docs, "url",
       Seq("evil.com").toDF("domain"))
-    assert(out.select("id").as[Long].collect().toSet == Set(7L, 8L, 9L),
+    assert(out.select("id").as[Long].collect().toSet == Set(7L, 8L),
       "an evasion variant slipped the blocklist")
   }
 
