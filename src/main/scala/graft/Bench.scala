@@ -137,11 +137,15 @@ object Bench {
     }.mkString("{", ",", "}")
     // each control's first timed sample is excluded from the floor (kept
     // in the JSON): residual JIT warmup drifts the first point high on
-    // short runs, and the floor should certify CONTENTION, not warmup
-    val noiseFloor = controlTimes.values
+    // short runs, and the floor should certify CONTENTION, not warmup.
+    // NO usable samples (controls disabled, names not in `queries`, or
+    // every control run failing) → null, NOT 1.0: an unmeasured run must
+    // be distinguishable from a measured-quiet one, or a typo'd control
+    // list would falsely certify the whole artifact
+    val floors = controlTimes.values
       .map(ts => if (ts.size >= 3) ts.drop(1) else ts)
       .filter(_.size >= 2).map(ts => ts.max / ts.min)
-      .foldLeft(1.0)(math.max)
+    val noiseFloor = if (floors.isEmpty) "null" else floors.max.toString
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"failed":${results.size - ok.size},"controls":$controlsJson,"noise_floor":$noiseFloor,"sf":"$sfDir"}""")
     spark.stop()
   }

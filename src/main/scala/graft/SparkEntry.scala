@@ -6535,11 +6535,14 @@ object SparkEntry {
       ("WITH u AS (SELECT doc_id, 'https://' || source || '-' || " +
         "CAST(doc_id % 97 AS VARCHAR) || '.example.com/doc/' || " +
         "CAST(doc_id AS VARCHAR) AS url FROM documents), " +
-        // WHATWG tab/newline pre-strip ('g' — DuckDB replaces first
-        // match only by default) + the '@'-backstop, both mirroring the
-        // engine's domainOf step for step
+        // WHATWG edge-trim of C0 controls/spaces, then the tab/newline
+        // strip ('g' — DuckDB replaces first match only by default) +
+        // the '@'-backstop, all mirroring the engine's domainOf step
+        // for step
         s"d0 AS (SELECT doc_id, NULLIF(lower(regexp_replace(regexp_replace(" +
-        s"regexp_extract(regexp_replace(url, '[\\t\\n\\r]', '', 'g'), " +
+        s"regexp_extract(regexp_replace(regexp_replace(url, " +
+        s"'^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g'), " +
+        s"'[\\t\\n\\r]', '', 'g'), " +
         s"'${Urls.authorityRegex}', 1), " +
         "'^.*@', ''), ':[0-9]*$', '')), '') " +
         "AS dom FROM u), " +

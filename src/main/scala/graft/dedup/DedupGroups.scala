@@ -193,19 +193,38 @@ object DedupGroups {
   def canonicalize(df: DataFrame, pairs: DataFrame, idCol: String,
                    aCol: String, bCol: String): DataFrame = {
     val cc = connectedComponents(pairs, aCol, bCol)
+    val graphDt = cc.schema("id").dataType
     // localCheckpoint materializes the (small) non-canonical id set and
     // cuts its lineage, so the loop's persisted label frame can be released
-    // here instead of leaking one cache entry per canonicalize call
-    // cast to the caller's id type (the [[canonicalizeBest]] rule): a
-    // numeric-STRING idCol against bigint pair ids would otherwise coerce
-    // through DOUBLE and corrupt equality above 2^53; a matching type
-    // makes the cast a no-op
+    // here instead of leaking one cache entry per canonicalize call; the
+    // drop set keeps the GRAPH's id type and [[idEq]] bridges the caller's
     val dropIds = cc.filter(col("id") =!= col("comp"))
-      .select(col("id").cast(df.schema(idCol).dataType).as("__drop_id"))
+      .select(col("id").as("__drop_id"))
       .localCheckpoint()
     cc.unpersist()
-    df.join(dropIds, col(idCol) === col("__drop_id"), "left_anti")
+    df.join(dropIds,
+      idEq(col(idCol), df.schema(idCol).dataType, col("__drop_id"), graphDt),
+      "left_anti")
   }
+
+  /** Join-key equality between the caller's id column and a pair-graph id.
+    * Same type → native equality (the common path, zero overhead).
+    * Differing types → BOTH sides cast to decimal(38,0): exact for any
+    * integral id (no PromoteStrings DOUBLE widening, which corrupts
+    * equality above 2^53) AND representation-normalizing for formatted
+    * numeric strings — a cast of the graph's bigint to the caller's
+    * string type would compare "7" != "007" and silently keep both
+    * members of a dup group (zero-padded exports are common); decimal
+    * compares their VALUES. Non-numeric caller ids cast to NULL and
+    * match nothing, which is the right outcome: they can never appear in
+    * a numeric pair graph, so they are singleton groups that survive. */
+  private def idEq(callerId: Column,
+                   callerDt: org.apache.spark.sql.types.DataType,
+                   graphId: Column,
+                   graphDt: org.apache.spark.sql.types.DataType): Column =
+    if (callerDt == graphDt) callerId === graphId
+    else callerId.cast(org.apache.spark.sql.types.DecimalType(38, 0)) ===
+      graphId.cast(org.apache.spark.sql.types.DecimalType(38, 0))
 
   /** [[canonicalize]] with the survivor chosen by QUALITY, not id: per
     * near-dup group, the member maximizing `score` survives (id ascending
@@ -222,33 +241,31 @@ object DedupGroups {
                        aCol: String, bCol: String,
                        score: Column): DataFrame = {
     val cc = connectedComponents(pairs, aCol, bCol)
+    val callerDt = df.schema(idCol).dataType
+    val graphDt = cc.schema("id").dataType
     // join BEFORE projecting the score: the quality expression is the
     // dominant per-row cost and must run over group members only, not
     // the corpus (a select-then-join would push the Project below the
-    // join and score every row). The pair-graph id is cast EXPLICITLY to
-    // the caller's id type: left to implicit coercion, a numeric-STRING
-    // idCol against bigint pair ids goes through PromoteStrings' DOUBLE
-    // widening, which silently corrupts id equality above 2^53 — the
-    // decimal convergence watermark in [[connectedComponents]] only
-    // screens non-numeric ids, not numeric strings.
-    // the ORIGINAL pair-graph id rides along for the tie-break: ordering
-    // by the cast id would flip score ties to lexicographic order for
+    // join and score every row). [[idEq]] bridges the caller/graph id
+    // types exactly (decimal(38,0), never DOUBLE widening — see there).
+    // The GRAPH's own id is the tie-break column: ordering by a
+    // caller-typed cast would flip score ties to lexicographic order for
     // string idCols ("10" < "9"), silently changing survivors — the
     // contract is the pair graph's own (numeric) id order, same as
     // [[canonicalize]]'s min-id rule
-    val ccT = cc.select(cc("id").cast(df.schema(idCol).dataType).as("id"),
-      cc("id").as("__cc_id"), cc("comp"))
-    val members = df.join(ccT, col(idCol) === ccT("id"))
-      .select(ccT("id"), ccT("__cc_id"), ccT("comp"), score.as("__score"))
+    val ccT = cc.select(cc("id").as("__cc_id"), cc("comp"))
+    val members = df.join(ccT, idEq(col(idCol), callerDt, ccT("__cc_id"), graphDt))
+      .select(ccT("__cc_id"), ccT("comp"), score.as("__score"))
     val w = Window.partitionBy("comp")
       .orderBy(desc("__score"), asc("__cc_id"))
     val dropIds = members
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") > 1)
-      .select(col("id").as("__drop_id"))
+      .select(col("__cc_id").as("__drop_id"))
       .localCheckpoint()
     cc.unpersist()
-    df.join(dropIds, col(idCol) === col("__drop_id"), "left_anti")
+    df.join(dropIds,
+      idEq(col(idCol), callerDt, col("__drop_id"), graphDt), "left_anti")
   }
 
   /** Cross-source duplication matrix: how many near-dup pairs straddle

@@ -15,7 +15,8 @@ import graft.functions.VectorFunctions._
   *     one linear scan of the corpus, per-query top-k via window rank. The
   *     corpus is never shuffled by similarity; the only exchange is keyed by
   *     query_id and carries corpus_rows × n_queries scored rows. Right answer
-  *     at any corpus size *if* the query set is small.
+  *     at any corpus size; past the query-broadcast cap it degrades to a
+  *     shuffled nested-loop plan (same rows) instead of OOMing the driver.
   *   - [[lshTopK]] — scale path: random-hyperplane LSH (Charikar '02 SRP).
   *     Corpus and queries are bucketed by the sign-pattern of `nPlanes`
   *     hyperplane projections; scoring happens only within matching buckets,
@@ -104,12 +105,24 @@ object Ann {
         DotProduct(shortlist.sparkSession, col("qvx"), col("cvx"))), k)
 
   /** Exact cosine top-k of each query against the corpus (self-matches
-    * excluded). `queries` must be small enough to broadcast. */
+    * excluded). The query set is count-then-capped (the
+    * incrementalCosineDups house rule): broadcast while under
+    * `maxBroadcastQueries` rows — the designed regime, one linear corpus
+    * scan — and past the cap a shuffled nested-loop plan with identical
+    * rows, so a corpus-sized query set degrades to distributed O(|Q|·|C|)
+    * scoring instead of OOMing the driver on a multi-GB vector broadcast
+    * (the exact work is O(|Q|·|C|) either way; callers needing sublinear
+    * scale substitute [[lshTopK]] / [[ivfTopK]]). The 1M default matches
+    * the vector-carrying cap of [[SemanticScreen]], not the 4M id-pair
+    * caps — these rows carry the embedding. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                     vecCol: String, k: Int): DataFrame = {
+                     vecCol: String, k: Int,
+                     maxBroadcastQueries: Long = 1000000L): DataFrame = {
     val q = normalized(queries, idCol, vecCol, "query_id", "qv")
     val c = normalized(corpus, idCol, vecCol, "cand_id", "cv")
-    rankTopK(c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+    val qj = if (graft.Guards.underCap(q, maxBroadcastQueries)) broadcast(q)
+      else q
+    rankTopK(c.join(qj, col("query_id") =!= col("cand_id"))
       .withColumn("cos", DotProduct(corpus.sparkSession, col("qv"), col("cv"))), k)
   }
 

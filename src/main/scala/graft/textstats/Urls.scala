@@ -32,12 +32,16 @@ object Urls {
     * let it through every blocklist. Every step is a plain
     * regexp_replace the oracle replays verbatim. */
   def domainOf(url: Column): Column = {
-    // WHATWG URL parsing removes every ASCII tab and newline from the
-    // input BEFORE parsing — so "http://a\tb\n@evil.com/" resolves host
-    // evil.com in any browser/crawler, and the screen must strip the
-    // same characters first or the newline splits the authority and the
-    // blocklisted domain walks through (review-pass finding)
-    val clean = regexp_replace(url, "[\\t\\n\\r]", "")
+    // WHATWG URL parsing FIRST trims leading/trailing C0 controls and
+    // spaces, THEN removes every ASCII tab and newline from the input —
+    // so " http://evil.com/x" (scraped-href padding) and
+    // "http://a\tb\n@evil.com/" both resolve host evil.com in any
+    // browser/crawler, and the screen must apply the same two
+    // normalizations or the padding/newline breaks the ^-anchored
+    // authority match and the blocklisted domain walks through as a
+    // NULL-domain row (review-pass findings)
+    val trimmed = regexp_replace(url, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
+    val clean = regexp_replace(trimmed, "[\\t\\n\\r]", "")
     val auth = regexp_extract(clean, authorityRegex, 1)
     val host = lower(regexp_replace(
       regexp_replace(auth, "^.*@", ""), ":[0-9]*$", ""))

@@ -50,6 +50,21 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("bruteForceTopK count-then-cap: an over-cap query set degrades to " +
+    "a shuffled plan with identical rows (no driver broadcast)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 3)
+    def rows(cap: Long) =
+      Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 3, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows(0L) == rows(1000000L))
+    // the broadcast hint is absent past the cap — the planner, not the
+    // operator, decides the exchange (AQE demotes/promotes at runtime)
+    val lp = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 3, 0L)
+      .queryExecution.analyzed.toString
+    assert(!lp.contains("ResolvedHint"), lp)
+  }
+
   test("hardNegativesTopK: same-label twins excluded, never crowd the top-k") {
     // anchor 1 (label 0): id 2 is a same-label NEAR-TWIN (most similar of
     // all), ids 3/4 are different-label and less similar. The twin must

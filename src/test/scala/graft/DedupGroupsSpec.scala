@@ -208,7 +208,7 @@ class DedupGroupsSpec extends SparkSpec {
     // 9007199254740992 and ...93 are equal as doubles: an implicit
     // string=bigint comparison (PromoteStrings → double) would match BOTH
     // corpus rows to the pair id ...92, silently dropping the innocent
-    // ...93 row. The explicit cast-to-caller-type keeps equality exact.
+    // ...93 row. The decimal(38,0) join key keeps equality exact.
     val big = 9007199254740992L // 2^53
     val df = Seq((big.toString, 5L), ((big + 1).toString, 9L), ("100", 1L))
       .toDF("doc_id", "quality")
@@ -237,5 +237,22 @@ class DedupGroupsSpec extends SparkSpec {
         "id_a", "id_b", col("quality"))
       .select("doc_id").as[String].collect().toSet
     assert(kept == Set("9"), s"got $kept")
+  }
+
+  test("formatted numeric-string ids match their pair ids by VALUE " +
+    "(zero-padded exports: \"007\" == 7L)") {
+    // a caller-type cast of the graph id would compare "7" != "007" and
+    // silently keep both members; the decimal join key compares values
+    val df = Seq(("007", 1L), ("100", 9L)).toDF("doc_id", "quality")
+    val pairs = Seq((7L, 100L)).toDF("id_a", "id_b")
+    val keptBest = DedupGroups.canonicalizeBest(df, pairs, "doc_id",
+        "id_a", "id_b", col("quality"))
+      .select("doc_id").as[String].collect().toSet
+    assert(keptBest == Set("100"), s"got $keptBest")
+    val keptMin = DedupGroups.canonicalize(df, pairs, "doc_id",
+        "id_a", "id_b")
+      .select("doc_id").as[String].collect().toSet
+    // min-id rule: comp = 7, so "100" is the non-canonical member
+    assert(keptMin == Set("007"), s"got $keptMin")
   }
 }

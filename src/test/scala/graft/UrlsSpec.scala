@@ -55,7 +55,12 @@ class UrlsSpec extends SparkSpec {
       // BEFORE parsing, so these resolve host evil.com in any
       // browser/crawler — the screen must catch them, never NULL them
       ("http://a\nb@evil.com/", Some("evil.com")),
-      ("htt\tp://EVIL.com\n/x", Some("evil.com")))
+      ("htt\tp://EVIL.com\n/x", Some("evil.com")),
+      // leading/trailing C0 controls and spaces: WHATWG trims them before
+      // parsing (scraped-href padding is ubiquitous), so these also
+      // resolve host evil.com and must be caught, never NULLed
+      (" http://evil.com/x", Some("evil.com")),
+      ("\u0001\thttp://EVIL.com/x \n", Some("evil.com")))
     val got = rows.map(_._1).toDF("url")
       .select(Urls.domainOf(col("url"))).collect()
       .map(r => Option(r.getString(0))).toSeq
