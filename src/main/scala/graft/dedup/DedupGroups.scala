@@ -215,16 +215,19 @@ object DedupGroups {
     * numeric strings — a cast of the graph's bigint to the caller's
     * string type would compare "7" != "007" and silently keep both
     * members of a dup group (zero-padded exports are common); decimal
-    * compares their VALUES. Non-numeric caller ids cast to NULL and
-    * match nothing, which is the right outcome: they can never appear in
-    * a numeric pair graph, so they are singleton groups that survive. */
+    * compares their VALUES. try_cast, not cast: under the session's ANSI
+    * mode a plain cast THROWS on the first non-numeric caller id, but a
+    * junk id is a legitimate corpus row that can never appear in a
+    * numeric pair graph — try_cast sends it to NULL, it matches nothing,
+    * and it survives as its own singleton group (the documented
+    * contract; pinned in DedupGroupsSpec). */
   private def idEq(callerId: Column,
                    callerDt: org.apache.spark.sql.types.DataType,
                    graphId: Column,
                    graphDt: org.apache.spark.sql.types.DataType): Column =
     if (callerDt == graphDt) callerId === graphId
-    else callerId.cast(org.apache.spark.sql.types.DecimalType(38, 0)) ===
-      graphId.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    else callerId.try_cast(org.apache.spark.sql.types.DecimalType(38, 0)) ===
+      graphId.try_cast(org.apache.spark.sql.types.DecimalType(38, 0))
 
   /** [[canonicalize]] with the survivor chosen by QUALITY, not id: per
     * near-dup group, the member maximizing `score` survives (id ascending

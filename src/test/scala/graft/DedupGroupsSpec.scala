@@ -255,4 +255,22 @@ class DedupGroupsSpec extends SparkSpec {
     // min-id rule: comp = 7, so "100" is the non-canonical member
     assert(keptMin == Set("007"), s"got $keptMin")
   }
+
+  test("a non-numeric string id is a surviving singleton, not an ANSI " +
+    "cast failure (try_cast in the cross-type join key)") {
+    // "junk-id" can never appear in the numeric pair graph; it must ride
+    // through both canonicalizers untouched — a plain decimal cast would
+    // THROW under the session's ANSI mode
+    val df = Seq(("junk-id", 1L), ("9", 5L), ("10", 3L))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((9L, 10L)).toDF("id_a", "id_b")
+    val keptMin = DedupGroups.canonicalize(df, pairs, "doc_id",
+        "id_a", "id_b")
+      .select("doc_id").as[String].collect().toSet
+    assert(keptMin == Set("junk-id", "9"), s"got $keptMin")
+    val keptBest = DedupGroups.canonicalizeBest(df, pairs, "doc_id",
+        "id_a", "id_b", col("quality"))
+      .select("doc_id").as[String].collect().toSet
+    assert(keptBest == Set("junk-id", "9"), s"got $keptBest")
+  }
 }
