@@ -11,16 +11,28 @@ import org.apache.spark.sql.DataFrame
   */
 object Guards {
 
-  /** True iff `df` has at most `cap` rows, established by counting a
-    * limit(cap + 1) scan. The probe is LAZY — no materialization, and
-    * output short-circuits at cap + 1 rows — so its cost is one pass of
-    * the frame's own lineage (narrow maps stop early; an internal
-    * shuffle, e.g. a distinct, still runs once over its input). Callers
-    * holding an already-materialized frame should just compare
-    * `df.count()` — the probe only pays off on lazy frames. */
-  def underCap(df: DataFrame, cap: Long): Boolean = {
+  /** Probe AND share: materialize at most `cap + 1` rows of `df` once
+    * (`limit(cap + 1).localCheckpoint()`) and count them. Under the cap
+    * the bounded checkpoint holds the WHOLE frame — the returned frame IS
+    * the materialization the probe already paid, so the caller's main
+    * plan never re-runs the probed lineage (a lazy limit-count probe
+    * re-ran it: one normalize/tokenize pass for the probe, a second for
+    * the plan). Past the cap the ≤ cap+1-row checkpoint is discarded and
+    * the ORIGINAL lazy frame returns with `false` — the guard never
+    * materializes a corpus-sized frame (the limit short-circuits at
+    * cap + 1 rows, though an internal shuffle, e.g. a distinct, still
+    * runs once over its input), and the over-cap plan stays
+    * byte-identical to the unguarded one. localCheckpoint, not persist:
+    * no session-lifetime catalog entry to leak (the sortedNeighborhood
+    * rule — blocks release when the frame is collected), and the
+    * single-partition GlobalLimit shape is irrelevant to a frame that is
+    * about to be broadcast anyway. Callers holding an
+    * already-materialized frame should just compare `df.count()`
+    * (the KnnLabel variant). */
+  def underCapShared(df: DataFrame, cap: Long): (DataFrame, Boolean) = {
     require(cap >= 0, s"broadcast cap must be >= 0, got $cap")
     val lim = math.min(cap, Int.MaxValue - 2L).toInt
-    df.limit(lim + 1).count() <= lim
+    val cp = df.limit(lim + 1).localCheckpoint()
+    if (cp.count() <= lim) (cp, true) else (df, false)
   }
 }

@@ -133,12 +133,6 @@ object Bm25 {
        |(${bMilli} * (dl * 1000000 div avgdl_m)) div 1000)) div 1000)
        |""".stripMargin.replace("\n", " ")
 
-  // cardinality probe for count-then-cap — shared definition; the cost
-  // here is one pass over the QUERY side (queryTerms' distinct still
-  // shuffles it), never the corpus
-  private def underCap(df: DataFrame, cap: Long): Boolean =
-    graft.Guards.underCap(df, cap)
-
   /** Distinct (query_id, token) — classic BM25 drops query-side tf at
     * k3=0, so the SET projection is exactly the grain the probe wants. */
   private def queryTerms(queries: DataFrame, qIdCol: String,
@@ -201,13 +195,15 @@ object Bm25 {
     // count-then-cap (the Ann.incrementalCosineDups house rule): the
     // query side is driver-small by contract, but a 100x caller with a
     // corpus-sized query set must degrade to AQE shuffle joins, not hit
-    // the driver broadcast ceiling as an OOM. The cardinality probe is a
-    // lazy limit(cap+1) count — one pass over the query side, never the
-    // corpus — and the under-cap plan stays byte-identical to the
-    // unguarded one (no materialization step); rows are identical in
-    // both regimes (SearchSpec pins the equality).
-    val qt = queryTerms(queries, qIdCol, qTextCol)
-    val qSmall = underCap(qt, maxBroadcastQueryTerms)
+    // the driver broadcast ceiling as an OOM. The probe SHARES its
+    // materialization with the plan (Guards.underCapShared): under the
+    // cap the tokenize+distinct pass runs exactly once and the probe's
+    // bounded checkpoint is the frame the joins consume; past the cap
+    // the probe short-circuits at cap+1 rows and the plan is the
+    // original lazy lineage — rows are identical in both regimes
+    // (SearchSpec pins the equality).
+    val qt0 = queryTerms(queries, qIdCol, qTextCol)
+    val (qt, qSmall) = graft.Guards.underCapShared(qt0, maxBroadcastQueryTerms)
     def qHint(df: DataFrame): DataFrame = if (qSmall) broadcast(df) else df
     val qidf0 = idf.join(qHint(qt), "token")
     // the prune window runs over the query-vocabulary frame — bounded by
@@ -304,18 +300,21 @@ object Bm25 {
     require(maxTermsPerQuery >= 1,
       s"maxTermsPerQuery must be >= 1, got $maxTermsPerQuery")
     // count-then-cap, the [[scoreAll]] rule: query-side frames broadcast
-    // only under the cap (lazy limit-probe — one query-side pass, never
-    // the corpus); past it every query-side join degrades to an AQE
-    // shuffle join with identical rows (SearchSpec pins both). The
-    // probe-side pushdown collect stays bounded either way (limit'd to
-    // maxPushdownTerms + 1).
+    // only under the cap; past it every query-side join degrades to an
+    // AQE shuffle join with identical rows (SearchSpec pins both). The
+    // probe SHARES its materialization (Guards.underCapShared) — under
+    // the cap qterms0m is the probe's bounded checkpoint, so the
+    // tokenize+distinct pass never re-runs. The probe-side pushdown
+    // collect stays bounded either way (limit'd to maxPushdownTerms + 1).
     val qterms0 = queryTerms(queries, qIdCol, qTextCol)
     // lazy: the common pruned path below never broadcasts an unbounded
     // query-side frame, so it never pays the probe pass at all
-    lazy val qSmall = underCap(qterms0, maxBroadcastQueryTerms)
+    lazy val probed = graft.Guards.underCapShared(qterms0, maxBroadcastQueryTerms)
+    lazy val qSmall = probed._2
+    lazy val qterms0m = probed._1
     def qHint(df: DataFrame): DataFrame = if (qSmall) broadcast(df) else df
     val qterms =
-      if (maxTermsPerQuery == Int.MaxValue) qterms0
+      if (maxTermsPerQuery == Int.MaxValue) qterms0m
       else {
         // per-token posting counts are independent of other tokens, so
         // restricting the index to the QUERY's tokens before the df
@@ -338,9 +337,12 @@ object Bm25 {
           } else {
             // query vocabulary past the pushdown cap: both the semi-join
             // restriction and the df attach need the guarded orientation
-            val dfs = index.join(qHint(qtokAll), Seq("token"), "left_semi")
+            // (and the probe-shared frame, so the probe pass is reused)
+            val dfs = index.join(
+                qHint(qterms0m.select("token").distinct()), Seq("token"),
+                "left_semi")
               .groupBy("token").agg(count(lit(1)).as("__df"))
-            dfs.join(qHint(qterms0), "token")
+            dfs.join(qHint(qterms0m), "token")
           }
         // materialize the (query-bounded) pruned frame once: the pushdown
         // collect, the final-join cardinality check and the probe join all
@@ -353,7 +355,7 @@ object Bm25 {
     val scan = if (terms.length <= maxPushdownTerms)
       index.filter(col("token").isin(terms.toSeq: _*)) else index
     // pruned frames are checkpointed, so the exact count is one cheap
-    // cache-backed job; the unpruned path falls back to the lazy probe
+    // cache-backed job; the unpruned path rides the shared probe
     val qtSmall =
       if (maxTermsPerQuery == Int.MaxValue) qSmall
       else qterms.count() <= maxBroadcastQueryTerms

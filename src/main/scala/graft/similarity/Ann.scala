@@ -114,14 +114,16 @@ object Ann {
     * (the exact work is O(|Q|·|C|) either way; callers needing sublinear
     * scale substitute [[lshTopK]] / [[ivfTopK]]). The 1M default matches
     * the vector-carrying cap of [[SemanticScreen]], not the 4M id-pair
-    * caps — these rows carry the embedding. */
+    * caps — these rows carry the embedding. The probe SHARES its
+    * materialization with the plan ([[graft.Guards.underCapShared]]):
+    * under the cap the query normalization runs exactly once. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int,
                      maxBroadcastQueries: Long = 1000000L): DataFrame = {
-    val q = normalized(queries, idCol, vecCol, "query_id", "qv")
+    val q0 = normalized(queries, idCol, vecCol, "query_id", "qv")
     val c = normalized(corpus, idCol, vecCol, "cand_id", "cv")
-    val qj = if (graft.Guards.underCap(q, maxBroadcastQueries)) broadcast(q)
-      else q
+    val (q, qSmall) = graft.Guards.underCapShared(q0, maxBroadcastQueries)
+    val qj = if (qSmall) broadcast(q) else q
     rankTopK(c.join(qj, col("query_id") =!= col("cand_id"))
       .withColumn("cos", DotProduct(corpus.sparkSession, col("qv"), col("cv"))), k)
   }

@@ -49,7 +49,7 @@ object KnnLabel {
     val top = Ann.bruteForceTopK(labeled, queries, idCol, vecCol, k)
       .select("query_id", "cand_id")
       .localCheckpoint()
-    // exact count, not the Guards.underCap lazy probe: the shortlist is
+    // exact count, not the Guards.underCapShared probe: the shortlist is
     // already materialized above (it would otherwise re-run the top-k
     // scan for the vote join), so counting it is a cheap cache-backed job
     val topHinted =

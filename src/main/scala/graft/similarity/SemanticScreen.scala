@@ -36,9 +36,11 @@ object SemanticScreen {
     * `tauMicro`, and the 0/1 screen verdict.
     *
     * Count-then-cap (the Ann.incrementalCosineDups house rule): the
-    * reference set is cardinality-probed (a lazy limit(cap+1) count —
-    * the normalize map short-circuits at cap + 1 rows, so the probe is
-    * O(cap) even against a corpus-sized frame) and BROADCAST only
+    * reference set is cardinality-probed with a SHARED materialization
+    * ([[graft.Guards.underCapShared]] — the bounded probe checkpoint is
+    * the frame the screen consumes, so reference normalization runs
+    * exactly once; against a corpus-sized frame the probe still
+    * short-circuits at cap + 1 rows) and BROADCAST only
     * while its row count stays under `maxBroadcastRefs`; past the
     * cap the screen degrades to a partitioned CartesianProduct — each
     * executor streams the corpus against a shuffled slice of the
@@ -57,8 +59,8 @@ object SemanticScreen {
       s"tauMicro is a micro-cosine in [-1e6, 1e6], got $tauMicro")
     val c = Ann.normalized(corpus, idCol, vecCol, "id", "cvx")
     val r0 = Ann.normalized(refs, refIdCol, refVecCol, "ref_id", "rvx")
-    val r = if (graft.Guards.underCap(r0, maxBroadcastRefs)) broadcast(r0)
-      else r0
+    val (rm, rSmall) = graft.Guards.underCapShared(r0, maxBroadcastRefs)
+    val r = if (rSmall) broadcast(rm) else rm
     c.crossJoin(r)
       .withColumn("cos_uu",
         floor(DotProduct(corpus.sparkSession, col("cvx"), col("rvx")) * 1e6)
