@@ -27,8 +27,11 @@ import org.apache.spark.sql.functions._
   * unit-cost Levenshtein, so a DuckDB oracle replays the output exactly.
   *
   * Scale notes: one shuffle per side on the block key; strings cross the
-  * wire once (blocking keys should be chosen so blocks fit in a task —
-  * low-cardinality keys skew; AQE's skew-join split is the backstop).
+  * wire once. Blocking keys should be chosen so blocks stay bounded as
+  * the corpus grows — AQE's skew-join split re-balances a hot block's
+  * TASKS but cannot reduce its pair VOLUME, so [[linkBlocked]] carries a
+  * per-block pair-count fail-fast (`maxBlockPairs`) that kills a
+  * saturated-block job loudly before the quadratic verification runs.
   * Zero UDFs; the distance is a codegen'd native expression.
   */
 object RecordLinkage {
@@ -37,20 +40,71 @@ object RecordLinkage {
     * `blockCol` with `levenshtein(strCol_l, strCol_r) ≤ maxDist`.
     * Pre-aliased inputs: callers pass frames already shaped as
     * (id, block, s) via [[shape]] so cross-table linkage (clean feed vs
-    * dirty feed) and self-linkage share one join. */
+    * dirty feed) and self-linkage share one join.
+    *
+    * Pair-volume fail-fast (`maxBlockPairs`, the q18 maxDf / rangeJoin
+    * raise_error family): blocking bounds the join at Σ|block_l|·|block_r|,
+    * but a SATURATED block — a low-entropy key whose population keeps
+    * growing with the corpus — detonates that sum quadratically, and
+    * AQE's skew-join split balances TASKS, not pair VOLUME: a split hot
+    * block still verifies every one of its |l|·|r| pairs. Per-block
+    * counts (two key-only partial aggregates, column-pruned — the
+    * record strings never enter them) flag any block whose pair count
+    * exceeds the cap, and the error rides the plan lazily (an empty
+    * bad-block set costs one empty-broadcast probe per row): the job
+    * dies loudly naming the block and both counts, pointing at the fix
+    * — widen the blocking key, pre-salt the hot block, or run
+    * [[Tuning.skewReport]] on the block column as a pre-flight —
+    * instead of burning a cluster on quadratic verification.
+    * RecordLinkageSpec pins both the trip and the under-cap
+    * result-invariance. STREAMING inputs skip the guard (aggregating a
+    * stream to count its blocks is itself an unsupported extra stateful
+    * stage, and a microbatch's pair volume is already bounded by the
+    * trigger size times the static side's hottest block — the batch
+    * pre-flight on the STATIC master index is where the check belongs). */
   def linkBlocked(left: DataFrame, right: DataFrame,
-                  maxDist: Int): DataFrame = {
+                  maxDist: Int,
+                  maxBlockPairs: Long = 64000000L): DataFrame = {
     require(maxDist >= 0, s"maxDist must be ≥ 0, got $maxDist")
+    require(maxBlockPairs >= 1,
+      s"maxBlockPairs must be ≥ 1, got $maxBlockPairs")
     val l = left.select(col("id").as("id_l"), col("block"),
       col("s").as("s_l"))
     val r = right.select(col("id").as("id_r"), col("block"),
       col("s").as("s_r"))
-    l.join(r, Seq("block"))
+    val lg =
+      if (left.isStreaming || right.isStreaming) l.withColumn("__trap",
+        lit(null).cast("long"))
+      else {
+        val lc = l.groupBy("block").agg(count(lit(1)).as("__nl"))
+        val rc = r.groupBy("block").agg(count(lit(1)).as("__nr"))
+        // overflow-free product test: nl·nr > cap  ⇔  nl > cap div nr
+        // (nr ≥ 1 by construction; a long·long product could overflow
+        // and, under ANSI, turn the guard itself into the crash)
+        val badTrap = lc.join(rc, "block")
+          .filter(expr(s"__nl > ${maxBlockPairs}L div __nr"))
+          .select(col("block"),
+            raise_error(concat(
+              lit("linkBlocked: block '"), col("block"), lit("' yields "),
+              col("__nl"), lit(" x "), col("__nr"),
+              lit(s" verification pairs (> maxBlockPairs=$maxBlockPairs)" +
+                " — widen the blocking key, pre-salt the hot block, or run" +
+                " Tuning.skewReport on the block column first")))
+              .cast("long").as("__trap"))
+        // the trap projection sits BELOW the broadcast exchange, so a
+        // saturated block kills the job while BUILDING the (normally
+        // empty) broadcast — at the key-only aggregate stage, before a
+        // single verification pair is generated; __trap rides into dist
+        // so column pruning cannot delete the raise
+        l.join(broadcast(badTrap), Seq("block"), "left")
+      }
+    lg.join(r, Seq("block"))
       // length guard first: |len diff| > maxDist can never verify, and
       // the comparison is O(1) vs the banded DP
       .filter(abs(length(col("s_l")) - length(col("s_r"))) <= maxDist)
       .withColumn("dist",
-        levenshtein(col("s_l"), col("s_r"), maxDist).cast("long"))
+        levenshtein(col("s_l"), col("s_r"), maxDist).cast("long") +
+          coalesce(col("__trap"), lit(0L)))
       .filter(col("dist") >= 0) // thresholded variant returns -1 past band
       .select("id_l", "id_r", "dist")
   }
@@ -126,7 +180,13 @@ object RecordLinkage {
     // the frame is garbage-collected, so repeated calls cannot
     // accumulate a cache leak — and keeps the (n·w pair) RESULT fully
     // lazy, so a caller consuming a reduction streams the pairs without
-    // ever storing them
+    // ever storing them. The trade, stated: checkpoint blocks live in
+    // executor-LOCAL storage, so on a multi-executor cluster an executor
+    // loss makes downstream stages fail where a persist's lineage would
+    // recompute — acceptable here (the ranked frame is one window pass
+    // to rebuild by re-running the operator; reliable checkpointing
+    // would pay a distributed-FS write per call), and the eager
+    // materialization is work the self-join needs immediately anyway
     val ranked = base.join(broadcast(offsets), Seq("__b"))
       .withColumn("__r", col("__off") +
         row_number().over(

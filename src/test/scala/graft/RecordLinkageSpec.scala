@@ -51,6 +51,30 @@ class RecordLinkageSpec extends SparkSpec {
       .count() == d.count())
   }
 
+  test("maxBlockPairs fail-fast: a saturated block dies loudly before " +
+    "pair verification; under-cap results are invariant to the cap") {
+    val left = shaped((1L to 40L).map(i => (i, f"ab-$i%04d")))
+    val right = shaped((101L to 140L).map(i => (i, f"ab-${i - 100}%04d")))
+    // 40 x 40 = 1600 pairs in block "ab": a cap of 1599 must trip with
+    // the block named, and the trip must precede the Levenshtein stage
+    val e = intercept[Exception] {
+      RecordLinkage.linkBlocked(left, right, maxDist = 1,
+        maxBlockPairs = 1599L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("linkBlocked") &&
+      m.contains("'ab'") && m.contains("40 x 40")), msgs(e).mkString("|"))
+    // the cap is strategy, not semantics: rows at a generous cap equal
+    // rows at the exact boundary (1600 pairs == cap: no trip)
+    def rows(cap: Long) =
+      RecordLinkage.linkBlocked(left, right, maxDist = 1,
+        maxBlockPairs = cap).as[(Long, Long, Long)].collect().toSet
+    assert(rows(1600L) == rows(Long.MaxValue))
+    assert(rows(1600L).nonEmpty)
+  }
+
   test("incrementalLink: batch probes the index AND itself; new-vs-new " +
     "pairs carry the larger id as new_id") {
     val index = shaped(Seq((1L, "ab-1234"), (2L, "cd-5678")))
