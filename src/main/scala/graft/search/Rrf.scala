@@ -54,17 +54,32 @@ object Rrf {
     * symptom beside row 151's idf delta). Queries present in either
     * list appear — a query one system returns nothing for reads 0, not
     * absent. One equi-join on (query, doc) over rank-capped lists, one
-    * count per query. */
+    * count per query.
+    *
+    * Shape: tag-union-aggregate, NOT a join — each input is consumed
+    * exactly ONCE, so the expensive retriever plans behind the lists (a
+    * BM25 postings scan, a dense corpus scan) run once each, and the
+    * single plan schedules both retriever stage-trees CONCURRENTLY (a
+    * join + query-universe union consumed each list twice — re-running
+    * both retrievers — and patching that with eager checkpoints
+    * serialized them into back-to-back blocking jobs, measurably worse
+    * than the tagged union). Each list holds one row per (query, doc)
+    * by the rank-list contract, so per-pair min/max of the side tag
+    * decides membership: min=1 ∧ max=2 ⇔ both sides saw the document.
+    * Two map-side-combined aggregates over ≤ 2·k·|queries| tag rows —
+    * nothing corpus-sized moves. */
   def overlapAtK(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val aa = a.filter(col("rank") <= k).select("query_id", "doc_id")
+      .withColumn("__s", lit(1))
     val bb = b.filter(col("rank") <= k).select("query_id", "doc_id")
-    val inter = aa.join(bb, Seq("query_id", "doc_id"))
-      .groupBy("query_id").agg(count(lit(1)).as("n_common"))
-    val qs = aa.select("query_id").unionByName(bb.select("query_id"))
-      .distinct()
-    qs.join(inter, Seq("query_id"), "left")
-      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("__s", lit(2))
+    aa.unionByName(bb)
+      .groupBy("query_id", "doc_id")
+      .agg(min("__s").as("__mn"), max("__s").as("__mx"))
+      .groupBy("query_id")
+      .agg(sum(when(col("__mn") === 1 && col("__mx") === 2, 1L)
+        .otherwise(0L)).as("n_common"))
       .withColumn("overlap_bp", expr(s"(10000 * n_common) div $k"))
   }
 }
