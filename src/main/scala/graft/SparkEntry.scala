@@ -2288,14 +2288,18 @@ object SparkEntry {
     // §2 row 159: streaming DSIR scoring — the frozen delta model trained
     // in batch, broadcast into an arriving document feed (stream-static
     // join), per-doc weights aggregated in complete mode: weights are
-    // int64 sums over token instances, so the 4-microbatch drain equals
-    // the batch scoring EXACTLY whatever the batch boundaries.
+    // int64 sums over token instances, so the multi-microbatch drain
+    // equals the batch scoring EXACTLY whatever the batch boundaries.
+    // Two staged files (the q171 drain-shave recipe): multi-batch
+    // stream-static accumulation stays exercised, but the complete-mode
+    // drain re-hashes and re-emits the full per-doc state two fewer
+    // times — both knobs output-invariant (same rows, same oracle).
     "q143_dsir_stream" -> ((s, dir) => {
       val src = artifactPath("dsirstream", dir,
         codeHash(SparkEntry.getClass, Dsir.getClass))
       stageParquet(src) { tmp =>
         Tables.documents(s, dir).select("doc_id", "text")
-          .repartition(4).write.mode("overwrite").parquet(tmp)
+          .repartition(2).write.mode("overwrite").parquet(tmp)
       }
       // the model is static across microbatches — persist it so the
       // stream-static join doesn't re-train per trigger
@@ -5913,7 +5917,7 @@ object SparkEntry {
         "CAST(CASE WHEN rk <= 100 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM r"),
 
     // The streaming twin is held to the BATCH model+scoring SQL exactly:
-    // weights are additive over token instances, so the 4-microbatch
+    // weights are additive over token instances, so the multi-microbatch
     // drain must land on the identical per-doc table.
     "q143_dsir_stream" ->
       (s"WITH $dsirCtes SELECT doc_id, n_tok, w_u FROM pd"),
@@ -6537,8 +6541,9 @@ object SparkEntry {
         "CAST(doc_id AS VARCHAR) AS url FROM documents), " +
         // WHATWG edge-trim of C0 controls/spaces, then the tab/newline
         // strip ('g' — DuckDB replaces first match only by default) +
-        // the '@'-backstop, all mirroring the engine's domainOf step
-        // for step
+        // the '@'-backstop: the oracle mirrors every parsing step of the
+        // engine's Urls.domainOf, in the same order, so the two cannot
+        // diverge on any padded/evasive URL shape
         s"d0 AS (SELECT doc_id, NULLIF(lower(regexp_replace(regexp_replace(" +
         s"regexp_extract(regexp_replace(regexp_replace(url, " +
         s"'^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g'), " +
