@@ -59,17 +59,24 @@ object Bench {
       .filter(SparkEntry.queries.contains)
     val controlTimes =
       scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    // failed control runs are counted and emitted (controls_failed): a
+    // systematically dying control otherwise yields a null/partial floor
+    // indistinguishable from a merely-disabled one, silently weakening
+    // the self-certification. NonFatal only — an OutOfMemoryError or a
+    // linkage error must kill the run, not be swallowed as a data point.
+    var controlsFailed = 0
     def runControls(timed: Boolean): Unit = controlNames.foreach { cn =>
       val t0 = System.nanoTime()
       val failed =
         try { SparkEntry.queries(cn)(spark, sfDir)
           .write.format("noop").mode("overwrite").save(); false }
-        catch { case _: Throwable => true }
+        catch { case scala.util.control.NonFatal(_) => true }
       // sample captured BEFORE clearCache (the main loop's rule), and a
-      // FAILED control is never recorded — a fast failure would explode
-      // max/min and falsely certify a contention burst
+      // FAILED control is never recorded as a TIME — a fast failure would
+      // explode max/min and falsely certify a contention burst
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      if (failed) controlsFailed += 1
       if (timed && !failed) controlTimes(cn) =
         controlTimes.getOrElse(cn, Vector.empty) :+ dt
     }
@@ -146,7 +153,7 @@ object Bench {
       .map(ts => if (ts.size >= 3) ts.drop(1) else ts)
       .filter(_.size >= 2).map(ts => ts.max / ts.min)
     val noiseFloor = if (floors.isEmpty) "null" else floors.max.toString
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"failed":${results.size - ok.size},"controls":$controlsJson,"noise_floor":$noiseFloor,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"failed":${results.size - ok.size},"controls":$controlsJson,"controls_failed":$controlsFailed,"noise_floor":$noiseFloor,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

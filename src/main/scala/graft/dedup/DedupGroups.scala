@@ -197,7 +197,8 @@ object DedupGroups {
     // localCheckpoint materializes the (small) non-canonical id set and
     // cuts its lineage, so the loop's persisted label frame can be released
     // here instead of leaking one cache entry per canonicalize call; the
-    // drop set keeps the GRAPH's id type and [[idEq]] bridges the caller's
+    // drop set keeps the GRAPH's id type, and [[idEq]] bridges the
+    // caller's id type at the anti-join below
     val dropIds = cc.filter(col("id") =!= col("comp"))
       .select(col("id").as("__drop_id"))
       .localCheckpoint()
@@ -220,14 +221,34 @@ object DedupGroups {
     * junk id is a legitimate corpus row that can never appear in a
     * numeric pair graph — try_cast sends it to NULL, it matches nothing,
     * and it survives as its own singleton group (the documented
-    * contract; pinned in DedupGroupsSpec). */
+    * contract; pinned in DedupGroupsSpec). FRACTIONAL values get the
+    * same singleton treatment: try_cast to decimal(38,0) ROUNDS
+    * (7.5 → 8), so a non-integral caller id could otherwise falsely
+    * equal a neighboring graph id and be silently dropped — [[exactDec]]
+    * nulls any value that fails an integrality check instead. Ids are
+    * integral by contract; this makes a contract violation inert rather
+    * than corrupting. */
   private def idEq(callerId: Column,
                    callerDt: org.apache.spark.sql.types.DataType,
                    graphId: Column,
                    graphDt: org.apache.spark.sql.types.DataType): Column =
     if (callerDt == graphDt) callerId === graphId
-    else callerId.try_cast(org.apache.spark.sql.types.DecimalType(38, 0)) ===
-      graphId.try_cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    else exactDec(callerId) === exactDec(graphId)
+
+  /** The cross-type id join key: the value as decimal(38,0) — exact for
+    * any integral id up to 38 digits (no DOUBLE widening above 2^53) —
+    * but NULL for fractional values, which decimal(38,0) would round
+    * into a neighboring id. The integrality probe casts to
+    * decimal(38,18) and compares against its own floor; values past
+    * that range (|x| ≥ 10²⁰, where the probe try_cast overflows to
+    * NULL) cannot carry a sub-integer part in any 64-bit-sourced id and
+    * pass straight through to the (38,0) key. */
+  private def exactDec(c: Column): Column = {
+    val d18 = c.try_cast(org.apache.spark.sql.types.DecimalType(38, 18))
+    when(d18.isNotNull && d18 =!= floor(d18),
+      lit(null).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .otherwise(c.try_cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+  }
 
   /** [[canonicalize]] with the survivor chosen by QUALITY, not id: per
     * near-dup group, the member maximizing `score` survives (id ascending
@@ -257,8 +278,19 @@ object DedupGroups {
     // contract is the pair graph's own (numeric) id order, same as
     // [[canonicalize]]'s min-id rule
     val ccT = cc.select(cc("id").as("__cc_id"), cc("comp"))
+    // collapse to ONE member row per graph id before ranking: a corpus
+    // holding two value-equal representations of the same id ("7" and
+    // "007" under a string idCol) would otherwise contribute two rows
+    // sharing one __cc_id — the rank-2 row puts that __cc_id in the drop
+    // set and the anti-join then removes BOTH representations, losing
+    // the group's survivor entirely. The graph id's score is the MAX
+    // over its representations (deterministic; comp is functionally
+    // determined by __cc_id, so it rides the groupBy key). Documented
+    // consequence: value-duplicate representations share one fate —
+    // both kept when their id wins, both dropped when it loses.
     val members = df.join(ccT, idEq(col(idCol), callerDt, ccT("__cc_id"), graphDt))
       .select(ccT("__cc_id"), ccT("comp"), score.as("__score"))
+      .groupBy("__cc_id", "comp").agg(max("__score").as("__score"))
     val w = Window.partitionBy("comp")
       .orderBy(desc("__score"), asc("__cc_id"))
     val dropIds = members

@@ -273,4 +273,42 @@ class DedupGroupsSpec extends SparkSpec {
       .select("doc_id").as[String].collect().toSet
     assert(keptBest == Set("junk-id", "9"), s"got $keptBest")
   }
+
+  test("a FRACTIONAL caller id never rounds onto a neighboring graph id " +
+    "(7.5 must not match 8); integral doubles still match exactly") {
+    // decimal(38,0) try_cast ROUNDS 7.5 → 8: without the integrality
+    // screen, the 7.5 row would join the {8, 100} group and be silently
+    // dropped. The contract is integral ids; a fractional one is inert —
+    // it matches nothing and survives as its own singleton.
+    val df = Seq((7.5d, 1L), (8.0d, 2L), (100.0d, 9L))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((8L, 100L)).toDF("id_a", "id_b")
+    val keptMin = DedupGroups.canonicalize(df, pairs, "doc_id",
+        "id_a", "id_b")
+      .select("doc_id").as[Double].collect().toSet
+    // comp = 8: the 100.0 row drops; 8.0 (integral double) matches and
+    // survives as canonical; 7.5 is untouched
+    assert(keptMin == Set(7.5d, 8.0d), s"got $keptMin")
+    val keptBest = DedupGroups.canonicalizeBest(df, pairs, "doc_id",
+        "id_a", "id_b", col("quality"))
+      .select("doc_id").as[Double].collect().toSet
+    // quality: 100.0 (9) beats 8.0 (2); 7.5 survives as a singleton
+    assert(keptBest == Set(7.5d, 100.0d), s"got $keptBest")
+  }
+
+  test("canonicalizeBest: two value-equal representations of one id " +
+    "(\"7\" and \"007\") share one fate — the group keeps its survivor") {
+    // both strings value-match graph id 7; before the member collapse
+    // the rank-2 duplicate row put 7 in the drop set and the anti-join
+    // removed BOTH representations, losing the group's survivor
+    val df = Seq(("7", 9L), ("007", 5L), ("100", 1L))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((7L, 100L)).toDF("id_a", "id_b")
+    val keptBest = DedupGroups.canonicalizeBest(df, pairs, "doc_id",
+        "id_a", "id_b", col("quality"))
+      .select("doc_id").as[String].collect().toSet
+    // id 7's score is max(9, 5) = 9 > 1: it wins the group and BOTH its
+    // representations survive; "100" drops
+    assert(keptBest == Set("7", "007"), s"got $keptBest")
+  }
 }
