@@ -22,17 +22,21 @@ object Guards {
     * materializes a corpus-sized frame (the limit short-circuits at
     * cap + 1 rows, though an internal shuffle, e.g. a distinct, still
     * runs once over its input), and the over-cap plan stays
-    * byte-identical to the unguarded one. localCheckpoint, not persist:
-    * no session-lifetime catalog entry to leak (the sortedNeighborhood
-    * rule — blocks release when the frame is collected), and the
-    * single-partition GlobalLimit shape is irrelevant to a frame that is
-    * about to be broadcast anyway. Callers holding an
-    * already-materialized frame should just compare `df.count()`
-    * (the KnnLabel variant). */
+    * byte-identical to the unguarded one. persist + count, not an eager
+    * localCheckpoint: the count materializes INTO the cache, so probe
+    * and materialization are ONE scheduler job instead of two — on a
+    * tiny probed frame the second job is the whole guard cost. The
+    * over-cap branch unpersists immediately (nothing to leak); the
+    * under-cap frame's cache entry is reclaimed by the ContextCleaner
+    * when the frame is collected, same lifetime story as a
+    * localCheckpoint's blocks. Callers holding an already-materialized
+    * frame should just compare `df.count()` (the KnnLabel variant). */
   def underCapShared(df: DataFrame, cap: Long): (DataFrame, Boolean) = {
     require(cap >= 0, s"broadcast cap must be >= 0, got $cap")
     val lim = math.min(cap, Int.MaxValue - 2L).toInt
-    val cp = df.limit(lim + 1).localCheckpoint()
-    if (cp.count() <= lim) (cp, true) else (df, false)
+    val cp = df.limit(lim + 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (cp.count() <= lim) (cp, true)
+    else { cp.unpersist(blocking = false); (df, false) }
   }
 }
