@@ -57,6 +57,24 @@ object Bench {
         "q01_read_project,q21_multimodal_meta,q220_k_anonymity")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       .filter(SparkEntry.queries.contains)
+    // stored quiet-window reference medians (sf0.1, the round-11 artifact's
+    // warmup-dropped control medians — the quietest committed window): the
+    // emitted control_ratio = median over controls of (this run's control
+    // median / its reference) makes round-over-round per-query diffs
+    // AMBIENT-NORMALIZED in the artifact itself — round 12 burned real
+    // effort proving two ≥2x movers were a 1.3x-slower host, which this
+    // field states directly. Override per environment with
+    // SPARK_GRAFT_BENCH_CONTROL_REFS ("name=sec,name=sec"); controls
+    // without a reference (or a non-sf0.1 run) simply contribute nothing.
+    val controlRefs: Map[String, Double] =
+      sys.env.get("SPARK_GRAFT_BENCH_CONTROL_REFS")
+        .map(_.split(",").map(_.trim).filter(_.contains("="))
+          .map { kv => val Array(k, v) = kv.split("=", 2); k -> v.toDouble }
+          .toMap)
+        .getOrElse(if (sfDir.endsWith("sf0.1")) Map(
+          "q01_read_project" -> 0.0891,
+          "q21_multimodal_meta" -> 0.1956,
+          "q220_k_anonymity" -> 0.3728) else Map.empty)
     val controlTimes =
       scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     // failed control runs are counted and emitted (controls_failed): a
@@ -64,6 +82,9 @@ object Bench {
     // indistinguishable from a merely-disabled one, silently weakening
     // the self-certification. NonFatal only — an OutOfMemoryError or a
     // linkage error must kill the run, not be swallowed as a data point.
+    // Only TIMED failures count: the two untimed warmup passes feed no
+    // floor sample, so a control failing only on first touch (cold-cache
+    // staging, say) must not report >0 when every timed sample is intact.
     var controlsFailed = 0
     def runControls(timed: Boolean): Unit = controlNames.foreach { cn =>
       val t0 = System.nanoTime()
@@ -76,7 +97,7 @@ object Bench {
       // explode max/min and falsely certify a contention burst
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      if (failed) controlsFailed += 1
+      if (timed && failed) controlsFailed += 1
       if (timed && !failed) controlTimes(cn) =
         controlTimes.getOrElse(cn, Vector.empty) :+ dt
     }
@@ -153,7 +174,33 @@ object Bench {
       .map(ts => if (ts.size >= 3) ts.drop(1) else ts)
       .filter(_.size >= 2).map(ts => ts.max / ts.min)
     val noiseFloor = if (floors.isEmpty) "null" else floors.max.toString
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"failed":${results.size - ok.size},"controls":$controlsJson,"controls_failed":$controlsFailed,"noise_floor":$noiseFloor,"sf":"$sfDir"}""")
+    // ambient ratio vs the stored quiet-window references: ~1.0 = this run
+    // is comparable to the reference window; 1.3 = host 30% slower — divide
+    // per-query diffs by this before calling anything a regression. Median
+    // across controls (each control's warmup-dropped median / its stored
+    // reference) so one control's own drift cannot fake an ambient shift.
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val ratios = controlTimes.toSeq.flatMap { case (cn, ts) =>
+      val kept = if (ts.size >= 3) ts.drop(1) else ts
+      controlRefs.get(cn).filter(_ > 0).filter(_ => kept.nonEmpty)
+        .map(ref => med(kept) / ref)
+    }
+    val controlRatio = if (ratios.isEmpty) "null" else med(ratios).toString
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"failed":${results.size - ok.size},"controls":$controlsJson,"controls_failed":$controlsFailed,"noise_floor":$noiseFloor,"control_ratio":$controlRatio,"sf":"$sfDir"}""")
+    // clean JVM shutdown: any stateful streaming query leaves the shared
+    // StateStore maintenance thread running, and a tick AFTER spark.stop()
+    // throws "SparkEnv not active" onto stderr — harmless but it rode the
+    // tail of every committed artifact. Stop active queries, then the
+    // maintenance pool, BEFORE the session.
+    spark.streams.active.foreach { q =>
+      try q.stop() catch { case scala.util.control.NonFatal(_) => }
+    }
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case scala.util.control.NonFatal(_) => }
     spark.stop()
   }
 }

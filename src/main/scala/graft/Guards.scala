@@ -22,21 +22,28 @@ object Guards {
     * materializes a corpus-sized frame (the limit short-circuits at
     * cap + 1 rows, though an internal shuffle, e.g. a distinct, still
     * runs once over its input), and the over-cap plan stays
-    * byte-identical to the unguarded one. persist + count, not an eager
-    * localCheckpoint: the count materializes INTO the cache, so probe
-    * and materialization are ONE scheduler job instead of two — on a
-    * tiny probed frame the second job is the whole guard cost. The
-    * over-cap branch unpersists immediately (nothing to leak); the
-    * under-cap frame's cache entry is reclaimed by the ContextCleaner
-    * when the frame is collected, same lifetime story as a
-    * localCheckpoint's blocks. Callers holding an already-materialized
-    * frame should just compare `df.count()` (the KnnLabel variant). */
+    * byte-identical to the unguarded one. LAZY localCheckpoint + count,
+    * not persist + count: the count still materializes the checkpoint,
+    * so probe and materialization stay ONE scheduler job — but the
+    * blocks live as RDD storage the ContextCleaner reclaims when the
+    * frame is garbage-collected. A Dataset.persist entry is held
+    * STRONGLY by the session's CacheManager until explicit
+    * unpersist/clearCache, so the persist formulation leaked one
+    * MEMORY_AND_DISK entry of up to cap+1 (vector-carrying) rows per
+    * under-cap call for the app's lifetime — exactly the accumulation a
+    * long-lived query service over Bm25.searchIndex cannot afford. The
+    * over-cap branch's discarded ≤ cap+1-row checkpoint is reclaimed
+    * the same way (bounded, no unpersist bookkeeping needed). The trade,
+    * stated (the sortedNeighborhood comment): checkpoint blocks are
+    * executor-local, so on a real cluster an executor loss fails the
+    * consuming stage where a persist's lineage would recompute —
+    * acceptable for a ≤ cap-row probe frame that one retry of the
+    * operator rebuilds. Callers holding an already-materialized frame
+    * should just compare `df.count()` (the KnnLabel variant). */
   def underCapShared(df: DataFrame, cap: Long): (DataFrame, Boolean) = {
     require(cap >= 0, s"broadcast cap must be >= 0, got $cap")
     val lim = math.min(cap, Int.MaxValue - 2L).toInt
-    val cp = df.limit(lim + 1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (cp.count() <= lim) (cp, true)
-    else { cp.unpersist(blocking = false); (df, false) }
+    val cp = df.limit(lim + 1).localCheckpoint(eager = false)
+    if (cp.count() <= lim) (cp, true) else (df, false)
   }
 }

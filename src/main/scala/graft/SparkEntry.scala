@@ -1642,15 +1642,7 @@ object SparkEntry {
     // q109 staged impact index (score-identical by construction), so the
     // hybrid pays one postings probe, not a corpus re-tokenize.
     "q105_hybrid_rrf" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val emb = spread(s, Tables.embeddings(s, dir))
-      val lex = Bm25.searchIndex(s.read.parquet(stagedBm25Index(s, dir)),
-        docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", k = 20,
-        maxTermsPerQuery = retrievalPruneCap)
-        .select("query_id", "doc_id", "rank")
-      val dense = Ann.bruteForceTopK(emb,
-        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 20)
-        .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
+      val (lex, dense) = hybridRetrieverLists(s, dir, k = 20)
       Rrf.fuse(Seq(lex, dense), k = 10)
     }),
 
@@ -3600,16 +3592,7 @@ object SparkEntry {
     // per query in exact bp over the q105 lists; low overlap is WHY RRF
     // fusion helps, drift is an index-staleness symptom. EXACT oracle.
     "q272_retrieval_agreement" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val emb = spread(s, Tables.embeddings(s, dir))
-      val lex = Bm25.searchIndex(s.read.parquet(stagedBm25Index(s, dir)),
-        docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", k = 20,
-        maxTermsPerQuery = retrievalPruneCap)
-        .select("query_id", "doc_id", "rank")
-      val dense = Ann.bruteForceTopK(emb,
-        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
-        k = 20)
-        .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
+      val (lex, dense) = hybridRetrieverLists(s, dir, k = 20)
       Rrf.overlapAtK(lex, dense, k = 20)
     }),
 
@@ -4485,6 +4468,47 @@ object SparkEntry {
         .write.mode("overwrite").parquet(tmp)
     }
     idxPath
+  }
+
+  /** The hybrid-retrieval query shape shared by q105 (RRF fusion) and
+    * q272 (agreement@k): top-`k` lexical (staged impact index, q109's
+    * probe) and top-`k` dense (q20's exact brute force) lists for the
+    * %100 query panel, both as (query_id, doc_id, rank).
+    *
+    * The two legs are CONSTRUCTED concurrently (the round-12 verdict's
+    * shared-probe ask, closed one level up): each leg's construction
+    * runs eager driver-blocking jobs — the lexical side's pushdown
+    * collect and pruned-frame checkpoint+count, the dense side's
+    * count-then-cap probe — and building them sequentially serialized
+    * ~4 small jobs of pure scheduler latency even though they touch
+    * DISJOINT inputs (postings index + documents vs embeddings).
+    * Submitting both constructions from separate driver threads lets the
+    * scheduler interleave their jobs across the idle cores; the RESULT
+    * frames are lazy plans, bit-identical to sequential construction
+    * (SearchSpec/AnnSpec semantics unchanged), so the fused query's rows
+    * cannot differ. The staged-index path resolves BEFORE the fork so
+    * the (file-locked, idempotent) staging write never races the dense
+    * leg's probe for cores on a cold artifact cache. */
+  private def hybridRetrieverLists(s: SparkSession, dir: String,
+                                   k: Int): (DataFrame, DataFrame) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val idxPath = stagedBm25Index(s, dir)
+    val docs = Tables.documents(s, dir)
+    val emb = spread(s, Tables.embeddings(s, dir))
+    val lexF = Future {
+      Bm25.searchIndex(s.read.parquet(idxPath),
+        docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", k = k,
+        maxTermsPerQuery = retrievalPruneCap)
+        .select("query_id", "doc_id", "rank")
+    }
+    val denseF = Future {
+      Ann.bruteForceTopK(emb,
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = k)
+        .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
+    }
+    (Await.result(lexF, Duration.Inf), Await.result(denseF, Duration.Inf))
   }
 
   /** Per-clip video dHash replayed from the pixel recurrence — q98's

@@ -233,21 +233,39 @@ object DedupGroups {
                    graphId: Column,
                    graphDt: org.apache.spark.sql.types.DataType): Column =
     if (callerDt == graphDt) callerId === graphId
-    else exactDec(callerId) === exactDec(graphId)
+    else exactDec(callerId, callerDt) === exactDec(graphId, graphDt)
 
   /** The cross-type id join key: the value as decimal(38,0) — exact for
     * any integral id up to 38 digits (no DOUBLE widening above 2^53) —
     * but NULL for fractional values, which decimal(38,0) would round
-    * into a neighboring id. The integrality probe casts to
-    * decimal(38,18) and compares against its own floor; values past
-    * that range (|x| ≥ 10²⁰, where the probe try_cast overflows to
-    * NULL) cannot carry a sub-integer part in any 64-bit-sourced id and
-    * pass straight through to the (38,0) key. */
-  private def exactDec(c: Column): Column = {
-    val d18 = c.try_cast(org.apache.spark.sql.types.DecimalType(38, 18))
-    when(d18.isNotNull && d18 =!= floor(d18),
-      lit(null).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-      .otherwise(c.try_cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+    * into a neighboring id. The integrality check dispatches on the
+    * SOURCE type: integral columns carry no fraction by construction
+    * (straight to the key, zero probe cost); DecimalType columns compare
+    * natively against their own floor — exact at ANY precision, so a
+    * wide decimal(38,s) fractional id ≥ 10²⁰ (which would overflow a
+    * fixed-scale probe to NULL and slip through to the rounding cast)
+    * is still caught; string/double inputs use a decimal(38,18) probe.
+    * Residual, stated: a STRING id with > 20 integer digits AND a
+    * fractional part overflows that probe and falls through to the
+    * rounding (38,0) cast — no 64-bit-sourced or decimal-sourced id can
+    * produce one, and a string that wide is outside the integral-id
+    * contract entirely. */
+  private def exactDec(c: Column,
+                       dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    val key = c.try_cast(DecimalType(38, 0))
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => key
+      case d: DecimalType if d.scale <= 0 => key // integral by type
+      case _: DecimalType =>
+        when(c =!= floor(c), lit(null).cast(DecimalType(38, 0)))
+          .otherwise(key)
+      case _ =>
+        val d18 = c.try_cast(DecimalType(38, 18))
+        when(d18.isNotNull && d18 =!= floor(d18),
+          lit(null).cast(DecimalType(38, 0)))
+          .otherwise(key)
+    }
   }
 
   /** [[canonicalize]] with the survivor chosen by QUALITY, not id: per

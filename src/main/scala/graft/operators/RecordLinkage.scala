@@ -48,8 +48,8 @@ object RecordLinkage {
     * growing with the corpus — detonates that sum quadratically, and
     * AQE's skew-join split balances TASKS, not pair VOLUME: a split hot
     * block still verifies every one of its |l|·|r| pairs. Per-block
-    * counts (two key-only partial aggregates, column-pruned — the
-    * record strings never enter them) flag any block whose pair count
+    * counts (ONE tagged-union key-only aggregate, column-pruned — the
+    * record strings never enter it) flag any block whose pair count
     * exceeds the cap, and the error rides the plan lazily (an empty
     * bad-block set costs one empty-broadcast probe per row): the job
     * dies loudly naming the block and both counts, pointing at the fix
@@ -76,12 +76,25 @@ object RecordLinkage {
       if (left.isStreaming || right.isStreaming) l.withColumn("__trap",
         lit(null).cast("long"))
       else {
-        val lc = l.groupBy("block").agg(count(lit(1)).as("__nl"))
-        val rc = r.groupBy("block").agg(count(lit(1)).as("__nr"))
+        // ONE tagged-union aggregate, not two per-side aggregates joined:
+        // the guard's cost is fixed overhead on every under-cap call (it
+        // took q137 from 0.62 to 1.00 s at sf0.1 as two aggregates), and
+        // a union with conditional sums computes both per-block counts in
+        // a single shuffle over the key-only rows — map-side partials on
+        // each input, no aggregate-aggregate join stage at all. Blocks
+        // present on only one side generate no pairs and are filtered
+        // before the division (which also keeps __nr ≥ 1, so the ANSI
+        // `div` below cannot itself throw on zero).
+        val counts = l.select(col("block"), lit(true).as("__isl"))
+          .unionByName(r.select(col("block"), lit(false).as("__isl")))
+          .groupBy("block")
+          .agg(sum(when(col("__isl"), 1L).otherwise(0L)).as("__nl"),
+            sum(when(!col("__isl"), 1L).otherwise(0L)).as("__nr"))
+          .filter(col("__nl") >= 1L && col("__nr") >= 1L)
         // overflow-free product test: nl·nr > cap  ⇔  nl > cap div nr
-        // (nr ≥ 1 by construction; a long·long product could overflow
+        // (nr ≥ 1 by the filter above; a long·long product could overflow
         // and, under ANSI, turn the guard itself into the crash)
-        val badTrap = lc.join(rc, "block")
+        val badTrap = counts
           .filter(expr(s"__nl > ${maxBlockPairs}L div __nr"))
           .select(col("block"),
             raise_error(concat(

@@ -313,55 +313,67 @@ object Bm25 {
     lazy val qSmall = probed._2
     lazy val qterms0m = probed._1
     def qHint(df: DataFrame): DataFrame = if (qSmall) broadcast(df) else df
-    val qterms =
-      if (maxTermsPerQuery == Int.MaxValue) qterms0m
-      else {
-        // per-token posting counts are independent of other tokens, so
-        // restricting the index to the QUERY's tokens before the df
-        // aggregate is bit-identical — and turns a full-vocabulary
-        // scan+shuffle into a query-bounded one (pushed IN filter when
-        // the unpruned vocabulary fits the pushdown cap, broadcast
-        // semi-join restriction past it)
-        val qtokAll = qterms0.select("token").distinct()
-        val qtokArr = qtokAll.limit(maxPushdownTerms + 1)
-          .collect().map(_.getString(0))
-        val pruned =
-          if (qtokArr.length <= maxPushdownTerms) {
-            // vocabulary fits the pushdown cap: the df frame is ≤
-            // maxPushdownTerms rows BY CONSTRUCTION, so IT is the
-            // broadcast side — no cardinality probe needed, and the
-            // (possibly corpus-sized) query terms are never a build side
-            val dfs = index.filter(col("token").isin(qtokArr.toSeq: _*))
-              .groupBy("token").agg(count(lit(1)).as("__df"))
-            qterms0.join(broadcast(dfs), "token")
-          } else {
-            // query vocabulary past the pushdown cap: both the semi-join
-            // restriction and the df attach need the guarded orientation
-            // (and the probe-shared frame, so the probe pass is reused)
-            val dfs = index.join(
-                qHint(qterms0m.select("token").distinct()), Seq("token"),
-                "left_semi")
-              .groupBy("token").agg(count(lit(1)).as("__df"))
-            dfs.join(qHint(qterms0m), "token")
-          }
-        // materialize the (query-bounded) pruned frame once: the pushdown
-        // collect, the final-join cardinality check and the probe join all
-        // consume it, and each would otherwise re-run the postings scan
-        pruneQueryTerms(pruned, "__df", maxTermsPerQuery)
-          .drop("__df").localCheckpoint()
-      }
-    val terms = qterms.select("token").distinct()
-      .limit(maxPushdownTerms + 1).collect().map(_.getString(0))
-    val scan = if (terms.length <= maxPushdownTerms)
-      index.filter(col("token").isin(terms.toSeq: _*)) else index
-    // pruned frames are checkpointed, so the exact count is one cheap
-    // cache-backed job; the unpruned path rides the shared probe
-    val qtSmall =
-      if (maxTermsPerQuery == Int.MaxValue) qSmall
-      else qterms.count() <= maxBroadcastQueryTerms
-    rankTopK(scan.join(if (qtSmall) broadcast(qterms) else qterms, "token")
-      .filter(col("doc_id") =!= col("query_id"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum("w_u").as("score_u")), k)
+    def finish(qterms: DataFrame, qtSmall: Boolean,
+               scanTerms: Array[String]): DataFrame = {
+      val scan = if (scanTerms.length <= maxPushdownTerms)
+        index.filter(col("token").isin(scanTerms.toSeq: _*)) else index
+      rankTopK(scan.join(if (qtSmall) broadcast(qterms) else qterms, "token")
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum("w_u").as("score_u")), k)
+    }
+    if (maxTermsPerQuery == Int.MaxValue) {
+      // unpruned path: the shared probe materialized qterms0m, so the
+      // pushdown collect is one cheap checkpoint-backed job
+      val terms = qterms0m.select("token").distinct()
+        .limit(maxPushdownTerms + 1).collect().map(_.getString(0))
+      finish(qterms0m, qSmall, terms)
+    } else {
+      // per-token posting counts are independent of other tokens, so
+      // restricting the index to the QUERY's tokens before the df
+      // aggregate is bit-identical — and turns a full-vocabulary
+      // scan+shuffle into a query-bounded one (pushed IN filter when
+      // the unpruned vocabulary fits the pushdown cap, broadcast
+      // semi-join restriction past it)
+      val qtokArr = qterms0.select("token").distinct()
+        .limit(maxPushdownTerms + 1).collect().map(_.getString(0))
+      val (pruned0, scanTok) =
+        if (qtokArr.length <= maxPushdownTerms) {
+          // vocabulary fits the pushdown cap: the df frame is ≤
+          // maxPushdownTerms rows BY CONSTRUCTION, so IT is the
+          // broadcast side — no cardinality probe needed, and the
+          // (possibly corpus-sized) query terms are never a build side.
+          // The already-collected UNPRUNED vocabulary doubles as the
+          // scan's IN filter (a superset of the pruned tokens — the
+          // qterms join restricts further, so rows are identical), which
+          // deletes the post-prune re-collect job the old shape paid.
+          val dfs = index.filter(col("token").isin(qtokArr.toSeq: _*))
+            .groupBy("token").agg(count(lit(1)).as("__df"))
+          (qterms0.join(broadcast(dfs), "token"), Some(qtokArr))
+        } else {
+          // query vocabulary past the pushdown cap: both the semi-join
+          // restriction and the df attach need the guarded orientation
+          // (and the probe-shared frame, so the probe pass is reused)
+          val dfs = index.join(
+              qHint(qterms0m.select("token").distinct()), Seq("token"),
+              "left_semi")
+            .groupBy("token").agg(count(lit(1)).as("__df"))
+          (dfs.join(qHint(qterms0m), "token"), None)
+        }
+      // LAZY checkpoint + count: the count materializes the (query-
+      // bounded) pruned frame — which the pushdown collect, the final
+      // join and the broadcast-cap check all consume — in the SAME
+      // scheduler job that sizes it, where eager-checkpoint-then-count
+      // paid two jobs of pure latency on a tiny frame
+      val qterms = pruneQueryTerms(pruned0, "__df", maxTermsPerQuery)
+        .drop("__df").localCheckpoint(eager = false)
+      val qtSmall = qterms.count() <= maxBroadcastQueryTerms
+      // over-pushdown-cap vocabularies can still shrink below the cap
+      // after per-query pruning — re-collect from the materialized
+      // checkpoint (cheap) only in that branch
+      val scanTerms = scanTok.getOrElse(qterms.select("token").distinct()
+        .limit(maxPushdownTerms + 1).collect().map(_.getString(0)))
+      finish(qterms, qtSmall, scanTerms)
+    }
   }
 }

@@ -296,6 +296,36 @@ class DedupGroupsSpec extends SparkSpec {
     assert(keptBest == Set(7.5d, 100.0d), s"got $keptBest")
   }
 
+  test("a WIDE-DECIMAL fractional id (≥ 10²⁰, past the (38,18) probe's " +
+    "range) still never rounds onto a neighboring graph id") {
+    // the old fixed-scale probe try_cast'd decimal(38,1) 1e20 + 0.5 to
+    // decimal(38,18) → overflow → NULL → fell through to the rounding
+    // (38,0) key, which rounds it onto graph id 10²⁰ + 1; the native
+    // c =!= floor(c) check on DecimalType is exact at any precision
+    // built from strings: the tuple encoder would type a scala BigDecimal
+    // as decimal(38,18), which these 21-integer-digit values overflow
+    val df = Seq(("100000000000000000000.5", 1L),
+        ("100000000000000000001.0", 2L), ("3.0", 9L))
+      .toDF("doc_id", "quality")
+      .select(col("doc_id").cast(
+        org.apache.spark.sql.types.DecimalType(38, 1)).as("doc_id"),
+        col("quality"))
+    // pair graph carries the ids as decimal(38,0) — a type a 64-bit long
+    // cannot hold, which is exactly when wide decimal caller ids arise
+    val pairs = Seq(("100000000000000000001", "3"))
+      .toDF("id_a", "id_b")
+      .select(col("id_a").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        .as("id_a"),
+        col("id_b").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          .as("id_b"))
+    val keptMin = DedupGroups.canonicalize(df, pairs, "doc_id",
+        "id_a", "id_b")
+      .select(col("doc_id").cast("string")).as[String].collect().toSet
+    // comp = 3: wideInt (…001) drops, small (3) survives as canonical,
+    // and the FRACTIONAL wide id is inert — it must NOT follow …001 out
+    assert(keptMin == Set("100000000000000000000.5", "3.0"), s"got $keptMin")
+  }
+
   test("canonicalizeBest: two value-equal representations of one id " +
     "(\"7\" and \"007\") share one fate — the group keeps its survivor") {
     // both strings value-match graph id 7; before the member collapse
