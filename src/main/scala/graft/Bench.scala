@@ -66,11 +66,16 @@ object Bench {
     // field states directly. Override per environment with
     // SPARK_GRAFT_BENCH_CONTROL_REFS ("name=sec,name=sec"); controls
     // without a reference (or a non-sf0.1 run) simply contribute nothing.
+    // tolerant parse: a malformed entry (empty or non-numeric value)
+    // contributes nothing — an optional normalization hint must never be
+    // able to kill a multi-hour bench run at startup
     val controlRefs: Map[String, Double] =
       sys.env.get("SPARK_GRAFT_BENCH_CONTROL_REFS")
         .map(_.split(",").map(_.trim).filter(_.contains("="))
-          .map { kv => val Array(k, v) = kv.split("=", 2); k -> v.toDouble }
-          .toMap)
+          .flatMap { kv =>
+            val Array(k, v) = kv.split("=", 2)
+            v.toDoubleOption.map(k -> _)
+          }.toMap)
         .getOrElse(if (sfDir.endsWith("sf0.1")) Map(
           "q01_read_project" -> 0.0891,
           "q21_multimodal_meta" -> 0.1956,
@@ -105,6 +110,24 @@ object Bench {
     // warmup must not be billed to the first interleave points as
     // "dispersion" (one pass measurably wasn't enough on a short run)
     runControls(timed = false); runControls(timed = false)
+    // ONE median and ONE warmup-drop definition for everything this run
+    // emits (per-query medians, the noise floor's control dispersion, the
+    // control_ratio) — three inline copies of the same statistical
+    // conventions would drift independently and silently break exactly
+    // the cross-round comparability the artifact exists to provide.
+    // Strict median: odd counts take the middle run; even counts average
+    // the two middles (the lower-middle alternative degenerates to the
+    // MINIMUM at 2 reps — an optimistic bias still labeled "median").
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    // each control's first timed sample is warmup (kept in the JSON,
+    // excluded from floor and ratio): residual JIT drifts it high on
+    // short runs, and both fields certify CONTENTION, not warmup
+    def dropWarmup(ts: Seq[Double]): Seq[Double] =
+      if (ts.size >= 3) ts.drop(1) else ts
     val benchSet = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
     // ~8 interleave points across the run (plus one final pass below)
@@ -129,15 +152,7 @@ object Bench {
       }
       val err = runs.collectFirst { case (_, Some(m)) => m }
       val times = runs.map(_._1)
-      // strict median: odd counts take the middle run (the driver's 3-run
-      // default is unchanged); even counts average the two middle runs —
-      // the lower-middle alternative degenerates to the MINIMUM at 2 reps,
-      // an optimistic bias still labeled "median"
-      val sorted = times.sorted
-      val median =
-        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
-        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
-      (name, median, times, err)
+      (name, med(times), times, err)
     }
     if (controlNames.nonEmpty) runControls(timed = true) // closing point
     def jstr(s: String): String =
@@ -163,15 +178,11 @@ object Bench {
     val controlsJson = controlTimes.map { case (k, ts) =>
       jstr(k) + ":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    // each control's first timed sample is excluded from the floor (kept
-    // in the JSON): residual JIT warmup drifts the first point high on
-    // short runs, and the floor should certify CONTENTION, not warmup.
     // NO usable samples (controls disabled, names not in `queries`, or
     // every control run failing) → null, NOT 1.0: an unmeasured run must
     // be distinguishable from a measured-quiet one, or a typo'd control
     // list would falsely certify the whole artifact
-    val floors = controlTimes.values
-      .map(ts => if (ts.size >= 3) ts.drop(1) else ts)
+    val floors = controlTimes.values.map(dropWarmup)
       .filter(_.size >= 2).map(ts => ts.max / ts.min)
     val noiseFloor = if (floors.isEmpty) "null" else floors.max.toString
     // ambient ratio vs the stored quiet-window references: ~1.0 = this run
@@ -179,13 +190,8 @@ object Bench {
     // per-query diffs by this before calling anything a regression. Median
     // across controls (each control's warmup-dropped median / its stored
     // reference) so one control's own drift cannot fake an ambient shift.
-    def med(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
     val ratios = controlTimes.toSeq.flatMap { case (cn, ts) =>
-      val kept = if (ts.size >= 3) ts.drop(1) else ts
+      val kept = dropWarmup(ts)
       controlRefs.get(cn).filter(_ > 0).filter(_ => kept.nonEmpty)
         .map(ref => med(kept) / ref)
     }

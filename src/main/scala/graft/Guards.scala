@@ -33,7 +33,12 @@ object Guards {
     * under-cap call for the app's lifetime — exactly the accumulation a
     * long-lived query service over Bm25.searchIndex cannot afford. The
     * over-cap branch's discarded ≤ cap+1-row checkpoint is reclaimed
-    * the same way (bounded, no unpersist bookkeeping needed). The trade,
+    * the same way — per call the blocks are bounded, and ACROSS calls
+    * reclamation runs at driver-GC cadence (checkpoint blocks are also
+    * invisible to spark.catalog.clearCache, which only clears the
+    * CacheManager): a tight loop of over-cap probes can hold a few
+    * discarded block sets between GC cycles, spilled to disk by
+    * MEMORY_AND_DISK rather than pressuring the heap. The trade,
     * stated (the sortedNeighborhood comment): checkpoint blocks are
     * executor-local, so on a real cluster an executor loss fails the
     * consuming stage where a persist's lineage would recompute —

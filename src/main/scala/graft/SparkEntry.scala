@@ -4508,7 +4508,13 @@ object SparkEntry {
         emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = k)
         .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
     }
-    (Await.result(lexF, Duration.Inf), Await.result(denseF, Duration.Inf))
+    // await BOTH legs before rethrowing a failure: bailing on the first
+    // failed Await would leave the surviving leg's driver-blocking jobs
+    // running with no handle — contending with whatever the caller (a
+    // bench loop's next query, a retry) runs next
+    val lexT = scala.util.Try(Await.result(lexF, Duration.Inf))
+    val denseT = scala.util.Try(Await.result(denseF, Duration.Inf))
+    (lexT.get, denseT.get)
   }
 
   /** Per-clip video dHash replayed from the pixel recurrence — q98's

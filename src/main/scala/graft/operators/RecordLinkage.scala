@@ -84,9 +84,17 @@ object RecordLinkage {
         // each input, no aggregate-aggregate join stage at all. Blocks
         // present on only one side generate no pairs and are filtered
         // before the division (which also keeps __nr ≥ 1, so the ANSI
-        // `div` below cannot itself throw on zero).
+        // `div` below cannot itself throw on zero). NULL blocks are
+        // excluded explicitly: a null key never matches in the pair
+        // equi-join (zero pairs by construction), but groupBy COUNTS
+        // nulls as a group — without the filter a large null-key
+        // population on both sides (records missing the blocking
+        // attribute) would spuriously trip the guard. The old two-
+        // aggregate shape excluded them implicitly via its inner join's
+        // null-key semantics; the union shape must do it by hand.
         val counts = l.select(col("block"), lit(true).as("__isl"))
           .unionByName(r.select(col("block"), lit(false).as("__isl")))
+          .filter(col("block").isNotNull)
           .groupBy("block")
           .agg(sum(when(col("__isl"), 1L).otherwise(0L)).as("__nl"),
             sum(when(!col("__isl"), 1L).otherwise(0L)).as("__nr"))

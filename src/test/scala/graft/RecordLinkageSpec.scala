@@ -75,6 +75,27 @@ class RecordLinkageSpec extends SparkSpec {
     assert(rows(1600L).nonEmpty)
   }
 
+  test("NULL-block populations never trip the pair-volume guard (null " +
+    "keys make zero pairs) and never pair") {
+    // 60 x 60 null-block "pairs" on both sides would exceed a cap of
+    // 1000 — but a null key never matches in the equi-join, so the guard
+    // must not count them (groupBy would otherwise aggregate nulls as a
+    // block); the real block 'ab' must still link normally
+    val nullS = lit(null).cast("string")
+    def withNulls(rows: Seq[(Long, String)]) =
+      RecordLinkage.shape(rows.toDF("id", "s"), "id",
+        when(col("s").startsWith("zz"), nullS)
+          .otherwise(expr("substring(s, 1, 2)")), "s")
+    val left = withNulls(
+      (1L to 60L).map(i => (i, f"zz-$i%04d")) :+ (990L, "ab-0001"))
+    val right = withNulls(
+      (101L to 160L).map(i => (i, f"zz-${i - 100}%04d")) :+ (991L, "ab-0002"))
+    val out = RecordLinkage.linkBlocked(left, right, maxDist = 1,
+        maxBlockPairs = 1000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((990L, 991L, 1L)), s"got $out")
+  }
+
   test("incrementalLink: batch probes the index AND itself; new-vs-new " +
     "pairs carry the larger id as new_id") {
     val index = shaped(Seq((1L, "ab-1234"), (2L, "cd-5678")))
