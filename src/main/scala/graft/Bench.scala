@@ -43,6 +43,7 @@ object Bench {
     // round under sandbox contention (q27/q36/q44 in r4 regressed with
     // byte-identical code); the median is stable to one outlier run
     val runsPer = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    require(runsPer >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runsPer")
     // optional comma list of name prefixes — dev subset runs (the driver
     // sets neither env, so it always benches everything)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
@@ -68,13 +69,21 @@ object Bench {
     // without a reference (or a non-sf0.1 run) simply contribute nothing.
     // tolerant parse: a malformed entry (empty or non-numeric value)
     // contributes nothing — an optional normalization hint must never be
-    // able to kill a multi-hour bench run at startup
+    // able to kill a multi-hour bench run at startup — but each drop is
+    // WARNED on stderr (one line), so an operator typo is
+    // distinguishable from "refs intentionally unset" (the same
+    // unmeasured-vs-measured principle as the null noise floor). Keys
+    // and values are trimmed individually: spaces around '=' must not
+    // silently produce a key no control name matches.
     val controlRefs: Map[String, Double] =
       sys.env.get("SPARK_GRAFT_BENCH_CONTROL_REFS")
         .map(_.split(",").map(_.trim).filter(_.contains("="))
           .flatMap { kv =>
-            val Array(k, v) = kv.split("=", 2)
-            v.toDoubleOption.map(k -> _)
+            val Array(k, v) = kv.split("=", 2).map(_.trim)
+            val parsed = v.toDoubleOption.map(k -> _)
+            if (parsed.isEmpty) System.err.println(
+              s"Bench: ignoring malformed SPARK_GRAFT_BENCH_CONTROL_REFS entry '$kv'")
+            parsed
           }.toMap)
         .getOrElse(if (sfDir.endsWith("sf0.1")) Map(
           "q01_read_project" -> 0.0891,

@@ -4511,10 +4511,20 @@ object SparkEntry {
     // await BOTH legs before rethrowing a failure: bailing on the first
     // failed Await would leave the surviving leg's driver-blocking jobs
     // running with no handle — contending with whatever the caller (a
-    // bench loop's next query, a retry) runs next
+    // bench loop's next query, a retry) runs next. The drain after a
+    // FAILURE is time-bounded: a wedged surviving leg must not convert
+    // a fast loud error into an infinite silent hang (on success the
+    // wait is unbounded, exactly as sequential construction was). A
+    // second failure rides along as suppressed, not silently dropped.
     val lexT = scala.util.Try(Await.result(lexF, Duration.Inf))
-    val denseT = scala.util.Try(Await.result(denseF, Duration.Inf))
-    (lexT.get, denseT.get)
+    val denseT = scala.util.Try(Await.result(denseF,
+      if (lexT.isSuccess) Duration.Inf
+      else scala.concurrent.duration.Duration(10, "min")))
+    (lexT, denseT) match {
+      case (scala.util.Failure(e1), scala.util.Failure(e2)) =>
+        e1.addSuppressed(e2); throw e1
+      case _ => (lexT.get, denseT.get)
+    }
   }
 
   /** Per-clip video dHash replayed from the pixel recurrence — q98's
