@@ -77,15 +77,28 @@ object Bench {
     // silently produce a key no control name matches.
     val controlRefs: Map[String, Double] =
       sys.env.get("SPARK_GRAFT_BENCH_CONTROL_REFS")
-        .map(_.split(",").map(_.trim).filter(_.contains("="))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty)
           .flatMap { kv =>
-            val Array(k, v) = kv.split("=", 2).map(_.trim)
-            val parsed = v.toDoubleOption.map(k -> _)
+            // '='-less entries go through the SAME warn path as
+            // non-numeric values: a colon/space typo dropping every
+            // entry pre-warning would make a typo'd env var emit a null
+            // control_ratio indistinguishable from refs intentionally
+            // unset — the exact ambiguity the warning exists to remove
+            val parsed =
+              if (!kv.contains("=")) None
+              else {
+                val Array(k, v) = kv.split("=", 2).map(_.trim)
+                v.toDoubleOption.map(k -> _)
+              }
             if (parsed.isEmpty) System.err.println(
               s"Bench: ignoring malformed SPARK_GRAFT_BENCH_CONTROL_REFS entry '$kv'")
             parsed
           }.toMap)
-        .getOrElse(if (sfDir.endsWith("sf0.1")) Map(
+        // strip trailing separators before the suffix gate (File.getPath
+        // normalizes them): a trailing slash must not silently disable
+        // the built-in sf0.1 references (and with them ambient
+        // normalization) for a run that IS the reference scale factor
+        .getOrElse(if (new java.io.File(sfDir).getPath.endsWith("sf0.1")) Map(
           "q01_read_project" -> 0.0891,
           "q21_multimodal_meta" -> 0.1956,
           "q220_k_anonymity" -> 0.3728) else Map.empty)

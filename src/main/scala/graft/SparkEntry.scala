@@ -4497,33 +4497,61 @@ object SparkEntry {
     val idxPath = stagedBm25Index(s, dir)
     val docs = Tables.documents(s, dir)
     val emb = spread(s, Tables.embeddings(s, dir))
-    val lexF = Future {
+    val sc = s.sparkContext
+    // one unique job group per call, shared by both legs: on the first
+    // failed leg the group is cancelled, so the surviving leg's Spark
+    // jobs die IMMEDIATELY instead of draining passively — the caller's
+    // loud error is not delayed by a healthy long leg, and a wedged leg
+    // cannot leave orphaned jobs contending with the caller's next
+    // query. The id is fresh per call and the group is cleared in a
+    // finally on the POOL thread: global-EC threads are recycled, and a
+    // stale thread-local group on a reused thread would tag (and a
+    // later cancel would kill) an unrelated caller's jobs.
+    val group = s"graft-hybrid-${java.util.UUID.randomUUID()}"
+    def leg(body: => DataFrame): Future[Either[Throwable, DataFrame]] =
+      Future {
+        // catch Throwable, not NonFatal: a fatal error thrown from a
+        // Future body (StackOverflowError in Catalyst analysis, a
+        // driver OOM in the pushdown collect) never completes the
+        // future under 2.13's NonFatal interceptor rule, which would
+        // turn a loud failure into an infinite Await hang below
+        try { sc.setJobGroup(group, "hybrid retriever leg"); Right(body) }
+        catch { case t: Throwable => Left(t) }
+        finally sc.clearJobGroup()
+      }
+    val lexF = leg {
       Bm25.searchIndex(s.read.parquet(idxPath),
         docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", k = k,
         maxTermsPerQuery = retrievalPruneCap)
         .select("query_id", "doc_id", "rank")
     }
-    val denseF = Future {
+    val denseF = leg {
       Ann.bruteForceTopK(emb,
         emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = k)
         .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
     }
-    // await BOTH legs before rethrowing a failure: bailing on the first
-    // failed Await would leave the surviving leg's driver-blocking jobs
-    // running with no handle — contending with whatever the caller (a
-    // bench loop's next query, a retry) runs next. The drain after a
-    // FAILURE is time-bounded: a wedged surviving leg must not convert
-    // a fast loud error into an infinite silent hang (on success the
-    // wait is unbounded, exactly as sequential construction was). A
-    // second failure rides along as suppressed, not silently dropped.
-    val lexT = scala.util.Try(Await.result(lexF, Duration.Inf))
-    val denseT = scala.util.Try(Await.result(denseF,
-      if (lexT.isSuccess) Duration.Inf
-      else scala.concurrent.duration.Duration(10, "min")))
-    (lexT, denseT) match {
-      case (scala.util.Failure(e1), scala.util.Failure(e2)) =>
-        e1.addSuppressed(e2); throw e1
-      case _ => (lexT.get, denseT.get)
+    // both futures ALWAYS complete (Throwable is caught into Either),
+    // so the unbounded awaits cannot hang on a fatal error. After a
+    // lexical failure the dense leg's jobs are already cancelled; the
+    // residual bound covers only driver-side work cancellation cannot
+    // interrupt (plan analysis), which must not stall the error
+    // forever. A second failure rides along as suppressed.
+    val lexE = Await.result(lexF, Duration.Inf)
+    if (lexE.isLeft) sc.cancelJobGroup(group)
+    val denseE =
+      try Await.result(denseF,
+        if (lexE.isRight) Duration.Inf else Duration(10, "min"))
+      catch { case _: java.util.concurrent.TimeoutException =>
+        Left(new IllegalStateException(
+          "dense retriever leg failed to terminate within 10 min of " +
+            "lexical-leg failure and job-group cancellation")) }
+    // (a dense-only failure needs no cancel: the lexical leg's eager
+    // jobs completed before its future resolved Right)
+    (lexE, denseE) match {
+      case (Left(e1), Left(e2)) => e1.addSuppressed(e2); throw e1
+      case (Left(e1), _) => throw e1
+      case (_, Left(e2)) => throw e2
+      case (Right(l), Right(d)) => (l, d)
     }
   }
 

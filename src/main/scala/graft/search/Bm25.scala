@@ -337,19 +337,15 @@ object Bm25 {
       // semi-join restriction past it)
       val qtokArr = qterms0.select("token").distinct()
         .limit(maxPushdownTerms + 1).collect().map(_.getString(0))
-      val (pruned0, scanTok) =
+      val pruned0 =
         if (qtokArr.length <= maxPushdownTerms) {
           // vocabulary fits the pushdown cap: the df frame is ≤
           // maxPushdownTerms rows BY CONSTRUCTION, so IT is the
           // broadcast side — no cardinality probe needed, and the
-          // (possibly corpus-sized) query terms are never a build side.
-          // The already-collected UNPRUNED vocabulary doubles as the
-          // scan's IN filter (a superset of the pruned tokens — the
-          // qterms join restricts further, so rows are identical), which
-          // deletes the post-prune re-collect job the old shape paid.
+          // (possibly corpus-sized) query terms are never a build side
           val dfs = index.filter(col("token").isin(qtokArr.toSeq: _*))
             .groupBy("token").agg(count(lit(1)).as("__df"))
-          (qterms0.join(broadcast(dfs), "token"), Some(qtokArr))
+          qterms0.join(broadcast(dfs), "token")
         } else {
           // query vocabulary past the pushdown cap: both the semi-join
           // restriction and the df attach need the guarded orientation
@@ -358,7 +354,7 @@ object Bm25 {
               qHint(qterms0m.select("token").distinct()), Seq("token"),
               "left_semi")
             .groupBy("token").agg(count(lit(1)).as("__df"))
-          (dfs.join(qHint(qterms0m), "token"), None)
+          dfs.join(qHint(qterms0m), "token")
         }
       // LAZY checkpoint + count: the count materializes the (query-
       // bounded) pruned frame — which the pushdown collect, the final
@@ -368,11 +364,18 @@ object Bm25 {
       val qterms = pruneQueryTerms(pruned0, "__df", maxTermsPerQuery)
         .drop("__df").localCheckpoint(eager = false)
       val qtSmall = qterms.count() <= maxBroadcastQueryTerms
-      // over-pushdown-cap vocabularies can still shrink below the cap
-      // after per-query pruning — re-collect from the materialized
-      // checkpoint (cheap) only in that branch
-      val scanTerms = scanTok.getOrElse(qterms.select("token").distinct()
-        .limit(maxPushdownTerms + 1).collect().map(_.getString(0)))
+      // the scan's IN filter is the POST-prune token union, re-collected
+      // from the materialized checkpoint (one cache-backed job over ≤ a
+      // few thousand rows). Reusing the already-collected UNPRUNED
+      // vocabulary was tried (it saves this job; rows identical since
+      // the qterms join restricts further) and rejected: the superset
+      // filter widens the postings read to every unpruned token's row
+      // groups, and on the token-sorted index this module's scan-pruning
+      // story exists for, that I/O dwarfs one small driver job — the
+      // exact long-query workload pruneQueryTerms targets is the one
+      // where the unpruned vocabulary is largest
+      val scanTerms = qterms.select("token").distinct()
+        .limit(maxPushdownTerms + 1).collect().map(_.getString(0))
       finish(qterms, qtSmall, scanTerms)
     }
   }
