@@ -79,13 +79,17 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_CONTROL_REFS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty)
           .flatMap { kv =>
-            // '='-less entries go through the SAME warn path as
-            // non-numeric values: a colon/space typo dropping every
-            // entry pre-warning would make a typo'd env var emit a null
-            // control_ratio indistinguishable from refs intentionally
-            // unset — the exact ambiguity the warning exists to remove
+            // '='-less AND empty-key entries go through the SAME warn
+            // path as non-numeric values: a colon/space typo dropping
+            // every entry pre-warning would make a typo'd env var emit a
+            // null control_ratio indistinguishable from refs
+            // intentionally unset — and an empty key ('=0.5', or a
+            // leading-comma artifact) parses "successfully" to a key no
+            // control name can ever match, the same silent-drop
+            // ambiguity wearing a different typo
             val parsed =
-              if (!kv.contains("=")) None
+              if (!kv.contains("=") || kv.takeWhile(_ != '=').trim.isEmpty)
+                None
               else {
                 val Array(k, v) = kv.split("=", 2).map(_.trim)
                 v.toDoubleOption.map(k -> _)
@@ -94,14 +98,30 @@ object Bench {
               s"Bench: ignoring malformed SPARK_GRAFT_BENCH_CONTROL_REFS entry '$kv'")
             parsed
           }.toMap)
-        // strip trailing separators before the suffix gate (File.getPath
-        // normalizes them): a trailing slash must not silently disable
-        // the built-in sf0.1 references (and with them ambient
-        // normalization) for a run that IS the reference scale factor
-        .getOrElse(if (new java.io.File(sfDir).getPath.endsWith("sf0.1")) Map(
-          "q01_read_project" -> 0.0891,
-          "q21_multimodal_meta" -> 0.1956,
-          "q220_k_anonymity" -> 0.3728) else Map.empty)
+        // built-in references are keyed by the dataset directory's FINAL
+        // path component (File.getName — which also strips a trailing
+        // slash, so '/data/sf0.1/' still matches): a bare endsWith gate
+        // matched any directory whose name merely ENDED in the literal
+        // ('/data/notsf0.1') and silently applied the wrong scale's
+        // references, emitting a misleading control_ratio. Two scales
+        // carry built-ins: sf0.1 (the round-11 quiet-window warmup-
+        // dropped control medians, the per-round profile's anchor) and
+        // sf1u (the make_sf1.py 10x layout at its conventional
+        // directory name — round-14 quiet-window isolated medians,
+        // floor ≤2 — so the sf1 scaling map self-certifies its ambient
+        // window instead of needing manual control archaeology, the
+        // round-13 verdict's ask #4).
+        .getOrElse(new java.io.File(sfDir).getName match {
+          case "sf0.1" => Map(
+            "q01_read_project" -> 0.0891,
+            "q21_multimodal_meta" -> 0.1956,
+            "q220_k_anonymity" -> 0.3728)
+          case "sf1u" => Map(
+            "q01_read_project" -> 0.3354,
+            "q21_multimodal_meta" -> 0.8904,
+            "q220_k_anonymity" -> 1.9304)
+          case _ => Map.empty[String, Double]
+        })
     val controlTimes =
       scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     // failed control runs are counted and emitted (controls_failed): a

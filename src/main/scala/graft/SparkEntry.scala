@@ -1708,13 +1708,19 @@ object SparkEntry {
     // per-(term, doc) weight precomputed and parquet-staged once
     // (content-hash keyed), so the query workload never re-tokenizes the
     // corpus: the 100 TB split between the one heavy index pass and cheap
-    // probes. Same queries and k as q104, and the impact decomposition is
-    // score-identical by construction, so q104's oracle applies verbatim
-    // (the q92/q46 precedent).
+    // probes. The prune ranking reads the staged (token, df) vocabulary
+    // table beside the index (stagedBm25Vocab) instead of re-aggregating
+    // df from the postings per workload — ranks bit-identical, SearchSpec
+    // pins it. Same queries and k as q104, and the impact decomposition
+    // is score-identical by construction, so q104's oracle applies
+    // verbatim (the q92/q46 precedent).
     "q109_bm25_index" -> ((s, dir) =>
       Bm25.searchIndex(s.read.parquet(stagedBm25Index(s, dir)),
+        s.read.parquet(stagedBm25Vocab(s, dir)),
         Tables.documents(s, dir).filter(col("doc_id") % 100 === 0),
-        "doc_id", "text", k = 10, maxTermsPerQuery = retrievalPruneCap)),
+        "doc_id", "text", k = 10, maxPushdownTerms = 10000,
+        maxTermsPerQuery = retrievalPruneCap,
+        maxBroadcastQueryTerms = 4000000L)),
 
     // §2 row 126: incremental video dedup vs a persisted signature index —
     // the video twin of q99/q107, completing the incremental-ingest shape
@@ -4470,6 +4476,29 @@ object SparkEntry {
     idxPath
   }
 
+  /** Stage the (token, df_docs) vocabulary frame BESIDE the impact index
+    * (the round-13 verdict's ask #5 — the last stated 100 TB gap in the
+    * retrieval family): [[Bm25.searchIndex]]'s pruned path ranks query
+    * terms by document frequency, and without this table it re-derived
+    * df from the postings scan per query workload. The vocab is
+    * vocabulary-sized (two columns per distinct token), derived from the
+    * staged index itself (so df_docs is definitionally the index's
+    * per-token posting count — the vocab overload's ranks are
+    * bit-identical to the self-derived path, SearchSpec pins it), and
+    * token-sorted so the pruned path's IN(token) restriction prunes its
+    * row groups the same way the index scan's does. */
+  private def stagedBm25Vocab(s: SparkSession, dir: String): String = {
+    val vocabPath = artifactPath("bm25_vocab", dir,
+      codeHash(Bm25.getClass, TextFunctions.getClass))
+    stageParquet(vocabPath) { tmp =>
+      Bm25.indexVocab(s.read.parquet(stagedBm25Index(s, dir)))
+        .repartitionByRange(1, col("token"))
+        .sortWithinPartitions("token")
+        .write.mode("overwrite").parquet(tmp)
+    }
+    vocabPath
+  }
+
   /** The hybrid-retrieval query shape shared by q105 (RRF fusion) and
     * q272 (agreement@k): top-`k` lexical (staged impact index, q109's
     * probe) and top-`k` dense (q20's exact brute force) lists for the
@@ -4486,27 +4515,35 @@ object SparkEntry {
     * scheduler interleave their jobs across the idle cores; the RESULT
     * frames are lazy plans, bit-identical to sequential construction
     * (SearchSpec/AnnSpec semantics unchanged), so the fused query's rows
-    * cannot differ. The staged-index path resolves BEFORE the fork so
-    * the (file-locked, idempotent) staging write never races the dense
-    * leg's probe for cores on a cold artifact cache. */
+    * cannot differ. The staged index AND vocab paths resolve BEFORE the
+    * fork so the (file-locked, idempotent) staging writes never race the
+    * dense leg's probe for cores on a cold artifact cache. */
   private def hybridRetrieverLists(s: SparkSession, dir: String,
                                    k: Int): (DataFrame, DataFrame) = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val idxPath = stagedBm25Index(s, dir)
+    val vocabPath = stagedBm25Vocab(s, dir)
     val docs = Tables.documents(s, dir)
     val emb = spread(s, Tables.embeddings(s, dir))
     val sc = s.sparkContext
     // one unique job group per call, shared by both legs: on the first
     // failed leg the group is cancelled, so the surviving leg's Spark
     // jobs die IMMEDIATELY instead of draining passively — the caller's
-    // loud error is not delayed by a healthy long leg, and a wedged leg
-    // cannot leave orphaned jobs contending with the caller's next
-    // query. The id is fresh per call and the group is cleared in a
-    // finally on the POOL thread: global-EC threads are recycled, and a
-    // stale thread-local group on a reused thread would tag (and a
-    // later cancel would kill) an unrelated caller's jobs.
+    // loud error is not delayed by a healthy long leg. The cancel is
+    // best-effort against a RACE window, stated honestly: cancelJobGroup
+    // only kills jobs active AT CALL TIME, so a leg that hasn't yet
+    // submitted its next eager job (the probe's count after its collect,
+    // say) slips it past a single cancel. The timeout bailout below
+    // therefore RE-issues the cancel right before giving up, catching
+    // any jobs submitted during the drain window; a leg wedged in
+    // driver-side planning (no Spark job to cancel) can still leave
+    // work behind, which the bounded await converts to a loud error
+    // rather than a hang. The id is fresh per call and the group is
+    // cleared in a finally on the POOL thread: global-EC threads are
+    // recycled, and a stale thread-local group on a reused thread would
+    // tag (and a later cancel would kill) an unrelated caller's jobs.
     val group = s"graft-hybrid-${java.util.UUID.randomUUID()}"
     def leg(body: => DataFrame): Future[Either[Throwable, DataFrame]] =
       Future {
@@ -4520,9 +4557,10 @@ object SparkEntry {
         finally sc.clearJobGroup()
       }
     val lexF = leg {
-      Bm25.searchIndex(s.read.parquet(idxPath),
+      Bm25.searchIndex(s.read.parquet(idxPath), s.read.parquet(vocabPath),
         docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", k = k,
-        maxTermsPerQuery = retrievalPruneCap)
+        maxPushdownTerms = 10000, maxTermsPerQuery = retrievalPruneCap,
+        maxBroadcastQueryTerms = 4000000L)
         .select("query_id", "doc_id", "rank")
     }
     val denseF = leg {
@@ -4541,10 +4579,26 @@ object SparkEntry {
     val denseE =
       try Await.result(denseF,
         if (lexE.isRight) Duration.Inf else Duration(10, "min"))
-      catch { case _: java.util.concurrent.TimeoutException =>
-        Left(new IllegalStateException(
-          "dense retriever leg failed to terminate within 10 min of " +
-            "lexical-leg failure and job-group cancellation")) }
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          // re-cancel before bailing: jobs the dense leg submitted AFTER
+          // the first cancel (the race window above) are still live here,
+          // and without this they would drain uncancelled alongside the
+          // caller's next query after we throw
+          sc.cancelJobGroup(group)
+          Left(new IllegalStateException(
+            "dense retriever leg failed to terminate within 10 min of " +
+              "lexical-leg failure and job-group cancellation"))
+        case ie: InterruptedException =>
+          // an interrupt of the CALLER thread must not outrank the
+          // lexical leg's original failure (the Left/Left suppression
+          // below exists to preserve e1): restore the flag for the
+          // caller's own interrupt machinery, cancel any still-live
+          // dense jobs, and fold the interrupt in as the suppressed arm
+          Thread.currentThread().interrupt()
+          sc.cancelJobGroup(group)
+          Left(ie)
+      }
     // (a dense-only failure needs no cancel: the lexical leg's eager
     // jobs completed before its future resolved Right)
     (lexE, denseE) match {

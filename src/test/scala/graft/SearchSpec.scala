@@ -205,6 +205,51 @@ class SearchSpec extends SparkSpec {
     assert(probed.exceptAll(direct).isEmpty && direct.exceptAll(probed).isEmpty)
   }
 
+  test("staged vocab overload: ranks bit-identical to the self-derived " +
+    "df path, through a real parquet round-trip, in BOTH pruned branches") {
+    val corpus = docsDf(
+      1L -> "rarea common filler words here",
+      2L -> "rareb common filler words here",
+      3L -> "rarec common filler words here",
+      4L -> "common filler words here extra",
+      5L -> "common filler words here extra")
+    val longQ = docsDf(100L -> "rarea rareb common filler words extra",
+      101L -> "rarec common filler")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bm25_vocab_spec").toString
+    // the exact staging the SparkEntry pair applies: vocab derived FROM
+    // the index build, both parquet round-tripped
+    Bm25.buildImpactIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/idx")
+    val idx = spark.read.parquet(s"$base/idx")
+    Bm25.indexVocab(idx).write.mode("overwrite").parquet(s"$base/vocab")
+    val vocab = spark.read.parquet(s"$base/vocab")
+    val self = Bm25.searchIndex(idx, longQ, "doc_id", "text", k = 5,
+      maxTermsPerQuery = 3)
+    // branch 1: query vocabulary within the pushdown cap (the default)
+    val staged = Bm25.searchIndex(idx, vocab, longQ, "doc_id", "text",
+      k = 5, maxPushdownTerms = 10000, maxTermsPerQuery = 3,
+      maxBroadcastQueryTerms = 4000000L)
+    assert(staged.exceptAll(self).isEmpty && self.exceptAll(staged).isEmpty,
+      "staged-vocab ranks must be bit-identical to the self-derived path")
+    // branch 2: query vocabulary PAST the pushdown cap (semi-join
+    // restriction instead of the pushed IN filter), vs the self-derived
+    // path under the same cap
+    val selfWide = Bm25.searchIndex(idx, longQ, "doc_id", "text", k = 5,
+      maxPushdownTerms = 1, maxTermsPerQuery = 3)
+    val stagedWide = Bm25.searchIndex(idx, vocab, longQ, "doc_id", "text",
+      k = 5, maxPushdownTerms = 1, maxTermsPerQuery = 3,
+      maxBroadcastQueryTerms = 4000000L)
+    assert(stagedWide.exceptAll(selfWide).isEmpty &&
+      selfWide.exceptAll(stagedWide).isEmpty,
+      "past-pushdown-cap staged-vocab ranks must match the self-derived path")
+    // and the vocab path must not have cost the index scan its pruning:
+    // the pushed IN(token) filter still reaches the postings scan
+    assert(staged.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [In(token"),
+      "staged-vocab path must keep the pushed postings-scan filter")
+  }
+
   test("RRF fusion arithmetic is the exact integer sum of both lists") {
     val l1 = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
     val l2 = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "doc_id", "rank")
