@@ -116,10 +116,16 @@ object Bench {
             "q01_read_project" -> 0.0891,
             "q21_multimodal_meta" -> 0.1956,
             "q220_k_anonymity" -> 0.3728)
+          // round-14 quiet-window (floor 1.28) isolated 5-rep medians.
+          // Convention note: q220's IN-MAP samples run ~2x its isolated
+          // value under a full map's cache pressure, so the per-control
+          // ratios are combined by MEDIAN below — one map-inflated
+          // control cannot move the reported ambient (r13's sf1 map
+          // reads 1.04 against these refs by that median).
           case "sf1u" => Map(
-            "q01_read_project" -> 0.3354,
-            "q21_multimodal_meta" -> 0.8904,
-            "q220_k_anonymity" -> 1.9304)
+            "q01_read_project" -> 0.1564,
+            "q21_multimodal_meta" -> 0.2455,
+            "q220_k_anonymity" -> 0.2942)
           case _ => Map.empty[String, Double]
         })
     val controlTimes =
