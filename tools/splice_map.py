@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Apply the repo's splice protocol to a bench map (driver-side dev
+tooling — NOT part of the Scala library).
+
+Burst-victim queries (in-map median > 2x their quiet-window isolated
+5-rep median) are REPLACED by their isolated evidence: both the
+`queries` median and the `runs` array, with the substitution recorded
+per query in the `spliced` key and `value` recomputed as the sum of
+medians. Kept >=1.5x movers with isolation evidence carry it in a
+separate `isolated` key (median + provenance) so the artifact itself —
+not round prose — holds the evidence (round-13 verdict ask #3).
+
+Usage: splice_map.py <map.json> <out.json> <evidence.json>
+  evidence.json: {"qname": {"median": s, "runs": [..], "note": "..",
+                  "splice": true|false}}
+"""
+import json, sys
+
+def main():
+    src, dst, ev_path = sys.argv[1], sys.argv[2], sys.argv[3]
+    d = json.load(open(src))
+    ev = json.load(open(ev_path))
+    spliced, isolated = {}, {}
+    for q, e in ev.items():
+        if q not in d["queries"]:
+            raise SystemExit(f"evidence for unknown query {q}")
+        inmap = d["queries"][q]
+        if e.get("splice"):
+            d["queries"][q] = e["median"]
+            d["runs"][q] = e["runs"]
+            spliced[q] = (f"in-map {inmap:.3f} vs quiet-window isolated "
+                          f"5-rep median {e['median']:.3f} (>2x): spliced "
+                          f"at the isolated evidence. {e.get('note','')}")
+        else:
+            isolated[q] = (f"kept: in-map {inmap:.3f} is "
+                           f"{inmap/e['median']:.2f}x its quiet-window "
+                           f"isolated 5-rep median {e['median']:.3f} "
+                           f"(under the 2x splice bar). {e.get('note','')}")
+    d["value"] = sum(d["queries"].values())
+    if spliced:
+        d["spliced"] = spliced
+    if isolated:
+        d["isolated"] = isolated
+    json.dump(d, open(dst, "w"))
+    print(f"total {d['value']:.1f}  spliced {len(spliced)}  "
+          f"isolated-kept {len(isolated)}")
+
+if __name__ == "__main__":
+    main()
