@@ -244,7 +244,10 @@ object Bench {
         .map(ref => med(kept) / ref)
     }
     val controlRatio = if (ratios.isEmpty) "null" else med(ratios).toString
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"failed":${results.size - ok.size},"controls":$controlsJson,"controls_failed":$controlsFailed,"noise_floor":$noiseFloor,"control_ratio":$controlRatio,"sf":"$sfDir"}""")
+    // sfDir is operator-controlled (env var): escape it like every other
+    // string, or a quote/backslash in the path makes a multi-hour run's
+    // one output line unparseable
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"failed":${results.size - ok.size},"controls":$controlsJson,"controls_failed":$controlsFailed,"noise_floor":$noiseFloor,"control_ratio":$controlRatio,"sf":${jstr(sfDir)}}""")
     // clean JVM shutdown: any stateful streaming query leaves the shared
     // StateStore maintenance thread running, and a tick AFTER spark.stop()
     // throws "SparkEnv not active" onto stderr — harmless but it rode the

@@ -4574,7 +4574,15 @@ object SparkEntry {
     // residual bound covers only driver-side work cancellation cannot
     // interrupt (plan analysis), which must not stall the error
     // forever. A second failure rides along as suppressed.
-    val lexE = Await.result(lexF, Duration.Inf)
+    // a caller-thread interrupt during EITHER await must not abandon
+    // the group's jobs: cancel before propagating (the same orphan
+    // hazard the dense-side handler below covers — without this, an
+    // interrupt here left both legs' jobs draining against the
+    // caller's next query)
+    val lexE =
+      try Await.result(lexF, Duration.Inf)
+      catch { case ie: InterruptedException =>
+        sc.cancelJobGroup(group); throw ie }
     if (lexE.isLeft) sc.cancelJobGroup(group)
     val denseE =
       try Await.result(denseF,

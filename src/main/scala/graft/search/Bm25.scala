@@ -336,12 +336,15 @@ object Bm25 {
     searchIndexImpl(index, Some(vocab), queries, qIdCol, qTextCol, k,
       maxPushdownTerms, maxTermsPerQuery, maxBroadcastQueryTerms)
 
+  // no defaults here: both public overloads forward every argument, and
+  // a second copy of the default values would silently diverge from the
+  // public API's
   private def searchIndexImpl(index: DataFrame, vocab: Option[DataFrame],
                   queries: DataFrame, qIdCol: String,
                   qTextCol: String, k: Int,
-                  maxPushdownTerms: Int = 10000,
-                  maxTermsPerQuery: Int = Int.MaxValue,
-                  maxBroadcastQueryTerms: Long = 4000000L): DataFrame = {
+                  maxPushdownTerms: Int,
+                  maxTermsPerQuery: Int,
+                  maxBroadcastQueryTerms: Long): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxTermsPerQuery >= 1,
       s"maxTermsPerQuery must be >= 1, got $maxTermsPerQuery")

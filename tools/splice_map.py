@@ -25,17 +25,31 @@ def main():
         if q not in d["queries"]:
             raise SystemExit(f"evidence for unknown query {q}")
         inmap = d["queries"][q]
+        ratio = inmap / e["median"]
         if e.get("splice"):
+            # the bar is checked, not trusted: a splice:true entry whose
+            # in-map median is NOT >2x its evidence would write false
+            # provenance into the committed artifact
+            if ratio <= 2.0:
+                raise SystemExit(
+                    f"{q}: splice requested but in-map {inmap:.3f} is only "
+                    f"{ratio:.2f}x isolated {e['median']:.3f} (bar is >2x)")
             d["queries"][q] = e["median"]
             d["runs"][q] = e["runs"]
-            spliced[q] = (f"in-map {inmap:.3f} vs quiet-window isolated "
-                          f"5-rep median {e['median']:.3f} (>2x): spliced "
-                          f"at the isolated evidence. {e.get('note','')}")
+            spliced[q] = (f"in-map {inmap:.3f} is {ratio:.2f}x its "
+                          f"quiet-window isolated 5-rep median "
+                          f"{e['median']:.3f} (>2x bar): spliced at the "
+                          f"isolated evidence. {e.get('note','')}")
         else:
-            isolated[q] = (f"kept: in-map {inmap:.3f} is "
-                           f"{inmap/e['median']:.2f}x its quiet-window "
-                           f"isolated 5-rep median {e['median']:.3f} "
-                           f"(under the 2x splice bar). {e.get('note','')}")
+            if ratio > 2.0:
+                raise SystemExit(
+                    f"{q}: kept but in-map {inmap:.3f} is {ratio:.2f}x "
+                    f"isolated {e['median']:.3f} — over the 2x bar, must "
+                    f"be spliced")
+            isolated[q] = (f"kept: in-map {inmap:.3f} is {ratio:.2f}x its "
+                           f"quiet-window isolated 5-rep median "
+                           f"{e['median']:.3f} (under the 2x splice bar). "
+                           f"{e.get('note','')}")
     d["value"] = sum(d["queries"].values())
     if spliced:
         d["spliced"] = spliced
