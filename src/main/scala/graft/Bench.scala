@@ -17,7 +17,19 @@ import org.apache.spark.sql.SparkSession
   * points through the run and once at the end; the output JSON carries
   * the control samples and `noise_floor` (worst max/min control
   * dispersion), so a contention burst is visible in the artifact itself
-  * instead of needing re-run archaeology against other rounds. */
+  * instead of needing re-run archaeology against other rounds.
+  *
+  * Burst requeue: queries bracketed by a hot control pass (median
+  * control ratio vs the run's own quiet minimum above
+  * SPARK_GRAFT_BENCH_REQUEUE_RATIO, default 1.5) are re-run at the map
+  * tail inside a proven quiet window — fresh under-threshold control
+  * passes immediately before AND after each re-run — and their medians
+  * replaced, with full provenance in the `requeued` output key. The wait
+  * for quiet is bounded (SPARK_GRAFT_BENCH_REQUEUE_WAIT seconds, default
+  * 420); suspects the budget can't rescue keep their in-map numbers and
+  * are counted in `requeue_gave_up`. This makes an ~18-minute map robust
+  * to the host's ~10-minute external-burst cadence without post-hoc
+  * splice campaigns. SPARK_GRAFT_BENCH_REQUEUE=0 disables. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -67,6 +79,15 @@ object Bench {
     // field states directly. Override per environment with
     // SPARK_GRAFT_BENCH_CONTROL_REFS ("name=sec,name=sec"); controls
     // without a reference (or a non-sf0.1 run) simply contribute nothing.
+    // HOST-SPECIFICITY: the built-in reference medians below (both the
+    // sf0.1 and sf1u maps) are quiet-window measurements of THIS
+    // machine's datasets — the gate is only the directory's basename, so
+    // any directory named "sf0.1"/"sf1u" on a different host (or a
+    // regenerated dataset) would silently get this host's medians and
+    // emit a plausible but wrong control_ratio. The emitted
+    // `refs_source` field states which table was applied so a foreign
+    // reader can tell; on foreign hosts set
+    // SPARK_GRAFT_BENCH_CONTROL_REFS instead of relying on built-ins.
     // tolerant parse: a malformed entry (empty or non-numeric value)
     // contributes nothing — an optional normalization hint must never be
     // able to kill a multi-hour bench run at startup — but each drop is
@@ -75,6 +96,7 @@ object Bench {
     // unmeasured-vs-measured principle as the null noise floor). Keys
     // and values are trimmed individually: spaces around '=' must not
     // silently produce a key no control name matches.
+    var refsSource = "none"
     val controlRefs: Map[String, Double] =
       sys.env.get("SPARK_GRAFT_BENCH_CONTROL_REFS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty)
@@ -98,6 +120,7 @@ object Bench {
               s"Bench: ignoring malformed SPARK_GRAFT_BENCH_CONTROL_REFS entry '$kv'")
             parsed
           }.toMap)
+        .map { m => refsSource = "env"; m }
         // built-in references are keyed by the dataset directory's FINAL
         // path component (File.getName — which also strips a trailing
         // slash, so '/data/sf0.1/' still matches): a bare endsWith gate
@@ -112,7 +135,9 @@ object Bench {
         // window instead of needing manual control archaeology, the
         // round-13 verdict's ask #4).
         .getOrElse(new java.io.File(sfDir).getName match {
-          case "sf0.1" => Map(
+          case "sf0.1" =>
+            refsSource = "builtin-sf0.1-host-specific"
+            Map(
             "q01_read_project" -> 0.0891,
             "q21_multimodal_meta" -> 0.1956,
             "q220_k_anonymity" -> 0.3728)
@@ -122,7 +147,9 @@ object Bench {
           // ratios are combined by MEDIAN below — one map-inflated
           // control cannot move the reported ambient (r13's sf1 map
           // reads 1.04 against these refs by that median).
-          case "sf1u" => Map(
+          case "sf1u" =>
+            refsSource = "builtin-sf1u-host-specific"
+            Map(
             "q01_read_project" -> 0.1564,
             "q21_multimodal_meta" -> 0.2455,
             "q220_k_anonymity" -> 0.2942)
@@ -139,20 +166,32 @@ object Bench {
     // floor sample, so a control failing only on first touch (cold-cache
     // staging, say) must not report >0 when every timed sample is intact.
     var controlsFailed = 0
-    def runControls(timed: Boolean): Unit = controlNames.foreach { cn =>
-      val t0 = System.nanoTime()
-      val failed =
-        try { SparkEntry.queries(cn)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save(); false }
-        catch { case scala.util.control.NonFatal(_) => true }
-      // sample captured BEFORE clearCache (the main loop's rule), and a
-      // FAILED control is never recorded as a TIME — a fast failure would
-      // explode max/min and falsely certify a contention burst
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      if (timed && failed) controlsFailed += 1
-      if (timed && !failed) controlTimes(cn) =
-        controlTimes.getOrElse(cn, Vector.empty) :+ dt
+    // per-pass samples (one map per timed pass, in pass order) feed the
+    // burst-requeue bracketing below: a query is attributable to a burst
+    // only if the control pass before or after it reads hot, which needs
+    // the pass structure, not just the per-control sample vectors
+    val controlPasses =
+      scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
+    def runControls(timed: Boolean): Unit = {
+      val pass = Map.newBuilder[String, Double]
+      controlNames.foreach { cn =>
+        val t0 = System.nanoTime()
+        val failed =
+          try { SparkEntry.queries(cn)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save(); false }
+          catch { case scala.util.control.NonFatal(_) => true }
+        // sample captured BEFORE clearCache (the main loop's rule), and a
+        // FAILED control is never recorded as a TIME — a fast failure would
+        // explode max/min and falsely certify a contention burst
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        if (timed && failed) controlsFailed += 1
+        if (timed && !failed) {
+          controlTimes(cn) = controlTimes.getOrElse(cn, Vector.empty) :+ dt
+          pass += cn -> dt
+        }
+      }
+      if (timed) controlPasses += pass.result()
     }
     // two untimed control passes first: the controls' own JIT/codegen
     // warmup must not be billed to the first interleave points as
@@ -180,9 +219,9 @@ object Bench {
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
     // ~8 interleave points across the run (plus one final pass below)
     val ctrlEvery = math.max(1, benchSet.size / 8)
-    val results = benchSet.zipWithIndex.map { case ((name, fn), qi) =>
-      if (controlNames.nonEmpty && qi % ctrlEvery == 0) runControls(timed = true)
-      val runs = (1 to runsPer).map { _ =>
+    def timeQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Seq[(Double, Option[String])] =
+      (1 to runsPer).map { _ =>
         val t0 = System.nanoTime()
         // a failed query must NOT be billed as an ordinary (short) timing —
         // that would make a regression read as a speedup; it is recorded as
@@ -198,39 +237,171 @@ object Bench {
         spark.catalog.clearCache()
         (dt, err)
       }
+    val results = benchSet.zipWithIndex.map { case ((name, fn), qi) =>
+      if (controlNames.nonEmpty && qi % ctrlEvery == 0) runControls(timed = true)
+      // the index of the control pass that most recently ran BEFORE this
+      // query — pass prevPass+1 (if it ever runs; the closing pass below
+      // guarantees one) is the first to run AFTER it, so the two bracket
+      // the query's wall-clock window for burst attribution
+      val prevPass = controlPasses.size - 1
+      val runs = timeQuery(fn)
       val err = runs.collectFirst { case (_, Some(m)) => m }
       val times = runs.map(_._1)
-      (name, med(times), times, err)
+      (name, med(times), times, err, prevPass)
     }
     if (controlNames.nonEmpty) runControls(timed = true) // closing point
+    // freeze the MAP-phase control record before the requeue phase below
+    // appends its own passes: the emitted floor/ratio/samples certify the
+    // map proper, and the requeue phase's deliberately-waited-through hot
+    // passes must not make the headline floor unreadably worse than the
+    // window the (replaced) medians were actually measured in
+    val mapControlTimes: Map[String, Vector[Double]] =
+      controlTimes.map { case (k, v) => k -> v }.toMap
+    val mapPassCount = controlPasses.size
+
+    // ---- burst requeue (in-run auto-splice; round-14 verdict ask #4) ----
+    // The burst signature is known: an external load spike hits one
+    // alphabetical neighborhood of the map and the adjacent control pass
+    // reads hot. Instead of losing the whole 18-minute map to a 10-minute
+    // burst cadence, queries bracketed by a hot control pass are re-run at
+    // the tail of the map inside a PROVEN quiet window — a fresh control
+    // pass under the threshold immediately before each re-run and another
+    // immediately after (a burst starting mid-re-run discards it). Re-run
+    // medians replace the in-map ones and the `requeued` key records the
+    // substitution with both numbers and the bracketing ratios: the
+    // artifact carries its own splice evidence, no post-hoc isolated
+    // campaign needed. Bounded: the wait budget caps total sleeping so a
+    // burst that never ends cannot hang the run (unrescued suspects are
+    // counted in requeue_gave_up and keep their in-map numbers).
+    // SPARK_GRAFT_BENCH_REQUEUE=0 disables.
+    val requeueEnabled =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUEUE", "1") != "0"
+    val requeueRatio =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUEUE_RATIO", "1.5").toDouble
+    val requeueWaitSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUEUE_WAIT", "420").toDouble
+    // each control's quiet anchor is its best warmup-dropped MAP-phase
+    // sample: stored references would tie the detector to another
+    // window's host state, while the run's own minimum is burst-free by
+    // construction unless the whole run was hot — in which case nothing
+    // is attributable to a burst and the floor says so on its own
+    val quietMin: Map[String, Double] = mapControlTimes.collect {
+      case (cn, ts) if dropWarmup(ts).nonEmpty => cn -> dropWarmup(ts).min }
+    def passRatio(samples: Map[String, Double]): Option[Double] = {
+      val rs = samples.toSeq.flatMap { case (cn, dt) =>
+        quietMin.get(cn).filter(_ > 0).map(dt / _) }
+      if (rs.isEmpty) None else Some(med(rs))
+    }
+    // pass 0 carries residual control warmup (the dropWarmup convention):
+    // it can read hot on a quiet host, so it never flags
+    def passHot(p: Int): Boolean =
+      p >= 1 && p < mapPassCount &&
+        passRatio(controlPasses(p)).exists(_ > requeueRatio)
+    val finalQ = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val finalRuns =
+      scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    results.foreach { case (k, v, ts, err, _) =>
+      if (err.isEmpty) { finalQ(k) = v; finalRuns(k) = ts } }
+    val requeued = scala.collection.mutable.LinkedHashMap[String, String]()
+    var requeueGaveUp = 0
+    if (requeueEnabled && quietMin.nonEmpty) {
+      val suspects = results.filter { case (_, _, _, err, p) =>
+        err.isEmpty && (passHot(p) || passHot(p + 1)) }
+      if (suspects.nonEmpty) {
+        System.err.println(s"Bench: ${suspects.size} burst-bracketed " +
+          s"queries requeued: ${suspects.map(_._1).mkString(", ")}")
+        val deadline = System.nanoTime() + (requeueWaitSec * 1e9).toLong
+        // bounded wait for a quiet window: fresh control passes until one
+        // reads under the threshold, sleeping between attempts. None at
+        // budget exhaustion.
+        def awaitQuiet(): Option[Double] = {
+          var out: Option[Double] = None
+          var budget = true
+          while (out.isEmpty && budget) {
+            runControls(timed = true)
+            val r = passRatio(controlPasses.last)
+            if (r.exists(_ <= requeueRatio)) out = r
+            else if (System.nanoTime() > deadline) budget = false
+            else Thread.sleep(20000)
+          }
+          out
+        }
+        // the post-check of one rescued suspect doubles as the pre-check
+        // of the next: consecutive suspects in one quiet stretch pay one
+        // control pass each, not two
+        var lastQuiet: Option[Double] = awaitQuiet()
+        suspects.foreach { case (name, v0, _, _, _) =>
+          var rescued = false
+          var errored = false
+          var attempts = 0
+          while (!rescued && !errored && lastQuiet.isDefined && attempts < 3) {
+            attempts += 1
+            val pre = lastQuiet.get
+            val runs = timeQuery(SparkEntry.queries(name))
+            if (runs.exists(_._2.isDefined)) {
+              // errored on re-run (it passed in-map): keep the in-map
+              // number and stop retrying THIS query — a nondeterministic
+              // failure is not a burst and retrying can't produce better
+              // evidence. The quiet check is refreshed so the NEXT
+              // suspect's pre-ratio isn't stale by this re-run's duration
+              // (and the remaining suspects are still rescued).
+              errored = true
+              lastQuiet = awaitQuiet()
+            } else {
+              runControls(timed = true)
+              val post = passRatio(controlPasses.last)
+              if (post.exists(_ <= requeueRatio)) {
+                val ts = runs.map(_._1); val m = med(ts)
+                finalQ(name) = m; finalRuns(name) = ts
+                requeued(name) = f"in-map $v0%.3f was burst-bracketed " +
+                  f"(control pass > ${requeueRatio}x its quiet-map " +
+                  f"minimum); re-run at the map tail inside a proven " +
+                  f"quiet window: median $m%.3f, bracketing control " +
+                  f"ratios pre $pre%.2f / post ${post.get}%.2f"
+                lastQuiet = post
+                rescued = true
+              } else {
+                // a burst started mid-re-run: discard it and wait again
+                lastQuiet = awaitQuiet()
+              }
+            }
+          }
+          if (!rescued) requeueGaveUp += 1
+        }
+      }
+    }
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val ok = results.filter(_._4.isEmpty)
-    val qs = ok.map { case (k, v, _, _) => jstr(k) + ":" + v }
+    val qs = finalQ.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val runsJson = ok.map { case (k, _, ts, _) =>
+    val runsJson = finalRuns.map { case (k, ts) =>
       jstr(k) + ":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(m)) =>
+    val errs = results.collect { case (k, _, _, Some(m), _) =>
       jstr(k) + ":" + jstr(m.take(300))
     }.mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
+    val total = finalQ.values.sum
     // the run's self-certified noise floor: worst max/min dispersion over
     // the interleaved control samples. ~1.0-1.5 = quiet window; >2 = a
     // contention burst hit the run and per-query diffs need isolated
     // re-measures before they mean anything (the splice protocol's bar)
-    val controlsJson = controlTimes.map { case (k, ts) =>
-      jstr(k) + ":" + ts.mkString("[", ",", "]")
+    // map-phase samples only (frozen above): the floor/ratio certify the
+    // window the map's medians were measured in; the requeue phase's own
+    // evidence lives in the `requeued` provenance strings
+    val controlsJson = controlTimes.collect {
+      case (k, _) if mapControlTimes.contains(k) =>
+        jstr(k) + ":" + mapControlTimes(k).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // NO usable samples (controls disabled, names not in `queries`, or
     // every control run failing) → null, NOT 1.0: an unmeasured run must
     // be distinguishable from a measured-quiet one, or a typo'd control
     // list would falsely certify the whole artifact
-    val floors = controlTimes.values.map(dropWarmup)
+    val floors = mapControlTimes.values.map(dropWarmup)
       .filter(_.size >= 2).map(ts => ts.max / ts.min)
     val noiseFloor = if (floors.isEmpty) "null" else floors.max.toString
     // ambient ratio vs the stored quiet-window references: ~1.0 = this run
@@ -238,16 +409,18 @@ object Bench {
     // per-query diffs by this before calling anything a regression. Median
     // across controls (each control's warmup-dropped median / its stored
     // reference) so one control's own drift cannot fake an ambient shift.
-    val ratios = controlTimes.toSeq.flatMap { case (cn, ts) =>
+    val ratios = mapControlTimes.toSeq.flatMap { case (cn, ts) =>
       val kept = dropWarmup(ts)
       controlRefs.get(cn).filter(_ > 0).filter(_ => kept.nonEmpty)
         .map(ref => med(kept) / ref)
     }
     val controlRatio = if (ratios.isEmpty) "null" else med(ratios).toString
+    val requeuedJson = requeued.map { case (k, v) =>
+      jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     // sfDir is operator-controlled (env var): escape it like every other
     // string, or a quote/backslash in the path makes a multi-hour run's
     // one output line unparseable
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"failed":${results.size - ok.size},"controls":$controlsJson,"controls_failed":$controlsFailed,"noise_floor":$noiseFloor,"control_ratio":$controlRatio,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"failed":${results.count(_._4.isDefined)},"controls":$controlsJson,"controls_failed":$controlsFailed,"noise_floor":$noiseFloor,"control_ratio":$controlRatio,"refs_source":${jstr(refsSource)},"requeued":$requeuedJson,"requeue_gave_up":$requeueGaveUp,"sf":${jstr(sfDir)}}""")
     // clean JVM shutdown: any stateful streaming query leaves the shared
     // StateStore maintenance thread running, and a tick AFTER spark.stop()
     // throws "SparkEnv not active" onto stderr — harmless but it rode the

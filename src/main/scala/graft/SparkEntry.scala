@@ -1176,14 +1176,21 @@ object SparkEntry {
       ParagraphDedup.keepFirst(docs, "doc_id", "text")
     }),
 
-    // §2 row 104: kNN pseudo-labeling — every 10th vector is "unlabeled"
-    // and takes the majority label of its 5 nearest labeled neighbors by
-    // exact cosine. Rank and vote tie-breaks are total orders, so the
-    // prediction is deterministic and the oracle replays it exactly.
+    // §2 row 104: kNN pseudo-labeling — a FIXED 50-vector query frame
+    // (vec_id < 50, the q20 shape: |Q| constant in n) takes the majority
+    // label of its 5 nearest labeled neighbors by exact cosine, so the
+    // declared work is O(|Q|·|C|) = O(|C|) — linear in the corpus, not
+    // quadratic like the r14 "every 10th vector" predicate whose |Q| grew
+    // with n. That |Q| contract is the exact path's scale boundary: a
+    // production run labeling a corpus-sized query set substitutes
+    // Ann.lshTopK / Ann.ivfTopK as the neighbor stage (KnnLabel scaladoc) —
+    // the vote stages are unchanged. Rank and vote tie-breaks are total
+    // orders, so the prediction is deterministic and the oracle replays it
+    // exactly.
     "q79_knn_label" -> ((s, dir) => {
       val emb = spread(s, Tables.embeddings(s, dir))
       KnnLabel.knnLabel(emb, "vec_id", "embedding", "label",
-        col("vec_id") % 10 === 0, k = 5)
+        col("vec_id") < 50, k = 5)
     }),
 
     // §2 row 105: per-key cooldown debounce — keep an event only if ≥ 48 h
@@ -1718,9 +1725,10 @@ object SparkEntry {
       Bm25.searchIndex(s.read.parquet(stagedBm25Index(s, dir)),
         s.read.parquet(stagedBm25Vocab(s, dir)),
         Tables.documents(s, dir).filter(col("doc_id") % 100 === 0),
-        "doc_id", "text", k = 10, maxPushdownTerms = 10000,
+        "doc_id", "text", k = 10,
+        maxPushdownTerms = Bm25.DefaultMaxPushdownTerms,
         maxTermsPerQuery = retrievalPruneCap,
-        maxBroadcastQueryTerms = 4000000L)),
+        maxBroadcastQueryTerms = Bm25.DefaultMaxBroadcastQueryTerms)),
 
     // §2 row 126: incremental video dedup vs a persisted signature index —
     // the video twin of q99/q107, completing the incremental-ingest shape
@@ -4559,8 +4567,9 @@ object SparkEntry {
     val lexF = leg {
       Bm25.searchIndex(s.read.parquet(idxPath), s.read.parquet(vocabPath),
         docs.filter(col("doc_id") % 100 === 0), "doc_id", "text", k = k,
-        maxPushdownTerms = 10000, maxTermsPerQuery = retrievalPruneCap,
-        maxBroadcastQueryTerms = 4000000L)
+        maxPushdownTerms = Bm25.DefaultMaxPushdownTerms,
+        maxTermsPerQuery = retrievalPruneCap,
+        maxBroadcastQueryTerms = Bm25.DefaultMaxBroadcastQueryTerms)
         .select("query_id", "doc_id", "rank")
     }
     val denseF = leg {
@@ -6942,11 +6951,11 @@ object SparkEntry {
         |  FROM embeddings),
         |v AS (SELECT vec_id, label, CASE WHEN nrm = 0 THEN list_transform(embedding, x -> 0.0)
         |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)/nrm) END AS nv FROM n),
-        |q AS (SELECT vec_id AS query_id, nv AS qv FROM v WHERE vec_id % 10 = 0),
+        |q AS (SELECT vec_id AS query_id, nv AS qv FROM v WHERE vec_id < 50),
         |s AS (SELECT query_id, v.vec_id AS cand_id, v.label AS nbr_label,
         |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)),
         |      i -> qv[i]*nv[i])), (a,b) -> a+b) AS cos
-        |  FROM v, q WHERE v.vec_id % 10 <> 0),
+        |  FROM v, q WHERE v.vec_id >= 50),
         |r AS (SELECT query_id, nbr_label FROM (SELECT query_id, nbr_label,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
         |  FROM s) WHERE rank <= 5),

@@ -54,6 +54,18 @@ import graft.functions.TextFunctions
   */
 object Bm25 {
 
+  /** Default cap on the pushed-IN query-term set of [[searchIndex]].
+    * Named (rather than a bare literal in the default-argument position)
+    * because the vocab overload forwards EVERY argument — call sites
+    * that spell its arguments out must reference this constant, not a
+    * literal copy that would silently diverge if the default changes. */
+  val DefaultMaxPushdownTerms: Int = 10000
+
+  /** Default count-then-cap broadcast ceiling for query-side term frames
+    * ([[scoreAll]]/[[topK]]/[[searchIndex]]). Same single-source-of-truth
+    * rationale as [[DefaultMaxPushdownTerms]]. */
+  val DefaultMaxBroadcastQueryTerms: Long = 4000000L
+
   /** (tf, dl, stats, idf) corpus-side frames shared by [[scoreAll]] and
     * [[buildImpactIndex]]: per-(doc, token) counts, per-doc lengths, the
     * single-row corpus constants (docs-with-tokens count and mean length
@@ -186,7 +198,8 @@ object Bm25 {
                queries: DataFrame, qIdCol: String, qTextCol: String,
                k1Milli: Int = 1200, bMilli: Int = 750,
                maxTermsPerQuery: Int = Int.MaxValue,
-               maxBroadcastQueryTerms: Long = 4000000L): DataFrame = {
+               maxBroadcastQueryTerms: Long = DefaultMaxBroadcastQueryTerms)
+      : DataFrame = {
     require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
       s"BM25 constants out of range: k1_m=$k1Milli b_m=$bMilli")
     require(maxTermsPerQuery >= 1,
@@ -227,7 +240,8 @@ object Bm25 {
            queries: DataFrame, qIdCol: String, qTextCol: String,
            k: Int, k1Milli: Int = 1200, bMilli: Int = 750,
            maxTermsPerQuery: Int = Int.MaxValue,
-           maxBroadcastQueryTerms: Long = 4000000L): DataFrame = {
+           maxBroadcastQueryTerms: Long = DefaultMaxBroadcastQueryTerms)
+      : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     rankTopK(scoreAll(corpus, idCol, textCol, queries, qIdCol, qTextCol,
       k1Milli, bMilli, maxTermsPerQuery, maxBroadcastQueryTerms), k)
@@ -308,9 +322,10 @@ object Bm25 {
     * per-workload df derivation entirely. */
   def searchIndex(index: DataFrame, queries: DataFrame, qIdCol: String,
                   qTextCol: String, k: Int,
-                  maxPushdownTerms: Int = 10000,
+                  maxPushdownTerms: Int = DefaultMaxPushdownTerms,
                   maxTermsPerQuery: Int = Int.MaxValue,
-                  maxBroadcastQueryTerms: Long = 4000000L): DataFrame =
+                  maxBroadcastQueryTerms: Long =
+                    DefaultMaxBroadcastQueryTerms): DataFrame =
     searchIndexImpl(index, None, queries, qIdCol, qTextCol, k,
       maxPushdownTerms, maxTermsPerQuery, maxBroadcastQueryTerms)
 

@@ -13,6 +13,35 @@ class SearchSpec extends SparkSpec {
 
   private def docsDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
+  /** True iff some file scan in the executed plan carries a pushed
+    * In(token, …) filter — read from the scan node's own metadata map
+    * rather than the whole plan's string rendering, which is at the
+    * mercy of Spark's plan-format choices. AdaptiveSparkPlanExec is a
+    * leaf to `collect`, so the helper recurses into its current plan
+    * explicitly. */
+  private def hasPushedTokenInFilter(
+      df: org.apache.spark.sql.DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def pushed(p: SparkPlan): Seq[String] = p.collect {
+      case a: AdaptiveSparkPlanExec => pushed(a.executedPlan)
+      case s: FileSourceScanExec => s.metadata.get("PushedFilters").toSeq
+    }.flatten
+    pushed(df.queryExecution.executedPlan).exists(_.contains("In(token"))
+  }
+
+  /** Recursive delete for the spec's staged-parquet temp dirs (children
+    * before parents via reverse-sorted walk). */
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach((p: Path) => Files.delete(p))
+      finally walk.close()
+    }
+  }
+
   test("BM25 ranks the rare-term match above common-term matches") {
     // "zyzzyva" appears in exactly one candidate; "the" is everywhere.
     val corpus = docsDf(
@@ -198,8 +227,7 @@ class SearchSpec extends SparkSpec {
     val queries = corpus.filter(col("doc_id") % 20 === 0)
     val probed = Bm25.searchIndex(spark.read.parquet(dir),
       queries, "doc_id", "text", k = 5)
-    assert(probed.queryExecution.executedPlan.toString
-      .contains("PushedFilters: [In(token"))
+    assert(hasPushedTokenInFilter(probed))
     val direct = Bm25.topK(corpus, "doc_id", "text",
       queries, "doc_id", "text", k = 5)
     assert(probed.exceptAll(direct).isEmpty && direct.exceptAll(probed).isEmpty)
@@ -215,39 +243,42 @@ class SearchSpec extends SparkSpec {
       5L -> "common filler words here extra")
     val longQ = docsDf(100L -> "rarea rareb common filler words extra",
       101L -> "rarec common filler")
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_bm25_vocab_spec").toString
-    // the exact staging the SparkEntry pair applies: vocab derived FROM
-    // the index build, both parquet round-tripped
-    Bm25.buildImpactIndex(corpus, "doc_id", "text")
-      .write.mode("overwrite").parquet(s"$base/idx")
-    val idx = spark.read.parquet(s"$base/idx")
-    Bm25.indexVocab(idx).write.mode("overwrite").parquet(s"$base/vocab")
-    val vocab = spark.read.parquet(s"$base/vocab")
-    val self = Bm25.searchIndex(idx, longQ, "doc_id", "text", k = 5,
-      maxTermsPerQuery = 3)
-    // branch 1: query vocabulary within the pushdown cap (the default)
-    val staged = Bm25.searchIndex(idx, vocab, longQ, "doc_id", "text",
-      k = 5, maxPushdownTerms = 10000, maxTermsPerQuery = 3,
-      maxBroadcastQueryTerms = 4000000L)
-    assert(staged.exceptAll(self).isEmpty && self.exceptAll(staged).isEmpty,
-      "staged-vocab ranks must be bit-identical to the self-derived path")
-    // branch 2: query vocabulary PAST the pushdown cap (semi-join
-    // restriction instead of the pushed IN filter), vs the self-derived
-    // path under the same cap
-    val selfWide = Bm25.searchIndex(idx, longQ, "doc_id", "text", k = 5,
-      maxPushdownTerms = 1, maxTermsPerQuery = 3)
-    val stagedWide = Bm25.searchIndex(idx, vocab, longQ, "doc_id", "text",
-      k = 5, maxPushdownTerms = 1, maxTermsPerQuery = 3,
-      maxBroadcastQueryTerms = 4000000L)
-    assert(stagedWide.exceptAll(selfWide).isEmpty &&
-      selfWide.exceptAll(stagedWide).isEmpty,
-      "past-pushdown-cap staged-vocab ranks must match the self-derived path")
-    // and the vocab path must not have cost the index scan its pruning:
-    // the pushed IN(token) filter still reaches the postings scan
-    assert(staged.queryExecution.executedPlan.toString
-      .contains("PushedFilters: [In(token"),
-      "staged-vocab path must keep the pushed postings-scan filter")
+    val basePath = java.nio.file.Files
+      .createTempDirectory("graft_bm25_vocab_spec")
+    val base = basePath.toString
+    try {
+      // the exact staging the SparkEntry pair applies: vocab derived FROM
+      // the index build, both parquet round-tripped
+      Bm25.buildImpactIndex(corpus, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$base/idx")
+      val idx = spark.read.parquet(s"$base/idx")
+      Bm25.indexVocab(idx).write.mode("overwrite").parquet(s"$base/vocab")
+      val vocab = spark.read.parquet(s"$base/vocab")
+      val self = Bm25.searchIndex(idx, longQ, "doc_id", "text", k = 5,
+        maxTermsPerQuery = 3)
+      // branch 1: query vocabulary within the pushdown cap (the default)
+      val staged = Bm25.searchIndex(idx, vocab, longQ, "doc_id", "text",
+        k = 5, maxPushdownTerms = Bm25.DefaultMaxPushdownTerms,
+        maxTermsPerQuery = 3,
+        maxBroadcastQueryTerms = Bm25.DefaultMaxBroadcastQueryTerms)
+      assert(staged.exceptAll(self).isEmpty && self.exceptAll(staged).isEmpty,
+        "staged-vocab ranks must be bit-identical to the self-derived path")
+      // branch 2: query vocabulary PAST the pushdown cap (semi-join
+      // restriction instead of the pushed IN filter), vs the self-derived
+      // path under the same cap
+      val selfWide = Bm25.searchIndex(idx, longQ, "doc_id", "text", k = 5,
+        maxPushdownTerms = 1, maxTermsPerQuery = 3)
+      val stagedWide = Bm25.searchIndex(idx, vocab, longQ, "doc_id", "text",
+        k = 5, maxPushdownTerms = 1, maxTermsPerQuery = 3,
+        maxBroadcastQueryTerms = Bm25.DefaultMaxBroadcastQueryTerms)
+      assert(stagedWide.exceptAll(selfWide).isEmpty &&
+        selfWide.exceptAll(stagedWide).isEmpty,
+        "past-pushdown-cap staged-vocab ranks must match the self-derived path")
+      // and the vocab path must not have cost the index scan its pruning:
+      // the pushed IN(token) filter still reaches the postings scan
+      assert(hasPushedTokenInFilter(staged),
+        "staged-vocab path must keep the pushed postings-scan filter")
+    } finally deleteRecursively(basePath)
   }
 
   test("RRF fusion arithmetic is the exact integer sum of both lists") {

@@ -14,7 +14,7 @@ Usage: splice_map.py <map.json> <out.json> <evidence.json>
   evidence.json: {"qname": {"median": s, "runs": [..], "note": "..",
                   "splice": true|false}}
 """
-import json, sys
+import json, statistics, sys
 
 def main():
     src, dst, ev_path = sys.argv[1], sys.argv[2], sys.argv[3]
@@ -24,6 +24,20 @@ def main():
     for q, e in ev.items():
         if q not in d["queries"]:
             raise SystemExit(f"evidence for unknown query {q}")
+        # internal consistency before anything is written: a non-positive
+        # median would divide-by-zero (or sign-flip) the bar check, and a
+        # median that is not the median of its own runs array is false
+        # provenance the committed artifact could not detect
+        if e["median"] <= 0:
+            raise SystemExit(f"{q}: evidence median {e['median']} is not "
+                             f"positive")
+        if not e.get("runs"):
+            raise SystemExit(f"{q}: evidence has no runs array")
+        rmed = statistics.median(e["runs"])
+        if abs(rmed - e["median"]) > max(1e-9, 1e-6 * e["median"]):
+            raise SystemExit(
+                f"{q}: evidence median {e['median']} != median of its own "
+                f"runs {rmed} — inconsistent evidence entry")
         inmap = d["queries"][q]
         ratio = inmap / e["median"]
         if e.get("splice"):
