@@ -27,7 +27,9 @@ import org.apache.spark.sql.SparkSession
   * replaced, with full provenance in the `requeued` output key. The wait
   * for quiet is bounded (SPARK_GRAFT_BENCH_REQUEUE_WAIT seconds, default
   * 420); suspects the budget can't rescue keep their in-map numbers and
-  * are counted in `requeue_gave_up`. This makes an ~18-minute map robust
+  * are counted in `requeue_gave_up` (re-runs that fail outright — not a
+  * burst — keep their in-map numbers too, counted separately in
+  * `requeue_errored`). This makes an ~18-minute map robust
   * to the host's ~10-minute external-burst cadence without post-hoc
   * splice campaigns. SPARK_GRAFT_BENCH_REQUEUE=0 disables. */
 object Bench {
@@ -255,9 +257,14 @@ object Bench {
     // map proper, and the requeue phase's deliberately-waited-through hot
     // passes must not make the headline floor unreadably worse than the
     // window the (replaced) medians were actually measured in
-    val mapControlTimes: Map[String, Vector[Double]] =
-      controlTimes.map { case (k, v) => k -> v }.toMap
+    // plain toMap is a safe snapshot: values are immutable Vectors that
+    // runControls REPLACES (never mutates in place)
+    val mapControlTimes: Map[String, Vector[Double]] = controlTimes.toMap
     val mapPassCount = controlPasses.size
+    // frozen with the samples: a control failing during the requeue
+    // phase's quiet-wait passes must not cast doubt on a floor computed
+    // from intact map-phase samples
+    val mapControlsFailed = controlsFailed
 
     // ---- burst requeue (in-run auto-splice; round-14 verdict ask #4) ----
     // The burst signature is known: an external load spike hits one
@@ -276,10 +283,20 @@ object Bench {
     // SPARK_GRAFT_BENCH_REQUEUE=0 disables.
     val requeueEnabled =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUEUE", "1") != "0"
-    val requeueRatio =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUEUE_RATIO", "1.5").toDouble
-    val requeueWaitSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUEUE_WAIT", "420").toDouble
+    // tolerant parse with a warned fallback (the CONTROL_REFS rule): these
+    // are read AFTER the full map has run, and a bare .toDouble on a typo
+    // would throw away the whole run's measurements at the finish line
+    def envDouble(name: String, default: Double): Double =
+      sys.env.get(name) match {
+        case Some(v) => v.toDoubleOption.getOrElse {
+          System.err.println(
+            s"Bench: ignoring malformed $name='$v', using $default")
+          default
+        }
+        case None => default
+      }
+    val requeueRatio = envDouble("SPARK_GRAFT_BENCH_REQUEUE_RATIO", 1.5)
+    val requeueWaitSec = envDouble("SPARK_GRAFT_BENCH_REQUEUE_WAIT", 420.0)
     // each control's quiet anchor is its best warmup-dropped MAP-phase
     // sample: stored references would tie the detector to another
     // window's host state, while the run's own minimum is burst-free by
@@ -304,6 +321,10 @@ object Bench {
       if (err.isEmpty) { finalQ(k) = v; finalRuns(k) = ts } }
     val requeued = scala.collection.mutable.LinkedHashMap[String, String]()
     var requeueGaveUp = 0
+    // counted apart from gave-up: a nondeterministic re-run failure is
+    // not "the host never quieted", and an artifact reader must be able
+    // to tell the two apart
+    var requeueErrored = 0
     if (requeueEnabled && quietMin.nonEmpty) {
       val suspects = results.filter { case (_, _, _, err, p) =>
         err.isEmpty && (passHot(p) || passHot(p + 1)) }
@@ -346,6 +367,7 @@ object Bench {
               // suspect's pre-ratio isn't stale by this re-run's duration
               // (and the remaining suspects are still rescued).
               errored = true
+              requeueErrored += 1
               lastQuiet = awaitQuiet()
             } else {
               runControls(timed = true)
@@ -366,7 +388,7 @@ object Bench {
               }
             }
           }
-          if (!rescued) requeueGaveUp += 1
+          if (!rescued && !errored) requeueGaveUp += 1
         }
       }
     }
@@ -420,7 +442,7 @@ object Bench {
     // sfDir is operator-controlled (env var): escape it like every other
     // string, or a quote/backslash in the path makes a multi-hour run's
     // one output line unparseable
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"failed":${results.count(_._4.isDefined)},"controls":$controlsJson,"controls_failed":$controlsFailed,"noise_floor":$noiseFloor,"control_ratio":$controlRatio,"refs_source":${jstr(refsSource)},"requeued":$requeuedJson,"requeue_gave_up":$requeueGaveUp,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"failed":${results.count(_._4.isDefined)},"controls":$controlsJson,"controls_failed":$mapControlsFailed,"noise_floor":$noiseFloor,"control_ratio":$controlRatio,"refs_source":${jstr(refsSource)},"requeued":$requeuedJson,"requeue_gave_up":$requeueGaveUp,"requeue_errored":$requeueErrored,"sf":${jstr(sfDir)}}""")
     // clean JVM shutdown: any stateful streaming query leaves the shared
     // StateStore maintenance thread running, and a tick AFTER spark.stop()
     // throws "SparkEnv not active" onto stderr — harmless but it rode the

@@ -30,16 +30,23 @@ class SearchSpec extends SparkSpec {
     pushed(df.queryExecution.executedPlan).exists(_.contains("In(token"))
   }
 
-  /** Recursive delete for the spec's staged-parquet temp dirs (children
-    * before parents via reverse-sorted walk). */
+  /** Best-effort recursive delete for the spec's staged-parquet temp dirs
+    * (children before parents via reverse-sorted walk). Runs in finally
+    * blocks, so per-path failures are swallowed: a transiently
+    * undeletable file (a late committer .crc write, say) must not
+    * supersede a pending assertion error from the try body. */
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, Path}
-    if (Files.exists(root)) {
-      val walk = Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach((p: Path) => Files.delete(p))
-      finally walk.close()
-    }
+    try {
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach((p: Path) =>
+            try Files.deleteIfExists(p)
+            catch { case _: java.io.IOException => () })
+        finally walk.close()
+      }
+    } catch { case _: java.io.IOException => () }
   }
 
   test("BM25 ranks the rare-term match above common-term matches") {

@@ -28,9 +28,9 @@ def main():
         # median would divide-by-zero (or sign-flip) the bar check, and a
         # median that is not the median of its own runs array is false
         # provenance the committed artifact could not detect
-        if e["median"] <= 0:
-            raise SystemExit(f"{q}: evidence median {e['median']} is not "
-                             f"positive")
+        if not isinstance(e.get("median"), (int, float)) or e["median"] <= 0:
+            raise SystemExit(f"{q}: evidence median {e.get('median')} is "
+                             f"missing or not positive")
         if not e.get("runs"):
             raise SystemExit(f"{q}: evidence has no runs array")
         rmed = statistics.median(e["runs"])
