@@ -408,10 +408,11 @@ object Bench {
                 val ts = runs.map(_._1); val m = med(ts)
                 finalQ(name) = m; finalRuns(name) = ts
                 requeued(name) = f"in-map $v0%.3f was burst-bracketed " +
-                  f"(control pass > ${requeueRatio}x its quiet-map " +
-                  f"minimum); re-run at the map tail inside a proven " +
-                  f"quiet window: median $m%.3f, bracketing control " +
-                  f"ratios pre $pre%.2f / post ${post.get}%.2f"
+                  f"(a bracketing control pass read > ${requeueRatio}x " +
+                  f"the run's median pass level); re-run at the map tail " +
+                  f"inside a proven quiet window: median $m%.3f, " +
+                  f"bracketing control ratios (vs the run's best pass) " +
+                  f"pre $pre%.2f / post ${post.get}%.2f"
                 lastQuiet = post
                 rescued = true
               } else {
