@@ -68,12 +68,19 @@ import org.apache.spark.sql.SparkSession
   * 0.3 s controls, so r15 attempts 2/3 read floors 3.1/5.5 with NO
   * time-local pass outlier. The probe contends for the same cores the
   * real queries do, so that mode now shows up in the noise floor, the
-  * control ratio, AND detection: because the across-controls pass
-  * median is deliberately robust to one mover (which would silence
-  * exactly this one-control signal), the probe carries its own
-  * time-local outlier channel — its sample vs its own run-median level
-  * — OR-ed into hot detection, and quiet certification requires BOTH
-  * channels under their bars. NOTE: floors from r16 on
+  * emitted `probe_ratio` (its ambient vs its stored quiet reference —
+  * kept OUT of `control_ratio`, whose cross-round meaning must not
+  * change), AND detection: because the across-controls pass median is
+  * deliberately robust to one mover (which would silence exactly this
+  * one-control signal), the probe carries its own time-local outlier
+  * channel — its sample vs its own run-median level — OR-ed into hot
+  * detection (a missing probe sample in a pass flags hot: the
+  * synthetic probe only fails under the pressure the channel exists to
+  * catch), and quiet certification requires BOTH channels under their
+  * bars plus an ABSOLUTE probe bar (stored reference ×
+  * SPARK_GRAFT_BENCH_REQUEUE_ABS_SLACK, default 1.3) so a run whose
+  * whole window is ambient-slow cannot certify a tail "rescue" at the
+  * elevated level. NOTE: floors from r16 on
   * include the probe's (inherently wider) multi-core dispersion and
   * are not directly comparable to r15-and-earlier floors. */
 object Bench {
@@ -113,19 +120,21 @@ object Bench {
     // it landed on. Override with SPARK_GRAFT_BENCH_CONTROLS (comma list;
     // empty string disables).
     // synthetic multi-core shuffle probe (not a SparkEntry query; "ctl_"
-    // prefix keeps it visibly non-correctness-bearing): ~0.5 s of
+    // prefix keeps it visibly non-correctness-bearing): ~0.7 s of
     // range→hash-exchange→hash-agg over a generated frame, 32 map tasks
-    // and 32 reduce tasks, ~16M partial-agg records across the wire —
-    // enough parallel work that external CPU load which leaves a
-    // single-threaded 0.3 s control untouched still moves this sample.
-    // No sfDir dependence: one built-in reference serves both scales
-    // (the sf1 map's -Xmx64g heap was measured to not move it).
+    // and 32 reduce tasks, ~11M partial-agg records across the wire
+    // (14M rows against ~1M groups leaves ~350k distinct groups per
+    // map task, so the partial agg barely compresses) — enough parallel
+    // work that external CPU load which leaves a single-threaded 0.3 s
+    // control untouched still moves this sample. No sfDir dependence:
+    // the built-in references below are per-JVM-config, not per-scale
+    // (the sf1 map's -Xmx64g convention runs it ~15% faster than the
+    // default heap — GC headroom; it never touches sfDir).
     val shuffleProbe: (SparkSession, String) =>
         org.apache.spark.sql.DataFrame = (s, _) => {
       import org.apache.spark.sql.functions._
       // id*K % 2^20: a cheap integer mix so group ids aren't
-      // range-clustered per task; ~1M groups over 24M rows keeps the
-      // map-side partial agg from collapsing the shuffle volume
+      // range-clustered per task
       s.range(0L, 14000000L, 1L, 32)
         .select(((col("id") * 2654435761L) % 1048576L).as("k"), col("id"))
         .groupBy("k")
@@ -365,9 +374,12 @@ object Bench {
     // tolerant parse with a warned fallback (the CONTROL_REFS rule): these
     // are read AFTER the full map has run, and a bare .toDouble on a typo
     // would throw away the whole run's measurements at the finish line
+    // finite-only: toDoubleOption happily parses "NaN"/"Infinity", and a
+    // non-finite knob would both break every quiet comparison (NaN
+    // compares false) and ride raw into the output line as invalid JSON
     def envDouble(name: String, default: Double): Double =
       sys.env.get(name) match {
-        case Some(v) => v.toDoubleOption.getOrElse {
+        case Some(v) => v.toDoubleOption.filter(_.isFinite).getOrElse {
           System.err.println(
             s"Bench: ignoring malformed $name='$v', using $default")
           default
@@ -436,13 +448,23 @@ object Bench {
       if (ls.isEmpty) None else Some(med(ls))
     }
     def passHot(p: Int): Boolean =
-      p >= 1 && p < mapPassCount && (
-        (for {
+      p >= 1 && p < mapPassCount && {
+        val medianHot = (for {
           l <- mapPassLevels(p); m <- medianPassLevel if m > 0
-        } yield l / m > requeueRatio).getOrElse(false) ||
-        (for {
-          l <- probeLevels(p); m <- medianProbeLevel if m > 0
-        } yield l / m > requeueRatio).getOrElse(false))
+        } yield l / m > requeueRatio).getOrElse(false)
+        // an ACTIVE probe channel (the probe produced samples this run)
+        // whose sample is MISSING in this pass is itself a burst signal,
+        // not a waiver: the synthetic probe only fails under the extreme
+        // resource pressure the channel exists to catch, so a failed
+        // probe must flag the pass hot rather than silently degrade
+        // detection to the single-threaded controls
+        val probeHot = medianProbeLevel match {
+          case Some(m) if m > 0 =>
+            probeLevels(p).map(_ / m > requeueRatio).getOrElse(true)
+          case _ => false
+        }
+        medianHot || probeHot
+      }
     // the quiet bar in raw (min-anchored) pass-level units; when the map
     // produced no median (single-pass --only runs) fall back to the hot
     // ratio — the old behavior, still bounded by the wait budget
@@ -450,14 +472,38 @@ object Bench {
       medianPassLevel.map(_ * quietSlack).getOrElse(requeueRatio)
     // quiet certification must clear BOTH channels: a tail window can
     // read quiet by the across-controls median while cores are still
-    // saturated (the same masking as detection). Returns the pass ratio
-    // only when the median channel is under quietBar AND the probe's
-    // level is under its own median × slack (inert without the probe).
+    // saturated (the same masking as detection). The probe channel has
+    // TWO bars: relative (its own run-median level × slack — catches a
+    // tail burst against this run's typical state) and ABSOLUTE (its
+    // stored quiet reference × SPARK_GRAFT_BENCH_REQUEUE_ABS_SLACK,
+    // applied only when a reference exists) — the absolute anchor is
+    // what a run-relative bar cannot give: in a map whose WHOLE window
+    // ran ambient-slow (r15: ratio 1.356), every relative test passes at
+    // the elevated level and a tail "rescue" measured there replaces an
+    // honest number with a slow-window one (measured: r15's q187 rescue
+    // 1.313 vs its isolated truth 0.724). With the absolute bar, a tail
+    // that can't reach the probe's known quiet level within slack
+    // refuses to certify — suspects keep their in-map numbers and the
+    // floor/ratio certify the window instead. A missing probe sample
+    // fails certification when the channel is active (same reasoning as
+    // detection). Returns (pass ratio, probe raw seconds) so the
+    // bracketing probe evidence rides into the requeued records.
     val probeQuietBar: Option[Double] = medianProbeLevel.map(_ * quietSlack)
-    def tailQuiet(pass: Map[String, Double]): Option[Double] = {
-      val probeOk = (for { bar <- probeQuietBar; l <- probeLevel(pass) }
-        yield l <= bar).getOrElse(true)
-      passRatio(pass).filter(_ <= quietBar).filter(_ => probeOk)
+    val probeAbsSlack = envDouble("SPARK_GRAFT_BENCH_REQUEUE_ABS_SLACK", 1.3)
+    val probeAbsBar: Option[Double] =
+      controlRefs.get(probeName).filter(_ > 0).map(_ * probeAbsSlack)
+    def tailQuiet(pass: Map[String, Double])
+        : Option[(Double, Option[Double])] = {
+      val channelActive = probeQuietBar.isDefined
+      val raw = pass.get(probeName)
+      val relOk =
+        if (!channelActive) true
+        else probeLevel(pass).exists(_ <= probeQuietBar.get)
+      val absOk =
+        if (!channelActive || probeAbsBar.isEmpty) true
+        else raw.exists(_ <= probeAbsBar.get)
+      passRatio(pass).filter(_ <= quietBar)
+        .filter(_ => relOk && absOk).map(r => (r, raw))
     }
     val finalQ = scala.collection.mutable.LinkedHashMap[String, Double]()
     val finalRuns =
@@ -503,8 +549,8 @@ object Bench {
         // bounded wait for a quiet window: fresh control passes until one
         // reads under the quiet bar, sleeping between attempts. None at
         // budget exhaustion.
-        def awaitQuiet(): Option[Double] = {
-          var out: Option[Double] = None
+        def awaitQuiet(): Option[(Double, Option[Double])] = {
+          var out: Option[(Double, Option[Double])] = None
           var budget = true
           while (out.isEmpty && budget) {
             runControls(timed = true)
@@ -518,7 +564,7 @@ object Bench {
         // the post-check of one rescued suspect doubles as the pre-check
         // of the next: consecutive suspects in one quiet stretch pay one
         // control pass each, not two
-        var lastQuiet: Option[Double] = awaitQuiet()
+        var lastQuiet: Option[(Double, Option[Double])] = awaitQuiet()
         suspects.foreach { case (name, v0, _, _, _) =>
           var rescued = false
           var errored = false
@@ -552,11 +598,19 @@ object Bench {
                 // pre/post are min-anchored pass levels: each control's
                 // sample over its own best warmup-dropped map-phase
                 // sample, median across controls — certified quiet means
-                // ≤ the run's quiet bar (median pass level × slack)
+                // ≤ the run's quiet bar (median pass level × slack).
+                // pre_probe/post_probe are the bracketing passes' RAW
+                // probe seconds (null if the probe isn't a control), so
+                // the probe half of the certification — including the
+                // absolute bar — replays from the artifact alone
+                def jopt(o: Option[Double]): String =
+                  o.map(_.toString).getOrElse("null")
                 requeued(name) =
                   s"""{"in_map":$v0,"quiet":$m,""" +
                   s""""quiet_runs":${ts.mkString("[", ",", "]")},""" +
-                  s""""pre":$pre,"post":${post.get},""" +
+                  s""""pre":${pre._1},"post":${post.get._1},""" +
+                  s""""pre_probe":${jopt(pre._2)},""" +
+                  s""""post_probe":${jopt(post.get._2)},""" +
                   s""""replaced":$replaced}"""
                 lastQuiet = post
                 rescued = true
@@ -609,23 +663,47 @@ object Bench {
     // per-query diffs by this before calling anything a regression. Median
     // across controls (each control's warmup-dropped median / its stored
     // reference) so one control's own drift cannot fake an ambient shift.
-    val ratios = mapControlTimes.toSeq.flatMap { case (cn, ts) =>
-      val kept = dropWarmup(ts)
-      controlRefs.get(cn).filter(_ > 0).filter(_ => kept.nonEmpty)
-        .map(ref => med(kept) / ref)
-    }
+    // the probe is EXCLUDED from control_ratio: its reference is an
+    // r16-window measurement while the three query-control references
+    // are the r11/r14 quiet windows, and growing the median's input set
+    // would silently change what the emitted value means round-over-
+    // round — the whole point of the field is cross-round comparability.
+    // The probe's own ambient story is emitted separately as
+    // `probe_ratio` (multi-core ambient vs the single-threaded
+    // control_ratio — the two diverge exactly under the sustained-load
+    // mode the probe exists to see).
+    val ratios = mapControlTimes.toSeq
+      .filter { case (cn, _) => cn != probeName }
+      .flatMap { case (cn, ts) =>
+        val kept = dropWarmup(ts)
+        controlRefs.get(cn).filter(_ > 0).filter(_ => kept.nonEmpty)
+          .map(ref => med(kept) / ref)
+      }
     val controlRatio = if (ratios.isEmpty) "null" else med(ratios).toString
+    val probeRatio = (for {
+      ref <- controlRefs.get(probeName).filter(_ > 0)
+      ts <- mapControlTimes.get(probeName)
+      kept = dropWarmup(ts) if kept.nonEmpty
+    } yield (med(kept) / ref).toString).getOrElse("null")
     // values are already raw JSON objects (built at decision time above)
     val requeuedJson = requeued.map { case (k, v) =>
       jstr(k) + ":" + v }.mkString("{", ",", "}")
-    // the bars the records were judged against — without them pre/post
-    // and the replaced flags aren't interpretable from the artifact alone
+    // the bars the records were judged against — without them pre/post,
+    // pre_probe/post_probe and the replaced flags aren't interpretable
+    // from the artifact alone
     val quietBarJson =
       if (requeueEnabled && quietMin.nonEmpty) quietBar.toString else "null"
+    val probeQuietBarJson =
+      if (requeueEnabled) probeQuietBar.map(_.toString).getOrElse("null")
+      else "null"
+    val probeAbsBarJson =
+      if (requeueEnabled && probeQuietBar.isDefined)
+        probeAbsBar.map(_.toString).getOrElse("null")
+      else "null"
     // sfDir is operator-controlled (env var): escape it like every other
     // string, or a quote/backslash in the path makes a multi-hour run's
     // one output line unparseable
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"failed":${results.count(_._4.isDefined)},"controls":$controlsJson,"controls_failed":$mapControlsFailed,"noise_floor":$noiseFloor,"control_ratio":$controlRatio,"refs_source":${jstr(refsSource)},"requeued":$requeuedJson,"requeue_gave_up":$requeueGaveUp,"requeue_errored":$requeueErrored,"requeue_runwide_skip":$requeueRunwideSkip,"requeue_quiet_bar":$quietBarJson,"requeue_replace_bar":$replaceBar,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"failed":${results.count(_._4.isDefined)},"controls":$controlsJson,"controls_failed":$mapControlsFailed,"noise_floor":$noiseFloor,"control_ratio":$controlRatio,"refs_source":${jstr(refsSource)},"requeued":$requeuedJson,"requeue_gave_up":$requeueGaveUp,"requeue_errored":$requeueErrored,"requeue_runwide_skip":$requeueRunwideSkip,"requeue_quiet_bar":$quietBarJson,"requeue_probe_quiet_bar":$probeQuietBarJson,"requeue_probe_abs_bar":$probeAbsBarJson,"requeue_replace_bar":$replaceBar,"probe_ratio":$probeRatio,"sf":${jstr(sfDir)}}""")
     // clean JVM shutdown: any stateful streaming query leaves the shared
     // StateStore maintenance thread running, and a tick AFTER spark.stop()
     // throws "SparkEnv not active" onto stderr — harmless but it rode the
