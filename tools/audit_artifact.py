@@ -123,9 +123,14 @@ def audit_controls(d, a):
         return
     floors = [max(k) / min(k) for k in (drop_warmup(v) for v in ctl.values())
               if len(k) >= 2 and min(k) > 0]
-    if floors and d.get("noise_floor") is not None:
-        a.ok(close(d["noise_floor"], max(floors)),
-             f"noise_floor {d['noise_floor']} != recomputed {max(floors)}")
+    if d.get("noise_floor") is not None:
+        if floors:
+            a.ok(close(d["noise_floor"], max(floors)),
+                 f"noise_floor {d['noise_floor']} != recomputed "
+                 f"{max(floors)}")
+        else:
+            a.warn("noise_floor claimed but no control vector supports "
+                   "recomputation — floor NOT replayed")
     refs = BUILTIN_REFS.get(d.get("refs_source"))
     if refs is None:
         a.warn(f"refs_source {d.get('refs_source')!r} has no mirrored "
@@ -134,14 +139,22 @@ def audit_controls(d, a):
     ratios = [med(drop_warmup(ts)) / refs[cn]
               for cn, ts in ctl.items()
               if cn != PROBE and cn in refs and drop_warmup(ts)]
-    if ratios and d.get("control_ratio") is not None:
-        a.ok(close(d["control_ratio"], med(ratios)),
-             f"control_ratio {d['control_ratio']} != recomputed "
-             f"{med(ratios)}")
-    if PROBE in ctl and PROBE in refs and d.get("probe_ratio") is not None:
-        pr = med(drop_warmup(ctl[PROBE])) / refs[PROBE]
-        a.ok(close(d["probe_ratio"], pr),
-             f"probe_ratio {d['probe_ratio']} != recomputed {pr}")
+    if d.get("control_ratio") is not None:
+        if ratios:
+            a.ok(close(d["control_ratio"], med(ratios)),
+                 f"control_ratio {d['control_ratio']} != recomputed "
+                 f"{med(ratios)}")
+        else:
+            a.warn("control_ratio claimed but no control has samples and "
+                   "a mirrored ref — ratio NOT replayed")
+    if d.get("probe_ratio") is not None:
+        if PROBE in ctl and PROBE in refs and drop_warmup(ctl[PROBE]):
+            pr = med(drop_warmup(ctl[PROBE])) / refs[PROBE]
+            a.ok(close(d["probe_ratio"], pr),
+                 f"probe_ratio {d['probe_ratio']} != recomputed {pr}")
+        else:
+            a.warn("probe_ratio claimed but the probe has no usable "
+                   "samples/ref — NOT replayed")
 
 
 def audit_requeue(d, a):
@@ -155,6 +168,7 @@ def audit_requeue(d, a):
     probe_min = None
     if PROBE in ctl and drop_warmup(ctl[PROBE]):
         probe_min = min(drop_warmup(ctl[PROBE]))
+    spliced = set(d.get("spliced", {}) or {})
     prose = [n for n, r in req.items() if not isinstance(r, dict)]
     if prose:
         a.warn(f"{len(prose)} requeued records are pre-r16 prose strings — "
@@ -163,22 +177,44 @@ def audit_requeue(d, a):
         if not isinstance(r, dict):
             continue
         pre = f"requeued[{name}]"
-        a.ok(close(r["quiet"], med(r["quiet_runs"])),
+        missing = [f for f in ("in_map", "quiet", "quiet_runs", "pre",
+                               "post", "replaced") if f not in r]
+        if missing or name not in q:
+            a.ok(False, f"{pre}: record unusable (missing fields {missing}"
+                 f"{', name not in queries' if name not in q else ''})")
+            continue
+        a.ok(bool(r["quiet_runs"]) and close(r["quiet"],
+                                             med(r["quiet_runs"])),
              f"{pre}: quiet {r['quiet']} != median(quiet_runs)")
-        if bar and r["in_map"] > 0 and r["quiet"] > 0:
-            div = max(r["in_map"] / r["quiet"], r["quiet"] / r["in_map"])
-            a.ok(r["replaced"] == (div > bar),
-                 f"{pre}: replaced={r['replaced']} but divergence "
-                 f"{div:.4f} vs bar {bar}")
-        want = r["quiet"] if r["replaced"] else r["in_map"]
-        a.ok(close(q[name], want),
-             f"{pre}: queries[{name}]={q[name]} != "
-             f"{'quiet' if r['replaced'] else 'in_map'} {want}")
-        if r["replaced"]:
-            a.ok(name in runs and len(runs[name]) == len(r["quiet_runs"])
-                 and all(close(x, y) for x, y
-                         in zip(runs[name], r["quiet_runs"])),
-                 f"{pre}: replaced but runs[{name}] != quiet_runs")
+        if bar:
+            if r["in_map"] > 0 and r["quiet"] > 0:
+                div = max(r["in_map"] / r["quiet"], r["quiet"] / r["in_map"])
+                a.ok(r["replaced"] == (div > bar),
+                     f"{pre}: replaced={r['replaced']} but divergence "
+                     f"{div:.4f} vs bar {bar}")
+            else:
+                # Bench forces replaced=false when either median is
+                # non-positive — a replaced=true here is provably forged
+                a.ok(r["replaced"] is False,
+                     f"{pre}: replaced=true with non-positive median "
+                     f"(in_map={r['in_map']}, quiet={r['quiet']})")
+        if name in spliced:
+            # splice_map.py legitimately overwrites queries/runs after
+            # the requeue record was emitted; the spliced evidence, not
+            # the record, owns the final number
+            a.warn(f"{pre}: later spliced — final-number check deferred "
+                   "to the spliced evidence")
+        else:
+            want = r["quiet"] if r["replaced"] else r["in_map"]
+            a.ok(close(q[name], want),
+                 f"{pre}: queries[{name}]={q[name]} != "
+                 f"{'quiet' if r['replaced'] else 'in_map'} {want}")
+            if r["replaced"]:
+                a.ok(name in runs
+                     and len(runs[name]) == len(r["quiet_runs"])
+                     and all(close(x, y) for x, y
+                             in zip(runs[name], r["quiet_runs"])),
+                     f"{pre}: replaced but runs[{name}] != quiet_runs")
         if quiet_bar:
             a.ok(r["pre"] <= quiet_bar and r["post"] <= quiet_bar,
                  f"{pre}: pre/post {r['pre']:.3f}/{r['post']:.3f} exceed "
@@ -223,41 +259,65 @@ def audit_detector(d, a):
         a.warn("detector replay skipped (no pass levels)")
         return
     median_level = med(body)
-    if d.get("requeue_quiet_bar") is not None:
-        want = median_level * DEFAULT_QUIET_SLACK
-        a.ok(close(d["requeue_quiet_bar"], want, rel=1e-6),
-             f"requeue_quiet_bar {d['requeue_quiet_bar']} != median pass "
-             f"level {median_level:.4f} x {DEFAULT_QUIET_SLACK}")
+    # the artifact stores only the derived bars, not the slack knob —
+    # recover the slack from the main bar and require the probe bar to
+    # be consistent with it (both come from the SAME quietSlack in
+    # Bench), warning when the run demonstrably used a non-default env
+    slack = None
+    if d.get("requeue_quiet_bar") is not None and median_level > 0:
+        slack = d["requeue_quiet_bar"] / median_level
+        if not close(slack, DEFAULT_QUIET_SLACK, rel=1e-6):
+            a.warn(f"derived quiet slack {slack:.4f} differs from the "
+                   f"default {DEFAULT_QUIET_SLACK} — non-default "
+                   "SPARK_GRAFT_BENCH_REQUEUE_* env; detector replay uses "
+                   "the derived value")
     probe_levels = None
+    probe_med = None
     if PROBE in quiet_min:
         probe_levels = [ctl[PROBE][i] / quiet_min[PROBE]
                         for i in range(1, npass)]
         probe_med = med(probe_levels)
-        if d.get("requeue_probe_quiet_bar") is not None:
-            want = probe_med * DEFAULT_QUIET_SLACK
+        if d.get("requeue_probe_quiet_bar") is not None and slack:
+            want = probe_med * slack
             a.ok(close(d["requeue_probe_quiet_bar"], want, rel=1e-6),
                  f"requeue_probe_quiet_bar {d['requeue_probe_quiet_bar']} "
-                 f"!= median probe level {probe_med:.4f} x "
-                 f"{DEFAULT_QUIET_SLACK}")
+                 f"!= median probe level {probe_med:.4f} x the derived "
+                 f"slack {slack:.4f} — the two bars must share one slack")
+    # the hot ratio (default 1.5) is NOT recoverable from the artifact;
+    # replay with the default and treat a mismatch as hard only when the
+    # derived slack shows the run used default knobs
     hot = []
     for i in range(1, npass):
         med_hot = levels[i] is not None and levels[i] / median_level > 1.5
-        probe_hot = (probe_levels is not None
-                     and probe_levels[i - 1] / med(probe_levels) > 1.5)
+        probe_hot = (probe_med is not None
+                     and probe_levels[i - 1] / probe_med > 1.5)
         if med_hot or probe_hot:
             hot.append(i)
     activity = (len(d.get("requeued", {}) or {})
                 + d.get("requeue_gave_up", 0)
                 + d.get("requeue_errored", 0)) > 0 \
         or d.get("requeue_runwide_skip", False)
-    if d.get("requeue_quiet_bar") is None:
-        a.warn("requeue disabled in this run — hot-pass/activity cross-check "
-               f"informational only (hot passes: {hot})")
-    else:
-        a.ok(bool(hot) == activity,
-             f"hot passes {hot} vs requeue activity {activity} disagree "
+    defaults = slack is not None and close(slack, DEFAULT_QUIET_SLACK,
+                                           rel=1e-6)
+    label = (f"hot passes {hot} vs requeue activity {activity} disagree "
              "(a flagged pass must leave requeue records / give-ups / the "
              "run-wide skip, and activity needs a flagged pass)")
+    if d.get("requeue_quiet_bar") is None:
+        a.warn("requeue disabled in this run — hot-pass/activity "
+               f"cross-check informational only (hot passes: {hot})")
+    elif not defaults:
+        a.warn("non-default detector knobs — hot-pass/activity cross-check "
+               f"informational only (replay at 1.5 gives hot={hot}, "
+               f"activity={activity})")
+    elif hot and not activity and (d.get("failed", 0) > 0
+                                   or d.get("errors")):
+        # Bench's suspect filter drops errored queries, so a hot pass
+        # bracketing only failures legitimately leaves no activity
+        a.warn(f"hot passes {hot} with no requeue activity, but the run "
+               "has errored queries — possibly all bracketed queries "
+               "errored; not failing")
+    else:
+        a.ok(bool(hot) == activity, label)
 
 
 def audit_movers(d, prev, mover_bar, a):
@@ -285,10 +345,14 @@ def main():
     path, prev_path, mover_bar = args[0], None, 2.0
     i = 1
     while i < len(args):
-        if args[i] == "--prev":
-            prev_path = args[i + 1]; i += 2
-        elif args[i] == "--mover-bar":
-            mover_bar = float(args[i + 1]); i += 2
+        if args[i] in ("--prev", "--mover-bar"):
+            if i + 1 >= len(args):
+                raise SystemExit(f"{args[i]} needs an operand\n\n{__doc__}")
+            if args[i] == "--prev":
+                prev_path = args[i + 1]
+            else:
+                mover_bar = float(args[i + 1])
+            i += 2
         else:
             raise SystemExit(f"unknown arg {args[i]}")
     d = json.load(open(path))
