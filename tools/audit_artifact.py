@@ -88,7 +88,7 @@ def close(a, b, rel=1e-6, abs_tol=1e-9):
 
 class Audit:
     def __init__(self):
-        self.fails, self.warns, self.passes = [], [], 0
+        self.fails, self.warns, self.infos, self.passes = [], [], [], 0
 
     def ok(self, cond, label):
         if cond:
@@ -98,6 +98,9 @@ class Audit:
 
     def warn(self, label):
         self.warns.append(label)
+
+    def info(self, label):
+        self.infos.append(label)
 
 
 def audit_structural(d, a):
@@ -131,6 +134,17 @@ def audit_controls(d, a):
         else:
             a.warn("noise_floor claimed but no control vector supports "
                    "recomputation — floor NOT replayed")
+    # informational: the honest quiet test's dispersion term (SURVEY
+    # §6 round-16): worst control max/min over MAP-PHASE samples only —
+    # warmup (first timed sample) and the closing pass (whose idle-tail
+    # dip dominates the headline floor at sf1) both excluded
+    mp = [max(k) / min(k)
+          for k in (v[1:-1] for v in ctl.values() if len(v) >= 4)
+          if k and min(k) > 0]
+    if mp:
+        a.info(f"map-phase-only dispersion {max(mp):.2f} "
+               "(warmup + closing pass excluded; the headline "
+               "noise_floor includes the closing-dip term)")
     refs = BUILTIN_REFS.get(d.get("refs_source"))
     if refs is None:
         a.warn(f"refs_source {d.get('refs_source')!r} has no mirrored "
@@ -363,6 +377,8 @@ def main():
     audit_detector(d, a)
     if prev_path:
         audit_movers(d, json.load(open(prev_path)), mover_bar, a)
+    for n in a.infos:
+        print(f"INFO  {n}")
     for w in a.warns:
         print(f"WARN  {w}")
     for f in a.fails:
