@@ -46,7 +46,8 @@ Usage: audit_artifact.py <artifact.json> [--prev prior.json]
 """
 import json
 import statistics
-import sys
+
+from audit_common import Audit, parse_flags
 
 PROBE = "ctl_shuffle_probe"
 
@@ -84,23 +85,6 @@ def drop_warmup(ts):
 
 def close(a, b, rel=1e-6, abs_tol=1e-9):
     return abs(a - b) <= max(abs_tol, rel * max(abs(a), abs(b)))
-
-
-class Audit:
-    def __init__(self):
-        self.fails, self.warns, self.infos, self.passes = [], [], [], 0
-
-    def ok(self, cond, label):
-        if cond:
-            self.passes += 1
-        else:
-            self.fails.append(label)
-
-    def warn(self, label):
-        self.warns.append(label)
-
-    def info(self, label):
-        self.infos.append(label)
 
 
 def audit_structural(d, a):
@@ -353,22 +337,12 @@ def audit_movers(d, prev, mover_bar, a):
 
 
 def main():
-    args = sys.argv[1:]
-    if not args:
-        raise SystemExit(__doc__)
-    path, prev_path, mover_bar = args[0], None, 2.0
-    i = 1
-    while i < len(args):
-        if args[i] in ("--prev", "--mover-bar"):
-            if i + 1 >= len(args):
-                raise SystemExit(f"{args[i]} needs an operand\n\n{__doc__}")
-            if args[i] == "--prev":
-                prev_path = args[i + 1]
-            else:
-                mover_bar = float(args[i + 1])
-            i += 2
-        else:
-            raise SystemExit(f"unknown arg {args[i]}")
+    import sys
+    path, flags = parse_flags(sys.argv[1:],
+                              {"--prev": str, "--mover-bar": float},
+                              __doc__)
+    prev_path = flags.get("--prev")
+    mover_bar = flags.get("--mover-bar", 2.0)
     d = json.load(open(path))
     a = Audit()
     audit_structural(d, a)
@@ -377,15 +351,8 @@ def main():
     audit_detector(d, a)
     if prev_path:
         audit_movers(d, json.load(open(prev_path)), mover_bar, a)
-    for n in a.infos:
-        print(f"INFO  {n}")
-    for w in a.warns:
-        print(f"WARN  {w}")
-    for f in a.fails:
-        print(f"FAIL  {f}")
-    print(f"{'FAIL' if a.fails else 'PASS'}  {path}: {a.passes} checks "
-          f"passed, {len(a.fails)} failed, {len(a.warns)} skipped")
-    sys.exit(1 if a.fails else 0)
+    a.finish(f"{path}: {a.passes} checks passed, {len(a.fails)} failed, "
+             f"{len(a.warns)} skipped")
 
 
 if __name__ == "__main__":
