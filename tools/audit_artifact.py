@@ -345,6 +345,12 @@ def main():
     mover_bar = flags.get("--mover-bar", 2.0)
     d = json.load(open(path))
     a = Audit()
+    if not isinstance(d.get("queries"), dict) or not d["queries"]:
+        # e.g. the round driver's BENCH_r{N}.json stdout-wrapper files
+        # (n/rc/tail keys) — not a Bench artifact at all
+        a.ok(False, "no usable `queries` object — not a graft.Bench "
+             f"artifact (top-level keys: {sorted(d)[:8]})")
+        a.finish(f"{path}: not auditable")
     audit_structural(d, a)
     audit_controls(d, a)
     audit_requeue(d, a)
