@@ -74,15 +74,24 @@ import org.apache.spark.sql.SparkSession
   * deliberately robust to one mover (which would silence exactly this
   * one-control signal), the probe carries its own time-local outlier
   * channel — its sample vs its own run-median level — OR-ed into hot
-  * detection (a missing probe sample in a pass flags hot: the
-  * synthetic probe only fails under the pressure the channel exists to
-  * catch), and quiet certification requires BOTH channels under their
+  * detection (a missing probe sample in a pass flags hot only when
+  * CORROBORATED — a second miss or an elevated neighbor pass — so one
+  * transient hiccup can't requeue two interleave neighborhoods; a
+  * missing sample still always FAILS quiet certification, where
+  * conservatism costs only wait budget), and quiet certification
+  * requires BOTH channels under their
   * bars plus an ABSOLUTE probe bar (stored reference ×
   * SPARK_GRAFT_BENCH_REQUEUE_ABS_SLACK, default 1.3) so a run whose
   * whole window is ambient-slow cannot certify a tail "rescue" at the
   * elevated level. NOTE: floors from r16 on
   * include the probe's (inherently wider) multi-core dispersion and
-  * are not directly comparable to r15-and-earlier floors. */
+  * are not directly comparable to r15-and-earlier floors; from r17 the
+  * window's headline quiet metric is `map_phase_dispersion` (warmup,
+  * closing pass, and certified-caught hot passes excluded — the
+  * dispersion of the window the map's QUOTED numbers were actually
+  * measured in), gated by tools/audit_artifact.py at ≤2.0 (sf0.1) /
+  * ≤2.2 (sf1u); noise_floor stays emitted for cross-round continuity
+  * but is closing-dip-dominated by construction. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -394,8 +403,9 @@ object Bench {
     // (documented up to ~2x), so comparing it to the hot-detection ratio
     // meant a genuinely quiet host whose typical-vs-best spread exceeded
     // the ratio could burn the whole wait budget, and raising the ratio
-    // to compensate would desensitize burst detection at the same time
-    val quietSlack = envDouble("SPARK_GRAFT_BENCH_REQUEUE_QUIET_SLACK", 1.2)
+    // to compensate would desensitize burst detection at the same time.
+    // (The `quietSlack` val itself is read below, next to the probe-miss
+    // corroboration that reuses it as the "elevated neighbor" bar.)
     // replacement bar (the splice protocol's house rule, symmetric): a
     // certified quiet re-run replaces the in-map median only when the two
     // disagree by more than this factor in either direction; agreement
@@ -447,24 +457,62 @@ object Bench {
       val ls = probeLevels.drop(1).flatten
       if (ls.isEmpty) None else Some(med(ls))
     }
-    def passHot(p: Int): Boolean =
-      p >= 1 && p < mapPassCount && {
-        val medianHot = (for {
-          l <- mapPassLevels(p); m <- medianPassLevel if m > 0
-        } yield l / m > requeueRatio).getOrElse(false)
-        // an ACTIVE probe channel (the probe produced samples this run)
-        // whose sample is MISSING in this pass is itself a burst signal,
-        // not a waiver: the synthetic probe only fails under the extreme
-        // resource pressure the channel exists to catch, so a failed
-        // probe must flag the pass hot rather than silently degrade
-        // detection to the single-threaded controls
-        val probeHot = medianProbeLevel match {
-          case Some(m) if m > 0 =>
-            probeLevels(p).map(_ / m > requeueRatio).getOrElse(true)
-          case _ => false
+    // quiet certification slack, read here because the probe-miss
+    // corroboration below reuses it as its "elevated neighbor" bar;
+    // full semantics documented at the quiet-bar derivation further down
+    val quietSlack = envDouble("SPARK_GRAFT_BENCH_REQUEUE_QUIET_SLACK", 1.2)
+    // an ACTIVE probe channel (the probe produced samples this run)
+    // whose sample is MISSING in a pass is a burst signal — the
+    // synthetic probe only fails under extreme resource pressure — but
+    // a SINGLE transient miss in an otherwise-calm run is not: treating
+    // every lone miss as hot sent up to two interleave neighborhoods
+    // (~benchSet/4 queries x 3 attempts x runsPer) into tail requeue on
+    // one hiccup. A miss therefore flags hot only when CORROBORATED:
+    // a second miss anywhere in the map (systematic probe failure), or
+    // an adjacent pass reading elevated (above the quiet-slack bar on
+    // either channel — a burst wide enough to kill the probe shows on
+    // its neighbors). Either way the miss is logged distinctly, so an
+    // operator can tell probe-failure requeues from genuine catches.
+    val probeMissingPasses: Seq[Int] =
+      if (medianProbeLevel.isEmpty) Nil
+      else (1 until mapPassCount).filter(p => probeLevels(p).isEmpty)
+    def levelElevated(p: Int): Boolean = {
+      val medEl = (for {
+        l <- mapPassLevels(p); m <- medianPassLevel if m > 0
+      } yield l / m > quietSlack).getOrElse(false)
+      val prbEl = (for {
+        l <- probeLevels(p); m <- medianProbeLevel if m > 0
+      } yield l / m > quietSlack).getOrElse(false)
+      medEl || prbEl
+    }
+    def missCorroborated(p: Int): Boolean =
+      probeMissingPasses.size >= 2 ||
+        Seq(p - 1, p + 1).filter(i => i >= 1 && i < mapPassCount)
+          .exists(levelElevated)
+    probeMissingPasses.foreach { p =>
+      System.err.println(s"Bench: probe sample MISSING in control pass $p" +
+        (if (missCorroborated(p)) " — corroborated (second miss or " +
+          "elevated neighbor pass); flagging the pass hot"
+         else " — uncorroborated lone miss; NOT flagging the pass hot " +
+          "(neighbors read calm and no second miss)"))
+    }
+    val passHotVec: Vector[Boolean] =
+      (0 until mapPassCount).map { p =>
+        p >= 1 && {
+          val medianHot = (for {
+            l <- mapPassLevels(p); m <- medianPassLevel if m > 0
+          } yield l / m > requeueRatio).getOrElse(false)
+          val probeHot = medianProbeLevel match {
+            case Some(m) if m > 0 =>
+              probeLevels(p).map(_ / m > requeueRatio)
+                .getOrElse(missCorroborated(p))
+            case _ => false
+          }
+          medianHot || probeHot
         }
-        medianHot || probeHot
-      }
+      }.toVector
+    def passHot(p: Int): Boolean =
+      p >= 1 && p < mapPassCount && passHotVec(p)
     // the quiet bar in raw (min-anchored) pass-level units; when the map
     // produced no median (single-pass --only runs) fall back to the hot
     // ratio — the old behavior, still bounded by the wait budget
@@ -625,6 +673,45 @@ object Bench {
       }
     }
 
+    // ---- the honest quiet test (round-16 verdict ask #1) ----
+    // The headline noise_floor stopped measuring the host once the probe
+    // joined the controls: the probe's own in-map-vs-closing-dip gap sets
+    // the floor by construction (structurally ~2.0-2.4 at sf0.1 in a
+    // window whose single-threaded controls read ~1.0). The field that
+    // DOES measure the window the map's medians were measured in is the
+    // map-phase-only dispersion: worst per-control max/min over the
+    // interleave passes proper — the warmup pass (residual JIT) and the
+    // closing pass (idle-tail cache dip) excluded, and hot passes whose
+    // every bracketed query earned a CERTIFIED requeue record excluded
+    // too (those queries' numbers were re-measured or re-certified in a
+    // proven quiet window, so the caught burst's control samples no
+    // longer describe any number the map quotes; a pass whose suspects
+    // gave up or errored keeps its samples in — their in-map numbers
+    // stand uncertified). `map_phase_excluded_passes` lists the excluded
+    // hot passes so the exclusion itself replays from the artifact
+    // (tools/audit_artifact.py recomputes the field and verifies each
+    // listed pass is detector-hot with certified coverage).
+    val excludedHotPasses: Seq[Int] =
+      if (!requeueEnabled || requeueRunwideSkip || quietMin.isEmpty) Nil
+      else (1 until math.max(0, mapPassCount - 1)).filter { p =>
+        passHot(p) && {
+          val bracketed = results.filter { case (_, _, _, err, pp) =>
+            err.isEmpty && (pp == p || pp + 1 == p) }
+          bracketed.nonEmpty &&
+            bracketed.forall { case (n, _, _, _, _) => requeued.contains(n) }
+        }
+      }
+    val mapPhaseDispersion: Option[Double] = {
+      val disps = controlNames.flatMap { cn =>
+        val kept = (1 until math.max(0, mapPassCount - 1))
+          .filterNot(excludedHotPasses.contains)
+          .flatMap(p => controlPasses(p).get(cn))
+        if (kept.size >= 2 && kept.min > 0) Some(kept.max / kept.min)
+        else None
+      }
+      if (disps.isEmpty) None else Some(disps.max)
+    }
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -680,6 +767,15 @@ object Bench {
           .map(ref => med(kept) / ref)
       }
     val controlRatio = if (ratios.isEmpty) "null" else med(ratios).toString
+    // READING probe_ratio: it divides the probe's IN-MAP median by its
+    // stored quiet-window (isolated) reference, and the in-map convention
+    // runs the multi-core probe ~1.5-1.9x its isolated level under a full
+    // map's cache pressure (the documented q220 analogue) — so ~1.5-1.9
+    // IS the quiet-window baseline for this field, not evidence of
+    // sustained ambient load; sustained load reads well above 2. The
+    // absolute requeue bar deliberately keeps the isolated-convention
+    // reference (tail certification happens in idle windows, where the
+    // isolated level is the right anchor).
     val probeRatio = (for {
       ref <- controlRefs.get(probeName).filter(_ > 0)
       ts <- mapControlTimes.get(probeName)
@@ -700,10 +796,26 @@ object Bench {
       if (requeueEnabled && probeQuietBar.isDefined)
         probeAbsBar.map(_.toString).getOrElse("null")
       else "null"
+    // the ACTIVE control references ride in the artifact itself (r16
+    // verdict ask #2): the auditor replays ratios from here and
+    // cross-checks its own mirror, so a re-anchor that updates only one
+    // side fails loudly instead of silently invalidating either the
+    // requeue absolute bar or the replay
+    val controlRefsJson = controlRefs.toSeq.sortBy(_._1).map { case (k, v) =>
+      jstr(k) + ":" + v }.mkString("{", ",", "}")
+    // the probe's builtin quiet refs are per-JVM-config (default heap vs
+    // -Xmx64g, a measured ~15% gap) while refs_source is keyed by the
+    // dataset directory's basename — emit the actual max heap so an
+    // artifact reader can detect a heap/refs mismatch the basename hides
+    val maxHeapBytes = Runtime.getRuntime.maxMemory
+    val mapPhaseDispJson =
+      mapPhaseDispersion.map(_.toString).getOrElse("null")
+    val excludedPassesJson =
+      excludedHotPasses.mkString("[", ",", "]")
     // sfDir is operator-controlled (env var): escape it like every other
     // string, or a quote/backslash in the path makes a multi-hour run's
     // one output line unparseable
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"failed":${results.count(_._4.isDefined)},"controls":$controlsJson,"controls_failed":$mapControlsFailed,"noise_floor":$noiseFloor,"control_ratio":$controlRatio,"refs_source":${jstr(refsSource)},"requeued":$requeuedJson,"requeue_gave_up":$requeueGaveUp,"requeue_errored":$requeueErrored,"requeue_runwide_skip":$requeueRunwideSkip,"requeue_quiet_bar":$quietBarJson,"requeue_probe_quiet_bar":$probeQuietBarJson,"requeue_probe_abs_bar":$probeAbsBarJson,"requeue_replace_bar":$replaceBar,"probe_ratio":$probeRatio,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errs,"failed":${results.count(_._4.isDefined)},"controls":$controlsJson,"controls_failed":$mapControlsFailed,"noise_floor":$noiseFloor,"map_phase_dispersion":$mapPhaseDispJson,"map_phase_excluded_passes":$excludedPassesJson,"control_ratio":$controlRatio,"refs_source":${jstr(refsSource)},"control_refs":$controlRefsJson,"max_heap_bytes":$maxHeapBytes,"requeued":$requeuedJson,"requeue_gave_up":$requeueGaveUp,"requeue_errored":$requeueErrored,"requeue_runwide_skip":$requeueRunwideSkip,"requeue_ratio":$requeueRatio,"requeue_quiet_bar":$quietBarJson,"requeue_probe_quiet_bar":$probeQuietBarJson,"requeue_probe_abs_bar":$probeAbsBarJson,"requeue_replace_bar":$replaceBar,"probe_ratio":$probeRatio,"sf":${jstr(sfDir)}}""")
     // clean JVM shutdown: any stateful streaming query leaves the shared
     // StateStore maintenance thread running, and a tick AFTER spark.stop()
     // throws "SparkEnv not active" onto stderr — harmless but it rode the

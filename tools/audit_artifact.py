@@ -13,10 +13,29 @@ trust prose or re-derive Bench.scala's conventions by hand:
   controls     noise_floor == worst max/min dispersion over the
                warmup-dropped (drop first sample when >=3) map-phase
                control vectors; control_ratio == median over the
-               non-probe controls of med(warmup-dropped)/builtin-ref;
-               probe_ratio likewise for ctl_shuffle_probe. Builtin
-               references are keyed by refs_source and mirrored from
-               Bench.scala — an "env" refs_source skips ratio replay.
+               non-probe controls of med(warmup-dropped)/active-ref;
+               probe_ratio likewise for ctl_shuffle_probe. The active
+               references are the artifact's own `control_refs`
+               (r17+), HARD-cross-checked against the mirror of
+               Bench.scala's builtin tables below when refs_source is
+               builtin-* — a re-anchor that updates only one side
+               FAILS here instead of silently replaying stale refs;
+               pre-r17 artifacts fall back to the mirror alone.
+  dispersion   the honest quiet GATE (r16 verdict ask #1):
+               map_phase_dispersion == worst per-control max/min over
+               the interleave passes proper (pass 0 = warmup, the
+               closing pass, and the certified-caught hot passes in
+               map_phase_excluded_passes all excluded) — recomputed,
+               each excluded pass verified detector-hot with requeue
+               records behind it, and GATED: FAIL above 2.0 (sf0.1) /
+               2.2 (sf1u) (override: --dispersion-bar), and FAIL when
+               control_ratio > 1.15 with zero per-query evidence keys
+               (an ambient-slow window cannot self-certify a map).
+               This field replaces noise_floor as the window's quiet
+               claim: the probe's own in-map-vs-closing-dip gap sets
+               the headline floor by construction (~2.0-2.4 even when
+               genuinely quiet), so a floor bar stopped measuring the
+               host in r16.
   requeue      for each record: quiet == median(quiet_runs); the
                replaced flag matches the symmetric divergence test
                (max(in_map/quiet, quiet/in_map) > requeue_replace_bar);
@@ -28,8 +47,12 @@ trust prose or re-derive Bench.scala's conventions by hand:
                requeue_probe_quiet_bar.
   detector     with controls_failed == 0 the per-pass control samples
                align positionally, so the in-run burst detector is
-               replayed: requeue_quiet_bar == median pass level x 1.2
-               (default slack), and a map with hot passes must show
+               replayed at the artifact's own requeue_ratio (r17+;
+               pre-r17 artifacts lack the field, so the replay runs at
+               the 1.5 default and the cross-check is informational —
+               a custom-ratio run must not be FAILed at the wrong
+               ratio): requeue_quiet_bar == median pass level x the
+               derived slack, and a map with hot passes must show
                requeue activity (records, give-ups, errors, or the
                run-wide skip) while a map with none must show none.
   movers       with --prev <prior artifact>: every query whose median
@@ -42,12 +65,11 @@ Exit 0 with a PASS summary, exit 1 listing every FAIL. WARNs (checks
 skipped for stated structural reasons) never fail the audit.
 
 Usage: audit_artifact.py <artifact.json> [--prev prior.json]
-                         [--mover-bar 2.0]
+                         [--mover-bar 2.0] [--dispersion-bar X]
 """
-import json
 import statistics
 
-from audit_common import Audit, parse_flags
+from audit_common import Audit, load_json, parse_flags
 
 PROBE = "ctl_shuffle_probe"
 
@@ -71,6 +93,17 @@ BUILTIN_REFS = {
 }
 
 DEFAULT_QUIET_SLACK = 1.2  # SPARK_GRAFT_BENCH_REQUEUE_QUIET_SLACK
+DEFAULT_REQUEUE_RATIO = 1.5  # pre-r17 artifacts don't carry the knob
+
+# map_phase_dispersion bars (r16 verdict ask #1), keyed like the refs:
+# sf0.1's quiet interleave windows read 1.3-1.4, sf1's 1.4-1.7 (larger
+# working set, more cache-pressure spread), so 2.0/2.2 separates a
+# quiet map from one a burst actually touched
+DISPERSION_BARS = {
+    "builtin-sf0.1-host-specific": 2.0,
+    "builtin-sf1u-host-specific": 2.2,
+}
+AMBIENT_RATIO_BAR = 1.15
 
 
 def med(xs):
@@ -103,6 +136,60 @@ def audit_structural(d, a):
         a.ok(not orphans, f"{key} keys not in queries: {orphans}")
 
 
+def resolve_refs(d, a):
+    """The active control references for ratio replay, single-sourced
+    from the artifact (r16 verdict ask #2): an r17+ artifact carries
+    the refs Bench actually applied in `control_refs`, and when
+    refs_source claims a builtin table the emitted refs must MATCH the
+    mirror above key-for-key — a re-anchor that updated Bench.scala but
+    not this tool (or vice versa) FAILS here instead of silently
+    replaying one side's stale numbers. Pre-r17 artifacts (no
+    control_refs) fall back to the mirror keyed by refs_source; an
+    env-sourced r17+ artifact replays against its own emitted refs
+    (previously unreplayable). Returns None when no refs are usable."""
+    src = d.get("refs_source")
+    emitted = d.get("control_refs")
+    mirror = BUILTIN_REFS.get(src)
+    heap = d.get("max_heap_bytes")
+    # the probe's builtin quiet refs are per-JVM-config (default heap vs
+    # -Xmx64g, a measured ~15% gap) while refs_source is keyed by the
+    # sfDir basename — surface a heap/refs mismatch the basename hides
+    if isinstance(heap, (int, float)) and heap > 0:
+        gib = heap / 2**30
+        if src == "builtin-sf0.1-host-specific" and gib >= 48:
+            a.warn(f"refs_source {src} (probe ref measured at default "
+                   f"heap) but the run's max heap was {gib:.0f} GiB — the "
+                   "probe's absolute quiet bar is ~15% loose for this "
+                   "JVM config")
+        if src == "builtin-sf1u-host-specific" and gib < 48:
+            a.warn(f"refs_source {src} (probe ref measured at -Xmx64g) "
+                   f"but the run's max heap was {gib:.0f} GiB — the "
+                   "probe's absolute quiet bar is ~15% tight for this "
+                   "JVM config")
+    if isinstance(emitted, dict) and emitted:
+        if isinstance(src, str) and src.startswith("builtin-"):
+            if mirror is None:
+                a.ok(False, f"refs_source {src!r} claims a builtin table "
+                     "this auditor has no mirror for — Bench.scala and "
+                     "audit_artifact.py re-anchored apart")
+            else:
+                drift = sorted(k for k in set(emitted) | set(mirror)
+                               if k not in emitted or k not in mirror
+                               or not close(emitted[k], mirror[k]))
+                a.ok(not drift, "control_refs drift vs the auditor's "
+                     f"mirror for {src}: {drift} — Bench.scala and "
+                     "audit_artifact.py must be re-anchored TOGETHER")
+        return emitted
+    if mirror is not None:
+        a.warn("pre-r17 artifact (no control_refs field) — ratios "
+               "replayed against the auditor's mirrored builtin table")
+        return mirror
+    a.warn(f"refs_source {src!r} has no usable refs (no control_refs "
+           "in the artifact, no mirrored builtin table) — ratio replay "
+           "skipped")
+    return None
+
+
 def audit_controls(d, a):
     ctl = d.get("controls", {}) or {}
     if not ctl:
@@ -118,21 +205,8 @@ def audit_controls(d, a):
         else:
             a.warn("noise_floor claimed but no control vector supports "
                    "recomputation — floor NOT replayed")
-    # informational: the honest quiet test's dispersion term (SURVEY
-    # §6 round-16): worst control max/min over MAP-PHASE samples only —
-    # warmup (first timed sample) and the closing pass (whose idle-tail
-    # dip dominates the headline floor at sf1) both excluded
-    mp = [max(k) / min(k)
-          for k in (v[1:-1] for v in ctl.values() if len(v) >= 4)
-          if k and min(k) > 0]
-    if mp:
-        a.info(f"map-phase-only dispersion {max(mp):.2f} "
-               "(warmup + closing pass excluded; the headline "
-               "noise_floor includes the closing-dip term)")
-    refs = BUILTIN_REFS.get(d.get("refs_source"))
+    refs = resolve_refs(d, a)
     if refs is None:
-        a.warn(f"refs_source {d.get('refs_source')!r} has no mirrored "
-               "builtin table — ratio replay skipped")
         return
     ratios = [med(drop_warmup(ts)) / refs[cn]
               for cn, ts in ctl.items()
@@ -234,15 +308,17 @@ def audit_requeue(d, a):
 def audit_detector(d, a):
     """Replay the in-run burst detector from the positional alignment
     of the map-phase control vectors (valid only when no timed control
-    run failed — a failure leaves a hole that misaligns passes)."""
+    run failed — a failure leaves a hole that misaligns passes).
+    Returns the replayed hot-pass list (None when not replayable) so
+    the dispersion gate can verify excluded passes against it."""
     ctl = d.get("controls", {}) or {}
     if not ctl or d.get("controls_failed", 0) != 0:
         a.warn("detector replay skipped (no controls or controls_failed>0)")
-        return
+        return None
     npass = min(len(v) for v in ctl.values())
     if npass < 3:
         a.warn("detector replay skipped (<3 control passes)")
-        return
+        return None
     quiet_min = {cn: min(drop_warmup(ts)) for cn, ts in ctl.items()
                  if drop_warmup(ts) and min(drop_warmup(ts)) > 0}
 
@@ -255,7 +331,7 @@ def audit_detector(d, a):
     body = [x for x in levels[1:] if x is not None]
     if not body:
         a.warn("detector replay skipped (no pass levels)")
-        return
+        return None
     median_level = med(body)
     # the artifact stores only the derived bars, not the slack knob —
     # recover the slack from the main bar and require the probe bar to
@@ -281,31 +357,34 @@ def audit_detector(d, a):
                  f"requeue_probe_quiet_bar {d['requeue_probe_quiet_bar']} "
                  f"!= median probe level {probe_med:.4f} x the derived "
                  f"slack {slack:.4f} — the two bars must share one slack")
-    # the hot ratio (default 1.5) is NOT recoverable from the artifact;
-    # replay with the default and treat a mismatch as hard only when the
-    # derived slack shows the run used default knobs
+    # the hot ratio rides in the artifact from r17 (requeue_ratio); a
+    # pre-r17 artifact is replayed at the 1.5 default but the cross-check
+    # stays informational for it — a run with a custom RATIO (and any
+    # quiet-slack setting) must not be FAILed at the wrong ratio
+    known_ratio = d.get("requeue_ratio")
+    ratio = known_ratio if isinstance(known_ratio, (int, float)) \
+        else DEFAULT_REQUEUE_RATIO
     hot = []
     for i in range(1, npass):
-        med_hot = levels[i] is not None and levels[i] / median_level > 1.5
+        med_hot = levels[i] is not None and levels[i] / median_level > ratio
         probe_hot = (probe_med is not None
-                     and probe_levels[i - 1] / probe_med > 1.5)
+                     and probe_levels[i - 1] / probe_med > ratio)
         if med_hot or probe_hot:
             hot.append(i)
     activity = (len(d.get("requeued", {}) or {})
                 + d.get("requeue_gave_up", 0)
                 + d.get("requeue_errored", 0)) > 0 \
         or d.get("requeue_runwide_skip", False)
-    defaults = slack is not None and close(slack, DEFAULT_QUIET_SLACK,
-                                           rel=1e-6)
     label = (f"hot passes {hot} vs requeue activity {activity} disagree "
              "(a flagged pass must leave requeue records / give-ups / the "
              "run-wide skip, and activity needs a flagged pass)")
     if d.get("requeue_quiet_bar") is None:
         a.warn("requeue disabled in this run — hot-pass/activity "
                f"cross-check informational only (hot passes: {hot})")
-    elif not defaults:
-        a.warn("non-default detector knobs — hot-pass/activity cross-check "
-               f"informational only (replay at 1.5 gives hot={hot}, "
+    elif known_ratio is None:
+        a.warn("no requeue_ratio in the artifact (pre-r17) — hot-pass/"
+               "activity cross-check informational only (replay at "
+               f"{DEFAULT_REQUEUE_RATIO} gives hot={hot}, "
                f"activity={activity})")
     elif hot and not activity and (d.get("failed", 0) > 0
                                    or d.get("errors")):
@@ -316,6 +395,81 @@ def audit_detector(d, a):
                "errored; not failing")
     else:
         a.ok(bool(hot) == activity, label)
+    return hot
+
+
+def audit_dispersion(d, hot, bar_override, a):
+    """The honest quiet GATE (r16 verdict ask #1). The headline
+    noise_floor stopped measuring the host when the probe joined the
+    controls (its in-map-vs-closing-dip gap sets the floor by
+    construction, ~2.0-2.4 in certifiably quiet windows), so the
+    window's quiet claim is now map_phase_dispersion: worst per-control
+    max/min over the interleave passes proper — warmup (pass 0), the
+    closing pass, and the certified-caught hot passes listed in
+    map_phase_excluded_passes all excluded. Replayed from the control
+    vectors, each exclusion verified against the detector replay (`hot`
+    from audit_detector) plus the requeue records it leans on, then
+    GATED against the scale's bar. An ambient-slow window additionally
+    cannot self-certify: control_ratio > 1.15 with zero per-query
+    evidence keys is a FAIL."""
+    mpd = d.get("map_phase_dispersion")
+    excl = d.get("map_phase_excluded_passes") or []
+    if mpd is None:
+        a.warn("no map_phase_dispersion field (pre-r17 artifact) — the "
+               "honest quiet gate is not replayable for it; skipped")
+        return
+    ctl = d.get("controls", {}) or {}
+    if ctl and d.get("controls_failed", 0) == 0:
+        npass = min(len(v) for v in ctl.values())
+        keep = [i for i in range(1, npass - 1) if i not in set(excl)]
+        disps = [max(kept) / min(kept)
+                 for kept in ([ts[i] for i in keep if i < len(ts)]
+                              for ts in ctl.values())
+                 if len(kept) >= 2 and min(kept) > 0]
+        if disps:
+            a.ok(close(mpd, max(disps)),
+                 f"map_phase_dispersion {mpd} != recomputed {max(disps)}")
+        else:
+            a.warn("map_phase_dispersion claimed but no control vector "
+                   "supports recomputation — NOT replayed")
+        if excl:
+            if hot is None:
+                a.warn(f"map_phase_excluded_passes {excl} not verifiable "
+                       "(detector replay unavailable)")
+            else:
+                bogus = [p for p in excl if p not in hot]
+                a.ok(not bogus,
+                     f"map_phase_excluded_passes {bogus} do not replay as "
+                     "detector-hot — the exclusion is not justified by "
+                     "the artifact")
+            a.ok(bool(d.get("requeued")),
+                 f"map_phase_excluded_passes {excl} with no requeued "
+                 "records — a caught-burst exclusion needs the requeue "
+                 "certification it claims")
+    else:
+        a.warn("map_phase_dispersion not recomputable (no controls or "
+               "controls_failed>0) — gated on the emitted value")
+    bar = bar_override if bar_override is not None \
+        else DISPERSION_BARS.get(d.get("refs_source"))
+    if bar is None:
+        a.warn(f"no dispersion bar for refs_source "
+               f"{d.get('refs_source')!r} — pass --dispersion-bar; "
+               "quiet gate skipped")
+    else:
+        a.ok(mpd <= bar,
+             f"map_phase_dispersion {mpd} exceeds the quiet bar {bar} — "
+             "the map window is not quiet; re-run the map or carry "
+             "per-query evidence for every number it quotes")
+        a.info(f"map_phase_dispersion {mpd:.3f} vs bar {bar} "
+               f"(excluded passes: {excl or 'none'})")
+    cr = d.get("control_ratio")
+    if cr is not None and cr > AMBIENT_RATIO_BAR:
+        evid = sum(len(d.get(k) or {})
+                   for k in ("requeued", "spliced", "isolated"))
+        a.ok(evid > 0,
+             f"control_ratio {cr} > {AMBIENT_RATIO_BAR} (ambient-slow "
+             "window) with zero per-query evidence keys — an ambient-"
+             "slow map cannot self-certify its numbers")
 
 
 def audit_movers(d, prev, mover_bar, a):
@@ -339,11 +493,12 @@ def audit_movers(d, prev, mover_bar, a):
 def main():
     import sys
     path, flags = parse_flags(sys.argv[1:],
-                              {"--prev": str, "--mover-bar": float},
+                              {"--prev": str, "--mover-bar": float,
+                               "--dispersion-bar": float},
                               __doc__)
     prev_path = flags.get("--prev")
     mover_bar = flags.get("--mover-bar", 2.0)
-    d = json.load(open(path))
+    d = load_json(path)
     a = Audit()
     if not isinstance(d.get("queries"), dict) or not d["queries"]:
         # e.g. the round driver's BENCH_r{N}.json stdout-wrapper files
@@ -354,9 +509,10 @@ def main():
     audit_structural(d, a)
     audit_controls(d, a)
     audit_requeue(d, a)
-    audit_detector(d, a)
+    hot = audit_detector(d, a)
+    audit_dispersion(d, hot, flags.get("--dispersion-bar"), a)
     if prev_path:
-        audit_movers(d, json.load(open(prev_path)), mover_bar, a)
+        audit_movers(d, load_json(prev_path), mover_bar, a)
     a.finish(f"{path}: {a.passes} checks passed, {len(a.fails)} failed, "
              f"{len(a.warns)} skipped")
 

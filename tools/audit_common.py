@@ -1,11 +1,26 @@
 """Shared scaffolding for the artifact/correctness auditors
 (driver-side dev tooling — NOT part of the Scala library).
 
-One Audit reporter and one flag-parsing loop, so a fix to either
-(message wording, a new severity, operand validation) lands in both
-tools at once instead of silently diverging.
+One Audit reporter, one flag-parsing loop, and one JSON loader, so a
+fix to any of them (message wording, a new severity, operand
+validation, error handling) lands in both tools at once instead of
+silently diverging.
 """
+import json
 import sys
+
+
+def load_json(path):
+    """Load a JSON file, exiting with a one-line message (never a
+    traceback) on a missing/unreadable path or malformed JSON — the
+    same no-traceback contract parse_flags enforces for bad flags."""
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except OSError as e:
+        raise SystemExit(f"cannot read {path}: {e}")
+    except json.JSONDecodeError as e:
+        raise SystemExit(f"{path} is not valid JSON: {e}")
 
 
 class Audit:

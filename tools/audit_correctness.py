@@ -31,9 +31,7 @@ entries are listed as WARNs (documented failures), not FAILs.
 Row-count drift on rows-only entries is WARN-level (same-SF runs
 should be deterministic, but the count is not part of the freeze).
 """
-import json
-
-from audit_common import Audit, parse_flags
+from audit_common import Audit, load_json, parse_flags
 
 
 def classify(v):
@@ -83,7 +81,7 @@ def main():
     prev_path = flags.get("--prev")
     expect = flags.get("--expect", (253, 29, 0))
 
-    d = json.load(open(path))
+    d = load_json(path)
     a = Audit()
     cls = {k: classify(v) for k, v in d.items()}
     for k, v in sorted(d.items()):
@@ -104,7 +102,7 @@ def main():
                 a.ok(False, line)
 
     if prev_path:
-        p = json.load(open(prev_path))
+        p = load_json(prev_path)
         pcls = {k: classify(v) for k, v in p.items()}
         gone = sorted(set(pcls) - set(cls))
         new = sorted(set(cls) - set(pcls))
