@@ -2251,11 +2251,17 @@ object SparkEntry {
     // threshold — the asymmetric case q18 cannot see.
     "q140_containment" -> ((s, dir) => {
       import graft.dedup.Containment
-      val docs = spread(s, Tables.documents(s, dir))
-      val corpus = docs.select(col("doc_id").as("id"), col("text"))
-        .unionAll(docs.filter(col("doc_id") % 5 === 0)
+      // union BEFORE the spread (the q219 shape): spreading each union
+      // branch separately left every downstream stage at 2× the
+      // parallelism budget (64 tasks of half-sized splits) — one
+      // repartition of the unioned corpus keeps stage width at the
+      // machine and costs one exchange, not a re-read per branch
+      // (guide §2.4; measured 2.85 → 1.5 s on the q150 twin)
+      val raw = Tables.documents(s, dir)
+      val corpus = spread(s, raw.select(col("doc_id").as("id"), col("text"))
+        .unionAll(raw.filter(col("doc_id") % 5 === 0)
           .select((col("doc_id") + 10000).as("id"),
-            expr("substring(text, 1, 180)").as("text")))
+            expr("substring(text, 1, 180)").as("text"))))
       // minInGrams = 16: the declared excerpt-detection floor — excerpts
       // below ~18 tokens are noise here, and the floor activates the
       // container-prefix truncation (first n − ⌈0.8·16⌉ + 1 sorted grams
@@ -2279,15 +2285,22 @@ object SparkEntry {
     // already pins the markup→domain extraction composition end to end).
     "q142_host_reputation" -> ((s, dir) => {
       import graft.operators.{LinkGraph, Reputation}
-      val docs = spread(s, Tables.documents(s, dir))
+      // edges are pure column arithmetic — derive them from the bare
+      // scan (no spread): the repartition exchange bought nothing for
+      // per-row concat work, and LinkGraph's own distinct() establishes
+      // the parallel partitioning anyway (guide §2.4). The reputation
+      // rollup keeps spread: fingerprint+qualityScore per row is the
+      // regex-heavy path the spread exists for.
+      val raw = Tables.documents(s, dir)
       val id = col("doc_id")
       def h(e: org.apache.spark.sql.Column) =
         concat(lit("h"), e.cast("string"), lit(".example.com"))
-      val e1 = docs.select(h(id % 20).as("src"), h((id * 3 + 1) % 20).as("dst"))
-      val e2 = docs.filter(id % 2 === 0)
+      val e1 = raw.select(h(id % 20).as("src"), h((id * 3 + 1) % 20).as("dst"))
+      val e2 = raw.filter(id % 2 === 0)
         .select(h(id % 20).as("src"), h((id * 7 + 2) % 20).as("dst"))
       val pr = LinkGraph.pageRank(e1.unionAll(e2), iters = 3)
-      Reputation.hostReputation(docs.withColumn("host", h(id % 20)),
+      Reputation.hostReputation(
+        spread(s, raw).withColumn("host", h(id % 20)),
         "host", "doc_id", "text", pr)
     }),
 
@@ -2357,11 +2370,12 @@ object SparkEntry {
     // with the smallest container as evidence.
     "q145_containment_scrub" -> ((s, dir) => {
       import graft.dedup.Containment
-      val docs = spread(s, Tables.documents(s, dir))
-      val corpus = docs.select(col("doc_id").as("id"), col("text"))
-        .unionAll(docs.filter(col("doc_id") % 5 === 0)
+      // union before the spread — the q140 rationale
+      val raw = Tables.documents(s, dir)
+      val corpus = spread(s, raw.select(col("doc_id").as("id"), col("text"))
+        .unionAll(raw.filter(col("doc_id") % 5 === 0)
           .select((col("doc_id") + 10000).as("id"),
-            expr("substring(text, 1, 180)").as("text")))
+            expr("substring(text, 1, 180)").as("text"))))
       Containment.scrubContained(corpus, "id", "text",
         n = 3, threshold = 0.8, minInGrams = 16)
     }),
@@ -2371,12 +2385,13 @@ object SparkEntry {
     // alone misses.
     "q146_reciprocal_links" -> ((s, dir) => {
       import graft.operators.LinkGraph
-      val docs = spread(s, Tables.documents(s, dir))
+      // bare scan for the edge arithmetic — the q142 rationale
+      val raw = Tables.documents(s, dir)
       val id = col("doc_id")
       def h(e: org.apache.spark.sql.Column) =
         concat(lit("h"), e.cast("string"), lit(".example.com"))
-      val e1 = docs.select(h(id % 20).as("src"), h((id * 3 + 1) % 20).as("dst"))
-      val e2 = docs.filter(id % 2 === 0)
+      val e1 = raw.select(h(id % 20).as("src"), h((id * 3 + 1) % 20).as("dst"))
+      val e2 = raw.filter(id % 2 === 0)
         .select(h(id % 20).as("src"), h((id * 7 + 2) % 20).as("dst"))
       LinkGraph.reciprocalProfile(e1.unionAll(e2))
     }),
@@ -2436,14 +2451,16 @@ object SparkEntry {
     // ordered relation whole-set Jaccard/containment score near zero.
     "q150_stitch" -> ((s, dir) => {
       import graft.dedup.Stitch
-      val docs = spread(s, Tables.documents(s, dir))
-      val corpus = docs.select(col("doc_id").as("id"), col("text"))
-        .unionAll(docs.filter(col("doc_id") % 7 === 0)
+      // union before the spread — the q140 rationale (3 branches made
+      // every posting/verify stage 96 tasks wide; measured 2.85 → 1.5 s)
+      val raw = Tables.documents(s, dir)
+      val corpus = spread(s, raw.select(col("doc_id").as("id"), col("text"))
+        .unionAll(raw.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 20000).as("id"),
             expr("substring(text, 1, 240)").as("text")))
-        .unionAll(docs.filter(col("doc_id") % 7 === 0)
+        .unionAll(raw.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 30000).as("id"),
-            expr("substring(text, 181)").as("text")))
+            expr("substring(text, 181)").as("text"))))
       Stitch.stitchPairs(corpus, "id", "text", n = 3, h = 8, minBp = 5000)
     }),
 
@@ -2458,14 +2475,16 @@ object SparkEntry {
       val pairsPath = artifactPath("stitchpairs", dir,
         codeHash(Stitch.getClass, SparkEntry.getClass))
       stageParquet(pairsPath) { tmp =>
-        val docs = spread(s, Tables.documents(s, dir))
-        val corpus = docs.select(col("doc_id").as("id"), col("text"))
-          .unionAll(docs.filter(col("doc_id") % 7 === 0)
-            .select((col("doc_id") + 20000).as("id"),
-              expr("substring(text, 1, 240)").as("text")))
-          .unionAll(docs.filter(col("doc_id") % 7 === 0)
-            .select((col("doc_id") + 30000).as("id"),
-              expr("substring(text, 181)").as("text")))
+        // union before the spread — the q150 shape, kept in lockstep
+        val raw = Tables.documents(s, dir)
+        val corpus = spread(s,
+          raw.select(col("doc_id").as("id"), col("text"))
+            .unionAll(raw.filter(col("doc_id") % 7 === 0)
+              .select((col("doc_id") + 20000).as("id"),
+                expr("substring(text, 1, 240)").as("text")))
+            .unionAll(raw.filter(col("doc_id") % 7 === 0)
+              .select((col("doc_id") + 30000).as("id"),
+                expr("substring(text, 181)").as("text"))))
         Stitch.stitchPairs(corpus, "id", "text", n = 3, h = 8, minBp = 5000)
           .write.mode("overwrite").parquet(tmp)
       }
@@ -2478,14 +2497,16 @@ object SparkEntry {
     // seeded with nothing starve.
     "q154_trustrank" -> ((s, dir) => {
       import graft.operators.LinkGraph
-      val docs = spread(s, Tables.documents(s, dir))
+      // bare scan for the edge arithmetic (the q142 rationale); the
+      // teleport rollup keeps spread for its per-row qualityScore
+      val raw = Tables.documents(s, dir)
       val id = col("doc_id")
       def h(e: org.apache.spark.sql.Column) =
         concat(lit("h"), e.cast("string"), lit(".example.com"))
-      val e1 = docs.select(h(id % 20).as("src"), h((id * 3 + 1) % 20).as("dst"))
-      val e2 = docs.filter(id % 2 === 0)
+      val e1 = raw.select(h(id % 20).as("src"), h((id * 3 + 1) % 20).as("dst"))
+      val e2 = raw.filter(id % 2 === 0)
         .select(h(id % 20).as("src"), h((id * 7 + 2) % 20).as("dst"))
-      val tele = docs
+      val tele = spread(s, raw)
         .select(h(id % 20).as("node"),
           TextStats.qualityScore(col("text")).as("q"))
         .groupBy("node").agg(sum("q").as("qs"), count(lit(1)).as("n"))
