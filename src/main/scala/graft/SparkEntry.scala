@@ -431,10 +431,14 @@ object SparkEntry {
     // duplicates give the query non-empty ground truth at 0.8.
     // Low-threshold cap behavior stays pinned in AnnSpec.
     "q19_cosine_dedup" -> ((s, dir) => {
-      val emb = spread(s, Tables.embeddings(s, dir))
-      val planted = emb.filter(col("vec_id") % 16 === 0)
+      // union before the spread (the q140/q219 shape): one repartition
+      // of the planted corpus instead of a spread re-read per branch,
+      // and the SRP signature/bucket stages downstream run at the
+      // machine's width, not 2x it
+      val raw = Tables.embeddings(s, dir)
+      val planted = raw.filter(col("vec_id") % 16 === 0)
         .withColumn("vec_id", -(col("vec_id") + lit(1L)))
-      Ann.nearDupByCosineAuto(emb.unionByName(planted), "vec_id",
+      Ann.nearDupByCosineAuto(spread(s, raw.unionByName(planted)), "vec_id",
         "embedding", threshold = 0.8, dim = 64)
     }),
 
@@ -948,11 +952,12 @@ object SparkEntry {
     // AnnSpec pins planted-pair recall, sharded/unsharded pair-set parity
     // on exact dups, and the no-cartesian plan.
     "q66_semantic_dedup" -> ((s, dir) => {
-      val emb = spread(s, Tables.embeddings(s, dir))
-      val planted = emb.filter(col("vec_id") % 16 === 0)
+      // union before the spread — the q19 rationale
+      val raw = Tables.embeddings(s, dir)
+      val planted = raw.filter(col("vec_id") % 16 === 0)
         .withColumn("vec_id", -(col("vec_id") + lit(1L)))
-      Ann.semanticNearDup(emb.unionByName(planted), "vec_id", "embedding",
-        threshold = 0.8, targetCellRows = 64)
+      Ann.semanticNearDup(spread(s, raw.unionByName(planted)), "vec_id",
+        "embedding", threshold = 0.8, targetCellRows = 64)
     }),
 
     // §2 row 93: compression-ratio quality signal — raw-DEFLATE length via
@@ -1661,12 +1666,14 @@ object SparkEntry {
     // micro-cosines are order-independent int64, so the oracle replays
     // them exactly.
     "q106_semantic_screen" -> ((s, dir) => {
-      val emb = spread(s, Tables.embeddings(s, dir))
-      val refs = emb.filter(col("vec_id") % 50 === 0)
+      // union before the spread — the q19 rationale; refs stay on the
+      // bare scan (they are collected into the broadcast side anyway)
+      val raw = Tables.embeddings(s, dir)
+      val refs = raw.filter(col("vec_id") % 50 === 0)
       val planted = refs.select((-col("vec_id") - 1).as("vec_id"),
         col("embedding"))
-      val corpus = emb.filter(col("vec_id") % 50 =!= 0)
-        .select("vec_id", "embedding").unionByName(planted)
+      val corpus = spread(s, raw.filter(col("vec_id") % 50 =!= 0)
+        .select("vec_id", "embedding").unionByName(planted))
       SemanticScreen.screen(corpus, "vec_id", "embedding",
         refs, "vec_id", "embedding", tauMicro = 900000L)
     }),
@@ -2849,14 +2856,16 @@ object SparkEntry {
     // onto the index scan, history never re-shingles. EXACT oracle.
     "q175_incremental_containment" -> ((s, dir) => {
       import graft.dedup.Containment
-      val docs = spread(s, Tables.documents(s, dir))
-      val hist = docs.filter(col("doc_id") % 10 =!= 9)
+      // union before the spread (the q140 shape); hist keeps its own
+      // spread for the cold staged index build
+      val raw = Tables.documents(s, dir)
+      val hist = spread(s, raw.filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("id"), col("text")))
+      val inc = spread(s, raw.filter(col("doc_id") % 10 === 9)
         .select(col("doc_id").as("id"), col("text"))
-      val inc = docs.filter(col("doc_id") % 10 === 9)
-        .select(col("doc_id").as("id"), col("text"))
-        .unionAll(docs.filter(col("doc_id") % 5 === 0)
+        .unionAll(raw.filter(col("doc_id") % 5 === 0)
           .select((col("doc_id") + 20000).as("id"),
-            expr("substring(text, 1, 180)").as("text")))
+            expr("substring(text, 1, 180)").as("text"))))
       val base = artifactPath("contidx_n3t80m16", dir,
         codeHash(Containment.getClass, NGramJaccard.getClass,
           classOf[graft.functions.ShingleHashes], TextFunctions.getClass))
