@@ -66,21 +66,42 @@ object Bm25 {
     * rationale as [[DefaultMaxPushdownTerms]]. */
   val DefaultMaxBroadcastQueryTerms: Long = 4000000L
 
-  /** (tf, dl, stats, idf) corpus-side frames shared by [[scoreAll]] and
-    * [[buildImpactIndex]]: per-(doc, token) counts, per-doc lengths, the
-    * single-row corpus constants (docs-with-tokens count and mean length
-    * in milli-tokens — broadcast onto everything downstream), and
-    * per-token micro-idf. */
+  /** (tf, stats, idf) corpus-side frames shared by [[scoreAll]] and
+    * [[buildImpactIndex]]: per-(doc, token) counts WITH the doc length
+    * riding along (`dl` is a function of doc_id, so carrying it through
+    * the tf grouping keys is free and deletes the downstream dl join),
+    * the single-row corpus constants (docs-with-tokens count and mean
+    * length in milli-tokens — broadcast onto everything downstream), and
+    * per-token micro-idf.
+    *
+    * ONE tokenize pass: tf is persisted (MEMORY_AND_DISK, the q18/
+    * Containment diamond convention — Verify/Bench clear the cache per
+    * query) and stats/idf derive from it, where the previous shape
+    * re-ran the corpus explode+aggregate once per consumer (three
+    * passes over the text and 3x the scan+exchange task volume, both
+    * here and at 100 TB). dl = token count per doc, identical to the
+    * old sum(tf): filter-then-size equals explode-filter-count, and the
+    * dl > 0 gate keeps stats counting docs-with-tokens only. */
   private def corpusFrames(corpus: DataFrame, idCol: String,
                            textCol: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val tf = corpus
+      : (DataFrame, DataFrame, DataFrame) = {
+    val toks = corpus
       .select(col(idCol).as("doc_id"),
-        explode(TextFunctions.tokens(col(textCol))).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy("doc_id", "token")
+        filter(TextFunctions.tokens(col(textCol)), t => t =!= "").as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+    // EAGER localCheckpoint, not persist: a lazy cache is raced by the
+    // AQE stage jobs of its several consumers (each recomputes the
+    // tokenize+aggregate on miss), and cached plans freeze their
+    // partitioning against AQE coalescing; the checkpoint runs the
+    // aggregate exactly once and downstream plans read a materialized
+    // RDD (MEMORY_AND_DISK blocks, lineage cut)
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("tk")).as("token"))
+      .groupBy("doc_id", "dl", "token")
       .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .localCheckpoint()
+    val dl = tf.groupBy("doc_id").agg(first("dl").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tok"))
       .withColumn("avgdl_m", expr("tot_tok * 1000 div n_docs"))
     val idf = tf.groupBy("token").agg(count(lit(1)).as("df_docs"))
@@ -90,13 +111,13 @@ object Bm25 {
           (col("n_docs") - col("df_docs") + lit(0.5)) /
             (col("df_docs") + lit(0.5))) * 1e6).cast("long"))
       .select("token", "df_docs", "idf_u")
-    (tf, dl, stats, idf)
+    (tf, stats, idf)
   }
 
   /** (token, df_docs, idf_u) vocabulary frame — the version-sensitive
     * half of the impact weight, exposed for [[idfDelta]]. */
   def idfFrame(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
-    corpusFrames(corpus, idCol, textCol)._4
+    corpusFrames(corpus, idCol, textCol)._3
 
   /** Index-staleness report between two corpus versions — the rebuild
     * trigger for a persisted [[buildImpactIndex]] table. An impact index
@@ -204,7 +225,7 @@ object Bm25 {
       s"BM25 constants out of range: k1_m=$k1Milli b_m=$bMilli")
     require(maxTermsPerQuery >= 1,
       s"maxTermsPerQuery must be >= 1, got $maxTermsPerQuery")
-    val (tf, dl, stats, idf) = corpusFrames(corpus, idCol, textCol)
+    val (tf, stats, idf) = corpusFrames(corpus, idCol, textCol)
     // count-then-cap (the Ann.incrementalCosineDups house rule): the
     // query side is driver-small by contract, but a 100x caller with a
     // corpus-sized query set must degrade to AQE shuffle joins, not hit
@@ -224,9 +245,10 @@ object Bm25 {
     val qidf =
       if (maxTermsPerQuery == Int.MaxValue) qidf0
       else pruneQueryTerms(qidf0, "df_docs", maxTermsPerQuery)
+    // no dl join: tf carries the doc length in its grouping keys
     val hits = tf.join(qHint(qidf), "token")
       .filter(col("doc_id") =!= col("query_id"))
-    hits.join(dl, "doc_id")
+    hits
       .crossJoin(broadcast(stats))
       .withColumn("term_u", expr(termWeight(k1Milli, bMilli)))
       .groupBy("query_id", "doc_id")
@@ -269,8 +291,8 @@ object Bm25 {
                        k1Milli: Int = 1200, bMilli: Int = 750): DataFrame = {
     require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
       s"BM25 constants out of range: k1_m=$k1Milli b_m=$bMilli")
-    val (tf, dl, stats, idf) = corpusFrames(corpus, idCol, textCol)
-    tf.join(dl, "doc_id")
+    val (tf, stats, idf) = corpusFrames(corpus, idCol, textCol)
+    tf
       .join(idf, "token")
       .crossJoin(broadcast(stats))
       .withColumn("w_u", expr(termWeight(k1Milli, bMilli)))
