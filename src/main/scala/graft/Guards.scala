@@ -51,4 +51,22 @@ object Guards {
     val cp = df.limit(lim + 1).localCheckpoint(eager = false)
     if (cp.count() <= lim) (cp, true) else (df, false)
   }
+
+  /** Materialize a diamond-shaped plan's shared frame ONCE — eager
+    * localCheckpoint in place of a lazy `persist`. A lazy cache under a
+    * multi-consumer plan is RACED by AQE's concurrent stage jobs: each
+    * consumer that starts before the cache fills recomputes the whole
+    * shared lineage (measured: the q150 shingle pass ran 3-4x per query
+    * under persist), and a cached plan additionally freezes its
+    * partitioning against AQE coalescing
+    * (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=false).
+    * The eager checkpoint runs the shared subtree exactly once, cuts
+    * lineage (bounded downstream plan depth — the LinkGraph rule), and
+    * its MEMORY_AND_DISK blocks are reclaimed by the ContextCleaner on
+    * GC rather than pinned in the CacheManager. The trade, stated (the
+    * [[underCapShared]] doc): checkpoint blocks are executor-local, so
+    * on a real cluster an executor loss fails the consuming stage where
+    * a persist's lineage would recompute — acceptable for intra-query
+    * intermediates one operator retry rebuilds. */
+  def materialize(df: DataFrame): DataFrame = df.localCheckpoint()
 }

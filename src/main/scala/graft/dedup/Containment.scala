@@ -51,11 +51,11 @@ object Containment {
                      maxDf: Int = 1000, minInGrams: Int = 1): DataFrame = {
     require(minInGrams >= 1, s"minInGrams must be >= 1, got $minInGrams")
     // sets feed the probe, the full index, and both verification joins —
-    // persist the diamond once (the q18 convention; Verify/Bench clear
-    // the cache per query)
-    val sets = NGramJaccard.shingleSets(docs, idCol, textCol, n)
-      .select(col("id"), array_sort(col("sh")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the diamond once, eagerly (Guards.materialize: a lazy
+    // persist was raced into recomputes by concurrent AQE stage jobs)
+    val sets = graft.Guards.materialize(
+      NGramJaccard.shingleSets(docs, idCol, textCol, n)
+        .select(col("id"), array_sort(col("sh")).as("sh")))
     val prefixLen = (size(col("sh")) - ceil(lit(threshold) * size(col("sh")))
       + 1).cast("int")
     val probe = sets.filter(size(col("sh")) >= minInGrams)
@@ -144,8 +144,8 @@ object Containment {
                             threshold: Double = 0.8,
                             minInGrams: Int = 1): DataFrame = {
     require(minInGrams >= 1, s"minInGrams must be >= 1, got $minInGrams")
-    val newSets = containerSets(newDocs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newSets = graft.Guards.materialize(
+      containerSets(newDocs, idCol, textCol, n))
     val prefixLen = (size(col("sh")) - ceil(lit(threshold) * size(col("sh")))
       + 1).cast("int")
     val probe = newSets.filter(size(col("sh")) >= minInGrams)

@@ -42,9 +42,8 @@ object NGramJaccard {
     // (deserialized, spills to disk) instead of recomputing the shingling
     // per branch — the standard Spark treatment for a diamond-shaped plan;
     // eviction is LRU so long-lived callers aren't wedged.
-    val sets = shingleSets(docs, idCol, textCol, n)
-      .select(col("id"), array_sort(col("sh")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = graft.Guards.materialize(shingleSets(docs, idCol, textCol, n)
+      .select(col("id"), array_sort(col("sh")).as("sh")))
     val prefixLen = (size(col("sh")) - ceil(lit(threshold) * size(col("sh")))
       + 1).cast("int")
     val posting = sets
@@ -75,9 +74,9 @@ object NGramJaccard {
     * cumulative window run over ≤ 11 band rows. */
   def thresholdSweep(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, minThreshold: Double = 0.5): DataFrame = {
-    val pairs = similarPairs(docs, idCol, textCol, n, minThreshold)
-      .withColumn("band", floor(col("jaccard") * 10).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = graft.Guards.materialize(
+      similarPairs(docs, idCol, textCol, n, minThreshold)
+        .withColumn("band", floor(col("jaccard") * 10).cast("long")))
     val perBand = pairs.groupBy("band").agg(count(lit(1)).as("n_pairs"))
     val docsPerBand = pairs
       .select(col("band"), explode(array(col("id_a"), col("id_b"))).as("id"))

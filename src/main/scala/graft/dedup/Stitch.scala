@@ -41,12 +41,13 @@ object Stitch {
       graft.functions.ShingleHashes(spark,
         TextFunctions.tokens(col(textCol)), n).as("sh"))
     // head/tail windows sliced BEFORE distinct (a repeated gram inside
-    // the window collapses, matching the oracle's order of operations)
-    val hs = seqs.select(col("id"),
-        array_distinct(slice(col("sh"), 1, h)).as("head"),
-        array_distinct(when(size(col("sh")) >= h,
-          slice(col("sh"), -h, h)).otherwise(col("sh"))).as("tail"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the window collapses, matching the oracle's order of operations).
+    // Materialized once (eager — see Guards.materialize): heads, tails
+    // and both verification joins consume it
+    val hs = graft.Guards.materialize(seqs.select(col("id"),
+      array_distinct(slice(col("sh"), 1, h)).as("head"),
+      array_distinct(when(size(col("sh")) >= h,
+        slice(col("sh"), -h, h)).otherwise(col("sh"))).as("tail")))
     val heads = hs.select(col("id").as("id_b"), explode(col("head")).as("g"))
     val tails = hs.select(col("id").as("id_a"), explode(col("tail")).as("g"))
     val hot = heads.groupBy("g").agg(count(lit(1)).as("df"))
