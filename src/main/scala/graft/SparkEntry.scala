@@ -2171,8 +2171,11 @@ object SparkEntry {
         .when(col("doc_id") % 6 === 4,
           concat(lit("http://site"), sid, lit(".example.com")))
         .otherwise(concat(lit("not a url "), id))
-      val canon = docs.select(col("doc_id"),
-        Urls.canonicalizeUrl(url).as("url_canon"))
+      // the regex canonicalization feeds the firsts aggregate AND the
+      // keeper join — materialize it once instead of re-running the
+      // regex chain per consumer
+      val canon = graft.Guards.materialize(docs.select(col("doc_id"),
+        Urls.canonicalizeUrl(url).as("url_canon")))
       val firsts = canon.filter(col("url_canon").isNotNull)
         .groupBy("url_canon").agg(min("doc_id").as("first_id"))
       canon.join(firsts, Seq("url_canon"), "left")

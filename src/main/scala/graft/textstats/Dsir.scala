@@ -125,11 +125,16 @@ object Dsir {
                         isTarget: Column, buckets: Int = 1024,
                         keepK: Int = 100): DataFrame = {
     require(keepK >= 0, s"keepK must be ≥ 0, got $keepK")
-    // the token pass (explode + per-char hash) feeds the model AND the
-    // scoring join — persist it once (Verify/Bench clear per query)
-    val toks = tokenBuckets(docs, idCol, textCol, isTarget, buckets)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val perDoc = scoreFromToks(toks, modelFromToks(toks, buckets))
+    // the token pass (explode + per-char hash) feeds the model's three
+    // aggregates AND the scoring join — materialize it once, eagerly
+    // (Guards.materialize: a lazy persist was raced into recomputes by
+    // the concurrent AQE stage jobs of its four consumers)
+    val toks = graft.Guards.materialize(
+      tokenBuckets(docs, idCol, textCol, isTarget, buckets))
+    // perDoc feeds the top-k selection AND the final keep join —
+    // materialize it too (doc-count-sized: id + two longs)
+    val perDoc = graft.Guards.materialize(
+      scoreFromToks(toks, modelFromToks(toks, buckets)))
     val top = perDoc.orderBy(col("w_u").desc, col("id"))
       .limit(keepK).select(col("id"), lit(1L).as("keep"))
     perDoc.join(broadcast(top), Seq("id"), "left")
