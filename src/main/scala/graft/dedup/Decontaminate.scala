@@ -141,9 +141,9 @@ object Decontaminate {
     // persists for the life of the returned plan; Verify/Bench clearCache
     // between queries, and long-lived callers should unpersist via
     // spark.catalog.clearCache() after materializing the report
-    val grams = MinHashDedup.shingleSets(docs, idCol, textCol, n)
-      .select(col("id"), explode(col("sh")).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = graft.Guards.materialize(
+      MinHashDedup.shingleSets(docs, idCol, textCol, n)
+        .select(col("id"), explode(col("sh")).as("g")))
     val df = grams.groupBy("g")
       .agg(countDistinct(col("id")).as("__dfd"))
     grams.join(df, "g")
@@ -174,9 +174,9 @@ object Decontaminate {
   def noveltyAttribution(docs: DataFrame, idCol: String, textCol: String,
                          n: Int = 8): DataFrame = {
     // cache contract: as duplicateSpans above.
-    val grams = MinHashDedup.shingleSets(docs, idCol, textCol, n)
-      .select(col("id"), explode(col("sh")).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = graft.Guards.materialize(
+      MinHashDedup.shingleSets(docs, idCol, textCol, n)
+        .select(col("id"), explode(col("sh")).as("g")))
     val firsts = grams.groupBy("g").agg(min(col("id")).as("__first"))
     grams.join(firsts, "g")
       .groupBy("id").agg(
@@ -212,9 +212,9 @@ object Decontaminate {
   def noveltyAgainstIndex(increment: DataFrame, idCol: String,
                           textCol: String, index: DataFrame,
                           n: Int = 8): DataFrame = {
-    val grams = MinHashDedup.shingleSets(increment, idCol, textCol, n)
-      .select(col("id"), explode(col("sh")).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = graft.Guards.materialize(
+      MinHashDedup.shingleSets(increment, idCol, textCol, n)
+        .select(col("id"), explode(col("sh")).as("g")))
     val probe = grams.select("g").distinct()
     val hits = index.join(broadcast(probe), "g").distinct()
     val firsts = grams.groupBy("g").agg(min(col("id")).as("__first"))

@@ -167,8 +167,7 @@ object MinHashDedup {
                      bands: Int = 4): DataFrame = {
     // shingle sets feed signature banding AND both verification joins —
     // persist the diamond's shared input once (see NGramJaccard note)
-    val sh = shingleSets(docs, idCol, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.Guards.materialize(shingleSets(docs, idCol, textCol, k))
     verifyJaccard(candidatePairsFromSets(sh, numHashes, bands), sh, threshold)
   }
 
@@ -204,8 +203,8 @@ object MinHashDedup {
                           corpusBands: DataFrame, corpusSets: DataFrame,
                           threshold: Double, k: Int = 3, numHashes: Int = 16,
                           bands: Int = 4): DataFrame = {
-    val newSets = shingleSets(newDocs, idCol, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newSets = graft.Guards.materialize(
+      shingleSets(newDocs, idCol, textCol, k))
     val newBands = bandedFromSets(newSets, numHashes, bands)
       .withColumnRenamed("id", "new_id")
     val cross = corpusBands

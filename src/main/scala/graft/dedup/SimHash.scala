@@ -96,8 +96,7 @@ object SimHash {
     // the signature frame, and the two branches differ so exchange reuse
     // can't collapse them — persist the expensive signature pass once
     // (same diamond-plan rule as MinHashDedup.nearDuplicates)
-    val sig = signatures(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = graft.Guards.materialize(signatures(docs, idCol, textCol))
     def chunks(withVariants: Boolean) = {
       val base = sig.select(col("id"), col("simhash"),
         posexplode(array((0 until 4).map(c =>
@@ -145,8 +144,8 @@ object SimHash {
     // the two sides are identical here, but exchange reuse is best-effort
     // and AQE re-optimization can break it; persist makes the reuse a
     // contract, not a hope
-    selfJoinPersisted(signatures.select(col("id"), col("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+    selfJoinPersisted(graft.Guards.materialize(
+      signatures.select(col("id"), col("simhash"))),
       maxHamming)
   }
 
@@ -221,8 +220,8 @@ object SimHash {
                           maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit chunk LSH is only complete for maxHamming <= 3, got $maxHamming")
-    val probe = probeSigs.select(col("id"), col("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probe = graft.Guards.materialize(
+      probeSigs.select(col("id"), col("simhash")))
     val cross = nearDuplicatesAgainstIndex(indexSigs, probe, maxHamming)
     val within = selfJoinPersisted(probe, maxHamming)
       .select(col("id_b").as("new_id"), col("id_a").as("dup_id"),

@@ -162,7 +162,9 @@ object Ann {
     val fwd = bruteForceTopK(tgt, src, idCol, vecCol, k)
       .select(col("query_id").as("src_id"), col("cand_id").as("tgt_id"),
         floor(col("cos") * 1e6).cast("long").as("cos_uu"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // eager materialize — the Guards.materialize
+      // rationale: lazy caches are raced into recomputes by concurrent
+      // AQE stage jobs, and cached plans freeze out AQE coalescing
     val bwd = bruteForceTopK(src, tgt, idCol, vecCol, k)
       .select(col("query_id").as("tgt_id"),
         floor(col("cos") * 1e6).cast("long").as("bcos_uu"))
@@ -388,7 +390,9 @@ object Ann {
     // assignment pass — persist the shared input once (same cache
     // contract as ivfTopKQuantized's cn)
     val c = normalized(corpus, idCol, vecCol, "cand_id", "cv")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // eager materialize — the Guards.materialize
+      // rationale: lazy caches are raced into recomputes by concurrent
+      // AQE stage jobs, and cached plans freeze out AQE coalescing
     val centroids = trainCentroids(c, "cv", nCentroids, seed)
     val corpusCells = c.withColumn("cell", nearestCell(col("cv"), centroids))
       .select(col("cand_id"), col("cv"), col("cell"))
@@ -480,7 +484,9 @@ object Ann {
     // the normalized vectors feed bucket generation AND both verification
     // joins — persist the diamond's shared input once
     val v = normalized(df, idCol, vecCol, "id", "v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // eager materialize — the Guards.materialize
+      // rationale: lazy caches are raced into recomputes by concurrent
+      // AQE stage jobs, and cached plans freeze out AQE coalescing
     // persist the (id, table, bucket) rows too: the candidate self-join
     // consumes them on BOTH sides, and whether the planner broadcasts one
     // side or sorts-merges, each side otherwise re-derives every
@@ -490,7 +496,9 @@ object Ann {
     val buckets = v.select(col("id"),
       posexplode(srpBucketsAll(col("v"), nTables, bitsPerTable, dim, seed)))
       .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // eager materialize — the Guards.materialize
+      // rationale: lazy caches are raced into recomputes by concurrent
+      // AQE stage jobs, and cached plans freeze out AQE coalescing
     val pairs = buckets.as("l").join(buckets.as("r"),
         col("l.table") === col("r.table") &&
           col("l.bucket") === col("r.bucket") &&
@@ -600,7 +608,9 @@ object Ann {
     // batches (or take bruteForceTopKQuantized, which deliberately
     // caches nothing).
     val cn = normalized(corpus, idCol, vecCol, "cand_id", "cv")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // eager materialize — the Guards.materialize
+      // rationale: lazy caches are raced into recomputes by concurrent
+      // AQE stage jobs, and cached plans freeze out AQE coalescing
     val centroids = trainCentroids(cn, "cv", nCentroids, seed)
     val corpusCells = withQuantized(cn, "cv")
       .withColumn("cell", nearestCell(col("cv"), centroids))
@@ -724,7 +734,9 @@ object Ann {
                             bitsPerTable: Int, seed: Long = 42L,
                             maxBroadcastPairs: Long = 4000000L): DataFrame = {
     val newV = normalized(newDocs, idCol, vecCol, "id", "v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // eager materialize — the Guards.materialize
+      // rationale: lazy caches are raced into recomputes by concurrent
+      // AQE stage jobs, and cached plans freeze out AQE coalescing
     val newBuckets = newV.select(col("id").as("new_id"),
         posexplode(srpBucketsAll(col("v"), nTables, bitsPerTable, dim, seed)))
       .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
@@ -739,7 +751,9 @@ object Ann {
       .select(col("l.new_id").as("id_a"), col("r.new_id").as("id_b"))
       .distinct()
     val candidates = cross.union(within).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // eager materialize — the Guards.materialize
+      // rationale: lazy caches are raced into recomputes by concurrent
+      // AQE stage jobs, and cached plans freeze out AQE coalescing
     val pairs =
       if (candidates.count() <= maxBroadcastPairs) broadcast(candidates)
       else candidates
@@ -821,7 +835,9 @@ object Ann {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = df.sparkSession
     val v = normalized(df, idCol, vecCol, "id", "v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // eager materialize — the Guards.materialize
+      // rationale: lazy caches are raced into recomputes by concurrent
+      // AQE stage jobs, and cached plans freeze out AQE coalescing
     val n = v.count()
     val kTotal = math.max(4L, (n + targetCellRows - 1) / targetCellRows)
     val nShards = ((kTotal + maxCells - 1) / maxCells).toInt

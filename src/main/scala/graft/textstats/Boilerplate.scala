@@ -38,12 +38,11 @@ object Boilerplate {
     require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
     // regexp, not trim(): trim strips only ASCII spaces (tab-padded
     // boilerplate variants would evade the count) — \s+ unifies them
-    val lines = df
+    val lines = graft.Guards.materialize(df
       .select(col(idCol), posexplode(split(col(textCol), "\n")))
       .select(col(idCol), col("pos"),
         regexp_replace(col("col"), "^\\s+|\\s+$", "").as("line"))
-      .withColumn("lh", xxhash64(col("line")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("lh", xxhash64(col("line"))))
     // EMPTY normalized lines are exempt from hotness: '' is the most
     // frequent "line" in any real corpus (every blank separator), so
     // counting it would mark it hot and silently delete every paragraph

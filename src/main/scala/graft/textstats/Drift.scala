@@ -54,10 +54,8 @@ object Drift {
     // contract: the Verify/Bench clearCache-per-query convention
     // releases these; long-lived callers clearCache() after
     // materializing.
-    val ca = tokenCounts(a, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = tokenCounts(b, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ca = graft.Guards.materialize(tokenCounts(a, textCol))
+    val cb = graft.Guards.materialize(tokenCounts(b, textCol))
     val merged = ca.select(col("token"), col("c").as("__ca"))
       .join(cb.select(col("token"), col("c").as("__cb")),
         Seq("token"), "full_outer")

@@ -53,9 +53,8 @@ object LmScore {
     * chars have no trigrams and drop out. */
   def trigramCrossEntropy(df: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
-    val tris = df
-      .select(col(idCol), explode(charNgrams(col(textCol), 3)).as("tg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tris = graft.Guards.materialize(df
+      .select(col(idCol), explode(charNgrams(col(textCol), 3)).as("tg")))
     val triCnt = tris.groupBy("tg").agg(count(lit(1)).as("tc"))
     // contexts counted FROM the trigram table (prefixes), not re-exploded:
     // guarantees Σ tc over a context == bc, i.e. P sums to 1 per context

@@ -67,10 +67,9 @@ object Repetition {
     // the tokenize pass feeds THREE branches (per-row stats, unigram agg,
     // bigram agg) — a diamond plan Catalyst won't collapse; persist it once
     // per the repo's diamond rule (MinHashDedup, NGramJaccard, histogram)
-    val toks = df.select(col(idCol).as("id"),
+    val toks = graft.Guards.materialize(df.select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
-      .withColumn("n_tokens", size(col("toks")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("n_tokens", size(col("toks"))))
 
     val topUni = topModeCount(
       toks.select(col("id"), explode(col("toks")).as("g")), "top_token_cnt")
