@@ -32,15 +32,19 @@ object Cooccurrence {
                 maxBasketItems: Int = 64,
                 minPairCount: Long = 1L): DataFrame = {
     require(maxBasketItems >= 2, "maxBasketItems must be >= 2")
-    val inc = df
+    // incidence feeds the basket-cap aggregate and the capped join; the
+    // capped frame feeds N, item counts and BOTH self-join sides —
+    // materialize each once (Guards.materialize: lazy sharing is raced
+    // into per-consumer recomputes by concurrent AQE stage jobs)
+    val inc = graft.Guards.materialize(df
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .distinct()
+      .distinct())
     val keptBaskets = inc.groupBy("__b")
       .agg(count(lit(1)).as("__k"))
       .filter(col("__k") <= maxBasketItems)
       .select("__b")
-    val kept = inc.join(keptBaskets, Seq("__b"))
+    val kept = graft.Guards.materialize(inc.join(keptBaskets, Seq("__b")))
     val nBaskets = kept.select("__b").distinct()
       .agg(count(lit(1)).as("__n"))
     val itemCounts = kept.groupBy(col("__i"))
