@@ -284,6 +284,7 @@ object Bench {
         // explode max/min and falsely certify a contention burst
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        Guards.releaseMaterialized(spark)
         if (timed && failed) controlsFailed += 1
         if (timed && !failed) {
           controlTimes(cn) = controlTimes.getOrElse(cn, Vector.empty) :+ dt
@@ -332,8 +333,16 @@ object Bench {
           }
         val dt = (System.nanoTime() - t0) / 1e9
         // operator-internal persists (dedup diamond plans) must not leak into
-        // the next run's timing or accumulate over 70+ queries
+        // the next run's timing or accumulate over 70+ queries. clearCache
+        // alone stopped doing that job when the diamond sites moved from
+        // lazy persist to eager localCheckpoint (round 17): checkpoint
+        // blocks live as RDD storage the CacheManager cannot see, so the
+        // blocks of all ~282 queries piled up until driver GC — measured as
+        // a 2-6x inflation of the bench's own tail-query numbers vs the
+        // same queries in a fresh JVM. Release them explicitly (untimed,
+        // between runs — a measurement-honesty fix, not a query change).
         spark.catalog.clearCache()
+        Guards.releaseMaterialized(spark)
         (dt, err)
       }
     val results = benchSet.zipWithIndex.map { case ((name, fn), qi) =>

@@ -69,4 +69,23 @@ object Guards {
     * a persist's lineage would recompute — acceptable for intra-query
     * intermediates one operator retry rebuilds. */
   def materialize(df: DataFrame): DataFrame = df.localCheckpoint()
+
+  /** Release every persistent RDD the last query left behind. The
+    * localCheckpoint blocks [[materialize]]/[[underCapShared]] create are
+    * INVISIBLE to `spark.catalog.clearCache()` (which clears only the
+    * CacheManager's Dataset entries), so a harness that runs hundreds of
+    * queries in one session — Bench, Verify, ProfOne — would otherwise
+    * accumulate MEMORY_AND_DISK checkpoint blocks until driver GC happens
+    * to collect the dead frames (the ContextCleaner cadence), paying
+    * memory/disk pressure and timing noise for frames no live plan can
+    * reference. Call it in per-query cleanup AFTER clearCache; blocking,
+    * so the next timed run starts with the blocks actually gone. Safe by
+    * construction between queries: every surviving entry in
+    * `getPersistentRDDs` belongs to a finished query's plan (in-query
+    * persists are either unpersisted by their operator or dead with the
+    * query), and unpersisting a localCheckpointed RDD only deletes its
+    * blocks — the RDD object itself is never reused across queries. */
+  def releaseMaterialized(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = true))
 }

@@ -3,10 +3,14 @@ package graft
 /** Dev utility: write the `explain("formatted")` plan of queries to
   * files — the plans/rNN before/after evidence. Usage:
   *   PlanDump <outDir> <suffix> <name[,name…]> [sfDir]
-  * Writes <outDir>/<name>_<suffix>.txt for each query (construction
-  * only — plans are captured pre-execution, so AQE shows the initial
-  * plan; Exchange placement, join strategies, PushedFilters and
-  * ReadSchema are all visible there).
+  * Writes <outDir>/<name>_<suffix>.txt for each query. The dump is taken
+  * before the query's final action, and AQE shows the initial plan —
+  * but query CONSTRUCTION is not free of execution: eager
+  * Guards.materialize sites run their shared subtrees while the query
+  * is being built, so a dumped plan shows those subtrees collapsed to
+  * `Scan ExistingRDD` (their exchanges ran once, during construction,
+  * and are not visible here). Compare Exchange counts with that caveat;
+  * ProfOne's job/task-time numbers are the execution-complete metric.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {

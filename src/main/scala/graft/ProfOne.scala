@@ -15,7 +15,13 @@ import org.apache.spark.sql.SparkSession
 object ProfOne {
   def main(args: Array[String]): Unit = {
     val names = args(0).split(",").toSeq
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    // option-like args (runs=N, stages, jobs) must not be mistaken for the
+    // positional sfDir: "ProfOne q16 runs=5" used to set sfDir to "runs=5"
+    // and fail every query on a nonexistent data dir
+    def isOption(a: String): Boolean =
+      a.startsWith("runs=") || a == "stages" || a == "jobs"
+    val sfDir = args.drop(1).find(!isOption(_))
+      .getOrElse("/root/testdata/sf0.1")
     val runs = args.find(_.startsWith("runs="))
       .map(_.stripPrefix("runs=").toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -77,6 +83,7 @@ object ProfOne {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        Guards.releaseMaterialized(spark)
         // listener events are asynchronous; give the bus a beat to drain
         Thread.sleep(150)
         println(f"[prof] $name run$r wall=$dt%.3f s jobs=$jobs " +

@@ -55,12 +55,43 @@ object SparkEntry {
   private val stopListSql =
     TextStats.stopwordCore.map(s => s"'$s'").mkString("[", ", ", "]")
 
-  /** Spread a small single-row-group input across all cores before an
+  /** Bytes of estimated input per spread task. Napkin-derived (guide
+    * §1.3/§2.2): the per-task fixed cost of these expression-heavy stages
+    * is ~30-150 ms (codegen JIT, regex Pattern compile, scheduling) while
+    * the per-byte expression work is ~1 µs/B, so tasks under ~50 KB are
+    * mostly fixed cost — measured at sf0.1 (584 KB input): the same
+    * 500-row scoring stage costs 9-37x MORE total task time cut 32 ways
+    * than 8 ways (q117 4.96 → 0.32 s, q106 4.82 → 0.13 s warm).
+    * Env-overridable for other hosts; the value shifts stage width, never
+    * rows. */
+  private val spreadTargetBytes: Long =
+    sys.env.get("SPARK_GRAFT_SPREAD_TARGET_BYTES").flatMap(_.toLongOption)
+      .filter(_ > 0).getOrElse(64L << 10)
+
+  /** Spread a small single-row-group input across cores before an
     * expression-heavy operator (signatures, embeddings math). A one-row-group
     * parquet file is unsplittable, so without this the whole per-row compute
-    * pipeline runs on one core. */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(s.sparkContext.defaultParallelism)
+    * pipeline runs on one core.
+    *
+    * Width tracks DATA, not cores (guide §2.2 — the round-17 verdict's
+    * 32-core anti-scaling finding): a constant `defaultParallelism` width
+    * paid ~32 × the per-task fixed cost on sub-MB bench inputs (2-13x
+    * whole-query slowdowns at 32 cores vs 8), and the same constant is
+    * wrong in the other direction on a big cluster, where
+    * `defaultParallelism`-sized partitions of a large frame would be
+    * enormous. Width = estimated plan bytes / [[spreadTargetBytes]],
+    * clamped to [1, defaultParallelism]: small frames get the width their
+    * bytes justify, and the clamp keeps the large-frame behavior exactly
+    * the old machine-wide spread. The estimate is Catalyst's
+    * `sizeInBytes` (file size at the scan, scaled through projections) —
+    * order-of-magnitude is all the width decision needs. */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val cores = s.sparkContext.defaultParallelism
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val wanted = est / spreadTargetBytes
+    val n = if (wanted >= cores) cores else math.max(1, wanted.toInt)
+    df.repartition(n)
+  }
 
   /** q70's blocklist, shared verbatim with the oracle's NOT IN literals. */
   private val blockedDomains: Seq[String] =
@@ -222,6 +253,11 @@ object SparkEntry {
     stageParquet(path) { tmp =>
       NGramJaccard.similarPairs(spread(s, Tables.documents(s, dir)),
         "doc_id", "text", n = 3, threshold = 0.8)
+        // rebalance before the staged write (guide §6): AQE sizes the
+        // output files to advisory bytes — one file at bench scale
+        // instead of one per upstream task, ~64 MB files at 100 TB —
+        // so every later probe read pays per-file open cost once
+        .hint("rebalance")
         .write.mode("overwrite").parquet(tmp)
     }
     s.read.parquet(path)
@@ -1023,11 +1059,13 @@ object SparkEntry {
       stageParquet(idxPath) { tmp =>
         Ann.srpIndex(spread(s, Tables.embeddings(s, dir)), "vec_id",
           "embedding", dim = 64, nTables = 8, bitsPerTable = 7)
+          .hint("rebalance") // staged-index file sizing, the q18 rule
           .write.mode("overwrite").parquet(tmp)
       }
       stageParquet(vecPath) { tmp =>
         Ann.normalizedVectors(spread(s, Tables.embeddings(s, dir)),
           "vec_id", "embedding")
+          .hint("rebalance") // staged-index file sizing, the q18 rule
           .write.mode("overwrite").parquet(tmp)
       }
       val inc = Tables.embeddings(s, dir).filter(col("vec_id") % 16 === 0)
@@ -1497,6 +1535,7 @@ object SparkEntry {
           Multimodal.getClass))
       stageParquet(idxPath) { tmp =>
         ImageDedup.dHashes(Multimodal.ppmPayloads(s, spread(s, idx), "doc_id"))
+          .hint("rebalance") // staged-index file sizing, the q18 rule
           .write.mode("overwrite").parquet(tmp)
       }
       val planted = idx.filter(pmod(col("doc_id"), lit(16)) === 0)
@@ -1694,6 +1733,7 @@ object SparkEntry {
       stageParquet(idxPath) { tmp =>
         AudioDedup.fingerprints(
           Audio.wavPayloads(s, spread(s, idx), "doc_id"))
+          .hint("rebalance") // staged-index file sizing, the q18 rule
           .write.mode("overwrite").parquet(tmp)
       }
       val planted = idx.filter(pmod(col("doc_id"), lit(16)) === 0)
@@ -1753,6 +1793,7 @@ object SparkEntry {
       stageParquet(idxPath) { tmp =>
         VideoDedup.signatures(
           Video.videoPayloads(s, spread(s, idx), "doc_id"), stride = 2)
+          .hint("rebalance") // staged-index file sizing, the q18 rule
           .write.mode("overwrite").parquet(tmp)
       }
       val planted = idx.filter(pmod(col("doc_id"), lit(16)) === 0)
@@ -2330,11 +2371,17 @@ object SparkEntry {
         Tables.documents(s, dir).select("doc_id", "text")
           .repartition(2).write.mode("overwrite").parquet(tmp)
       }
-      // the model is static across microbatches — persist it so the
-      // stream-static join doesn't re-train per trigger
-      val delta = Dsir.model(Tables.documents(s, dir), "doc_id", "text",
-        col("source").isin("src0", "src1", "src2"), buckets = 1024)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the model is static across microbatches — materialize it eagerly
+      // (Guards.materialize) so the stream-static join doesn't re-train
+      // per trigger: the lazy persist froze a shuffle-partitions-wide
+      // cache that every microbatch re-scanned at machine width, where
+      // the eager checkpoint is built once, AQE-coalesced, and each
+      // microbatch broadcasts a ≤ buckets-row frame with no lineage.
+      // The model's corpus token pass gets the spread (regex/hash-heavy
+      // per-row work on an unsplittable single-row-group input).
+      val delta = graft.Guards.materialize(
+        Dsir.model(spread(s, Tables.documents(s, dir)), "doc_id", "text",
+          col("source").isin("src0", "src1", "src2"), buckets = 1024))
       val stream = s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       ScoringStream.runToMemory(s,
@@ -2357,6 +2404,7 @@ object SparkEntry {
       stageParquet(idxPath) { tmp =>
         RecordLinkage.shape(rec.filter(col("doc_id") % 10 =!= 9), "doc_id",
           expr("substring(rec, 1, 4)"), "rec")
+          .hint("rebalance") // staged-index file sizing, the q18 rule
           .write.mode("overwrite").parquet(tmp)
       }
       val twins = rec.filter(col("doc_id") % 10 =!= 9)
@@ -2876,12 +2924,15 @@ object SparkEntry {
       val postPath = s"$base/postings"
       stageParquet(setsPath) { tmp =>
         Containment.containerSets(hist, "id", "text", 3)
+          .hint("rebalance") // staged-index file sizing, the q18 rule
           .write.mode("overwrite").parquet(tmp)
       }
       val sets = s.read.parquet(setsPath)
       stageParquet(postPath) { tmp =>
         Containment.containerPostings(sets, threshold = 0.8,
-          minInGrams = 16).write.mode("overwrite").parquet(tmp)
+          minInGrams = 16)
+          .hint("rebalance") // staged-index file sizing, the q18 rule
+          .write.mode("overwrite").parquet(tmp)
       }
       Containment.containedAgainstIndex(inc, "id", "text",
         s.read.parquet(postPath), sets, n = 3, threshold = 0.8,
@@ -4101,6 +4152,7 @@ object SparkEntry {
       stageParquet(idxPath) { tmp =>
         Decontaminate.gramIndex(docs.filter(col("doc_id") < 250),
           "doc_id", "text")
+          .hint("rebalance") // staged-index file sizing, the q18 rule
           .write.mode("overwrite").parquet(tmp)
       }
       Decontaminate.noveltyAgainstIndex(

@@ -23,7 +23,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache()
+      // clearCache drops Dataset-level cache entries; the eager
+      // localCheckpoint blocks the diamond sites create are RDD storage
+      // the CacheManager cannot see — release them too, or the dump run
+      // accumulates every query's blocks until driver GC
+      finally { spark.catalog.clearCache(); Guards.releaseMaterialized(spark) }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

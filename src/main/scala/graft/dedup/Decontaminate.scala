@@ -137,10 +137,10 @@ object Decontaminate {
     * the collision argument the class doc states. */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 8): DataFrame = {
-    // cache contract (the Ann/DedupGroups convention): the grams diamond
-    // persists for the life of the returned plan; Verify/Bench clearCache
-    // between queries, and long-lived callers should unpersist via
-    // spark.catalog.clearCache() after materializing the report
+    // materialization contract (Guards.materialize): the grams diamond is
+    // eagerly localCheckpointed — blocks are reclaimed by the
+    // ContextCleaner on GC or by Guards.releaseMaterialized (clearCache
+    // CANNOT see checkpoint blocks); Bench/Verify release per query
     val grams = graft.Guards.materialize(
       MinHashDedup.shingleSets(docs, idCol, textCol, n)
         .select(col("id"), explode(col("sh")).as("g")))

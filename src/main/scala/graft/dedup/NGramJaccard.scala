@@ -38,10 +38,11 @@ object NGramJaccard {
                    n: Int = 3, threshold: Double = 0.5,
                    maxDf: Int = 1000): DataFrame = {
     // The sets frame feeds five plan branches (hot-key agg, both sides of
-    // the posting self-join, two verification joins). Persist it once
-    // (deserialized, spills to disk) instead of recomputing the shingling
-    // per branch — the standard Spark treatment for a diamond-shaped plan;
-    // eviction is LRU so long-lived callers aren't wedged.
+    // the posting self-join, two verification joins). Materialize it once
+    // (eager localCheckpoint, the Guards.materialize contract — blocks
+    // reclaimed by the ContextCleaner on GC or Guards.releaseMaterialized,
+    // invisible to clearCache) instead of recomputing the shingling per
+    // branch.
     val sets = graft.Guards.materialize(shingleSets(docs, idCol, textCol, n)
       .select(col("id"), array_sort(col("sh")).as("sh")))
     val prefixLen = (size(col("sh")) - ceil(lit(threshold) * size(col("sh")))

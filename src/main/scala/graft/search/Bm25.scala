@@ -74,14 +74,22 @@ object Bm25 {
     * length in milli-tokens — broadcast onto everything downstream), and
     * per-token micro-idf.
     *
-    * ONE tokenize pass: tf is persisted (MEMORY_AND_DISK, the q18/
-    * Containment diamond convention — Verify/Bench clear the cache per
-    * query) and stats/idf derive from it, where the previous shape
-    * re-ran the corpus explode+aggregate once per consumer (three
-    * passes over the text and 3x the scan+exchange task volume, both
-    * here and at 100 TB). dl = token count per doc, identical to the
-    * old sum(tf): filter-then-size equals explode-filter-count, and the
-    * dl > 0 gate keeps stats counting docs-with-tokens only. */
+    * ONE tokenize pass: tf is EAGERLY localCheckpointed (the
+    * Guards.materialize convention — MEMORY_AND_DISK blocks reclaimed by
+    * the ContextCleaner on GC or by Guards.releaseMaterialized, NOT by
+    * spark.catalog.clearCache, which cannot see checkpoint blocks) and
+    * stats/idf derive from it, where the previous shape re-ran the
+    * corpus explode+aggregate once per consumer (three passes over the
+    * text and 3x the scan+exchange task volume, both here and at
+    * 100 TB). The §5 trade, stated for this corpus-scale frame:
+    * checkpoint blocks are executor-local with no lineage fallback, so
+    * on a real cluster an executor loss fails the consuming stage and
+    * the OPERATOR retry re-runs the one tokenize pass — at 100 TB that
+    * retry is expensive, and a deployment that cannot afford it should
+    * stage tf to parquet instead (the buildImpactIndex story). dl =
+    * token count per doc, identical to the old sum(tf):
+    * filter-then-size equals explode-filter-count, and the dl > 0 gate
+    * keeps stats counting docs-with-tokens only. */
   private def corpusFrames(corpus: DataFrame, idCol: String,
                            textCol: String)
       : (DataFrame, DataFrame, DataFrame) = {

@@ -48,12 +48,11 @@ object Drift {
                  topK: Int): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     // each side's count frame feeds TWO consumers (the vocab merge and
-    // its own total) — a diamond Catalyst won't collapse; persist the
-    // vocabulary-bounded frame once per the repo's diamond rule so the
-    // corpus explode+agg pass runs once per side, not twice. Cache
-    // contract: the Verify/Bench clearCache-per-query convention
-    // releases these; long-lived callers clearCache() after
-    // materializing.
+    // its own total) — a diamond Catalyst won't collapse; materialize the
+    // vocabulary-bounded frame once (eager localCheckpoint, the
+    // Guards.materialize contract: blocks reclaimed by the ContextCleaner
+    // on GC or Guards.releaseMaterialized, invisible to clearCache) so
+    // the corpus explode+agg pass runs once per side, not twice.
     val ca = graft.Guards.materialize(tokenCounts(a, textCol))
     val cb = graft.Guards.materialize(tokenCounts(b, textCol))
     val merged = ca.select(col("token"), col("c").as("__ca"))

@@ -57,8 +57,12 @@ object Dsir {
   def model(docs: DataFrame, idCol: String, textCol: String,
             isTarget: Column, buckets: Int = 1024): DataFrame = {
     require(buckets > 0, s"buckets must be > 0, got $buckets")
-    modelFromToks(tokenBuckets(docs, idCol, textCol, isTarget, buckets),
-      buckets)
+    // the token pass feeds THREE aggregates (raw, tgt, totals) — a lazy
+    // diamond that re-ran the corpus explode+hash once per consumer
+    // (measured on q143: three identical token-pass stages per model
+    // build); materialize it once, the importanceWeights convention
+    modelFromToks(graft.Guards.materialize(
+      tokenBuckets(docs, idCol, textCol, isTarget, buckets)), buckets)
   }
 
   private def modelFromToks(toks: DataFrame, buckets: Int): DataFrame = {
