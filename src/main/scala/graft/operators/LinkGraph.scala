@@ -44,28 +44,32 @@ import org.apache.spark.sql.functions._
 object LinkGraph {
 
   /** Materialize the per-node result (eager `localCheckpoint` — a few
-    * longs per node, the cheapest durable form) and RELEASE the
-    * iteration caches. Without this every invocation pins its edge/node
-    * frames for the session's lifetime — the bench driver runs hundreds
-    * of queries in one JVM, so cache lifetime is part of the contract. */
-  private def finish(result: DataFrame, cached: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint()
-    cached.foreach(_.unpersist())
-    out
-  }
+    * longs per node, the cheapest durable form). The iteration frames are
+    * eager checkpoints too (Guards.materialize): their blocks are
+    * reclaimed by the ContextCleaner on GC or by
+    * Guards.releaseMaterialized in the harnesses' per-query cleanup —
+    * the lazy persists this replaces pinned CacheManager entries AND
+    * froze the iteration frames at the raw shuffle-partition width
+    * (cached plans are exempt from AQE coalescing), so every iteration
+    * re-scanned machine-wide caches of tiny frames; the checkpoints are
+    * AQE-coalesced to the data's width. */
+  private def finish(result: DataFrame): DataFrame =
+    result.localCheckpoint()
 
   /** (node, pr) after `iters` fixed integer-PageRank iterations over
     * `edges` (columns `src`, `dst`; parallel edges collapse; node set =
     * distinct src ∪ dst). pr is micro-units, initial 1,000,000 per node. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0, s"iters must be ≥ 0, got $iters")
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // the edge dedup shuffle feeds deg, withDeg AND nodes — materialize
+    // it once (the lazy shape re-ran the distinct per consumer), then
+    // the per-iteration frames once each
+    val e = graft.Guards.materialize(
+      edges.select(col("src"), col("dst")).distinct())
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // edge+degree diamond reused every iteration — materialize it once
-    // (callers run Verify/Bench's clearCache-per-query convention)
-    val withDeg = e.join(deg, Seq("src")).persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val withDeg = graft.Guards.materialize(e.join(deg, Seq("src")))
+    val nodes = graft.Guards.materialize(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     var pr = nodes.withColumn("pr", lit(1000000L))
     for (i <- 1 to iters) {
       val contrib = withDeg
@@ -80,7 +84,7 @@ object LinkGraph {
       // at convergence-style iteration counts
       if (i % 8 == 0 && i < iters) pr = pr.localCheckpoint()
     }
-    finish(pr, withDeg, nodes)
+    finish(pr)
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) — the directory-vs-content
@@ -102,9 +106,10 @@ object LinkGraph {
   def hits(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 3,
       s"iters must be in [1, 3] (int64 walk-count headroom), got $iters")
-    val e = edges.select(col("src"), col("dst")).distinct().persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val e = graft.Guards.materialize(
+      edges.select(col("src"), col("dst")).distinct())
+    val nodes = graft.Guards.materialize(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     var hub = nodes.withColumn("v", lit(1L))
     var auth: DataFrame = nodes.withColumn("v", lit(0L))
     for (_ <- 1 to iters) {
@@ -120,7 +125,7 @@ object LinkGraph {
         .select(col("node"), coalesce(col("__s"), lit(0L)).as("v"))
     }
     finish(auth.withColumnRenamed("v", "auth")
-      .join(hub.withColumnRenamed("v", "hub"), Seq("node")), e, nodes)
+      .join(hub.withColumnRenamed("v", "hub"), Seq("node")))
   }
 
   /** TrustRank — personalized PageRank (Gyöngyi et al. 2004): the
@@ -140,9 +145,10 @@ object LinkGraph {
   def trustRank(edges: DataFrame, teleport: DataFrame,
                 iters: Int): DataFrame = {
     require(iters >= 0, s"iters must be ≥ 0, got $iters")
-    val e = edges.select(col("src"), col("dst")).distinct()
+    val e = graft.Guards.materialize(
+      edges.select(col("src"), col("dst")).distinct())
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val withDeg = e.join(deg, Seq("src")).persist()
+    val withDeg = graft.Guards.materialize(e.join(deg, Seq("src")))
     // node set includes TELEPORT seeds, not just edge endpoints: a
     // vetted seed with no links yet must still appear with its restart
     // mass — deriving nodes from edges alone would silently drop exactly
@@ -151,9 +157,9 @@ object LinkGraph {
       .union(e.select(col("dst").as("node")))
       .union(teleport.select(col("node")))
       .distinct()
-    val tele = nodes.join(teleport, Seq("node"), "left")
-      .select(col("node"), coalesce(col("tele"), lit(0L)).as("tele"))
-      .persist()
+    val tele = graft.Guards.materialize(
+      nodes.join(teleport, Seq("node"), "left")
+        .select(col("node"), coalesce(col("tele"), lit(0L)).as("tele")))
     var pr = tele.select(col("node"), col("tele").as("pr"))
     for (i <- 1 to iters) {
       val contrib = withDeg
@@ -167,7 +173,7 @@ object LinkGraph {
       // the pageRank lineage rule: bounded plan depth at any iters
       if (i % 8 == 0 && i < iters) pr = pr.localCheckpoint()
     }
-    finish(pr, withDeg, tele)
+    finish(pr)
   }
 
   /** Link-exchange (reciprocal-link) profile — the classic link-farm
@@ -183,9 +189,9 @@ object LinkGraph {
     * an edge is reciprocated iff its reverse exists — plus two map-side
     * combined counts; everything keys on host strings, nothing quadratic. */
   def reciprocalProfile(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .filter(col("src") =!= col("dst"))
-      .persist()
+    val e = graft.Guards.materialize(
+      edges.select(col("src"), col("dst")).distinct()
+        .filter(col("src") =!= col("dst")))
     val rev = e.select(col("dst").as("src"), col("src").as("dst"))
     val recip = e.join(rev, Seq("src", "dst"), "left_semi")
       .groupBy("src").agg(count(lit(1)).as("recip"))
@@ -193,6 +199,6 @@ object LinkGraph {
       .join(recip, Seq("src"), "left")
       .na.fill(0L, Seq("recip"))
       .select(col("src").as("host"), col("outdeg"), col("recip"),
-        expr("(10000 * recip) div outdeg").as("recip_bp")), e)
+        expr("(10000 * recip) div outdeg").as("recip_bp")))
   }
 }
